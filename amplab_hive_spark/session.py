@@ -1,0 +1,64 @@
+"""SparkSession construction tuned for the engine.
+
+The reference engine hand-implements partial aggregation, map-join
+conversion, skew handling and vectorization (SURVEY.md §2.1, §4.3);
+on Spark all of those are configuration, not code. Every knob set
+here is the 100 TB-scale default — AQE re-plans partition counts and
+skew joins at runtime, so the same session config serves local[32]
+tests and a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults match the driver harness: local[32], 32 shuffle partitions.
+_DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "amplab_hive_spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-ready defaults.
+
+    AQE is the linchpin: at 100 TB the right shuffle partition count
+    is data-dependent, so we set a high initial parallelism and let
+    ``coalescePartitions`` shrink it after each exchange. Skewed join
+    keys are split by ``skewJoin`` instead of a hand-written skew
+    resolver (reference: QL/exec/SkewJoinHandler.java:74).
+    """
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{_DEFAULT_CPUS}]")
+        # -- shuffle sizing: matched to local cores; on a cluster AQE
+        #    coalesces from a deliberately-high initial number.
+        .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
+        # -- AQE: runtime re-plan (partition coalescing, skew join,
+        #    broadcast demotion). Replaces the reference's physical
+        #    optimizer passes (SURVEY.md §4.3).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # -- broadcast small dimensions automatically (region/nation/
+        #    supplier are KB-to-MB at any SF; reference does this via
+        #    CommonJoinResolver auto map-join conversion).
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # -- deterministic timestamp semantics for oracle comparison.
+        .config("spark.sql.session.timeZone", "UTC")
+        # -- Arrow for the few pandas-UDF paths (LLM ops).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # -- quieter local runs; the driver collects results, not UI.
+        .config("spark.ui.enabled", "false")
+        # -- Hive-compatible non-ANSI coercions (string<->number casts,
+        #    integer division semantics) per SURVEY.md §1.3.
+        .config("spark.sql.ansi.enabled", "false")
+        # -- the events table carries TIMESTAMP(NANOS) parquet values,
+        #    which Spark only reads as raw longs; catalog.py converts
+        #    them back to microsecond timestamps at scan time.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
+        builder = builder.config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,57 @@
+"""Benchmark harness: run the headline queries (``bench=True`` in the
+registry) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully executed (collect) so the timing covers scan →
+shuffle → result, not just plan construction. A warmup run of the
+first query absorbs JVM/codegen startup so numbers reflect steady
+state, matching how a long-lived cluster session would behave.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from amplab_hive_spark.registry import all_queries
+from amplab_hive_spark.session import get_spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark("amplab_hive_spark-bench")
+
+    specs = [s for s in all_queries().values() if s.bench]
+    specs.sort(key=lambda s: s.name)
+
+    # Warmup: JVM + codegen + parquet footer caches.
+    specs[0].fn(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for spec in specs:
+        t0 = time.perf_counter()
+        spec.fn(spark, sf_dir).collect()
+        timings[spec.name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
