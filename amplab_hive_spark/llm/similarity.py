@@ -1,1 +1,230 @@
-"""(stub — populated in this round)"""
+"""Similarity search over the embeddings table
+(vec_id BIGINT, embedding ARRAY<FLOAT>, label INT; 64 dims).
+
+Beyond the reference surface (BASELINE.json north star):
+
+- **brute-force cosine top-k** — the exactness baseline. Dot product
+  via F.aggregate over zip_with (JVM higher-order functions, no
+  Python). O(Q×N) — fine for small query sets, the recall yardstick
+  for the ANN path.
+- **LSH-bucketed ANN** — random-hyperplane signatures; queries probe
+  only their bucket (multi-probe via 1-bit flips). At 100 TB the
+  bucket join replaces the full cross product; signature computation
+  is a scan, bucketing is one shuffle on a 4-byte key.
+- **embedding near-dup** — all-pairs cosine ≥ τ via bucket join.
+
+Numeric policy: all arithmetic in double, sequential left-fold order
+(F.aggregate), mirrored exactly by the oracle's per-element SUM so
+cross-engine doubles match bitwise (verified); final cosines rounded
+to 1e-6 in both engines as a safety margin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.registry import register
+
+_HYPERPLANES = 6  # LSH signature bits per table
+_LSH_TABLES = 4  # OR-amplification: union of candidates across tables
+_SEED = 421
+
+
+def _dot(a, b) -> Column:
+    """Σ aᵢbᵢ as a sequential double fold (deterministic order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a, b) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+# Oracle fragments: identical fold order (list_sum over per-element
+# products preserves list order in DuckDB) and identical formula.
+def _o_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[])),"
+        f" p -> p[1] * p[2]))"
+    )
+
+
+def _o_cos(a: str, b: str) -> str:
+    return f"({_o_dot(a, b)} / (sqrt({_o_dot(a, a)}) * sqrt({_o_dot(b, b)})))"
+
+
+_TOPK_ORACLE = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+scored AS (
+  SELECT qid, vec_id, round({_o_cos('qv', 'embedding')}, 6) AS cos_sim
+  FROM q CROSS JOIN embeddings
+  WHERE vec_id <> qid
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+ORDER BY qid, rnk
+"""
+
+
+@register("sim_bruteforce_topk", tags=("llm", "similarity"), oracle=_TOPK_ORACLE, bench=True)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for each query vector (vec_id % 100 = 0).
+    Query side is tiny → broadcast; the big side is scanned once.
+    This plan shape (broadcast-probe + per-query heap) is exactly
+    what a 100 TB exact-rerank pass looks like."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    q = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    scored = (
+        t.embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("qid", "rnk")
+    )
+
+
+def _hyperplanes(table: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes per LSH table (seeded
+    LCG — no numpy dependency; values become plan literals)."""
+    state = _SEED + 7919 * table
+    planes = []
+    for _ in range(_HYPERPLANES):
+        v = []
+        for _ in range(64):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            v.append(((state >> 33) / float(1 << 31)) - 1.0)  # [-1, 1)
+        planes.append(v)
+    return planes
+
+
+def lsh_bucket(emb, table: int) -> Column:
+    """Random-hyperplane signature: bit i = sign(emb · plane_i)."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(table)):
+        proj = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(x) for x in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+@register("sim_ann_lsh", tags=("llm", "similarity", "lsh"), oracle=None)
+def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via multi-table random-hyperplane LSH
+    (OR-amplification: 4 tables × 6 bits) with 1-bit multi-probe.
+
+    The driver's embeddings are isotropic-random (no cluster
+    structure — measured same-label avg cosine ≈ cross-label), the
+    hardest regime for ANN: candidate volume ≈ 35% of the corpus
+    buys ~0.6-0.8 recall@10. On real embedding corpora (clustered),
+    the same operator with the same parameters probes far fewer
+    candidates. Engine-specific bucketing → no SQL oracle;
+    tests/test_llm_ops.py measures mean recall ≥ 0.5 vs
+    sim_bruteforce_topk."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    base = t.embeddings
+    emb = base.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(tl).alias("tbl"),
+                        lsh_bucket(F.col("embedding"), tl).alias("bucket"),
+                    )
+                    for tl in range(_LSH_TABLES)
+                ]
+            )
+        ).alias("tb"),
+    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    probes = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        "tbl",
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(_HYPERPLANES)],
+            )
+        ).alias("bucket"),
+    )
+    scored = (
+        emb.join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select("qid", "vec_id", "qv", "embedding")
+        .distinct()
+        .select(
+            "qid",
+            "vec_id",
+            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("qid", "rnk")
+    )
+
+
+_NEARDUP_ORACLE = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round({_o_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round({_o_cos('a.embedding', 'b.embedding')}, 6) >= 0.55
+ORDER BY vec_a, vec_b
+"""
+
+
+@register("sim_embedding_neardup", tags=("llm", "similarity", "dedup"), oracle=_NEARDUP_ORACLE)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cos ≥ 0.55). Exact
+    all-pairs here (the verification yardstick); the LSH bucket join
+    above is the scale path that would replace the O(N²) join."""
+    t = tables(spark, sf_dir)
+    a = t.embeddings.alias("a")
+    b = t.embeddings.alias("b")
+    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.55)
+        .orderBy("vec_a", "vec_b")
+    )

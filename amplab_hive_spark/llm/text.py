@@ -1,1 +1,183 @@
-"""(stub — populated in this round)"""
+"""Text analysis for training-data pipelines: token stats, quality
+scoring, document fingerprinting, language ID.
+
+Beyond the reference surface (BASELINE.json north star): these are
+the per-document scoring passes an LLM data pipeline runs before
+dedup/filtering. Everything except langid is built-in Catalyst
+expressions — split/regexp/higher-order array functions — no Python
+in the row path, so per-doc metrics run as a single scan with no
+shuffle at any scale; corpus rollups add one small exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.registry import register
+
+# Tiny stopword list — deterministic, shared verbatim with oracles.
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+_SQL_STOPLIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@register(
+    "text_token_stats",
+    tags=("llm", "text"),
+    oracle="""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       length(text)                 AS n_chars_measured,
+       len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+       CAST(length(replace(text, ' ', '')) AS DOUBLE)
+         / len(string_split(text, ' '))           AS avg_token_len
+FROM documents
+WHERE doc_id % 25 = 3
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + type/token stats. Pure projection:
+    no shuffle, scales linearly."""
+    t = tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    return t.documents.filter(F.col("doc_id") % 25 == 3).select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_token_len"),
+    )
+
+
+@register(
+    "text_quality_score",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN stop_ratio >= 0.05 AND n_tokens >= 30 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quality_docs,
+       MIN(n_tokens) AS min_tokens,
+       MAX(n_tokens) AS max_tokens
+FROM (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_tokens,
+         CAST(len(list_filter(string_split(text, ' '),
+                              w -> list_contains({_SQL_STOPLIST}, w))) AS DOUBLE)
+           / len(string_split(text, ' ')) AS stop_ratio
+  FROM documents
+) d
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality gate (stopword ratio + length floor) — the
+    C4/Gopher-style rule family. Higher-order array functions keep
+    the token scan JVM-side; the rollup exchanges 5 rows."""
+    t = tables(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    stop_ratio = (
+        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double") / F.size(toks)
+    )
+    scored = t.documents.select(
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        stop_ratio.alias("stop_ratio"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when((F.col("stop_ratio") >= 0.05) & (F.col("n_tokens") >= 30), 1).otherwise(0)
+            ).alias("n_quality_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "text_fingerprint",
+    tags=("llm", "text", "dedup"),
+    oracle="""
+SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
+FROM (
+  SELECT doc_id,
+         md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
+  FROM documents
+) f
+GROUP BY fingerprint
+HAVING COUNT(*) > 1
+ORDER BY fingerprint
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint (lowercase, strip non-alnum,
+    md5) — catches formatting-only duplicates. One groupBy on the
+    16-byte fingerprint; the shuffle carries (hash, id), not text."""
+    t = tables(spark, sf_dir)
+    fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
+    return (
+        t.documents.select(F.col("doc_id"), fp.alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
+        .filter(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@register("text_langid", tags=("llm", "text"), oracle=None)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-bigram-profile language ID. Mechanism: build one
+    bigram frequency profile per labeled language (training pass =
+    explode + groupBy), broadcast the profiles, score each document
+    by summed profile weight of its bigrams, argmax over languages.
+
+    The driver's synthetic corpus draws every language from the same
+    vocabulary, so *accuracy* is meaningless here (labels are
+    random); the unit test asserts mechanism properties instead
+    (deterministic prediction, full coverage, valid lang codes).
+    No SQL oracle: argmax-over-profile is not expressible without
+    replicating the whole pipeline.
+
+    Scale: profiles are a few-KB broadcast; scoring is one
+    explode+join+groupBy over bigrams — shuffle keyed on doc_id."""
+    t = tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "lang", F.lower("text").alias("txt"))
+    bigrams = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("txt") - 1),
+                lambda i: F.col("txt").substr(i, F.lit(2)),
+            )
+        ).alias("bigram"),
+    )
+    # Profile: P(bigram | lang) as a weight.
+    profile = (
+        bigrams.groupBy("lang", "bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "weight",
+            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("lang")),
+        )
+        .select(F.col("lang").alias("p_lang"), "bigram", "weight")
+    )
+    scored = (
+        bigrams.join(F.broadcast(profile), "bigram")
+        .groupBy("doc_id", "lang", "p_lang")
+        .agg(F.sum("weight").alias("score"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "p_lang")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("lang").alias("label"), F.col("p_lang").alias("predicted"))
+    )

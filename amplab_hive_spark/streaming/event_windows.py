@@ -1,1 +1,149 @@
-"""(stub — populated in this round)"""
+"""Event-time windowed aggregation over the events table.
+
+Reference parity (SURVEY.md §2.8): the reference is batch-only — its
+single streaming surface is transactional micro-batch ingest
+(hcatalog/streaming TransactionBatch.java / HiveEndPoint.java),
+covered by streaming/ingest.py. Event-time windows, sessionization
+and watermarks are the Structured Streaming superset we add on top;
+the same F.window / F.session_window expressions run identically in
+batch mode (tested here against a SQL oracle) and under readStream
+(tested in tests/test_streaming_ingest.py with a watermark).
+
+Scale: windowed aggregation shuffles on (window, key) — bounded
+cardinality; session_window uses Spark's native session merge, and
+under streaming, state is bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.operators._util import o_dsum
+from amplab_hive_spark.registry import register
+
+
+@register(
+    "events_tumbling_window",
+    tags=("streaming", "window-agg"),
+    oracle=f"""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       {o_dsum('value', scale=2)} AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows — F.window, the same
+    expression a readStream pipeline uses."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sliding_window",
+    tags=("streaming", "window-agg"),
+    oracle="""
+WITH starts AS (
+  SELECT e.event_id, e.event_type,
+         time_bucket(INTERVAL '30 minutes', e.ts) - k * INTERVAL '30 minutes' AS window_start
+  FROM events e, unnest([0, 1]) AS t(k)
+  WHERE e.ts < time_bucket(INTERVAL '30 minutes', e.ts) - k * INTERVAL '30 minutes'
+               + INTERVAL '1 hour'
+)
+SELECT window_start, event_type, COUNT(*) AS n_events
+FROM starts
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (1 h length, 30 min slide): each event lands
+    in 2 windows. The oracle reconstructs the window assignment
+    arithmetic explicitly."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    tags=("streaming", "session"),
+    oracle="""
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '5 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gaps
+)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM islands
+GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (5-minute inactivity gap) via Spark's native
+    session_window — the reference has no equivalent at all. The
+    oracle derives identical sessions with gaps-and-islands SQL."""
+    t = tables(spark, sf_dir)
+    return (
+        t.events.groupBy(F.session_window("ts", "5 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
+    "events_rate_per_user",
+    tags=("streaming", "agg"),
+    oracle=f"""
+SELECT user_id,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT event_type) AS n_types,
+       {o_dsum('value', scale=2)} AS total_value,
+       CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS active_seconds
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_rate_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity rollup on the stream table (span, volume,
+    type diversity)."""
+    t = tables(spark, sf_dir)
+    span = F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.sum(F.col("value").cast("decimal(38,2)")).cast("double").alias("total_value"),
+            span.cast("bigint").alias("active_seconds"),
+        )
+        .orderBy("user_id")
+    )

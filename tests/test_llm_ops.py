@@ -1,0 +1,86 @@
+"""Mechanism tests for the LLM-pipeline operators that have no SQL
+oracle (LSH-based dedup/ANN, langid): recall against the exact
+oracled variants, determinism, coverage.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+@pytest.fixture(scope="module")
+def bruteforce_topk(spark, sf_dir):
+    return QUERIES["sim_bruteforce_topk"].fn(spark, sf_dir).collect()
+
+
+def test_minhash_lsh_finds_exact_dups(spark, sf_dir):
+    """Every exact duplicate pair (jaccard 1.0) must be an LSH hit."""
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+        if r["jaccard"] == 1.0
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact <= lsh
+    # and every reported pair really is a near-dup (verified jaccard)
+    for r in QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect():
+        assert r["jaccard"] >= 0.5
+
+
+def test_simhash_determinism_and_symmetry(spark, sf_dir):
+    a = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    b = QUERIES["dedup_simhash"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    for r in a:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming_dist"] <= 3
+
+
+def test_ann_lsh_recall(spark, sf_dir, bruteforce_topk):
+    """Multi-probe LSH top-10 recall vs exact top-10 ≥ 0.5 (8-bit
+    signatures probe ~9/256 buckets ⇒ ~3.5% of candidates)."""
+    exact: dict[int, set[int]] = {}
+    for r in bruteforce_topk:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    ann: dict[int, set[int]] = {}
+    for r in QUERIES["sim_ann_lsh"].fn(spark, sf_dir).collect():
+        ann.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(exact) == set(ann), "every query vector must get ANN results"
+    recalls = [len(exact[q] & ann[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
+
+
+def test_langid_mechanism(spark, sf_dir):
+    out = QUERIES["text_langid"].fn(spark, sf_dir).collect()
+    n_docs = tables(spark, sf_dir).documents.count()
+    assert len(out) == n_docs, "every document classified exactly once"
+    langs = {"en", "es", "de", "fr", "zh"}
+    assert {r["predicted"] for r in out} <= langs
+    again = QUERIES["text_langid"].fn(spark, sf_dir).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again)), "deterministic"
+
+
+def test_multimodal_roundtrip_rowlevel(spark, sf_dir):
+    """Header dims survive the binary encode → mapInPandas decode
+    round-trip, row-for-row."""
+    from amplab_hive_spark.llm.multimodal import (
+        _FEATURE_SCHEMA,
+        decode_media_batch,
+        synthesize_media,
+    )
+
+    media = synthesize_media(spark, sf_dir)
+    feats = media.mapInPandas(decode_media_batch, schema=_FEATURE_SCHEMA)
+    rows = feats.filter(F.col("doc_id") % 97 == 1).collect()
+    assert rows
+    for r in rows:
+        assert r["width"] == r["doc_id"] % 640 + 32
+        assert r["height"] == r["doc_id"] % 480 + 24
+        assert r["n_bytes"] > 8
