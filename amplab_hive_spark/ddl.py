@@ -1,0 +1,152 @@
+"""DDL & write paths: CREATE/CTAS/INSERT/dynamic partitions/bucketed
+tables/MSCK/ANALYZE, multi-insert, copy-on-write UPDATE/DELETE, and
+SELECT TRANSFORM.
+
+Reference parity (SURVEY.md §2.2, §2.9, §7.1 steps 1/6/7):
+- DDL statements: DDLSemanticAnalyzer/DDLTask (3461/4440 LoC in the
+  reference) collapse into Spark catalog SQL one-liners.
+- FileSinkOperator (QL/exec/FileSinkOperator.java:84) with dynamic
+  partitions → ``df.write.partitionBy``; bucketed output →
+  ``bucketBy`` (SURVEY §7.3 #5: semantic parity, not file-layout
+  parity — Hive and Spark bucket hashes differ).
+- Multi-insert ``FROM t INSERT ... INSERT ...`` (HiveParser.g body
+  statements) → one cached source, N writes.
+- UPDATE/DELETE (HiveParser.g:337-338, UpdateDeleteSemanticAnalyzer
+  rewrites to insert-overwrite of ACID deltas) → copy-on-write
+  overwrite with snapshot visibility (SURVEY §7.3 #3: faithful
+  delta/compaction is a non-goal).
+- ScriptOperator / SELECT TRANSFORM (QL/exec/ScriptOperator.java:62)
+  → mapInPandas over Arrow batches (no subprocess per row — the
+  Spark-idiomatic replacement for piping rows through scripts).
+
+Scale notes: dynamic-partition writes sort within partitions before
+writing (SortedDynPartitionOptimizer equivalent: repartition on the
+partition column so each task writes few files); MSCK is a catalog
+refresh; ANALYZE feeds CBO.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def create_table_as(
+    spark: SparkSession,
+    name: str,
+    df: DataFrame,
+    path: str,
+    partition_by: Sequence[str] = (),
+    bucket_by: tuple[int, Sequence[str]] | None = None,
+    sort_by: Sequence[str] = (),
+    mode: str = "overwrite",
+) -> None:
+    """CTAS to Parquet. partition_by → directory partitions (pruned
+    by Catalyst at read); bucket_by=(n, cols) → hash buckets that
+    later joins/aggs on those cols exploit without a shuffle."""
+    writer = df.write.mode(mode).format("parquet")
+    if partition_by:
+        # SortedDynPartitionOptimizer equivalent: cluster rows by
+        # partition value so each task writes one file per partition.
+        df = df.repartition(*partition_by)
+        writer = df.write.mode(mode).format("parquet").partitionBy(*partition_by)
+    if bucket_by:
+        n, cols = bucket_by
+        writer = writer.bucketBy(n, *cols)
+        if sort_by:
+            writer = writer.sortBy(*sort_by)
+        writer.option("path", path).saveAsTable(name)
+        return
+    writer.option("path", path).saveAsTable(name)
+
+
+def insert_into(spark: SparkSession, name: str, df: DataFrame, overwrite: bool = False) -> None:
+    """INSERT INTO / INSERT OVERWRITE TABLE."""
+    df.write.insertInto(name, overwrite=overwrite)
+
+
+def multi_insert(
+    spark: SparkSession, source: DataFrame, sinks: Sequence[tuple[Callable[[DataFrame], DataFrame], str]]
+) -> None:
+    """FROM src INSERT OVERWRITE t1 SELECT ... INSERT OVERWRITE t2
+    SELECT ... — the reference reads the source once per job; here
+    the source is cached and each sink writes from memory."""
+    source = source.persist()
+    try:
+        source.count()  # materialize once
+        for transform, table in sinks:
+            transform(source).write.insertInto(table, overwrite=True)
+    finally:
+        source.unpersist()
+
+
+def msck_repair(spark: SparkSession, name: str) -> None:
+    """MSCK REPAIR TABLE — discover partitions added out-of-band."""
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+
+
+def analyze(spark: SparkSession, name: str, columns: Sequence[str] = ()) -> None:
+    """ANALYZE TABLE ... COMPUTE STATISTICS [FOR COLUMNS ...] — feeds
+    CBO join reordering (reference: StatsOptimizer/ColumnStatsTask)."""
+    spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS {', '.join(columns)}"
+        )
+
+
+def update_table(
+    spark: SparkSession,
+    name: str,
+    condition: str,
+    assignments: dict[str, str],
+) -> int:
+    """UPDATE name SET col=expr WHERE condition — copy-on-write:
+    rewrite the full table with the assignment applied to matching
+    rows; new snapshot becomes visible at commit. Returns #rows
+    matched. (Row-level ACID deltas are a non-goal — SURVEY §7.3.)"""
+    from pyspark.sql import functions as F
+
+    df = spark.table(name)
+    matched = df.filter(condition).count()
+    cols = [
+        F.when(F.expr(condition), F.expr(expr)).otherwise(F.col(c)).alias(c)
+        if c in assignments
+        else F.col(c)
+        for c, expr in [(c, assignments.get(c)) for c in df.columns]
+    ]
+    updated = df.select(*cols)
+    _overwrite_snapshot(spark, name, updated)
+    return matched
+
+
+def delete_from(spark: SparkSession, name: str, condition: str) -> int:
+    """DELETE FROM name WHERE condition — copy-on-write overwrite."""
+    df = spark.table(name)
+    matched = df.filter(condition).count()
+    remaining = df.filter(f"NOT ({condition})")
+    _overwrite_snapshot(spark, name, remaining)
+    return matched
+
+
+def _overwrite_snapshot(spark: SparkSession, name: str, df: DataFrame) -> None:
+    """Replace a table's contents with snapshot semantics: stage the
+    new contents (localCheckpoint materializes them and truncates
+    lineage — required because Spark refuses to overwrite a table
+    its own plan still reads), then overwrite-commit."""
+    staged = df.localCheckpoint(eager=True)
+    staged.write.insertInto(name, overwrite=True)
+
+
+def transform_rows(
+    df: DataFrame,
+    fn: Callable,
+    schema,
+) -> DataFrame:
+    """SELECT TRANSFORM (ScriptOperator) equivalent: stream Arrow
+    batches through a Python callable (pandas DataFrame →
+    pandas DataFrame). The reference forks a subprocess and pipes
+    tab-separated rows; mapInPandas keeps it in-process and
+    vectorized."""
+    return df.mapInPandas(fn, schema=schema)

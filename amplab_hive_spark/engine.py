@@ -58,3 +58,41 @@ class Engine:
     def explain(self, df_or_sql: DataFrame | str, mode: str = "formatted") -> str:
         df = self.sql(df_or_sql) if isinstance(df_or_sql, str) else df_or_sql
         return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)  # type: ignore[attr-defined]
+
+    # -- write-side surface (reference: DDLTask / FileSinkOperator /
+    #    UpdateDeleteSemanticAnalyzer / ScriptOperator — ddl.py) -----
+
+    def create_table_as(self, name: str, df: DataFrame, path: str, **kwargs) -> None:
+        from amplab_hive_spark.ddl import create_table_as
+
+        create_table_as(self.spark, name, df, path, **kwargs)
+
+    def insert_into(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+        from amplab_hive_spark.ddl import insert_into
+
+        insert_into(self.spark, name, df, overwrite=overwrite)
+
+    def multi_insert(self, source: DataFrame, sinks) -> None:
+        from amplab_hive_spark.ddl import multi_insert
+
+        multi_insert(self.spark, source, sinks)
+
+    def update(self, name: str, condition: str, assignments: dict[str, str]) -> int:
+        from amplab_hive_spark.ddl import update_table
+
+        return update_table(self.spark, name, condition, assignments)
+
+    def delete(self, name: str, condition: str) -> int:
+        from amplab_hive_spark.ddl import delete_from
+
+        return delete_from(self.spark, name, condition)
+
+    def analyze(self, name: str, columns=()) -> None:
+        from amplab_hive_spark.ddl import analyze
+
+        analyze(self.spark, name, columns)
+
+    def transform(self, df: DataFrame, fn, schema) -> DataFrame:
+        from amplab_hive_spark.ddl import transform_rows
+
+        return transform_rows(df, fn, schema)

@@ -1,0 +1,144 @@
+"""matchpath — row-pattern matching over ordered partitions.
+
+Reference parity (SURVEY.md §2.1): the MatchPath PTF
+(QL/udf/ptf/MatchPath.java, registered as `matchpath`,
+FunctionRegistry.java:434-439) matches a symbol pattern against each
+ordered partition and emits one row per match with path metadata.
+Spark has no MATCH_RECOGNIZE, so this is one of the few genuinely
+custom operators (SURVEY.md §7.3 hard list #4): implemented as
+``applyInPandas`` over ``partitionBy`` groups — each group is
+classified row-by-row into symbols, the symbol string is matched
+with a compiled regex, and matches are emitted as rows.
+
+Scale: one shuffle on the partition key; each partition is matched
+independently in an Arrow batch. Pattern state never crosses
+partition boundaries (matching the reference's PTF partition
+semantics), so the operator parallelizes perfectly. Partitions must
+fit in executor memory — same contract as the reference's
+PTFPartition buffer.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import LongType, StructField, StructType
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.registry import register
+
+
+def matchpath(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[str],
+    symbols: dict[str, Callable[[pd.DataFrame], "pd.Series"]],
+    pattern: str,
+    result_schema: StructType,
+    emit: Callable[[pd.DataFrame, int, int], dict],
+) -> DataFrame:
+    """Generic row-pattern matcher.
+
+    symbols: name (single char) → predicate over the ordered
+    partition frame (vectorized; may reference shifted columns).
+    pattern: regex over symbol characters (e.g. ``"UU+D*"``).
+    emit(frame, start, end) → dict for one match (non-overlapping,
+    leftmost-longest like the reference's MatchPath.java).
+    """
+    for name in symbols:
+        if len(name) != 1:
+            raise ValueError(f"symbol names must be single characters: {name!r}")
+    compiled = re.compile(pattern)
+
+    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(list(order_by), kind="mergesort").reset_index(drop=True)
+        chars = pd.Series(["?"] * len(pdf))
+        for ch, pred in symbols.items():
+            mask = pred(pdf).fillna(False).astype(bool)
+            chars[mask] = ch
+        s = "".join(chars)
+        out = []
+        pos = 0
+        while pos < len(s):
+            m = compiled.search(s, pos)
+            if not m or m.start() == m.end():
+                break
+            out.append(emit(pdf, m.start(), m.end()))
+            pos = m.end()
+        cols = [f.name for f in result_schema.fields]
+        return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
+            {c: pd.Series(dtype="object") for c in cols}
+        )
+
+    return df.groupBy(*partition_by).applyInPandas(match_group, schema=result_schema)
+
+
+_RUNS_ORACLE = """
+WITH ordered AS (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         lag(o_totalprice) OVER w AS prev_price,
+         row_number() OVER w AS rn
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_price IS NOT NULL AND o_totalprice > prev_price
+                 THEN 0 ELSE 1 END AS brk
+  FROM ordered
+),
+islands AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY o_custkey ORDER BY rn
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged
+)
+SELECT o_custkey AS custkey,
+       arg_min(o_orderkey, rn) AS start_orderkey,
+       COUNT(*) AS run_len
+FROM islands
+GROUP BY o_custkey, island
+HAVING COUNT(*) >= 3
+ORDER BY custkey, start_orderkey
+"""
+
+
+@register("matchpath_price_runs", tags=("ptf", "matchpath", "pandas-udf"), oracle=_RUNS_ORACLE)
+def matchpath_price_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MatchPath query: per customer (ordered by date), find maximal
+    runs of ≥3 orders with strictly increasing totalprice — pattern
+    ``FU{2,}`` over symbols F=first-or-not-increase, U=increase.
+    Oracled by gaps-and-islands SQL computing identical runs."""
+    t = tables(spark, sf_dir)
+    schema = StructType(
+        [
+            StructField("custkey", LongType()),
+            StructField("start_orderkey", LongType()),
+            StructField("run_len", LongType()),
+        ]
+    )
+
+    def is_up(pdf: pd.DataFrame) -> pd.Series:
+        return pdf["o_totalprice"] > pdf["o_totalprice"].shift(1)
+
+    def is_break(pdf: pd.DataFrame) -> pd.Series:
+        return ~(pdf["o_totalprice"] > pdf["o_totalprice"].shift(1))
+
+    def emit(pdf: pd.DataFrame, start: int, end: int) -> dict:
+        return {
+            "custkey": int(pdf["o_custkey"].iloc[start]),
+            "start_orderkey": int(pdf["o_orderkey"].iloc[start]),
+            "run_len": end - start,
+        }
+
+    return matchpath(
+        t.orders.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        partition_by=["o_custkey"],
+        order_by=["o_orderdate", "o_orderkey"],
+        symbols={"U": is_up, "F": is_break},
+        pattern="FU{2,}",
+        result_schema=schema,
+        emit=emit,
+    ).orderBy("custkey", "start_orderkey")
