@@ -1,0 +1,63 @@
+"""Negative tests — analyzer/parser error classes, mirroring the
+reference's clientnegative corpus themes (686 scripts: unresolved
+columns/tables, type errors, invalid grouping, bad function arity).
+The engine must fail with a structured AnalysisException (and a
+helpful message), not silently misbehave.
+"""
+
+import pytest
+from pyspark.errors.exceptions.captured import (
+    AnalysisException,
+    ParseException,
+)
+
+from amplab_hive_spark.catalog import tables
+
+
+@pytest.fixture(autouse=True)
+def _register(spark, sf_dir):
+    tables(spark, sf_dir)
+
+
+def test_unresolved_column(spark):
+    with pytest.raises(AnalysisException, match="UNRESOLVED_COLUMN"):
+        spark.sql("SELECT no_such_col FROM nation").collect()
+
+
+def test_unresolved_table(spark):
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        spark.sql("SELECT * FROM definitely_missing_table").collect()
+
+
+def test_parse_error(spark):
+    with pytest.raises(ParseException):
+        spark.sql("SELEKT 1")
+
+
+def test_nonaggregated_column_in_groupby(spark):
+    with pytest.raises(AnalysisException, match="MISSING_AGGREGATION|GROUP_BY"):
+        spark.sql("SELECT n_name, n_regionkey FROM nation GROUP BY n_regionkey").collect()
+
+
+def test_wrong_function_arity(spark):
+    with pytest.raises(AnalysisException, match="WRONG_NUM_ARGS|PARAMETER"):
+        spark.sql("SELECT substr() FROM nation").collect()
+
+
+def test_unknown_function(spark):
+    with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
+        spark.sql("SELECT totally_fake_fn(n_name) FROM nation").collect()
+
+
+def test_ambiguous_column(spark):
+    with pytest.raises(AnalysisException, match="AMBIGUOUS_REFERENCE"):
+        spark.sql(
+            """SELECT n_nationkey FROM
+               (SELECT n_nationkey FROM nation) a,
+               (SELECT n_nationkey FROM nation) b"""
+        ).collect()
+
+
+def test_union_column_count_mismatch(spark):
+    with pytest.raises(AnalysisException, match="NUM_COLUMNS_MISMATCH|UNION"):
+        spark.sql("SELECT n_name FROM nation UNION ALL SELECT r_name, r_regionkey FROM region").collect()

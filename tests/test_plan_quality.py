@@ -1,0 +1,77 @@
+"""Physical-plan quality gates: correctness tests prove WHAT is
+computed; these prove HOW — pushed filters, pruned scans, broadcast
+choices, top-k pushdown — the properties that decide whether a plan
+survives a 100×
+scale-up. Mirrors SURVEY §4's Catalyst-status table.
+"""
+
+import pytest
+
+from amplab_hive_spark.registry import all_queries
+
+QUERIES = all_queries()
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name].fn(spark, sf_dir)
+    df.collect()  # let AQE finalize so the executed plan is real
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: untouched wide columns must not be read
+    assert "l_partkey" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_q5_star_join_broadcasts_dimensions(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, "region/nation/supplier must broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_q3_no_cartesian_and_topk(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan, "ORDER BY+LIMIT must compile to top-k"
+    assert "CartesianProduct" not in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "GlobalSort" not in plan and "\nSort " not in plan
+
+
+def test_window_topn_group_limit_pushdown(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "window_topn_per_group")
+    assert "WindowGroupLimit" in plan, "rank<=k must push a per-group limit below the shuffle"
+
+
+def test_scan_filter_project_prunes_columns(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "scan_filter_project")
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    for col in ("l_returnflag", "l_partkey", "l_suppkey", "l_tax"):
+        assert col not in read_schema, f"unused column {col} must be pruned from scan"
+
+
+def test_semi_anti_join_operators(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "join_left_semi")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "join_left_anti")
+
+
+def test_aqe_active(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q18_large_order_customers")
+    assert "AdaptiveSparkPlan" in plan
+    assert "isFinalPlan=true" in plan
+
+
+def test_matchpath_single_shuffle(spark, sf_dir):
+    """The pattern matcher must cost exactly one exchange (the
+    partition-by shuffle) — reference PTF semantics."""
+    df = QUERIES["matchpath_price_runs"].fn(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    n_exchanges = final.count("Exchange hashpartitioning")
+    assert n_exchanges == 1, f"matchpath should hash-shuffle once, saw {n_exchanges}:\n{final}"
