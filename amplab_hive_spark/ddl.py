@@ -139,6 +139,53 @@ def _overwrite_snapshot(spark: SparkSession, name: str, df: DataFrame) -> None:
     staged.write.insertInto(name, overwrite=True)
 
 
+def export_table(spark: SparkSession, name: str, export_dir: str) -> None:
+    """EXPORT TABLE name TO dir (HiveParser.g:97): data + schema
+    snapshot. Data as Parquet, schema as JSON alongside."""
+    import json
+    import os
+
+    df = spark.table(name)
+    df.write.mode("overwrite").parquet(os.path.join(export_dir, "data"))
+    with open(os.path.join(export_dir, "_schema.json"), "w") as fh:
+        fh.write(json.dumps({"table": name, "schema": df.schema.jsonValue()}))
+
+
+def import_table(spark: SparkSession, name: str, export_dir: str, path: str) -> None:
+    """IMPORT TABLE name FROM dir (HiveParser.g:98)."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    with open(os.path.join(export_dir, "_schema.json")) as fh:
+        meta = json.load(fh)
+    schema = StructType.fromJson(meta["schema"])
+    df = spark.read.schema(schema).parquet(os.path.join(export_dir, "data"))
+    create_table_as(spark, name, df, path)
+
+
+def load_data(
+    spark: SparkSession,
+    src_path: str,
+    name: str,
+    fmt: str = "parquet",
+    overwrite: bool = False,
+    options: dict | None = None,
+) -> None:
+    """LOAD DATA INPATH src INTO TABLE name
+    (QL/parse/LoadSemanticAnalyzer.java). The reference moves files;
+    here the load is a read+append through the table's committed
+    format (schema-checked instead of trusted blindly)."""
+    reader = spark.read.options(**(options or {}))
+    df = reader.format(fmt).load(src_path)
+    target = spark.table(name)
+    aligned = df.select(
+        *[df[c].cast(dict(target.dtypes)[c]).alias(c) for c in target.columns]
+    )
+    aligned.write.insertInto(name, overwrite=overwrite)
+
+
 def transform_rows(
     df: DataFrame,
     fn: Callable,
