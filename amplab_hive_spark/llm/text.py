@@ -54,6 +54,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
+    bench=True,
     tags=("llm", "text"),
     oracle=f"""
 SELECT lang,

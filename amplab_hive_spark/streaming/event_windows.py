@@ -83,6 +83,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_sessionization",
+    bench=True,
     tags=("streaming", "session"),
     oracle="""
 WITH gaps AS (
