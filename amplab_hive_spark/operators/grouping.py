@@ -84,42 +84,71 @@ def agg_basic_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_variance_corr",
     tags=("agg", "udaf"),
-    oracle=f"""
-SELECT l_returnflag,
-       COUNT(*) AS n,
-       ({_o_dsum_d('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))')} - {_o_dsum_d('l_extendedprice')} * {_o_dsum_d('l_extendedprice')} / COUNT(*)) / (COUNT(*) - 1) AS var_price,
-       SQRT(({_o_dsum_d('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))')} - {_o_dsum_d('l_extendedprice')} * {_o_dsum_d('l_extendedprice')} / COUNT(*)) / (COUNT(*) - 1)) AS stddev_price,
-       ({_o_dsum_d('CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))')} - {_o_dsum_d('l_extendedprice')} * {_o_dsum_d('l_quantity')} / COUNT(*)) / COUNT(*) AS covar_pop_qty
-FROM lineitem
-GROUP BY l_returnflag
+    oracle="""
+WITH cents AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS cx,
+         CAST(CAST(l_quantity      AS DECIMAL(18,2)) * 100 AS DECIMAL(38,0)) AS cy
+  FROM lineitem
+),
+sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         SUM(cx) AS sx, SUM(cx * cx) AS sxx,
+         SUM(cy) AS sy, SUM(cx * cy) AS sxy
+  FROM cents GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) / 10000.0 AS var_price,
+       SQRT(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) / 10000.0) AS stddev_price,
+       CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 10000.0 AS covar_pop_qty
+FROM sums
 ORDER BY l_returnflag
 """,
 )
 def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """var_samp / stddev_samp / covar_pop from exact decimal power
-    sums (reference UDAFs: GenericUDAFVariance family,
-    FunctionRegistry.java:342-370). The decimal sums make the result
-    independent of partition order — required for a stable hash gate
-    and for reproducible results on a 1000-executor cluster."""
+    """var_samp / stddev_samp / covar_pop (reference UDAFs:
+    GenericUDAFVariance family, FunctionRegistry.java:342-370).
+
+    Numerics: the whole cancellation-prone combination
+    ``n·Σx² − (Σx)²`` is computed EXACTLY in integer-cents decimals;
+    only the final quotient touches doubles. A naive power-sum
+    formula in doubles amplifies a single-ulp decimal→double
+    conversion difference into visible drift (observed at sf0.001) —
+    and is also partition-order-dependent at cluster scale."""
     t = tables(spark, sf_dir)
-    n = F.count(F.lit(1))
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    sx = _dsum_d("l_extendedprice")
-    sxx = _dsum_d(price * price)
-    sy = _dsum_d("l_quantity")
-    sxy = _dsum_d(price * qty)
-    var = (sxx - sx * sx / n) / (n - F.lit(1))
-    return (
-        t.lineitem.groupBy("l_returnflag")
-        .agg(
-            n.alias("n"),
-            var.alias("var_price"),
-            F.sqrt(var).alias("stddev_price"),
-            ((sxy - sx * sy / n) / n).alias("covar_pop_qty"),
-        )
-        .orderBy("l_returnflag")
+    cents = t.lineitem.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("cx"),
+        (F.col("l_quantity").cast("decimal(18,2)") * 100).cast("decimal(38,0)").alias("cy"),
     )
+    n = F.count(F.lit(1))
+    sums = cents.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        F.sum("cx").alias("sx"),
+        F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
+        F.sum("cy").alias("sy"),
+        F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
+    )
+    nn = F.col("n")
+    var = (
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        / nn
+        / (nn - 1)
+        / F.lit(10000.0)
+    )
+    covar = (
+        (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / nn
+        / nn
+        / F.lit(10000.0)
+    )
+    return sums.select(
+        "l_returnflag",
+        "n",
+        var.alias("var_price"),
+        F.sqrt(var).alias("stddev_price"),
+        covar.alias("covar_pop_qty"),
+    ).orderBy("l_returnflag")
 
 
 @register(
