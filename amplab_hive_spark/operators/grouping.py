@@ -94,13 +94,15 @@ WITH cents AS (
 sums AS (
   SELECT l_returnflag, COUNT(*) AS n,
          SUM(cx) AS sx, SUM(cx * cx) AS sxx,
-         SUM(cy) AS sy, SUM(cx * cy) AS sxy
+         SUM(cy) AS sy, SUM(cy * cy) AS syy, SUM(cx * cy) AS sxy
   FROM cents GROUP BY l_returnflag
 )
 SELECT l_returnflag, n,
        CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) / 10000.0 AS var_price,
        SQRT(CAST(n * sxx - sx * sx AS DOUBLE) / n / (n - 1) / 10000.0) AS stddev_price,
-       CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 10000.0 AS covar_pop_qty
+       CAST(n * sxy - sx * sy AS DOUBLE) / n / n / 10000.0 AS covar_pop_qty,
+       CAST(n * sxy - sx * sy AS DOUBLE)
+         / (SQRT(CAST(n * sxx - sx * sx AS DOUBLE)) * SQRT(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_price_qty
 FROM sums
 ORDER BY l_returnflag
 """,
@@ -127,6 +129,7 @@ def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cx").alias("sx"),
         F.sum(F.col("cx") * F.col("cx")).alias("sxx"),
         F.sum("cy").alias("sy"),
+        F.sum(F.col("cy") * F.col("cy")).alias("syy"),
         F.sum(F.col("cx") * F.col("cy")).alias("sxy"),
     )
     nn = F.col("n")
@@ -142,12 +145,17 @@ def agg_variance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         / nn
         / F.lit(10000.0)
     )
+    corr = (nn * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double") / (
+        F.sqrt((nn * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((nn * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
     return sums.select(
         "l_returnflag",
         "n",
         var.alias("var_price"),
         F.sqrt(var).alias("stddev_price"),
         covar.alias("covar_pop_qty"),
+        corr.alias("corr_price_qty"),
     ).orderBy("l_returnflag")
 
 
