@@ -57,6 +57,22 @@ def test_ann_lsh_recall(spark, sf_dir, bruteforce_topk):
     assert sum(recalls) / len(recalls) >= 0.5, f"mean recall too low: {recalls}"
 
 
+def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
+    """IVF nprobe=4/16 (~25% of corpus scanned) recall vs exact
+    top-10. The corpus is isotropic-random (worst case for IVF);
+    ≥0.35 mean recall ≈ what 25% candidate coverage buys with no
+    cluster structure. Real embedding corpora do far better."""
+    exact: dict[int, set[int]] = {}
+    for r in bruteforce_topk:
+        exact.setdefault(r["qid"], set()).add(r["vec_id"])
+    ivf: dict[int, set[int]] = {}
+    for r in QUERIES["sim_ann_ivf"].fn(spark, sf_dir).collect():
+        ivf.setdefault(r["qid"], set()).add(r["vec_id"])
+    assert set(exact) == set(ivf)
+    recalls = [len(exact[q] & ivf[q]) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.35, f"mean recall too low: {recalls}"
+
+
 def test_langid_mechanism(spark, sf_dir):
     out = QUERIES["text_langid"].fn(spark, sf_dir).collect()
     n_docs = tables(spark, sf_dir).documents.count()
