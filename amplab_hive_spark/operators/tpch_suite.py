@@ -73,8 +73,8 @@ FROM (
   JOIN customer ON c_custkey = o_custkey
   JOIN nation n1 ON s_nationkey = n1.n_nationkey
   JOIN nation n2 ON c_nationkey = n2.n_nationkey
-  WHERE ((n1.n_name = 'nation_1' AND n2.n_name = 'nation_2')
-      OR (n1.n_name = 'nation_2' AND n2.n_name = 'nation_1'))
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
 ) shipping
 GROUP BY supp_nation, cust_nation, l_year
 ORDER BY supp_nation, cust_nation, l_year
@@ -154,7 +154,8 @@ FROM (
       SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*)
       FROM customer WHERE c_acctbal > 0.00
   )
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
 ) custsale
 GROUP BY cntrycode
 ORDER BY cntrycode
@@ -197,3 +198,278 @@ def docs_with_embeddings_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+# -- The remaining TPC-H shapes (q6..q21), adapted to the driver's
+# narrower schema: no partsupp table and no l_shipmode /
+# l_commitdate / l_receiptdate columns, so q9/q11/q16/q20 source the
+# part-supplier relation from lineitem and the "late" predicate is
+# l_shipdate > o_orderdate. Plan shapes are preserved.
+
+_Q6 = """
+SELECT CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(6,2))) AS DECIMAL(38,4))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+@register("q6_forecast_revenue", tags=("filter", "agg"), oracle=_Q6)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan-filter-aggregate — the canonical pushdown
+    benchmark. All three predicates reach the parquet scan; no
+    shuffle except the single-row final agg."""
+    return _sql(spark, sf_dir, _Q6)
+
+
+_Q8 = """
+SELECT o_year,
+       CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+       / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+
+@register("q8_market_share", tags=("join", "agg", "conditional"), oracle=_Q8)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: 8-table join (nation twice) with a conditional
+    share ratio per year. Every dimension is broadcast-sized; the
+    only shuffle is lineitem⋈orders."""
+    return _sql(spark, sf_dir, _Q8)
+
+
+_Q9 = """
+SELECT nation, o_year, CAST(SUM(CAST(amount AS DECIMAL(38,4))) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2))) AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%widget%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+"""
+
+
+@register("q9_product_type_profit", tags=("join", "agg"), oracle=_Q9)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (adapted: profit = discounted price; no partsupp
+    supplycost in this schema): substring-LIKE part filter driving a
+    5-table join, grouped by nation and derived year."""
+    return _sql(spark, sf_dir, _Q9)
+
+
+_LINE_VALUE = "CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4))) AS DOUBLE)"
+
+_Q11 = f"""
+SELECT l_partkey AS p_key, {_LINE_VALUE} AS part_value
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_5'
+GROUP BY l_partkey
+HAVING {_LINE_VALUE} > (
+    SELECT {_LINE_VALUE} * 0.001
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_5'
+)
+ORDER BY part_value DESC, p_key
+"""
+
+
+@register("q11_important_stock", tags=("subquery", "agg", "having"), oracle=_Q11)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (adapted: value = lineitem revenue; no partsupp in
+    this schema): per-part value vs an uncorrelated scalar-subquery
+    fraction of the national total — group-agg HAVING against a
+    global aggregate."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+_Q12 = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_returnflag IN ('A', 'N')
+  AND l_shipdate > o_orderdate
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("q12_shipmode_priority", tags=("join", "agg", "conditional"), oracle=_Q12)
+def q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (adapted: class column = l_returnflag, late =
+    shipped after order date; no l_shipmode/commitdate in this
+    schema): pivot-style CASE counts over a non-equi-filtered
+    join."""
+    return _sql(spark, sf_dir, _Q12)
+
+
+_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@register("q13_customer_distribution", tags=("outer-join", "agg"), oracle=_Q13)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: left outer join with an extra ON predicate, then a
+    two-level aggregation (count per customer, histogram of
+    counts). COUNT(col) null semantics over the outer side."""
+    return _sql(spark, sf_dir, _Q13)
+
+
+_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, {_LINE_VALUE} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+@register("q15_top_supplier", tags=("cte", "subquery", "agg"), oracle=_Q15)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: a CTE referenced twice (join input + MAX scalar
+    subquery) — the view-reuse shape. Equality on exact-decimal
+    revenue is sound because both sides derive from the same
+    associative decimal sum."""
+    return _sql(spark, sf_dir, _Q15)
+
+
+_Q16 = """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@register("q16_parts_supplier_counts", tags=("anti", "distinct-agg"), oracle=_Q16)
+def q16_parts_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (adapted: part-supplier relation from lineitem;
+    "complaint" suppliers = negative balance): NOT IN anti join
+    feeding a COUNT(DISTINCT) over three group columns."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+_Q17 = """
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#2' AND p_type = 'SMALL'
+  AND l_quantity < (
+      SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+"""
+
+
+@register("q17_small_quantity_revenue", tags=("subquery", "agg"), oracle=_Q17)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: correlated scalar AVG threshold per part —
+    Catalyst rewrites to an aggregate-then-join, one pass over
+    lineitem per side instead of per-row re-execution."""
+    return _sql(spark, sf_dir, _Q17)
+
+
+_Q20 = """
+SELECT s_name, s_suppkey
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_2'
+  AND s_suppkey IN (
+      SELECT l_suppkey
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY l_suppkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 50.0
+  )
+ORDER BY s_suppkey
+"""
+
+
+@register("q20_potential_promotion", tags=("subquery", "semi", "having"), oracle=_Q20)
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (adapted: availability from lineitem; no partsupp
+    in this schema): IN-within-IN — a semi join whose inner side is
+    itself a grouped HAVING over a semi-joined scan."""
+    return _sql(spark, sf_dir, _Q20)
+
+
+_Q21 = """
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+JOIN nation    ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate
+  AND n_name = 'NATION_4'
+  AND EXISTS (
+      SELECT 1 FROM lineitem l2
+      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+      SELECT 1 FROM lineitem l3
+      WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+        AND l3.l_shipdate > o_orderdate
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+
+@register("q21_suppliers_kept_waiting", tags=("semi", "anti", "self-join"), oracle=_Q21)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (adapted: late = shipped after order date; no
+    receipt/commit dates in this schema): the hardest subquery shape
+    — EXISTS and NOT EXISTS self-joins on the same fact table, the
+    anti branch correlated on a column from a *different* outer
+    table (o_orderdate)."""
+    return _sql(spark, sf_dir, _Q21)

@@ -75,3 +75,43 @@ def test_matchpath_single_shuffle(spark, sf_dir):
     final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
     n_exchanges = final.count("Exchange hashpartitioning")
     assert n_exchanges == 1, f"matchpath should hash-shuffle once, saw {n_exchanges}:\n{final}"
+
+
+def test_q6_zero_shuffle_full_pushdown(spark, sf_dir):
+    """Q6 is the canonical pushdown probe: all three predicates must
+    reach the parquet scan and the plan must contain no hash
+    exchange at all (single-row global agg only)."""
+    plan = plan_of(spark, sf_dir, "q6_forecast_revenue")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in final
+    pushed = plan.split("PushedFilters: ")[1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} predicate must push to scan"
+
+
+def test_q8_star_join_broadcasts_all_dimensions(spark, sf_dir):
+    """The 8-table market-share join must broadcast every dimension
+    (part/supplier/customer/nation×2/region) and shuffle at most
+    lineitem⋈orders — one exchange, no cartesian."""
+    plan = plan_of(spark, sf_dir, "q8_market_share")
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 5
+    assert "CartesianProduct" not in final
+    assert final.count("Exchange hashpartitioning") <= 1
+
+
+def test_q21_semi_anti_no_cartesian(spark, sf_dir):
+    """EXISTS + NOT EXISTS self-joins must compile to semi/anti
+    joins, never a cartesian — the correlated predicates ride the
+    join condition."""
+    plan = plan_of(spark, sf_dir, "q21_suppliers_kept_waiting")
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q13_outer_join_preserved(spark, sf_dir):
+    """The extra ON predicate (o_orderpriority <> '5-LOW') must stay
+    in the join condition, not become a WHERE that silently turns
+    the outer join inner."""
+    plan = plan_of(spark, sf_dir, "q13_customer_distribution")
+    assert "LeftOuter" in plan
