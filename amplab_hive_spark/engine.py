@@ -23,8 +23,11 @@ class Engine:
     """
 
     def __init__(self, spark: Optional[SparkSession] = None, sf_dir: Optional[str] = None):
+        from amplab_hive_spark.functions.macros import MacroRegistry
+
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
+        self.macros = MacroRegistry()
         if sf_dir:
             self.attach(sf_dir)
 
@@ -35,8 +38,15 @@ class Engine:
         return self
 
     def sql(self, text: str) -> DataFrame:
-        """Run a SQL statement (Spark SQL dialect; HiveQL ~98% compatible)."""
-        return self.spark.sql(text)
+        """Run a SQL statement (Spark SQL dialect; HiveQL ~98%
+        compatible). CREATE/DROP TEMPORARY MACRO statements are
+        handled by the pre-parse shim (functions/macros.py,
+        reference: ql/parse/MacroSemanticAnalyzer.java); macro calls
+        in any other statement are inlined before Catalyst sees the
+        text."""
+        if self.macros.handle_statement(text):
+            return self.spark.range(0).select()  # empty result, DDL-style
+        return self.spark.sql(self.macros.expand(text))
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)

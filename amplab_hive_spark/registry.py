@@ -62,6 +62,8 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.operators.tpch_suite  # noqa: F401
     import amplab_hive_spark.functions.scalar_queries  # noqa: F401
     import amplab_hive_spark.functions.hive_compat  # noqa: F401
+    import amplab_hive_spark.functions.macros  # noqa: F401
+    import amplab_hive_spark.functions.semantics  # noqa: F401
     import amplab_hive_spark.llm.dedup  # noqa: F401
     import amplab_hive_spark.llm.similarity  # noqa: F401
     import amplab_hive_spark.llm.text  # noqa: F401
