@@ -101,6 +101,140 @@ QSCRIPTS = [
            FROM orders WHERE o_orderkey % 211 = 3
            ORDER BY st NULLS FIRST, o_orderkey""",
     ),
+    (
+        "groupby_rollup1",  # groupby_rollup1.q
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""",
+    ),
+    (
+        "groupby_grouping_sets1",  # groupby_grouping_sets1.q + grouping marker
+        """SELECT l_returnflag, l_linestatus,
+                  CAST(GROUPING(l_returnflag) AS INT) AS g_rf,
+                  CAST(GROUPING(l_linestatus) AS INT) AS g_ls,
+                  COUNT(*) AS cnt
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
+    ),
+    (
+        "cross_join",  # cross_join.q
+        """SELECT n_name, r_name FROM nation CROSS JOIN region
+           WHERE n_nationkey < 3""",
+    ),
+    (
+        "subquery_notin",  # subquery_notin.q (non-null inner side)
+        """SELECT n_name FROM nation
+           WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)""",
+    ),
+    (
+        "subquery_scalar_select",  # subquery_scalar.q: scalar agg in projection
+        """SELECT o_orderpriority,
+                  COUNT(*) AS cnt,
+                  (SELECT COUNT(*) FROM customer) AS n_cust
+           FROM orders GROUP BY o_orderpriority""",
+    ),
+    (
+        "cte_2",  # cte_2.q: CTE joined to base table
+        """WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                        GROUP BY o_custkey HAVING COUNT(*) > 30)
+           SELECT c_mktsegment, COUNT(*) AS n_big
+           FROM big JOIN customer ON c_custkey = o_custkey
+           GROUP BY c_mktsegment""",
+    ),
+    (
+        "multi_column_in",  # multi_column_in.q: row-constructor IN
+        """SELECT COUNT(*) AS cnt FROM lineitem
+           WHERE (l_returnflag, l_linestatus) IN (('A', 'F'), ('N', 'O'))""",
+    ),
+    (
+        "groupby_position",  # groupby_position.q: ordinal group/order refs
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    (
+        "udf_string_chain",  # udf_concat/substr/upper/trim family
+        """SELECT p_partkey,
+                  upper(substr(p_name, 1, 3)) AS pre,
+                  concat(lower(p_brand), ':', p_type) AS tagged,
+                  length(trim(p_name)) AS ln,
+                  replace(p_name, ' ', '_') AS snake
+           FROM part WHERE p_partkey % 97 = 11""",
+    ),
+    (
+        "udf_floor_ceil_abs",  # udf_floor.q / udf_ceil.q / udf_abs.q
+        """SELECT l_linenumber,
+                  CAST(floor(l_extendedprice / 1000) AS BIGINT) AS k_floor,
+                  CAST(ceil(l_discount * 100) AS BIGINT) AS pct_ceil,
+                  abs(l_linenumber - 4) AS dist
+           FROM lineitem WHERE l_orderkey % 503 = 7""",
+    ),
+    (
+        "date_extract",  # date_udf.q / extract family
+        """SELECT extract(year FROM o_orderdate) AS y,
+                  extract(month FROM o_orderdate) AS m,
+                  COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    (
+        "date_trunc_month",  # timestamp family: month bucketing
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS mth, COUNT(*) AS cnt
+           FROM orders WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+           GROUP BY 1 ORDER BY 1""",
+    ),
+    (
+        "between_in_filter",  # vector_between_in.q
+        """SELECT COUNT(*) AS cnt FROM orders
+           WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                                 AND TIMESTAMP '1996-12-31 23:59:59'
+             AND o_orderpriority IN ('1-URGENT', '5-LOW')""",
+    ),
+    (
+        "join_reorder",  # join_reorder.q: chain with selective ends
+        """SELECT r_name, COUNT(*) AS cnt
+           FROM region JOIN nation ON r_regionkey = n_regionkey
+           JOIN supplier ON n_nationkey = s_nationkey
+           WHERE s_acctbal > 9000 GROUP BY r_name""",
+    ),
+    (
+        "self_join",  # self-join family (join38.q etc.)
+        """SELECT a.n_name AS n1, b.n_name AS n2
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey AND a.n_name < b.n_name""",
+    ),
+    (
+        "count_nulls",  # count.q: COUNT(col) null-skipping vs COUNT(*)
+        """SELECT COUNT(*) AS n_all,
+                  COUNT(NULLIF(o_orderstatus, 'O')) AS n_not_open
+           FROM orders""",
+    ),
+    (
+        "order_multi_key",  # order2.q: mixed asc/desc
+        """SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_custkey % 157 = 3
+           ORDER BY c_mktsegment ASC, c_acctbal DESC, c_custkey""",
+    ),
+    (
+        "distinct_project",  # distinct family
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders""",
+    ),
+    (
+        "intersect_except",  # intersect_all.q / except_distinct.q
+        """SELECT c_nationkey AS k FROM customer
+           INTERSECT
+           SELECT s_nationkey FROM supplier
+           EXCEPT
+           SELECT n_nationkey FROM nation WHERE n_regionkey = 4""",
+    ),
+    (
+        "scalar_arithmetic_where",  # subquery family: scalar in WHERE arithmetic
+        """SELECT s_suppkey, s_acctbal FROM supplier
+           WHERE s_acctbal > (SELECT MAX(s_acctbal) FROM supplier) * 0.9""",
+    ),
+    (
+        "case_sensitivity",  # case_sensitivity.q: upper-case identifiers resolve
+        """SELECT N_NAME AS n_name, R_NAME AS r_name
+           FROM NATION JOIN REGION ON N_REGIONKEY = R_REGIONKEY
+           WHERE N_NATIONKEY = 0""",
+    ),
 ]
 
 
