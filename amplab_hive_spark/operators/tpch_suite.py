@@ -216,7 +216,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 """
 
 
-@register("q6_forecast_revenue", tags=("filter", "agg"), oracle=_Q6)
+@register("q6_forecast_revenue", tags=("filter", "agg"), bench=True, oracle=_Q6)
 def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6: pure scan-filter-aggregate — the canonical pushdown
     benchmark. All three predicates reach the parquet scan; no
@@ -247,7 +247,7 @@ ORDER BY o_year
 """
 
 
-@register("q8_market_share", tags=("join", "agg", "conditional"), oracle=_Q8)
+@register("q8_market_share", tags=("join", "agg", "conditional"), bench=True, oracle=_Q8)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q8: 8-table join (nation twice) with a conditional
     share ratio per year. Every dimension is broadcast-sized; the
@@ -465,7 +465,7 @@ LIMIT 100
 """
 
 
-@register("q21_suppliers_kept_waiting", tags=("semi", "anti", "self-join"), oracle=_Q21)
+@register("q21_suppliers_kept_waiting", tags=("semi", "anti", "self-join"), bench=True, oracle=_Q21)
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted: late = shipped after order date; no
     receipt/commit dates in this schema): the hardest subquery shape
