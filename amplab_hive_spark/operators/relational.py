@@ -178,8 +178,8 @@ JOIN customer ON c_nationkey = n_nationkey
 JOIN orders   ON o_custkey = c_custkey
 JOIN lineitem ON l_orderkey = o_orderkey AND l_suppkey = s_suppkey
 WHERE r_name = 'ASIA'
-  AND o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
-  AND o_orderdate <  TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
 GROUP BY n_name
 ORDER BY revenue DESC, n_name
 """,
@@ -208,8 +208,8 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(
             t.orders.filter(
-                (F.col("o_orderdate") >= F.lit("1994-01-01").cast("timestamp"))
-                & (F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"))
+                (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
             ),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )

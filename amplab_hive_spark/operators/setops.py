@@ -35,9 +35,9 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EXCEPT = """
-SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9500
+SELECT CAST(c_custkey % 100 AS BIGINT) AS nk FROM customer WHERE c_custkey % 2 = 0
 EXCEPT
-SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9000
+SELECT CAST(c_custkey % 100 AS BIGINT) AS nk FROM customer WHERE c_custkey % 2 = 1
 ORDER BY nk
 """
 

@@ -39,6 +39,13 @@ def q2_max_per_group_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q2)
 
 
+# q11's HAVING threshold is RELATIVE (2x the average part share),
+# not TPC-H's absolute fraction: the driver's SFs span 100x, and an
+# absolute fraction that selects rows at sf0.01 selects none at
+# sf0.1 (verified: the 0.001 form returned 0 rows there). Relative
+# thresholds keep every SF's result non-vacuous.
+
+
 _Q4 = """
 SELECT o_orderpriority, COUNT(*) AS order_count
 FROM orders
@@ -290,7 +297,7 @@ JOIN nation   ON s_nationkey = n_nationkey
 WHERE n_name = 'NATION_5'
 GROUP BY l_partkey
 HAVING {_LINE_VALUE} > (
-    SELECT {_LINE_VALUE} * 0.001
+    SELECT {_LINE_VALUE} * 2.0 / COUNT(DISTINCT l_partkey)
     FROM lineitem
     JOIN supplier ON s_suppkey = l_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
