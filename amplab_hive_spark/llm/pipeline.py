@@ -1,0 +1,185 @@
+"""Training-data pipeline assembly ops: deterministic train/val/test
+splitting, weighted source-mixture sampling, and token-budget
+sequence packing. Beyond the reference surface (BASELINE.json north
+star) — the steps that turn a cleaned corpus into model input.
+
+All three are *exactly* reproducible across engines, so unlike the
+hash-sketch ops (minhash/simhash, Spark xxhash64-specific) every
+query here carries a full DuckDB oracle. The portable hash bridge:
+``md5`` produces identical hex in Spark and DuckDB; the first 15 hex
+chars (60 bits) convert losslessly to BIGINT on both sides
+(Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB
+``('0x'||substr(md5(x),1,15))::BIGINT``).
+
+Scale design (100 TB):
+
+- **split**: one narrow projection — hash, bucket, label. No
+  shuffle for assignment; the summary adds one small exchange.
+  Splitting on the *content* hash (not doc_id) means byte-identical
+  duplicates can never straddle train/test — eval contamination is
+  impossible by construction, not by a cleanup pass. (Near-dups
+  still need [[dedup]] upstream; see llm/dedup.py + components.py.)
+- **mixture**: per-source keep-rate applied via the same doc-level
+  hash — a filter, fully pushdown-friendly; no shuffle until the
+  audit rollup. Rates live in a broadcastable config (here derived
+  deterministically from the source name so the oracle can repeat
+  it; a real run would join a literal weights table).
+- **packing**: documents get a stable order (lang, doc_id) and a
+  running token total; bin id = prior-tokens ÷ budget. One window
+  cumsum = one shuffle on the partition key. This is the
+  split-allowed ("document concatenation") packing used by GPT-style
+  pretraining loaders; greedy no-split packing is sessionization
+  (see streaming/event_windows.py) and not needed for fixed-width
+  context assembly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.registry import register
+
+# 60-bit portable hash bucket in [0, 100): identical in Spark & DuckDB.
+_BUCKETS = 100
+_TRAIN_PCT, _VAL_PCT = 80, 10  # train <80, val 80-89, test >=90
+_PACK_BUDGET = 2048  # tokens per packed context window
+
+
+def _hash_bucket(col):
+    """Deterministic [0,100) bucket from md5 — portable across engines."""
+    return (
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % _BUCKETS
+    )
+
+
+def _sql_bucket(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {_BUCKETS})"
+
+
+@register(
+    "pipeline_train_split",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       SUM(len(string_split(text, ' '))) AS n_tokens,
+       MIN(doc_id) AS first_doc
+FROM (
+  SELECT doc_id, lang, text,
+         CASE WHEN {_sql_bucket('text')} < {_TRAIN_PCT} THEN 'train'
+              WHEN {_sql_bucket('text')} < {_TRAIN_PCT + _VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+) s
+GROUP BY split, lang
+ORDER BY split, lang
+""",
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-hash train/val/test assignment + per-split audit.
+    Hashing the text (not the id) pins exact duplicates to one
+    split — no eval leakage from byte-identical docs."""
+    t = tables(spark, sf_dir)
+    b = _hash_bucket(F.col("text"))
+    split = (
+        F.when(b < _TRAIN_PCT, F.lit("train"))
+        .when(b < _TRAIN_PCT + _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        t.documents.select("doc_id", "lang", "text", split.alias("split"))
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(F.split("text", " "))).alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+@register(
+    "pipeline_mixture_sample",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+SELECT source,
+       ({_sql_bucket('source')} % 50) + 25 AS keep_pct,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN {_sql_bucket("text || '|mix'")}
+                  < ({_sql_bucket('source')} % 50) + 25
+                THEN 1 ELSE 0 END) AS n_kept
+FROM documents
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source weighted downsampling (domain mixture weights) via
+    the doc-level hash, salted ('|mix') so mixture keep/drop is
+    independent of the train/val/test bucket. Returns the audit
+    table: configured rate vs realized kept count per source."""
+    t = tables(spark, sf_dir)
+    keep_pct = (_hash_bucket(F.col("source")) % 50) + 25
+    kept = _hash_bucket(F.concat(F.col("text"), F.lit("|mix"))) < keep_pct
+    return (
+        t.documents.select("source", keep_pct.alias("keep_pct"), kept.alias("kept"))
+        .groupBy("source", "keep_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "pipeline_pack_sequences",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+SELECT lang, bin,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS bin_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM (
+  SELECT lang, doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (
+             PARTITION BY lang ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           // {_PACK_BUDGET} AS bin
+  FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents) d
+) b
+GROUP BY lang, bin
+ORDER BY lang, bin
+""",
+)
+def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget context packing: stable (lang, doc_id) order,
+    running token count, bin = prior-tokens ÷ budget (documents may
+    straddle bins — concatenate-then-chunk semantics). One window
+    cumsum; bins then aggregate into a manifest of (bin, docs,
+    tokens) a loader can fetch."""
+    t = tables(spark, sf_dir)
+    d = t.documents.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.withColumn(
+        "bin",
+        F.floor(F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / _PACK_BUDGET),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("bin_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )

@@ -66,6 +66,7 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.functions.semantics  # noqa: F401
     import amplab_hive_spark.llm.dedup  # noqa: F401
     import amplab_hive_spark.llm.components  # noqa: F401
+    import amplab_hive_spark.llm.pipeline  # noqa: F401
     import amplab_hive_spark.llm.similarity  # noqa: F401
     import amplab_hive_spark.llm.text  # noqa: F401
     import amplab_hive_spark.llm.multimodal  # noqa: F401
