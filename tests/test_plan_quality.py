@@ -115,3 +115,24 @@ def test_q13_outer_join_preserved(spark, sf_dir):
     the outer join inner."""
     plan = plan_of(spark, sf_dir, "q13_customer_distribution")
     assert "LeftOuter" in plan
+
+
+def test_pipeline_split_single_scan_no_python(spark, sf_dir):
+    """Split assignment is pure JVM expressions over one scan — no
+    Python UDF in the row path, only the text column read besides
+    the grouping keys."""
+    plan = plan_of(spark, sf_dir, "pipeline_train_split")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # AQE prints final + initial plan; count the final section only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Exchange") <= 2, "one partial/final agg exchange + sort only"
+
+
+def test_pipeline_pack_one_window_shuffle(spark, sf_dir):
+    """Packing = one shuffle keyed on the window partition column;
+    cumsum and binning stay inside the same exchange."""
+    plan = plan_of(spark, sf_dir, "pipeline_pack_sequences")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "source" not in read_schema, "unused columns must be pruned from scan"
