@@ -235,6 +235,125 @@ QSCRIPTS = [
            FROM NATION JOIN REGION ON N_REGIONKEY = R_REGIONKEY
            WHERE N_NATIONKEY = 0""",
     ),
+    (
+        "join_filters",  # join_filters.q: ON-clause filter on outer join (kept) vs WHERE (dropped rows)
+        """SELECT n_name, r_name FROM nation
+           LEFT JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'""",
+    ),
+    (
+        "join_nulls",  # join_nulls.q: NULL keys never match in equi-joins
+        """SELECT COUNT(*) AS cnt
+           FROM (SELECT NULLIF(n_regionkey, 0) AS k FROM nation) a
+           JOIN region ON a.k = r_regionkey""",
+    ),
+    (
+        "join38",  # join38.q: 3-table chain with mixed join predicates
+        """SELECT c_name, o_orderkey, n_name
+           FROM customer JOIN orders ON c_custkey = o_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE o_totalprice > 450000 AND n_regionkey < 2""",
+    ),
+    (
+        "union_remove_1",  # union_remove_1.q: agg over a union of aggs
+        """SELECT k, SUM(cnt) AS total FROM (
+             SELECT o_orderstatus AS k, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
+             UNION ALL
+             SELECT l_returnflag AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag
+           ) u GROUP BY k""",
+    ),
+    (
+        "nullgroup",  # nullgroup.q: global aggregate over an empty input still yields one row
+        """SELECT COUNT(*) AS cnt, COUNT(o_custkey) AS cnt_col
+           FROM orders WHERE o_totalprice < 0""",
+    ),
+    (
+        "count",  # count.q: count(*) vs count(col) vs count(distinct) under NULLs
+        """SELECT COUNT(*) AS n_all,
+                  COUNT(NULLIF(o_orderstatus, 'O')) AS n_not_open,
+                  COUNT(DISTINCT NULLIF(o_orderstatus, 'O')) AS n_distinct
+           FROM orders""",
+    ),
+    (
+        "decimal_precision",  # decimal_precision.q: exact decimal agg (order-independent at any parallelism)
+        """SELECT l_returnflag,
+                  SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+                  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    (
+        "vector_between_in",  # vector_between_in.q: BETWEEN + IN over dates and numbers
+        """SELECT COUNT(*) AS cnt FROM lineitem
+           WHERE l_quantity BETWEEN 10 AND 20
+             AND l_shipdate BETWEEN '1996-01-01' AND '1996-12-31'
+             AND l_returnflag IN ('A', 'N')""",
+    ),
+    (
+        "timestamp_arithmetic",  # timestamp-interval arithmetic (date_add family)
+        """SELECT o_orderkey,
+                  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+           FROM orders WHERE o_orderkey % 1009 = 17""",
+    ),
+    (
+        "ppd_gby",  # ppd_gby.q: predicate pushed through a group-by subquery
+        """SELECT k, n FROM (
+             SELECT o_custkey AS k, COUNT(*) AS n FROM orders GROUP BY o_custkey
+           ) t WHERE k < 100""",
+    ),
+    (
+        "correlationoptimizer1",  # correlationoptimizer1.q: join + agg sharing the same key
+        """SELECT o_custkey, COUNT(*) AS n_items
+           FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           WHERE o_custkey % 211 = 3
+           GROUP BY o_custkey""",
+    ),
+    (
+        "subquery_notin_having",  # subquery_notin_having.q: NOT IN subquery inside HAVING
+        """SELECT c_nationkey, COUNT(*) AS n FROM customer
+           GROUP BY c_nationkey
+           HAVING c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_regionkey = 0)""",
+    ),
+    (
+        "udf_greatest_least",  # udf_greatest.q / udf_least.q
+        """SELECT p_partkey,
+                  GREATEST(p_size, 25, CAST(p_partkey % 50 AS INT)) AS g,
+                  LEAST(p_size, 25, CAST(p_partkey % 50 AS INT)) AS l
+           FROM part WHERE p_partkey % 101 = 7""",
+    ),
+    (
+        "udf_case_nested",  # udf_case.q: nested searched CASE
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice > 400000 THEN
+                         CASE WHEN o_orderstatus = 'F' THEN 'big-final' ELSE 'big-open' END
+                       WHEN o_totalprice > 200000 THEN 'mid'
+                       ELSE 'small' END AS bucket
+           FROM orders WHERE o_orderkey % 997 = 13""",
+    ),
+    (
+        "windowing_expressions",  # windowing_expressions.q: window agg inside an expression
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(l_extendedprice AS DOUBLE)
+                    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+                             OVER (PARTITION BY l_orderkey) AS DOUBLE) AS price_share
+           FROM lineitem WHERE l_orderkey % 1499 = 11""",
+    ),
+    (
+        "limit_subquery",  # limit_pushdown.q: LIMIT inside a derived table (count is stable)
+        """SELECT COUNT(*) AS cnt FROM
+           (SELECT l_orderkey FROM lineitem LIMIT 100) t""",
+    ),
+    (
+        "scalar_subquery_expr",  # subquery_exists.q-era scalar in SELECT list
+        """SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(18,2))
+                    - (SELECT CAST(MIN(o_totalprice) AS DECIMAL(18,2)) FROM orders) AS over_min
+           FROM orders WHERE o_orderkey % 1013 = 5""",
+    ),
+    (
+        "groupby_grouping_id2",  # groupby_grouping_id2.q: GROUPING() disambiguates NULL key vs rollup row
+        """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS cnt
+           FROM orders GROUP BY ROLLUP(o_orderstatus)""",
+    ),
 ]
 
 
