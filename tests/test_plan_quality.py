@@ -136,3 +136,34 @@ def test_pipeline_pack_one_window_shuffle(spark, sf_dir):
     assert "Window" in plan
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "source" not in read_schema, "unused columns must be pruned from scan"
+
+
+def test_where_false_collapses_to_empty_scan(spark, sf_dir):
+    """NullScanOptimizer parity (PhysicalOptimizer.java:71, SURVEY
+    §4.3): a provably-false predicate must not scan the table —
+    Catalyst folds it to an empty LocalTableScan."""
+    from amplab_hive_spark.catalog import tables
+
+    tables(spark, sf_dir)
+    df = spark.sql("SELECT l_orderkey FROM lineitem WHERE 1 = 0")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LocalTableScan" in plan and "FileScan" not in plan
+    assert df.count() == 0
+
+
+def test_metadata_only_partition_query(spark, sf_dir, tmp_path):
+    """StatsOptimizer-adjacent (Optimizer.java:158): DISTINCT over a
+    partition column on a partitioned table reads partition metadata,
+    not data files (no row-group scan of payload columns)."""
+    from amplab_hive_spark.catalog import tables
+
+    t = tables(spark, sf_dir)
+    path = f"{tmp_path}/part_orders"
+    t.orders.withColumn("status", t.orders.o_orderstatus).write.partitionBy(
+        "status"
+    ).parquet(path)
+    df = spark.read.parquet(path).select("status").distinct()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_totalprice" not in read_schema and "o_orderdate" not in read_schema
+    assert df.count() == 3
