@@ -61,3 +61,53 @@ def test_ambiguous_column(spark):
 def test_union_column_count_mismatch(spark):
     with pytest.raises(AnalysisException, match="NUM_COLUMNS_MISMATCH|UNION"):
         spark.sql("SELECT n_name FROM nation UNION ALL SELECT r_name, r_regionkey FROM region").collect()
+
+
+def test_scalar_subquery_multiple_rows(spark):
+    # clientnegative subquery_scalar_multi_rows theme: runtime guard
+    with pytest.raises(Exception, match="MULTI_VALUE|more than one row|SCALAR_SUBQUERY"):
+        spark.sql(
+            "SELECT (SELECT n_nationkey FROM nation) AS x FROM region"
+        ).collect()
+
+
+def test_window_function_in_where(spark):
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT n_name FROM nation WHERE row_number() OVER (ORDER BY n_nationkey) = 1"
+        ).collect()
+
+
+def test_aggregate_in_where(spark):
+    # clientnegative agg_in_where theme
+    with pytest.raises(AnalysisException, match="WHERE|aggregate"):
+        spark.sql("SELECT n_name FROM nation WHERE max(n_nationkey) > 1").collect()
+
+
+def test_order_by_ordinal_out_of_range(spark):
+    with pytest.raises(AnalysisException, match="ORDER_BY_POS_OUT_OF_RANGE|position"):
+        spark.sql("SELECT n_name FROM nation ORDER BY 99").collect()
+
+
+def test_generator_in_where(spark):
+    # UDTF outside SELECT/LATERAL VIEW position (clientnegative udtf_not_supported)
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT n_name FROM nation WHERE explode(array(1, 2)) = 1"
+        ).collect()
+
+
+def test_grouping_without_group_by(spark):
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT grouping(n_name) FROM nation").collect()
+
+
+def test_insert_column_count_mismatch(spark, tmp_path):
+    spark.sql(
+        f"CREATE TABLE neg_ins (a INT, b STRING) USING parquet LOCATION '{tmp_path}/neg_ins'"
+    )
+    try:
+        with pytest.raises(AnalysisException):
+            spark.sql("INSERT INTO neg_ins VALUES (1, 'x', 99)").collect()
+    finally:
+        spark.sql("DROP TABLE neg_ins")
