@@ -33,6 +33,35 @@ TABLES = (
 BROADCAST_TABLES = ("region", "nation")
 
 
+# Session confs every query needs, applied at catalog load so the
+# engine works on ANY SparkSession — including one the driver built
+# with no configs (the reference's analogue: HiveConf travels with the
+# query, ql/Driver.java:365 compiles against the session conf it is
+# handed). All three are runtime-settable on Spark 4.x.
+_SESSION_CONFS = (
+    # events.parquet carries TIMESTAMP(NANOS), which Spark can only
+    # read as a raw nanos long; without this a vanilla session dies
+    # with PARQUET_TYPE_ILLEGAL before any query runs.
+    ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    # deterministic timestamp semantics for oracle comparison.
+    ("spark.sql.session.timeZone", "UTC"),
+    # Hive-compatible non-ANSI coercions (string<->number implicit
+    # casts, int division) per SURVEY.md §1.3; Spark 4 defaults ANSI on.
+    ("spark.sql.ansi.enabled", "false"),
+)
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Apply the engine's required runtime confs to *any* session."""
+    for key, value in _SESSION_CONFS:
+        try:
+            spark.conf.set(key, value)
+        except Exception:
+            # Unknown/non-settable on this Spark build — proceed; the
+            # per-table isolation below keeps one failure contained.
+            pass
+
+
 # Per-session registration cache: (id(spark), sf_dir) → DataFrames.
 # Re-reading 10 parquet footers per query call costs ~5s locally and
 # a metastore round-trip per table on a cluster; registration is
@@ -40,35 +69,63 @@ BROADCAST_TABLES = ("region", "nation")
 _LOADED: dict[tuple[int, str], dict[str, DataFrame]] = {}
 
 
+class _Tables(SimpleNamespace):
+    """Namespace that defers a per-table load error to first access,
+    so one unreadable file cannot fail queries on unrelated tables."""
+
+    def __init__(self, loaded: dict[str, DataFrame], errors: dict[str, Exception]):
+        super().__init__(**loaded)
+        object.__setattr__(self, "_errors", errors)
+
+    def __getattr__(self, name: str):
+        errors = object.__getattribute__(self, "_errors")
+        if name in errors:
+            raise errors[name]
+        raise AttributeError(name)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; return the DataFrames.
 
     Reads are lazy — registering all ten views costs only file-footer
     reads. Filter/column pushdown happens per-query via Catalyst.
+    A table that fails to load is skipped (its error re-raised only if
+    a query actually touches it) rather than failing the whole catalog.
     """
+    ensure_session_confs(spark)
     key = (id(spark), sf_dir)
     cached = _LOADED.get(key)
     if cached is not None:
         return cached
     out: dict[str, DataFrame] = {}
+    errors: dict[str, Exception] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
-        df = spark.read.parquet(path)
-        if name == "events":
-            # TIMESTAMP(NANOS) parquet is read as a raw nanos long
-            # (spark.sql.legacy.parquet.nanosAsLong); truncate to
-            # microseconds exactly like DuckDB does on read.
-            from pyspark.sql import functions as F
+        try:
+            df = spark.read.parquet(path)
+            if name == "events":
+                # TIMESTAMP(NANOS) parquet is read as a raw nanos long
+                # (spark.sql.legacy.parquet.nanosAsLong); truncate to
+                # microseconds exactly like DuckDB does on read.
+                from pyspark.sql import functions as F
 
-            # integer DIV, not `/` — nanos exceed 2^53 so a double
-            # round-trip would lose microseconds.
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-        df.createOrReplaceTempView(name)
-        out[name] = df
+                # integer DIV, not `/` — nanos exceed 2^53 so a double
+                # round-trip would lose microseconds.
+                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+            df.createOrReplaceTempView(name)
+            out[name] = df
+        except Exception as exc:  # isolate: only queries on THIS table fail
+            errors[name] = exc
     _LOADED[key] = out
+    _LOAD_ERRORS[key] = errors
     return out
+
+
+_LOAD_ERRORS: dict[tuple[int, str], dict[str, Exception]] = {}
 
 
 def tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     """Attribute-style access: ``t = tables(spark, d); t.lineitem``."""
-    return SimpleNamespace(**load_tables(spark, sf_dir))
+    loaded = load_tables(spark, sf_dir)
+    errors = _LOAD_ERRORS.get((id(spark), sf_dir), {})
+    return _Tables(loaded, errors)

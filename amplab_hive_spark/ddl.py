@@ -103,40 +103,57 @@ def update_table(
     assignments: dict[str, str],
 ) -> int:
     """UPDATE name SET col=expr WHERE condition — copy-on-write:
-    rewrite the full table with the assignment applied to matching
+    rewrite the FULL table with the assignment applied to matching
     rows; new snapshot becomes visible at commit. Returns #rows
-    matched. (Row-level ACID deltas are a non-goal — SURVEY §7.3.)"""
+    matched. (Row-level ACID deltas are a non-goal — SURVEY §7.3.)
+
+    Single-pass: the table is read ONCE into the staged checkpoint
+    with a match flag; the matched count and the overwrite both come
+    from the staged data, never a second table scan. NOTE the cost
+    model stays copy-on-write — the whole table is rewritten; at
+    100 TB a real deployment bounds this with partition-scoped
+    overwrite (``replaceWhere``-style) or a format with row-level
+    deletes (Iceberg/Delta)."""
     from pyspark.sql import functions as F
 
     df = spark.table(name)
-    matched = df.filter(condition).count()
+    cond = F.expr(condition)
+    # Flag evaluates against PRE-update values (same projection input).
     cols = [
-        F.when(F.expr(condition), F.expr(expr)).otherwise(F.col(c)).alias(c)
+        F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
         if c in assignments
         else F.col(c)
-        for c, expr in [(c, assignments.get(c)) for c in df.columns]
+        for c in df.columns
     ]
-    updated = df.select(*cols)
-    _overwrite_snapshot(spark, name, updated)
+    staged = df.select(*cols, F.coalesce(cond, F.lit(False)).alias("__matched"))
+    # localCheckpoint materializes once and truncates lineage (Spark
+    # refuses to overwrite a table its own plan still reads).
+    staged = staged.localCheckpoint(eager=True)
+    matched = staged.filter("__matched").count()  # from checkpoint, not the table
+    staged.drop("__matched").write.insertInto(name, overwrite=True)
     return matched
 
 
 def delete_from(spark: SparkSession, name: str, condition: str) -> int:
-    """DELETE FROM name WHERE condition — copy-on-write overwrite."""
+    """DELETE FROM name WHERE condition — copy-on-write overwrite.
+
+    SQL semantics: delete rows where the condition is TRUE; rows
+    where it evaluates NULL survive (``NOT (cond)`` would silently
+    delete them too). Single table scan — count and rewrite both read
+    the staged checkpoint. Same copy-on-write cost caveat as
+    ``update_table``."""
+    from pyspark.sql import functions as F
+
     df = spark.table(name)
-    matched = df.filter(condition).count()
-    remaining = df.filter(f"NOT ({condition})")
-    _overwrite_snapshot(spark, name, remaining)
+    matched_flag = F.coalesce(F.expr(condition), F.lit(False))
+    staged = df.withColumn("__matched", matched_flag).localCheckpoint(eager=True)
+    matched = staged.filter("__matched").count()
+    (
+        staged.filter(~F.col("__matched"))
+        .drop("__matched")
+        .write.insertInto(name, overwrite=True)
+    )
     return matched
-
-
-def _overwrite_snapshot(spark: SparkSession, name: str, df: DataFrame) -> None:
-    """Replace a table's contents with snapshot semantics: stage the
-    new contents (localCheckpoint materializes them and truncates
-    lineage — required because Spark refuses to overwrite a table
-    its own plan still reads), then overwrite-commit."""
-    staged = df.localCheckpoint(eager=True)
-    staged.write.insertInto(name, overwrite=True)
 
 
 def export_table(spark: SparkSession, name: str, export_dir: str) -> None:

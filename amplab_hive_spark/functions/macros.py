@@ -29,8 +29,11 @@ from dataclasses import dataclass
 
 _MAX_DEPTH = 16
 
+# Head only — the parameter list is parsed with the balanced-paren
+# scanner (``_parse_args``) so Hive-legal parameterized types like
+# ``m(x DECIMAL(10,2))`` aren't cut at the inner ')'.
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(([^)]*)\)\s*(.+)$",
+    r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
 _DROP_RE = re.compile(r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
@@ -60,16 +63,21 @@ class MacroRegistry:
         """If ``sql`` is a macro DDL statement, execute it and
         return True; otherwise return False (caller runs the SQL
         normally, after :meth:`expand`)."""
-        m = _CREATE_RE.match(sql.strip().rstrip(";"))
+        stripped = sql.strip().rstrip(";")
+        m = _CREATE_RE.match(stripped)
         if m:
-            name, params_txt, body = m.group(1), m.group(2), m.group(3)
+            name = m.group(1)
+            # Balanced scan from the '(' — commas inside DECIMAL(10,2)
+            # etc. stay within their own parens (depth > 1).
+            param_decls, after = self._parse_args(stripped, m.end() - 1)
+            body = stripped[after:]
+            if not body.strip():
+                raise MacroError(f"macro {name} has an empty body")
             params = []
-            for p in params_txt.split(","):
-                p = p.strip()
-                if not p:
-                    continue
-                # "x DOUBLE" → x ; types are documentation here (the
-                # expanded expression is typed by Catalyst analysis).
+            for p in param_decls:
+                # "x DOUBLE" / "x DECIMAL(10,2)" → x ; types are
+                # documentation here (the expanded expression is typed
+                # by Catalyst analysis).
                 params.append(p.split()[0])
             if len(set(params)) != len(params):
                 raise MacroError(f"duplicate macro parameter in {name}")

@@ -38,14 +38,22 @@ _LSH_BANDS = 4  # 4 bands × 4 rows — candidates at jaccard ≳ 0.5
 
 
 def _shingles(col: str = "text"):
-    """Distinct word n-gram shingles of width 3 (joined by U+0001)."""
+    """Distinct word n-gram shingles of width 3 (joined by U+0001).
+
+    Docs shorter than the shingle width yield an EMPTY array — without
+    the guard ``sequence(0, size-3)`` auto-steps negative for short
+    docs and ``slice(..., 0, ...)`` errors at runtime (and diverges
+    from the oracle's empty range)."""
     toks = F.split(F.lower(F.col(col)), " ")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - _SHINGLE_WIDTH),
-            lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, _SHINGLE_WIDTH)),
-        )
-    )
+    return F.when(
+        F.size(toks) >= _SHINGLE_WIDTH,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - _SHINGLE_WIDTH),
+                lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, _SHINGLE_WIDTH)),
+            )
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
 
 
 @register(
@@ -72,6 +80,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Document-frequency cap: a stop-phrase shingle shared by 10⁵ docs
+# would alone emit 10¹⁰ pairs. Shingles with df > cap are excluded
+# from the metric — in BOTH engines, so the oracle still matches —
+# making this "stop-shingle-filtered jaccard" (the standard web-dedup
+# trick; at sf≤0.1 no shingle hits the cap so values are unchanged).
+_JACCARD_DF_CAP = 200
+
 _JACCARD_ORACLE = f"""
 WITH shingled AS (
   SELECT doc_id,
@@ -81,10 +96,16 @@ WITH shingled AS (
          ])) AS shingle
   FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents)
 ),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingled GROUP BY doc_id),
+freq AS (SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingled s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df <= {_JACCARD_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
 pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-  FROM shingled a JOIN shingled b
+  FROM kept a JOIN kept b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
@@ -102,21 +123,43 @@ LIMIT 20
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity: top-20 most similar pairs.
     jaccard = |A∩B| / (|A|+|B|-|A∩B|) — integer counts, so the
-    double is identical cross-engine."""
+    double is identical cross-engine.
+
+    Pair generation is the grouped-members pattern (groupBy shingle →
+    collect doc list → explode pairs), NOT a shingle self-join, with a
+    df ≤ 200 guard: worst-case fan-out per shingle is bounded at
+    cap²/2 instead of corpus². Same shape as the LSH bucket path.
+    """
     t = tables(spark, sf_dir)
     shingled = t.documents.select(
         "doc_id", F.explode(_shingles()).alias("shingle")
     )
-    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingled.alias("a")
-    b = shingled.alias("b")
+    members = (
+        shingled.groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+        .filter(F.size("docs") <= _JACCARD_DF_CAP)
+    )
+    # Per-doc shingle counts over the SAME capped shingle set the
+    # intersection uses (metric stays a true jaccard on kept shingles).
+    sizes = (
+        members.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        members.filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+flatten(transform(sequence(2, size(docs)),
+  i -> transform(sequence(1, i - 1),
+    j -> struct(docs[j-1] AS doc_a, docs[i-1] AS doc_b))))
+"""
+                )
+            ).alias("p")
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
@@ -175,15 +218,30 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
 
     def gen(batches):
         for pdf in batches:
-            sigs = []
-            for text in pdf["text"]:
+            ids, sigs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 toks = text.lower().split(" ")
                 shingles = list({"\x01".join(toks[i : i + _SHINGLE_WIDTH])
                                  for i in range(len(toks) - _SHINGLE_WIDTH + 1)})
+                if not shingles:
+                    # Doc shorter than the shingle width: no signature
+                    # (an empty min-reduction would error, and a
+                    # sentinel sig would bucket all short docs together
+                    # as false candidates).
+                    continue
                 h = pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64)
                 perms = (a_arr * h + b_arr) & np.uint64(_MASK64)  # k × n
+                ids.append(doc_id)
                 sigs.append(perms.min(axis=1).astype(np.int64).tolist())
-            yield pd.DataFrame({"doc_id": pdf["doc_id"], "sig": sigs})
+            # explicit dtypes: an all-short-docs batch yields empty
+            # columns, which pandas would otherwise type float64 and
+            # Arrow would refuse to cast to array<bigint>.
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "sig": pd.Series(sigs, dtype="object"),
+                }
+            )
 
     return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
 
@@ -198,8 +256,10 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     transforms would re-tokenize the document k times (higher-order
     lambdas defeat common-subexpression elimination; measured 16×
     slower)."""
-    hashed = docs.select("doc_id", _shingles().alias("sh")).select(
-        "doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("h0")
+    hashed = (
+        docs.select("doc_id", _shingles().alias("sh"))
+        .filter(F.size("sh") > 0)  # short docs have no signature
+        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("h0"))
     )
     # Derive the k permutations from the one base hash per shingle
     # (cheap integer mix, not k string hashes).

@@ -38,6 +38,17 @@ def read_table(spark: SparkSession, table_path: str) -> DataFrame:
     return spark.read.parquet(table_path)
 
 
+def _windowed_counts(spark: SparkSession, source_dir: str, schema, watermark: str, window: str):
+    return (
+        spark.readStream.schema(schema)
+        .parquet(source_dir)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
 def stream_events_available_now(
     spark: SparkSession,
     source_dir: str,
@@ -47,27 +58,49 @@ def stream_events_available_now(
     window: str = "1 hour",
     query_name: str = "events_ingest",
 ):
-    """Structured Streaming over the ingest directory: watermarked
-    event-time tumbling-window counts into a memory sink, processing
-    everything currently available, then stopping (micro-batch
-    catch-up mode). Returns the StreamingQuery; caller awaits
-    termination and reads ``spark.table(query_name)``.
+    """Catch-up/inspection mode: watermarked event-time tumbling
+    counts into a MEMORY sink with ``complete`` output, processing
+    everything currently available, then stopping. Returns the
+    StreamingQuery; caller awaits termination and reads
+    ``spark.table(query_name)``.
 
-    The watermark bounds state: windows older than max(event time) -
-    watermark are finalized and dropped — this is what makes the
-    pipeline runnable forever at scale."""
-    stream = (
-        spark.readStream.schema(schema)
-        .parquet(source_dir)
-        .withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
-    )
+    NOTE: in complete mode the watermark does NOT evict window state,
+    and the memory sink holds the whole result on the driver — this
+    path is for bounded catch-up runs and tests. The runnable-forever,
+    bounded-state path is ``stream_events_to_files`` (append mode +
+    file sink, where the watermark finalizes and drops windows)."""
+    stream = _windowed_counts(spark, source_dir, schema, watermark, window)
     return (
         stream.writeStream.format("memory")
         .queryName(query_name)
         .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def stream_events_to_files(
+    spark: SparkSession,
+    source_dir: str,
+    checkpoint_dir: str,
+    sink_dir: str,
+    schema,
+    watermark: str = "10 minutes",
+    window: str = "1 hour",
+):
+    """Production path: ``append`` output to a Parquet file sink.
+    A window is emitted exactly once, when the watermark passes its
+    end; its state is then dropped — so state size is bounded by the
+    watermark delay regardless of how long the stream runs, and the
+    sink scales with the filesystem rather than driver memory. The
+    trade: the trailing window stays open until later data advances
+    the watermark past it (exactly-once, at-a-delay semantics)."""
+    stream = _windowed_counts(spark, source_dir, schema, watermark, window)
+    return (
+        stream.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", sink_dir)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

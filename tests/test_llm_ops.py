@@ -100,3 +100,31 @@ def test_multimodal_roundtrip_rowlevel(spark, sf_dir):
         assert r["width"] == r["doc_id"] % 640 + 32
         assert r["height"] == r["doc_id"] % 480 + 24
         assert r["n_bytes"] > 8
+
+
+def test_short_docs_yield_empty_shingles_and_no_signatures(spark):
+    """Docs shorter than the shingle width (3 tokens) must produce an
+    empty shingle array (not a runtime slice error) and be skipped by
+    both minhash signature paths (ADVICE r1: latent short-doc bug)."""
+    from pyspark.sql import functions as F
+
+    from amplab_hive_spark.llm.dedup import (
+        _shingles,
+        minhash_signatures,
+        minhash_signatures_arrow,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "one"), (3, "two words"), (4, "exactly three tokens"),
+         (5, "a longer document with plenty of tokens here")],
+        ["doc_id", "text"],
+    )
+    sizes = {r["doc_id"]: r["n"] for r in docs.select("doc_id", F.size(_shingles()).alias("n")).collect()}
+    assert sizes[1] == 0 and sizes[2] == 0 and sizes[3] == 0
+    assert sizes[4] == 1 and sizes[5] > 0
+
+    for sigfn in (minhash_signatures, minhash_signatures_arrow):
+        out = sigfn(docs).collect()
+        ids = {r["doc_id"] for r in out}
+        assert ids == {4, 5}, (sigfn.__name__, ids)
+        assert all(len(r["sig"]) == 16 for r in out)

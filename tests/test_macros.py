@@ -77,3 +77,19 @@ def test_macro_end_to_end_engine(spark, sf_dir):
     # macros are session objects on the Engine, not global state
     e2 = Engine(spark, sf_dir=sf_dir)
     assert e2.macros.expand("SELECT sigmoid(1)") == "SELECT sigmoid(1)"
+
+
+def test_macro_parameterized_type_in_signature():
+    """Hive-legal parameterized types in the signature must not cut
+    the param list at the inner ')': m(x DECIMAL(10,2), y DECIMAL(6,2))."""
+    r = MacroRegistry()
+    assert r.handle_statement(
+        "CREATE TEMPORARY MACRO net(p DECIMAL(10,2), d DECIMAL(6,2)) p * (1 - d)"
+    )
+    assert r.expand("SELECT net(a, b)") == "SELECT ((a) * (1 - (b)))"
+
+
+def test_macro_empty_body_rejected():
+    r = MacroRegistry()
+    with pytest.raises(MacroError):
+        r.handle_statement("CREATE TEMPORARY MACRO nothing(x INT)")

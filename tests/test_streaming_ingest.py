@@ -20,6 +20,7 @@ from amplab_hive_spark.streaming.ingest import (
     append_batch,
     read_table,
     stream_events_available_now,
+    stream_events_to_files,
 )
 
 SCHEMA = StructType(
@@ -88,3 +89,34 @@ def test_streaming_available_now_with_watermark(spark, tmpdir):
     q2.awaitTermination(120)
     total = sum(r["n_events"] for r in spark.table("ingest_t2").collect())
     assert total == 120 + 60 + 30
+
+
+def test_streaming_append_file_sink_bounded_state(spark, tmpdir):
+    """The production path: append mode + parquet sink. A window is
+    emitted exactly once when the watermark passes its end, then its
+    state is dropped — bounded state regardless of stream lifetime."""
+    t0 = dt.datetime(2024, 6, 1, 0, 0, 0)
+    src = f"{tmpdir}/astream_src"
+    ckpt = f"{tmpdir}/astream_ckpt"
+    sink = f"{tmpdir}/astream_sink"
+    # 2 hours of events: windows [t0,t0+1h) and [t0+1h,t0+2h).
+    append_batch(spark, _mkrows(0, 120, t0), src, schema=SCHEMA)
+    q = stream_events_to_files(spark, src, ckpt, sink, SCHEMA)
+    q.awaitTermination(120)
+    out1 = spark.read.parquet(sink)
+    starts1 = {r["window_start"] for r in out1.collect()}
+    # watermark = max(ts) - 10min = t0+1h49m: only window 1 finalized.
+    assert starts1 == {t0}
+    assert out1.filter(F.col("window_start") == t0).collect()[0]["n_events"] == 60
+    # Later data advances the watermark past window 2 -> it is emitted
+    # exactly once on the next run, from checkpointed (not re-read) state.
+    append_batch(spark, _mkrows(400, 5, t0 + dt.timedelta(hours=3)), src, schema=SCHEMA)
+    q2 = stream_events_to_files(spark, src, ckpt, sink, SCHEMA)
+    q2.awaitTermination(120)
+    out2 = spark.read.parquet(sink)
+    counts = {
+        r["window_start"]: r["n_events"]
+        for r in out2.groupBy("window_start").agg(F.sum("n_events").alias("n_events")).collect()
+    }
+    assert counts[t0] == 60  # no duplicate emission of window 1
+    assert counts[t0 + dt.timedelta(hours=1)] == 60
