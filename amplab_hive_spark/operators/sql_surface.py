@@ -200,3 +200,41 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    "transform_script_pipeline",
+    tags=("script", "transform"),
+    oracle="""
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       SUM(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def transform_script_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT TRANSFORM ... USING '<external command>' — the
+    reference's ScriptOperator (ql/exec/ScriptOperator.java:62) forks
+    the command per task and pipes tab-separated rows through it;
+    Spark ≥3.2 runs the same SQL grammar natively (no Hive needed).
+    Rows go through /bin/cat (identity script) and come back as
+    strings, then aggregate — proving the full serialize → subprocess
+    → deserialize path, not just parsing. Scale note: one process per
+    task (not per row); the script pipe is the slow path by design —
+    `transform_rows` (mapInPandas) is the vectorized alternative.
+    """
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT k AS l_returnflag, COUNT(*) AS n_rows,
+       SUM(CAST(CAST(q AS BIGINT) AS DOUBLE)) AS sum_qty
+FROM (
+  SELECT TRANSFORM (l_returnflag, CAST(l_quantity AS BIGINT))
+    USING '/bin/cat' AS (k STRING, q STRING)
+  FROM lineitem
+)
+GROUP BY k
+ORDER BY k
+"""
+    )

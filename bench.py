@@ -22,6 +22,29 @@ from amplab_hive_spark.registry import all_queries
 from amplab_hive_spark.session import get_spark
 
 
+def plan_fingerprint(df) -> dict[str, int]:
+    """Machine-readable shape of the EXECUTED (AQE-final) plan, so
+    round-over-round regressions (an extra shuffle, a lost broadcast)
+    diff mechanically instead of by eyeball."""
+    plan = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "simple"
+    )
+    broadcasts = plan.count("BroadcastExchange")
+    return {
+        "exchanges": plan.count("Exchange ") + plan.count("Exchange\n"),
+        "broadcast_exchanges": broadcasts,
+        "broadcast_joins": plan.count("BroadcastHashJoin")
+        + plan.count("BroadcastNestedLoopJoin"),
+        "sortmerge_joins": plan.count("SortMergeJoin"),
+        # simple-mode explain marks codegen'd operators with "*(n)".
+        "wholestage_codegen_ops": plan.count("*("),
+        "python_eval": plan.count("ArrowEvalPython")
+        + plan.count("BatchEvalPython")
+        + plan.count("MapInPandas")
+        + plan.count("FlatMapGroupsInPandas"),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -38,10 +61,14 @@ def main() -> None:
         spec.fn(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    plans: dict[str, dict[str, int]] = {}
     for spec in specs:
         t0 = time.perf_counter()
-        spec.fn(spark, sf_dir).collect()
+        df = spec.fn(spark, sf_dir)
+        df.collect()
         timings[spec.name] = round(time.perf_counter() - t0, 3)
+        # After collect the queryExecution holds the AQE-final plan.
+        plans[spec.name] = plan_fingerprint(df)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -51,6 +78,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "plans": plans,
                 "sf": float(sf) if sf else None,
             }
         )

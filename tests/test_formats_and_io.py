@@ -110,14 +110,23 @@ def test_salted_join_equivalence(spark, sf_dir):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
-def test_avro_roundtrip_if_available(spark, sf_dir, io_dir):
-    """Avro SerDe parity (SERDE/avro/) — spark-avro is an external
-    module; skip cleanly when the package isn't in the container."""
+def test_avro_documented_drop_or_roundtrip(spark, sf_dir, io_dir):
+    """Avro SerDe (reference serde2/avro/) is a DOCUMENTED DROP in
+    this environment (README §dropped): spark-avro is an external
+    module, not bundled with PySpark, and the container is offline.
+    This test pins the documented state — if the module IS present
+    (cluster deployment with spark.jars.packages), the round-trip
+    must work; if absent, the error must be Spark's find-the-package
+    hint, not silent data corruption."""
     t = tables(spark, sf_dir)
     path = f"{io_dir}/roundtrip_avro"
     try:
         t.region.write.mode("overwrite").format("avro").save(path)
     except Exception as exc:
-        pytest.skip(f"avro data source not available: {str(exc)[:80]}")
+        # Documented-drop path: exactly the missing-data-source error.
+        assert "avro" in str(exc).lower(), exc
+        assert "AVRO" in type(exc).__name__ or "FAILED_TO_LOAD" in str(exc) or "Failed to find" in str(exc), exc
+        return
     back = spark.read.format("avro").load(path)
     assert back.count() == 5
+    assert sorted(r["r_regionkey"] for r in back.collect()) == [0, 1, 2, 3, 4]
