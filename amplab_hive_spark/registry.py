@@ -69,6 +69,7 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.llm.pipeline  # noqa: F401
     import amplab_hive_spark.llm.similarity  # noqa: F401
     import amplab_hive_spark.llm.text  # noqa: F401
+    import amplab_hive_spark.llm.contamination  # noqa: F401
     import amplab_hive_spark.llm.multimodal  # noqa: F401
     import amplab_hive_spark.streaming.event_windows  # noqa: F401
 
@@ -100,8 +101,8 @@ _PRIORITY: tuple[str, ...] = (
     "setop_intersect", "grouping_id_virtual_column",
     # TPC-H deep cuts
     "q21_suppliers_kept_waiting", "q8_market_share",
-    # scalar function suites
-    "fn_string_suite", "fn_date_suite",
+    # scalar function suites + decontamination flagship
+    "fn_string_suite", "pipeline_decontaminate",
     # Hive compat pack + macros + semantics deltas
     "ngrams_top_bigrams", "field_function_priority",
     "macro_disc_price_revenue", "hive_semantics_arithmetic",

@@ -167,3 +167,29 @@ def test_metadata_only_partition_query(spark, sf_dir, tmp_path):
     read_schema = plan.split("ReadSchema: ")[1].split("\n")[0]
     assert "o_totalprice" not in read_schema and "o_orderdate" not in read_schema
     assert df.count() == 3
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """Decontamination must broadcast the (small) eval-set gram side
+    and keep the whole pass JVM-side — the property that makes the
+    check O(corpus scan), not O(corpus × eval)."""
+    plan = plan_of(spark, sf_dir, "pipeline_decontaminate")
+    assert "BroadcastHashJoin" in plan, "eval grams must broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    for py_op in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert py_op not in plan, f"unexpected Python operator: {py_op}"
+
+
+def test_quality_filter_no_shuffle_before_rollup(spark, sf_dir):
+    """The compound quality predicate is a stateless projection; the
+    only exchange allowed is the tiny per-source rollup."""
+    plan = plan_of(spark, sf_dir, "pipeline_quality_filter")
+    # The AQE plan string carries Final AND Initial plans — count the
+    # final one only.
+    final = plan.split("== Initial Plan ==")[0]
+    import re
+    shuffles = len(re.findall(r"Exchange (?:hashpartitioning|rangepartitioning)", final))
+    assert shuffles <= 2, f"expected ≤2 exchanges (rollup + order), saw {shuffles}"
+    # partial/final agg split proves map-side combine before the shuffle
+    assert "partial_count" in final
