@@ -212,3 +212,35 @@ def str_to_map_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_name",
         F.str_to_map(encoded, F.lit(","), F.lit("=")).getItem("key").alias("key_val"),
     ).orderBy("r_name")
+
+
+@register(
+    "lateral_view_outer",
+    tags=("lateral", "udtf"),
+    oracle="""
+SELECT d.doc_id, u.tok
+FROM documents d
+LEFT JOIN LATERAL (
+  SELECT unnest(list_filter(string_split(d.text, ' '), t -> t = 'vector')) AS tok
+) u ON TRUE
+WHERE d.doc_id < 50
+ORDER BY d.doc_id, u.tok
+""",
+)
+def lateral_view_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER (HiveParser.g:256-257 TOK_LATERAL_VIEW_OUTER;
+    LateralViewJoinOperator outer mode): rows whose generator yields an
+    EMPTY array survive with NULL generator output, instead of being
+    dropped like the inner form. The oracle spells the same semantics
+    as DuckDB LEFT JOIN LATERAL unnest. Generator runs inline in the
+    scan stage — no shuffle."""
+    tables(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT doc_id, tok
+FROM documents
+LATERAL VIEW OUTER explode(filter(split(text, ' '), t -> t = 'vector')) x AS tok
+WHERE doc_id < 50
+ORDER BY doc_id, tok
+"""
+    )

@@ -16,7 +16,7 @@ under streaming, state is bounded by the watermark.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.operators._util import o_dsum
@@ -221,4 +221,53 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(p, "user_id", "left")
         .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("reached_stage"))
         .orderBy("user_id")
+    )
+
+
+@register(
+    "events_burst_detection",
+    tags=("streaming", "window-agg"),
+    oracle="""
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, COUNT(*) AS n
+  FROM events GROUP BY 1
+),
+with_prev AS (
+  SELECT window_start, n,
+         LAG(n) OVER (ORDER BY window_start) AS prev_n
+  FROM hourly
+)
+SELECT window_start, n, prev_n,
+       CAST(n AS DOUBLE) / prev_n AS burst_ratio
+FROM with_prev
+WHERE prev_n IS NOT NULL AND n > prev_n * 1.5
+ORDER BY window_start
+""",
+)
+def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Traffic burst detection: hourly windows whose event count
+    jumps >1.5x over the previous hour — the alerting query every
+    event pipeline runs (rate-anomaly over consecutive windows,
+    lag comparison like the reference would spell with a self-join;
+    cf. PTFOperator lag at QL/exec/PTFOperator.java:46).
+
+    Scale: one tumbling-window agg (shuffle on window key) collapses
+    the log to #windows rows; the LAG pass runs on that tiny series.
+    Under readStream the same window agg runs incrementally and the
+    comparison joins consecutive finalized windows."""
+    t = tables(spark, sf_dir)
+    hourly = (
+        t.events.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+    w = Window.orderBy("window_start")
+    return (
+        hourly.withColumn("prev_n", F.lag("n").over(w))
+        .filter(F.col("prev_n").isNotNull() & (F.col("n") > F.col("prev_n") * 1.5))
+        .select(
+            "window_start", "n", "prev_n",
+            (F.col("n").cast("double") / F.col("prev_n")).alias("burst_ratio"),
+        )
+        .orderBy("window_start")
     )

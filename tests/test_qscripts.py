@@ -64,7 +64,7 @@ QSCRIPTS = [
     (
         "having",  # having.q
         """SELECT o_custkey, COUNT(*) AS n FROM orders
-           GROUP BY o_custkey HAVING COUNT(*) > 20""",
+           GROUP BY o_custkey HAVING COUNT(*) > (SELECT 1.5 * COUNT(*) / COUNT(DISTINCT o_custkey) FROM orders)""",
     ),
     (
         "cbo_simple_select",  # cbo_simple_select.q
@@ -123,7 +123,7 @@ QSCRIPTS = [
     (
         "subquery_notin",  # subquery_notin.q (non-null inner side)
         """SELECT n_name FROM nation
-           WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9900)""",
+           WHERE n_nationkey NOT IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9990)""",
     ),
     (
         "subquery_scalar_select",  # subquery_scalar.q: scalar agg in projection
@@ -135,7 +135,7 @@ QSCRIPTS = [
     (
         "cte_2",  # cte_2.q: CTE joined to base table
         """WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
-                        GROUP BY o_custkey HAVING COUNT(*) > 20)
+                        GROUP BY o_custkey HAVING COUNT(*) > (SELECT 1.5 * COUNT(*) / COUNT(DISTINCT o_custkey) FROM orders))
            SELECT c_mktsegment, COUNT(*) AS n_big
            FROM big JOIN customer ON c_custkey = o_custkey
            GROUP BY c_mktsegment""",
@@ -192,7 +192,7 @@ QSCRIPTS = [
         """SELECT r_name, COUNT(*) AS cnt
            FROM region JOIN nation ON r_regionkey = n_regionkey
            JOIN supplier ON n_nationkey = s_nationkey
-           WHERE s_acctbal > 9000 GROUP BY r_name""",
+           WHERE s_acctbal > (SELECT AVG(s_acctbal) FROM supplier) GROUP BY r_name""",
     ),
     (
         "self_join",  # self-join family (join38.q etc.)
@@ -774,8 +774,261 @@ QSCRIPTS_R2 = [
     ),
 ]
 
+# Round-2 tranche 3: windowing_* specs, decimal/timestamp value
+# semantics, cbo_subq_* variants, correlationoptimizer shapes,
+# count.q multi-distinct, nullgroup empty-input aggregates.
+QSCRIPTS_R3 = [
+    # ---- windowing family ------------------------------------------
+    (
+        "windowing_navfn",  # windowing_navfn.q: lead/lag with offsets and defaults
+        """SELECT s_suppkey,
+                  LEAD(s_acctbal, 1) OVER (ORDER BY s_suppkey) AS next_bal,
+                  LAG(s_acctbal, 2) OVER (ORDER BY s_suppkey)  AS prev2_bal,
+                  LEAD(s_acctbal, 1, -1.0) OVER (ORDER BY s_suppkey) AS next_bal_dflt,
+                  FIRST_VALUE(s_acctbal) OVER (ORDER BY s_suppkey) AS first_bal
+           FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "windowing_ntile",  # windowing_ntile.q: ntile + percent_rank together
+        """SELECT c_custkey,
+                  NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS quartile,
+                  CUME_DIST() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS cd
+           FROM customer WHERE c_custkey % 31 = 0
+           ORDER BY c_custkey""",
+    ),
+    (
+        "windowing_windowspec_rows",  # windowing_windowspec.q: explicit ROWS frames
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2)))
+                    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                          ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS neighborhood_qty,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2)))
+                    OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty
+           FROM lineitem WHERE l_orderkey % 251 = 0
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "windowing_range_frame",  # RANGE value frame on a numeric order key
+        """SELECT p_partkey, p_size,
+                  COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS n_similar
+           FROM part WHERE p_partkey % 101 = 0
+           ORDER BY p_partkey""",
+    ),
+    (
+        "windowing_multiorder",  # windowing_range_multiorder.q: multi-col ORDER (unbounded frame)
+        """SELECT o_custkey, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey) AS rn,
+                  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey
+                                               ORDER BY o_orderstatus, o_totalprice DESC, o_orderkey
+                                               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key
+           FROM orders WHERE o_custkey % 211 = 7
+           ORDER BY o_custkey, rn""",
+    ),
+    (
+        "windowing_agg_and_groupby",  # windowing after aggregation (PTF over GBY output)
+        """SELECT seg, yr, n,
+                  RANK() OVER (PARTITION BY yr ORDER BY n DESC, seg) AS seg_rank
+           FROM (SELECT c_mktsegment AS seg, extract(year FROM o_orderdate) AS yr, COUNT(*) AS n
+                 FROM orders JOIN customer ON c_custkey = o_custkey
+                 GROUP BY 1, 2) g
+           ORDER BY yr, seg_rank""",
+    ),
+    # ---- decimal / numeric semantics --------------------------------
+    (
+        "decimal_precision_arith",  # decimal_precision.q: +- keeps scale, * sums scales
+        """SELECT l_linenumber,
+                  CAST(l_quantity AS DECIMAL(20,10)) + 1 AS plus_one,
+                  CAST(l_quantity AS DECIMAL(20,10)) - 1 AS minus_one,
+                  CAST(CAST(l_quantity AS DECIMAL(10,2)) * CAST(l_discount AS DECIMAL(5,2)) AS DECIMAL(16,4)) AS qd
+           FROM lineitem WHERE l_orderkey % 811 = 1
+           ORDER BY l_linenumber, plus_one""",
+    ),
+    (
+        "decimal_agg_exact",  # decimal_udf.q family: exact decimal aggregation
+        """SELECT l_returnflag,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS sum_price,
+                  CAST(MIN(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS min_price,
+                  CAST(MAX(CAST(l_extendedprice AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS max_price
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "cast_string_numeric",  # cast family: string->numeric->string round trips
+        """SELECT n_nationkey,
+                  CAST(CAST(n_nationkey AS VARCHAR(10)) AS INT) AS round_trip,
+                  CAST(n_nationkey AS DOUBLE) / 2 AS halved,
+                  CAST(CAST('3.25' AS DOUBLE) AS INT) AS truncated
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    # ---- timestamp semantics ---------------------------------------
+    (
+        "timestamp_comparison",  # timestamp_comparison.q
+        """SELECT COUNT(*) AS n_before,
+                  CAST(SUM(CASE WHEN o_orderdate = TIMESTAMP '1995-01-01 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_exact
+           FROM orders
+           WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00'""",
+    ),
+    (
+        "timestamp_parts",  # udf_hour/minute/day family over the events clock
+        """SELECT extract(year FROM ts) AS y, extract(month FROM ts) AS mo,
+                  extract(day FROM ts) AS d, extract(hour FROM ts) AS h,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""",
+    ),
+    (
+        "date_arithmetic",  # date_add/diff family (portable spelling: +/- INTERVAL)
+        """SELECT o_orderkey,
+                  CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date,
+                  CAST(o_orderdate - INTERVAL 1 DAY AS DATE) AS day_before
+           FROM orders WHERE o_orderkey % 1013 = 11
+           ORDER BY o_orderkey""",
+    ),
+    # ---- cbo_subq family -------------------------------------------
+    (
+        "cbo_subq_in_distinct",  # cbo_subq_in.q: IN over SELECT DISTINCT
+        """SELECT c_custkey FROM customer b
+           WHERE b.c_custkey IN
+                 (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 450000)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "cbo_subq_not_in_having",  # cbo_subq_notin.q: NOT IN fed by a HAVING subquery
+        """SELECT s_suppkey, s_name FROM supplier
+           WHERE s_nationkey NOT IN
+                 (SELECT n_nationkey FROM nation JOIN customer ON c_nationkey = n_nationkey
+                  GROUP BY n_nationkey
+                  HAVING COUNT(*) > (SELECT COUNT(*) FROM customer) / 20)
+           ORDER BY s_suppkey""",
+    ),
+    (
+        "cbo_subq_exists_agg",  # cbo_subq_exists.q: EXISTS over aggregated correlation
+        """SELECT p_partkey, p_name FROM part p
+           WHERE EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_partkey = p.p_partkey
+                         GROUP BY l.l_partkey HAVING COUNT(*) > 45)
+           ORDER BY p_partkey""",
+    ),
+    (
+        "cbo_semijoin_agg_above",  # cbo join+agg composition
+        """SELECT n_name, COUNT(*) AS n_supp
+           FROM nation JOIN supplier ON s_nationkey = n_nationkey
+           WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 9000)
+           GROUP BY n_name ORDER BY n_name""",
+    ),
+    # ---- correlation optimizer shapes ------------------------------
+    (
+        "correlationoptimizer1",  # correlationoptimizer1.q: agg above join sharing the join key
+        """SELECT CAST(SUM(tmp.cnt) AS BIGINT) AS total_pairs, COUNT(*) AS n_keys
+           FROM (SELECT o.o_custkey AS key, COUNT(1) AS cnt
+                 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                 GROUP BY o.o_custkey) tmp""",
+    ),
+    (
+        "correlationoptimizer_double_gby",  # two aggregations sharing one shuffle key
+        """SELECT a.o_custkey, a.n_orders, b.total
+           FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) a
+           JOIN (SELECT o_custkey,
+                        CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+                 FROM orders GROUP BY o_custkey) b
+             ON a.o_custkey = b.o_custkey
+           WHERE a.n_orders > 8
+           ORDER BY a.o_custkey""",
+    ),
+    # ---- count.q / nullgroup family --------------------------------
+    (
+        "count_multi_distinct_tuple",  # count.q: multi-arg distinct via portable key concat
+        """SELECT l_returnflag,
+                  COUNT(1) AS n1, COUNT(*) AS nstar,
+                  COUNT(DISTINCT l_suppkey) AS d_supp,
+                  COUNT(DISTINCT l_partkey) AS d_part,
+                  COUNT(DISTINCT CAST(l_suppkey AS VARCHAR(20)) || '|' || CAST(l_partkey AS VARCHAR(20))) AS d_pair
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "nullgroup_count_empty",  # nullgroup.q: COUNT over zero matching rows = one row of 0
+        """SELECT COUNT(1) AS n FROM orders WHERE o_orderkey < 0""",
+    ),
+    (
+        "nullgroup_sum_empty",  # nullgroup2.q: SUM/MIN/MAX over empty input are NULL
+        """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS s,
+                  MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx, COUNT(*) AS n
+           FROM orders WHERE o_orderkey < 0""",
+    ),
+    (
+        "nullgroup_groupby_empty",  # nullgroup3.q: GROUP BY over empty input = zero rows...
+        # guarded non-empty by unioning a sentinel branch
+        """SELECT src, COUNT(*) AS n FROM (
+             SELECT 'none' AS src FROM orders WHERE o_orderkey < 0
+             UNION ALL
+             SELECT 'sentinel' AS src FROM region
+           ) u GROUP BY src""",
+    ),
+    (
+        "groupby_null_keys",  # nullgroup5.q: NULL is a real grouping key
+        """SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS k,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1 ORDER BY k NULLS FIRST""",
+    ),
+    # ---- misc classic shapes ---------------------------------------
+    (
+        "join_star_schema",  # star_join.q / cbo_join: fact + 3 dims
+        """SELECT r_name, p_type, COUNT(*) AS n_lines
+           FROM lineitem
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation   ON n_nationkey = s_nationkey
+           JOIN region   ON r_regionkey = n_regionkey
+           JOIN part     ON p_partkey = l_partkey
+           WHERE p_size < 10
+           GROUP BY r_name, p_type ORDER BY r_name, p_type""",
+    ),
+    (
+        "self_join_inequality",  # theta self-join (nation is constant-size at every SF)
+        """SELECT a.n_nationkey AS k1, b.n_nationkey AS k2
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+           ORDER BY k1, k2""",
+    ),
+    (
+        "case_with_agg",  # conditional aggregation (pivot-style)
+        """SELECT o_orderpriority,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    (
+        "distinct_star_subset",  # distinct over projected subset with filter
+        """SELECT DISTINCT l_returnflag, l_linestatus, l_shipdate
+           FROM lineitem WHERE l_orderkey % 1511 = 9""",
+    ),
+    (
+        "intersect_except_chain",  # setop chain with precedence
+        """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+           INTERSECT
+           SELECT c_custkey FROM customer WHERE c_acctbal > 0
+           EXCEPT
+           SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'""",
+    ),
+    (
+        "having_on_distinct_agg",  # having.q variant gating on COUNT(DISTINCT)
+        """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS d_prio
+           FROM orders GROUP BY o_custkey
+           HAVING COUNT(DISTINCT o_orderpriority) >= 5
+           ORDER BY o_custkey""",
+    ),
+    (
+        "union_all_type_widening",  # union type resolution: INT branch + DOUBLE branch
+        """SELECT CAST(SUM(v) AS DOUBLE) AS total FROM (
+             SELECT CAST(n_nationkey AS DOUBLE) AS v FROM nation
+             UNION ALL
+             SELECT c_acctbal AS v FROM customer WHERE c_custkey % 100 = 0
+           ) u""",
+    ),
+]
 
-@pytest.mark.parametrize("name,sql", [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2])
+
+@pytest.mark.parametrize("name,sql", [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3])
 def test_qscript(spark, sf_dir, name, sql):
     tables(spark, sf_dir)
     s_cols, s_rows = spark_rows(spark.sql(sql))
