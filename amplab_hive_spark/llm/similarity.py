@@ -333,3 +333,65 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.55)
         .orderBy("vec_a", "vec_b")
     )
+
+
+@register(
+    "embedding_quantize_int8",
+    tags=("llm", "similarity", "storage"),
+    oracle="""
+WITH casted AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings WHERE vec_id % 25 = 5
+),
+ranged AS (
+  SELECT vec_id, v,
+         list_aggregate(v, 'min') AS mn,
+         list_aggregate(v, 'max') AS mx
+  FROM casted
+),
+quantized AS (
+  SELECT vec_id, v, mn, mx,
+         list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS q
+  FROM ranged
+)
+SELECT vec_id, mn, mx, q,
+       round(list_aggregate(
+         list_transform(list_zip(v, q),
+                        p -> abs(p[1] - (mn + p[2] * (mx - mn) / 255))),
+         'max'), 6) AS max_abs_err
+FROM quantized
+ORDER BY vec_id
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8-range quantization (the storage
+    compression step before writing an embedding table at scale:
+    64 floats -> 64 bytes + 2 scalars). floor() instead of round()
+    keeps the levels bit-identical cross-engine (round half-cases
+    diverge HALF_UP vs HALF_EVEN). Emits the quantized codes AND the
+    max reconstruction error, so the oracle checks the whole array.
+    Pure projection: one scan, zero shuffle, no Python."""
+    t = tables(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ranged = (
+        t.embeddings.filter(F.col("vec_id") % 25 == 5)
+        .select("vec_id", v.alias("v"))
+        .select(
+            "vec_id", "v",
+            F.array_min("v").alias("mn"),
+            F.array_max("v").alias("mx"),
+        )
+    )
+    scale = (F.col("mx") - F.col("mn")) / 255
+    q = F.transform(
+        F.col("v"),
+        lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast("bigint"),
+    )
+    quantized = ranged.select("vec_id", "v", "mn", "mx", q.alias("q"))
+    err = F.round(
+        F.array_max(
+            F.zip_with("v", "q", lambda x, qi: F.abs(x - (F.col("mn") + qi * scale)))
+        ),
+        6,
+    )
+    return quantized.select("vec_id", "mn", "mx", "q", err.alias("max_abs_err")).orderBy("vec_id")

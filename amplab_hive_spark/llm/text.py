@@ -182,3 +182,44 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("label"), F.col("p_lang").alias("predicted"))
     )
+
+
+# GPT-2-style pretokenizer classes, restricted to a portable regex
+# (same RE2/Java-compatible text in both engines): word runs, digit
+# runs, punctuation runs — each with optional leading space.
+_BPE_PATTERN = r" ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9 ]+"
+
+
+@register(
+    "text_bpe_token_count",
+    tags=("llm", "text"),
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_pretokens,
+       len(string_split(text, ' '))                    AS n_ws_tokens,
+       CAST(length(text) AS DOUBLE)
+         / len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS chars_per_token
+FROM documents
+WHERE doc_id % 25 = 11
+ORDER BY doc_id
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: pretokenize with the GPT-2-style
+    class regex (word/digit/punct runs with optional leading space)
+    and count pretokens — the budget estimate pipelines use before a
+    real tokenizer pass. chars/token is the compression-rate proxy.
+    regexp_extract_all is a JVM expression: one scan, no shuffle, no
+    Python."""
+    t = tables(spark, sf_dir)
+    pretoks = F.regexp_extract_all("text", F.lit(_BPE_PATTERN), 0)
+    return (
+        t.documents.filter(F.col("doc_id") % 25 == 11)
+        .select(
+            "doc_id",
+            F.size(pretoks).alias("n_bpe_pretokens"),
+            F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
+            (F.length("text").cast("double") / F.size(pretoks)).alias("chars_per_token"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1027,8 +1027,236 @@ QSCRIPTS_R3 = [
     ),
 ]
 
+# Round-2 tranche 4: skew/mapjoin patterns, FROM-first grammar,
+# FILTER clauses, setop ALL variants, scalar-subquery comparisons,
+# portable function parity (regexp_extract, greatest/least, bool
+# aggregates, LIKE ESCAPE, LIMIT/OFFSET, JOIN USING).
+QSCRIPTS_R4 = [
+    (
+        "skewjoin_collapsed_key",  # skewjoin.q shape: CASE collapses keys into a heavy hitter
+        """SELECT k, COUNT(*) AS n
+           FROM (SELECT CASE WHEN o_custkey % 10 < 7 THEN 0 ELSE o_custkey END AS k
+                 FROM orders) s
+           JOIN (SELECT CASE WHEN c_custkey % 10 < 7 THEN 0 ELSE c_custkey END AS k
+                 FROM customer WHERE c_custkey < 100) c USING (k)
+           GROUP BY k ORDER BY n DESC, k LIMIT 10""",
+    ),
+    (
+        "mapjoin_subquery",  # mapjoin_subquery.q: broadcast-sized subquery side
+        """SELECT big.o_orderpriority, COUNT(*) AS n
+           FROM orders big
+           JOIN (SELECT c_custkey FROM customer WHERE c_acctbal > 9500) small
+             ON big.o_custkey = small.c_custkey
+           GROUP BY big.o_orderpriority ORDER BY big.o_orderpriority""",
+    ),
+    (
+        "from_first_select",  # Hive FROM-first grammar (HiveParser.g body) — DuckDB shares it
+        """FROM nation SELECT n_name, n_regionkey WHERE n_regionkey = 3""",
+    ),
+    (
+        "agg_filter_clause",  # SQL:2003 FILTER clause on aggregates
+        """SELECT o_orderpriority,
+                  COUNT(*) AS n_all,
+                  COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_final,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) FILTER (WHERE o_totalprice > 200000) AS DOUBLE) AS big_total
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    (
+        "bool_aggregates",  # every/any family
+        """SELECT l_returnflag,
+                  BOOL_AND(l_quantity > 0) AS all_positive,
+                  BOOL_OR(l_quantity >= 50) AS any_max_qty
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "setop_intersect_all",  # intersect_all.q
+        """SELECT o_custkey FROM orders WHERE o_totalprice > 350000
+           INTERSECT ALL
+           SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 300000""",
+    ),
+    (
+        "setop_except_all",  # except_all.q: multiset difference keeps multiplicity
+        """SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+           EXCEPT ALL
+           SELECT o_custkey FROM orders WHERE o_totalprice > 400000""",
+    ),
+    (
+        "scalar_subquery_comparison",  # cbo_subq: comparison against uncorrelated scalar
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > 1.8 * (SELECT AVG(o_totalprice) FROM orders)
+           ORDER BY o_totalprice DESC, o_orderkey""",
+    ),
+    (
+        "correlated_scalar_projection",  # scalar subquery in SELECT list, correlated
+        """SELECT n_nationkey, n_name,
+                  (SELECT COUNT(*) FROM supplier WHERE s_nationkey = n_nationkey) AS n_supp
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "regexp_extract_parity",  # udf_regexp_extract.q: same signature both engines
+        """SELECT p_partkey,
+                  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 1) AS first_word,
+                  regexp_extract(p_name, '([a-z]+) ([a-z]+)', 2) AS second_word
+           FROM part WHERE p_partkey % 173 = 0 ORDER BY p_partkey""",
+    ),
+    (
+        "greatest_least",  # udf_greatest.q / udf_least.q
+        """SELECT l_orderkey, l_linenumber,
+                  GREATEST(l_quantity, l_discount * 100, CAST(l_linenumber AS DOUBLE)) AS g,
+                  LEAST(l_quantity, l_tax * 100, 25.0) AS l
+           FROM lineitem WHERE l_orderkey % 701 = 3 ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "math_function_parity",  # udf_sqrt/exp/ln/power rounded to common precision
+        """SELECT p_partkey,
+                  round(sqrt(CAST(p_retailprice AS DOUBLE)), 6) AS sq,
+                  round(ln(CAST(p_retailprice AS DOUBLE)), 6) AS lg,
+                  round(power(CAST(p_size AS DOUBLE), 2), 6) AS pw,
+                  round(exp(CAST(p_size AS DOUBLE) / 50), 6) AS ex
+           FROM part WHERE p_partkey % 211 = 0 ORDER BY p_partkey""",
+    ),
+    (
+        "like_escape",  # udf_like.q with ESCAPE
+        """SELECT COUNT(*) AS n FROM documents
+           WHERE text LIKE '%100!%%' ESCAPE '!' OR text LIKE '%table%'""",
+    ),
+    (
+        "limit_offset",  # limit family: LIMIT ... OFFSET pagination
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey
+           LIMIT 10 OFFSET 20""",
+    ),
+    (
+        "join_using_clause",  # JOIN ... USING resolves one shared column
+        """SELECT n_regionkey, COUNT(*) AS n
+           FROM (SELECT n_regionkey FROM nation) a
+           JOIN (SELECT r_regionkey AS n_regionkey, r_name FROM region) b
+           USING (n_regionkey)
+           GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "coalesce_join_key",  # null-safe-ish join via COALESCE key normalization
+        """SELECT COUNT(*) AS n
+           FROM (SELECT COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_nationkey END, -1) AS k
+                 FROM customer) a
+           JOIN (SELECT n_nationkey AS k FROM nation UNION ALL SELECT -1) b USING (k)""",
+    ),
+    (
+        "cte_referenced_twice",  # CTE reuse: one definition, two consumers
+        """WITH filtered AS (
+             SELECT o_custkey, o_totalprice FROM orders WHERE o_totalprice > 250000
+           )
+           SELECT a.o_custkey, a.n_big, b.top_price
+           FROM (SELECT o_custkey, COUNT(*) AS n_big FROM filtered GROUP BY o_custkey) a
+           JOIN (SELECT o_custkey, MAX(o_totalprice) AS top_price FROM filtered GROUP BY o_custkey) b
+             ON a.o_custkey = b.o_custkey
+           WHERE a.n_big >= 2 ORDER BY a.o_custkey""",
+    ),
+    (
+        "nested_case_group_key",  # CASE expression as a grouping key
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                       WHEN c_acctbal < 5000 THEN CASE WHEN c_mktsegment = 'BUILDING' THEN 'low_b' ELSE 'low' END
+                       ELSE 'high' END AS bucket,
+                  COUNT(*) AS n
+           FROM customer GROUP BY 1 ORDER BY bucket""",
+    ),
+    (
+        "agg_null_semantics",  # aggregates skip NULLs; COUNT(col) vs COUNT(*)
+        """SELECT COUNT(*) AS n_rows,
+                  COUNT(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey END) AS n_nonnull,
+                  CAST(SUM(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS DECIMAL(38,2)) END) AS DOUBLE) AS sum_subset,
+                  round(AVG(CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_totalprice AS DOUBLE) END), 4) AS avg_subset
+           FROM orders""",
+    ),
+    (
+        "full_outer_merge_shape",  # classic upsert/merge diff: FULL OUTER + COALESCE
+        """SELECT COALESCE(a.k, b.k) AS k,
+                  a.n AS before_n, b.n AS after_n,
+                  CASE WHEN a.k IS NULL THEN 'added'
+                       WHEN b.k IS NULL THEN 'removed'
+                       WHEN a.n <> b.n THEN 'changed' ELSE 'same' END AS delta
+           FROM (SELECT o_orderpriority AS k, COUNT(*) AS n FROM orders
+                 WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00' GROUP BY 1) a
+           FULL OUTER JOIN
+                (SELECT o_orderpriority AS k, COUNT(*) AS n FROM orders
+                 WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' GROUP BY 1) b
+             ON a.k = b.k
+           ORDER BY k""",
+    ),
+    (
+        "exists_with_or",  # subquery_exists variants: EXISTS OR predicate
+        """SELECT s_suppkey FROM supplier s
+           WHERE s_acctbal > 9500
+              OR EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey AND l_quantity = 50)
+           ORDER BY s_suppkey""",
+    ),
+    (
+        "double_nested_subquery",  # two-level nesting: IN over IN
+        """SELECT n_name FROM nation
+           WHERE n_nationkey IN (
+             SELECT c_nationkey FROM customer WHERE c_custkey IN (
+               SELECT o_custkey FROM orders WHERE o_totalprice > 450000))
+           ORDER BY n_name""",
+    ),
+    (
+        "window_over_join",  # windowing over join output
+        """SELECT c_mktsegment, o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders JOIN customer ON c_custkey = o_custkey
+           WHERE o_totalprice > 420000
+           ORDER BY c_mktsegment, rn""",
+    ),
+    (
+        "distinct_top_ordered",  # distinct + order + limit composition
+        """SELECT DISTINCT o_orderpriority, o_orderstatus FROM orders
+           ORDER BY o_orderpriority, o_orderstatus LIMIT 8""",
+    ),
+    (
+        "string_order_collation",  # binary collation ordering parity
+        """SELECT p_name FROM part WHERE p_partkey % 401 = 0
+           ORDER BY p_name, p_partkey""",
+    ),
+    (
+        "in_and_not_in_combined",  # IN plus NOT IN on different subqueries
+        """SELECT c_custkey FROM customer
+           WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+             AND c_custkey NOT IN (SELECT o_custkey FROM orders WHERE o_totalprice > 400000)
+             AND c_custkey % 3 = 0
+           ORDER BY c_custkey""",
+    ),
+    (
+        "join_on_date_expression",  # join key is a computed date bucket
+        """SELECT a.yr, a.n AS n_orders, b.n AS n_ship
+           FROM (SELECT extract(year FROM o_orderdate) AS yr, COUNT(*) AS n
+                 FROM orders GROUP BY 1) a
+           JOIN (SELECT extract(year FROM l_shipdate) AS yr, COUNT(*) AS n
+                 FROM lineitem GROUP BY 1) b
+             ON a.yr = b.yr
+           ORDER BY a.yr""",
+    ),
+    (
+        "not_exists_aggregated",  # NOT EXISTS against an aggregated correlation
+        """SELECT r_name FROM region r
+           WHERE NOT EXISTS (
+             SELECT 1 FROM nation n JOIN supplier s ON s_nationkey = n_nationkey
+             WHERE n.n_regionkey = r.r_regionkey AND s_acctbal < -990)
+           ORDER BY r_name""",
+    ),
+    (
+        "union_in_cte_twice",  # union branch defined once in CTE, consumed twice
+        """WITH u AS (
+             SELECT o_custkey AS k FROM orders WHERE o_totalprice > 400000
+             UNION
+             SELECT c_custkey AS k FROM customer WHERE c_acctbal > 9900
+           )
+           SELECT (SELECT COUNT(*) FROM u) AS n_all,
+                  (SELECT COUNT(*) FROM u WHERE k % 2 = 0) AS n_even""",
+    ),
+]
 
-@pytest.mark.parametrize("name,sql", [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3])
+
+@pytest.mark.parametrize("name,sql", [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4])
 def test_qscript(spark, sf_dir, name, sql):
     tables(spark, sf_dir)
     s_cols, s_rows = spark_rows(spark.sql(sql))
