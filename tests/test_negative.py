@@ -111,3 +111,78 @@ def test_insert_column_count_mismatch(spark, tmp_path):
             spark.sql("INSERT INTO neg_ins VALUES (1, 'x', 99)").collect()
     finally:
         spark.sql("DROP TABLE neg_ins")
+
+
+def test_duplicate_cte_name(spark):
+    # clientnegative: ambiguous/duplicate aliases family
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql(
+            "WITH x AS (SELECT 1 AS a), x AS (SELECT 2 AS a) SELECT * FROM x"
+        ).collect()
+
+
+def test_recursive_view_reference(spark):
+    # create_view family: a view cannot reference itself
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW v_neg_base AS SELECT 1 AS a")
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "CREATE OR REPLACE TEMPORARY VIEW v_neg_base AS "
+            "SELECT a + 1 AS a FROM v_neg_base"
+        ).collect()
+
+
+def test_star_in_aggregate_argument(spark):
+    # udaf family: * only valid in count(*)
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql("SELECT sum(*) FROM orders").collect()
+
+
+def test_lateral_view_nongenerator(spark):
+    # udtf_* negative family: LATERAL VIEW requires a generator fn
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT t.x FROM nation LATERAL VIEW upper(n_name) t AS x"
+        ).collect()
+
+
+def test_distinct_window_function(spark):
+    # windowing negative family: DISTINCT not supported over windows
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql(
+            "SELECT COUNT(DISTINCT o_custkey) OVER (ORDER BY o_orderkey) FROM orders"
+        ).collect()
+
+
+def test_drop_nonexistent_table_strict(spark):
+    # drop_table family: DROP without IF EXISTS on a missing table errors
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        spark.sql("DROP TABLE no_such_table_xyz").collect()
+
+
+def test_truncate_view_rejected(spark):
+    # truncate family: TRUNCATE only applies to tables
+    spark.sql("CREATE OR REPLACE TEMPORARY VIEW v_neg_trunc AS SELECT 1 AS a")
+    with pytest.raises(AnalysisException):
+        spark.sql("TRUNCATE TABLE v_neg_trunc").collect()
+
+
+def test_having_without_groupby_on_nonagg(spark):
+    # having negative family: HAVING referencing non-grouped column
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT COUNT(*) FROM orders HAVING o_custkey > 5"
+        ).collect()
+
+
+def test_set_operation_incompatible_types(spark):
+    # union negative family: un-coercible branch types
+    with pytest.raises(AnalysisException, match="INCOMPATIBLE_COLUMN_TYPE|CANNOT_MERGE"):
+        spark.sql(
+            "SELECT array(1, 2) AS a UNION ALL SELECT 'text' AS a"
+        ).collect()
+
+
+def test_offset_without_order_is_ok_but_negative_limit_errors(spark):
+    # limit negative family: LIMIT must be non-negative
+    with pytest.raises((AnalysisException, ParseException)):
+        spark.sql("SELECT 1 LIMIT -5").collect()
