@@ -1255,8 +1255,286 @@ QSCRIPTS_R4 = [
     ),
 ]
 
+# Round-2 fifth tranche: the clientpositive families VERDICT r1 called
+# "big untouched" — udf_* (201 files), join filter semantics
+# (join_filters.q et al.), vectorized expression semantics (vector_*,
+# 89 files — value tests of the same cast/math/date exprs the
+# reference's vectorized twins evaluate), groupby positional/expr keys.
+# Portability set was probe-verified on BOTH engines first (strpos,
+# locate, conv, add_months, overlay, elt, initcap are DuckDB-absent
+# and excluded; `^` means POWER in DuckDB so bitwise xor is excluded).
+QSCRIPTS_R5 = [
+    (
+        "udf_string_batch1",  # udf_instr.q/udf_lpad.q/udf_rpad.q/udf_repeat.q/udf_reverse.q
+        """SELECT p_partkey,
+                  instr(p_name, 'a') AS pos_a,
+                  lpad(p_brand, 12, '.') AS brand_l,
+                  rpad(p_brand, 12, '.') AS brand_r,
+                  reverse(p_brand) AS brand_rev,
+                  repeat(left(p_brand, 2), 2) AS b2x2
+           FROM part WHERE p_partkey % 97 = 1""",
+    ),
+    (
+        "udf_string_batch2",  # udf_translate.q/udf_ascii.q/udf_concat_ws.q/udf_10_trims.q
+        """SELECT p_partkey,
+                  translate(p_type, 'AEIOU', 'aeiou') AS ty_lowvowel,
+                  ascii(p_brand) AS first_code,
+                  chr(65 + CAST(p_partkey % 26 AS INT)) AS rotor,
+                  concat_ws('|', p_brand, p_type) AS tagged,
+                  trim(BOTH '#' FROM concat('##', p_brand, '##')) AS untagged
+           FROM part WHERE p_partkey % 97 = 2""",
+    ),
+    (
+        "udf_string_batch3",  # udf_split.q (split_part spelling)/udf_length.q/position
+        """SELECT p_partkey,
+                  split_part(p_type, ' ', 1) AS ty_head,
+                  split_part(p_type, ' ', 2) AS ty_mid,
+                  length(p_name) AS name_len,
+                  position('1' in p_brand) AS pos1,
+                  upper(left(p_type, 3)) AS ty3
+           FROM part WHERE p_partkey % 97 = 3""",
+    ),
+    (
+        "udf_levenshtein",  # udf_levenshtein.q over a data-driven pair
+        """SELECT n1.n_name AS a, n2.n_name AS b,
+                  levenshtein(n1.n_name, n2.n_name) AS dist
+           FROM nation n1 JOIN nation n2
+             ON n1.n_regionkey = n2.n_regionkey AND n1.n_nationkey < n2.n_nationkey""",
+    ),
+    (
+        "udf_math_batch1",  # udf_power/exp/ln/log2/log10/sqrt/cbrt over acctbal
+        """SELECT c_custkey,
+                  round(power(CAST(c_acctbal AS DOUBLE) / 1000, 2), 4) AS sq,
+                  round(sqrt(abs(CAST(c_acctbal AS DOUBLE))), 4) AS rt,
+                  round(cbrt(abs(CAST(c_acctbal AS DOUBLE))), 4) AS crt,
+                  round(ln(abs(CAST(c_acctbal AS DOUBLE)) + 1), 4) AS lg,
+                  round(log10(abs(CAST(c_acctbal AS DOUBLE)) + 1), 4) AS lg10,
+                  round(log2(abs(CAST(c_acctbal AS DOUBLE)) + 1), 4) AS lg2
+           FROM customer WHERE c_custkey % 53 = 7""",
+    ),
+    (
+        "udf_math_batch2",  # udf_degrees/radians/atan2/sign/factorial
+        """SELECT p_partkey,
+                  round(degrees(CAST(p_retailprice AS DOUBLE) / 1000), 4) AS deg,
+                  round(radians(CAST(p_size AS DOUBLE)), 4) AS rad,
+                  round(atan2(CAST(p_size AS DOUBLE), 10.0), 4) AS theta,
+                  CAST(sign(p_size - 25) AS INT) AS side,
+                  factorial(p_size % 10) AS f
+           FROM part WHERE p_partkey % 89 = 5""",
+    ),
+    (
+        "udf_bitwise",  # udf_bitwise_and/or/not.q + shifts + bit_count (no xor: DuckDB `^`=power)
+        """SELECT o_orderkey,
+                  o_orderkey & 255 AS low8,
+                  o_orderkey | 4096 AS with_bit,
+                  ~o_orderkey AS inverted,
+                  o_orderkey << 2 AS shl,
+                  o_orderkey >> 3 AS shr,
+                  bit_count(o_orderkey) AS popcnt
+           FROM orders WHERE o_orderkey % 211 = 9""",
+    ),
+    (
+        "udf_hex_bin",  # udf_hex.q/udf_bin.q
+        """SELECT o_orderkey, hex(o_orderkey) AS h, bin(o_orderkey) AS b
+           FROM orders WHERE o_orderkey % 211 = 11""",
+    ),
+    (
+        "udf_date_batch1",  # udf_last_day/weekofyear/dayofyear/quarter
+        """SELECT o_orderkey,
+                  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+                  weekofyear(CAST(o_orderdate AS DATE)) AS wk,
+                  dayofyear(CAST(o_orderdate AS DATE)) AS doy,
+                  quarter(CAST(o_orderdate AS DATE)) AS q
+           FROM orders WHERE o_orderkey % 173 = 3""",
+    ),
+    (
+        "udf_date_interval",  # date arithmetic via INTERVAL (vectorized_date_funcs.q)
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(l_shipdate + INTERVAL 30 DAY AS DATE) AS due,
+                  CAST(l_shipdate - INTERVAL 1 DAY AS DATE) AS eve,
+                  CAST(date_trunc('month', l_shipdate) AS DATE) AS mstart
+           FROM lineitem WHERE l_orderkey % 419 = 17""",
+    ),
+    (
+        "vectorized_casts",  # vectorized_casts.q: cast lattice as VALUE semantics
+        """SELECT o_orderkey,
+                  CAST(o_orderkey AS STRING) AS k_str,
+                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS STRING) AS price_str,
+                  CAST(CAST(o_orderkey AS STRING) AS BIGINT) AS k_back,
+                  CAST(floor(o_totalprice) AS BIGINT) AS price_int,
+                  CAST(CAST(o_orderdate AS DATE) AS STRING) AS d_str
+           FROM orders WHERE o_orderkey % 223 = 19""",
+    ),
+    (
+        "vectorized_try_cast",  # vectorized cast-overflow semantics, NULL not error
+        """SELECT p_partkey,
+                  try_cast(p_brand AS INT) AS not_a_number,
+                  try_cast(split_part(p_brand, '_', 2) AS INT) AS brand_num
+           FROM part WHERE p_partkey % 97 = 7""",
+    ),
+    (
+        "vector_between_in",  # vector_between_in.q: BETWEEN on date/decimal + IN lists
+        """SELECT l_orderkey, l_linenumber, l_quantity
+           FROM lineitem
+           WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'
+             AND l_quantity IN (1, 2, 3, 48, 49, 50)
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "vector_decimal_aggregate",  # vector_decimal_aggregate.q
+        """SELECT l_returnflag,
+                  COUNT(*) AS cnt,
+                  CAST(MIN(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_p,
+                  CAST(MAX(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_p,
+                  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS sum_p
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    (
+        "join_filters_on_vs_where",  # join_filters.q: ON-clause pred NULL-extends, WHERE filters
+        """SELECT n_name, r_name
+           FROM nation LEFT JOIN region
+             ON n_regionkey = r_regionkey AND r_name LIKE '%R%'
+           ORDER BY n_name""",
+    ),
+    (
+        "join_filters_where_form",  # join_filters.q counterpart: same pred in WHERE
+        """SELECT n_name, r_name
+           FROM nation LEFT JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name LIKE '%R%'
+           ORDER BY n_name""",
+    ),
+    (
+        "join_nullsafe",  # join_nullsafe.q: IS NOT DISTINCT FROM join over derived NULL keys
+        """SELECT a.n_nationkey, b.n_nationkey AS peer
+           FROM (SELECT n_nationkey,
+                        CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k
+                 FROM nation) a
+           JOIN (SELECT n_nationkey,
+                        CASE WHEN n_regionkey = 2 THEN NULL ELSE n_regionkey END AS k
+                 FROM nation) b
+             ON a.k IS NOT DISTINCT FROM b.k AND a.n_nationkey < b.n_nationkey""",
+    ),
+    (
+        "join_five_way_chain",  # join query chains (join32.q-style multiway)
+        """SELECT r_name, COUNT(*) AS n_items,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2))) AS DOUBLE) AS qty
+           FROM region
+           JOIN nation ON n_regionkey = r_regionkey
+           JOIN supplier ON s_nationkey = n_nationkey
+           JOIN lineitem ON l_suppkey = s_suppkey
+           JOIN orders ON o_orderkey = l_orderkey
+           WHERE o_orderpriority = '1-URGENT'
+           GROUP BY r_name""",
+    ),
+    (
+        "join_disjunctive_pred",  # non-equi join with OR condition (small sides)
+        """SELECT n1.n_name AS a, n2.n_name AS b
+           FROM nation n1 JOIN nation n2
+             ON (n1.n_regionkey = n2.n_regionkey OR n1.n_nationkey = n2.n_regionkey)
+                AND n1.n_nationkey <> n2.n_nationkey
+           WHERE n1.n_nationkey % 5 = 0""",
+    ),
+    (
+        "join_self_pairs",  # join40.q-style self-join with aliases, bounded
+        """SELECT c1.c_custkey AS a, c2.c_custkey AS b
+           FROM customer c1 JOIN customer c2
+             ON c1.c_nationkey = c2.c_nationkey
+                AND c1.c_custkey < c2.c_custkey
+           WHERE c1.c_custkey % 20 = 0 AND c2.c_custkey % 20 = 0""",
+    ),
+    (
+        "join_right_outer",  # join rarities: RIGHT OUTER spelled as such
+        """SELECT o_orderkey, c_name
+           FROM orders RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+           WHERE c_custkey % 97 = 13""",
+    ),
+    (
+        "groupby_position",  # groupby_position.q: ordinal GROUP BY/ORDER BY
+        """SELECT o_orderpriority, extract(year FROM o_orderdate) AS yr, COUNT(*) AS cnt
+           FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
+    ),
+    (
+        "groupby_expr_key",  # groupby expression key (CASE bucketing)
+        """SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                       WHEN c_acctbal < 5000 THEN 'mid'
+                       ELSE 'high' END AS band,
+                  COUNT(*) AS cnt,
+                  CAST(SUM(CAST(c_acctbal AS DECIMAL(38,2))) AS DOUBLE) AS total
+           FROM customer GROUP BY 1""",
+    ),
+    (
+        "groupby_distinct_samekey",  # groupby_distinct_samekey.q
+        """SELECT l_suppkey % 10 AS bucket,
+                  COUNT(DISTINCT l_suppkey) AS n_supp,
+                  COUNT(l_suppkey) AS n_rows
+           FROM lineitem GROUP BY l_suppkey % 10""",
+    ),
+    (
+        "ppd_outer_join",  # ppd_outer_join family: filter above LEFT JOIN prunes to inner
+        """SELECT c_custkey, o_orderkey
+           FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+           WHERE o_totalprice > 450000""",
+    ),
+    (
+        "ppd_union_branch",  # ppd_union.q: predicate pushed into both union branches
+        """SELECT k, v FROM (
+             SELECT c_custkey AS k, CAST(c_acctbal AS DOUBLE) AS v FROM customer
+             UNION ALL
+             SELECT s_suppkey AS k, CAST(s_acctbal AS DOUBLE) AS v FROM supplier
+           ) u WHERE v > 9000 AND k % 3 = 1""",
+    ),
+    (
+        "udf_case_nested",  # udf_case.q: nested CASE with fallthrough over two columns
+        """SELECT o_orderkey,
+                  CASE o_orderstatus
+                    WHEN 'F' THEN CASE WHEN o_totalprice > 200000 THEN 'big-final'
+                                       ELSE 'small-final' END
+                    WHEN 'O' THEN 'open'
+                    ELSE 'other'
+                  END AS verdict
+           FROM orders WHERE o_orderkey % 157 = 23""",
+    ),
+    (
+        "udf_ifnull_chain",  # udf_coalesce.q/ifnull: NULL-handling scalar lattice
+        """SELECT n_nationkey,
+                  ifnull(nullif(n_regionkey, 2), -1) AS region_or_sentinel,
+                  coalesce(nullif(n_regionkey, 0), nullif(n_regionkey, 1), 99) AS first_nonnull,
+                  if(n_regionkey >= 2, 'hi', 'lo') AS half
+           FROM nation""",
+    ),
+    (
+        "vector_string_concat",  # vector_string_concat.q: concat pipelines stay vectorized
+        """SELECT concat(p_brand, '/', split_part(p_type, ' ', 1),
+                         '#', CAST(p_size AS STRING)) AS sku
+           FROM part WHERE p_partkey % 97 = 29""",
+    ),
+    (
+        "distinct_join_output",  # distinct above join (reduce-dedup plan family)
+        """SELECT DISTINCT n_name, o_orderpriority
+           FROM nation
+           JOIN customer ON c_nationkey = n_nationkey
+           JOIN orders ON o_custkey = c_custkey
+           WHERE n_nationkey < 5""",
+    ),
+    (
+        "udf_md5_hashing",  # udf hash family: md5 is the portable member
+        """SELECT c_custkey, md5(c_name) AS name_md5
+           FROM customer WHERE c_custkey % 101 = 31""",
+    ),
+    (
+        "order_by_expr_multi",  # order by computed expressions + mixed direction
+        """SELECT s_suppkey, s_acctbal
+           FROM supplier
+           ORDER BY CAST(s_acctbal AS DOUBLE) % 100 DESC, s_suppkey ASC
+           LIMIT 25""",
+    ),
+]
 
-@pytest.mark.parametrize("name,sql", [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4])
+
+@pytest.mark.parametrize(
+    "name,sql",
+    [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5],
+)
 def test_qscript(spark, sf_dir, name, sql):
     tables(spark, sf_dir)
     s_cols, s_rows = spark_rows(spark.sql(sql))
