@@ -91,15 +91,29 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     reads. Filter/column pushdown happens per-query via Catalyst.
     A table that fails to load is skipped (its error re-raised only if
     a query actually touches it) rather than failing the whole catalog.
+    Failed tables are retried on the next load_tables call, so a
+    transient read error is not pinned for the session's lifetime.
+    Note: SQL-text queries against a failed table surface as
+    TABLE_OR_VIEW_NOT_FOUND (the view was never registered); the root
+    cause is available via ``tables(spark, sf_dir).<name>``.
     """
     ensure_session_confs(spark)
     key = (id(spark), sf_dir)
     cached = _LOADED.get(key)
     if cached is not None:
-        return cached
-    out: dict[str, DataFrame] = {}
+        # Retry ONLY previously-failed tables (e.g. a transient I/O
+        # error, or a conf that needed ensure_session_confs) so a
+        # one-time failure isn't pinned for the session's lifetime;
+        # the happy path stays a pure dict hit.
+        prior_errors = _LOAD_ERRORS.get(key) or {}
+        if not prior_errors:
+            return cached
+        todo = list(prior_errors)
+    else:
+        todo = list(TABLES)
+    out: dict[str, DataFrame] = dict(cached or {})
     errors: dict[str, Exception] = {}
-    for name in TABLES:
+    for name in todo:
         path = os.path.join(sf_dir, f"{name}.parquet")
         try:
             df = spark.read.parquet(path)

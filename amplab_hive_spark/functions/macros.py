@@ -78,6 +78,9 @@ class MacroRegistry:
                 # "x DOUBLE" / "x DECIMAL(10,2)" → x ; types are
                 # documentation here (the expanded expression is typed
                 # by Catalyst analysis).
+                if not p.split():
+                    # e.g. "m(, x INT)" — empty declaration slot.
+                    raise MacroError(f"empty parameter declaration in macro {name}")
                 params.append(p.split()[0])
             if len(set(params)) != len(params):
                 raise MacroError(f"duplicate macro parameter in {name}")

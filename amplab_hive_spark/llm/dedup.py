@@ -129,15 +129,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     collect doc list → explode pairs), NOT a shingle self-join, with a
     df ≤ 200 guard: worst-case fan-out per shingle is bounded at
     cap²/2 instead of corpus². Same shape as the LSH bucket path.
+
+    The cap is applied BEFORE collect_list via a count-only aggregate
+    (map-side-combinable) joined back onto the shingle stream, so no
+    aggregation buffer ever materializes a stop shingle's full doc
+    list — a boilerplate shingle shared by 10⁸ docs at corpus scale
+    would otherwise build one giant array in a single
+    ObjectHashAggregate buffer before the post-hoc filter could drop
+    it. Both shuffles hash on `shingle`, so the join is co-partitioned
+    with the count and adds no third exchange of the wide stream.
     """
     t = tables(spark, sf_dir)
     shingled = t.documents.select(
         "doc_id", F.explode(_shingles()).alias("shingle")
     )
-    members = (
+    # Row counts (duplicates kept — a shingle repeated within one doc
+    # counts each occurrence, matching the oracle's COUNT(*)).
+    freq = (
         shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+    )
+    members = (
+        shingled.join(freq, "shingle")
+        .groupBy("shingle")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-        .filter(F.size("docs") <= _JACCARD_DF_CAP)
     )
     # Per-doc shingle counts over the SAME capped shingle set the
     # intersection uses (metric stays a true jaccard on kept shingles).

@@ -382,15 +382,23 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("v").alias("mx"),
         )
     )
-    scale = (F.col("mx") - F.col("mn")) / 255
     q = F.transform(
         F.col("v"),
         lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast("bigint"),
     )
     quantized = ranged.select("vec_id", "v", "mn", "mx", q.alias("q"))
+    # Same association as the oracle text `p[2] * (mx - mn) / 255` —
+    # (qi·range)/255, NOT qi·(range/255); the two differ by ~1 ulp,
+    # which round(…,6) can amplify into a cross-engine hash mismatch.
     err = F.round(
         F.array_max(
-            F.zip_with("v", "q", lambda x, qi: F.abs(x - (F.col("mn") + qi * scale)))
+            F.zip_with(
+                "v",
+                "q",
+                lambda x, qi: F.abs(
+                    x - (F.col("mn") + qi * (F.col("mx") - F.col("mn")) / 255)
+                ),
+            )
         ),
         6,
     )

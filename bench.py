@@ -30,9 +30,14 @@ def plan_fingerprint(df) -> dict[str, int]:
         df._jdf.queryExecution(), "simple"
     )
     broadcasts = plan.count("BroadcastExchange")
+    reused = plan.count("ReusedExchange")
     return {
-        "exchanges": plan.count("Exchange ") + plan.count("Exchange\n"),
+        # shuffle exchanges only: "Exchange" is a substring of both
+        # "BroadcastExchange" and "ReusedExchange", so subtract rather
+        # than substring-match.
+        "exchanges": plan.count("Exchange") - broadcasts - reused,
         "broadcast_exchanges": broadcasts,
+        "reused_exchanges": reused,
         "broadcast_joins": plan.count("BroadcastHashJoin")
         + plan.count("BroadcastNestedLoopJoin"),
         "sortmerge_joins": plan.count("SortMergeJoin"),

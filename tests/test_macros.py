@@ -93,3 +93,11 @@ def test_macro_empty_body_rejected():
     r = MacroRegistry()
     with pytest.raises(MacroError):
         r.handle_statement("CREATE TEMPORARY MACRO nothing(x INT)")
+
+
+def test_macro_empty_param_decl_rejected():
+    """A dangling comma in the signature is MacroError, not a raw
+    IndexError escaping the module's declared error contract."""
+    r = MacroRegistry()
+    with pytest.raises(MacroError, match="empty parameter"):
+        r.handle_statement("CREATE TEMPORARY MACRO m(, x INT) x + 1")

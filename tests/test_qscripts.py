@@ -254,7 +254,7 @@ QSCRIPTS = [
            WHERE o_totalprice > 450000 AND n_regionkey < 2""",
     ),
     (
-        "union_remove_1",  # union_remove_1.q: agg over a union of aggs
+        "union_remove_agg_of_aggs",  # union_remove_1.q: agg over a union of aggs
         """SELECT k, SUM(cnt) AS total FROM (
              SELECT o_orderstatus AS k, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus
              UNION ALL
@@ -437,7 +437,7 @@ QSCRIPTS_R2 = [
            ORDER BY n1.n_nationkey, k2, k3""",
     ),
     (
-        "join38",  # join38.q: join on a computed/renamed column + WHERE equality + group
+        "join38_computed_key",  # join38.q: join on a computed/renamed column + WHERE equality + group
         """SELECT a.r_name, COUNT(*) AS cnt
            FROM region a
            JOIN (SELECT n_nationkey, n_regionkey + 0 AS col11 FROM nation) b
@@ -452,14 +452,14 @@ QSCRIPTS_R2 = [
            CROSS JOIN (SELECT n_nationkey FROM nation WHERE n_nationkey < 5) b""",
     ),
     (
-        "join_nulls",  # join_nulls.q: NULL-producing join keys never match
+        "join_nulls_producing_keys",  # join_nulls.q: NULL-producing join keys never match
         """SELECT COUNT(*) AS n
            FROM (SELECT CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_nationkey END AS k
                  FROM customer) a
            JOIN (SELECT n_nationkey AS k FROM nation) b ON a.k = b.k""",
     ),
     (
-        "join_filters",  # join_filters.q: outer join keeps unmatched left under ON-side filters
+        "join_filters_on_side_kept",  # join_filters.q: outer join keeps unmatched left under ON-side filters
         """SELECT p.p_partkey, l.l_orderkey
            FROM part p
            LEFT OUTER JOIN lineitem l
@@ -498,7 +498,7 @@ QSCRIPTS_R2 = [
              AND (s2.c3 > 500 OR s1.c1 < 5000000) AND s2.c3 <> 4""",
     ),
     (
-        "ppd_gby",  # ppd_gby.q: predicate above a group-by subquery mixing agg and key
+        "ppd_gby_above",  # ppd_gby.q: predicate above a group-by subquery mixing agg and key
         """SELECT s1.c1
            FROM (SELECT c_mktsegment AS c1, COUNT(c_custkey) AS c2
                  FROM customer WHERE c_mktsegment > 'AUTO' GROUP BY c_mktsegment) s1
@@ -587,7 +587,7 @@ QSCRIPTS_R2 = [
     ),
     # ---- grouping sets family --------------------------------------
     (
-        "groupby_grouping_sets1",  # groupby_grouping_sets1.q: explicit mixed sets
+        "groupby_grouping_sets_mixed",  # groupby_grouping_sets1.q: explicit mixed sets
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
            FROM lineitem
            GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), ())""",
@@ -635,7 +635,7 @@ QSCRIPTS_R2 = [
            FROM orders GROUP BY CAST(YEAR(o_orderdate) AS INT), o_orderstatus""",
     ),
     (
-        "groupby_position",  # groupby_position.q: ordinal GROUP BY / ORDER BY
+        "groupby_position_orderby",  # groupby_position.q: ordinal GROUP BY / ORDER BY
         """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS cnt
            FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     ),
@@ -672,7 +672,7 @@ QSCRIPTS_R2 = [
     ),
     # ---- portable UDF family ---------------------------------------
     (
-        "udf_case_nested",  # udf_case.q: nested CASE with fallthrough
+        "udf_case_fallthrough",  # udf_case.q: nested CASE with fallthrough
         """SELECT o_orderkey,
                   CASE WHEN o_totalprice > 300000 THEN 'high'
                        WHEN o_totalprice > 100000 THEN
@@ -918,7 +918,7 @@ QSCRIPTS_R3 = [
     ),
     # ---- correlation optimizer shapes ------------------------------
     (
-        "correlationoptimizer1",  # correlationoptimizer1.q: agg above join sharing the join key
+        "correlationoptimizer1_agg_above_join",  # correlationoptimizer1.q: agg above join sharing the join key
         """SELECT CAST(SUM(tmp.cnt) AS BIGINT) AS total_pairs, COUNT(*) AS n_keys
            FROM (SELECT o.o_custkey AS key, COUNT(1) AS cnt
                  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1373,7 +1373,7 @@ QSCRIPTS_R5 = [
            FROM part WHERE p_partkey % 97 = 7""",
     ),
     (
-        "vector_between_in",  # vector_between_in.q: BETWEEN on date/decimal + IN lists
+        "vector_between_in_dates_r5",  # vector_between_in.q: BETWEEN on date/decimal + IN lists
         """SELECT l_orderkey, l_linenumber, l_quantity
            FROM lineitem
            WHERE CAST(l_shipdate AS DATE) BETWEEN DATE '1996-03-01' AND DATE '1996-03-15'
@@ -1449,7 +1449,7 @@ QSCRIPTS_R5 = [
            WHERE c_custkey % 97 = 13""",
     ),
     (
-        "groupby_position",  # groupby_position.q: ordinal GROUP BY/ORDER BY
+        "groupby_position_year_r5",  # groupby_position.q: ordinal GROUP BY/ORDER BY
         """SELECT o_orderpriority, extract(year FROM o_orderdate) AS yr, COUNT(*) AS cnt
            FROM orders GROUP BY 1, 2 ORDER BY 1, 2""",
     ),
@@ -1463,7 +1463,7 @@ QSCRIPTS_R5 = [
            FROM customer GROUP BY 1""",
     ),
     (
-        "groupby_distinct_samekey",  # groupby_distinct_samekey.q
+        "groupby_distinct_samekey_r5",  # groupby_distinct_samekey.q
         """SELECT l_suppkey % 10 AS bucket,
                   COUNT(DISTINCT l_suppkey) AS n_supp,
                   COUNT(l_suppkey) AS n_rows
@@ -1484,7 +1484,7 @@ QSCRIPTS_R5 = [
            ) u WHERE v > 9000 AND k % 3 = 1""",
     ),
     (
-        "udf_case_nested",  # udf_case.q: nested CASE with fallthrough over two columns
+        "udf_case_nested_two_col_r5",  # udf_case.q: nested CASE with fallthrough over two columns
         """SELECT o_orderkey,
                   CASE o_orderstatus
                     WHEN 'F' THEN CASE WHEN o_totalprice > 200000 THEN 'big-final'
