@@ -52,14 +52,43 @@ _SESSION_CONFS = (
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    """Apply the engine's required runtime confs to *any* session."""
+    """Apply the engine's required runtime confs to *any* session.
+
+    NOTE: this MUTATES the caller's session confs (timezone, ANSI
+    mode, nanos parquet handling) for the session's lifetime — the
+    engine's semantics travel with the session, like HiveConf travels
+    with the reference's Driver. After setting, each conf is read back:
+    a build where ``nanosAsLong`` did not stick cannot read the events
+    table at all (load-fatal → raise); the other two would silently
+    change query semantics, so a loud warning beats a wrong answer.
+    """
+    import warnings
+
     for key, value in _SESSION_CONFS:
         try:
             spark.conf.set(key, value)
         except Exception:
-            # Unknown/non-settable on this Spark build — proceed; the
-            # per-table isolation below keeps one failure contained.
+            # Unknown/non-settable on this Spark build — verified by
+            # the read-back below rather than silently swallowed.
             pass
+    for key, value in _SESSION_CONFS:
+        try:
+            actual = spark.conf.get(key, None)
+        except Exception:
+            actual = None
+        if actual != value:
+            if key == "spark.sql.legacy.parquet.nanosAsLong":
+                raise RuntimeError(
+                    f"required conf {key}={value} did not apply "
+                    f"(got {actual!r}); events.parquet (TIMESTAMP NANOS) "
+                    "is unreadable on this session"
+                )
+            warnings.warn(
+                f"session conf {key}={value} did not apply (got {actual!r}); "
+                "query semantics (timezone / ANSI casts) may diverge",
+                RuntimeWarning,
+                stacklevel=2,
+            )
 
 
 # Per-session registration cache: (id(spark), sf_dir) → DataFrames.

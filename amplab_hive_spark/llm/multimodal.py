@@ -106,7 +106,7 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        COUNT(*) AS n_assets,
-       SUM(CAST(8 + octet_length(encode(text)) AS BIGINT)) AS total_bytes,
+       CAST(SUM(8 + octet_length(encode(text))) AS BIGINT) AS total_bytes,
        MIN(CAST(doc_id % 640 + 32 AS INT)) AS min_width,
        MAX(CAST(doc_id % 640 + 32 AS INT)) AS max_width
 FROM documents
@@ -139,8 +139,8 @@ SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
             WHEN doc_id % 3 = 1 THEN 'audio'
             ELSE 'video' END AS media_type,
        COUNT(*) AS n_decoded,
-       SUM(CAST(doc_id % 640 + 32 AS BIGINT) * (doc_id % 480 + 24)) AS total_pixels,
-       SUM(len(string_split(text, ' '))) AS total_tokens
+       CAST(SUM((doc_id % 640 + 32) * (doc_id % 480 + 24)) AS BIGINT) AS total_pixels,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
 FROM documents
 GROUP BY 1
 ORDER BY media_type

@@ -63,7 +63,7 @@ def _sql_bucket(expr: str) -> str:
     oracle=f"""
 SELECT split, lang,
        COUNT(*) AS n_docs,
-       SUM(len(string_split(text, ' '))) AS n_tokens,
+       CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc
 FROM (
   SELECT doc_id, lang, text,
@@ -106,9 +106,9 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT source,
        ({_sql_bucket('source')} % 50) + 25 AS keep_pct,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {_sql_bucket("text || '|mix'")}
+       CAST(SUM(CASE WHEN {_sql_bucket("text || '|mix'")}
                   < ({_sql_bucket('source')} % 50) + 25
-                THEN 1 ELSE 0 END) AS n_kept
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
 FROM documents
 GROUP BY source
 ORDER BY source
@@ -139,14 +139,14 @@ def pipeline_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 SELECT lang, bin,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS bin_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM (
   SELECT lang, doc_id, n_tokens,
-         COALESCE(SUM(n_tokens) OVER (
+         CAST(COALESCE(SUM(n_tokens) OVER (
              PARTITION BY lang ORDER BY doc_id
              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-           // {_PACK_BUDGET} AS bin
+           // {_PACK_BUDGET} AS BIGINT) AS bin
   FROM (SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens
         FROM documents) d
 ) b

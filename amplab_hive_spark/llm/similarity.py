@@ -351,7 +351,7 @@ ranged AS (
 ),
 quantized AS (
   SELECT vec_id, v, mn, mx,
-         list_transform(v, x -> CAST(floor((x - mn) / (mx - mn) * 255) AS BIGINT)) AS q
+         list_transform(v, x -> CAST(floor((x - mn) / nullif(mx - mn, 0) * 255) AS BIGINT)) AS q
   FROM ranged
 )
 SELECT vec_id, mn, mx, q,
@@ -382,9 +382,15 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_max("v").alias("mx"),
         )
     )
+    # nullif guard: a constant vector (mx == mn) would 0/0 — Spark
+    # non-ANSI gives NULL, DuckDB gives NaN; both must agree on NULL.
     q = F.transform(
         F.col("v"),
-        lambda x: F.floor((x - F.col("mn")) / (F.col("mx") - F.col("mn")) * 255).cast("bigint"),
+        lambda x: F.floor(
+            (x - F.col("mn"))
+            / F.nullif(F.col("mx") - F.col("mn"), F.lit(0))
+            * 255
+        ).cast("bigint"),
     )
     quantized = ranged.select("vec_id", "v", "mn", "mx", q.alias("q"))
     # Same association as the oracle text `p[2] * (mx - mn) / 255` —

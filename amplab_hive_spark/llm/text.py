@@ -198,7 +198,7 @@ SELECT doc_id,
        len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_pretokens,
        len(string_split(text, ' '))                    AS n_ws_tokens,
        CAST(length(text) AS DOUBLE)
-         / len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS chars_per_token
+         / nullif(len(regexp_extract_all(text, '{_BPE_PATTERN}')), 0) AS chars_per_token
 FROM documents
 WHERE doc_id % 25 = 11
 ORDER BY doc_id
@@ -219,7 +219,13 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(pretoks).alias("n_bpe_pretokens"),
             F.size(F.split(F.col("text"), " ")).alias("n_ws_tokens"),
-            (F.length("text").cast("double") / F.size(pretoks)).alias("chars_per_token"),
+            # nullif guard: an empty doc has zero pretokens; without it
+            # Spark non-ANSI yields NULL but DuckDB IEEE-divides to
+            # NaN/Inf — both engines must agree on NULL.
+            (
+                F.length("text").cast("double")
+                / F.nullif(F.size(pretoks), F.lit(0))
+            ).alias("chars_per_token"),
         )
         .orderBy("doc_id")
     )

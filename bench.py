@@ -76,18 +76,50 @@ def main() -> None:
         plans[spec.name] = plan_fingerprint(df)
 
     total = round(sum(timings.values()), 3)
+    # Verbose record first (humans / archive), compact record LAST:
+    # the driver keeps only the last ~2000 bytes of stdout, and r2's
+    # single verbose line blew past that, clipping the timings out of
+    # BENCH_r02.json. The final line carries everything (timings AND
+    # fingerprints) in < ~1.2 KB: plan fingerprints become fixed-order
+    # int arrays keyed by PLAN_KEYS.
+    plan_keys = [
+        "exchanges",
+        "broadcast_exchanges",
+        "reused_exchanges",
+        "broadcast_joins",
+        "sortmerge_joins",
+        "wholestage_codegen_ops",
+        "python_eval",
+    ]
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total",
+                "metric": "headline_queries_total_verbose",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "plans": plans,
+                "plan_keys": plan_keys,
                 "sf": float(sf) if sf else None,
             }
         )
     )
+    sys.stdout.flush()
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "plans": {n: [p[k] for k in plan_keys] for n, p in plans.items()},
+        "plan_keys": plan_keys,
+        "sf": float(sf) if sf else None,
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1800:  # stay inside the driver's tail capture
+        compact.pop("plans")
+        compact.pop("plan_keys")
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":
