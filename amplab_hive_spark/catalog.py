@@ -147,14 +147,22 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         try:
             df = spark.read.parquet(path)
             if name == "events":
-                # TIMESTAMP(NANOS) parquet is read as a raw nanos long
-                # (spark.sql.legacy.parquet.nanosAsLong); truncate to
-                # microseconds exactly like DuckDB does on read.
+                # The events table's `ts` has shipped as BOTH
+                # TIMESTAMP(NANOS) (readable only as a raw nanos long
+                # via spark.sql.legacy.parquet.nanosAsLong) and plain
+                # TIMESTAMP(MICROS) (read natively as a timestamp).
+                # Dispatch on the type actually read: only the raw-long
+                # generation needs the ns→µs truncation (exactly what
+                # DuckDB does on read).
                 from pyspark.sql import functions as F
+                from pyspark.sql.types import LongType
 
-                # integer DIV, not `/` — nanos exceed 2^53 so a double
-                # round-trip would lose microseconds.
-                df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+                if isinstance(df.schema["ts"].dataType, LongType):
+                    # integer DIV, not `/` — nanos exceed 2^53 so a
+                    # double round-trip would lose microseconds.
+                    df = df.withColumn(
+                        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+                    )
             df.createOrReplaceTempView(name)
             out[name] = df
         except Exception as exc:  # isolate: only queries on THIS table fail

@@ -100,15 +100,54 @@ def connected_components(
     return labels.select("node", "comp")
 
 
-@register("dedup_cluster_resolution", tags=("llm", "dedup", "iterative"), oracle=None)
+def _cluster_oracle() -> str:
+    """DuckDB oracle: the MinHash pair graph (same shared CTE block
+    the dedup_minhash_lsh oracle uses — bit-identical signatures via
+    the portable hash bridge) closed under reachability with a
+    recursive CTE. ``reach(node, m)`` enumerates every node m
+    reachable from node; MIN(m) over the closure (seeded with self)
+    is exactly the min-label fixpoint the Spark label-propagation
+    converges to."""
+    from amplab_hive_spark.llm.dedup import MINHASH_PAIR_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + MINHASH_PAIR_CTES
+        + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM minhash_pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM minhash_pairs
+),
+reach AS (
+  SELECT u AS node, u AS m FROM edges
+  UNION
+  SELECT e.u AS node, r.m AS m FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, MIN(m) AS comp FROM reach GROUP BY node),
+csize AS (SELECT comp, COUNT(*) AS cluster_size FROM comp GROUP BY comp)
+SELECT c.node AS doc_id, c.comp AS canonical_id,
+       c.node = c.comp AS is_kept, s.cluster_size
+FROM comp c JOIN csize s ON s.comp = c.comp
+ORDER BY doc_id
+"""
+    )
+
+
+@register(
+    "dedup_cluster_resolution",
+    tags=("llm", "dedup", "iterative"),
+    oracle=_cluster_oracle(),
+)
 def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end keep-one dedup decision table: MinHash-LSH pairs →
     connected components → per-cluster canonical doc (min doc_id).
     Returns (doc_id, canonical_id, is_kept, cluster_size) for every
-    doc that belongs to a near-dup cluster. Iterative (join-per-round
-    label propagation) — genuinely non-SQL-expressible, driver gets
-    the rows-only check; exactness is covered by unit tests against
-    a Python union-find oracle."""
+    doc that belongs to a near-dup cluster. The Spark side is
+    iterative (join-per-round label propagation); the DuckDB oracle
+    reproduces the fixpoint declaratively with a recursive CTE over
+    the identical (portable-hash) MinHash pair graph, so the driver
+    gets the full three-check compare."""
     from amplab_hive_spark.llm.dedup import dedup_minhash_lsh
 
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")

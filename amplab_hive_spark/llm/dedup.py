@@ -10,18 +10,24 @@ Beyond the reference surface (BASELINE.json north star). Design for
   shingle join's fan-out is bounded because only shingles shared by
   ≥2 docs produce pairs. For web-scale corpora the LSH variant below
   replaces the all-pairs shingle join.
-- **minhash LSH**: signature = k minima of seeded xxhash64 over
-  shingles (one scan, no shuffle); band buckets → candidate pairs
-  (shuffle on 8-byte band keys only); exact Jaccard verification on
-  the candidate set. This is the linear-ish scale path: cost tracks
-  #near-duplicates, not #pairs.
-- **simhash**: 64-bit signature from per-token hash bit votes;
+- **minhash LSH**: signature = k minima of affine permutations of a
+  per-shingle base hash (one scan, no shuffle); band buckets →
+  candidate pairs (shuffle on band keys only); exact Jaccard
+  verification on the candidate set. This is the linear-ish scale
+  path: cost tracks #near-duplicates, not #pairs.
+- **simhash**: 60-bit signature from per-token hash bit votes;
   hamming-ball candidate search via band buckets on signature
   chunks.
 
-MinHash/SimHash signatures use Spark's xxhash64 — engine-specific,
-so those two queries carry no DuckDB oracle (rows-only driver
-check); tests/test_llm_ops.py instead asserts recall of the exact
+MinHash/SimHash signatures are PORTABLE across engines (round-2
+verdict task): the base hash is the md5→BIGINT bridge (first 15 md5
+hex digits = 60 bits, identical in Spark ``conv(substring(md5(x),
+1,15),16,10)``, DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``, and
+Python ``int(hexdigest()[:15],16)``), and the k permutations are
+affine maps mod 2⁶⁴ — numpy uint64 arithmetic wraps exactly like
+Java long and like DuckDB HUGEINT ``% 2⁶⁴``, with the min taken in
+UNSIGNED order on every engine. Both queries therefore carry full
+DuckDB oracles; tests additionally assert recall of the exact
 near-dup set computed by the oracled jaccard query.
 """
 
@@ -35,6 +41,7 @@ from amplab_hive_spark.registry import register
 _SHINGLE_WIDTH = 3
 _MINHASH_PERMS = 16
 _LSH_BANDS = 4  # 4 bands × 4 rows — candidates at jaccard ≳ 0.5
+_LSH_BUCKET_CAP = 200  # skew guard: degenerate buckets are dropped
 
 
 def _shingles(col: str = "text"):
@@ -211,15 +218,22 @@ def _perm_constants() -> tuple[list[int], list[int]]:
 
 def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
     """(doc_id, sig: array<bigint>) via mapInPandas: per Arrow batch,
-    shingle in Python, base-hash the shingle set once
-    (pd.util.hash_array — siphash, deterministic), then k affine
-    permutations ``(a_i·h + b_i) mod 2⁶⁴`` vectorized in numpy.
+    shingle in Python, base-hash each shingle with the PORTABLE
+    md5→60-bit bridge (``int(md5(s).hexdigest()[:15], 16)`` — the
+    exact value DuckDB's ``('0x'||substr(md5(s),1,15))::BIGINT`` and
+    Spark's ``conv(substring(md5(s),1,15),16,10)`` produce), then k
+    affine permutations ``(a_i·h + b_i) mod 2⁶⁴`` vectorized in
+    numpy uint64 (wraps exactly like DuckDB HUGEINT ``% 2⁶⁴``); the
+    per-permutation min is taken in UNSIGNED order and reinterpreted
+    as int64, so the signature is bit-identical on every engine.
 
     This is the scale path for signature computation: the JVM
     higher-order-function variant below is pure Catalyst but its
     lambdas are interpreted per element (measured ~7× slower at
-    sf0.1); here each batch is one numpy kernel. Same one-scan,
-    no-shuffle shape."""
+    sf0.1); here each batch is one numpy kernel over md5 base
+    hashes. Same one-scan, no-shuffle shape."""
+    import hashlib
+
     import numpy as np
     import pandas as pd
 
@@ -245,7 +259,11 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
                     # sentinel sig would bucket all short docs together
                     # as false candidates).
                     continue
-                h = pd.util.hash_array(np.array(shingles, dtype=object)).astype(np.uint64)
+                h = np.array(
+                    [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                     for s in shingles],
+                    dtype=np.uint64,
+                )
                 perms = (a_arr * h + b_arr) & np.uint64(_MASK64)  # k × n
                 ids.append(doc_id)
                 sigs.append(perms.min(axis=1).astype(np.int64).tolist())
@@ -262,9 +280,25 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(gen, schema=schema)
 
 
+_SIGN_BIT = -(1 << 63)  # 0x8000000000000000 as a signed long literal
+
+
+def _signed64(u: int) -> int:
+    """Two's-complement reinterpretation of an unsigned 64-bit int."""
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sig: array<bigint>) — k seeded-xxhash64 minima over
-    the doc's shingle set. One scan, no shuffle.
+    """(doc_id, sig: array<bigint>) — pure-JVM twin of
+    ``minhash_signatures_arrow``, bit-identical output. One scan, no
+    shuffle, no Python.
+
+    Base hash = the portable md5→60-bit bridge; permutation k is
+    ``a_k·h + b_k`` where Java long multiplication wraps mod 2⁶⁴
+    exactly like numpy uint64. The min must be over UNSIGNED order
+    (numpy mins uint64 before reinterpreting), so each value's sign
+    bit is flipped (xor 0x8000…) — mapping unsigned order onto
+    signed order — min'd, and flipped back.
 
     The shingle array and the per-shingle base hashes are
     materialized ONCE per row (projection steps) before the k-way
@@ -275,18 +309,105 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     hashed = (
         docs.select("doc_id", _shingles().alias("sh"))
         .filter(F.size("sh") > 0)  # short docs have no signature
-        .select("doc_id", F.transform("sh", lambda s: F.xxhash64(s)).alias("h0"))
+        .select(
+            "doc_id",
+            F.transform(
+                "sh",
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            ).alias("h0"),
+        )
     )
-    # Derive the k permutations from the one base hash per shingle
-    # (cheap integer mix, not k string hashes).
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(_MINHASH_PERMS - 1)),
-        lambda seed: F.array_min(F.transform("h0", lambda h: F.xxhash64(h, seed))),
-    )
-    return hashed.select("doc_id", sig.alias("sig"))
+    a_const, b_const = _perm_constants()
+
+    def _perm_min(a: int, b: int):
+        # single-parameter lambda: PySpark's higher-order-function
+        # binding inspects the signature, so constants must be closed
+        # over, not default arguments.
+        def flip_perm(h):
+            return (h * F.lit(_signed64(a)) + F.lit(_signed64(b))).bitwiseXOR(
+                F.lit(_SIGN_BIT)
+            )
+
+        return F.array_min(F.transform("h0", flip_perm)).bitwiseXOR(F.lit(_SIGN_BIT))
+
+    mins = [_perm_min(a_const[k], b_const[k]) for k in range(_MINHASH_PERMS)]
+    return hashed.select("doc_id", F.array(*mins).alias("sig"))
 
 
-@register("dedup_minhash_lsh", tags=("llm", "dedup", "lsh"), oracle=None, bench=True)
+# ---------------------------------------------------------------------------
+# DuckDB oracle for the MinHash pipeline. Every step of the Spark plan
+# is replayed in SQL: identical signatures (portable hash — see module
+# docstring), identical band keys (the band's sig slice rendered as a
+# string, no engine hash), identical bucket cap, identical pair
+# generation (a.doc_id < b.doc_id matches the sorted-members j<i
+# order), identical verification arithmetic (integer-count division).
+_A_CONST, _B_CONST = _perm_constants()
+_AL = "[" + ",".join(f"{a}::HUGEINT" for a in _A_CONST) + "]"
+_BL = "[" + ",".join(f"{b}::HUGEINT" for b in _B_CONST) + "]"
+_ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
+
+# Shared CTE block: ends at `minhash_pairs` so the connected-components
+# oracle (llm/components.py) can extend the same pair graph with a
+# recursive closure.
+MINHASH_PAIR_CTES = f"""
+shingled AS (
+  SELECT doc_id, list_distinct([
+      array_to_string(parts[i:i+{_SHINGLE_WIDTH - 1}], chr(1))
+      FOR i IN range(1, len(parts) - {_SHINGLE_WIDTH - 2})
+  ]) AS sh
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents)
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(sh, s -> ('0x'||substr(md5(s),1,15))::BIGINT::HUGEINT) AS h
+  FROM shingled WHERE len(sh) > 0
+),
+sigs AS (
+  SELECT doc_id, list_transform(range(0,{_MINHASH_PERMS}), k -> CAST(
+      CASE WHEN m[k+1] >= 9223372036854775808::HUGEINT
+           THEN m[k+1] - 18446744073709551616::HUGEINT ELSE m[k+1] END AS BIGINT)) AS sig
+  FROM (SELECT doc_id, list_transform(range(0,{_MINHASH_PERMS}), k ->
+          list_min(list_transform(h, x ->
+            ({_AL}[k+1] * x + {_BL}[k+1]) % 18446744073709551616::HUGEINT))) AS m
+        FROM hashed)
+),
+bands AS (
+  SELECT doc_id, sig, band,
+         array_to_string(sig[band*{_ROWS_PER_BAND}+1 : band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], '_') AS bucket
+  FROM sigs, (SELECT unnest(range(0,{_LSH_BANDS})) AS band)
+),
+kept_buckets AS (
+  SELECT band, bucket FROM bands GROUP BY band, bucket
+  HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sig AS sig_a, b.sig AS sig_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+  JOIN kept_buckets kb ON kb.band = a.band AND kb.bucket = a.bucket
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_filter(range(1,{_MINHASH_PERMS + 1}), i -> c.sig_a[i] = c.sig_b[i]))
+           / {_MINHASH_PERMS}.0 AS est_jaccard,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM cand c
+  JOIN shingled sa ON sa.doc_id = c.doc_a
+  JOIN shingled sb ON sb.doc_id = c.doc_b
+),
+minhash_pairs AS (
+  SELECT doc_a, doc_b, est_jaccard, jaccard FROM verified WHERE jaccard >= 0.5
+)"""
+
+_MINHASH_ORACLE = (
+    "WITH " + MINHASH_PAIR_CTES
+    + "\nSELECT doc_a, doc_b, est_jaccard, jaccard FROM minhash_pairs ORDER BY doc_a, doc_b"
+)
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup", "lsh"), oracle=_MINHASH_ORACLE, bench=True)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + banded LSH near-dup candidates, verified by exact
     Jaccard. Returns (doc_a, doc_b, est_jaccard, jaccard) for
@@ -311,9 +432,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    F.xxhash64(
-                        F.concat_ws("_", F.slice("sig", band * rows_per_band + 1, rows_per_band)),
-                        band,
+                    # Band key = the band's sig slice rendered as a
+                    # string — portable (the oracle groups on the same
+                    # string), and grouping on it is equivalent to
+                    # grouping on the slice's values.
+                    F.concat_ws(
+                        "_",
+                        F.transform(
+                            F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
                     ).alias("bucket"),
                 ),
             )
@@ -329,7 +457,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = (
         bands.groupBy("band", "bucket")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
-        .filter((F.size("members") > 1) & (F.size("members") <= 200))
+        .filter((F.size("members") > 1) & (F.size("members") <= _LSH_BUCKET_CAP))
     )
     cand = (
         buckets.select(
@@ -381,28 +509,76 @@ flatten(transform(sequence(2, size(members)),
     )
 
 
-@register("dedup_simhash", tags=("llm", "dedup", "lsh"), oracle=None)
+_SIMHASH_BITS = 60  # md5-bridge base hash is 60 bits → 4 × 15-bit chunks
+_SIMHASH_CHUNKS = 4
+_SIMHASH_CHUNK_BITS = _SIMHASH_BITS // _SIMHASH_CHUNKS
+_SIMHASH_CHUNK_MASK = (1 << _SIMHASH_CHUNK_BITS) - 1
+
+_SIMHASH_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, list_transform(list_distinct(string_split(lower(text), ' ')),
+                                t -> ('0x'||substr(md5(t),1,15))::BIGINT) AS h
+  FROM documents
+),
+sigd AS (
+  SELECT doc_id, CAST(list_sum(list_transform(range(0,{_SIMHASH_BITS}), b ->
+      CASE WHEN list_sum(list_transform(h, x ->
+                CASE WHEN (x >> b) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+           THEN (1::BIGINT << b) ELSE 0::BIGINT END)) AS BIGINT) AS sig64
+  FROM tok
+),
+chunks AS (
+  SELECT doc_id, sig64, c.chunk,
+         (sig64 >> (c.chunk * {_SIMHASH_CHUNK_BITS})) & {_SIMHASH_CHUNK_MASK} AS val
+  FROM sigd, (SELECT unnest(range(0,{_SIMHASH_CHUNKS})) AS chunk) c
+),
+kept AS (
+  SELECT chunk, val FROM chunks GROUP BY chunk, val
+  HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig64 AS s_a, b.sig64 AS s_b
+  FROM chunks a
+  JOIN chunks b ON a.chunk = b.chunk AND a.val = b.val AND a.doc_id < b.doc_id
+  JOIN kept k ON k.chunk = a.chunk AND k.val = a.val
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(s_a, s_b)) AS BIGINT) AS hamming_dist
+FROM cand WHERE bit_count(xor(s_a, s_b)) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+@register("dedup_simhash", tags=("llm", "dedup", "lsh"), oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 64-bit signature = sign of per-bit votes of
-    token xxhash64 values; candidate pairs share one of 4 16-bit
-    signature chunks (hamming-ball ≤3 guarantee needs all chunks
-    equal-split: pairs within distance 3 share ≥1 chunk). Returns
-    pairs with hamming distance ≤ 3."""
+    """SimHash near-dup: 60-bit signature = sign of per-bit votes of
+    token hashes (the portable md5→60-bit bridge — see module
+    docstring — so DuckDB reproduces the signature exactly);
+    candidate pairs share one of 4 15-bit signature chunks
+    (hamming-ball ≤3 guarantee needs all chunks equal-split: pairs
+    within distance 3 share ≥1 chunk). Returns pairs with hamming
+    distance ≤ 3."""
     t = tables(spark, sf_dir)
+    # Per-token base hashes materialized ONCE per doc; the per-bit
+    # vote loop then reuses the array (hashing inside the bit lambda
+    # would re-hash every token 60×).
     docs = t.documents.select(
-        "doc_id", F.array_distinct(F.split(F.lower(F.col("text")), " ")).alias("toks")
+        "doc_id",
+        F.expr(
+            "transform(array_distinct(split(lower(text), ' ')), "
+            "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+        ).alias("h"),
     )
     # vote(bit) = Σ_tokens (hash>>bit & 1 ? +1 : -1); sig bit = vote > 0.
     # SQL expr because shift amounts are per-element lambda variables
     # (the Python shiftleft/shiftright API only takes int literals).
     sig64 = F.expr(
-        """
+        f"""
 aggregate(
-  sequence(0, 63),
+  sequence(0, {_SIMHASH_BITS - 1}),
   cast(0 as bigint),
   (acc, bit) -> acc + shiftleft(
-      cast(aggregate(toks, 0, (a, w) ->
-           a + IF((shiftright(xxhash64(w), bit) & 1) = 1, 1, -1)) > 0 as bigint),
+      cast(aggregate(h, 0, (a, x) ->
+           a + IF((shiftright(x, bit) & 1) = 1, 1, -1)) > 0 as bigint),
       bit)
 )
 """
@@ -413,8 +589,9 @@ aggregate(
         "sig64",
         F.explode(
             F.expr(
-                "transform(sequence(0, 3), c -> "
-                "struct(c AS chunk, (shiftright(sig64, c * 16) & 65535) AS val))"
+                f"transform(sequence(0, {_SIMHASH_CHUNKS - 1}), c -> "
+                f"struct(c AS chunk, (shiftright(sig64, c * {_SIMHASH_CHUNK_BITS})"
+                f" & {_SIMHASH_CHUNK_MASK}) AS val))"
             )
         ).alias("ck"),
     ).select("doc_id", "sig64", "ck.chunk", "ck.val")
@@ -423,7 +600,7 @@ aggregate(
     buckets = (
         chunks.groupBy("chunk", "val")
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig64"))).alias("members"))
-        .filter((F.size("members") > 1) & (F.size("members") <= 200))
+        .filter((F.size("members") > 1) & (F.size("members") <= _LSH_BUCKET_CAP))
     )
     cand = (
         buckets.select(
@@ -441,7 +618,9 @@ flatten(transform(sequence(2, size(members)),
         .select("p.doc_a", "p.doc_b", "p.s_a", "p.s_b")
         .distinct()
     )
-    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b")))
+    # cast matches the oracle's CAST(... AS BIGINT): the driver's
+    # value hash is typed (the round-2 HUGEINT lesson).
+    hamming = F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))).cast("bigint")
     return (
         cand.select("doc_a", "doc_b", hamming.alias("hamming_dist"))
         .filter(F.col("hamming_dist") <= 3)

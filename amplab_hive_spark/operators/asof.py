@@ -36,6 +36,16 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.registry import register
 
+
+def _epoch_us(c) -> "F.Column":
+    """Microseconds since epoch, tolerant of both timestamp
+    generations of the events table (TIMESTAMP vs TIMESTAMP_NTZ —
+    ``unix_micros`` rejects NTZ; the cast interprets NTZ in the
+    session zone, which the catalog pins to UTC, matching DuckDB's
+    ``epoch_us`` on a naive timestamp)."""
+    return F.unix_micros(c.cast("timestamp"))
+
+
 _ASOF_ORACLE = """
 SELECT p.event_id, p.user_id,
        p.ts AS purchase_ts,
@@ -71,7 +81,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id",
         F.col("ts").alias("ev_ts"),
-        F.lit(None).cast("timestamp").alias("click_ts_carry"),
+        F.lit(None).cast(ev.schema["ts"].dataType).alias("click_ts_carry"),
         "event_id",
         F.lit(1).alias("side"),
     )
@@ -89,7 +99,7 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             F.col("ev_ts").alias("purchase_ts"),
             "click_ts",
-            (F.unix_micros("ev_ts") - F.unix_micros("click_ts")).alias("gap_us"),
+            (_epoch_us(F.col("ev_ts")) - _epoch_us(F.col("click_ts"))).alias("gap_us"),
         )
         .orderBy("event_id")
     )
@@ -124,7 +134,7 @@ def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     naive ``ON a.ts BETWEEN ...`` form would plan as a nested-loop.
     """
     ev = tables(spark, sf_dir).events
-    bucket = lambda c: F.floor(F.unix_micros(c) / (_RANGE_SECONDS * 1_000_000))
+    bucket = lambda c: F.floor(_epoch_us(c) / (_RANGE_SECONDS * 1_000_000))
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "event_id",
         "user_id",

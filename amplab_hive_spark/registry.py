@@ -113,8 +113,11 @@ _PRIORITY: tuple[str, ...] = (
     # LLM: pipeline
     "pipeline_train_split", "pipeline_mixture_sample",
     "pipeline_pack_sequences",
-    # LLM: similarity
-    "sim_bruteforce_topk", "sim_ann_lsh", "sim_embedding_neardup",
+    # LLM: similarity (sim_ann_lsh sits past the window — its
+    # hyperplane signs hinge on float summation order, the one thing
+    # the portable-hash bridge can't pin; embedding_quantize_int8 is
+    # fully oracled and holds the similarity-family slot instead)
+    "sim_bruteforce_topk", "embedding_quantize_int8", "sim_embedding_neardup",
     # LLM: text analysis
     "text_token_stats", "text_quality_score", "text_fingerprint",
     # LLM: multimodal plumbing

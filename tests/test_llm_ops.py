@@ -128,3 +128,95 @@ def test_short_docs_yield_empty_shingles_and_no_signatures(spark):
         ids = {r["doc_id"] for r in out}
         assert ids == {4, 5}, (sigfn.__name__, ids)
         assert all(len(r["sig"]) == 16 for r in out)
+
+
+def test_minhash_signature_paths_bit_identical(spark, sf_dir):
+    """The pure-JVM and Arrow signature paths must produce the SAME
+    portable signature (both are the md5→60-bit bridge + affine
+    perms mod 2⁶⁴ with unsigned min) — this equality is what lets the
+    DuckDB oracle grade whichever path the query uses."""
+    from amplab_hive_spark.catalog import tables
+    from amplab_hive_spark.llm.dedup import (
+        minhash_signatures,
+        minhash_signatures_arrow,
+    )
+
+    docs = tables(spark, sf_dir).documents.limit(100)
+    jvm = {r["doc_id"]: r["sig"] for r in minhash_signatures(docs).collect()}
+    arrow = {r["doc_id"]: r["sig"] for r in minhash_signatures_arrow(docs).collect()}
+    assert jvm == arrow
+
+
+def test_neardup_bucketed_subset_and_planted_recall(spark, sf_dir):
+    """The bucketed neardup must (a) report only pairs the exact
+    all-pairs yardstick also reports, and (b) catch planted
+    near-identical vectors (cos ≥ ~0.99 — the pairs the operator
+    exists for) with high recall."""
+    from pyspark.sql import functions as F
+
+    from amplab_hive_spark.llm.similarity import (
+        sim_embedding_neardup,
+        sim_embedding_neardup_exact,
+    )
+
+    bucketed = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_embedding_neardup(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["vec_a"], r["vec_b"])
+        for r in sim_embedding_neardup_exact(spark, sf_dir).collect()
+    }
+    assert bucketed <= exact  # verification is exact: no false positives
+
+    # Plant near-dups: clone 40 vectors with one coordinate nudged —
+    # cosine ≈ 0.999, signs identical ⇒ every table's block matches.
+    from amplab_hive_spark.catalog import tables
+
+    base = tables(spark, sf_dir).embeddings
+    clones = (
+        base.filter(F.col("vec_id") % 12 == 0)
+        .limit(40)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * 1.0001).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+    )
+    import amplab_hive_spark.llm.similarity as simmod
+
+    # run the same pipeline body on the augmented table via monkeypatched tables()
+    union_df = base.unionByName(clones)
+    real_tables = simmod.tables
+    try:
+        class _T:
+            embeddings = union_df
+
+        simmod.tables = lambda _spark, _sf: _T
+        got = {
+            (r["vec_a"], r["vec_b"])
+            for r in simmod.sim_embedding_neardup(spark, sf_dir).collect()
+        }
+    finally:
+        simmod.tables = real_tables
+    want = {
+        (r["vec_id"], r["vec_id"] + 1_000_000)
+        for r in base.filter(F.col("vec_id") % 12 == 0).limit(40).collect()
+    }
+    caught = want & got
+    assert len(caught) >= 0.9 * len(want), (len(caught), len(want))
+
+
+def test_neardup_bucketed_no_nested_loop(spark, sf_dir):
+    """The graded neardup plan must be a bucket join, not an O(N²)
+    BroadcastNestedLoopJoin/CartesianProduct over the corpus
+    (round-2 verdict task 4)."""
+    from amplab_hive_spark.llm.similarity import sim_embedding_neardup
+
+    df = sim_embedding_neardup(spark, sf_dir)
+    df.collect()  # let AQE finalize so the executed plan is real
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
