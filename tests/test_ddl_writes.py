@@ -133,3 +133,70 @@ def test_transform_rows(spark, sf_dir):
     out = ddl.transform_rows(t.nation, script, schema).collect()
     assert len(out) == 25
     assert all(r["shout"].endswith("!") and r["shout"].isupper() for r in out)
+
+
+def _partition_files(root: str) -> dict[str, set[tuple[str, float]]]:
+    """partition dir -> {(filename, mtime)} for every data file."""
+    import os
+
+    out: dict[str, set[tuple[str, float]]] = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.startswith(("_", ".")):
+                continue
+            rel = os.path.relpath(dirpath, root)
+            out.setdefault(rel, set()).add(
+                (f, os.path.getmtime(os.path.join(dirpath, f)))
+            )
+    return out
+
+
+def test_partition_scoped_update_delete(spark, sf_dir, wh):
+    """UPDATE/DELETE on a partitioned table must rewrite ONLY the
+    partitions the condition touches (round-2 verdict task 6 —
+    Hive's UpdateDeleteSemanticAnalyzer rewrites row-level ops into
+    partition-scoped insert-overwrite; here it's dynamic partition
+    overwrite). Untouched partitions' files stay byte-for-byte (same
+    name, same mtime); a fully-emptied partition is dropped."""
+    t = tables(spark, sf_dir)
+    path = f"{wh}/nation_part"
+    ddl.create_table_as(
+        spark, "nation_part", t.nation, path, partition_by=["n_regionkey"]
+    )
+    before = _partition_files(path)
+    untouched = {k: v for k, v in before.items() if "n_regionkey=0" not in k}
+    assert len(untouched) >= 4
+
+    n = ddl.update_table(
+        spark, "nation_part", "n_regionkey = 0", {"n_name": "concat(n_name, '!')"}
+    )
+    assert n == 5
+    after_update = _partition_files(path)
+    for part, files in untouched.items():
+        assert after_update[part] == files, f"untouched partition {part} rewritten"
+    assert spark.table("nation_part").filter("n_name LIKE '%!'").count() == 5
+    assert spark.table("nation_part").count() == 25
+
+    # Delete PART of partition 1: partition 1 rewritten, others intact.
+    expected = t.nation.filter("n_regionkey = 1 AND n_nationkey < 10").count()
+    assert 1 <= expected < 5
+    before_del = _partition_files(path)
+    d = ddl.delete_from(spark, "nation_part", "n_regionkey = 1 AND n_nationkey < 10")
+    assert d == expected
+    after_del = _partition_files(path)
+    for part, files in before_del.items():
+        if "n_regionkey=1" not in part:
+            assert after_del[part] == files, f"untouched partition {part} rewritten"
+    assert spark.table("nation_part").filter("n_regionkey = 1").count() == 5 - d
+
+    # Delete ALL of partition 0: the partition disappears entirely.
+    d0 = ddl.delete_from(spark, "nation_part", "n_regionkey = 0")
+    assert d0 == 5
+    assert spark.table("nation_part").filter("n_regionkey = 0").count() == 0
+    assert spark.table("nation_part").count() == 20 - d
+
+    # No-match condition: zero partitions touched, zero rows matched.
+    before_noop = _partition_files(path)
+    assert ddl.delete_from(spark, "nation_part", "n_regionkey = 99") == 0
+    assert _partition_files(path) == before_noop
+    spark.sql("DROP TABLE IF EXISTS nation_part")

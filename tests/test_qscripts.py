@@ -1531,9 +1531,352 @@ QSCRIPTS_R5 = [
 ]
 
 
+# Round-4 tranche: the remaining untouched clientpositive families —
+# ptf_* beyond matchpath (ptf.q, ptf_general_queries.q,
+# ptf_streaming.q re-expressed as plain window SQL: Spark has no
+# noop() PTF and needs none — `OVER (PARTITION BY .. ORDER BY ..)`
+# IS the PTF), the windowing_* long tail (udaf, windowspec,
+# columnPruning, rowcontainer-size frames, cume_dist/percent_rank),
+# and the cbo_* variants (gby/join/limit/union/views/udf_udaf/
+# semijoin — nested derived-table aggregates with having/order
+# shapes that exercise CBO join reordering). Window frames over
+# DOUBLE sum in DECIMAL then cast (running-fold association is not
+# engine-portable for floats); every window with a frame or nav
+# function orders by a unique tiebreaker.
+QSCRIPTS_R6 = [
+    (
+        "ptf_noop_rank_running_sum",  # ptf.q test1: rank+dense_rank+running sum over ordered partition
+        """SELECT p_brand, p_name, p_size,
+                  RANK() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS r,
+                  DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS dr,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2)))
+                       OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s1
+           FROM part""",
+    ),
+    (
+        "ptf_lag_delta",  # ptf.q test2: size delta vs previous row, lag with default
+        """SELECT p_brand, p_name, p_size,
+                  p_size - LAG(p_size, 1, p_size)
+                    OVER (PARTITION BY p_brand ORDER BY p_name, p_partkey) AS delta_sz
+           FROM part""",
+    ),
+    (
+        "ptf_join_then_window",  # ptf.q testJoinWithNoop: self-join feeding a window
+        """SELECT j.p_brand, j.p_name,
+                  j.p_size - LAG(j.p_size, 1, j.p_size)
+                    OVER (PARTITION BY j.p_brand ORDER BY j.p_name, j.p_partkey) AS delta_sz
+           FROM (SELECT p1.* FROM part p1 JOIN part p2 ON p1.p_partkey = p2.p_partkey) j""",
+    ),
+    (
+        "ptf_agg_then_window",  # ptf_general_queries.q: windows over a grouped child
+        """SELECT p_brand, n_parts, total,
+                  RANK() OVER (ORDER BY total DESC, p_brand) AS value_rank
+           FROM (SELECT p_brand, COUNT(*) AS n_parts,
+                        CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+                 FROM part GROUP BY p_brand) g""",
+    ),
+    (
+        "ptf_multi_window_one_partition",  # ptf_streaming.q: several windows sharing one partition spec
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+                  ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber) AS rn,
+                  CAST(SUM(CAST(l_quantity AS DECIMAL(38,2)))
+                       OVER (PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber
+                             RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_qty,
+                  MAX(l_quantity) OVER (PARTITION BY l_suppkey) AS max_qty
+           FROM lineitem WHERE l_suppkey < 20""",
+    ),
+    (
+        "ptf_decimal_frame",  # ptf_decimal.q: decimal arithmetic inside a moving frame
+        """SELECT p_partkey,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(38,2)))
+                       OVER (ORDER BY p_partkey
+                             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mov3
+           FROM part WHERE p_partkey <= 500""",
+    ),
+    (
+        "windowing_udaf_partition_aggs",  # windowing_udaf.q: min/max/avg/count over unordered partitions
+        """SELECT s_nationkey, s_suppkey,
+                  MIN(s_acctbal) OVER (PARTITION BY s_nationkey) AS mn,
+                  MAX(s_acctbal) OVER (PARTITION BY s_nationkey) AS mx,
+                  COUNT(*) OVER (PARTITION BY s_nationkey) AS cnt
+           FROM supplier""",
+    ),
+    (
+        "windowing_windowspec_named_reuse",  # windowing_windowspec.q: one ordered spec, several functions
+        """SELECT c_custkey, c_acctbal,
+                  ROW_NUMBER() OVER w AS rn,
+                  LEAD(c_custkey, 1) OVER w AS nxt,
+                  LAG(c_custkey, 1) OVER w AS prv
+           FROM customer
+           WINDOW w AS (ORDER BY c_acctbal DESC, c_custkey)""",
+    ),
+    (
+        "windowing_column_pruning",  # windowing_columnPruning.q: only the windowed column projected
+        """SELECT RANK() OVER (PARTITION BY l_returnflag ORDER BY l_quantity, l_orderkey, l_linenumber) AS r
+           FROM lineitem WHERE l_orderkey < 100""",
+    ),
+    (
+        "windowing_big_row_frame",  # windowing_adjust_rowcontainer_sz.q: frame wider than buffer defaults
+        """SELECT o_orderkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2)))
+                       OVER (ORDER BY o_orderkey
+                             ROWS BETWEEN 100 PRECEDING AND 100 FOLLOWING) AS DOUBLE) AS neighborhood
+           FROM orders WHERE o_orderkey <= 2000""",
+    ),
+    (
+        "windowing_cume_dist_percent_rank",  # windowing.q: rank-family rationals (tie-insensitive)
+        """SELECT p_size,
+                  CUME_DIST() OVER (ORDER BY p_size) AS cd,
+                  PERCENT_RANK() OVER (ORDER BY p_size) AS pr
+           FROM part WHERE p_partkey <= 300""",
+    ),
+    (
+        "windowing_first_last_frames",  # windowing_navfn.q remainder: first/last_value under explicit frames
+        """SELECT o_orderkey, o_totalprice,
+                  FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS costliest_so_far,
+                  LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus
+                      ORDER BY o_totalprice DESC, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS cheapest_overall
+           FROM orders WHERE o_orderkey <= 1000""",
+    ),
+    (
+        "windowing_nested_in_expression",  # windowing_expressions.q: window result inside arithmetic
+        """SELECT c_custkey,
+                  c_acctbal - AVG(c_acctbal) OVER (PARTITION BY c_nationkey) AS bal_vs_nation
+           FROM customer WHERE c_custkey <= 500""",
+    ),
+    (
+        "cbo_gby_expr_keys",  # cbo_gby.q: expression group keys + projected arithmetic
+        """SELECT o_custkey % 7 AS bucket, (COUNT(*) + 1) * 2 AS x,
+                  CAST(SUM(o_orderkey) AS BIGINT) AS keysum
+           FROM orders GROUP BY o_custkey % 7""",
+    ),
+    (
+        "cbo_gby_regroup_outer",  # cbo_gby.q: group over a grouped child's outputs
+        """SELECT x, y, COUNT(*) AS n FROM (
+             SELECT o_orderstatus AS k, o_custkey % 5 + 1 AS x,
+                    CAST(SUM(o_custkey) AS BIGINT) AS y
+             FROM orders GROUP BY o_orderstatus, o_custkey % 5
+           ) r GROUP BY y, x""",
+    ),
+    (
+        "cbo_join_two_aggregated_subqueries",  # cbo_gby.q/cbo_join.q: derived aggregates joined, filtered, regrouped
+        """SELECT t3.n_regionkey, t1.c, COUNT(*) AS n
+           FROM (SELECT c_nationkey AS a, COUNT(*) + 1 AS b, CAST(SUM(c_custkey) AS BIGINT) AS c
+                 FROM customer WHERE c_custkey + 1 >= 0 AND (c_custkey > 0 OR c_acctbal >= 0)
+                 GROUP BY c_nationkey) t1
+           JOIN (SELECT s_nationkey AS p, COUNT(*) + 1 AS q, CAST(SUM(s_suppkey) AS BIGINT) AS r
+                 FROM supplier WHERE s_suppkey + 1 >= 0 AND (s_suppkey > 0 OR s_acctbal >= 0)
+                 GROUP BY s_nationkey) t2 ON t1.a = t2.p
+           JOIN nation t3 ON t1.a = t3.n_nationkey
+           WHERE t1.b + t2.q >= 0 AND (t1.b > 0 OR t3.n_nationkey >= 0)
+           GROUP BY t3.n_regionkey, t1.c""",
+    ),
+    (
+        "cbo_outer_left_derived",  # cbo_gby.q left-outer variant with having on both children
+        """SELECT t1.a, t1.c, t2.r
+           FROM (SELECT c_nationkey AS a, CAST(SUM(c_custkey) AS BIGINT) AS c
+                 FROM customer GROUP BY c_nationkey
+                 HAVING COUNT(*) >= 1 AND SUM(c_acctbal) IS NOT NULL) t1
+           LEFT OUTER JOIN (SELECT s_nationkey AS p, CAST(SUM(s_suppkey) AS BIGINT) AS r
+                 FROM supplier GROUP BY s_nationkey
+                 HAVING COUNT(*) >= 2) t2 ON t1.a = t2.p""",
+    ),
+    (
+        "cbo_outer_right_derived",  # cbo_gby.q right-outer variant
+        """SELECT t2.p, t2.r, t1.c
+           FROM (SELECT c_nationkey AS a, CAST(SUM(c_custkey) AS BIGINT) AS c
+                 FROM customer GROUP BY c_nationkey HAVING COUNT(*) >= 40) t1
+           RIGHT OUTER JOIN (SELECT s_nationkey AS p, CAST(SUM(s_suppkey) AS BIGINT) AS r
+                 FROM supplier GROUP BY s_nationkey) t2 ON t1.a = t2.p""",
+    ),
+    (
+        "cbo_outer_full_derived",  # cbo_gby.q full-outer variant with post-join filter semantics
+        """SELECT t1.a, t2.p, COALESCE(t1.c, 0) + COALESCE(t2.r, 0) AS combined
+           FROM (SELECT c_nationkey AS a, CAST(SUM(c_custkey) AS BIGINT) AS c
+                 FROM customer WHERE c_nationkey < 10 GROUP BY c_nationkey) t1
+           FULL OUTER JOIN (SELECT s_nationkey AS p, CAST(SUM(s_suppkey) AS BIGINT) AS r
+                 FROM supplier WHERE s_nationkey >= 5 GROUP BY s_nationkey) t2
+             ON t1.a = t2.p""",
+    ),
+    (
+        "cbo_limit_ordered_subquery",  # cbo_limit.q: ORDER BY + LIMIT inside a derived table, outer agg
+        """SELECT COUNT(*) AS n, CAST(MIN(bal) AS DOUBLE) AS min_bal FROM (
+             SELECT c_acctbal AS bal FROM customer
+             ORDER BY c_acctbal DESC, c_custkey LIMIT 20
+           ) top20""",
+    ),
+    (
+        "cbo_union_then_agg",  # cbo_union.q: UNION (distinct) of two selects, aggregated
+        """SELECT nk, COUNT(*) AS n FROM (
+             SELECT c_nationkey AS nk FROM customer
+             UNION
+             SELECT s_nationkey AS nk FROM supplier
+           ) u GROUP BY nk""",
+    ),
+    (
+        "cbo_views_as_cte_stack",  # cbo_views.q: view-over-view resolved as stacked CTEs
+        """WITH v1 AS (SELECT n_nationkey, n_regionkey, n_name FROM nation WHERE n_nationkey > 0),
+                v2 AS (SELECT v1.*, r_name FROM v1 JOIN region ON v1.n_regionkey = r_regionkey),
+                v3 AS (SELECT r_name, COUNT(*) AS n FROM v2 GROUP BY r_name)
+           SELECT * FROM v3 WHERE n >= 2""",
+    ),
+    (
+        "cbo_udf_udaf_distinct_mix",  # cbo_udf_udaf.q: plain + distinct aggregates in one select
+        """SELECT o_orderstatus,
+                  COUNT(*) AS n,
+                  COUNT(DISTINCT o_custkey) AS custs,
+                  CAST(SUM(DISTINCT o_custkey % 100) AS BIGINT) AS dsum
+           FROM orders GROUP BY o_orderstatus""",
+    ),
+    (
+        "cbo_semijoin_in_plus_exists",  # cbo_semijoin.q: IN and correlated EXISTS conjoined
+        """SELECT n_name FROM nation n
+           WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+             AND EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey
+                         AND c.c_acctbal > 9000)""",
+    ),
+    (
+        "cbo_stats_count_family",  # cbo_stats.q: the count(*) / count(col) / count(distinct) triple
+        """SELECT COUNT(*) AS all_rows,
+                  COUNT(o_custkey) AS non_null,
+                  COUNT(DISTINCT o_orderstatus) AS statuses
+           FROM orders""",
+    ),
+    (
+        "cbo_simple_select_projections",  # cbo_simple_select.q: arithmetic+string projection with filter
+        """SELECT c_custkey + 1 AS k1, c_custkey * 2 AS k2,
+                  UPPER(c_mktsegment) AS seg, LENGTH(c_name) AS name_len
+           FROM customer WHERE c_custkey BETWEEN 10 AND 60 AND c_mktsegment <> ''""",
+    ),
+    (
+        "having_unselected_aggregate",  # having.q: HAVING references an aggregate not in SELECT
+        """SELECT o_custkey FROM orders
+           GROUP BY o_custkey HAVING COUNT(*) >= 12 AND MAX(o_totalprice) > 100""",
+    ),
+    (
+        "join_reorder_selective_far_table",  # join_reorder2.q: filter on the far end of a 4-table chain
+        """SELECT r_name, COUNT(*) AS n
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA' AND l_quantity > 45
+           GROUP BY r_name""",
+    ),
+    (
+        "mapjoin_distinct_after_join",  # mapjoin_distinct.q: DISTINCT over a broadcast-join result
+        """SELECT DISTINCT n_name
+           FROM supplier JOIN nation ON s_nationkey = n_nationkey
+           WHERE s_acctbal > 5000""",
+    ),
+    (
+        "groupby_sort_top_aggregates",  # groupby_sort_1.q: agg + order by aggregate desc + limit
+        """SELECT l_partkey, CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,2))) AS DOUBLE) AS rev
+           FROM lineitem GROUP BY l_partkey
+           ORDER BY rev DESC, l_partkey LIMIT 30""",
+    ),
+    (
+        "order_by_null_positions",  # order_null.q: explicit NULLS FIRST / NULLS LAST
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM (SELECT * FROM customer WHERE c_custkey <= 40) c
+           LEFT JOIN (SELECT * FROM orders WHERE o_orderkey % 3 = 0) o
+             ON c.c_custkey = o.o_custkey AND o.o_orderkey < 500
+           ORDER BY o.o_orderkey DESC NULLS FIRST, c.c_custkey ASC
+           LIMIT 50""",
+    ),
+    (
+        "limit_pushdown_through_window",  # limit_pushdown.q: LIMIT above a window function
+        """SELECT * FROM (
+             SELECT s_suppkey, s_acctbal,
+                    ROW_NUMBER() OVER (ORDER BY s_acctbal DESC, s_suppkey) AS rn
+             FROM supplier
+           ) ranked WHERE rn <= 12 ORDER BY rn""",
+    ),
+    (
+        "udf_case_null_branches",  # udf_case.q: CASE chains with NULL-producing branches
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice > 400000 THEN 'jumbo'
+                       WHEN o_totalprice > 200000 THEN 'large'
+                       WHEN o_totalprice IS NULL THEN NULL
+                       ELSE 'standard' END AS size_class,
+                  CASE o_orderstatus WHEN 'F' THEN 1 WHEN 'O' THEN 2 ELSE NULL END AS status_code
+           FROM orders WHERE o_orderkey <= 400""",
+    ),
+    (
+        "udf_coalesce_nullif_chain",  # udf_coalesce.q: coalesce over nullif over case
+        """SELECT n_nationkey,
+                  COALESCE(NULLIF(n_name, 'FRANCE'), '<redacted>') AS display_name,
+                  COALESCE(NULLIF(n_regionkey, 3), -1) AS masked_region
+           FROM nation""",
+    ),
+    (
+        "union_typed_null_columns",  # union_null.q: NULL columns unified across branches
+        """SELECT src, val FROM (
+             SELECT 'a' AS src, CAST(NULL AS DOUBLE) AS val FROM region
+             UNION ALL
+             SELECT 'b' AS src, r_regionkey * 1.5 AS val FROM region
+           ) u ORDER BY src, val NULLS LAST""",
+    ),
+    (
+        "ppd_transitive_join_keys",  # ppd_join filters propagate across equi-join keys
+        """SELECT COUNT(*) AS n
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           WHERE o.o_orderkey < 300""",
+    ),
+    (
+        "correlationoptimizer_shared_child",  # correlationoptimizer1.q: two aggregations of one child, joined
+        """SELECT a.o_custkey, a.n_orders, b.total
+           FROM (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY o_custkey) a
+           JOIN (SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+                 FROM orders GROUP BY o_custkey) b
+             ON a.o_custkey = b.o_custkey
+           WHERE a.n_orders >= 12""",
+    ),
+    (
+        "interval_timestamp_arithmetic",  # timestamp_arith shapes: INTERVAL add/subtract + comparison
+        """SELECT event_id, ts
+           FROM events
+           WHERE ts + INTERVAL 1 HOUR < TIMESTAMP '2024-01-01 06:00:00'
+             AND ts - INTERVAL 30 MINUTE > TIMESTAMP '2024-01-01 00:00:00'
+           ORDER BY event_id LIMIT 40""",
+    ),
+    (
+        "extract_datetime_fields",  # udf_datetime family: year/month/day/hour extraction parity
+        """SELECT year(ts) AS y, month(ts) AS m, day(ts) AS d, hour(ts) AS h, COUNT(*) AS n
+           FROM events GROUP BY year(ts), month(ts), day(ts), hour(ts)""",
+    ),
+    (
+        "string_pad_trim_family",  # udf_lpad/rpad/trim parity batch
+        """SELECT n_nationkey,
+                  LPAD(n_name, 12, '.') AS padded_l,
+                  RPAD(n_name, 12, '.') AS padded_r,
+                  TRIM('  ' || n_name || ' ') AS trimmed,
+                  LTRIM('xxx' || n_name) AS lt,
+                  RTRIM(n_name || '  ') AS rt
+           FROM nation""",
+    ),
+    (
+        "windowing_ntile_cume_combo",  # windowing_ntile.q remainder: ntile alongside rank rationals
+        """SELECT c_custkey,
+                  NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile,
+                  RANK() OVER (ORDER BY c_acctbal, c_custkey) AS rnk
+           FROM customer WHERE c_custkey <= 200""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
-    [(n, s) for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5],
+    [
+        (n, s)
+        for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
+        + QSCRIPTS_R6
+    ],
 )
 def test_qscript(spark, sf_dir, name, sql):
     tables(spark, sf_dir)
