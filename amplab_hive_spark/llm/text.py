@@ -133,7 +133,34 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("text_langid", tags=("llm", "text"), oracle=None)
+_LANGID_ORACLE = """
+WITH docs AS (SELECT doc_id, lang, lower(text) AS txt FROM documents),
+bigrams AS (
+  SELECT doc_id, lang,
+         unnest([substr(txt, i, 2) FOR i IN range(1, length(txt))]) AS bigram
+  FROM docs
+),
+profile AS (
+  SELECT lang AS p_lang, bigram, COUNT(*) AS n FROM bigrams GROUP BY lang, bigram
+),
+totals AS (SELECT p_lang, CAST(SUM(n) AS BIGINT) AS total FROM profile GROUP BY p_lang),
+scored AS (
+  SELECT b.doc_id, b.lang, p.p_lang, CAST(SUM(p.n) AS BIGINT) AS matched
+  FROM bigrams b JOIN profile p ON b.bigram = p.bigram
+  GROUP BY b.doc_id, b.lang, p.p_lang
+),
+ranked AS (
+  SELECT s.doc_id, s.lang, s.p_lang,
+         ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                            ORDER BY CAST(s.matched AS DOUBLE) / t.total DESC, s.p_lang) AS rn
+  FROM scored s JOIN totals t ON t.p_lang = s.p_lang
+)
+SELECT doc_id, lang AS label, p_lang AS predicted FROM ranked WHERE rn = 1
+ORDER BY doc_id
+"""
+
+
+@register("text_langid", tags=("llm", "text"), oracle=_LANGID_ORACLE)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-bigram-profile language ID. Mechanism: build one
     bigram frequency profile per labeled language (training pass =
@@ -144,8 +171,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, so *accuracy* is meaningless here (labels are
     random); the unit test asserts mechanism properties instead
     (deterministic prediction, full coverage, valid lang codes).
-    No SQL oracle: argmax-over-profile is not expressible without
-    replicating the whole pipeline.
+
+    The score is kept EXACT so the argmax is portable (round-4: this
+    converted the query from rows-only to fully oracled): per-lang
+    weights share the language's total as a common denominator, so
+    Σ weights = (Σ matched bigram counts) / total — an integer sum
+    and ONE double division, bit-identical cross-engine, instead of
+    a float accumulation whose association order isn't.
 
     Scale: profiles are a few-KB broadcast; scoring is one
     explode+join+groupBy over bigrams — shuffle keyed on doc_id."""
@@ -161,26 +193,25 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bigram"),
     )
-    # Profile: P(bigram | lang) as a weight.
     profile = (
         bigrams.groupBy("lang", "bigram")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn(
-            "weight",
-            F.col("n").cast("double") / F.sum("n").over(Window.partitionBy("lang")),
-        )
-        .select(F.col("lang").alias("p_lang"), "bigram", "weight")
+        .select(F.col("lang").alias("p_lang"), "bigram", "n")
     )
+    totals = profile.groupBy("p_lang").agg(F.sum("n").cast("bigint").alias("total"))
     scored = (
         bigrams.join(F.broadcast(profile), "bigram")
         .groupBy("doc_id", "lang", "p_lang")
-        .agg(F.sum("weight").alias("score"))
+        .agg(F.sum("n").cast("bigint").alias("matched"))
+        .join(F.broadcast(totals), "p_lang")
+        .withColumn("score", F.col("matched").cast("double") / F.col("total"))
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "p_lang")
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("doc_id", F.col("lang").alias("label"), F.col("p_lang").alias("predicted"))
+        .orderBy("doc_id")
     )
 
 
