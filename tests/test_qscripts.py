@@ -1870,12 +1870,291 @@ QSCRIPTS_R6 = [
 ]
 
 
+# Round-4 second tranche: auto_join* (ON-clause filter semantics per
+# join type, expression keys, null keys, multi-distinct children,
+# join→group shapes), the groupby* map-side long tail (substring
+# keys, mixed distinct/plain aggregates, group+limit), and singles
+# from constprop/fold_case/annotate_stats/order/limit/scalar-subquery
+# families. Same portability discipline as R6.
+QSCRIPTS_R7 = [
+    (
+        "auto_join0_ordered_subqueries",  # auto_join0.q: join of two ordered+limited derived tables
+        """SELECT CAST(SUM(a.n_nationkey + b.r_regionkey) AS BIGINT) AS checksum
+           FROM (SELECT n_nationkey, n_regionkey FROM nation ORDER BY n_nationkey LIMIT 10) a
+           JOIN (SELECT r_regionkey FROM region ORDER BY r_regionkey LIMIT 5) b
+             ON a.n_regionkey = b.r_regionkey""",
+    ),
+    (
+        "auto_join_filters_right_on",  # auto_join_filters.q: one-sided conditions inside RIGHT JOIN ON
+        """SELECT a.n_nationkey, b.n_nationkey AS bk
+           FROM nation a RIGHT OUTER JOIN nation b
+             ON a.n_nationkey = b.n_nationkey AND a.n_regionkey > 1 AND b.n_regionkey < 4
+           ORDER BY bk, a.n_nationkey""",
+    ),
+    (
+        "auto_join_filters_full_on",  # auto_join_filters.q: FULL OUTER with conditions in ON
+        """SELECT a.n_nationkey AS ak, b.n_nationkey AS bk
+           FROM nation a FULL OUTER JOIN nation b
+             ON a.n_nationkey = b.n_nationkey AND a.n_regionkey = 2 AND b.n_regionkey = 2
+           ORDER BY ak NULLS LAST, bk NULLS LAST""",
+    ),
+    (
+        "auto_join18_multi_distinct_child",  # auto_join18_multi_distinct.q: grouped children, one multi-distinct
+        """SELECT a.nk, a.n_custs, a.n_segs, b.n_supps
+           FROM (SELECT c_nationkey AS nk, COUNT(DISTINCT c_custkey) AS n_custs,
+                        COUNT(DISTINCT c_mktsegment) AS n_segs
+                 FROM customer GROUP BY c_nationkey) a
+           JOIN (SELECT s_nationkey AS nk, COUNT(DISTINCT s_suppkey) AS n_supps
+                 FROM supplier GROUP BY s_nationkey) b ON a.nk = b.nk""",
+    ),
+    (
+        "auto_join26_join_then_group",  # auto_join26.q: join then group on the probe key
+        """SELECT c.c_nationkey, COUNT(1) AS cnt
+           FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+           GROUP BY c.c_nationkey""",
+    ),
+    (
+        "auto_join_nulls_coalesced_keys",  # auto_join_nulls.q: nullable keys joined through coalesce
+        """SELECT COUNT(*) AS n
+           FROM (SELECT c.c_custkey, o.o_orderkey % 7 AS k
+                 FROM customer c LEFT JOIN orders o
+                   ON c.c_custkey = o.o_custkey AND o.o_totalprice > 450000) t1
+           JOIN (SELECT n_nationkey % 7 AS k, n_nationkey FROM nation) t2
+             ON COALESCE(t1.k, -1) = t2.k""",
+    ),
+    (
+        "auto_join_expression_keys",  # auto_join27.q-style: join keys are expressions
+        """SELECT COUNT(*) AS n, CAST(MIN(a.o_orderkey) AS BIGINT) AS first_key
+           FROM orders a JOIN orders b
+             ON a.o_orderkey % 1000 = b.o_orderkey % 1000 AND a.o_orderkey < b.o_orderkey
+           WHERE a.o_orderkey < 50 AND b.o_orderkey < 1050""",
+    ),
+    (
+        "join_cond_equi_plus_theta",  # join_cond_pushdown_1.q: mixed equi + theta conditions
+        """SELECT COUNT(*) AS n
+           FROM customer c JOIN supplier s
+             ON c.c_nationkey = s.s_nationkey AND c.c_acctbal < s.s_acctbal""",
+    ),
+    (
+        "join_three_aliases_same_table",  # join_alias resolution: table joined to itself twice
+        """SELECT a.n_nationkey
+           FROM nation a
+           JOIN nation b ON a.n_regionkey = b.n_regionkey AND a.n_nationkey <> b.n_nationkey
+           JOIN nation c ON b.n_regionkey = c.n_regionkey AND c.n_nationkey = 0
+           WHERE a.n_nationkey < 10
+           GROUP BY a.n_nationkey ORDER BY a.n_nationkey""",
+    ),
+    (
+        "groupby_substr_keys_mixed_aggs",  # groupby_multi_single_reducer.q: substring keys + distinct/plain mix
+        """SELECT SUBSTR(c_name, 10, 1) AS key_digit,
+                  COUNT(DISTINCT c_mktsegment) AS segs,
+                  CAST(SUM(LENGTH(c_name)) AS BIGINT) AS name_chars,
+                  COUNT(c_custkey) AS n
+           FROM customer GROUP BY SUBSTR(c_name, 10, 1)""",
+    ),
+    (
+        "groupby_two_views_union",  # groupby7.q/groupby8.q: two aggregations of one source unioned
+        """SELECT * FROM (
+             SELECT 'by_status' AS grp, o_orderstatus AS k, COUNT(*) AS n
+             FROM orders GROUP BY o_orderstatus
+             UNION ALL
+             SELECT 'by_prio' AS grp, o_orderpriority AS k, COUNT(*) AS n
+             FROM orders GROUP BY o_orderpriority
+           ) u ORDER BY grp, k""",
+    ),
+    (
+        "groupby_limit_deterministic",  # groupby1_limit.q: aggregate + ordered limit
+        """SELECT o_custkey, COUNT(*) AS n
+           FROM orders GROUP BY o_custkey
+           ORDER BY n DESC, o_custkey LIMIT 15""",
+    ),
+    (
+        "groupby_minmax_non_key_payload",  # groupby12.q: min/max carry non-key columns
+        """SELECT n_regionkey, MIN(n_name) AS first_name, MAX(n_name) AS last_name,
+                  CAST(MIN(n_nationkey) AS BIGINT) AS min_key
+           FROM nation GROUP BY n_regionkey""",
+    ),
+    (
+        "constprop_folded_predicates",  # constprop/fold_case: constant expressions folded at compile
+        """SELECT n_nationkey, 2 + 3 AS five, 'x' || 'y' AS xy,
+                  CASE WHEN 1 = 1 THEN n_name ELSE 'never' END AS name_copy
+           FROM nation WHERE 1 = 1 AND 2 > 1 AND n_nationkey >= 0""",
+    ),
+    (
+        "fold_case_in_where",  # fold_case.q: CASE inside the predicate
+        """SELECT o_orderkey FROM orders
+           WHERE CASE WHEN o_orderstatus = 'F' THEN o_totalprice > 100000
+                      WHEN o_orderstatus = 'O' THEN o_totalprice > 300000
+                      ELSE FALSE END
+             AND o_orderkey <= 600
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "annotate_stats_distinct_counts",  # annotate_stats_groupby.q: ndv-style distinct profile
+        """SELECT COUNT(DISTINCT n_regionkey) AS regions,
+                  COUNT(DISTINCT n_name) AS names,
+                  COUNT(DISTINCT n_nationkey % 5) AS key_mod
+           FROM nation""",
+    ),
+    (
+        "order_by_expression_alias",  # order3.q: ORDER BY the alias of a computed column
+        """SELECT s_suppkey, s_acctbal * 2 AS doubled
+           FROM supplier ORDER BY doubled DESC, s_suppkey LIMIT 20""",
+    ),
+    (
+        "order_by_ordinals",  # order_by_pos.q: ordinal ORDER BY references
+        """SELECT n_regionkey, COUNT(*) AS n FROM nation
+           GROUP BY n_regionkey ORDER BY 2 DESC, 1""",
+    ),
+    (
+        "scalar_subquery_in_select",  # subquery_scalar select-list, correlated
+        """SELECT c_custkey,
+                  (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders
+           FROM customer WHERE c_custkey <= 50 ORDER BY c_custkey""",
+    ),
+    (
+        "multi_column_membership_exists",  # multi-column IN-subquery semantics via correlated EXISTS
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE EXISTS (SELECT 1 FROM region
+                         WHERE r_regionkey = n_regionkey
+                           AND r_regionkey = n_nationkey % 5
+                           AND r_regionkey < 3)
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "exists_with_having_subquery",  # subquery_exists_having.q: EXISTS over an aggregated subquery
+        """SELECT n_name FROM nation n
+           WHERE EXISTS (SELECT c_nationkey FROM customer c
+                         WHERE c.c_nationkey = n.n_nationkey
+                         GROUP BY c_nationkey HAVING COUNT(*) >= 4)
+           ORDER BY n_name""",
+    ),
+    (
+        "cross_join_small_dims",  # cross_join.q: explicit CROSS JOIN with post-filter
+        """SELECT a.r_regionkey, b.r_regionkey AS other
+           FROM region a CROSS JOIN region b
+           WHERE a.r_regionkey < b.r_regionkey
+           ORDER BY a.r_regionkey, other""",
+    ),
+    (
+        "implicit_string_number_compare",  # udf_compare casts: predicate compares number to string literal
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderkey = '42' OR o_orderkey = '77'
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "between_timestamp_literals",  # timestamp comparison range
+        """SELECT COUNT(*) AS n, CAST(MIN(event_id) AS BIGINT) AS first_ev
+           FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-05 00:00:00'""",
+    ),
+    (
+        "in_literal_list_long",  # udf_in.q: long literal IN list + NOT IN
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE n_nationkey IN (0, 2, 3, 5, 7, 11, 13, 17, 19, 23)
+             AND n_nationkey NOT IN (5, 13)
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "like_pattern_family",  # udf_like.q: %, _, NOT LIKE combinations
+        """SELECT p_partkey, p_name FROM part
+           WHERE p_name LIKE '%widget%' AND p_name NOT LIKE 'small%'
+             AND p_brand LIKE 'Brand#1_'
+           ORDER BY p_partkey LIMIT 40""",
+    ),
+    (
+        "union_then_order_limit",  # union34.q: set op feeding global order+limit
+        """SELECT * FROM (
+             SELECT n_name AS name FROM nation WHERE n_regionkey = 0
+             UNION
+             SELECT r_name AS name FROM region
+           ) u ORDER BY name LIMIT 12""",
+    ),
+    (
+        "except_of_intersect_chain",  # setop precedence chain with explicit parens
+        """SELECT * FROM (
+             (SELECT n_regionkey FROM nation WHERE n_nationkey < 15
+              INTERSECT
+              SELECT n_regionkey FROM nation WHERE n_nationkey >= 5)
+             EXCEPT
+             SELECT r_regionkey FROM region WHERE r_regionkey = 4
+           ) s ORDER BY n_regionkey""",
+    ),
+    (
+        "distinct_star_small",  # distinct_star.q shape on a deduplicable projection
+        """SELECT DISTINCT n_regionkey, n_regionkey % 2 AS parity
+           FROM nation ORDER BY n_regionkey""",
+    ),
+    (
+        "coalesce_join_key_fallback",  # join on a defaulted key
+        """SELECT t.k, COUNT(*) AS n FROM (
+             SELECT COALESCE(NULLIF(n_regionkey, 4), -1) AS k FROM nation
+           ) t JOIN (SELECT r_regionkey AS k FROM region
+                     UNION ALL SELECT -1 AS k FROM region WHERE r_regionkey = 0) d
+             ON t.k = d.k
+           GROUP BY t.k ORDER BY t.k""",
+    ),
+    (
+        "date_trunc_grouping",  # date_trunc month/day bucketing parity
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS d, COUNT(*) AS n
+           FROM events WHERE event_type = 'purchase'
+           GROUP BY CAST(date_trunc('day', ts) AS DATE)
+           ORDER BY d LIMIT 20""",
+    ),
+    (
+        "nested_derived_tables_three_deep",  # nested FROM-subquery resolution
+        """SELECT k, total FROM (
+             SELECT k, CAST(SUM(n) AS BIGINT) AS total FROM (
+               SELECT o_orderstatus AS k, COUNT(*) AS n
+               FROM (SELECT o_orderstatus FROM orders WHERE o_orderkey < 800) base
+               GROUP BY o_orderstatus
+             ) mid GROUP BY k
+           ) top ORDER BY k""",
+    ),
+    (
+        "group_by_lower_upper_keys",  # case-folded grouping keys
+        """SELECT LOWER(c_mktsegment) AS seg, UPPER(c_mktsegment) AS seg_u, COUNT(*) AS n
+           FROM customer GROUP BY LOWER(c_mktsegment), UPPER(c_mktsegment)
+           ORDER BY seg""",
+    ),
+    (
+        "anti_pattern_not_exists_orders",  # subquery_notexists.q: NOT EXISTS anti-join shape
+        """SELECT c_custkey FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+           ORDER BY c_custkey LIMIT 50""",
+    ),
+    (
+        "join_derived_with_window",  # derived table containing a window joined to base
+        """SELECT r.n_name, t.rnk
+           FROM (SELECT n_nationkey, n_name,
+                        RANK() OVER (ORDER BY n_nationkey DESC) AS rnk
+                 FROM nation) t
+           JOIN nation r ON t.n_nationkey = r.n_nationkey
+           WHERE t.rnk <= 8 ORDER BY t.rnk""",
+    ),
+    (
+        "agg_filter_vs_case_equivalence",  # aggregate FILTER and CASE forms side by side
+        """SELECT o_orderstatus,
+                  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS big_f,
+                  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big_c
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "select_star_except_rename",  # column pruning through star-with-alias projections
+        """SELECT t.*, n_nationkey + 100 AS shifted FROM
+           (SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1) t
+           ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
-        + QSCRIPTS_R6
+        + QSCRIPTS_R6 + QSCRIPTS_R7
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
