@@ -108,21 +108,46 @@ def _affected_partitions(spark, df, cond, pcols) -> list[tuple]:
     return [tuple(r) for r in df.filter(cond).select(*pcols).distinct().collect()]
 
 
-def _partition_membership(pcols, parts):
-    """Filter expression: row's partition tuple ∈ parts (null-safe —
-    Spark's default-partition rows compare via eqNullSafe)."""
+# Above this many affected partitions the OR-of-equalities membership
+# expression stops being worth it (Catalyst analysis cost grows with
+# the literal tree, and static pruning has diminishing value when
+# most partitions are touched anyway) — switch to a broadcast
+# semi-join against the partition-tuple list.
+_MEMBERSHIP_OR_LIMIT = 64
+
+
+def _partition_membership(df, pcols, parts):
+    """Restrict ``df`` to rows whose partition tuple ∈ parts.
+
+    ≤{limit} partitions: an OR-of-eqNullSafe literal tree (null-safe —
+    Spark's default-partition rows compare via eqNullSafe), which
+    Catalyst turns into static partition pruning. More: a broadcast
+    inner join against the tuple list — no static pruning, but no
+    kilo-term expression tree either.""".format(limit=_MEMBERSHIP_OR_LIMIT)
     from functools import reduce
     from operator import and_, or_
 
     from pyspark.sql import functions as F
 
-    return reduce(
-        or_,
-        [
-            reduce(and_, [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(pcols, p)])
-            for p in parts
-        ],
+    if len(parts) <= _MEMBERSHIP_OR_LIMIT:
+        return df.filter(
+            reduce(
+                or_,
+                [
+                    reduce(
+                        and_,
+                        [F.col(c).eqNullSafe(F.lit(v)) for c, v in zip(pcols, p)],
+                    )
+                    for p in parts
+                ],
+            )
+        )
+    spark = df.sparkSession
+    tuples = spark.createDataFrame([tuple(p) for p in parts], schema=list(pcols))
+    cond = reduce(
+        and_, [df[c].eqNullSafe(tuples[c]) for c in pcols]
     )
+    return df.join(F.broadcast(tuples), cond, "leftsemi")
 
 
 class _dynamic_partition_overwrite:
@@ -131,22 +156,64 @@ class _dynamic_partition_overwrite:
     incoming data (Hive's default semantics — the reference rewrites
     UPDATE/DELETE into exactly this partition-scoped insert-overwrite,
     ql/parse/UpdateDeleteSemanticAnalyzer.java) instead of truncating
-    the whole table."""
+    the whole table.
+
+    NOTE the conf is session-global (the per-write
+    ``option("partitionOverwriteMode", ...)`` form is honored by
+    path-based ``save()`` but IGNORED by ``insertInto`` — verified on
+    this Spark build: a writer-option-only attempt truncated the
+    table). A process-wide lock serializes the engine's own
+    partition-scoped writes; a concurrent RAW ``INSERT OVERWRITE`` on
+    the SAME session would still observe dynamic mode for the
+    duration. Per-connection ``newSession()`` clients (the supported
+    multi-client model — test_concurrent_engine.py) have their own
+    conf and are unaffected."""
+
+    import threading
 
     KEY = "spark.sql.sources.partitionOverwriteMode"
+    _LOCK = threading.Lock()
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
     def __enter__(self):
+        self._LOCK.acquire()
         self.prior = self.spark.conf.get(self.KEY, None)
         self.spark.conf.set(self.KEY, "dynamic")
 
     def __exit__(self, *exc):
-        if self.prior is None:
-            self.spark.conf.unset(self.KEY)
-        else:
-            self.spark.conf.set(self.KEY, self.prior)
+        try:
+            if self.prior is None:
+                self.spark.conf.unset(self.KEY)
+            else:
+                self.spark.conf.set(self.KEY, self.prior)
+        finally:
+            self._LOCK.release()
+
+
+def _sql_partition_literal(v) -> str:
+    """Render one partition value as a Spark SQL literal for
+    ALTER TABLE .. DROP PARTITION. Strings are escaped; date/datetime
+    become quoted ISO strings (Spark casts them to the partition
+    type); the NULL (__HIVE_DEFAULT_PARTITION__) partition cannot be
+    addressed by value — same limitation as Hive's own DROP
+    PARTITION."""
+    import datetime as _dt
+
+    if v is None:
+        raise ValueError(
+            "cannot DROP the null (__HIVE_DEFAULT_PARTITION__) partition by "
+            "value; delete its rows with an IS NULL condition that leaves the "
+            "partition non-empty, or drop it manually"
+        )
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "\\'") + "'"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return f"'{v.isoformat()}'"
+    return str(v)
 
 
 def update_table(
@@ -164,24 +231,41 @@ def update_table(
     SURVEY §7.3; the reference's UpdateDeleteSemanticAnalyzer
     likewise rewrites into a partition-scoped insert-overwrite.)
 
-    Single-pass over the scoped data: it is read ONCE into the staged
-    checkpoint with a match flag; the matched count and the overwrite
-    both come from the staged data, never a second table scan. At
-    100 TB this bounds the rewrite to the partitions actually hit —
-    the practical ceiling for row-level ops without a delta-file
-    format (Iceberg/Delta)."""
+    Cost model (honest version): the partitioned path is one
+    partition-discovery scan (pruned by Catalyst whenever the
+    condition carries a partition-column conjunct — the common shape)
+    plus one scan of the affected partitions into the staged
+    checkpoint; matched count and overwrite both read the checkpoint,
+    never a third scan. A condition with NO partition predicate pays
+    a full discovery scan — still cheaper than the full REWRITE it
+    avoids whenever the matches cluster in few partitions. At 100 TB
+    this bounds the rewrite to the partitions actually hit — the
+    practical ceiling for row-level ops without a delta-file format
+    (Iceberg/Delta).
+
+    Assignments to PARTITION columns are rejected, exactly like the
+    reference (UpdateDeleteSemanticAnalyzer's
+    UPDATE_CANNOT_UPDATE_PART_VALUE): moving rows across partitions
+    under dynamic overwrite would strand stale copies in source
+    partitions the incoming data no longer mentions."""
     from pyspark.sql import functions as F
 
     df = spark.table(name)
     cond = F.expr(condition)
     pcols = _partition_columns(spark, name)
+    bad = sorted(set(assignments) & set(pcols))
+    if bad:
+        raise ValueError(
+            f"UPDATE cannot change partition column(s) {bad} (Hive "
+            "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT instead"
+        )
     scoped = df
     parts: list[tuple] | None = None
     if pcols:
         parts = _affected_partitions(spark, df, cond, pcols)
         if not parts:
             return 0
-        scoped = df.filter(_partition_membership(pcols, parts))
+        scoped = _partition_membership(df, pcols, parts)
     # Flag evaluates against PRE-update values (same projection input).
     cols = [
         F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
@@ -212,8 +296,8 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
 
     SQL semantics: delete rows where the condition is TRUE; rows
     where it evaluates NULL survive (``NOT (cond)`` would silently
-    delete them too). Single scan of the scoped partitions — count
-    and rewrite both read the staged checkpoint."""
+    delete them too). Same cost model as ``update_table`` (one
+    discovery scan + one scoped scan into the checkpoint)."""
     from pyspark.sql import functions as F
 
     df = spark.table(name)
@@ -225,27 +309,29 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
         parts = _affected_partitions(spark, df, F.expr(condition), pcols)
         if not parts:
             return 0
-        scoped = df.filter(_partition_membership(pcols, parts))
+        scoped = _partition_membership(df, pcols, parts)
     staged = scoped.withColumn("__matched", matched_flag).localCheckpoint(eager=True)
     matched = staged.filter("__matched").count()
     remaining = staged.filter(~F.col("__matched")).drop("__matched")
     if not pcols:
         remaining.write.insertInto(name, overwrite=True)
         return matched
+    # Every remaining row's partition is in `parts` by construction;
+    # dynamic overwrite rewrites exactly the partitions with
+    # survivors. Partitions whose every row was deleted are absent
+    # from the incoming data — dynamic overwrite can't express them,
+    # so they're dropped explicitly.
     surviving = {
         tuple(r)
         for r in staged.filter(~F.col("__matched")).select(*pcols).distinct().collect()
     }
     emptied = [p for p in parts if p not in surviving]
-    if surviving & set(parts):
+    if surviving:
         with _dynamic_partition_overwrite(spark):
-            remaining.filter(_partition_membership(pcols, sorted(surviving & set(parts)))).write.insertInto(
-                name, overwrite=True
-            )
+            remaining.write.insertInto(name, overwrite=True)
     for p in emptied:
         spec = ", ".join(
-            f"{c} = {v!r}" if isinstance(v, str) else f"{c} = {v}"
-            for c, v in zip(pcols, p)
+            f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p)
         )
         spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
     return matched

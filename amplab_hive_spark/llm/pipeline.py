@@ -3,9 +3,10 @@ splitting, weighted source-mixture sampling, and token-budget
 sequence packing. Beyond the reference surface (BASELINE.json north
 star) — the steps that turn a cleaned corpus into model input.
 
-All three are *exactly* reproducible across engines, so unlike the
-hash-sketch ops (minhash/simhash, Spark xxhash64-specific) every
-query here carries a full DuckDB oracle. The portable hash bridge:
+All three are *exactly* reproducible across engines, so every query
+here carries a full DuckDB oracle — and since round 4 the hash-sketch
+ops (minhash/simhash in llm/dedup.py) adopted the same bridge and are
+oracled too. The portable hash bridge:
 ``md5`` produces identical hex in Spark and DuckDB; the first 15 hex
 chars (60 bits) convert losslessly to BIGINT on both sides
 (Spark ``conv(substring(md5(x),1,15),16,10)``, DuckDB

@@ -183,14 +183,22 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode+join+groupBy over bigrams — shuffle keyed on doc_id."""
     t = tables(spark, sf_dir)
     docs = t.documents.select("doc_id", "lang", F.lower("text").alias("txt"))
+    # Short-doc guard: sequence(1, length-1) auto-steps DOWNWARD for
+    # docs under 2 chars, emitting bogus bigrams the oracle's
+    # range(1, length) never produces (the same descending-sequence
+    # hazard _shingles in llm/dedup.py pins) — and since the profile
+    # is global, one short doc would skew every document's scores.
     bigrams = docs.select(
         "doc_id",
         "lang",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.length("txt") - 1),
-                lambda i: F.col("txt").substr(i, F.lit(2)),
-            )
+            F.when(
+                F.length("txt") >= 2,
+                F.transform(
+                    F.sequence(F.lit(1), F.length("txt") - 1),
+                    lambda i: F.col("txt").substr(i, F.lit(2)),
+                ),
+            ).otherwise(F.expr("array()").cast("array<string>"))
         ).alias("bigram"),
     )
     profile = (

@@ -113,10 +113,10 @@ _PRIORITY: tuple[str, ...] = (
     # LLM: pipeline
     "pipeline_train_split", "pipeline_mixture_sample",
     "pipeline_pack_sequences",
-    # LLM: similarity (sim_ann_lsh sits past the window — its
-    # hyperplane signs hinge on float summation order, the one thing
-    # the portable-hash bridge can't pin; embedding_quantize_int8 is
-    # fully oracled and holds the similarity-family slot instead)
+    # LLM: similarity (sim_ann_lsh sits past the window: it has since
+    # gained a full oracle via sign-block bucketing, but the curated
+    # 50 stays stable — embedding_quantize_int8 holds the
+    # similarity-family slot and ann recall is tested in-repo)
     "sim_bruteforce_topk", "embedding_quantize_int8", "sim_embedding_neardup",
     # LLM: text analysis
     "text_token_stats", "text_quality_score", "text_fingerprint",

@@ -200,3 +200,67 @@ def test_partition_scoped_update_delete(spark, sf_dir, wh):
     assert ddl.delete_from(spark, "nation_part", "n_regionkey = 99") == 0
     assert _partition_files(path) == before_noop
     spark.sql("DROP TABLE IF EXISTS nation_part")
+
+
+def test_update_rejects_partition_column_assignment(spark, sf_dir, wh):
+    """UPDATE must refuse to reassign a partition column (Hive
+    UPDATE_CANNOT_UPDATE_PART_VALUE): under dynamic overwrite the
+    moved rows' source partition would keep its stale files, silently
+    duplicating data."""
+    t = tables(spark, sf_dir)
+    ddl.create_table_as(
+        spark, "nation_part_guard", t.nation, f"{wh}/nation_part_guard",
+        partition_by=["n_regionkey"],
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        ddl.update_table(
+            spark, "nation_part_guard", "n_regionkey = 0", {"n_regionkey": "1"}
+        )
+    # table untouched by the rejected statement
+    assert spark.table("nation_part_guard").filter("n_regionkey = 0").count() == 5
+    spark.sql("DROP TABLE IF EXISTS nation_part_guard")
+
+
+def test_delete_drops_emptied_date_partition(spark, sf_dir, wh):
+    """DROP PARTITION literal rendering must survive DATE partition
+    values (the day-partitioned case the docstring advertises)."""
+    t = tables(spark, sf_dir)
+    src = t.orders.withColumn("o_day", F.to_date("o_orderdate")).filter(
+        "o_orderkey < 400"
+    )
+    ddl.create_table_as(
+        spark, "orders_by_day", src, f"{wh}/orders_by_day", partition_by=["o_day"]
+    )
+    days = sorted(r["o_day"] for r in spark.table("orders_by_day").select("o_day").distinct().collect())
+    victim = days[0]
+    before_total = spark.table("orders_by_day").count()
+    victim_rows = spark.table("orders_by_day").filter(F.col("o_day") == victim).count()
+    d = ddl.delete_from(spark, "orders_by_day", f"o_day = DATE '{victim}'")
+    assert d == victim_rows
+    assert spark.table("orders_by_day").count() == before_total - victim_rows
+    assert spark.table("orders_by_day").filter(F.col("o_day") == victim).count() == 0
+    spark.sql("DROP TABLE IF EXISTS orders_by_day")
+
+
+def test_partition_scoped_delete_many_partitions_join_path(spark, sf_dir, wh):
+    """When the condition touches more partitions than the OR-tree
+    limit, membership switches to a broadcast semi-join — results
+    must be identical."""
+    from amplab_hive_spark import ddl as ddlmod
+
+    t = tables(spark, sf_dir)
+    src = t.orders.withColumn("o_bucket", F.col("o_orderkey") % 100).filter(
+        "o_orderkey < 3000"
+    )
+    ddl.create_table_as(
+        spark, "orders_bucketed_part", src, f"{wh}/orders_bucketed_part",
+        partition_by=["o_bucket"],
+    )
+    expected = spark.table("orders_bucketed_part").filter("o_totalprice > 250000").count()
+    total = spark.table("orders_bucketed_part").count()
+    assert ddlmod._MEMBERSHIP_OR_LIMIT < 100  # condition touches ~100 partitions
+    d = ddl.delete_from(spark, "orders_bucketed_part", "o_totalprice > 250000")
+    assert d == expected
+    assert spark.table("orders_bucketed_part").count() == total - expected
+    assert spark.table("orders_bucketed_part").filter("o_totalprice > 250000").count() == 0
+    spark.sql("DROP TABLE IF EXISTS orders_bucketed_part")
