@@ -2149,12 +2149,140 @@ QSCRIPTS_R7 = [
 ]
 
 
+# Round-4 third tranche: the udf_* string long tail (instr/translate/
+# repeat/reverse/ascii/chr/split_part/left/right/levenshtein/
+# octet_length), grouping() over rollup, exact DECIMAL arithmetic,
+# theta-band joins, EXISTS in the SELECT list, count(col)-vs-count(*)
+# null semantics, nested CASE inside aggregates.
+QSCRIPTS_R8 = [
+    (
+        "udf_instr_family",  # udf_instr.q: substring search positions
+        """SELECT n_name,
+                  INSTR(n_name, 'AN') AS pos_an,
+                  INSTR(n_name, 'zz') AS pos_missing
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "udf_translate_repeat_reverse",  # udf_translate.q/udf_repeat.q/udf_reverse.q
+        """SELECT r_regionkey,
+                  TRANSLATE(r_name, 'AEIOU', 'aeiou') AS de_voweled,
+                  REPEAT(r_name, 2) AS doubled,
+                  REVERSE(r_name) AS backwards
+           FROM region ORDER BY r_regionkey""",
+    ),
+    (
+        "udf_ascii_chr_roundtrip",  # udf_ascii.q: code point extraction and back
+        """SELECT n_nationkey, ASCII(n_name) AS first_cp,
+                  CHR(ASCII(n_name)) AS first_char
+           FROM nation WHERE n_nationkey < 12 ORDER BY n_nationkey""",
+    ),
+    (
+        "udf_split_part_segments",  # split_part over the Brand#NN pattern
+        """SELECT p_partkey,
+                  SPLIT_PART(p_brand, '#', 1) AS brand_word,
+                  SPLIT_PART(p_brand, '#', 2) AS brand_num
+           FROM part WHERE p_partkey < 60 ORDER BY p_partkey""",
+    ),
+    (
+        "udf_left_right_slices",  # left/right fixed-width slicing
+        """SELECT c_custkey, LEFT(c_name, 8) AS prefix, RIGHT(c_name, 3) AS suffix
+           FROM customer WHERE c_custkey < 40 ORDER BY c_custkey""",
+    ),
+    (
+        "udf_levenshtein_distances",  # udf_levenshtein.q: exact integer edit distance
+        """SELECT a.r_name AS x, b.r_name AS y, LEVENSHTEIN(a.r_name, b.r_name) AS d
+           FROM region a CROSS JOIN region b
+           WHERE a.r_regionkey <= b.r_regionkey
+           ORDER BY x, y""",
+    ),
+    (
+        "udf_octet_bit_length",  # byte-length functions on ASCII strings
+        """SELECT n_nationkey,
+                  OCTET_LENGTH(CAST(n_name AS BINARY)) AS octets,
+                  BIT_LENGTH(n_name) AS bits
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "rollup_with_grouping_function",  # groupby_rollup1.q + grouping()
+        """SELECT COALESCE(l_returnflag, '<all>') AS rf,
+                  GROUPING(l_returnflag) AS is_total,
+                  COUNT(*) AS n
+           FROM lineitem WHERE l_orderkey < 500
+           GROUP BY ROLLUP(l_returnflag)
+           ORDER BY is_total, rf""",
+    ),
+    (
+        "decimal_exact_arithmetic",  # decimal_precision.q: exact fixed-point math
+        """SELECT o_orderkey,
+                  CAST(o_totalprice AS DECIMAL(14,2)) + CAST(0.01 AS DECIMAL(14,2)) AS plus_cent,
+                  CAST(o_totalprice AS DECIMAL(14,2)) * 2 AS doubled
+           FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""",
+    ),
+    (
+        "theta_band_join_acctbal",  # non-equi band join: balances within a window
+        """SELECT c.c_custkey, s.s_suppkey
+           FROM (SELECT * FROM customer WHERE c_custkey < 30) c
+           JOIN (SELECT * FROM supplier WHERE s_suppkey < 30) s
+             ON s.s_acctbal BETWEEN c.c_acctbal - 100 AND c.c_acctbal + 100
+           ORDER BY c.c_custkey, s.s_suppkey""",
+    ),
+    (
+        "exists_as_select_column",  # uncorrelated EXISTS projected as a boolean
+        """SELECT r_regionkey,
+                  EXISTS(SELECT 1 FROM nation WHERE n_regionkey = 99) AS has_phantom,
+                  r_regionkey IN (SELECT n_regionkey FROM nation WHERE n_nationkey < 5) AS has_early
+           FROM region ORDER BY r_regionkey""",
+    ),
+    (
+        "count_col_vs_star_nulls",  # count(col) skips NULLs, count(*) doesn't
+        """SELECT COUNT(*) AS all_rows,
+                  COUNT(o.o_orderkey) AS matched_only,
+                  COUNT(*) - COUNT(o.o_orderkey) AS unmatched
+           FROM customer c
+           LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+             ON c.c_custkey = o.o_custkey""",
+    ),
+    (
+        "nested_case_inside_aggregates",  # conditional aggregation matrix
+        """SELECT l_linestatus,
+                  CAST(SUM(CASE WHEN l_returnflag = 'R'
+                           THEN CASE WHEN l_quantity > 25 THEN 2 ELSE 1 END
+                           ELSE 0 END) AS BIGINT) AS weighted_returns,
+                  CAST(MIN(CASE WHEN l_discount > 0.05 THEN l_orderkey END) AS BIGINT) AS first_discounted
+           FROM lineitem WHERE l_orderkey < 1000
+           GROUP BY l_linestatus ORDER BY l_linestatus""",
+    ),
+    (
+        "union_three_branch_distinct",  # union of three sources with global dedup
+        """SELECT nk FROM (
+             SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 9500
+             UNION
+             SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 9500
+             UNION
+             SELECT n_nationkey AS nk FROM nation WHERE n_regionkey = 2
+           ) u ORDER BY nk""",
+    ),
+    (
+        "window_in_subquery_feeding_agg",  # cbo_windowing.q: aggregate over window output
+        """SELECT quartile, COUNT(*) AS n, CAST(MIN(c_acctbal) AS DOUBLE) AS floor_bal
+           FROM (SELECT c_acctbal, NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+                 FROM customer WHERE c_custkey <= 400) q
+           GROUP BY quartile ORDER BY quartile""",
+    ),
+    (
+        "md5_sha_literal_parity",  # udf_md5.q/udf_sha1-shape: digest functions on columns
+        """SELECT n_nationkey, MD5(n_name) AS name_md5
+           FROM nation WHERE n_nationkey < 8 ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
-        + QSCRIPTS_R6 + QSCRIPTS_R7
+        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
