@@ -186,3 +186,99 @@ def test_offset_without_order_is_ok_but_negative_limit_errors(spark):
     # limit negative family: LIMIT must be non-negative
     with pytest.raises((AnalysisException, ParseException)):
         spark.sql("SELECT 1 LIMIT -5").collect()
+
+
+# --- round-4 tranche: more clientnegative themes -----------------
+
+
+def test_update_partition_column_rejected(spark, sf_dir, tmp_path):
+    """clientnegative/update_partition_col.q: UPDATE of a partition
+    column must raise, not corrupt (see ddl.update_table)."""
+    from amplab_hive_spark import ddl
+    from amplab_hive_spark.catalog import tables as _t
+
+    ddl.create_table_as(
+        spark, "neg_upd_part", _t(spark, sf_dir).nation,
+        str(tmp_path / "neg_upd_part"), partition_by=["n_regionkey"],
+    )
+    try:
+        with pytest.raises(ValueError, match="partition column"):
+            ddl.update_table(spark, "neg_upd_part", "n_nationkey = 1", {"n_regionkey": "0"})
+    finally:
+        spark.sql("DROP TABLE IF EXISTS neg_upd_part")
+
+
+def test_subquery_multiple_columns_where_scalar_expected(spark):
+    """clientnegative/subquery_multiple_cols_in_select.q."""
+    with pytest.raises(AnalysisException):
+        spark.sql(
+            "SELECT * FROM nation WHERE n_nationkey = "
+            "(SELECT n_nationkey, n_regionkey FROM nation LIMIT 1)"
+        ).collect()
+
+
+def test_scalar_subquery_more_than_one_row(spark):
+    """clientnegative: scalar subquery cardinality violation is a
+    RUNTIME error (surfaces as SCALAR_SUBQUERY_TOO_MANY_ROWS; on this
+    build it crosses py4j as the raw java error, so match the error
+    class in the message rather than the Python exception type)."""
+    with pytest.raises(Exception, match="SCALAR_SUBQUERY_TOO_MANY_ROWS|MORE_THAN_ONE_ROW"):
+        spark.sql(
+            "SELECT (SELECT n_nationkey FROM nation) AS x FROM region"
+        ).collect()
+
+
+def test_order_by_position_out_of_range(spark):
+    """clientnegative/orderbyposition (ordinal past the select list)."""
+    with pytest.raises(AnalysisException, match="ORDER_BY_POS_OUT_OF_RANGE|position"):
+        spark.sql("SELECT n_name FROM nation ORDER BY 5").collect()
+
+
+def test_group_by_position_out_of_range(spark):
+    with pytest.raises(AnalysisException, match="GROUP_BY_POS_OUT_OF_RANGE|position"):
+        spark.sql("SELECT n_name FROM nation GROUP BY 3").collect()
+
+
+def test_star_in_aggregate_argument(spark):
+    """clientnegative: * is only valid inside count(*)."""
+    with pytest.raises(AnalysisException):
+        spark.sql("SELECT max(*) FROM nation").collect()
+
+
+def test_window_function_in_where(spark):
+    """clientnegative: window functions are illegal in WHERE."""
+    with pytest.raises(AnalysisException, match="WINDOW|window"):
+        spark.sql(
+            "SELECT n_name FROM nation WHERE row_number() OVER (ORDER BY n_name) = 1"
+        ).collect()
+
+
+def test_aggregate_in_where(spark):
+    """clientnegative/agg_in_where.q: aggregates belong in HAVING."""
+    with pytest.raises(AnalysisException, match="WHERE|aggregate|AGGREGATE"):
+        spark.sql("SELECT n_name FROM nation WHERE count(*) > 1").collect()
+
+
+def test_union_column_count_mismatch(spark):
+    """clientnegative/union2-cols: branch arity mismatch."""
+    with pytest.raises(AnalysisException, match="NUM_COLUMNS_MISMATCH|number of columns"):
+        spark.sql(
+            "SELECT n_name, n_nationkey FROM nation UNION ALL SELECT r_name FROM region"
+        ).collect()
+
+
+def test_insert_into_missing_table(spark, sf_dir):
+    from amplab_hive_spark import ddl
+    from amplab_hive_spark.catalog import tables as _t
+
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        ddl.insert_into(spark, "table_that_never_existed", _t(spark, sf_dir).nation)
+
+
+def test_drop_null_partition_by_value_rejected(spark):
+    """The NULL (__HIVE_DEFAULT_PARTITION__) partition cannot be
+    addressed by value in DROP PARTITION — same limitation as Hive."""
+    from amplab_hive_spark.ddl import _sql_partition_literal
+
+    with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
+        _sql_partition_literal(None)
