@@ -144,3 +144,50 @@ def test_matchpath_pandas_agrees_with_naive(bits):
 def test_split_statements_roundtrip(stmts):
     text = ";".join(stmts) + ";"
     assert split_statements(text) == stmts
+
+
+# --- round-4: portable-hash-bridge properties ---------------------
+# These pin the cross-engine reproducibility claims that the MinHash/
+# SimHash oracles rest on (llm/dedup.py module docstring).
+
+
+@given(st.text(min_size=0, max_size=48))
+@settings(max_examples=150, deadline=None)
+def test_md5_bridge_python_matches_duckdb(s):
+    """int(md5[:15],16) in Python == ('0x'||substr(md5,1,15))::BIGINT
+    in DuckDB for arbitrary text (including non-ASCII — both hash the
+    UTF-8 bytes)."""
+    import hashlib
+
+    import duckdb
+
+    py = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    db = duckdb.connect().execute(
+        "SELECT ('0x'||substr(md5(?),1,15))::BIGINT", [s]
+    ).fetchone()[0]
+    assert py == db
+
+
+@given(st.integers(min_value=0, max_value=(1 << 60) - 1))
+@settings(max_examples=200, deadline=None)
+def test_affine_perm_numpy_wrap_matches_biginteger_spec(h):
+    """numpy uint64 affine permutation (wrap mod 2^64, unsigned min
+    domain, int64 reinterpret) == the arbitrary-precision integer
+    spec the DuckDB oracle implements with HUGEINT arithmetic."""
+    import numpy as np
+
+    from amplab_hive_spark.llm.dedup import _perm_constants
+
+    a_const, b_const = _perm_constants()
+    for a, b in zip(a_const, b_const):
+        spec_u = (a * h + b) % (1 << 64)
+        spec_signed = spec_u - (1 << 64) if spec_u >= (1 << 63) else spec_u
+        # array (not scalar) arithmetic: the production path is
+        # vectorized, and numpy's SCALAR ops warn on overflow while
+        # array ops wrap silently — test exactly what ships.
+        np_u = (
+            np.array([a], dtype=np.uint64) * np.array([h], dtype=np.uint64)
+            + np.array([b], dtype=np.uint64)
+        ) & np.uint64((1 << 64) - 1)
+        assert int(np_u[0]) == spec_u
+        assert int(np_u.astype(np.int64)[0]) == spec_signed
