@@ -224,90 +224,216 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_CENTROIDS = 16
 _IVF_NPROBE = 4
+# Fixed-point scale for the PORTABLE index geometry: coordinates
+# become floor(double(x) · 2²⁴) — float→double is exact, the double
+# product and floor are IEEE-deterministic, so every engine derives
+# the same integers. |x| < 0.6 ⇒ |q| < 2²⁴, squared diffs summed
+# over 64 dims stay < 2⁶³ through one Lloyd iteration (see dist).
+_IVF_QUANT = 1 << 24
+
+
+def _quantized(col) -> Column:
+    return F.transform(
+        col, lambda x: F.floor(x.cast("double") * _IVF_QUANT).cast("bigint")
+    )
+
+
+def _ivf_dist(q, s, n) -> Column:
+    """Squared L2 distance between quantized vector ``q`` and the
+    centroid MEAN given as (coordinate-sum array ``s``, member count
+    ``n``): Σ (qᵢ·n − sᵢ)² / n². The subtraction is exact BIGINT
+    (|qᵢ·n| ≤ 2²⁴·|members| < 2⁴³); each square is the deterministic
+    double of an exact integer; the final division by the exact
+    integer n² makes distances COMPARABLE across centroids with
+    different member counts (without it the argmin would be over
+    n²·d² and collapse everything into the smallest cells); the fold
+    order is fixed — so the argmin is bit-identical cross-engine,
+    which is what lets the whole index build live in a DuckDB
+    oracle."""
+    diff = F.zip_with(q, s, lambda qi, si: qi * n - si)
+    return F.aggregate(
+        F.transform(diff, lambda d: d.cast("double") * d.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    ) / (n * n).cast("double")
+
+
+def _o_ivf_dist(q: str, s: str, n: str) -> str:
+    return (
+        f"(list_sum(list_transform(list_zip({q}, {s}), "
+        f"p -> CAST(p[1]*{n} - p[2] AS DOUBLE) * CAST(p[1]*{n} - p[2] AS DOUBLE)))"
+        f" / CAST({n}*{n} AS DOUBLE))"
+    )
 
 
 def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     """IVF (inverted-file) index: K centroids refined with one Lloyd
-    iteration, every vector assigned to its nearest centroid.
+    iteration, every vector assigned to its nearest centroid —
+    entirely in PORTABLE integer geometry (quantized coordinates,
+    centroid = exact coordinate SUMS + count rather than a float
+    mean, distances compared at n²-scale), so the build is exactly
+    reproducible by the DuckDB oracle. A float mean over
+    collect_list would not be: the list's order is nondeterministic
+    and float addition doesn't commute.
 
-    Returns (centroids, assigned) where centroids is K rows
-    (cid, cvec) and assigned adds `cid` to each embedding row.
-    All DataFrame ops: seed → assign (broadcast argmin) → groupBy
-    avg → re-assign. At 100 TB the assignment is one scan with a
-    broadcast of K·dim floats; the index build shuffles only
-    (cid, partial sums).
-    """
+    Returns (centroids, assigned): centroids = (cid, s, n) with s
+    the per-dimension sum array; assigned = (vec_id, embedding, q,
+    cid). At 100 TB the assignment is one scan with a broadcast of
+    K·dim longs; the Lloyd step shuffles only (cid, dim, partial
+    sum)."""
     from pyspark.sql import Window
 
-    # Deterministic seeds: the K lowest vec_ids.
+    quant = embeddings.select(
+        "vec_id", "embedding", _quantized(F.col("embedding")).alias("q")
+    )
+    # Deterministic seeds: the K lowest vec_ids, as 1-member cells.
     seeds = (
-        embeddings.orderBy("vec_id")
+        quant.orderBy("vec_id")
         .limit(_IVF_CENTROIDS)
         .select(
             F.row_number().over(Window.orderBy("vec_id")).alias("cid"),
-            F.col("embedding").alias("cvec"),
+            F.col("q").alias("s"),
+            F.lit(1).alias("n"),
         )
     )
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), "cid")
+        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
         return (
             vecs.crossJoin(F.broadcast(cents))
             .select(
                 "vec_id",
                 "embedding",
+                "q",
                 "cid",
-                cosine(F.col("embedding"), F.col("cvec")).alias("sim"),
+                _ivf_dist(F.col("q"), F.col("s"), F.col("n")).alias("dist"),
             )
             .withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "cid")
+            .select("vec_id", "embedding", "q", "cid")
         )
 
-    # One Lloyd iteration: mean of assigned members per centroid.
-    first = assign(embeddings, seeds)
-    dim_idx = F.sequence(F.lit(0), F.lit(63))
-    refined = (
-        first.groupBy("cid")
-        .agg(F.collect_list("embedding").alias("members"))
-        .select(
-            "cid",
+    first = assign(quant, seeds)
+    # One Lloyd iteration with ORDER-FREE integer sums: explode to
+    # (cid, dim, value), sum per (cid, dim) — commutative — then
+    # reassemble the array sorted by dim.
+    sums = (
+        first.select("cid", F.posexplode("q").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("val").alias("s_d"))
+        .groupBy("cid")
+        .agg(
             F.transform(
-                dim_idx,
-                lambda d: F.aggregate(
-                    F.col("members"),
-                    F.lit(0.0),
-                    lambda acc, m: acc + F.get(m, d).cast("double"),
-                )
-                / F.size("members"),
-            ).alias("cvec"),
+                F.sort_array(F.collect_list(F.struct("pos", "s_d"))),
+                lambda kv: kv["s_d"],
+            ).alias("s")
         )
     )
-    assigned = assign(embeddings, refined)
+    counts = first.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+    refined = sums.join(counts, "cid")
+    assigned = assign(quant, refined)
     return refined, assigned
 
 
-@register("sim_ann_ivf", tags=("llm", "similarity", "ivf"), oracle=None)
+_ANN_IVF_ORACLE = f"""
+WITH quant AS (
+  SELECT vec_id, embedding,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, q AS s, 1 AS n
+  FROM quant ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
+),
+assign1 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
+    FROM quant v CROSS JOIN seeds c
+  ) WHERE rn = 1
+),
+sums AS (
+  SELECT cid, list(s_d ORDER BY pos) AS s FROM (
+    SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
+    FROM assign1, (SELECT unnest(range(1, 65)) AS pos) d
+    GROUP BY cid, d.pos
+  ) GROUP BY cid
+),
+refined AS (
+  SELECT s.cid, s.s, c.n
+  FROM sums s JOIN (SELECT cid, COUNT(*) AS n FROM assign1 GROUP BY cid) c
+    ON c.cid = s.cid
+),
+assign2 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
+    FROM quant v CROSS JOIN refined c
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT qid, cid FROM (
+    SELECT v.vec_id AS qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
+    FROM quant v CROSS JOIN refined c
+    WHERE v.vec_id % 100 = 0
+  ) WHERE rn <= {_IVF_NPROBE}
+),
+cand AS (
+  SELECT DISTINCT p.qid, a.vec_id
+  FROM assign2 a JOIN probes p ON a.cid = p.cid
+  WHERE a.vec_id <> p.qid
+),
+scored AS (
+  SELECT c.qid, c.vec_id,
+         round({_o_cos('eq.embedding', 'ev.embedding')}, 6) AS cos_sim
+  FROM cand c
+  JOIN embeddings eq ON eq.vec_id = c.qid
+  JOIN embeddings ev ON ev.vec_id = c.vec_id
+),
+ranked AS (
+  SELECT qid, vec_id, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos_sim DESC, vec_id) AS rnk
+  FROM scored
+)
+SELECT qid, vec_id, cos_sim, rnk FROM ranked WHERE rnk <= 10
+ORDER BY qid, rnk
+"""
+
+
+@register("sim_ann_ivf", tags=("llm", "similarity", "ivf"), oracle=_ANN_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF index: 16 centroids, queries
-    probe their 4 nearest lists (nprobe=4 → ~25% of the corpus
-    scanned). The FAISS-IVF shape expressed in DataFrames: index
-    build is a broadcast-assign + one shuffle; search is a
-    broadcast join on cid. On clustered real-world embeddings the
-    same operator probes far fewer lists; recall floor asserted in
-    tests/test_llm_ops.py."""
+    """Approximate top-10 via an IVF index: 16 centroids (one Lloyd
+    iteration), queries probe their 4 nearest lists (nprobe=4 →
+    ~25% of the corpus scanned). The FAISS-IVF shape expressed in
+    DataFrames: index build is a broadcast-assign + one shuffle;
+    search is a broadcast join on cid. The index geometry is
+    integer-quantized (see build_ivf_index) so the WHOLE pipeline —
+    seeding, Lloyd refinement, cell assignment, probing — replays
+    exactly in the DuckDB oracle (round-4: converted the last
+    realistic rows-only row to a full three-check compare); the
+    final rerank is exact cosine on the original floats. On
+    clustered real-world embeddings the same operator probes far
+    fewer lists; recall floor asserted in tests/test_llm_ops.py."""
     t = tables(spark, sf_dir)
     from pyspark.sql import Window
 
     centroids, assigned = build_ivf_index(t.embeddings)
     assigned = assigned.persist()  # the "index" a real pipeline stores
     queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("embedding").alias("qv")
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("csim"), "cid")
+    wq = Window.partitionBy("qid").orderBy("dist", "cid")
     probe_lists = (
         queries.crossJoin(F.broadcast(centroids))
-        .select("qid", "qv", "cid", cosine(F.col("qv"), F.col("cvec")).alias("csim"))
+        .select(
+            "qid", "qv", "cid",
+            _ivf_dist(F.col("qq"), F.col("s"), F.col("n")).alias("dist"),
+        )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("qid", "qv", "cid")
