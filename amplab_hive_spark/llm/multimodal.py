@@ -163,3 +163,136 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type")
     )
+
+
+# --- frame sampling (round 4) --------------------------------------
+# Synthetic "video" container: 4-byte big-endian frame count, then
+# n 16-byte frames; frame i's bytes are unhex(md5("{doc_id}_{i}")) —
+# deterministic, so an analytic oracle can verify that the Spark-side
+# BINARY SLICING (the real plumbing) extracted exactly the right
+# bytes without itself parsing any binary.
+
+_FRAME_BYTES = 16
+_FRAME_STEP = 4  # sample every 4th frame
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_hex", StringType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def synthesize_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, payload) with n_frames = doc_id % 24 + 8 frames.
+    Payload assembled JVM-side: header + fold-concat of per-frame
+    md5 blocks."""
+    t = tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.expr(
+            """
+aggregate(
+  sequence(0, CAST(doc_id % 24 + 7 AS INT)),
+  unhex(lpad(hex(CAST(doc_id % 24 + 8 AS INT)), 8, '0')),
+  (acc, i) -> concat(acc, unhex(md5(concat(CAST(doc_id AS STRING), '_', CAST(i AS STRING)))))
+)
+"""
+        ).alias("payload"),
+    )
+
+
+def sample_frames_batch(iterator: Iterator) -> Iterator:
+    """mapInPandas frame sampler: parse the frame count from the
+    header, slice every ``_FRAME_STEP``-th 16-byte frame out of the
+    payload, emit its hex. This is the real batch shape a video
+    pipeline uses (ffmpeg keyframe extraction per Arrow batch) with
+    the codec replaced by fixed-size frames."""
+    import struct
+
+    for pdf in iterator:
+        ids, idxs, hexes, counts = [], [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            raw = bytes(payload)
+            (n,) = struct.unpack(">i", raw[:4])
+            for i in range(0, n, _FRAME_STEP):
+                start = 4 + i * _FRAME_BYTES
+                ids.append(doc_id)
+                idxs.append(i)
+                hexes.append(raw[start : start + _FRAME_BYTES].hex())
+                counts.append(n)
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int32"),
+                "frame_hex": pd.Series(hexes, dtype="object"),
+                "n_frames": pd.Series(counts, dtype="int32"),
+            }
+        )
+
+
+@register(
+    "multimodal_frame_sample",
+    tags=("llm", "multimodal", "pandas-udf"),
+    oracle=f"""
+SELECT doc_id,
+       CAST(i.i AS INT) AS frame_idx,
+       md5(doc_id::VARCHAR || '_' || i.i::VARCHAR) AS frame_hex,
+       CAST(doc_id % 24 + 8 AS INT) AS n_frames
+FROM documents, (SELECT unnest(range(0, 32)) AS i) i
+WHERE i.i < doc_id % 24 + 8 AND i.i % {_FRAME_STEP} = 0
+ORDER BY doc_id, frame_idx
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over binary video payloads: every 4th frame
+    sliced out of the container in Arrow batches. The oracle
+    recomputes each sampled frame's bytes ANALYTICALLY (the synthetic
+    frame formula), so a slicing bug — off-by-one offsets, header
+    miscount, byte order — fails the hash compare. Scale shape: the
+    payload bytes never leave the executor; output carries only
+    (doc_id, idx, 32-hex digest) per sampled frame."""
+    video = synthesize_video(spark, sf_dir)
+    return (
+        video.mapInPandas(sample_frames_batch, schema=_FRAME_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+@register(
+    "multimodal_resize_audit",
+    tags=("llm", "multimodal"),
+    oracle="""
+SELECT doc_id,
+       CAST(doc_id % 640 + 32 AS INT) AS old_w,
+       CAST(doc_id % 480 + 24 AS INT) AS old_h,
+       64 AS new_w,
+       CAST(floor((doc_id % 480 + 24) * 64.0 / (doc_id % 640 + 32)) AS INT) AS new_h,
+       CAST(8 + 64 * floor((doc_id % 480 + 24) * 64.0 / (doc_id % 640 + 32)) AS BIGINT) AS new_bytes
+FROM documents
+WHERE doc_id % 7 = 0
+ORDER BY doc_id
+""",
+)
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the media table: target width 64,
+    aspect-preserving height, 1 byte/pixel payload estimate — the
+    metadata side of a resize operator (the pixel resample itself is
+    the stubbed codec; see decode_media_batch). Pure projection, no
+    Python, zero shuffle."""
+    media = synthesize_media(spark, sf_dir).filter(F.col("doc_id") % 7 == 0)
+    old_w = (F.col("doc_id") % 640 + 32).cast("int")
+    old_h = (F.col("doc_id") % 480 + 24).cast("int")
+    new_h = F.floor(old_h * 64.0 / old_w).cast("int")
+    return media.select(
+        "doc_id",
+        old_w.alias("old_w"),
+        old_h.alias("old_h"),
+        F.lit(64).alias("new_w"),
+        new_h.alias("new_h"),
+        (8 + 64 * F.floor(old_h * 64.0 / old_w)).cast("bigint").alias("new_bytes"),
+    ).orderBy("doc_id")
