@@ -143,7 +143,13 @@ def _partition_membership(df, pcols, parts):
             )
         )
     spark = df.sparkSession
-    tuples = spark.createDataFrame([tuple(p) for p in parts], schema=list(pcols))
+    from pyspark.sql.types import StructType
+
+    # explicit schema from the table's own partition columns —
+    # inference would fail on a column that is None in every tuple
+    # (the null-partition case eqNullSafe exists to support)
+    tuple_schema = StructType([df.schema[c] for c in pcols])
+    tuples = spark.createDataFrame([tuple(p) for p in parts], schema=tuple_schema)
     cond = reduce(
         and_, [df[c].eqNullSafe(tuples[c]) for c in pcols]
     )
@@ -179,8 +185,15 @@ class _dynamic_partition_overwrite:
 
     def __enter__(self):
         self._LOCK.acquire()
-        self.prior = self.spark.conf.get(self.KEY, None)
-        self.spark.conf.set(self.KEY, "dynamic")
+        try:
+            self.prior = self.spark.conf.get(self.KEY, None)
+            self.spark.conf.set(self.KEY, "dynamic")
+        except BaseException:
+            # a dead gateway here must not leave the process-wide
+            # lock held forever (every later partition-scoped DML
+            # would deadlock silently)
+            self._LOCK.release()
+            raise
 
     def __exit__(self, *exc):
         try:
@@ -210,7 +223,10 @@ def _sql_partition_literal(v) -> str:
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):
-        return "'" + v.replace("'", "\\'") + "'"
+        # backslashes FIRST (Spark's parser unescapes inside quoted
+        # literals: an unescaped backslash would corrupt or even
+        # swallow the closing quote), then quotes.
+        return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     if isinstance(v, (_dt.datetime, _dt.date)):
         return f"'{v.isoformat()}'"
     return str(v)
@@ -253,12 +269,32 @@ def update_table(
     df = spark.table(name)
     cond = F.expr(condition)
     pcols = _partition_columns(spark, name)
-    bad = sorted(set(assignments) & set(pcols))
+    # Resolve assignment keys CASE-INSENSITIVELY against the table
+    # schema (Spark SQL identifiers are case-insensitive); unknown
+    # targets raise, like Hive's INVALID_TARGET_COLUMN — a silently
+    # ignored typo'd SET column would report rows matched while
+    # changing nothing.
+    by_lower = {c.lower(): c for c in df.columns}
+    resolved: dict[str, str] = {}
+    unknown = []
+    for k, expr_text in assignments.items():
+        col = by_lower.get(k.lower())
+        if col is None:
+            unknown.append(k)
+        else:
+            resolved[col] = expr_text
+    if unknown:
+        raise ValueError(
+            f"UPDATE target column(s) {sorted(unknown)} not in table {name} "
+            f"(columns: {df.columns})"
+        )
+    bad = sorted({c for c in resolved} & {by_lower[p.lower()] for p in pcols})
     if bad:
         raise ValueError(
             f"UPDATE cannot change partition column(s) {bad} (Hive "
             "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT instead"
         )
+    assignments = resolved
     scoped = df
     parts: list[tuple] | None = None
     if pcols:
@@ -326,13 +362,18 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
         for r in staged.filter(~F.col("__matched")).select(*pcols).distinct().collect()
     }
     emptied = [p for p in parts if p not in surviving]
+    # Render EVERY drop spec BEFORE mutating anything: an
+    # unrenderable value (the NULL partition) must fail the whole
+    # statement up front, not after the overwrite already committed
+    # and some partitions were dropped (a half-applied delete).
+    drop_specs = [
+        ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
+        for p in emptied
+    ]
     if surviving:
         with _dynamic_partition_overwrite(spark):
             remaining.write.insertInto(name, overwrite=True)
-    for p in emptied:
-        spec = ", ".join(
-            f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p)
-        )
+    for spec in drop_specs:
         spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
     return matched
 

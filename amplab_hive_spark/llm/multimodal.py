@@ -212,6 +212,8 @@ def sample_frames_batch(iterator: Iterator) -> Iterator:
     the codec replaced by fixed-size frames."""
     import struct
 
+    import pandas as pd
+
     for pdf in iterator:
         ids, idxs, hexes, counts = [], [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -223,8 +225,6 @@ def sample_frames_batch(iterator: Iterator) -> Iterator:
                 idxs.append(i)
                 hexes.append(raw[start : start + _FRAME_BYTES].hex())
                 counts.append(n)
-        import pandas as pd
-
         yield pd.DataFrame(
             {
                 "doc_id": pd.Series(ids, dtype="int64"),

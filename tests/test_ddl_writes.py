@@ -264,3 +264,64 @@ def test_partition_scoped_delete_many_partitions_join_path(spark, sf_dir, wh):
     assert spark.table("orders_bucketed_part").count() == total - expected
     assert spark.table("orders_bucketed_part").filter("o_totalprice > 250000").count() == 0
     spark.sql("DROP TABLE IF EXISTS orders_bucketed_part")
+
+
+def test_update_unknown_and_case_insensitive_targets(spark, sf_dir, wh):
+    """SET targets resolve case-insensitively (Spark identifier
+    semantics); unknown columns raise (Hive INVALID_TARGET_COLUMN)
+    instead of silently no-opping while reporting rows matched; and a
+    case-mismatched partition column still trips the partition
+    guard."""
+    t = tables(spark, sf_dir)
+    ddl.create_table_as(
+        spark, "upd_case_tbl", t.nation, f"{wh}/upd_case_tbl",
+        partition_by=["n_regionkey"],
+    )
+    try:
+        with pytest.raises(ValueError, match="not in table"):
+            ddl.update_table(spark, "upd_case_tbl", "n_nationkey = 1",
+                             {"n_naem": "'typo'"})
+        with pytest.raises(ValueError, match="partition column"):
+            ddl.update_table(spark, "upd_case_tbl", "n_nationkey = 1",
+                             {"N_REGIONKEY": "0"})
+        n = ddl.update_table(spark, "upd_case_tbl", "n_nationkey = 1",
+                             {"N_NAME": "'CASED'"})
+        assert n == 1
+        assert spark.table("upd_case_tbl").filter("n_name = 'CASED'").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS upd_case_tbl")
+
+
+def test_delete_null_partition_fails_before_any_mutation(spark, wh):
+    """Emptying the NULL partition must fail the whole statement UP
+    FRONT (the spec is unrenderable) — not after the survivors'
+    overwrite committed, which would half-apply the delete."""
+    src = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, None), (4, None), (5, "b")],
+        ["id", "part"],
+    )
+    ddl.create_table_as(spark, "null_part_tbl", src, f"{wh}/null_part_tbl",
+                        partition_by=["part"])
+    try:
+        before = sorted((r["id"], r["part"]) for r in spark.table("null_part_tbl").collect())
+        with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
+            # empties BOTH partition 'a' and the NULL partition
+            ddl.delete_from(spark, "null_part_tbl", "part IS NULL OR part = 'a'")
+        after = sorted((r["id"], r["part"]) for r in spark.table("null_part_tbl").collect())
+        assert after == before, "failed delete must not have mutated the table"
+        # a delete that leaves the NULL partition non-empty works fine
+        d = ddl.delete_from(spark, "null_part_tbl", "part IS NULL AND id = 3")
+        assert d == 1
+        assert spark.table("null_part_tbl").filter("part IS NULL").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS null_part_tbl")
+
+
+def test_drop_partition_literal_escaping():
+    from amplab_hive_spark.ddl import _sql_partition_literal
+
+    assert _sql_partition_literal("C:\\temp") == "'C:\\\\temp'"
+    assert _sql_partition_literal("it's") == "'it\\'s'"
+    assert _sql_partition_literal(True) == "true"
+    import datetime
+    assert _sql_partition_literal(datetime.date(2024, 1, 5)) == "'2024-01-05'"
