@@ -119,11 +119,11 @@ _MEMBERSHIP_OR_LIMIT = 64
 def _partition_membership(df, pcols, parts):
     """Restrict ``df`` to rows whose partition tuple ∈ parts.
 
-    ≤{limit} partitions: an OR-of-eqNullSafe literal tree (null-safe —
-    Spark's default-partition rows compare via eqNullSafe), which
-    Catalyst turns into static partition pruning. More: a broadcast
-    inner join against the tuple list — no static pruning, but no
-    kilo-term expression tree either.""".format(limit=_MEMBERSHIP_OR_LIMIT)
+    Up to _MEMBERSHIP_OR_LIMIT partitions: an OR-of-eqNullSafe
+    literal tree (null-safe — Spark's default-partition rows compare
+    via eqNullSafe), which Catalyst turns into static partition
+    pruning. More: a broadcast inner join against the tuple list —
+    no static pruning, but no kilo-term expression tree either."""
     from functools import reduce
     from operator import and_, or_
 
