@@ -1,9 +1,10 @@
 """Training-data pipeline assembly ops: deterministic train/val/test
-splitting, weighted source-mixture sampling, and token-budget
-sequence packing. Beyond the reference surface (BASELINE.json north
-star) — the steps that turn a cleaned corpus into model input.
+splitting, weighted source-mixture sampling, token-budget sequence
+packing, and overlapped document chunking. Beyond the reference
+surface (BASELINE.json north star) — the steps that turn a cleaned
+corpus into model input.
 
-All three are *exactly* reproducible across engines, so every query
+All of them are *exactly* reproducible across engines, so every query
 here carries a full DuckDB oracle — and since round 4 the hash-sketch
 ops (minhash/simhash in llm/dedup.py) adopted the same bridge and are
 oracled too. The portable hash bridge:
@@ -25,6 +26,10 @@ Scale design (100 TB):
   audit rollup. Rates live in a broadcastable config (here derived
   deterministically from the source name so the oracle can repeat
   it; a real run would join a literal weights table).
+- **chunking**: pure per-row explode (doc → ~len/stride chunks),
+  no shuffle at all — the map-side step Catalyst pipelines straight
+  into the scan; the oracle checks every chunk's exact text via its
+  md5.
 - **packing**: documents get a stable order (lang, doc_id) and a
   running token total; bin id = prior-tokens ÷ budget. One window
   cumsum = one shuffle on the partition key. This is the
@@ -184,3 +189,82 @@ def pipeline_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "bin")
     )
+
+
+# --- document chunking (round 4) -----------------------------------
+_CHUNK_TOKENS = 64
+_CHUNK_OVERLAP = 16  # stride = 48
+
+
+@register(
+    "pipeline_chunk_documents",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+chunks AS (
+  SELECT doc_id, len(t) AS doc_tokens, c.c AS chunk_idx,
+         array_to_string(
+           t[c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1 :
+             c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM toks, (SELECT unnest(range(0, 64)) AS c) c
+  WHERE c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} < len(t)
+    AND (c.c = 0 OR c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_OVERLAP} < len(t))
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
+       md5(chunk_text) AS chunk_hash,
+       doc_tokens
+FROM chunks
+ORDER BY doc_id, chunk_idx
+""",
+)
+def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget document chunking with overlap — the step that
+    turns cleaned documents into training-window-sized pieces:
+    chunks of 64 tokens with 16-token overlap (stride 48). A
+    trailing chunk that would consist ONLY of overlap (fully
+    contained in its predecessor) is suppressed. Emits
+    (doc_id, chunk_idx, chunk_tokens, chunk_hash, doc_tokens) — the
+    hash stands in for the chunk payload so the oracle verifies the
+    exact text of every chunk without hauling it through the driver.
+
+    Scale shape: pure per-row explode — no shuffle at all until a
+    downstream consumer groups; chunk fan-out is bounded by
+    doc_len/stride. At 100 TB this is the map-side step before
+    pack/shuffle, and Catalyst pipelines it into the scan."""
+    t = tables(spark, sf_dir)
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    toks = t.documents.select(
+        "doc_id", F.split("text", " ").alias("t")
+    ).withColumn("doc_tokens", F.size("t"))
+    chunks = toks.select(
+        "doc_id",
+        "doc_tokens",
+        F.explode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(63)),
+                    lambda c: F.struct(
+                        c.alias("chunk_idx"),
+                        F.concat_ws(
+                            " ", F.slice("t", c * stride + 1, _CHUNK_TOKENS)
+                        ).alias("chunk_text"),
+                    ),
+                ),
+                lambda s: (s["chunk_idx"] * stride < F.col("doc_tokens"))
+                & (
+                    (s["chunk_idx"] == 0)
+                    | (s["chunk_idx"] * stride + _CHUNK_OVERLAP < F.col("doc_tokens"))
+                ),
+            )
+        ).alias("ch"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("ch.chunk_idx").alias("chunk_idx"),
+        F.size(F.split("ch.chunk_text", " ")).cast("bigint").alias("chunk_tokens"),
+        F.md5("ch.chunk_text").alias("chunk_hash"),
+        "doc_tokens",
+    ).orderBy("doc_id", "chunk_idx")
