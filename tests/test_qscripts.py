@@ -2277,12 +2277,94 @@ QSCRIPTS_R8 = [
 ]
 
 
+# Round-4 final tranche: input*/union-numbered/ppd-outer/nested-
+# subquery singles with high shape distinctness.
+QSCRIPTS_R9 = [
+    (
+        "input_projection_arithmetic",  # input.q-family: pure projection scan
+        """SELECT n_nationkey, n_nationkey + n_regionkey AS k_sum,
+                  n_nationkey * n_regionkey AS k_prod, -n_nationkey AS neg
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "join_two_column_keys",  # join with a compound equi-key
+        """SELECT COUNT(*) AS n
+           FROM (SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_orderkey < 2000) a
+           JOIN (SELECT l_orderkey, l_partkey, l_discount FROM lineitem WHERE l_orderkey < 2000) b
+             ON a.l_orderkey = b.l_orderkey AND a.l_partkey = b.l_partkey""",
+    ),
+    (
+        "union_of_two_joins",  # union22.q: joins on both union branches
+        """SELECT kind, COUNT(*) AS n FROM (
+             SELECT 'cust_nation' AS kind FROM customer JOIN nation ON c_nationkey = n_nationkey
+             WHERE n_regionkey = 0
+             UNION ALL
+             SELECT 'supp_nation' AS kind FROM supplier JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_regionkey = 0
+           ) u GROUP BY kind ORDER BY kind""",
+    ),
+    (
+        "having_count_distinct",  # having.q variant: distinct aggregate in HAVING
+        """SELECT c_nationkey FROM customer
+           GROUP BY c_nationkey
+           HAVING COUNT(DISTINCT c_mktsegment) >= 4
+           ORDER BY c_nationkey""",
+    ),
+    (
+        "group_by_nullable_key",  # groupby over a key that is NULL for unmatched rows
+        """SELECT o.k, COUNT(*) AS n FROM (
+             SELECT CASE WHEN o_totalprice > 450000 THEN o_orderstatus END AS k
+             FROM orders
+           ) o GROUP BY o.k ORDER BY o.k NULLS FIRST""",
+    ),
+    (
+        "self_union_distinct_identity",  # union dedup identity: t UNION t == DISTINCT t
+        """SELECT n_regionkey FROM nation
+           UNION
+           SELECT n_regionkey FROM nation
+           ORDER BY n_regionkey""",
+    ),
+    (
+        "window_running_min_and_max",  # two opposing running extremes over one spec
+        """SELECT o_orderkey,
+                  MIN(o_totalprice) OVER (ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_min,
+                  MAX(o_totalprice) OVER (ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_max
+           FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""",
+    ),
+    (
+        "ppd_where_on_right_of_left_join",  # ppd_outer_join2.q: WHERE on the null-extended side
+        """SELECT c.c_custkey, o.o_orderkey
+           FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+           WHERE o.o_totalprice > 400000
+           ORDER BY c.c_custkey, o.o_orderkey LIMIT 60""",
+    ),
+    (
+        "exists_containing_in",  # nested subquery combinators
+        """SELECT n_name FROM nation n
+           WHERE EXISTS (SELECT 1 FROM supplier s
+                         WHERE s.s_nationkey = n.n_nationkey
+                           AND s.s_suppkey IN (SELECT l_suppkey FROM lineitem
+                                               WHERE l_quantity >= 48))
+           ORDER BY n_name""",
+    ),
+    (
+        "boolean_int_cast_lattice",  # cast bool <-> int round trips in projections
+        """SELECT n_nationkey,
+                  CAST(n_regionkey = 0 AS INT) AS is_r0,
+                  CAST(CAST(n_nationkey % 2 AS BOOLEAN) AS INT) AS odd_flag
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
-        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8
+        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
