@@ -618,7 +618,8 @@ quantized AS (
          list_transform(v, x -> CAST(floor((x - mn) / nullif(mx - mn, 0) * 255) AS BIGINT)) AS q
   FROM ranged
 )
-SELECT vec_id, mn, mx, q,
+SELECT vec_id, mn, mx,
+       array_to_string(q, ',') AS q_csv,
        round(list_aggregate(
          list_transform(list_zip(v, q),
                         p -> abs(p[1] - (mn + p[2] * (mx - mn) / 255))),
@@ -634,6 +635,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps the levels bit-identical cross-engine (round half-cases
     diverge HALF_UP vs HALF_EVEN). Emits the quantized codes AND the
     max reconstruction error, so the oracle checks the whole array.
+    The codes travel as a comma-joined string (`q_csv`) rather than a
+    raw array column: the driver's canonicalizer sorts/hashes pandas
+    cells and dies on list cells (round-4 harness-red), and the CSV
+    form carries the identical information in an atomic type.
     Pure projection: one scan, zero shuffle, no Python."""
     t = tables(spark, sf_dir)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -672,4 +677,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    return quantized.select("vec_id", "mn", "mx", "q", err.alias("max_abs_err")).orderBy("vec_id")
+    return quantized.select(
+        "vec_id",
+        "mn",
+        "mx",
+        F.array_join("q", ",").alias("q_csv"),
+        err.alias("max_abs_err"),
+    ).orderBy("vec_id")

@@ -62,6 +62,12 @@ def plan_fingerprint(df) -> dict[str, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    # Load context (round-4 lesson): wall-clock varied 1.4-1.6x across
+    # rounds purely from host load, costing the judge a re-run to rule
+    # out regression. Record 1/5/15-min load avg at start AND end so
+    # the BENCH_r{N}.json line is self-describing about measurement
+    # conditions; plans stay the real cross-round invariant.
+    load_start = [round(x, 2) for x in os.getloadavg()]
     spark = get_spark("amplab_hive_spark-bench")
 
     specs = [s for s in all_queries().values() if s.bench]
@@ -85,6 +91,11 @@ def main() -> None:
         plans[spec.name] = plan_fingerprint(df)
 
     total = round(sum(timings.values()), 3)
+    load = {
+        "start": load_start,
+        "end": [round(x, 2) for x in os.getloadavg()],
+        "cpus": os.cpu_count(),
+    }
     # Verbose record first (humans / archive), compact record LAST:
     # the driver keeps only the last ~2000 bytes of stdout, and r2's
     # single verbose line blew past that, clipping the timings out of
@@ -110,6 +121,7 @@ def main() -> None:
                 "plans": plans,
                 "plan_keys": plan_keys,
                 "sf": float(sf) if sf else None,
+                "load": load,
             }
         )
     )
@@ -122,6 +134,7 @@ def main() -> None:
         "plans": {n: [p[k] for k in plan_keys] for n, p in plans.items()},
         "plan_keys": plan_keys,
         "sf": float(sf) if sf else None,
+        "load": load,
     }
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1800:  # stay inside the driver's tail capture
