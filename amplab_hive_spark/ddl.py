@@ -27,6 +27,7 @@ refresh; ANALYZE feeds CBO.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -100,6 +101,31 @@ def _partition_columns(spark: SparkSession, name: str) -> list[str]:
     return [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
 
 
+# UPDATE/DELETE evaluate their condition in two separate scans
+# (partition discovery, then the staged rewrite): a non-deterministic
+# condition could flag rows in partitions the discovery pass never
+# selected, silently skipping them. Reject the obvious offenders up
+# front; anything else non-deterministic is the caller's contract
+# violation (documented in both docstrings).
+_NONDETERMINISTIC_FNS = re.compile(
+    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+    r"current_timestamp|current_date|now|localtimestamp|current_timezone|"
+    r"spark_partition_id|input_file_name)\s*\(",
+    re.IGNORECASE,
+)
+
+
+def _reject_nondeterministic(condition: str, statement: str) -> None:
+    m = _NONDETERMINISTIC_FNS.search(condition)
+    if m:
+        raise ValueError(
+            f"{statement} condition must be deterministic — it is evaluated "
+            f"in two separate scans (partition discovery, then the staged "
+            f"rewrite) and {m.group(0).rstrip('(')}() can produce a partition "
+            f"set inconsistent with the rows actually rewritten"
+        )
+
+
 def _affected_partitions(spark, df, cond, pcols) -> list[tuple]:
     """Distinct partition tuples containing rows that match ``cond``.
     The scan is partition-pruned by Catalyst whenever the condition
@@ -122,7 +148,7 @@ def _partition_membership(df, pcols, parts):
     Up to _MEMBERSHIP_OR_LIMIT partitions: an OR-of-eqNullSafe
     literal tree (null-safe — Spark's default-partition rows compare
     via eqNullSafe), which Catalyst turns into static partition
-    pruning. More: a broadcast inner join against the tuple list —
+    pruning. More: a broadcast LEFT-SEMI join against the tuple list —
     no static pruning, but no kilo-term expression tree either."""
     from functools import reduce
     from operator import and_, or_
@@ -263,9 +289,14 @@ def update_table(
     reference (UpdateDeleteSemanticAnalyzer's
     UPDATE_CANNOT_UPDATE_PART_VALUE): moving rows across partitions
     under dynamic overwrite would strand stale copies in source
-    partitions the incoming data no longer mentions."""
+    partitions the incoming data no longer mentions.
+
+    The condition MUST be deterministic (it runs in two separate
+    scans); obviously non-deterministic functions are rejected up
+    front via ``_reject_nondeterministic``."""
     from pyspark.sql import functions as F
 
+    _reject_nondeterministic(condition, "UPDATE")
     df = spark.table(name)
     cond = F.expr(condition)
     pcols = _partition_columns(spark, name)
@@ -333,9 +364,11 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
     SQL semantics: delete rows where the condition is TRUE; rows
     where it evaluates NULL survive (``NOT (cond)`` would silently
     delete them too). Same cost model as ``update_table`` (one
-    discovery scan + one scoped scan into the checkpoint)."""
+    discovery scan + one scoped scan into the checkpoint), same
+    deterministic-condition requirement."""
     from pyspark.sql import functions as F
 
+    _reject_nondeterministic(condition, "DELETE")
     df = spark.table(name)
     matched_flag = F.coalesce(F.expr(condition), F.lit(False))
     pcols = _partition_columns(spark, name)
@@ -370,11 +403,19 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
         ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
         for p in emptied
     ]
+    # Drop emptied partitions BEFORE the survivor overwrite (advice
+    # r4): the survivors are already materialized in the eager
+    # checkpoint, so the drops can't corrupt them, and either
+    # interleaving of a mid-statement crash leaves a state from which
+    # RE-RUNNING THE SAME DELETE converges (stale rows still match).
+    # The old order (overwrite, then drops) had the one bad window
+    # where a failed drop left fully-deleted partitions visible after
+    # the statement had already "committed" its other half.
+    for spec in drop_specs:
+        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
     if surviving:
         with _dynamic_partition_overwrite(spark):
             remaining.write.insertInto(name, overwrite=True)
-    for spec in drop_specs:
-        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
     return matched
 
 

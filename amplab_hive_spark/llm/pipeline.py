@@ -203,14 +203,22 @@ _CHUNK_OVERLAP = 16  # stride = 48
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
+idx AS (
+  -- chunk-index bound derived from the document's own length (last
+  -- valid idx satisfies idx*stride < len, so len//stride covers it);
+  -- no fixed cap, so an arbitrarily long document keeps its tail.
+  SELECT doc_id, t, len(t) AS doc_tokens,
+         unnest(range(0, len(t) // {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1)) AS chunk_idx
+  FROM toks
+),
 chunks AS (
-  SELECT doc_id, len(t) AS doc_tokens, c.c AS chunk_idx,
+  SELECT doc_id, doc_tokens, chunk_idx,
          array_to_string(
-           t[c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1 :
-             c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}], ' ') AS chunk_text
-  FROM toks, (SELECT unnest(range(0, 64)) AS c) c
-  WHERE c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} < len(t)
-    AND (c.c = 0 OR c.c * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_OVERLAP} < len(t))
+           t[chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + 1 :
+             chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_TOKENS}], ' ') AS chunk_text
+  FROM idx
+  WHERE chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} < doc_tokens
+    AND (chunk_idx = 0 OR chunk_idx * {_CHUNK_TOKENS - _CHUNK_OVERLAP} + {_CHUNK_OVERLAP} < doc_tokens)
 )
 SELECT doc_id, chunk_idx,
        CAST(len(string_split(chunk_text, ' ')) AS BIGINT) AS chunk_tokens,
@@ -245,7 +253,13 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.filter(
                 F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
+                    # Bound derived from doc_tokens, not a fixed cap
+                    # (advice r4): floor(len/stride) >= every valid
+                    # chunk_idx, so long documents keep their tails.
+                    F.sequence(
+                        F.lit(0),
+                        F.floor(F.col("doc_tokens") / stride).cast("int"),
+                    ),
                     lambda c: F.struct(
                         c.alias("chunk_idx"),
                         F.concat_ws(

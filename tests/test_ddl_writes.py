@@ -325,3 +325,27 @@ def test_drop_partition_literal_escaping():
     assert _sql_partition_literal(True) == "true"
     import datetime
     assert _sql_partition_literal(datetime.date(2024, 1, 5)) == "'2024-01-05'"
+
+
+def test_update_delete_reject_nondeterministic_condition(spark, sf_dir, wh):
+    """Advice r4: the condition is evaluated in two separate scans
+    (partition discovery, then the staged rewrite), so rand() could
+    flag rows in partitions the discovery pass never selected. The
+    obvious offenders are rejected before anything is read or
+    written."""
+    import pytest
+
+    from amplab_hive_spark.ddl import delete_from, update_table
+
+    spark.sql("DROP TABLE IF EXISTS nd_guard")
+    spark.range(10).withColumnRenamed("id", "v").write.saveAsTable("nd_guard")
+    try:
+        with pytest.raises(ValueError, match="deterministic"):
+            update_table(spark, "nd_guard", "rand() < 0.5", {"v": "v + 1"})
+        with pytest.raises(ValueError, match="deterministic"):
+            delete_from(spark, "nd_guard", "current_timestamp() > timestamp'1970-01-01'")
+        # deterministic conditions still pass through untouched
+        assert delete_from(spark, "nd_guard", "v >= 8") == 2
+        assert spark.table("nd_guard").count() == 8
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nd_guard")

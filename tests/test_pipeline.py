@@ -63,3 +63,38 @@ def test_pack_bins_are_contiguous_and_near_budget(spark, sf_dir):
         for b in bins[:-1]:
             assert b.bin_tokens + _PACK_BUDGET > _PACK_BUDGET  # non-degenerate
             assert b.n_docs >= 1
+
+
+def test_chunking_covers_long_documents_analytically(spark, sf_dir):
+    """Advice r4: the old fixed sequence(0,63) cap silently dropped
+    tail chunks of any document longer than ~3088 tokens, and the
+    oracle shared the cap so the compare couldn't see it. The bound
+    is now derived from doc_tokens; this check is cap-independent:
+    per document, the chunk count must equal the analytic formula
+    (every stride-start below doc_tokens, minus overlap-only tails),
+    and the final chunk must reach the document's last token.
+    """
+    from amplab_hive_spark.llm.pipeline import (
+        _CHUNK_OVERLAP,
+        _CHUNK_TOKENS,
+        pipeline_chunk_documents,
+    )
+
+    stride = _CHUNK_TOKENS - _CHUNK_OVERLAP
+    rows = pipeline_chunk_documents(spark, sf_dir).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert by_doc, "no chunks produced"
+    for doc_id, chunks in by_doc.items():
+        n = chunks[0].doc_tokens
+        expected = sum(
+            1
+            for i in range(n // stride + 1)
+            if i * stride < n and (i == 0 or i * stride + _CHUNK_OVERLAP < n)
+        )
+        assert len(chunks) == expected, (doc_id, n, len(chunks), expected)
+        last = max(chunks, key=lambda c: c.chunk_idx)
+        # the last chunk's window reaches the final token: its start
+        # plus its emitted token count equals doc_tokens.
+        assert last.chunk_idx * stride + last.chunk_tokens == n, (doc_id, n)
