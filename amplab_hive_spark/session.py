@@ -18,7 +18,11 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
-def get_spark(app_name: str = "amplab_hive_spark", master: str | None = None) -> SparkSession:
+def get_spark(
+    app_name: str = "amplab_hive_spark",
+    master: str | None = None,
+    warehouse: str | None = None,
+) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-ready defaults.
 
     AQE is the linchpin: at 100 TB the right shuffle partition count
@@ -26,7 +30,38 @@ def get_spark(app_name: str = "amplab_hive_spark", master: str | None = None) ->
     ``coalescePartitions`` shrink it after each exchange. Skewed join
     keys are split by ``skewJoin`` instead of a hand-written skew
     resolver (reference: QL/exec/SkewJoinHandler.java:74).
+
+    ``warehouse``: directory for a PERSISTENT catalog — managed-table
+    metadata survives process restart, the single-node analogue of the
+    reference's shared Thrift metastore (metastore/.../HiveMetaStore.
+    java:232 — a separate service precisely so tables outlive any one
+    client). Implemented as the Hive catalog backed by an embedded
+    Derby metastore living under ``<warehouse>/metastore_db``; without
+    it Spark's in-memory catalog forgets managed tables on exit even
+    though their files remain. Must be passed on the FIRST session
+    construction in a process (getOrCreate reuses the live session and
+    ignores new confs); Derby allows one process at a time — the
+    multi-client story stays ``newSession()`` off one SparkSession.
     """
+    if warehouse is not None:
+        db = os.path.join(os.path.abspath(warehouse), "metastore_db")
+        return (
+            SparkSession.builder.appName(app_name)
+            .master(master or f"local[{_DEFAULT_CPUS}]")
+            .config("spark.sql.warehouse.dir", os.path.abspath(warehouse))
+            .config("spark.sql.catalogImplementation", "hive")
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={db};create=true",
+            )
+            .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .config("spark.sql.ansi.enabled", "false")
+            .enableHiveSupport()
+            .getOrCreate()
+        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{_DEFAULT_CPUS}]")
