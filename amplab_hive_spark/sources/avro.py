@@ -1,0 +1,324 @@
+"""Distributed Avro read/write on Spark, built on the pure-Python
+codec in ``avro_codec.py``.
+
+The reference ships Avro as a first-class storage format
+(serde/src/java/org/apache/hadoop/hive/serde2/avro/AvroSerDe.java);
+Spark's own support lives in the external ``spark-avro`` module,
+which is absent in this environment. Rather than keep Avro a
+documented drop, this module re-expresses it Spark-first:
+
+- **read_avro(spark, path)**: ``binaryFile`` source (one task per
+  container file) → ``mapInArrow`` decode inside executors → a
+  normal DataFrame. The driver reads only ONE file's header to learn
+  the schema (exactly like parquet footer inference); file payloads
+  never visit the driver. Parallelism is per-file — the same unit
+  Spark's binaryFile gives any non-splittable format; at 100 TB the
+  writer-side contract below (many ~128 MB files) is what makes the
+  read side scale. (Block-level splits via sync-marker scan are
+  possible but pointless while binaryFile delivers whole files.)
+- **write_avro(df, path)**: each partition serializes itself into
+  one container file via ``write_container_stream`` (block-at-a-time,
+  bounded memory) and emits a one-row manifest (file, rows); the
+  manifest is the job's output, so the write is still a single Spark
+  action and the file fan-out equals the partition fan-out —
+  ``df.repartition(n)`` IS the file-size knob. Executors write to a
+  filesystem path that must be shared in cluster mode (documented —
+  local mode and any NFS/object-mount deployment satisfy it).
+
+Arrow is the bridge in both directions: timestamp[us] ↔
+timestamp-micros and date32 ↔ date logical types are exact integer
+casts at the Arrow level, so no float/strptime round-trips touch
+temporal values. The Python codec is the honest slow path (measured
+in tests, not hidden); columnar vectorization of the inner loop is
+possible but the container framing itself is inherently row-ordered.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json
+import os
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from .avro_codec import AvroError, read_container, write_container_stream
+
+_DECODE_BATCH_ROWS = 8192
+
+
+# ---------------------------------------------------------------- #
+# schema translation
+# ---------------------------------------------------------------- #
+
+_SPARK_TO_AVRO_PRIMITIVE: dict[type, Any] = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.ShortType: "int",
+    T.ByteType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+
+
+def spark_to_avro_schema(schema: T.StructType, name: str = "spark_record") -> dict:
+    return {
+        "type": "record",
+        "name": name,
+        "fields": [
+            {"name": f.name, "type": _field_type(f.dataType, f.nullable, f.name)}
+            for f in schema.fields
+        ],
+    }
+
+
+def _field_type(dt: T.DataType, nullable: bool, path: str) -> Any:
+    avro: Any
+    if type(dt) in _SPARK_TO_AVRO_PRIMITIVE:
+        avro = _SPARK_TO_AVRO_PRIMITIVE[type(dt)]
+    elif isinstance(dt, T.TimestampType):
+        avro = {"type": "long", "logicalType": "timestamp-micros"}
+    elif isinstance(dt, T.TimestampNTZType):
+        avro = {"type": "long", "logicalType": "local-timestamp-micros"}
+    elif isinstance(dt, T.DateType):
+        avro = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.ArrayType):
+        avro = {
+            "type": "array",
+            "items": _field_type(dt.elementType, dt.containsNull, path + ".item"),
+        }
+    elif isinstance(dt, T.MapType):
+        if not isinstance(dt.keyType, T.StringType):
+            raise AvroError(f"Avro maps require string keys (column {path})")
+        avro = {
+            "type": "map",
+            "values": _field_type(dt.valueType, dt.valueContainsNull, path + ".value"),
+        }
+    elif isinstance(dt, T.StructType):
+        avro = spark_to_avro_schema(dt, name=path.replace(".", "_"))
+    else:
+        raise AvroError(f"no Avro mapping for Spark type {dt.simpleString()} (column {path})")
+    return ["null", avro] if nullable else avro
+
+
+def avro_to_spark_field(avro: Any, name: str) -> tuple[T.DataType, bool]:
+    """-> (sparkType, nullable)."""
+    if isinstance(avro, list):  # union
+        non_null = [b for b in avro if b != "null"]
+        if len(non_null) != 1 or len(non_null) == len(avro):
+            raise AvroError(f"only [null, T] unions map to Spark (field {name}): {avro}")
+        dt, _ = avro_to_spark_field(non_null[0], name)
+        return dt, True
+    if isinstance(avro, dict):
+        logical = avro.get("logicalType")
+        if logical == "timestamp-micros":
+            return T.TimestampType(), False
+        if logical == "local-timestamp-micros":
+            return T.TimestampNTZType(), False
+        if logical == "date":
+            return T.DateType(), False
+        t = avro["type"]
+        if t == "array":
+            item, item_null = avro_to_spark_field(avro["items"], name + ".item")
+            return T.ArrayType(item, containsNull=item_null), False
+        if t == "map":
+            val, val_null = avro_to_spark_field(avro["values"], name + ".value")
+            return T.MapType(T.StringType(), val, valueContainsNull=val_null), False
+        if t == "record":
+            fields = [
+                T.StructField(f["name"], *avro_to_spark_field(f["type"], f["name"]))
+                for f in avro["fields"]
+            ]
+            return T.StructType(fields), False
+        avro = t  # primitive spelled as {"type": "long"}
+    prim = {
+        "boolean": T.BooleanType(),
+        "int": T.IntegerType(),
+        "long": T.LongType(),
+        "float": T.FloatType(),
+        "double": T.DoubleType(),
+        "string": T.StringType(),
+        "bytes": T.BinaryType(),
+        "null": T.NullType(),
+    }.get(avro)
+    if prim is None:
+        raise AvroError(f"unsupported Avro type for Spark (field {name}): {avro!r}")
+    return prim, avro == "null"
+
+
+def avro_to_spark_schema(avro: dict) -> T.StructType:
+    if avro.get("type") != "record":
+        raise AvroError(f"top-level Avro schema must be a record, got {avro!r}")
+    fields = []
+    for f in avro["fields"]:
+        dt, nullable = avro_to_spark_field(f["type"], f["name"])
+        fields.append(T.StructField(f["name"], dt, nullable=nullable))
+    return T.StructType(fields)
+
+
+# ---------------------------------------------------------------- #
+# Arrow bridging: temporal types travel as their exact integer
+# representations (epoch micros / epoch days), never through
+# datetime objects or floats.
+# ---------------------------------------------------------------- #
+
+
+def _arrow_storage_type(t):
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(t):
+        return pa.int64()
+    if pa.types.is_date32(t):
+        return pa.int32()
+    if pa.types.is_list(t):
+        return pa.list_(_arrow_storage_type(t.value_type))
+    if pa.types.is_map(t):
+        return pa.map_(t.key_type, _arrow_storage_type(t.item_type))
+    if pa.types.is_struct(t):
+        import pyarrow as pa
+
+        return pa.struct(
+            [pa.field(f.name, _arrow_storage_type(f.type), f.nullable) for f in t]
+        )
+    return t
+
+
+def _batch_to_rows(batch) -> list[dict]:
+    """Arrow RecordBatch -> python dicts with avro-physical values
+    (timestamps/dates already integers via exact arrow casts)."""
+    import pyarrow as pa
+
+    cols = []
+    for i, field in enumerate(batch.schema):
+        storage = _arrow_storage_type(field.type)
+        col = batch.column(i)
+        if storage != field.type:
+            col = col.cast(storage)
+        cols.append(col)
+    cast_batch = pa.RecordBatch.from_arrays(
+        cols, names=[f.name for f in batch.schema]
+    )
+    return cast_batch.to_pylist()
+
+
+def _rows_to_batch(rows: list[dict], arrow_schema):
+    """Decoded avro rows -> Arrow RecordBatch matching arrow_schema;
+    ints become timestamps/dates through exact integer casts."""
+    import pyarrow as pa
+
+    arrays = []
+    for field in arrow_schema:
+        vals = [r.get(field.name) for r in rows]
+        storage = _arrow_storage_type(field.type)
+        arr = pa.array(vals, type=storage)
+        if storage != field.type:
+            arr = arr.cast(field.type)
+        arrays.append(arr)
+    return pa.RecordBatch.from_arrays(arrays, schema=arrow_schema)
+
+
+# ---------------------------------------------------------------- #
+# public API
+# ---------------------------------------------------------------- #
+
+
+def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
+    """Write ``df`` to ``path/part-*.avro`` (one file per partition)
+    + ``_SUCCESS``. Returns total rows written. ``df.repartition(n)``
+    beforehand is the file-count/size knob."""
+    avro_schema = spark_to_avro_schema(df.schema)
+    schema_json = json.dumps(avro_schema)
+    os.makedirs(path, exist_ok=True)
+
+    def serialize(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        fname = os.path.join(path, f"part-{pid:05d}.avro")
+
+        def rows() -> Iterator[dict]:
+            for batch in batches:
+                yield from _batch_to_rows(batch)
+
+        tmp = fname + ".inprogress"
+        with open(tmp, "wb") as fh:
+            n = write_container_stream(
+                fh, json.loads(schema_json), rows(), codec=codec, sync_seed=fname
+            )
+        os.replace(tmp, fname)  # readers never observe partial files
+        yield pa.RecordBatch.from_pylist(
+            [{"file": fname, "rows": n}],
+            schema=pa.schema([("file", pa.string()), ("rows", pa.int64())]),
+        )
+
+    manifest = df.mapInArrow(serialize, "file string, rows bigint").collect()
+    with open(os.path.join(path, "_SUCCESS"), "w"):
+        pass
+    return sum(r.rows for r in manifest)
+
+
+def _header_schema(file_path: str) -> dict:
+    """Driver-side schema inference: parse ONE file's header (the
+    metadata map sits at the front; 1 MiB covers any sane schema)."""
+    with open(file_path, "rb") as fh:
+        prefix = fh.read(1 << 20)
+    schema, _rows = read_container(prefix)
+    return schema
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Read ``path`` (a directory of ``*.avro`` or a single file)
+    into a DataFrame. Schema comes from the first file's header;
+    every file is decoded on an executor."""
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise AvroError(f"no .avro files at {path}")
+    avro_schema = _header_schema(files[0])
+    spark_schema = avro_to_spark_schema(avro_schema)
+    schema_json = json.dumps(avro_schema)
+
+    binary = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.avro")
+        .load(path if os.path.isdir(path) else files)
+    ).select("content")
+
+    def decode(batches: Iterator) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_schema)
+        expected = json.loads(schema_json)
+        for batch in batches:
+            for rec in batch.to_pylist():
+                file_schema, rows = read_container(rec["content"])
+                if file_schema != expected:
+                    raise AvroError(
+                        "schema drift across files: "
+                        f"{file_schema} != {expected}"
+                    )
+                chunk: list[dict] = []
+                for row in rows:
+                    chunk.append(row)
+                    if len(chunk) >= _DECODE_BATCH_ROWS:
+                        yield _rows_to_batch(chunk, arrow_schema)
+                        chunk = []
+                if chunk:
+                    yield _rows_to_batch(chunk, arrow_schema)
+
+    return binary.mapInArrow(decode, spark_schema)
+
+
+__all__ = [
+    "avro_to_spark_schema",
+    "read_avro",
+    "spark_to_avro_schema",
+    "write_avro",
+]

@@ -1,0 +1,414 @@
+"""Pure-Python Avro object-container-file codec.
+
+Implements the PUBLIC Apache Avro 1.x specification (binary encoding
++ object container files) with no third-party dependency, because
+this environment has neither the ``spark-avro`` datasource module nor
+a Python avro package — yet Avro is the one §1.4 storage format of
+the reference (serde/src/java/org/apache/hadoop/hive/serde2/avro/
+AvroSerDe.java, registered via ql/.../io/AvroFileStorageFormat
+Descriptor.java) a real user would actually hit. This module is the
+format layer only; the distributed read/write paths live in
+``sources/avro.py`` and run this codec inside executors.
+
+Scope (everything the engine's data model needs):
+- primitives: null, boolean, int, long, float, double, bytes, string
+- complex: record, array, map (string keys), union
+- nullability as the idiomatic ``["null", T]`` union
+- logical types: timestamp-micros (on long), date (on int) — exactly
+  Spark's TimestampType / DateType physical semantics
+- codecs: ``null`` and ``deflate`` (raw RFC-1951, per the spec)
+- container: magic ``Obj\\x01``, file-metadata map, 16-byte sync
+  marker, count+size-prefixed data blocks
+
+Decoding handles the general array/map block form (negative counts
+with a byte-size prefix) so files produced by the Java implementation
+read correctly. Unsupported Avro features (enum, fixed, recursive
+types, non-nullable multi-branch unions) raise with a clear message
+rather than mis-decoding.
+
+Cross-validated in tests against the official Apache Avro JAVA
+library (avro-1.12.1.jar, already on Spark's classpath) in both
+directions: files we write are read by ``org.apache.avro.file.
+DataFileReader``, and files written by the Java library are read
+here. That, not self-agreement, is the correctness claim.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import zlib
+from hashlib import md5
+from typing import Any, Callable, Iterable, Iterator
+
+MAGIC = b"Obj\x01"
+_BLOCK_ROWS = 4096  # rows per container block before a flush
+_BLOCK_BYTES = 1 << 20  # ...or bytes, whichever comes first
+
+
+class AvroError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------- #
+# primitive binary encoding (spec: "Binary Encoding")
+# ---------------------------------------------------------------- #
+
+
+def _zigzag_encode(v: int) -> int:
+    return ((v << 1) ^ (v >> 63)) & ((1 << 64) - 1)
+
+
+def write_long(out: bytearray, v: int) -> None:
+    n = _zigzag_encode(v)
+    while n & ~0x7F:
+        out.append((n & 0x7F) | 0x80)
+        n >>= 7
+    out.append(n)
+
+
+def write_bytes(out: bytearray, b: bytes) -> None:
+    write_long(out, len(b))
+    out += b
+
+
+def write_string(out: bytearray, s: str) -> None:
+    write_bytes(out, s.encode("utf-8"))
+
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def read(self, n: int) -> bytes:
+        b = self.buf[self.pos : self.pos + n]
+        if len(b) != n:
+            raise AvroError(f"truncated input: wanted {n} bytes, got {len(b)}")
+        self.pos += n
+        return b
+
+    def read_long(self) -> int:
+        n = 0
+        shift = 0
+        while True:
+            byte = self.buf[self.pos]
+            self.pos += 1
+            n |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise AvroError("varint too long")
+        return (n >> 1) ^ -(n & 1)
+
+    def read_bytes(self) -> bytes:
+        return self.read(self.read_long())
+
+    def read_string(self) -> str:
+        return self.read_bytes().decode("utf-8")
+
+
+# ---------------------------------------------------------------- #
+# schema-driven value encode/decode
+#
+# Schemas are the parsed-JSON form (str for primitives, dict for
+# complex/logical, list for unions). ``_encoder``/``_decoder``
+# compile a schema node into a closure once per file, so the per-row
+# path does no schema interpretation.
+# ---------------------------------------------------------------- #
+
+_PRIMITIVES = {"null", "boolean", "int", "long", "float", "double", "bytes", "string"}
+
+
+def _type_name(schema: Any) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, dict):
+        return schema["type"]
+    if isinstance(schema, list):
+        return "union"
+    raise AvroError(f"unparseable schema node: {schema!r}")
+
+
+def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
+    t = _type_name(schema)
+    if t == "null":
+        return lambda out, v: None
+    if t == "boolean":
+        return lambda out, v: out.append(1 if v else 0)
+    if t in ("int", "long"):
+        return write_long
+    if t == "float":
+        return lambda out, v: out.__iadd__(struct.pack("<f", v))
+    if t == "double":
+        return lambda out, v: out.__iadd__(struct.pack("<d", v))
+    if t == "bytes":
+        return lambda out, v: write_bytes(out, bytes(v))
+    if t == "string":
+        return write_string
+    if t == "union":
+        branches = [(_type_name(b), _encoder(b)) for b in schema]
+        null_idx = next((i for i, (n, _) in enumerate(branches) if n == "null"), None)
+        if null_idx is None or len(branches) != 2:
+            raise AvroError(f"only [null, T] unions supported for writing, got {schema}")
+        other_idx = 1 - null_idx
+        other_enc = branches[other_idx][1]
+
+        def enc_union(out: bytearray, v: Any) -> None:
+            if v is None:
+                write_long(out, null_idx)
+            else:
+                write_long(out, other_idx)
+                other_enc(out, v)
+
+        return enc_union
+    if t == "array":
+        item_enc = _encoder(schema["items"])
+
+        def enc_array(out: bytearray, v: Any) -> None:
+            if v:
+                write_long(out, len(v))
+                for item in v:
+                    item_enc(out, item)
+            write_long(out, 0)
+
+        return enc_array
+    if t == "map":
+        val_enc = _encoder(schema["values"])
+
+        def enc_map(out: bytearray, v: Any) -> None:
+            if v:
+                write_long(out, len(v))
+                for k, val in v.items():
+                    write_string(out, k)
+                    val_enc(out, val)
+            write_long(out, 0)
+
+        return enc_map
+    if t == "record":
+        field_encs = [(f["name"], _encoder(f["type"])) for f in schema["fields"]]
+
+        def enc_record(out: bytearray, v: Any) -> None:
+            for name, enc in field_encs:
+                enc(out, v[name])
+
+        return enc_record
+    raise AvroError(f"unsupported Avro type for writing: {t}")
+
+
+def _decoder(schema: Any) -> Callable[[_Reader], Any]:
+    t = _type_name(schema)
+    if t == "null":
+        return lambda r: None
+    if t == "boolean":
+        return lambda r: r.read(1) != b"\x00"
+    if t in ("int", "long"):
+        return _Reader.read_long
+    if t == "float":
+        return lambda r: struct.unpack("<f", r.read(4))[0]
+    if t == "double":
+        return lambda r: struct.unpack("<d", r.read(8))[0]
+    if t == "bytes":
+        return _Reader.read_bytes
+    if t == "string":
+        return _Reader.read_string
+    if t == "union":
+        branch_decs = [_decoder(b) for b in schema]
+
+        def dec_union(r: _Reader) -> Any:
+            idx = r.read_long()
+            if not 0 <= idx < len(branch_decs):
+                raise AvroError(f"union index {idx} out of range")
+            return branch_decs[idx](r)
+
+        return dec_union
+    if t == "array":
+        item_dec = _decoder(schema["items"])
+
+        def dec_array(r: _Reader) -> list:
+            out = []
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return out
+                if count < 0:  # general form: byte size follows
+                    count = -count
+                    r.read_long()
+                for _ in range(count):
+                    out.append(item_dec(r))
+
+        return dec_array
+    if t == "map":
+        val_dec = _decoder(schema["values"])
+
+        def dec_map(r: _Reader) -> dict:
+            out: dict = {}
+            while True:
+                count = r.read_long()
+                if count == 0:
+                    return out
+                if count < 0:
+                    count = -count
+                    r.read_long()
+                for _ in range(count):
+                    # key MUST be read before the value (Python
+                    # evaluates the RHS of a subscript-assign first)
+                    k = r.read_string()
+                    out[k] = val_dec(r)
+
+        return dec_map
+    if t == "record":
+        field_decs = [(f["name"], _decoder(f["type"])) for f in schema["fields"]]
+
+        def dec_record(r: _Reader) -> dict:
+            return {name: dec(r) for name, dec in field_decs}
+
+        return dec_record
+    raise AvroError(f"unsupported Avro type for reading: {t}")
+
+
+# ---------------------------------------------------------------- #
+# object container files (spec: "Object Container Files")
+# ---------------------------------------------------------------- #
+
+
+def _encode_metadata(out: bytearray, meta: dict[str, bytes]) -> None:
+    write_long(out, len(meta))
+    for k, v in meta.items():
+        write_string(out, k)
+        write_bytes(out, v)
+    write_long(out, 0)
+
+
+def write_container_stream(
+    fh,
+    schema: Any,
+    rows: Iterable[Any],
+    codec: str = "deflate",
+    sync_seed: str = "amplab_hive_spark",
+) -> int:
+    """Serialize ``rows`` (each matching ``schema``, dicts for
+    records) into ``fh`` as one Avro container file, flushing block
+    by block so a partition never has to fit in memory twice. The
+    sync marker is derived deterministically from the seed + schema,
+    which the spec permits (it only needs to delimit blocks).
+    Returns the number of rows written."""
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r} (null | deflate)")
+    enc = _encoder(schema)
+    sync = md5((sync_seed + json.dumps(schema, sort_keys=True)).encode()).digest()
+    header = bytearray(MAGIC)
+    _encode_metadata(
+        header,
+        {
+            "avro.schema": json.dumps(schema).encode("utf-8"),
+            "avro.codec": codec.encode("ascii"),
+        },
+    )
+    header += sync
+    fh.write(bytes(header))
+
+    block = bytearray()
+    n_in_block = 0
+    total = 0
+
+    def flush() -> None:
+        nonlocal block, n_in_block
+        if not n_in_block:
+            return
+        payload = bytes(block)
+        if codec == "deflate":
+            comp = zlib.compressobj(9, zlib.DEFLATED, -15)  # raw DEFLATE per spec
+            payload = comp.compress(payload) + comp.flush()
+        frame = bytearray()
+        write_long(frame, n_in_block)
+        write_long(frame, len(payload))
+        frame += payload
+        frame += sync
+        fh.write(bytes(frame))
+        block = bytearray()
+        n_in_block = 0
+
+    for row in rows:
+        enc(block, row)
+        n_in_block += 1
+        total += 1
+        if n_in_block >= _BLOCK_ROWS or len(block) >= _BLOCK_BYTES:
+            flush()
+    flush()
+    return total
+
+
+def write_container(
+    schema: Any,
+    rows: Iterable[Any],
+    codec: str = "deflate",
+    sync_seed: str = "amplab_hive_spark",
+) -> bytes:
+    """In-memory convenience wrapper over ``write_container_stream``."""
+    buf = io.BytesIO()
+    write_container_stream(buf, schema, rows, codec=codec, sync_seed=sync_seed)
+    return buf.getvalue()
+
+
+def read_container(data: bytes) -> tuple[Any, Iterator[Any]]:
+    """Parse one container file -> (schema, row iterator). Rows of a
+    record schema come back as dicts keyed by field name."""
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.read_long()
+        for _ in range(count):
+            k = r.read_string()  # key before value: RHS evaluates first
+            meta[k] = r.read_bytes()
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    sync = r.read(16)
+    dec = _decoder(schema)
+
+    def rows() -> Iterator[Any]:
+        while not r.eof():
+            n = r.read_long()
+            size = r.read_long()
+            payload = r.read(size)
+            if codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            if r.read(16) != sync:
+                raise AvroError("sync marker mismatch (corrupt block boundary)")
+            br = _Reader(payload)
+            for _ in range(n):
+                yield dec(br)
+
+    return schema, rows()
+
+
+def read_schema(data: bytes) -> Any:
+    """Header-only parse: the writer schema without touching blocks."""
+    schema, _ = read_container(data)
+    return schema
+
+
+__all__ = [
+    "AvroError",
+    "MAGIC",
+    "read_container",
+    "read_schema",
+    "write_container",
+    "write_container_stream",
+]

@@ -1,0 +1,226 @@
+"""Avro source tests (closes the round-4 "what's missing" item 1).
+
+The correctness claim is NOT self-agreement: the files our pure-Python
+codec writes are read back by the official Apache Avro JAVA library
+(avro-1.12.1.jar, already on Spark's classpath, driven via py4j), and
+files written by the Java library are read by our codec. Reference
+semantic anchor: serde/src/java/org/apache/hadoop/hive/serde2/avro/
+AvroSerDe.java (Hive's Avro storage format).
+"""
+
+import json
+import math
+import os
+
+import pytest
+
+from amplab_hive_spark.catalog import tables
+from amplab_hive_spark.sources.avro import (
+    avro_to_spark_schema,
+    read_avro,
+    spark_to_avro_schema,
+    write_avro,
+)
+from amplab_hive_spark.sources.avro_codec import (
+    AvroError,
+    read_container,
+    write_container,
+)
+
+RICH_SCHEMA = {
+    "type": "record",
+    "name": "rich",
+    "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "float"}},
+        {"name": "d", "type": "double"},
+        {"name": "ts", "type": ["null", {"type": "long", "logicalType": "timestamp-micros"}]},
+        {"name": "m", "type": {"type": "map", "values": "int"}},
+        {"name": "bin", "type": "bytes"},
+        {"name": "flag", "type": "boolean"},
+    ],
+}
+
+RICH_ROWS = [
+    {
+        "a": -(2**63),  # zigzag lower edge
+        "b": None,
+        "c": [1.5, -2.25],
+        "d": 3.14159,
+        "ts": 1700000000000000,
+        "m": {"x": 1, "y": -2},
+        "bin": b"\x00\xff\x10",
+        "flag": True,
+    },
+    {
+        "a": 2**63 - 1,  # zigzag upper edge
+        "b": "héllo ünïcode ☃",
+        "c": [],
+        "d": float("nan"),
+        "ts": None,
+        "m": {},
+        "bin": b"",
+        "flag": False,
+    },
+    {"a": 0, "b": "", "c": [0.0], "d": -0.0, "ts": 0, "m": {"k": 0}, "bin": b"\x7f", "flag": True},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_roundtrip_rich_types(codec):
+    blob = write_container(RICH_SCHEMA, RICH_ROWS, codec=codec)
+    schema, rows = read_container(blob)
+    got = list(rows)
+    assert schema == RICH_SCHEMA
+    assert len(got) == 3
+    assert got[0] == RICH_ROWS[0]
+    assert got[1]["a"] == 2**63 - 1 and got[1]["b"] == RICH_ROWS[1]["b"]
+    assert math.isnan(got[1]["d"]) and got[1]["ts"] is None
+    assert got[2] == RICH_ROWS[2]
+
+
+def test_codec_multiblock_and_order():
+    rows = [{"a": i, "b": str(i), "c": [float(i)], "d": i / 7, "ts": i, "m": {}, "bin": b"", "flag": False} for i in range(10_000)]
+    blob = write_container(RICH_SCHEMA, rows)
+    got = list(read_container(blob)[1])
+    assert len(got) == 10_000
+    assert [r["a"] for r in got] == list(range(10_000))  # block framing preserves order
+
+
+def test_codec_error_paths():
+    with pytest.raises(AvroError, match="magic"):
+        read_container(b"PAR1" + b"\x00" * 64)
+    with pytest.raises(AvroError, match="codec"):
+        write_container("long", [1], codec="snappy")
+    with pytest.raises(AvroError, match="union"):
+        write_container(["int", "string"], ["x"])
+    with pytest.raises(AvroError, match="unsupported Avro type"):
+        write_container({"type": "enum", "name": "e", "symbols": ["A"]}, ["A"])
+
+
+def test_schema_translation_roundtrip(spark, sf_dir):
+    for name in ["region", "orders", "lineitem", "events", "documents", "embeddings"]:
+        df = getattr(tables(spark, sf_dir), name)
+        back = avro_to_spark_schema(spark_to_avro_schema(df.schema))
+        assert [(f.name, f.dataType) for f in back.fields] == [
+            (f.name, f.dataType) for f in df.schema.fields
+        ], name
+
+
+def test_spark_roundtrip_all_tables(spark, sf_dir, tmp_path):
+    """Every testdata table: write_avro -> read_avro must preserve
+    schema (names + types) and the full value multiset. Covers long/
+    int/double/string, timestamp_ntz, and array<float>."""
+    t = tables(spark, sf_dir)
+    for name in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        df = getattr(t, name)
+        path = str(tmp_path / name)
+        n = write_avro(df, path)
+        assert n == df.count()
+        back = read_avro(spark, path)
+        assert [(f.name, f.dataType) for f in back.schema.fields] == [
+            (f.name, f.dataType) for f in df.schema.fields
+        ], name
+        assert sorted(map(str, back.collect())) == sorted(map(str, df.collect())), name
+        assert os.path.exists(os.path.join(path, "_SUCCESS"))
+
+
+def test_repartition_controls_file_fanout(spark, sf_dir, tmp_path):
+    t = tables(spark, sf_dir)
+    path = str(tmp_path / "orders4")
+    write_avro(t.orders.repartition(4), path)
+    files = [f for f in os.listdir(path) if f.endswith(".avro")]
+    assert len(files) == 4
+
+
+def test_java_library_reads_our_files(spark, sf_dir, tmp_path):
+    """Files written by the Python codec must be readable by
+    org.apache.avro.file.DataFileReader — the official implementation
+    is the oracle, not our own reader."""
+    t = tables(spark, sf_dir)
+    path = str(tmp_path / "nation")
+    write_avro(t.nation, path)
+    jvm = spark._jvm
+    total, names = 0, set()
+    for af in sorted(os.listdir(path)):
+        if not af.endswith(".avro"):
+            continue
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(path, af)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            rec = reader.next()
+            total += 1
+            names.add(str(rec.get("n_name")))
+        reader.close()
+    expected = {r.n_name for r in t.nation.collect()}
+    assert total == 25 and names == expected
+
+
+def test_we_read_java_written_files(spark, tmp_path):
+    """Files written by the official Java library (deflate codec,
+    including its array encoding and null unions) must decode
+    correctly here."""
+    jvm = spark._jvm
+    schema_json = json.dumps(
+        {
+            "type": "record",
+            "name": "jrec",
+            "fields": [
+                {"name": "id", "type": "long"},
+                {"name": "label", "type": ["null", "string"]},
+                {"name": "score", "type": "double"},
+                {"name": "tags", "type": {"type": "array", "items": "int"}},
+            ],
+        }
+    )
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    writer.setCodec(jvm.org.apache.avro.file.CodecFactory.deflateCodec(6))
+    jpath = str(tmp_path / "javafile.avro")
+    writer.create(jschema, jvm.java.io.File(jpath))
+    GD = jvm.org.apache.avro.generic.GenericData
+    for i in range(50):
+        rec = GD.Record(jschema)
+        rec.put("id", i)
+        rec.put("label", None if i % 5 == 0 else f"L{i}")
+        rec.put("score", i / 3.0)
+        arr = jvm.java.util.ArrayList()
+        for k in range(i % 4):
+            arr.add(k)
+        rec.put("tags", arr)
+        writer.append(rec)
+    writer.close()
+    with open(jpath, "rb") as fh:
+        _schema, rows = read_container(fh.read())
+    got = list(rows)
+    assert len(got) == 50
+    assert got[0] == {"id": 0, "label": None, "score": 0.0, "tags": []}
+    assert got[7] == {"id": 7, "label": "L7", "score": 7 / 3.0, "tags": [0, 1, 2]}
+    # and the Spark-level reader agrees end-to-end
+    df = read_avro(spark, jpath)
+    assert df.count() == 50
+    assert df.filter("label IS NULL").count() == 10
+
+
+def test_temporal_values_exact_to_the_microsecond(spark, tmp_path):
+    """Timestamps travel as integer micros through Arrow casts — no
+    float or strptime on the path. A microsecond-precision value must
+    survive exactly."""
+    df = spark.sql(
+        "SELECT TIMESTAMP_NTZ '2024-02-29 23:59:59.999999' AS ts, "
+        "DATE '2024-02-29' AS d, CAST(NULL AS TIMESTAMP_NTZ) AS ts_null"
+    )
+    path = str(tmp_path / "temporal")
+    write_avro(df, path)
+    back = read_avro(spark, path).collect()[0]
+    assert str(back.ts) == "2024-02-29 23:59:59.999999"
+    assert str(back.d) == "2024-02-29"
+    assert back.ts_null is None

@@ -111,13 +111,15 @@ def test_salted_join_equivalence(spark, sf_dir):
 
 
 def test_avro_documented_drop_or_roundtrip(spark, sf_dir, io_dir):
-    """Avro SerDe (reference serde2/avro/) is a DOCUMENTED DROP in
-    this environment (README §dropped): spark-avro is an external
-    module, not bundled with PySpark, and the container is offline.
-    This test pins the documented state — if the module IS present
-    (cluster deployment with spark.jars.packages), the round-trip
-    must work; if absent, the error must be Spark's find-the-package
-    hint, not silent data corruption."""
+    """The ``spark-avro`` DATASOURCE module is still absent in this
+    environment, and this test pins .format("avro")'s behavior: if
+    present (cluster with spark.jars.packages) the round-trip must
+    work; if absent, the error must be Spark's find-the-package hint,
+    not silent corruption. Avro itself is NO LONGER a drop — the
+    engine ships a native distributed reader/writer
+    (sources/avro.py, cross-validated against the Apache Avro Java
+    library in tests/test_avro.py); this test only covers the
+    third-party-module seam."""
     t = tables(spark, sf_dir)
     path = f"{io_dir}/roundtrip_avro"
     try:
