@@ -477,3 +477,48 @@ def transform_rows(
     tab-separated rows; mapInPandas keeps it in-process and
     vectorized."""
     return df.mapInPandas(fn, schema=schema)
+
+
+def partition_values(spark: SparkSession, name: str) -> DataFrame:
+    """Partition-column values from CATALOG METADATA — no data-file
+    scan. The explicit form of Hive's metadata-only optimization
+    (ql/optimizer/MetadataOnlyOptimizer.java, exercised by
+    clientpositive/metadataonly1.q: ``max(ds)``, ``count(distinct
+    ds)`` answered from partition specs).
+
+    Deliberately an explicit API rather than an automatic rewrite:
+    partition metadata counts partitions that exist with ZERO rows,
+    so ``max(ds)`` over metadata can disagree with ``max(ds)`` over
+    data — the correctness bug that led Spark to remove its own
+    OptimizeMetadataOnlyQuery rule. When every partition is non-empty
+    the two answers coincide (tested); when a caller knows partitions
+    may be empty they must choose which question they're asking.
+    tests/test_metadata_only.py pins both the parity and the
+    divergence.
+
+    Scale shape: one catalog RPC (SHOW PARTITIONS) + a driver-local
+    parse of partition SPECS (bounded by partition count, thousands —
+    not rows, billions); the result is a tiny local DataFrame cast to
+    the table's partition-column types. Hive default-partition
+    sentinels decode to NULL; %-escapes in values decode per Hive's
+    FileUtils.escapePathName."""
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    pcols = _partition_columns(spark, name)
+    if not pcols:
+        raise ValueError(f"table {name} is not partitioned")
+    specs = [r[0] for r in spark.sql(f"SHOW PARTITIONS {name}").collect()]
+    rows = []
+    for spec in specs:
+        vals: dict[str, str | None] = {}
+        for piece in spec.split("/"):
+            k, _, v = piece.partition("=")
+            v = unquote(v)
+            vals[k] = None if v == "__HIVE_DEFAULT_PARTITION__" else v
+        rows.append(tuple(vals.get(c) for c in pcols))
+    schema_str = ", ".join(f"{c} string" for c in pcols)
+    raw = spark.createDataFrame(rows or [], schema=schema_str)
+    target_types = dict(spark.table(name).select(*pcols).dtypes)
+    return raw.select(*[F.col(c).cast(target_types[c]).alias(c) for c in pcols])
