@@ -223,7 +223,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CENTROIDS = 16
-_IVF_NPROBE = 4
+_IVF_NPROBE = 6
+_IVF_LLOYD_ITERS = 2
 # Fixed-point scale for the PORTABLE index geometry: coordinates
 # become floor(double(x) · 2²⁴) — float→double is exact, the double
 # product and floor are IEEE-deterministic, so every engine derives
@@ -267,20 +268,22 @@ def _o_ivf_dist(q: str, s: str, n: str) -> str:
 
 
 def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """IVF (inverted-file) index: K centroids refined with one Lloyd
-    iteration, every vector assigned to its nearest centroid —
-    entirely in PORTABLE integer geometry (quantized coordinates,
-    centroid = exact coordinate SUMS + count rather than a float
-    mean, distances compared at n²-scale), so the build is exactly
-    reproducible by the DuckDB oracle. A float mean over
-    collect_list would not be: the list's order is nondeterministic
-    and float addition doesn't commute.
+    """IVF (inverted-file) index: K centroids refined with
+    ``_IVF_LLOYD_ITERS`` Lloyd iterations, every vector assigned to
+    its nearest centroid — entirely in PORTABLE integer geometry
+    (quantized coordinates, centroid = exact coordinate SUMS + count
+    rather than a float mean, distances compared at n²-scale), so
+    the build is exactly reproducible by the DuckDB oracle. A float
+    mean over collect_list would not be: the list's order is
+    nondeterministic and float addition doesn't commute.
 
     Returns (centroids, assigned): centroids = (cid, s, n) with s
     the per-dimension sum array; assigned = (vec_id, embedding, q,
     cid). At 100 TB the assignment is one scan with a broadcast of
-    K·dim longs; the Lloyd step shuffles only (cid, dim, partial
-    sum)."""
+    K·dim longs; each Lloyd step shuffles only (cid, dim, partial
+    sum). Overflow headroom: |sᵢ| ≤ 2²⁴·members and the dist
+    subtraction qᵢ·n − sᵢ stays well inside BIGINT for corpora up to
+    ~2³⁸ rows per cell — iteration count doesn't change the bound."""
     from pyspark.sql import Window
 
     quant = embeddings.select(
@@ -313,30 +316,34 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
             .select("vec_id", "embedding", "q", "cid")
         )
 
-    first = assign(quant, seeds)
-    # One Lloyd iteration with ORDER-FREE integer sums: explode to
-    # (cid, dim, value), sum per (cid, dim) — commutative — then
-    # reassemble the array sorted by dim.
-    sums = (
-        first.select("cid", F.posexplode("q").alias("pos", "val"))
-        .groupBy("cid", "pos")
-        .agg(F.sum("val").alias("s_d"))
-        .groupBy("cid")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "s_d"))),
-                lambda kv: kv["s_d"],
-            ).alias("s")
+    def lloyd(members: DataFrame) -> DataFrame:
+        # ORDER-FREE integer sums: explode to (cid, dim, value), sum
+        # per (cid, dim) — commutative — then reassemble sorted by dim.
+        sums = (
+            members.select("cid", F.posexplode("q").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s_d"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "s_d"))),
+                    lambda kv: kv["s_d"],
+                ).alias("s")
+            )
         )
-    )
-    counts = first.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-    # 16 rows — persist so the seed→assign→Lloyd chain materializes
-    # ONCE even though both the re-assignment below and the caller's
-    # probe ranking reference it (without this every consumer
-    # rebuilds the index: measured 2.21s → 1.63s at sf0.1).
-    refined = sums.join(counts, "cid").persist()
-    assigned = assign(quant, refined)
-    return refined, assigned
+        counts = members.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
+        # 16 rows per round — persist so each refinement materializes
+        # ONCE even though the next assignment and (for the final
+        # round) the caller's probe ranking both reference it
+        # (without this every consumer rebuilds the whole chain:
+        # measured 2.21s → 1.63s at sf0.1 for the 1-iteration build).
+        return sums.join(counts, "cid").persist()
+
+    cents = seeds
+    for _ in range(_IVF_LLOYD_ITERS):
+        cents = lloyd(assign(quant, cents))
+    assigned = assign(quant, cents)
+    return cents, assigned
 
 
 _ANN_IVF_ORACLE = f"""
@@ -358,16 +365,14 @@ assign1 AS (
     FROM quant v CROSS JOIN seeds c
   ) WHERE rn = 1
 ),
-sums AS (
-  SELECT cid, list(s_d ORDER BY pos) AS s FROM (
-    SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
-    FROM assign1, (SELECT unnest(range(1, 65)) AS pos) d
-    GROUP BY cid, d.pos
-  ) GROUP BY cid
-),
-refined AS (
+refined1 AS (
   SELECT s.cid, s.s, c.n
-  FROM sums s JOIN (SELECT cid, COUNT(*) AS n FROM assign1 GROUP BY cid) c
+  FROM (SELECT cid, list(s_d ORDER BY pos) AS s FROM (
+          SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
+          FROM assign1, (SELECT unnest(range(1, 65)) AS pos) d
+          GROUP BY cid, d.pos
+        ) GROUP BY cid) s
+  JOIN (SELECT cid, COUNT(*) AS n FROM assign1 GROUP BY cid) c
     ON c.cid = s.cid
 ),
 assign2 AS (
@@ -375,7 +380,25 @@ assign2 AS (
     SELECT v.vec_id, v.q, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN refined c
+    FROM quant v CROSS JOIN refined1 c
+  ) WHERE rn = 1
+),
+refined2 AS (
+  SELECT s.cid, s.s, c.n
+  FROM (SELECT cid, list(s_d ORDER BY pos) AS s FROM (
+          SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
+          FROM assign2, (SELECT unnest(range(1, 65)) AS pos) d
+          GROUP BY cid, d.pos
+        ) GROUP BY cid) s
+  JOIN (SELECT cid, COUNT(*) AS n FROM assign2 GROUP BY cid) c
+    ON c.cid = s.cid
+),
+assign3 AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
+    FROM quant v CROSS JOIN refined2 c
   ) WHERE rn = 1
 ),
 probes AS (
@@ -383,13 +406,13 @@ probes AS (
     SELECT v.vec_id AS qid, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN refined c
+    FROM quant v CROSS JOIN refined2 c
     WHERE v.vec_id % 100 = 0
   ) WHERE rn <= {_IVF_NPROBE}
 ),
 cand AS (
   SELECT DISTINCT p.qid, a.vec_id
-  FROM assign2 a JOIN probes p ON a.cid = p.cid
+  FROM assign3 a JOIN probes p ON a.cid = p.cid
   WHERE a.vec_id <> p.qid
 ),
 scored AS (
@@ -411,9 +434,9 @@ ORDER BY qid, rnk
 
 @register("sim_ann_ivf", tags=("llm", "similarity", "ivf"), oracle=_ANN_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF index: 16 centroids (one Lloyd
-    iteration), queries probe their 4 nearest lists (nprobe=4 →
-    ~25% of the corpus scanned). The FAISS-IVF shape expressed in
+    """Approximate top-10 via an IVF index: 16 centroids (two Lloyd
+    iterations), queries probe their 6 nearest lists (nprobe=6 →
+    ~37% of the corpus scanned). The FAISS-IVF shape expressed in
     DataFrames: index build is a broadcast-assign + one shuffle;
     search is a broadcast join on cid. The index geometry is
     integer-quantized (see build_ivf_index) so the WHOLE pipeline —

@@ -58,10 +58,12 @@ def test_ann_lsh_recall(spark, sf_dir, bruteforce_topk):
 
 
 def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
-    """IVF nprobe=4/16 (~25% of corpus scanned) recall vs exact
-    top-10. The corpus is isotropic-random (worst case for IVF);
-    ≥0.35 mean recall ≈ what 25% candidate coverage buys with no
-    cluster structure. Real embedding corpora do far better."""
+    """IVF nprobe=6/16 after two Lloyd iterations (~37% of corpus
+    scanned) recall vs exact top-10: ≥0.7 mean (round-5 push —
+    measured 0.74 on the sf0.01 fixture, up from 0.62 at one
+    iteration/nprobe=4). The corpus is isotropic-random, IVF's worst
+    case; real embedding corpora cluster and do far better at the
+    same nprobe."""
     exact: dict[int, set[int]] = {}
     for r in bruteforce_topk:
         exact.setdefault(r["qid"], set()).add(r["vec_id"])
@@ -70,7 +72,7 @@ def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
         ivf.setdefault(r["qid"], set()).add(r["vec_id"])
     assert set(exact) == set(ivf)
     recalls = [len(exact[q] & ivf[q]) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.35, f"mean recall too low: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.7, f"mean recall too low: {recalls}"
 
 
 def test_langid_mechanism(spark, sf_dir):
