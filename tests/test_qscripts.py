@@ -354,6 +354,86 @@ QSCRIPTS = [
         """SELECT o_orderstatus, GROUPING(o_orderstatus) AS g, COUNT(*) AS cnt
            FROM orders GROUP BY ROLLUP(o_orderstatus)""",
     ),
+    # Round-5 tranche: metadata/stats-era leftovers + filter/agg edge
+    # families (VERDICT r4 "What's missing" #4).
+    (
+        "multi_distinct_empty_input",  # nullgroup4_multi_distinct.q: global multi-DISTINCT agg over zero matching rows -> one all-zero row
+        """SELECT COUNT(1) AS c1, COUNT(DISTINCT n_name) AS c2,
+                  COUNT(DISTINCT substr(n_name, 1, 2)) AS c3
+           FROM nation WHERE n_nationkey = 9999""",
+    ),
+    (
+        "ppd_reaggregate",  # ppd_gby2.q: outer WHERE mixes pushable and non-pushable conjuncts over a derived aggregate, then regroups
+        """SELECT MAX(c1) AS m, c2 FROM (
+             SELECT o_orderpriority AS c1, COUNT(o_orderkey) AS c2
+             FROM orders WHERE o_orderpriority > '1' GROUP BY o_orderpriority
+           ) t WHERE c1 > '2' AND (c2 > 30 OR c1 < '5')
+           GROUP BY c2""",
+    ),
+    (
+        "having_compound_aggregates",  # having2.q: three aggregate conditions ANDed in one HAVING
+        """SELECT c_nationkey, CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total,
+                  COUNT(*) AS cnt
+           FROM customer GROUP BY c_nationkey
+           HAVING SUM(CAST(c_acctbal AS DECIMAL(18,2))) > 10000
+              AND MIN(c_acctbal) < 0 AND MAX(c_acctbal) >= 9000""",
+    ),
+    (
+        "join_filters_overlap",  # join_filters_overlap.q (HIVE-3411): chained LEFT OUTER self-joins whose ON clauses carry overlapping non-key filters on the SAME left alias
+        """SELECT a.n_nationkey AS ak, b.n_nationkey AS bk, c.n_nationkey AS ck
+           FROM nation a
+           LEFT OUTER JOIN nation b
+             ON (a.n_regionkey = b.n_regionkey AND a.n_nationkey = 5 AND b.n_nationkey = 5)
+           LEFT OUTER JOIN nation c
+             ON (a.n_regionkey = c.n_regionkey AND a.n_nationkey = 10 AND c.n_nationkey = 10)""",
+    ),
+    (
+        "union_mixed_depth",  # union33.q: union of a map-only branch with a branch needing its own aggregation, consumed by an outer count
+        """SELECT COUNT(*) AS n FROM (
+             SELECT o_custkey AS k FROM orders WHERE o_custkey = 7
+             UNION ALL
+             SELECT o_custkey AS k FROM orders GROUP BY o_custkey
+           ) u""",
+    ),
+    (
+        "groupby_expr_key_multi_distinct",  # groupby_ppr.q: GROUP BY on an expression key with DISTINCT + concat(key, sum) output
+        """SELECT substr(o_orderpriority, 1, 1) AS k,
+                  COUNT(DISTINCT o_orderstatus) AS d,
+                  concat(substr(o_orderpriority, 1, 1),
+                         CAST(SUM(o_orderkey) AS STRING)) AS tagged
+           FROM orders WHERE o_orderstatus = 'F'
+           GROUP BY substr(o_orderpriority, 1, 1)""",
+    ),
+    (
+        "date_comparison_battery",  # date_comparison.q: trichotomy of a date column against a literal plus min/max rendered as strings
+        """SELECT CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) < DATE '1995-06-17' THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+                  CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) = DATE '1995-06-17' THEN 1 ELSE 0 END) AS BIGINT) AS eq,
+                  CAST(SUM(CASE WHEN CAST(l_shipdate AS DATE) > DATE '1995-06-17' THEN 1 ELSE 0 END) AS BIGINT) AS gt,
+                  CAST(MIN(CAST(l_shipdate AS DATE)) AS STRING) AS mn,
+                  CAST(MAX(CAST(l_shipdate AS DATE)) AS STRING) AS mx
+           FROM lineitem""",
+    ),
+    (
+        "groupby_constant_key",  # groupby_neg_float.q: GROUP BY a negative float constant (one group)
+        """SELECT CAST('-30.33' AS DOUBLE) AS k FROM nation
+           GROUP BY CAST('-30.33' AS DOUBLE) LIMIT 1""",
+    ),
+    (
+        "case_expr_group_key",  # udf_case_column_pruning.q: CASE WHEN as both projection and grouping key
+        """SELECT CASE WHEN n_regionkey IN (0, 1) THEN 'west'
+                       WHEN n_regionkey = 2 THEN 'asia' ELSE 'other' END AS zone,
+                  COUNT(*) AS cnt
+           FROM nation
+           GROUP BY CASE WHEN n_regionkey IN (0, 1) THEN 'west'
+                         WHEN n_regionkey = 2 THEN 'asia' ELSE 'other' END""",
+    ),
+    (
+        "join_merging_same_key",  # join_merging.q: consecutive joins on one key collapse into a single co-partitioning
+        """SELECT n_name, COUNT(*) AS pairs
+           FROM supplier a JOIN supplier b ON a.s_nationkey = b.s_nationkey
+           JOIN nation n ON a.s_nationkey = n_nationkey
+           GROUP BY n_name""",
+    ),
 ]
 
 # Round-2 tranche: the next 50 clientpositive families (VERDICT r1
