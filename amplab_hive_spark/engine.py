@@ -106,3 +106,25 @@ class Engine:
         from amplab_hive_spark.ddl import transform_rows
 
         return transform_rows(df, fn, schema)
+
+    def partition_values(self, name: str) -> DataFrame:
+        """Partition-column values from catalog metadata, no data
+        scan (Hive MetadataOnlyOptimizer semantics, explicit — see
+        ddl.partition_values for the empty-partition caveat)."""
+        from amplab_hive_spark.ddl import partition_values
+
+        return partition_values(self.spark, name)
+
+    def read_avro(self, path: str) -> DataFrame:
+        """Avro container files -> DataFrame (native distributed
+        reader, sources/avro.py; reference SerDe serde2/avro/)."""
+        from amplab_hive_spark.sources.avro import read_avro
+
+        return read_avro(self.spark, path)
+
+    def write_avro(self, df: DataFrame, path: str, codec: str = "deflate") -> int:
+        """DataFrame -> one Avro container file per partition at
+        ``path``; returns rows written."""
+        from amplab_hive_spark.sources.avro import write_avro
+
+        return write_avro(df, path, codec=codec)

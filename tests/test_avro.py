@@ -224,3 +224,16 @@ def test_temporal_values_exact_to_the_microsecond(spark, tmp_path):
     assert str(back.ts) == "2024-02-29 23:59:59.999999"
     assert str(back.d) == "2024-02-29"
     assert back.ts_null is None
+
+
+def test_engine_facade_avro(spark, sf_dir, tmp_path):
+    from amplab_hive_spark.engine import Engine
+
+    e = Engine(spark, sf_dir=sf_dir)
+    path = str(tmp_path / "facade_nation")
+    assert e.write_avro(e.table("nation"), path) == 25
+    back = e.read_avro(path)
+    assert back.count() == 25
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in e.table("nation").collect()
+    }
