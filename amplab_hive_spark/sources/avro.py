@@ -11,11 +11,13 @@ documented drop, this module re-expresses it Spark-first:
   container file) → ``mapInArrow`` decode inside executors → a
   normal DataFrame. The driver reads only ONE file's header to learn
   the schema (exactly like parquet footer inference); file payloads
-  never visit the driver. Parallelism is per-file — the same unit
-  Spark's binaryFile gives any non-splittable format; at 100 TB the
-  writer-side contract below (many ~128 MB files) is what makes the
-  read side scale. (Block-level splits via sync-marker scan are
-  possible but pointless while binaryFile delivers whole files.)
+  never visit the driver. Parallelism is per-file — right whenever
+  the writer-side contract below (many ~128 MB files) holds.
+- **read_avro_split(spark, path)**: the few-huge-files case — byte
+  spans carved driver-side from header+size alone, executors seek,
+  sync-scan, and decode exactly the blocks starting in their span
+  (Hadoop's AvroInputFormat split contract), one decompressed block
+  of memory per task.
 - **write_avro(df, path)**: each partition serializes itself into
   one container file via ``write_container_stream`` (block-at-a-time,
   bounded memory) and emits a one-row manifest (file, rows); the
@@ -43,7 +45,13 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from .avro_codec import AvroError, read_container, write_container_stream
+from .avro_codec import (
+    AvroError,
+    FileBlockReader,
+    read_container,
+    read_header,
+    write_container_stream,
+)
 
 _DECODE_BATCH_ROWS = 8192
 
@@ -316,9 +324,82 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
     return binary.mapInArrow(decode, spark_schema)
 
 
+
+
+def read_avro_split(
+    spark: SparkSession, path: str, split_bytes: int = 32 << 20
+) -> DataFrame:
+    """Split-parallel Avro reader: the 100 TB path for FEW HUGE
+    files, where ``read_avro``'s one-task-per-file unit can't use
+    the cluster. The driver reads each file's HEADER only (schema,
+    codec, sync marker) plus its size, carves byte spans of
+    ``split_bytes``, and ships (file, start, end) tasks; each task
+    seeks to its span, scans to the next sync marker, and decodes
+    exactly the blocks that START inside its span — the same split
+    contract as Hadoop's AvroInputFormat, so consecutive spans cover
+    every row once. Memory per task is one decompressed block.
+
+    Requires executors to reach ``path`` (shared FS — same contract
+    as write_avro). All files in a directory must share one schema
+    (verified driver-side against the headers)."""
+    if os.path.isdir(path):
+        files = sorted(_glob.glob(os.path.join(path, "*.avro")))
+    else:
+        files = sorted(_glob.glob(path))
+    if not files:
+        raise AvroError(f"no .avro files at {path}")
+
+    headers = {}
+    first_schema = None
+    for f in files:
+        with open(f, "rb") as fh:
+            schema, codec, sync, hlen = read_header(fh.read(1 << 20))
+        if first_schema is None:
+            first_schema = schema
+        elif schema != first_schema:
+            raise AvroError(f"schema drift across files: {f}")
+        headers[f] = (codec, sync.hex(), hlen, os.path.getsize(f))
+
+    spark_schema = avro_to_spark_schema(first_schema)
+    schema_json = json.dumps(first_schema)
+    spans = []
+    for f, (codec, sync_hex, hlen, size) in headers.items():
+        start = 0
+        while start < size:
+            spans.append((f, codec, sync_hex, hlen, start, min(start + split_bytes, size)))
+            start += split_bytes
+    spans_df = spark.createDataFrame(
+        spans, "file string, codec string, sync_hex string, header_len bigint, start bigint, end bigint"
+    ).repartition(max(len(spans), 1))
+
+    def decode(batches: Iterator) -> Iterator:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        arrow_schema = to_arrow_schema(spark_schema)
+        schema = json.loads(schema_json)
+        for batch in batches:
+            for rec in batch.to_pylist():
+                with open(rec["file"], "rb") as fh:
+                    reader = FileBlockReader(
+                        fh, schema, rec["codec"],
+                        bytes.fromhex(rec["sync_hex"]), rec["header_len"],
+                    )
+                    chunk: list[dict] = []
+                    for row in reader.rows_in_span(rec["start"], rec["end"]):
+                        chunk.append(row)
+                        if len(chunk) >= _DECODE_BATCH_ROWS:
+                            yield _rows_to_batch(chunk, arrow_schema)
+                            chunk = []
+                    if chunk:
+                        yield _rows_to_batch(chunk, arrow_schema)
+
+    return spans_df.mapInArrow(decode, spark_schema)
+
+
 __all__ = [
     "avro_to_spark_schema",
     "read_avro",
+    "read_avro_split",
     "spark_to_avro_schema",
     "write_avro",
 ]

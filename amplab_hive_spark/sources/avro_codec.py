@@ -404,8 +404,120 @@ def read_schema(data: bytes) -> Any:
     return schema
 
 
+
+
+def read_header(data: bytes) -> tuple[Any, str, bytes, int]:
+    """Parse just the container header from a file PREFIX ->
+    (schema, codec, sync_marker, header_length). The building block
+    for split reading: a task that knows (sync, header_length) can
+    enter the block stream at any offset."""
+    r = _Reader(data)
+    if r.read(4) != MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = r.read_long()
+        if count == 0:
+            break
+        if count < 0:
+            count = -count
+            r.read_long()
+        for _ in range(count):
+            k = r.read_string()  # key before value: RHS evaluates first
+            meta[k] = r.read_bytes()
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    codec = meta.get("avro.codec", b"null").decode("ascii")
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"unsupported codec {codec!r}")
+    sync = r.read(16)
+    return schema, codec, sync, r.pos
+
+
+class FileBlockReader:
+    """Stream decoded rows from an OPEN binary file handle, block by
+    block, bounded memory (one decompressed block at a time).
+
+    Split semantics match Hadoop/Avro's own: a block belongs to the
+    split containing its first byte (the byte right after the
+    preceding sync marker). ``rows_in_span(start, end)`` seeks to
+    ``start``, scans forward to the next sync (the header's trailing
+    sync counts for start=0), then yields whole blocks whose start
+    offset is < ``end`` — so consecutive spans over one file cover
+    every row exactly once. Sync-scan false positives (marker bytes
+    inside a compressed payload) are possible at probability ~2⁻¹²⁸;
+    the official Java DataFileReader.sync() accepts the same odds."""
+
+    _SCAN_CHUNK = 1 << 16
+
+    def __init__(self, fh, schema: Any, codec: str, sync: bytes, header_len: int):
+        self.fh = fh
+        self.codec = codec
+        self.sync = sync
+        self.header_len = header_len
+        self._dec = _decoder(schema)
+
+    def _read_long_stream(self):
+        n = 0
+        shift = 0
+        while True:
+            b = self.fh.read(1)
+            if not b:
+                return None  # clean EOF at a block boundary
+            byte = b[0]
+            n |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 63:
+                raise AvroError("varint too long")
+        return (n >> 1) ^ -(n & 1)
+
+    def _seek_to_block_after(self, offset: int) -> int | None:
+        """Position the handle at the first block starting at or
+        after ``offset``; return that block's start offset."""
+        if offset <= self.header_len:
+            self.fh.seek(self.header_len)
+            return self.header_len
+        self.fh.seek(offset)
+        tail = b""
+        pos = offset
+        while True:
+            chunk = self.fh.read(self._SCAN_CHUNK)
+            if not chunk:
+                return None
+            buf = tail + chunk
+            idx = buf.find(self.sync)
+            if idx != -1:
+                block_start = pos - len(tail) + idx + 16
+                self.fh.seek(block_start)
+                return block_start
+            tail = buf[-15:]
+            pos += len(chunk)
+
+    def rows_in_span(self, start: int, end: int) -> Iterator[Any]:
+        block_start = self._seek_to_block_after(start)
+        while block_start is not None and block_start < end:
+            n = self._read_long_stream()
+            if n is None:
+                return
+            size = self._read_long_stream()
+            payload = self.fh.read(size)
+            if len(payload) != size:
+                raise AvroError("truncated block payload")
+            if self.fh.read(16) != self.sync:
+                raise AvroError("sync marker mismatch (corrupt block boundary)")
+            if self.codec == "deflate":
+                payload = zlib.decompress(payload, -15)
+            br = _Reader(payload)
+            for _ in range(n):
+                yield self._dec(br)
+            block_start = self.fh.tell()
+
+
 __all__ = [
     "AvroError",
+    "FileBlockReader",
+    "read_header",
     "MAGIC",
     "read_container",
     "read_schema",

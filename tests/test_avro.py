@@ -237,3 +237,39 @@ def test_engine_facade_avro(spark, sf_dir, tmp_path):
     assert {r.n_name for r in back.collect()} == {
         r.n_name for r in e.table("nation").collect()
     }
+
+
+def test_split_reader_covers_every_row_exactly_once(spark, sf_dir, tmp_path):
+    """read_avro_split: ONE container file carved into byte spans
+    far smaller than the file must reproduce the whole-file read
+    exactly — every block consumed by precisely the span containing
+    its first byte (the Hadoop/Avro split contract). This is the
+    few-huge-files scale path the per-file reader can't parallelize."""
+    from amplab_hive_spark.sources.avro import read_avro_split
+
+    t = tables(spark, sf_dir)
+    path = str(tmp_path / "one_file")
+    n = write_avro(t.lineitem.coalesce(1), path)
+    whole = read_avro(spark, path)
+    split = read_avro_split(spark, path, split_bytes=64 << 10)  # many spans
+    assert split.count() == whole.count() == n
+    assert (
+        split.selectExpr("sum(l_orderkey)").collect()[0][0]
+        == whole.selectExpr("sum(l_orderkey)").collect()[0][0]
+    )
+    a = sorted(map(tuple, split.groupBy("l_returnflag").count().collect()))
+    b = sorted(map(tuple, whole.groupBy("l_returnflag").count().collect()))
+    assert a == b
+
+
+def test_split_reader_multi_file_dir(spark, sf_dir, tmp_path):
+    from amplab_hive_spark.sources.avro import read_avro_split
+
+    t = tables(spark, sf_dir)
+    path = str(tmp_path / "multi")
+    write_avro(t.orders.repartition(3), path)
+    split = read_avro_split(spark, path, split_bytes=32 << 10)
+    assert split.count() == t.orders.count()
+    assert {r.o_orderstatus for r in split.select("o_orderstatus").distinct().collect()} == {
+        r.o_orderstatus for r in t.orders.select("o_orderstatus").distinct().collect()
+    }
