@@ -268,3 +268,57 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# Redaction patterns. Both are written in the Java∩RE2 common regex
+# subset (character classes, alternation, \b, bounded repetition — no
+# backreferences/lookaround, which RE2 lacks) so Spark's Java engine
+# and DuckDB's RE2 match identically.
+_BLOCKLIST_PATTERN = r"\b(customer|vector|spark)\b"
+_EMAIL_PATTERN = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+_REDACTED = "<SCRUBBED>"
+
+
+@register(
+    "text_scrub_blocklist",
+    tags=("llm", "text", "redaction"),
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_BLOCKLIST_PATTERN}')) AS n_term_hits,
+       len(regexp_extract_all(text, '{_EMAIL_PATTERN}'))     AS n_pii_hits,
+       md5(regexp_replace(text, '{_BLOCKLIST_PATTERN}', '{_REDACTED}', 'g'))
+         AS scrubbed_hash,
+       length(regexp_replace(text, '{_BLOCKLIST_PATTERN}', '{_REDACTED}', 'g'))
+         - length(text) AS len_delta
+FROM documents
+WHERE doc_id % 25 = 19
+ORDER BY doc_id
+""",
+)
+def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist/PII scrubbing — the redaction pass a training-data
+    pipeline runs before packing (strip contaminating markers, mask
+    PII). Reports per-doc hit counts for a term blocklist and an
+    email-shaped PII pattern, plus the md5 of the scrubbed text so
+    the oracle verifies the exact replacement output without moving
+    payloads. The corpus contains no email-shaped tokens, so
+    n_pii_hits verifying as 0 everywhere is itself the assertion that
+    the pattern doesn't false-positive on clean text; the positive
+    path is unit-tested on literal rows in tests/test_llm_ops.py.
+
+    Scale: regexp_count/regexp_replace are JVM expressions — one
+    scan, no shuffle, no Python; the filter prunes at the parquet
+    scan."""
+    t = tables(spark, sf_dir)
+    scrubbed = F.regexp_replace("text", F.lit(_BLOCKLIST_PATTERN), F.lit(_REDACTED))
+    return (
+        t.documents.filter(F.col("doc_id") % 25 == 19)
+        .select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_BLOCKLIST_PATTERN)).alias("n_term_hits"),
+            F.regexp_count("text", F.lit(_EMAIL_PATTERN)).alias("n_pii_hits"),
+            F.md5(scrubbed).alias("scrubbed_hash"),
+            (F.length(scrubbed) - F.length("text")).alias("len_delta"),
+        )
+        .orderBy("doc_id")
+    )

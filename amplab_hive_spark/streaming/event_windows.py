@@ -271,3 +271,56 @@ def events_burst_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start")
     )
+
+
+@register(
+    "events_retention_cohorts",
+    tags=("streaming", "analytics"),
+    oracle="""
+WITH weekly AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+  FROM events
+),
+cohorted AS (
+  SELECT user_id, week,
+         MIN(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM weekly
+)
+SELECT cohort_week,
+       (date_diff('day', cohort_week, week) // 7) AS week_offset,
+       COUNT(*) AS n_users
+FROM cohorted
+GROUP BY 1, 2
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users are cohorted by the week of
+    their first event, and each cell counts how many of a cohort's
+    users were active N weeks later — the activation/retention matrix
+    every product-analytics stack derives from the raw event log.
+
+    Plan shape: the log first collapses to DISTINCT (user_id, week)
+    — at 100 TB this is the only pass over the raw events, and it
+    reduces cardinality to #users x #weeks. The cohort week is then a
+    window MIN over the already-collapsed frame partitioned by
+    user_id, which AQE coalesces onto the distinct's existing
+    hash(user_id, week) exchange lineage rather than re-scanning the
+    log (a groupBy-min + self-join spelling would scan twice and
+    shuffle the log twice). Counting rows of the distinct frame ==
+    COUNT(DISTINCT user) per cell, with no second distinct needed."""
+    t = tables(spark, sf_dir)
+    weekly = t.events.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohorted = weekly.withColumn(
+        "cohort_week", F.min("week").over(Window.partitionBy("user_id"))
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

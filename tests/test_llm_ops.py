@@ -222,3 +222,88 @@ def test_neardup_bucketed_no_nested_loop(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scrub_patterns_positive_path(spark):
+    """The corpus has no email-shaped tokens, so the registered
+    query's n_pii_hits==0 only proves no false positives; this pins
+    the positive path on literal rows — emails are counted and the
+    blocklist replacement rewrites exactly the matched words."""
+    from amplab_hive_spark.llm.text import (
+        _BLOCKLIST_PATTERN,
+        _EMAIL_PATTERN,
+        _REDACTED,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "contact bob@example.com or alice.smith+x@mail.co today"),
+            (2, "the customer saw a vector near spark and customers"),
+            (3, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            F.regexp_count("text", F.lit(_EMAIL_PATTERN)).alias("pii"),
+            F.regexp_count("text", F.lit(_BLOCKLIST_PATTERN)).alias("terms"),
+            F.regexp_replace(
+                "text", F.lit(_BLOCKLIST_PATTERN), F.lit(_REDACTED)
+            ).alias("scrubbed"),
+        ).collect()
+    }
+    assert out[1]["pii"] == 2 and out[1]["terms"] == 0
+    # \b keeps 'customers' intact (no partial-word scrub)
+    assert out[2]["terms"] == 3
+    assert (
+        out[2]["scrubbed"]
+        == f"the {_REDACTED} saw a {_REDACTED} near {_REDACTED} and customers"
+    )
+    assert out[3]["pii"] == 0 and out[3]["terms"] == 0
+
+
+def test_retention_cohort_fixture(spark):
+    """Hand-computed cohort matrix: users cohorted by first-activity
+    week, each (cohort, offset) cell counting distinct active users —
+    including a user with two events in one week (counted once) and a
+    gap week (offset skipped, later offset still attributed)."""
+    from amplab_hive_spark.streaming.event_windows import events_retention_cohorts
+
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [
+            # user 1: first week Mon 2024-01-01, active offsets 0,1
+            (1, datetime(2024, 1, 2, 10)),
+            (1, datetime(2024, 1, 3, 11)),  # same week, distinct-collapsed
+            (1, datetime(2024, 1, 8, 9)),
+            # user 2: same cohort, active offsets 0 and 2 (gap at 1)
+            (2, datetime(2024, 1, 5, 8)),
+            (2, datetime(2024, 1, 16, 8)),
+            # user 3: later cohort (week of 2024-01-08), offset 0 only
+            (3, datetime(2024, 1, 10, 12)),
+        ],
+        "user_id long, ts timestamp",
+    )
+    import amplab_hive_spark.streaming.event_windows as ew
+
+    class _T:
+        events = df
+
+    orig = ew.tables
+    ew.tables = lambda s, d: _T()
+    try:
+        rows = {
+            (str(r["cohort_week"]), r["week_offset"]): r["n_users"]
+            for r in events_retention_cohorts(spark, "unused").collect()
+        }
+    finally:
+        ew.tables = orig
+    assert rows == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+        ("2024-01-08", 0): 1,
+    }
