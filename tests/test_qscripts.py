@@ -2438,13 +2438,120 @@ QSCRIPTS_R9 = [
     ),
 ]
 
+# Eleventh tranche: syntax families with no prior shape — null-safe
+# equality joins, nav-fn defaults, WITHIN GROUP ordered-set aggs,
+# OFFSET pagination, ALL set ops, type-coercing unions, correlated
+# scalar subqueries in the SELECT list, conditional-function battery.
+QSCRIPTS_R10 = [
+    (
+        "null_safe_equality_join",  # join_nullsafe.q: IS NOT DISTINCT FROM on a derived nullable key
+        """SELECT a.o_orderkey, b.o_orderkey AS other_key
+           FROM (SELECT o_orderkey, CASE WHEN o_totalprice > 450000 THEN o_orderstatus END AS k
+                 FROM orders WHERE o_orderkey <= 80) a
+           JOIN (SELECT o_orderkey, CASE WHEN o_totalprice > 450000 THEN o_orderstatus END AS k
+                 FROM orders WHERE o_orderkey <= 80) b
+             ON a.k IS NOT DISTINCT FROM b.k AND a.o_orderkey < b.o_orderkey
+           ORDER BY a.o_orderkey, other_key LIMIT 100""",
+    ),
+    (
+        "window_navfn_defaults",  # windowing_navfn.q: lag/lead with explicit offset+default, nth_value
+        """SELECT o_orderkey,
+                  LAG(o_totalprice, 2, -1.0) OVER w  AS lag2,
+                  LEAD(o_totalprice, 3, -1.0) OVER w AS lead3,
+                  NTH_VALUE(o_totalprice, 2) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_seen
+           FROM orders WHERE o_orderkey <= 200
+           WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey)
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "percentile_cont_within_group",  # udaf_percentile_cont.q: ordered-set aggregate
+        """SELECT o_orderstatus,
+                  PERCENTILE_CONT(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med,
+                  PERCENTILE_CONT(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "limit_offset_pagination",  # offset_limit.q: second page of a stable ordering
+        """SELECT o_orderkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 10""",
+    ),
+    (
+        "ordered_subquery_reordered",  # order-by+limit inside a derived table, outer re-sort
+        """SELECT o_orderkey, o_totalprice FROM (
+             SELECT o_orderkey, o_totalprice FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 25
+           ) top25 ORDER BY o_orderkey""",
+    ),
+    (
+        "union_numeric_type_coercion",  # union cast coercion: int/double/decimal branches unify
+        """SELECT kind, SUM(v) AS total FROM (
+             SELECT 'i' AS kind, n_nationkey AS v FROM nation
+             UNION ALL
+             SELECT 'd', n_regionkey + 0.5 FROM nation
+             UNION ALL
+             SELECT 'c', CAST(n_nationkey AS DECIMAL(10,2)) FROM nation
+           ) u GROUP BY kind ORDER BY kind""",
+    ),
+    (
+        "correlated_scalar_in_select",  # subquery_scalar.q: per-row correlated aggregate projection
+        """SELECT n_name,
+                  (SELECT COUNT(*) FROM supplier s WHERE s.s_nationkey = n.n_nationkey) AS n_supps,
+                  (SELECT MAX(c_acctbal) FROM customer c WHERE c.c_nationkey = n.n_nationkey) AS top_bal
+           FROM nation n ORDER BY n_name""",
+    ),
+    (
+        "conditional_fn_battery",  # udf_if.q family: if/ifnull/nullif/coalesce interplay
+        """SELECT n_nationkey,
+                  IF(n_regionkey = 0, 'africa', 'other') AS if_out,
+                  IFNULL(NULLIF(n_regionkey, 0), -1) AS masked,
+                  COALESCE(NULLIF(n_name, 'FRANCE'), 'was-france') AS coal
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "setop_all_variants",  # INTERSECT ALL / EXCEPT ALL keep duplicate multiplicity
+        """SELECT v, COUNT(*) AS n FROM (
+             SELECT c_nationkey AS v FROM customer WHERE c_custkey <= 600
+             INTERSECT ALL
+             SELECT c_nationkey FROM customer WHERE c_custkey >= 300 AND c_custkey <= 900
+           ) i GROUP BY v
+           UNION ALL
+           SELECT -1 - v, COUNT(*) FROM (
+             SELECT c_nationkey AS v FROM customer WHERE c_custkey <= 600
+             EXCEPT ALL
+             SELECT c_nationkey FROM customer WHERE c_custkey >= 300 AND c_custkey <= 900
+           ) e GROUP BY v
+           ORDER BY 1, 2""",
+    ),
+    (
+        "order_by_unprojected_expr",  # sort key is an expression absent from the SELECT list
+        """SELECT n_name FROM nation ORDER BY n_nationkey % 5, n_name""",
+    ),
+    (
+        "cross_join_promoted_to_inner",  # explicit CROSS JOIN + WHERE equality == inner join
+        """SELECT r.r_name, COUNT(*) AS n
+           FROM nation n CROSS JOIN region r
+           WHERE n.n_regionkey = r.r_regionkey
+           GROUP BY r.r_name ORDER BY r.r_name""",
+    ),
+    (
+        "mixed_equi_theta_on_clause",  # join_cond_pushdown: equi + BETWEEN band in one ON
+        """SELECT s.s_suppkey, c.c_custkey
+           FROM supplier s JOIN customer c
+             ON s.s_nationkey = c.c_nationkey
+            AND c.c_acctbal BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+           WHERE s.s_suppkey <= 40
+           ORDER BY s.s_suppkey, c.c_custkey""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
     [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
-        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9
+        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
