@@ -437,15 +437,23 @@ class FileBlockReader:
     """Stream decoded rows from an OPEN binary file handle, block by
     block, bounded memory (one decompressed block at a time).
 
-    Split semantics match Hadoop/Avro's own: a block belongs to the
-    split containing its first byte (the byte right after the
-    preceding sync marker). ``rows_in_span(start, end)`` seeks to
-    ``start``, scans forward to the next sync (the header's trailing
-    sync counts for start=0), then yields whole blocks whose start
-    offset is < ``end`` — so consecutive spans over one file cover
-    every row exactly once. Sync-scan false positives (marker bytes
-    inside a compressed payload) are possible at probability ~2⁻¹²⁸;
-    the official Java DataFileReader.sync() accepts the same odds."""
+    Split semantics match Hadoop/Avro's own (DataFileReader.sync +
+    pastSync): a block belongs to the split containing the FIRST BYTE
+    OF ITS PRECEDING SYNC MARKER (block_start - 16; the header's
+    trailing sync precedes the first block). ``rows_in_span(start,
+    end)`` scans forward from ``start`` for a whole sync pattern, then
+    yields blocks while ``block_start < end + 16`` — the Java
+    ``pastSync(end)`` test. The two sides must use the same reference
+    point: a scan from ``start`` can only find syncs STARTING at
+    >= ``start``, so claiming blocks by ``block_start < end`` instead
+    would drop any block whose sync crosses or abuts a span boundary
+    (both the previous span and the next would skip it). With the
+    sync-start rule, each block's owner (the unique span containing
+    block_start - 16) both finds and claims it, so consecutive spans
+    cover every row exactly once. Sync-scan false positives (marker
+    bytes inside a compressed payload) are possible at probability
+    ~2⁻¹²⁸; the official Java DataFileReader.sync() accepts the same
+    odds."""
 
     _SCAN_CHUNK = 1 << 16
 
@@ -473,9 +481,14 @@ class FileBlockReader:
         return (n >> 1) ^ -(n & 1)
 
     def _seek_to_block_after(self, offset: int) -> int | None:
-        """Position the handle at the first block starting at or
-        after ``offset``; return that block's start offset."""
-        if offset <= self.header_len:
+        """Position the handle at the first block whose preceding
+        sync STARTS at or after ``offset``; return that block's start
+        offset. The header's trailing sync (starting at
+        header_len - 16) precedes the first block, so only spans that
+        contain that sync's first byte may claim block one — a span
+        starting inside the sync must scan past it, exactly like a
+        mid-file span whose boundary falls inside a marker."""
+        if offset <= self.header_len - 16:
             self.fh.seek(self.header_len)
             return self.header_len
         self.fh.seek(offset)
@@ -496,7 +509,9 @@ class FileBlockReader:
 
     def rows_in_span(self, start: int, end: int) -> Iterator[Any]:
         block_start = self._seek_to_block_after(start)
-        while block_start is not None and block_start < end:
+        # pastSync(end): claim while the preceding sync's first byte
+        # (block_start - 16) is inside [start, end).
+        while block_start is not None and block_start < end + 16:
             n = self._read_long_stream()
             if n is None:
                 return

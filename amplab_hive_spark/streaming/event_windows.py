@@ -300,15 +300,18 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     users were active N weeks later — the activation/retention matrix
     every product-analytics stack derives from the raw event log.
 
-    Plan shape: the log first collapses to DISTINCT (user_id, week)
-    — at 100 TB this is the only pass over the raw events, and it
-    reduces cardinality to #users x #weeks. The cohort week is then a
-    window MIN over the already-collapsed frame partitioned by
-    user_id, which AQE coalesces onto the distinct's existing
-    hash(user_id, week) exchange lineage rather than re-scanning the
-    log (a groupBy-min + self-join spelling would scan twice and
-    shuffle the log twice). Counting rows of the distinct frame ==
-    COUNT(DISTINCT user) per cell, with no second distinct needed."""
+    Plan shape (verified via explain): one column-pruned scan of the
+    log, and the DISTINCT's map-side partial aggregate collapses each
+    input partition to its local (user_id, week) set BEFORE the first
+    exchange — so at 100 TB the only full-width pass is the scan, and
+    every shuffle (distinct finalize, the window's hash(user_id)
+    exchange, the cell groupBy) moves only the collapsed
+    #users x #weeks frame. A repartition(user_id)-first spelling
+    would merge the distinct and window exchanges into one but shuffle
+    the UNcollapsed log, which is strictly worse. Counting rows of
+    the distinct frame == COUNT(DISTINCT user) per cell, with no
+    second distinct needed; a groupBy-min + self-join spelling would
+    scan and shuffle the log twice."""
     t = tables(spark, sf_dir)
     weekly = t.events.select(
         "user_id", F.date_trunc("week", "ts").cast("date").alias("week")

@@ -273,3 +273,71 @@ def test_split_reader_multi_file_dir(spark, sf_dir, tmp_path):
     assert {r.o_orderstatus for r in split.select("o_orderstatus").distinct().collect()} == {
         r.o_orderstatus for r in t.orders.select("o_orderstatus").distinct().collect()
     }
+
+
+def test_split_ownership_at_exact_block_boundaries():
+    """Regression: a span boundary landing exactly ON a block start,
+    or inside the 16-byte sync marker preceding it, must not drop (or
+    double-read) that block. The owner rule is Java's pastSync: a
+    block belongs to the span containing the first byte of its
+    preceding sync (block_start - 16). Before this rule, the earlier
+    span stopped at block_start < end and the later span's scan could
+    not see a sync pattern that began before its start — both sides
+    skipped the block. Exercises every block start offset b and every
+    boundary in [b-17, b+1], plus boundaries inside the header's
+    trailing sync."""
+    import io
+
+    from amplab_hive_spark.sources.avro_codec import (
+        FileBlockReader,
+        _Reader,
+        read_header,
+        write_container_stream,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "id", "type": "long"}],
+    }
+    n = 10_000  # 4096-row blocks -> 3 blocks
+    buf = io.BytesIO()
+    write_container_stream(buf, schema, ({"id": i} for i in range(n)), codec="null")
+    data = buf.getvalue()
+    size = len(data)
+    _, codec, sync, header_len = read_header(data)
+
+    # Walk the container to learn the true block start offsets.
+    block_starts = []
+    r = _Reader(data, header_len)
+    while not r.eof():
+        block_starts.append(r.pos)
+        r.read_long()
+        r.read(r.read_long())
+        assert r.read(16) == sync
+    assert len(block_starts) == 3
+
+    def ids_in(spans):
+        out = []
+        for s, e in spans:
+            fh = io.BytesIO(data)
+            rd = FileBlockReader(fh, schema, codec, sync, header_len)
+            out.extend(row["id"] for row in rd.rows_in_span(s, e))
+        return out
+
+    boundaries = {header_len - 16, header_len - 8, header_len}
+    for b in block_starts:
+        boundaries.update(range(b - 17, b + 2))
+    for b in sorted(boundaries):
+        got = ids_in([(0, b), (b, size)])
+        assert sorted(got) == list(range(n)), (
+            f"boundary {b}: {len(got)} rows, "
+            f"missing={set(range(n)) - set(got) or '-'} "
+            f"dups={len(got) - len(set(got))}"
+        )
+
+    # and a many-tiny-spans sweep (97-byte steps, prime to avoid
+    # accidental alignment) still covers every row exactly once
+    spans = [(s, min(s + 97, size)) for s in range(0, size, 97)]
+    got = ids_in(spans)
+    assert sorted(got) == list(range(n))
