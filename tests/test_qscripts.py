@@ -2545,6 +2545,106 @@ QSCRIPTS_R10 = [
     ),
 ]
 
+# Twelfth tranche: USING joins, inline VALUES tables, FILTER-clause
+# aggregates, GROUP BY ALL, global HAVING, empty grouping set, LIKE
+# ESCAPE, row-value IN subqueries, comma cross joins, simple-form
+# CASE, ANSI TRIM, negative modulo truncation.
+QSCRIPTS_R11 = [
+    (
+        "using_join_on_aliased_key",  # join ... USING merges the key column
+        """SELECT rk, n_name, r_name FROM
+             (SELECT n_regionkey AS rk, n_name FROM nation) n
+           JOIN (SELECT r_regionkey AS rk, r_name FROM region) r USING (rk)
+           ORDER BY rk, n_name""",
+    ),
+    (
+        "values_inline_table_join",  # VALUES as a derived table joined to real data
+        """SELECT t.tier, COUNT(*) AS n
+           FROM region r JOIN (VALUES (0, 'old-world'), (1, 'americas'), (2, 'asia'),
+                                      (3, 'europe'), (4, 'mideast')) AS t(rk, tier)
+             ON r.r_regionkey = t.rk
+           JOIN nation n ON n.n_regionkey = r.r_regionkey
+           GROUP BY t.tier ORDER BY t.tier""",
+    ),
+    (
+        "filter_clause_aggregates",  # COUNT/SUM ... FILTER (WHERE ...) per group
+        """SELECT o_orderstatus,
+                  COUNT(*) AS n_all,
+                  COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                       FILTER (WHERE o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent_total
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "group_by_all_shorthand",  # GROUP BY ALL infers the non-aggregate columns
+        """SELECT n_regionkey, substring(n_name, 1, 1) AS initial, COUNT(*) AS n
+           FROM nation GROUP BY ALL ORDER BY n_regionkey, initial""",
+    ),
+    (
+        "having_without_group_by",  # global aggregate gated by HAVING
+        """SELECT COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders HAVING COUNT(*) > 10""",
+    ),
+    (
+        "grouping_sets_with_empty_set",  # per-key rows plus a grand total from ()
+        """SELECT n_regionkey, COUNT(*) AS n, GROUPING(n_regionkey) AS is_total
+           FROM nation GROUP BY GROUPING SETS ((n_regionkey), ())
+           ORDER BY is_total, n_regionkey""",
+    ),
+    (
+        "like_escape_clause",  # ESCAPE makes % a literal: only the '50%' tag matches
+        """SELECT p_partkey, tagged FROM (
+             SELECT p_partkey,
+                    CASE WHEN p_partkey % 2 = 0 THEN p_type || ' 50% off'
+                         ELSE p_type || ' 50c off' END AS tagged
+             FROM part WHERE p_partkey <= 40
+           ) t
+           WHERE tagged LIKE '%50!%%' ESCAPE '!'
+           ORDER BY p_partkey""",
+    ),
+    (
+        "avg_of_rank_subquery",  # aggregate consuming a window function's output
+        """SELECT o_orderstatus, AVG(rnk) AS avg_rank, MAX(rnk) AS n_in_group
+           FROM (SELECT o_orderstatus,
+                        RANK() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey) AS rnk
+                 FROM orders WHERE o_orderkey <= 500) r
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "comma_cross_join_with_where",  # SQL-92 implicit join syntax
+        """SELECT n.n_name, r.r_name
+           FROM nation n, region r
+           WHERE n.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+           ORDER BY n.n_name""",
+    ),
+    (
+        "simple_case_expression_form",  # CASE <expr> WHEN <expr> matching (not searched form)
+        """SELECT o_orderkey,
+                  CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                     WHEN 'O' THEN 'open'
+                                     ELSE 'partial' END AS status_word,
+                  CASE o_orderkey % 3 WHEN 0 THEN 'zero' WHEN 1 THEN 'one' END AS mod_word
+           FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+    (
+        "ansi_trim_variants",  # TRIM(BOTH/LEADING/TRAILING ch FROM s)
+        """SELECT n_nationkey,
+                  TRIM(BOTH 'A' FROM n_name)     AS both_a,
+                  TRIM(LEADING 'A' FROM n_name)  AS lead_a,
+                  TRIM(TRAILING 'A' FROM n_name) AS trail_a
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "negative_mod_truncation",  # % truncates toward zero on negative operands
+        """SELECT n_nationkey,
+                  (n_nationkey - 12) % 5       AS neg_mod,
+                  -(n_nationkey) % 7           AS neg_operand,
+                  (n_nationkey - 12) / 5       AS div_out
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -2552,6 +2652,7 @@ QSCRIPTS_R10 = [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
+        + QSCRIPTS_R11
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
