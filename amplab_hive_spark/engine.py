@@ -128,3 +128,11 @@ class Engine:
         from amplab_hive_spark.sources.avro import write_avro
 
         return write_avro(df, path, codec=codec)
+
+    def read_avro_split(self, path: str, split_bytes: int = 32 << 20) -> DataFrame:
+        """Span-parallel Avro reader for few huge files: byte spans
+        carved from header+size, executors sync-scan into their span
+        (sources/avro.py read_avro_split)."""
+        from amplab_hive_spark.sources.avro import read_avro_split
+
+        return read_avro_split(self.spark, path, split_bytes=split_bytes)

@@ -163,3 +163,94 @@ def dedup_cluster_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _keep_best_oracle() -> str:
+    """Same recursive closure as ``_cluster_oracle``, extended with
+    per-cluster quality ranking: the keeper is the member with the
+    most tokens (ties -> smallest doc_id), replayed in DuckDB with a
+    window over the closed components."""
+    from amplab_hive_spark.llm.dedup import MINHASH_PAIR_CTES
+
+    return (
+        "WITH RECURSIVE "
+        + MINHASH_PAIR_CTES
+        + """,
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM minhash_pairs
+  UNION ALL
+  SELECT doc_b AS u, doc_a AS v FROM minhash_pairs
+),
+reach AS (
+  SELECT u AS node, u AS m FROM edges
+  UNION
+  SELECT e.u AS node, r.m AS m FROM edges e JOIN reach r ON e.v = r.node
+),
+comp AS (SELECT node, MIN(m) AS comp FROM reach GROUP BY node),
+scored AS (SELECT doc_id, len(string_split(text, ' ')) AS nt FROM documents),
+ranked AS (
+  SELECT c.comp AS cluster_id, c.node AS doc_id, s.nt,
+         ROW_NUMBER() OVER (PARTITION BY c.comp ORDER BY s.nt DESC, c.node) AS rn,
+         COUNT(*) OVER (PARTITION BY c.comp) AS cluster_size
+  FROM comp c JOIN scored s ON s.doc_id = c.node
+)
+SELECT cluster_id, cluster_size, doc_id AS keeper_id, nt AS keeper_tokens
+FROM ranked WHERE rn = 1
+ORDER BY cluster_id
+"""
+    )
+
+
+@register(
+    "dedup_keep_best",
+    tags=("llm", "dedup", "iterative"),
+    oracle=_keep_best_oracle(),
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-document selection: after cluster resolution, a real
+    pipeline keeps the BEST member of each near-dup cluster, not an
+    arbitrary one — pages differ in boilerplate/truncation, and
+    min-id keeps whichever crawled first. Keeper = most tokens, ties
+    to smallest doc_id. Returns one row per cluster:
+    (cluster_id, cluster_size, keeper_id, keeper_tokens).
+
+    Scale shape: the components frame holds only clustered doc ids
+    (dup-rate x corpus, no payload); the quality join shuffles
+    (doc_id, token_count) pairs for exactly those docs, and the
+    per-cluster argmax is a window over cluster_id — partitions
+    bounded by cluster size, which the LSH bucket cap already limits.
+    The token count is computed in the same scan that feeds the
+    signature pipeline; nothing re-reads text per cluster."""
+    from pyspark.sql import Window
+
+    from amplab_hive_spark.llm.dedup import dedup_minhash_lsh
+
+    t = tables(spark, sf_dir)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    scored = t.documents.select(
+        "doc_id", F.size(F.split("text", " ")).alias("nt")
+    )
+    ranked = (
+        comp.join(scored, comp["node"] == scored["doc_id"])
+        .select(F.col("comp").alias("cluster_id"), "doc_id", "nt")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("cluster_id").orderBy(F.desc("nt"), F.asc("doc_id"))
+            ),
+        )
+        .withColumn(
+            "cluster_size", F.count("*").over(Window.partitionBy("cluster_id"))
+        )
+    )
+    return (
+        ranked.filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            "cluster_size",
+            F.col("doc_id").alias("keeper_id"),
+            F.col("nt").alias("keeper_tokens"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -238,3 +238,53 @@ GROUP BY k
 ORDER BY k
 """
     )
+
+
+@register(
+    "profile_documents_table",
+    tags=("stats", "profiling"),
+    oracle="""
+SELECT COUNT(*)                                   AS n_rows,
+       CAST(COUNT(*) - COUNT(doc_id) AS BIGINT)   AS doc_id_nulls,
+       COUNT(DISTINCT lang)                       AS lang_distinct,
+       COUNT(DISTINCT source)                     AS source_distinct,
+       MIN(n_chars)                               AS n_chars_min,
+       MAX(n_chars)                               AS n_chars_max,
+       CAST(SUM(n_chars) AS BIGINT)               AS n_chars_sum,
+       MIN(length(text))                          AS text_len_min,
+       MAX(length(text))                          AS text_len_max,
+       CAST(SUM(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)
+                                                  AS n_chars_mismatches
+FROM documents
+""",
+)
+def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of the documents table — the
+    query-shaped face of ANALYZE/compute_stats (reference
+    ColumnStatsTask, ql/exec/ColumnStatsTask.java; the engine's DDL
+    twin is ddl.analyze_table): row count, per-column null counts,
+    distinct counts, numeric extremes, and a consistency probe
+    (does the recorded n_chars match length(text)?) that a real
+    ingestion audit would run.
+
+    Scale shape: a single scan; every metric is an aggregate with a
+    map-side partial, and the two COUNT(DISTINCT low-cardinality)
+    expand rows only by the distinct-column count. No joins, no
+    window, one exchange."""
+    from pyspark.sql import functions as F
+
+    t = tables(spark, sf_dir)
+    return t.documents.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("doc_id")).alias("doc_id_nulls"),
+        F.countDistinct("lang").alias("lang_distinct"),
+        F.countDistinct("source").alias("source_distinct"),
+        F.min("n_chars").alias("n_chars_min"),
+        F.max("n_chars").alias("n_chars_max"),
+        F.sum("n_chars").alias("n_chars_sum"),
+        F.min(F.length("text")).alias("text_len_min"),
+        F.max(F.length("text")).alias("text_len_max"),
+        F.sum(
+            F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0)
+        ).alias("n_chars_mismatches"),
+    )

@@ -246,14 +246,19 @@ def write_avro(df: DataFrame, path: str, codec: str = "deflate") -> int:
         import pyarrow as pa
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
-        fname = os.path.join(path, f"part-{pid:05d}.avro")
+        ctx = TaskContext.get()
+        fname = os.path.join(path, f"part-{ctx.partitionId():05d}.avro")
 
         def rows() -> Iterator[dict]:
             for batch in batches:
                 yield from _batch_to_rows(batch)
 
-        tmp = fname + ".inprogress"
+        # attempt-unique tmp name: a speculative or retried attempt
+        # must never interleave writes with a still-running twin; the
+        # atomic rename means whichever attempt finishes last wins
+        # whole, which is safe because attempts serialize identical
+        # partition data.
+        tmp = fname + f".inprogress-{ctx.taskAttemptId()}"
         with open(tmp, "wb") as fh:
             n = write_container_stream(
                 fh, json.loads(schema_json), rows(), codec=codec, sync_seed=fname

@@ -237,6 +237,7 @@ def test_engine_facade_avro(spark, sf_dir, tmp_path):
     assert {r.n_name for r in back.collect()} == {
         r.n_name for r in e.table("nation").collect()
     }
+    assert e.read_avro_split(path, split_bytes=1 << 12).count() == 25
 
 
 def test_split_reader_covers_every_row_exactly_once(spark, sf_dir, tmp_path):
