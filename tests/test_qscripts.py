@@ -2645,6 +2645,107 @@ QSCRIPTS_R11 = [
     ),
 ]
 
+# Thirteenth tranche: temporal extraction/construction, boolean and
+# bitwise aggregates, LATERAL correlated derived tables, IN-list
+# three-valued logic, regexp group extraction, subquery combinators.
+QSCRIPTS_R12 = [
+    (
+        "extract_battery",  # EXTRACT fields off event timestamps
+        """SELECT EXTRACT(year FROM ts) AS y, EXTRACT(month FROM ts) AS m,
+                  EXTRACT(day FROM ts) AS d, EXTRACT(hour FROM ts) AS h,
+                  COUNT(*) AS n
+           FROM events GROUP BY 1, 2, 3, 4
+           ORDER BY y, m, d, h LIMIT 50""",
+    ),
+    (
+        "make_date_last_day",  # date construction + month-end
+        """SELECT n_nationkey,
+                  make_date(2024, CAST(n_nationkey % 12 + 1 AS INT), 15) AS mid_month,
+                  last_day(make_date(2024, CAST(n_nationkey % 12 + 1 AS INT), 15)) AS month_end
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "interval_month_end_clamp",  # +1 MONTH clamps Jan 31 -> Feb 29 (leap year);
+        # CASTs because DuckDB promotes date+interval to timestamp while Spark keeps DATE
+        """SELECT d, CAST(d + INTERVAL 1 MONTH AS DATE) AS plus_month,
+                  CAST(d + INTERVAL 3 DAY AS DATE) AS plus_days
+           FROM (SELECT make_date(2024, 1, CAST(27 + r_regionkey AS INT)) AS d
+                 FROM region) t
+           ORDER BY d""",
+    ),
+    (
+        "bool_and_or_aggregates",  # BOOL_AND / BOOL_OR per group
+        """SELECT n_regionkey,
+                  BOOL_AND(n_nationkey > 2)  AS all_gt2,
+                  BOOL_OR(n_nationkey > 20)  AS any_gt20
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "bitwise_and_or_masks",  # & and | operators in projections and filters
+        """SELECT n_nationkey,
+                  n_nationkey & 7 AS low_bits,
+                  n_nationkey | 16 AS with_flag
+           FROM nation WHERE (n_nationkey & 1) = 1
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "in_list_with_null_semantics",  # x IN (..., NULL) is NULL when unmatched
+        """SELECT
+             CAST(SUM(CASE WHEN n_nationkey IN (1, 2, NULL) THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+             CAST(SUM(CASE WHEN (n_nationkey IN (1, 2, NULL)) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unknown,
+             CAST(SUM(CASE WHEN n_nationkey NOT IN (1, 2, NULL) THEN 1 ELSE 0 END) AS BIGINT) AS anti_matched
+           FROM nation""",
+    ),
+    (
+        "lateral_correlated_derived_table",  # JOIN LATERAL referencing the outer row
+        """SELECT n.n_name, t.n_supps
+           FROM nation n JOIN LATERAL (
+             SELECT COUNT(*) AS n_supps FROM supplier s
+             WHERE s.s_nationkey = n.n_nationkey
+           ) t ON TRUE
+           ORDER BY n.n_name""",
+    ),
+    (
+        "exists_with_limit_inside",  # LIMIT inside EXISTS does not change truth
+        """SELECT r_name FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey
+                         ORDER BY n.n_nationkey LIMIT 1)
+           ORDER BY r_name""",
+    ),
+    (
+        "union_all_inside_in_subquery",  # set op as the IN source
+        """SELECT n_name FROM nation
+           WHERE n_nationkey IN (SELECT n_regionkey FROM nation
+                                 UNION ALL
+                                 SELECT r_regionkey + 20 FROM region)
+           ORDER BY n_name""",
+    ),
+    (
+        "regexp_extract_group",  # capture-group extraction, shared Java/RE2 subset
+        """SELECT o_orderkey,
+                  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 1) AS prio_num,
+                  regexp_extract(o_orderpriority, '([0-9])-([A-Z]+)', 2) AS prio_word
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "not_between_chain",  # NOT BETWEEN composed with AND/OR
+        """SELECT COUNT(*) AS n_outside,
+                  CAST(SUM(CASE WHEN o_totalprice NOT BETWEEN 100000 AND 400000
+                                 AND o_orderkey NOT BETWEEN 50 AND 500
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_both_outside
+           FROM orders WHERE o_totalprice NOT BETWEEN 150000 AND 300000""",
+    ),
+    (
+        "coalesce_scalar_subquery_fallback",  # scalar subquery inside COALESCE
+        """SELECT r_name,
+                  COALESCE((SELECT MAX(n_nationkey) FROM nation n
+                            WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey > 90),
+                           -1) AS top_or_default
+           FROM region r ORDER BY r_name""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -2652,7 +2753,7 @@ QSCRIPTS_R11 = [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
-        + QSCRIPTS_R11
+        + QSCRIPTS_R11 + QSCRIPTS_R12
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
