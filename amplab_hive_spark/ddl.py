@@ -108,20 +108,31 @@ def _partition_columns(spark: SparkSession, name: str) -> list[str]:
 # front; anything else non-deterministic is the caller's contract
 # violation (documented in both docstrings).
 _NONDETERMINISTIC_FNS = re.compile(
-    r"\b(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
+    # call forms, plus the ANSI niladic forms Spark accepts WITHOUT
+    # parentheses (current_timestamp / current_date / localtimestamp
+    # — SELECT current_timestamp is valid SQL).
+    r"\b(?:(rand|randn|random|uuid|shuffle|monotonically_increasing_id|"
     r"current_timestamp|current_date|now|localtimestamp|current_timezone|"
-    r"spark_partition_id|input_file_name)\s*\(",
+    r"spark_partition_id|input_file_name)\s*\(|"
+    r"(current_timestamp|current_date|localtimestamp)\b)",
     re.IGNORECASE,
 )
 
+# Strip single-quoted string literals ('' is the embedded-quote
+# escape) and backtick-quoted identifiers so a condition like
+# note = 'call now() later' or a column named `current_date` is not
+# a false positive; the scan runs on the remaining SQL text only.
+_SQL_QUOTED = re.compile(r"'(?:[^']|'')*'|`[^`]*`")
+
 
 def _reject_nondeterministic(condition: str, statement: str) -> None:
-    m = _NONDETERMINISTIC_FNS.search(condition)
+    m = _NONDETERMINISTIC_FNS.search(_SQL_QUOTED.sub("''", condition))
     if m:
+        fn = m.group(1) or m.group(2)
         raise ValueError(
             f"{statement} condition must be deterministic — it is evaluated "
             f"in two separate scans (partition discovery, then the staged "
-            f"rewrite) and {m.group(0).rstrip('(')}() can produce a partition "
+            f"rewrite) and {fn}() can produce a partition "
             f"set inconsistent with the rows actually rewritten"
         )
 

@@ -339,9 +339,19 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
         # measured 2.21s → 1.63s at sf0.1 for the 1-iteration build).
         return sums.join(counts, "cid").persist()
 
+    # Only the FINAL centroid table must stay cached (the caller's
+    # probe ranking references it); each intermediate round is dead
+    # once the next round materializes, so unpersist it then — without
+    # this every build leaked one cached frame per non-final round
+    # for the session lifetime.
     cents = seeds
+    prev = None
     for _ in range(_IVF_LLOYD_ITERS):
         cents = lloyd(assign(quant, cents))
+        cents.count()  # materialize before dropping the previous cache
+        if prev is not None:
+            prev.unpersist()
+        prev = cents
     assigned = assign(quant, cents)
     return cents, assigned
 

@@ -43,25 +43,6 @@ def get_spark(
     ignores new confs); Derby allows one process at a time — the
     multi-client story stays ``newSession()`` off one SparkSession.
     """
-    if warehouse is not None:
-        db = os.path.join(os.path.abspath(warehouse), "metastore_db")
-        return (
-            SparkSession.builder.appName(app_name)
-            .master(master or f"local[{_DEFAULT_CPUS}]")
-            .config("spark.sql.warehouse.dir", os.path.abspath(warehouse))
-            .config("spark.sql.catalogImplementation", "hive")
-            .config(
-                "spark.hadoop.javax.jdo.option.ConnectionURL",
-                f"jdbc:derby:;databaseName={db};create=true",
-            )
-            .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)
-            .config("spark.sql.adaptive.enabled", "true")
-            .config("spark.sql.session.timeZone", "UTC")
-            .config("spark.ui.enabled", "false")
-            .config("spark.sql.ansi.enabled", "false")
-            .enableHiveSupport()
-            .getOrCreate()
-        )
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{_DEFAULT_CPUS}]")
@@ -94,6 +75,21 @@ def get_spark(
     )
     if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
         builder = builder.config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
+    if warehouse is not None:
+        # persistent-catalog confs ON TOP of the shared engine
+        # defaults — a warehouse session must read the same files
+        # (nanosAsLong, Arrow) and plan the same way (broadcast
+        # threshold, AQE flags) as every other session.
+        db = os.path.join(os.path.abspath(warehouse), "metastore_db")
+        builder = (
+            builder.config("spark.sql.warehouse.dir", os.path.abspath(warehouse))
+            .config("spark.sql.catalogImplementation", "hive")
+            .config(
+                "spark.hadoop.javax.jdo.option.ConnectionURL",
+                f"jdbc:derby:;databaseName={db};create=true",
+            )
+            .enableHiveSupport()
+        )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

@@ -187,8 +187,6 @@ def _arrow_storage_type(t):
     if pa.types.is_map(t):
         return pa.map_(t.key_type, _arrow_storage_type(t.item_type))
     if pa.types.is_struct(t):
-        import pyarrow as pa
-
         return pa.struct(
             [pa.field(f.name, _arrow_storage_type(f.type), f.nullable) for f in t]
         )
@@ -312,7 +310,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for batch in batches:
             for rec in batch.to_pylist():
                 file_schema, rows = read_container(rec["content"])
-                if file_schema != expected:
+                if avro_to_spark_schema(file_schema) != avro_to_spark_schema(expected):
                     raise AvroError(
                         "schema drift across files: "
                         f"{file_schema} != {expected}"
@@ -361,7 +359,10 @@ def read_avro_split(
             schema, codec, sync, hlen = read_header(fh.read(1 << 20))
         if first_schema is None:
             first_schema = schema
-        elif schema != first_schema:
+        elif avro_to_spark_schema(schema) != avro_to_spark_schema(first_schema):
+            # normalized comparison: incidental attributes (doc,
+            # namespace, field defaults) are not drift — only a
+            # name/type/nullability difference is.
             raise AvroError(f"schema drift across files: {f}")
         headers[f] = (codec, sync.hex(), hlen, os.path.getsize(f))
 

@@ -184,9 +184,14 @@ def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
         val_enc = _encoder(schema["values"])
 
         def enc_map(out: bytearray, v: Any) -> None:
+            # dict (python rows) or list of (key, value) pairs —
+            # Arrow's RecordBatch.to_pylist() renders map cells as
+            # the latter, and the write path feeds those through
+            # unchanged.
             if v:
+                items = v.items() if isinstance(v, dict) else v
                 write_long(out, len(v))
-                for k, val in v.items():
+                for k, val in items:
                     write_string(out, k)
                     val_enc(out, val)
             write_long(out, 0)
@@ -361,25 +366,8 @@ def write_container(
 def read_container(data: bytes) -> tuple[Any, Iterator[Any]]:
     """Parse one container file -> (schema, row iterator). Rows of a
     record schema come back as dicts keyed by field name."""
-    r = _Reader(data)
-    if r.read(4) != MAGIC:
-        raise AvroError("not an Avro object container file (bad magic)")
-    meta: dict[str, bytes] = {}
-    while True:
-        count = r.read_long()
-        if count == 0:
-            break
-        if count < 0:
-            count = -count
-            r.read_long()
-        for _ in range(count):
-            k = r.read_string()  # key before value: RHS evaluates first
-            meta[k] = r.read_bytes()
-    schema = json.loads(meta["avro.schema"].decode("utf-8"))
-    codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
-        raise AvroError(f"unsupported codec {codec!r}")
-    sync = r.read(16)
+    schema, codec, sync, header_len = read_header(data)
+    r = _Reader(data, header_len)
     dec = _decoder(schema)
 
     def rows() -> Iterator[Any]:
@@ -400,10 +388,7 @@ def read_container(data: bytes) -> tuple[Any, Iterator[Any]]:
 
 def read_schema(data: bytes) -> Any:
     """Header-only parse: the writer schema without touching blocks."""
-    schema, _ = read_container(data)
-    return schema
-
-
+    return read_header(data)[0]
 
 
 def read_header(data: bytes) -> tuple[Any, str, bytes, int]:
@@ -467,10 +452,16 @@ class FileBlockReader:
     def _read_long_stream(self):
         n = 0
         shift = 0
+        first = True
         while True:
             b = self.fh.read(1)
             if not b:
-                return None  # clean EOF at a block boundary
+                if first:
+                    return None  # clean EOF at a block boundary
+                # EOF inside a varint = truncated file; silence here
+                # would turn corruption into silent partial results.
+                raise AvroError("truncated input: EOF inside a block-header varint")
+            first = False
             byte = b[0]
             n |= (byte & 0x7F) << shift
             if not byte & 0x80:
@@ -516,6 +507,8 @@ class FileBlockReader:
             if n is None:
                 return
             size = self._read_long_stream()
+            if size is None:
+                raise AvroError("truncated input: block count without a size")
             payload = self.fh.read(size)
             if len(payload) != size:
                 raise AvroError("truncated block payload")

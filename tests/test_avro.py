@@ -342,3 +342,64 @@ def test_split_ownership_at_exact_block_boundaries():
     spans = [(s, min(s + 97, size)) for s in range(0, size, 97)]
     got = ids_in(spans)
     assert sorted(got) == list(range(n))
+
+
+def test_map_and_struct_columns_through_arrow_write_path(spark, tmp_path):
+    """Regression: Arrow's RecordBatch.to_pylist() renders MapType
+    cells as lists of (key, value) TUPLES, not dicts — the codec's
+    map encoder must accept both or write_avro crashes on any
+    DataFrame with a map column (previously AttributeError: 'list'
+    object has no attribute 'items' inside the executor)."""
+    from amplab_hive_spark.sources.avro import read_avro, write_avro
+
+    df = spark.createDataFrame(
+        [
+            (1, {"a": 1, "b": 2}, {"x": 1.5}, ["u", "v"]),
+            (2, {}, None, []),
+            (3, {"c": 30}, {"y": -2.25}, None),
+        ],
+        "id long, counts map<string,int>, weights map<string,double>, tags array<string>",
+    )
+    path = str(tmp_path / "maps")
+    assert write_avro(df, path) == 3
+    back = {r["id"]: r for r in read_avro(spark, path).collect()}
+    assert back[1]["counts"] == {"a": 1, "b": 2}
+    assert back[1]["weights"] == {"x": 1.5}
+    assert back[1]["tags"] == ["u", "v"]
+    assert back[2]["counts"] == {} and back[2]["weights"] is None
+    assert back[3]["counts"] == {"c": 30} and back[3]["tags"] is None
+
+
+def test_split_reader_raises_on_truncated_file():
+    """A file truncated inside a block header (crashed writer,
+    partial copy) must RAISE from the split path, not silently
+    return partial rows — read_container and the split reader have
+    to agree that corruption is an error."""
+    import io
+
+    import pytest as _pytest
+
+    from amplab_hive_spark.sources.avro_codec import (
+        AvroError,
+        FileBlockReader,
+        read_header,
+        write_container,
+    )
+
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "id", "type": "long"}]}
+    data = write_container(schema, ({"id": i} for i in range(9000)), codec="null")
+    _, codec, sync, hlen = read_header(data)
+
+    def rows_from(buf):
+        rd = FileBlockReader(io.BytesIO(buf), schema, codec, sync, hlen)
+        return list(rd.rows_in_span(0, len(buf)))
+
+    assert len(rows_from(data)) == 9000
+    # truncate INSIDE the second block (mid-payload): short payload read
+    second_block = data.find(sync, hlen) + 16
+    with _pytest.raises(AvroError):
+        rows_from(data[: second_block + 40])
+    # truncate inside the count/size varints right at the block start
+    with _pytest.raises(AvroError):
+        rows_from(data[: second_block + 1])

@@ -344,6 +344,15 @@ def test_update_delete_reject_nondeterministic_condition(spark, sf_dir, wh):
             update_table(spark, "nd_guard", "rand() < 0.5", {"v": "v + 1"})
         with pytest.raises(ValueError, match="deterministic"):
             delete_from(spark, "nd_guard", "current_timestamp() > timestamp'1970-01-01'")
+        # ANSI niladic forms (no parentheses) are the same offenders
+        with pytest.raises(ValueError, match="deterministic"):
+            delete_from(spark, "nd_guard", "current_timestamp > timestamp'1970-01-01'")
+        with pytest.raises(ValueError, match="deterministic"):
+            update_table(spark, "nd_guard", "current_date > date'1970-01-01'", {"v": "v"})
+        # ...but the words inside a string literal are data, not calls
+        from amplab_hive_spark.ddl import _reject_nondeterministic
+
+        _reject_nondeterministic("note = 'ran at current_timestamp, call now() later'", "DELETE")
         # deterministic conditions still pass through untouched
         assert delete_from(spark, "nd_guard", "v >= 8") == 2
         assert spark.table("nd_guard").count() == 8
