@@ -2746,6 +2746,110 @@ QSCRIPTS_R12 = [
     ),
 ]
 
+# Fourteenth tranche: negative-offset substr, contains/position,
+# ||-concat coercion, exact math battery, least/greatest, the
+# pre-window top-k self-join idiom, correlated EXISTS with HAVING,
+# LIMIT inside IN, chained scalar subqueries, ORDER+LIMIT over a
+# whole union, repeat chains, manual CASE pivot.
+QSCRIPTS_R13 = [
+    (
+        "substr_negative_start",  # negative offset counts from the end
+        """SELECT n_nationkey, substr(n_name, -3) AS last3,
+                  substr(n_name, 2, 3) AS mid3
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "contains_and_position",  # contains() + ANSI POSITION(sub IN s)
+        """SELECT n_nationkey, n_name,
+                  contains(n_name, 'AN') AS has_an,
+                  position('A' IN n_name) AS first_a
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "pipe_concat_mixed_types",  # || coerces numerics to strings
+        """SELECT n_nationkey, n_name || '-' || n_nationkey || '/' || n_regionkey AS tag
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "math_fn_battery",  # exact-valued math functions on integers
+        """SELECT n_nationkey,
+                  abs(n_nationkey - 12)                     AS centered,
+                  CAST(sign(n_nationkey - 12) AS BIGINT)    AS trend,
+                  CAST(floor(n_nationkey / 4.0) AS BIGINT)  AS fl,
+                  CAST(ceiling(n_nationkey / 4.0) AS BIGINT) AS ce,
+                  sqrt(CAST(n_nationkey * n_nationkey AS DOUBLE)) AS root,
+                  power(2, CAST(n_nationkey % 10 AS DOUBLE))      AS pow2
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "least_greatest_nonnull",  # least/greatest over non-null ints
+        """SELECT n_nationkey,
+                  least(n_nationkey, n_regionkey * 5, 10)    AS lo,
+                  greatest(n_nationkey, n_regionkey * 5, 10) AS hi
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "topk_per_group_inequality_selfjoin",  # pre-window top-k idiom: count strictly-greater peers
+        """SELECT a.o_orderstatus, a.o_orderkey, a.o_totalprice
+           FROM orders a
+           WHERE a.o_orderkey <= 400
+             AND (SELECT COUNT(*) FROM orders b
+                  WHERE b.o_orderkey <= 400
+                    AND b.o_orderstatus = a.o_orderstatus
+                    AND b.o_totalprice > a.o_totalprice) < 3
+           ORDER BY a.o_orderstatus, a.o_totalprice DESC, a.o_orderkey""",
+    ),
+    (
+        "exists_correlated_group_having",  # EXISTS over a grouped+HAVING subquery
+        """SELECT c_custkey FROM customer c
+           WHERE c_custkey <= 200
+             AND EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_custkey = c.c_custkey
+                         GROUP BY o.o_custkey HAVING COUNT(*) >= 12)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "in_subquery_with_limit",  # LIMIT inside the IN source
+        """SELECT n_name FROM nation
+           WHERE n_nationkey IN (SELECT o_custkey % 25 FROM orders
+                                 ORDER BY o_totalprice DESC LIMIT 10)
+           ORDER BY n_name""",
+    ),
+    (
+        "nested_scalar_subqueries",  # a scalar subquery inside another's predicate
+        """SELECT r_name,
+                  (SELECT COUNT(*) FROM nation n
+                   WHERE n.n_regionkey = r.r_regionkey
+                     AND n.n_nationkey > (SELECT AVG(n2.n_nationkey) FROM nation n2)
+                  ) AS above_avg_nations
+           FROM region r ORDER BY r_name""",
+    ),
+    (
+        "union_whole_order_limit",  # ORDER BY + LIMIT applied to the whole union
+        """SELECT v FROM (
+             SELECT n_nationkey AS v FROM nation
+             UNION ALL
+             SELECT r_regionkey + 100 FROM region
+           ) u ORDER BY v DESC LIMIT 7""",
+    ),
+    (
+        "repeat_upper_lower_chain",  # string builder chain
+        """SELECT n_nationkey,
+                  repeat(lower(substr(n_name, 1, 2)), 3) AS tripled,
+                  length(repeat(n_name, CAST(n_nationkey % 3 AS INT))) AS rep_len
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "manual_case_pivot",  # SUM(CASE) pivot of status counts into columns
+        """SELECT c_nationkey,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+           FROM customer JOIN orders ON o_custkey = c_custkey
+           GROUP BY c_nationkey ORDER BY c_nationkey""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -2753,7 +2857,7 @@ QSCRIPTS_R12 = [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
-        + QSCRIPTS_R11 + QSCRIPTS_R12
+        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
