@@ -626,3 +626,98 @@ flatten(transform(sequence(2, size(members)),
         .filter(F.col("hamming_dist") <= 3)
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Containment threshold: inter / min(|A|,|B|) — detects a document
+# embedded inside a larger one, which symmetric jaccard down-weights
+# (a 100-shingle doc fully inside a 1000-shingle doc has jaccard
+# 0.1 but containment 1.0).
+_CONTAINMENT_MIN = 0.6
+
+_CONTAINMENT_ORACLE = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct([
+           array_to_string(parts[i:i+{_SHINGLE_WIDTH - 1}], chr(1))
+           FOR i IN range(1, len(parts) - {_SHINGLE_WIDTH - 2})
+         ])) AS shingle
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS parts FROM documents)
+),
+freq AS (SELECT shingle, COUNT(*) AS df FROM shingled GROUP BY shingle),
+kept AS (
+  SELECT s.doc_id, s.shingle
+  FROM shingled s JOIN freq f ON s.shingle = f.shingle
+  WHERE f.df <= {_JACCARD_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM kept GROUP BY doc_id),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM kept a JOIN kept b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b, inter, sa.n AS na, sb.n AS nb,
+       CAST(inter AS DOUBLE) / least(sa.n, sb.n) AS containment
+FROM pairs
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(inter AS DOUBLE) / least(sa.n, sb.n) >= {_CONTAINMENT_MIN}
+ORDER BY containment DESC, doc_a, doc_b
+"""
+
+
+@register("dedup_containment", tags=("llm", "dedup"), oracle=_CONTAINMENT_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment: pairs where the smaller doc's
+    shingle set is mostly inside the larger's (inter / min(|A|,|B|)
+    >= 0.6). This is the subset-duplicate detector jaccard misses —
+    a chunk quoted verbatim inside a longer page scores near 1.0
+    here but near |A|/|B| on jaccard.
+
+    Same scale shape as ``dedup_ngram_jaccard`` (grouped-members
+    pair generation under the df <= {cap} stop-shingle cap — never a
+    shingle self-join; both shuffles hash on `shingle`), only the
+    final scoring differs.""".format(cap=_JACCARD_DF_CAP)
+    t = tables(spark, sf_dir)
+    shingled = t.documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    freq = (
+        shingled.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= _JACCARD_DF_CAP)
+    )
+    members = (
+        shingled.join(freq, "shingle")
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    )
+    sizes = (
+        members.select(F.explode("docs").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        members.filter(F.size("docs") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    """
+flatten(transform(sequence(2, size(docs)),
+  i -> transform(sequence(1, i - 1),
+    j -> struct(docs[j-1] AS doc_a, docs[i-1] AS doc_b))))
+"""
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    cont = F.col("inter").cast("double") / F.least("na", "nb")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", "inter", "na", "nb", cont.alias("containment"))
+        .filter(F.col("containment") >= _CONTAINMENT_MIN)
+        .orderBy(F.desc("containment"), "doc_a", "doc_b")
+    )

@@ -282,3 +282,53 @@ def pipeline_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("ch.chunk_text").alias("chunk_hash"),
         "doc_tokens",
     ).orderBy("doc_id", "chunk_idx")
+
+
+@register(
+    "pipeline_epoch_shuffle",
+    tags=("llm", "pipeline"),
+    oracle="""
+WITH keyed AS (
+  SELECT e.epoch, d.doc_id,
+         md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS ord
+  FROM documents d, (SELECT unnest([0, 1, 2]) AS epoch) e
+)
+SELECT epoch, rank, doc_id, ord FROM (
+  SELECT epoch, doc_id, ord,
+         ROW_NUMBER() OVER (PARTITION BY epoch ORDER BY ord) AS rank
+  FROM keyed
+) r WHERE rank <= 10
+ORDER BY epoch, rank
+""",
+)
+def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch example ordering: training runs want a
+    DIFFERENT shuffle of the corpus each epoch that is nevertheless
+    reproducible from (epoch, doc_id) alone — no RNG state to
+    checkpoint, any worker can compute any example's position. Order
+    key = md5(epoch ':' doc_id); the audit returns each epoch's first
+    10 examples, proving the orders differ across epochs and are
+    stable within one.
+
+    Scale shape: the key is a pure projection; per-epoch ordering is
+    a window over the epoch partition. At 100 TB a real run sorts
+    each epoch's shard-range by the same key — one shuffle per epoch,
+    embarrassingly partitionable, with no coordinator state."""
+    t = tables(spark, sf_dir)
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    keyed = t.documents.crossJoin(F.broadcast(epochs)).select(
+        "epoch",
+        "doc_id",
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        ).alias("ord"),
+    )
+    w = Window.partitionBy("epoch").orderBy("ord")
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("epoch", "rank", "doc_id", "ord")
+        .orderBy("epoch", "rank")
+    )

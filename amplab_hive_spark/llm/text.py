@@ -322,3 +322,52 @@ def text_scrub_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_zipf_head",
+    tags=("llm", "text"),
+    oracle="""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+total AS (SELECT SUM(n) AS t FROM counts)
+SELECT ROW_NUMBER() OVER (ORDER BY n DESC, tok) AS rank, tok, n,
+       CAST(n AS DOUBLE) / (SELECT t FROM total) AS share
+FROM counts
+ORDER BY rank
+LIMIT 15
+""",
+)
+def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token-frequency head: the top-15 tokens with counts and
+    corpus share — the Zipf curve's head, which drives stopword lists
+    and the df caps the dedup paths use.
+
+    Scale shape: explode -> count is one shuffle with a map-side
+    partial (the combiner collapses each partition to its local
+    vocabulary before exchanging, so the shuffle carries vocab-sized
+    data, not token-stream-sized); the total is a broadcast scalar
+    join and the top-15 rank runs on the vocabulary frame."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    counts = (
+        t.documents.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "tok",
+            "n",
+            (F.col("n").cast("double") / F.col("t")).alias("share"),
+        )
+        .orderBy("rank")
+        .limit(15)
+    )
