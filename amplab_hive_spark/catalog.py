@@ -11,6 +11,7 @@ Unity / Glue) — nothing else in the engine changes.
 from __future__ import annotations
 
 import os
+import weakref
 from types import SimpleNamespace
 
 from pyspark.sql import DataFrame, SparkSession
@@ -92,11 +93,19 @@ def ensure_session_confs(spark: SparkSession) -> None:
         )
 
 
-# Per-session registration cache: (id(spark), sf_dir) → DataFrames.
+# Per-session registration cache: session → {sf_dir → DataFrames}.
 # Re-reading 10 parquet footers per query call costs ~5s locally and
 # a metastore round-trip per table on a cluster; registration is
-# idempotent so caching is safe.
-_LOADED: dict[tuple[int, str], dict[str, DataFrame]] = {}
+# idempotent so caching is safe. WeakKeyDictionary, not a plain dict
+# keyed on id(spark): a plain dict (a) pins every session ever passed
+# in — the cached DataFrames reference their session, so stopped
+# sessions and their JVM objects can never be collected in a
+# long-lived process — and (b) id() values of dead sessions get
+# recycled, so a NEW session could be served the DEAD session's
+# DataFrames. Weak keys evict the entry when the session goes away.
+_LOADED: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 class _Tables(SimpleNamespace):
@@ -128,14 +137,13 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     cause is available via ``tables(spark, sf_dir).<name>``.
     """
     ensure_session_confs(spark)
-    key = (id(spark), sf_dir)
-    cached = _LOADED.get(key)
+    cached = _LOADED.setdefault(spark, {}).get(sf_dir)
     if cached is not None:
         # Retry ONLY previously-failed tables (e.g. a transient I/O
         # error, or a conf that needed ensure_session_confs) so a
         # one-time failure isn't pinned for the session's lifetime;
         # the happy path stays a pure dict hit.
-        prior_errors = _LOAD_ERRORS.get(key) or {}
+        prior_errors = _LOAD_ERRORS.setdefault(spark, {}).get(sf_dir) or {}
         if not prior_errors:
             return cached
         todo = list(prior_errors)
@@ -168,16 +176,18 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             out[name] = df
         except Exception as exc:  # isolate: only queries on THIS table fail
             errors[name] = exc
-    _LOADED[key] = out
-    _LOAD_ERRORS[key] = errors
+    _LOADED.setdefault(spark, {})[sf_dir] = out
+    _LOAD_ERRORS.setdefault(spark, {})[sf_dir] = errors
     return out
 
 
-_LOAD_ERRORS: dict[tuple[int, str], dict[str, Exception]] = {}
+_LOAD_ERRORS: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, Exception]]]" = (
+    weakref.WeakKeyDictionary()
+)
 
 
 def tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     """Attribute-style access: ``t = tables(spark, d); t.lineitem``."""
     loaded = load_tables(spark, sf_dir)
-    errors = _LOAD_ERRORS.get((id(spark), sf_dir), {})
+    errors = _LOAD_ERRORS.setdefault(spark, {}).get(sf_dir, {})
     return _Tables(loaded, errors)

@@ -15,7 +15,12 @@ import sys
 
 
 def _run_statements(engine, text: str, max_rows: int) -> None:
-    for stmt in [s.strip() for s in text.split(";") if s.strip()]:
+    # quote- and comment-aware split (shared with the golden harness)
+    # — a ';' inside a string literal or a -- comment is not a
+    # statement boundary.
+    from amplab_hive_spark.testing_golden import split_statements
+
+    for stmt in split_statements(text):
         df = engine.sql(stmt)
         df.show(max_rows, truncate=False)
 
@@ -31,27 +36,49 @@ def main(argv: list[str] | None = None) -> int:
     from amplab_hive_spark.engine import Engine
 
     engine = Engine(sf_dir=args.sf_dir)
-    if args.e:
+    # `is not None`: an explicitly-passed empty string (-e "$UNSET")
+    # must be a no-op one-shot run, not a silent fall-through into a
+    # REPL that blocks the calling pipeline on stdin.
+    if args.e is not None:
         _run_statements(engine, args.e, args.max_rows)
         return 0
-    if args.f:
+    if args.f is not None:
         with open(args.f) as fh:
             _run_statements(engine, fh.read(), args.max_rows)
         return 0
-    # REPL (CliDriver.processLine equivalent)
+    # REPL (CliDriver.processLine equivalent). Statements complete at
+    # an UNQUOTED ';' — the buffer keeps accumulating across lines
+    # while a string literal (or the statement itself) is still open,
+    # so a multi-line literal containing ';' does not flush early.
+    from amplab_hive_spark.testing_golden import split_statements
+
     print("amplab-hive-spark CLI — ';'-terminated statements, 'quit;' to exit")
-    buf: list[str] = []
+    buf = ""
     for line in sys.stdin:
-        buf.append(line)
-        if ";" in line:
-            text = "".join(buf)
-            buf = []
-            if text.strip().rstrip(";").lower() in ("quit", "exit"):
+        buf += line
+        # marker trick: append \x00 and split — if the buffer ends at
+        # an unquoted ';', the marker comes back as its own final
+        # segment; otherwise it rides at the end of the open tail
+        # (unterminated statement or still-open string literal), which
+        # stays buffered for the next line.
+        segs = split_statements(buf + "\x00")
+        if segs and segs[-1] != "\x00":
+            buf = segs[-1][:-1] if segs[-1].endswith("\x00") else segs[-1]
+            complete = segs[:-1]
+        else:
+            buf = ""
+            complete = segs[:-1] if segs else []
+        done = False
+        for stmt in complete:
+            if stmt.strip().lower() in ("quit", "exit"):
+                done = True
                 break
             try:
-                _run_statements(engine, text, args.max_rows)
+                _run_statements(engine, stmt, args.max_rows)
             except Exception as exc:  # surface analyzer errors, keep REPL alive
                 print(f"ERROR: {exc}", file=sys.stderr)
+        if done:
+            break
     return 0
 
 

@@ -38,11 +38,22 @@ def dedup_stream_content(
     payload_cols: tuple[str, ...] = ("user_id", "event_type", "value"),
 ) -> DataFrame:
     """Suppress payload-identical retries regardless of id: key the
-    watermarked dedup state on a content fingerprint."""
+    watermarked dedup state on a content fingerprint.
+
+    Each column is null-coalesced to a sentinel BEFORE concatenation:
+    ``concat_ws`` silently SKIPS null arguments, so without the
+    sentinel (event_type=NULL, value='5.0') and (event_type='5.0',
+    value=NULL) would fingerprint identically and one genuinely
+    distinct event would be dropped as a duplicate. U+001E marks a
+    null cell, U+001F separates cells — neither occurs in cast
+    numeric/categorical payloads."""
     fingerprinted = events.withColumn(
         "content_key",
         F.sha2(
-            F.concat_ws("\x1f", *[F.col(c).cast("string") for c in payload_cols]),
+            F.concat_ws(
+                "\x1f",
+                *[F.coalesce(F.col(c).cast("string"), F.lit("\x1e")) for c in payload_cols],
+            ),
             256,
         ),
     )
@@ -67,6 +78,11 @@ def run_dedup_stream(
     the same checkpoint resumes the state store, so duplicates that
     arrive in a LATER batch (within the watermark) are still
     suppressed."""
+    if keyed_on not in ("exact", "content"):
+        raise ValueError(
+            f"keyed_on must be 'exact' or 'content', got {keyed_on!r} — a typo "
+            "here must not silently switch dedup semantics"
+        )
     stream = spark.readStream.schema(schema).parquet(source_dir)
     deduped = (
         dedup_stream_exact(stream, delay)

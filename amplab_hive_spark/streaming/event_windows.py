@@ -87,7 +87,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("streaming", "session"),
     oracle="""
 WITH gaps AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                    >= INTERVAL '5 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -95,8 +95,13 @@ WITH gaps AS (
   FROM events
 ),
 islands AS (
+  -- (ts, event_id) — the SAME total order as the gaps window. With
+  -- ts alone, tied timestamps at a session boundary could place the
+  -- is_new_session=0 twin BEFORE the =1 row in this ROWS frame,
+  -- assigning it to the previous session, where Spark's
+  -- session_window always merges same-ts events into one session.
   SELECT user_id, ts,
-         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                    ROWS UNBOUNDED PRECEDING) AS session_no
   FROM gaps
 )

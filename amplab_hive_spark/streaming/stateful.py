@@ -37,19 +37,38 @@ OUTPUT_SCHEMA = StructType(
 )
 
 
-def running_user_totals(
-    key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Accumulate per-user event count + value sum across batches."""
-    if state.exists:
-        n, total = state.get
-    else:
-        n, total = 0, 0.0
-    for pdf in batches:
-        n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+def make_running_user_totals(idle_timeout_ms: int | None):
+    """Build the stateful callable. With a timeout, an idle key's
+    state entry is REMOVED when the store's processing-time clock
+    passes it — this is what actually bounds the store on an
+    unbounded key domain; the totals themselves were already emitted
+    with each update, so expiry emits nothing."""
+
+    def running_user_totals(
+        key: tuple, batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in batches:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return running_user_totals
+
+
+# Default callable (no expiry) for direct imports/tests.
+running_user_totals = make_running_user_totals(None)
 
 
 def stream_running_totals(
@@ -58,12 +77,20 @@ def stream_running_totals(
     checkpoint_dir: str,
     schema,
     output_dir: str,
+    idle_timeout_ms: int | None = 30 * 60 * 1000,
 ):
     """readStream → groupBy(user) → applyInPandasWithState →
     foreachBatch parquet sink (update rows stamped with the epoch so
     readers take the latest row per key). foreachBatch — not the
     memory sink — because it supports checkpoint recovery, which is
-    the point of stateful streaming."""
+    the point of stateful streaming.
+
+    ``idle_timeout_ms`` (default 30 min) evicts state for keys idle
+    longer than that, via ProcessingTimeTimeout — WITHOUT it the
+    store grows with every distinct key ever seen, which on an
+    unbounded user domain is a slow leak; pass None to keep state
+    forever (e.g. short availableNow catch-up runs, where
+    processing-time timeouts cannot fire anyway)."""
     from pyspark.sql import functions as F
 
     stream = (
@@ -71,11 +98,15 @@ def stream_running_totals(
         .parquet(source_dir)
         .groupBy("user_id")
         .applyInPandasWithState(
-            running_user_totals,
+            make_running_user_totals(idle_timeout_ms),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.NoTimeout
+                if idle_timeout_ms is None
+                else GroupStateTimeout.ProcessingTimeTimeout
+            ),
         )
     )
 

@@ -62,3 +62,29 @@ def test_content_dedup_catches_new_id_same_payload(spark, tmpdir):
     assert len(surviving) == 2, "id-rotated duplicate payload must be suppressed"
     assert {r.value for r in surviving} == {1.0, 9.9}
     assert "content_key" not in spark.read.parquet(out).columns
+
+
+def test_content_dedup_null_position_is_not_a_collision(spark, tmpdir):
+    """Regression: concat_ws silently SKIPS null columns, so before
+    the null-sentinel fix (event_type=NULL, value=5.0) and
+    (event_type='5.0', value=NULL) fingerprinted identically and one
+    genuinely distinct event was dropped. Both must survive."""
+    t0 = dt.datetime(2024, 6, 1)
+    src, ckpt, out = f"{tmpdir}/src", f"{tmpdir}/ckpt", f"{tmpdir}/out"
+    rows = [
+        (1, t0, 7, None, 5.0),
+        (2, t0 + dt.timedelta(seconds=1), 7, "5.0", None),
+    ]
+    append_batch(spark, rows, src, schema=SCHEMA)
+    q = run_dedup_stream(spark, src, ckpt, SCHEMA, out, keyed_on="content")
+    q.awaitTermination(120)
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2]
+
+
+def test_run_dedup_stream_rejects_unknown_mode(spark, tmpdir):
+    with pytest.raises(ValueError, match="keyed_on"):
+        run_dedup_stream(
+            spark, f"{tmpdir}/src", f"{tmpdir}/ckpt", SCHEMA, f"{tmpdir}/out",
+            keyed_on="exactt",
+        )
