@@ -29,17 +29,13 @@ _EVAL_SOURCE = "src1"  # the fixture source standing in for an eval benchmark
 def _word_ngrams(col: str, width: int):
     """Distinct lowercase word n-grams (space-joined); empty array
     for docs shorter than the window (mirrors the DuckDB oracles'
-    empty comprehension range)."""
-    toks = F.split(F.lower(F.col(col)), " ")
-    return F.when(
-        F.size(toks) >= width,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - width),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, width)),
-            )
-        ),
-    ).otherwise(F.expr("array()").cast("array<string>"))
+    empty comprehension range). Thin wrapper over the single shingle
+    implementation in llm/dedup.py — its short-doc guard was once
+    re-derived here by hand, which is exactly the divergence this
+    import prevents."""
+    from amplab_hive_spark.llm.dedup import _shingles
+
+    return _shingles(col, width, sep=" ")
 
 
 def _ngram_cte(width: int, where: str = "") -> str:
@@ -91,8 +87,12 @@ def pipeline_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = grams.filter(F.col("source") != _EVAL_SOURCE)
     return (
         train.join(F.broadcast(eval_grams), "g")
+        # plain count, not count_distinct: grams are array_distinct
+        # per document BEFORE the explode, so (doc_id, g) is already
+        # unique within each group and a distinct-aggregation pass
+        # over the matched grams would be pure wasted shuffle work.
         .groupBy("doc_id", "source")
-        .agg(F.count_distinct("g").alias("n_overlapping_grams"))
+        .agg(F.count(F.lit(1)).alias("n_overlapping_grams"))
         .orderBy(F.desc("n_overlapping_grams"), "doc_id")
     )
 
@@ -155,16 +155,15 @@ def text_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     text. Pure projection — no shuffle, linear scan at any scale."""
     t = tables(spark, sf_dir)
     toks = F.split(F.lower(F.col("text")), " ")
-    all_grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - 3),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 3)),
-    )
     return (
         t.documents.filter(F.size(toks) >= 3)
         .select(
             "doc_id",
             (F.size(toks) - 2).alias("n_grams"),
-            F.size(F.array_distinct(all_grams)).alias("n_distinct"),
+            # the guarded shared helper — an unguarded inline copy
+            # previously relied on the filter above staying physically
+            # upstream to avoid the negative-sequence slice error
+            F.size(_word_ngrams("text", 3)).alias("n_distinct"),
         )
         .filter(F.col("doc_id") % 10 == 1)
         .select(

@@ -44,20 +44,24 @@ _LSH_BANDS = 4  # 4 bands × 4 rows — candidates at jaccard ≳ 0.5
 _LSH_BUCKET_CAP = 200  # skew guard: degenerate buckets are dropped
 
 
-def _shingles(col: str = "text"):
-    """Distinct word n-gram shingles of width 3 (joined by U+0001).
+def _shingles(col: str = "text", width: int = _SHINGLE_WIDTH, sep: str = "\x01"):
+    """Distinct lowercase word n-gram shingles of ``width`` (joined
+    by ``sep``; U+0001 for the dedup family, ' ' for the
+    contamination oracles' human-readable grams).
 
     Docs shorter than the shingle width yield an EMPTY array — without
-    the guard ``sequence(0, size-3)`` auto-steps negative for short
-    docs and ``slice(..., 0, ...)`` errors at runtime (and diverges
-    from the oracle's empty range)."""
+    the guard ``sequence(0, size-width)`` auto-steps negative for
+    short docs and ``slice(..., 0, ...)`` errors at runtime (and
+    diverges from the oracle's empty range). This is the ONE shingle
+    implementation — llm/contamination.py imports it rather than
+    re-deriving the guard."""
     toks = F.split(F.lower(F.col(col)), " ")
     return F.when(
-        F.size(toks) >= _SHINGLE_WIDTH,
+        F.size(toks) >= width,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - _SHINGLE_WIDTH),
-                lambda i: F.concat_ws("\x01", F.slice(toks, i + 1, _SHINGLE_WIDTH)),
+                F.sequence(F.lit(0), F.size(toks) - width),
+                lambda i: F.concat_ws(sep, F.slice(toks, i + 1, width)),
             )
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))

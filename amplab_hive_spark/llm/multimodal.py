@@ -19,7 +19,6 @@ from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (
-    BinaryType,
     IntegerType,
     LongType,
     StringType,
@@ -31,14 +30,8 @@ from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.registry import register
 
 # Synthetic media payload: 8-byte header (2×int32 big-endian: width,
-# height) + utf-8 body. Stands in for a real JPEG/WAV container.
-_MEDIA_SCHEMA = StructType(
-    [
-        StructField("doc_id", LongType()),
-        StructField("media_type", StringType()),
-        StructField("payload", BinaryType()),
-    ]
-)
+# height) + utf-8 body. Stands in for a real JPEG/WAV container;
+# synthesize_media builds rows of (doc_id, media_type, payload).
 
 _FEATURE_SCHEMA = StructType(
     [

@@ -65,8 +65,15 @@ def matchpath(
         pos = 0
         while pos < len(s):
             m = compiled.search(s, pos)
-            if not m or m.start() == m.end():
+            if not m:
                 break
+            if m.start() == m.end():
+                # zero-width match (e.g. pattern "U*" at a non-U
+                # position): emit nothing for it, but ADVANCE past it
+                # — breaking here would abort the scan and silently
+                # drop every real match later in the partition.
+                pos = m.start() + 1
+                continue
             out.append(emit(pdf, m.start(), m.end()))
             pos = m.end()
         cols = [f.name for f in result_schema.fields]

@@ -16,7 +16,7 @@ watermark → trigger(availableNow) — the reference has no analogue
 
 from __future__ import annotations
 
-from typing import Iterable, Optional
+from typing import Iterable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -27,8 +27,18 @@ def append_batch(
     table_path: str,
     schema=None,
 ) -> None:
-    """Append one micro-batch to a Parquet table directory with
-    atomic visibility (TransactionBatch.commit equivalent)."""
+    """Append one micro-batch to a Parquet table directory
+    (TransactionBatch.commit equivalent).
+
+    Visibility contract, precisely: a reader that starts AFTER this
+    call returns sees the whole batch, and a failed job leaves no
+    committed files — but a reader listing the directory WHILE a
+    multi-file job commit renames task files one at a time can
+    observe a prefix of the batch. That matches the reference's
+    pre-ACID Parquet behavior, not full TransactionBatch isolation
+    (which needed delta directories + the metastore txn list,
+    SURVEY §7.3's documented divergence). Single-partition batches
+    (one file) commit atomically even against concurrent listers."""
     df = rows if isinstance(rows, DataFrame) else spark.createDataFrame(rows, schema=schema)
     df.write.mode("append").parquet(table_path)
 

@@ -31,7 +31,15 @@ def click_attribution(
     lower — identical to events_range_join's interval). Inner join:
     deterministic under availableNow (a left-outer's NULL rows are
     emitted only as the watermark passes, which a catch-up run may
-    never reach)."""
+    never reach).
+
+    Cross-run caveat: the watermark persists in the checkpoint, so a
+    SECOND run sees rows older than (max event time of run one -
+    ``watermark``) as late and drops them — a late-arriving click can
+    lose its pair even though a batch interval join over the same
+    files would find it. The streamed-equals-batch invariant holds
+    for data within the watermark allowance; size ``watermark`` to
+    the source's real out-of-orderness."""
     p = purchases.select(
         F.col("event_id").alias("purchase_id"),
         "user_id",

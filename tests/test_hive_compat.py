@@ -76,3 +76,29 @@ def test_matchpath_generic_pattern(spark):
         (1, 4),
         (5, 3),
     ]
+
+
+def test_matchpath_zero_width_pattern_does_not_abort_scan(spark):
+    """Regression: a pattern that can match the empty string (U*)
+    produced a zero-width match at position 0 and the scanner BROKE
+    out of the loop, silently dropping every real match later in the
+    partition. Zero-width matches must be skipped by advancing."""
+    rows = [Row(g=1, i=i, x=x) for i, x in enumerate([5, 4, 6, 7, 3])]
+    df = spark.createDataFrame(rows)
+    schema = StructType(
+        [
+            StructField("g", LongType()),
+            StructField("start_i", LongType()),
+            StructField("length", LongType()),
+        ]
+    )
+    out = matchpath(
+        df,
+        partition_by=["g"],
+        order_by=["i"],
+        symbols={"U": lambda p: p["x"] > p["x"].shift(1)},
+        pattern="U*",  # zero-width-capable; real runs are i=2..3
+        result_schema=schema,
+        emit=lambda p, s, e: {"g": 1, "start_i": int(p["i"].iloc[s]), "length": e - s},
+    ).collect()
+    assert [(r["start_i"], r["length"]) for r in out] == [(2, 2)]
