@@ -2850,6 +2850,105 @@ QSCRIPTS_R13 = [
     ),
 ]
 
+# Fifteenth tranche: empty-OVER global windows, mixed window specs,
+# DAG-shaped CTE reuse, computed join keys, ILIKE, EXCEPT-as-anti,
+# timestamp BETWEEN, QUALIFY-substitute filtering on a window count.
+QSCRIPTS_R14 = [
+    (
+        "global_window_share",  # share of the grand total via SUM(n) OVER ()
+        """SELECT n_regionkey, n,
+                  CAST(n AS DOUBLE) / SUM(n) OVER () AS share
+           FROM (SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY n_regionkey) g
+           ORDER BY n_regionkey""",
+    ),
+    (
+        "multi_partition_window_specs",  # two different PARTITION BYs in one SELECT
+        """SELECT o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn_status,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY o_orderkey) AS rn_prio
+           FROM orders WHERE o_orderkey <= 150 ORDER BY o_orderkey""",
+    ),
+    (
+        "cte_dag_two_consumers",  # one CTE feeding two later CTEs that then join
+        """WITH base AS (
+             SELECT n_regionkey, n_nationkey FROM nation
+           ),
+           lows AS (SELECT n_regionkey, MIN(n_nationkey) AS lo FROM base GROUP BY n_regionkey),
+           highs AS (SELECT n_regionkey, MAX(n_nationkey) AS hi FROM base GROUP BY n_regionkey)
+           SELECT l.n_regionkey, l.lo, h.hi, h.hi - l.lo AS spread
+           FROM lows l JOIN highs h ON l.n_regionkey = h.n_regionkey
+           ORDER BY l.n_regionkey""",
+    ),
+    (
+        "join_on_computed_expression",  # equi key that is a function of both sides
+        """SELECT n.n_nationkey, r.r_regionkey, COUNT(*) AS n
+           FROM nation n JOIN region r ON n.n_nationkey % 5 = r.r_regionkey
+           GROUP BY n.n_nationkey, r.r_regionkey
+           ORDER BY n.n_nationkey""",
+    ),
+    (
+        "having_or_of_aggregates",  # disjunction of aggregate predicates
+        """SELECT c_nationkey, COUNT(*) AS n, MAX(c_acctbal) AS top
+           FROM customer GROUP BY c_nationkey
+           HAVING COUNT(*) > 40 OR MAX(c_acctbal) > 9990
+           ORDER BY c_nationkey""",
+    ),
+    (
+        "order_by_aggregate_alias",  # sort on the SELECT-list alias of an aggregate
+        """SELECT o_orderstatus, COUNT(*) AS n_orders
+           FROM orders GROUP BY o_orderstatus
+           ORDER BY n_orders DESC, o_orderstatus""",
+    ),
+    (
+        "ilike_case_insensitive",  # ILIKE matches the uppercase names from a lowercase pattern
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE n_name ILIKE 'nation_1%'
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "except_as_antijoin_on_keys",  # EXCEPT on the key column == anti join
+        """SELECT v AS n_nationkey FROM (
+             SELECT n_nationkey AS v FROM nation
+             EXCEPT
+             SELECT n_regionkey FROM nation
+           ) a ORDER BY n_nationkey""",
+    ),
+    (
+        "timestamp_between_literals",  # event-time BETWEEN timestamp literals
+        """SELECT event_type, COUNT(*) AS n
+           FROM events
+           WHERE ts BETWEEN TIMESTAMP '2024-01-02 00:00:00' AND TIMESTAMP '2024-01-03 12:00:00'
+           GROUP BY event_type ORDER BY event_type""",
+    ),
+    (
+        "qualify_substitute_window_filter",  # filter on a window COUNT in an outer query
+        """SELECT o_orderstatus, o_orderkey FROM (
+             SELECT o_orderstatus, o_orderkey,
+                    COUNT(*) OVER (PARTITION BY o_orderstatus) AS status_n
+             FROM orders WHERE o_orderkey <= 300
+           ) w WHERE status_n >= 20
+           ORDER BY o_orderstatus, o_orderkey LIMIT 50""",
+    ),
+    (
+        "distinct_order_limit_expression",  # DISTINCT + sort on a derived expression
+        """SELECT DISTINCT c_nationkey * 2 AS doubled
+           FROM customer ORDER BY doubled DESC LIMIT 8""",
+    ),
+    (
+        "left_join_chain_null_propagation",  # b misses -> c side stays NULL, COALESCE defaults
+        """SELECT c.c_custkey,
+                  COALESCE(o.o_orderstatus, 'none') AS status,
+                  COALESCE(l.n_li, 0) AS n_li
+           FROM customer c
+           LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 450000) o
+             ON o.o_custkey = c.c_custkey
+           LEFT JOIN (SELECT l_orderkey, COUNT(*) AS n_li FROM lineitem GROUP BY l_orderkey) l
+             ON l.l_orderkey = o.o_orderkey
+           WHERE c.c_custkey <= 80
+           ORDER BY c.c_custkey, status, n_li""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -2857,7 +2956,7 @@ QSCRIPTS_R13 = [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
-        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13
+        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
