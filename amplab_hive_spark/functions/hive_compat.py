@@ -94,10 +94,17 @@ def top_ngrams(
     (the reference uses it to size its frequency-estimation heap;
     the distributed aggregation here is exact)."""
     toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
-    )
+    # short-doc guard: for size < n, sequence(0, size-n) auto-steps
+    # DOWNWARD and slice(..., 0, ...) raises at runtime (the same
+    # hazard llm/dedup._shingles pins); such docs contribute no grams,
+    # matching the oracles' empty range().
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")
@@ -115,10 +122,14 @@ def context_ngrams(
     match. E.g. ["spark", None] → top words following "spark"."""
     n = len(context)
     toks = F.split(F.lower(F.col(text_col)), " ")
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - n),
-        lambda i: F.slice(toks, i + 1, n),
-    )
+    # same short-doc guard as top_ngrams
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.slice(toks, i + 1, n),
+        ),
+    ).otherwise(F.expr("array()").cast("array<array<string>>"))
     cond = F.lit(True)
     for pos, word in enumerate(context):
         if word is not None:

@@ -112,7 +112,7 @@ class MacroRegistry:
         i, n = 0, len(sql)
         while i < n:
             ch = sql[i]
-            if ch == "'" or ch == '"':  # string literal / quoted ident
+            if ch in ("'", '"', "`"):  # string literal / quoted ident
                 j = self._skip_quoted(sql, i)
                 out.append(sql[i:j])
                 i = j
@@ -120,6 +120,12 @@ class MacroRegistry:
             if sql.startswith("--", i):
                 j = sql.find("\n", i)
                 j = n if j < 0 else j
+                out.append(sql[i:j])
+                i = j
+                continue
+            if sql.startswith("/*", i):
+                j = sql.find("*/", i + 2)
+                j = n if j < 0 else j + 2
                 out.append(sql[i:j])
                 i = j
                 continue
@@ -153,10 +159,19 @@ class MacroRegistry:
 
     @staticmethod
     def _skip_quoted(sql: str, i: int) -> int:
+        """Skip a ``'…'`` / ``"…"`` string literal or a backticked
+        identifier, honouring BOTH escape forms Spark accepts:
+        doubled quotes and (for string literals, non-ANSI mode)
+        backslash escapes — ``'don\\'t'`` must not end at the escaped
+        quote."""
         q = sql[i]
         j = i + 1
         while j < len(sql):
-            if sql[j] == q:
+            ch = sql[j]
+            if ch == "\\" and q != "`":
+                j += 2
+                continue
+            if ch == q:
                 if j + 1 < len(sql) and sql[j + 1] == q:  # doubled quote escape
                     j += 2
                     continue
@@ -173,8 +188,14 @@ class MacroRegistry:
         i = open_paren
         while i < len(sql):
             ch = sql[i]
-            if ch == "'" or ch == '"':
+            if ch in ("'", '"', "`"):
                 j = self._skip_quoted(sql, i)
+                cur.append(sql[i:j])
+                i = j
+                continue
+            if sql.startswith("/*", i):
+                j = sql.find("*/", i + 2)
+                j = len(sql) if j < 0 else j + 2
                 cur.append(sql[i:j])
                 i = j
                 continue
@@ -204,12 +225,38 @@ class MacroRegistry:
             return macro.body
         # single-pass whole-identifier substitution: an argument text
         # that itself contains a parameter-named column must not be
-        # re-substituted (macro hygiene).
-        mapping = dict(zip(macro.params, args))
+        # re-substituted (macro hygiene). Case-INSENSITIVE, matching
+        # HiveQL identifier semantics (body may spell a parameter in
+        # a different case than its declaration), and applied only to
+        # the UNQUOTED segments of the body — a parameter name inside
+        # one of the body's own string literals is content, not an
+        # identifier (Hive inlines at the AST level, so body literals
+        # are never touched).
+        mapping = {p.lower(): a for p, a in zip(macro.params, args)}
         pattern = re.compile(
-            "|".join(rf"\b{re.escape(p)}\b" for p in sorted(macro.params, key=len, reverse=True))
+            "|".join(
+                rf"\b{re.escape(p)}\b"
+                for p in sorted(macro.params, key=len, reverse=True)
+            ),
+            re.IGNORECASE,
         )
-        return pattern.sub(lambda m: f"({mapping[m.group(0)]})", macro.body)
+
+        def sub_segment(seg: str) -> str:
+            return pattern.sub(lambda m: f"({mapping[m.group(0).lower()]})", seg)
+
+        body = macro.body
+        out: list[str] = []
+        i, n, seg_start = 0, len(body), 0
+        while i < n:
+            if body[i] in ("'", '"', "`"):
+                out.append(sub_segment(body[seg_start:i]))
+                j = MacroRegistry._skip_quoted(body, i)
+                out.append(body[i:j])
+                i = seg_start = j
+            else:
+                i += 1
+        out.append(sub_segment(body[seg_start:]))
+        return "".join(out)
 
 
 # -- driver-contract query: macro expansion feeding a real plan -----

@@ -89,7 +89,8 @@ def fn_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("function", "math"),
     oracle="""
 SELECT l_orderkey, l_linenumber,
-       round(l_extendedprice / 100, 1)        AS price_hundreds,
+       CAST((CAST(round(l_extendedprice * 100, 0) AS BIGINT) + 500) // 1000 AS DOUBLE) / 10
+                                              AS price_hundreds,
        CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
        CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
        abs(-l_quantity)                       AS abs_qty,
@@ -120,7 +121,19 @@ def fn_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.lineitem.filter(F.col("l_orderkey") % 500 == 9).select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.col("l_extendedprice") / 100, 1).alias("price_hundreds"),
+        # HALF_UP round of price/100 to 1 decimal in INTEGER-CENT
+        # arithmetic, not round() on a double: Spark rounds the
+        # shortest decimal string (0.285 -> 0.29) while DuckDB rounds
+        # the binary value (0.285 -> 0.28), so a price landing on a
+        # .x45 tie would diverge. Cents are exact in double, so
+        # round(*100, 0) is unambiguous and (n+500) div 1000 IS
+        # HALF_UP at the 0.1 place, identically on both engines.
+        (
+            F.floor(
+                (F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") + 500) / 1000
+            ).cast("double")
+            / 10
+        ).alias("price_hundreds"),
         F.floor("l_extendedprice").alias("price_floor"),
         F.ceil("l_extendedprice").alias("price_ceil"),
         F.abs(-F.col("l_quantity")).alias("abs_qty"),

@@ -23,21 +23,11 @@ associative, so partial aggregation never drifts.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.operators._util import davg, dsum, o_davg, o_dsum
 from amplab_hive_spark.registry import register
-
-
-def _dsum_d(col: Column | str, scale: int = 4) -> Column:
-    """Exact decimal sum surfaced as double (no alias)."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.sum(c.cast(f"decimal(38,{scale})")).cast("double")
-
-
-def _o_dsum_d(expr: str, scale: int = 4) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
 
 
 # ---------------------------------------------------------------------------
@@ -308,24 +298,10 @@ def cube_segment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "grouping_sets_mixed",
-    tags=("agg", "grouping-sets", "sql"),
-    oracle=f"""
-SELECT l_returnflag, l_linestatus,
-       COUNT(*) AS n,
-       {o_dsum('l_extendedprice')} AS sum_price
-FROM lineitem
-GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
-ORDER BY l_returnflag, l_linestatus
-""",
-)
-def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS through the SQL surface — the engine's
-    HiveQL path (spark.sql) rather than the DataFrame DSL."""
-    tables(spark, sf_dir)  # ensure temp views
-    return spark.sql(
-        f"""
+# One constant serves as BOTH the Spark SQL and the oracle — this
+# query's point is that the identical ANSI text runs on either
+# engine; two hand-kept copies could silently drift apart.
+_GROUPING_SETS_MIXED_SQL = f"""
 SELECT l_returnflag, l_linestatus,
        COUNT(*) AS n,
        {o_dsum('l_extendedprice')} AS sum_price
@@ -333,7 +309,18 @@ FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
 ORDER BY l_returnflag, l_linestatus
 """
-    )
+
+
+@register(
+    "grouping_sets_mixed",
+    tags=("agg", "grouping-sets", "sql"),
+    oracle=_GROUPING_SETS_MIXED_SQL,
+)
+def grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface — the engine's
+    HiveQL path (spark.sql) rather than the DataFrame DSL."""
+    tables(spark, sf_dir)  # ensure temp views
+    return spark.sql(_GROUPING_SETS_MIXED_SQL)
 
 
 # ---------------------------------------------------------------------------

@@ -102,3 +102,37 @@ def test_matchpath_zero_width_pattern_does_not_abort_scan(spark):
         emit=lambda p, s, e: {"g": 1, "start_i": int(p["i"].iloc[s]), "length": e - s},
     ).collect()
     assert [(r["start_i"], r["length"]) for r in out] == [(2, 2)]
+
+
+def test_ngrams_short_documents_contribute_nothing(spark):
+    """Regression: a document with fewer tokens than n made
+    sequence(0, size-n) step DOWNWARD and slice(..., 0, ...) raised
+    at runtime (and the i=0 element emitted a truncated gram). Short
+    docs now yield an empty gram array, matching the oracle's empty
+    range()."""
+    from amplab_hive_spark.functions.hive_compat import context_ngrams, top_ngrams
+
+    df = spark.createDataFrame(
+        [Row(text="one"), Row(text=""), Row(text="alpha beta alpha beta")]
+    )
+    out = {r["ngram"]: r["estfrequency"] for r in top_ngrams(df, "text", 2, 10).collect()}
+    assert out == {"alpha beta": 2, "beta alpha": 1}
+    ctx = {r["ngram"]: r["estfrequency"]
+           for r in context_ngrams(df, "text", ["alpha", None], 10).collect()}
+    assert ctx == {"beta": 2}
+
+
+def test_salted_join_rejects_outer_how(spark):
+    """right/full outer under salting would emit one null-extended
+    row per salt replica for unmatched small-side rows — rejected."""
+    import pytest as _pytest
+
+    from amplab_hive_spark.operators.skew import salted_join
+
+    big = spark.range(10).withColumnRenamed("id", "k")
+    small = spark.range(3).withColumnRenamed("id", "k2")
+    with _pytest.raises(ValueError, match="salted_join supports"):
+        salted_join(big, small, "k", "k2", salt=4, how="full")
+    # the supported shapes still produce exact results
+    got = salted_join(big, small, "k", "k2", salt=4, how="inner").count()
+    assert got == 3

@@ -101,3 +101,37 @@ def test_macro_empty_param_decl_rejected():
     r = MacroRegistry()
     with pytest.raises(MacroError, match="empty parameter"):
         r.handle_statement("CREATE TEMPORARY MACRO m(, x INT) x + 1")
+
+
+def test_macro_body_string_literals_untouched():
+    """Regression: a parameter name appearing inside one of the
+    BODY's own string literals is content, not an identifier — Hive
+    inlines at the AST level and never rewrites literals. Previously
+    concat('x=', x) expanded the x inside 'x=' too."""
+    r = MacroRegistry()
+    assert r.handle_statement("CREATE TEMPORARY MACRO tagit(x STRING) concat('x=', x)")
+    assert r.expand("SELECT tagit(c_name)") == "SELECT (concat('x=', (c_name)))"
+
+
+def test_macro_param_case_insensitive():
+    """HiveQL identifiers are case-insensitive: body spells X, the
+    declaration spells x — must still substitute."""
+    r = MacroRegistry()
+    assert r.handle_statement("CREATE TEMPORARY MACRO inc(x INT) X + 1")
+    assert r.expand("SELECT inc(5)") == "SELECT ((5) + 1)"
+
+
+def test_macro_expansion_survives_block_comment_and_escaped_quote():
+    """The expansion lexer must treat /* */ comments and
+    backslash-escaped quotes as opaque — previously the apostrophe in
+    a comment opened a 'string' that swallowed the macro call."""
+    r = MacroRegistry()
+    r.define("m", ("a",), "a * 2")
+    assert (
+        r.expand("SELECT /* isn't this nice */ m(3)")
+        == "SELECT /* isn't this nice */ ((3) * 2)"
+    )
+    assert r.expand(r"SELECT 'don\'t call m(1)', m(2)") == (
+        r"SELECT 'don\'t call m(1)', ((2) * 2)"
+    )
+    assert r.expand("SELECT `m`(1)") == "SELECT `m`(1)"  # backticked ident is not a call
