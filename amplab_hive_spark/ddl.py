@@ -45,7 +45,15 @@ def create_table_as(
 ) -> None:
     """CTAS to Parquet. partition_by → directory partitions (pruned
     by Catalyst at read); bucket_by=(n, cols) → hash buckets that
-    later joins/aggs on those cols exploit without a shuffle."""
+    later joins/aggs on those cols exploit without a shuffle.
+    sort_by is only meaningful WITH bucketing (Spark's sortBy
+    requires bucketBy) — rejected otherwise rather than silently
+    writing unsorted files."""
+    if sort_by and not bucket_by:
+        raise ValueError(
+            "sort_by requires bucket_by (Spark sortBy is bucket-local); "
+            "without it the sort request would be silently dropped"
+        )
     writer = df.write.mode(mode).format("parquet")
     if partition_by:
         # SortedDynPartitionOptimizer equivalent: cluster rows by
@@ -118,11 +126,13 @@ _NONDETERMINISTIC_FNS = re.compile(
     re.IGNORECASE,
 )
 
-# Strip single-quoted string literals ('' is the embedded-quote
-# escape) and backtick-quoted identifiers so a condition like
-# note = 'call now() later' or a column named `current_date` is not
-# a false positive; the scan runs on the remaining SQL text only.
-_SQL_QUOTED = re.compile(r"'(?:[^']|'')*'|`[^`]*`")
+# Strip single- AND double-quoted string literals (doubled-quote is
+# the embedded-quote escape; with ANSI off, Spark treats "..." as a
+# string literal too) plus backtick-quoted identifiers, so a
+# condition like note = 'call now() later' or a column named
+# `current_date` is not a false positive; the scan runs on the
+# remaining SQL text only.
+_SQL_QUOTED = re.compile(r"'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|`[^`]*`")
 
 
 def _reject_nondeterministic(condition: str, statement: str) -> None:
@@ -432,18 +442,32 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
 
 def export_table(spark: SparkSession, name: str, export_dir: str) -> None:
     """EXPORT TABLE name TO dir (HiveParser.g:97): data + schema
-    snapshot. Data as Parquet, schema as JSON alongside."""
+    snapshot. Data as Parquet, schema AND partition columns as JSON
+    alongside — Hive's _metadata carries the partition spec too, and
+    without it an exported partitioned table would silently
+    round-trip to an unpartitioned one (partition_values and the
+    partition-scoped UPDATE/DELETE paths would stop applying)."""
     import json
     import os
 
     df = spark.table(name)
     df.write.mode("overwrite").parquet(os.path.join(export_dir, "data"))
     with open(os.path.join(export_dir, "_schema.json"), "w") as fh:
-        fh.write(json.dumps({"table": name, "schema": df.schema.jsonValue()}))
+        fh.write(
+            json.dumps(
+                {
+                    "table": name,
+                    "schema": df.schema.jsonValue(),
+                    "partition_columns": _partition_columns(spark, name),
+                }
+            )
+        )
 
 
 def import_table(spark: SparkSession, name: str, export_dir: str, path: str) -> None:
-    """IMPORT TABLE name FROM dir (HiveParser.g:98)."""
+    """IMPORT TABLE name FROM dir (HiveParser.g:98) — restores the
+    exported partitioning (pre-partition-aware exports without the
+    key import as unpartitioned, matching their snapshot)."""
     import json
     import os
 
@@ -453,7 +477,9 @@ def import_table(spark: SparkSession, name: str, export_dir: str, path: str) -> 
         meta = json.load(fh)
     schema = StructType.fromJson(meta["schema"])
     df = spark.read.schema(schema).parquet(os.path.join(export_dir, "data"))
-    create_table_as(spark, name, df, path)
+    create_table_as(
+        spark, name, df, path, partition_by=meta.get("partition_columns", ())
+    )
 
 
 def load_data(

@@ -115,12 +115,15 @@ class Engine:
 
         return partition_values(self.spark, name)
 
-    def read_avro(self, path: str) -> DataFrame:
+    def read_avro(self, path: str, allow_evolution: bool = False) -> DataFrame:
         """Avro container files -> DataFrame (native distributed
-        reader, sources/avro.py; reference SerDe serde2/avro/)."""
+        reader, sources/avro.py; reference SerDe serde2/avro/).
+        ``allow_evolution`` accepts files missing nullable columns
+        of the first file's schema (filled NULL) or carrying extra
+        ones (dropped)."""
         from amplab_hive_spark.sources.avro import read_avro
 
-        return read_avro(self.spark, path)
+        return read_avro(self.spark, path, allow_evolution=allow_evolution)
 
     def write_avro(self, df: DataFrame, path: str, codec: str = "deflate") -> int:
         """DataFrame -> one Avro container file per partition at

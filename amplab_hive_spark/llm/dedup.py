@@ -67,6 +67,31 @@ def _shingles(col: str = "text", width: int = _SHINGLE_WIDTH, sep: str = "\x01")
     ).otherwise(F.expr("array()").cast("array<string>"))
 
 
+def pair_explode(col: str, fields: dict[str, str]):
+    """``explode()`` over every unordered index pair (j < i) of the
+    SORTED array column ``col`` — the grouped-members pair generator
+    every bucketed dedup/ANN path shares (never a self-join, which
+    would re-evaluate the upstream expression tree on both sides).
+
+    ``fields`` maps each output struct alias to a template over
+    ``{lo}``/``{hi}`` (the j-th / i-th element; sortedness makes
+    lo < hi, matching the oracles' ``a.id < b.id``). The index
+    arithmetic is subtle — Spark's higher-order ``sequence`` is
+    inclusive and array indexing is 1-based, hence sequence(2, size)
+    × sequence(1, i-1) over ``[j-1]``/``[i-1]`` — and lives here
+    EXACTLY ONCE; it was previously copy-pasted at four sites."""
+    lo, hi = f"{col}[j-1]", f"{col}[i-1]"
+    body = ", ".join(
+        f"{tpl.format(lo=lo, hi=hi)} AS {alias}" for alias, tpl in fields.items()
+    )
+    return F.explode(
+        F.expr(
+            f"flatten(transform(sequence(2, size({col})), "
+            f"i -> transform(sequence(1, i - 1), j -> struct({body}))))"
+        )
+    )
+
+
 @register(
     "dedup_exact",
     tags=("llm", "dedup"),
@@ -154,8 +179,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = t.documents.select(
         "doc_id", F.explode(_shingles()).alias("shingle")
     )
-    # Row counts (duplicates kept — a shingle repeated within one doc
-    # counts each occurrence, matching the oracle's COUNT(*)).
+    # Document frequency per shingle: _shingles is array_distinct per
+    # doc, so `shingled` has at most one row per (doc, shingle) and
+    # COUNT(*) counts DOCUMENTS containing the shingle — identically
+    # in the oracle, whose list_distinct precedes its unnest.
     freq = (
         shingled.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -176,15 +203,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         members.filter(F.size("docs") >= 2)
         .select(
-            F.explode(
-                F.expr(
-                    """
-flatten(transform(sequence(2, size(docs)),
-  i -> transform(sequence(1, i - 1),
-    j -> struct(docs[j-1] AS doc_a, docs[i-1] AS doc_b))))
-"""
-                )
-            ).alias("p")
+            pair_explode("docs", {"doc_a": "{lo}", "doc_b": "{hi}"}).alias("p")
         )
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
@@ -254,6 +273,11 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    # NULL text: the JVM twin's _shingles yields an
+                    # empty array and the doc is dropped — the Arrow
+                    # path must drop too, not AttributeError.
+                    continue
                 toks = text.lower().split(" ")
                 shingles = list({"\x01".join(toks[i : i + _SHINGLE_WIDTH])
                                  for i in range(len(toks) - _SHINGLE_WIDTH + 1)})
@@ -427,7 +451,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # out; also an optimizer barrier — without it CollapseProject
     # inlines the signature expression into every band slice and the
     # corpus is re-hashed once per band (measured ~2×).
-    sigs = minhash_signatures_arrow(t.documents).persist()
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    sigs = cache_slot("minhash_sigs", minhash_signatures_arrow(t.documents))
     bands = sigs.select(
         "doc_id",
         "sig",
@@ -465,15 +491,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    """
-flatten(transform(sequence(2, size(members)),
-  i -> transform(sequence(1, i - 1),
-    j -> struct(members[j-1].doc_id AS doc_a, members[i-1].doc_id AS doc_b,
-                members[j-1].sig AS sig_a, members[i-1].sig AS sig_b))))
-"""
-                )
+            pair_explode(
+                "members",
+                {
+                    "doc_a": "{lo}.doc_id",
+                    "doc_b": "{hi}.doc_id",
+                    "sig_a": "{lo}.sig",
+                    "sig_b": "{hi}.sig",
+                },
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
@@ -608,15 +633,14 @@ aggregate(
     )
     cand = (
         buckets.select(
-            F.explode(
-                F.expr(
-                    """
-flatten(transform(sequence(2, size(members)),
-  i -> transform(sequence(1, i - 1),
-    j -> struct(members[j-1].doc_id AS doc_a, members[i-1].doc_id AS doc_b,
-                members[j-1].sig64 AS s_a, members[i-1].sig64 AS s_b))))
-"""
-                )
+            pair_explode(
+                "members",
+                {
+                    "doc_a": "{lo}.doc_id",
+                    "doc_b": "{hi}.doc_id",
+                    "s_a": "{lo}.sig64",
+                    "s_b": "{hi}.sig64",
+                },
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b", "p.s_a", "p.s_b")
@@ -679,9 +703,11 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     here but near |A|/|B| on jaccard.
 
     Same scale shape as ``dedup_ngram_jaccard`` (grouped-members
-    pair generation under the df <= {cap} stop-shingle cap — never a
-    shingle self-join; both shuffles hash on `shingle`), only the
-    final scoring differs.""".format(cap=_JACCARD_DF_CAP)
+    pair generation under the ``_JACCARD_DF_CAP`` stop-shingle cap —
+    never a shingle self-join; both shuffles hash on `shingle`),
+    only the final scoring differs. (A ``.format()`` call here would
+    turn this into a discarded expression and leave ``__doc__``
+    None — the bug fixed once before in commit 651d275.)"""
     t = tables(spark, sf_dir)
     shingled = t.documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
     freq = (
@@ -702,15 +728,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         members.filter(F.size("docs") >= 2)
         .select(
-            F.explode(
-                F.expr(
-                    """
-flatten(transform(sequence(2, size(docs)),
-  i -> transform(sequence(1, i - 1),
-    j -> struct(docs[j-1] AS doc_a, docs[i-1] AS doc_b))))
-"""
-                )
-            ).alias("p")
+            pair_explode("docs", {"doc_a": "{lo}", "doc_b": "{hi}"}).alias("p")
         )
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))

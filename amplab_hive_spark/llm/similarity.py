@@ -352,6 +352,13 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
         if prev is not None:
             prev.unpersist()
         prev = cents
+    # the FINAL table goes into a bounded slot: the caller's probe
+    # ranking references it for this call, and the slot unpersists
+    # the PREVIOUS call's final table (lloyd already persisted cents,
+    # so the slot's persist is a no-op re-mark).
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    cents = cache_slot("ivf_cents", cents)
     assigned = assign(quant, cents)
     return cents, assigned
 
@@ -460,7 +467,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     centroids, assigned = build_ivf_index(t.embeddings)
-    assigned = assigned.persist()  # the "index" a real pipeline stores
+    # the "index" a real pipeline stores; slot-bounded so re-runs
+    # don't accumulate orphaned cached frames
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    assigned = cache_slot("ivf_assigned", assigned)
     queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("embedding").alias("qv")
     )
@@ -577,17 +588,11 @@ transform(sequence(0, {_SIGN_TABLES - 1}), t -> struct(
         .agg(F.sort_array(F.collect_list("vec_id")).alias("members"))
         .filter((F.size("members") > 1) & (F.size("members") <= _SIGN_BUCKET_CAP))
     )
+    from amplab_hive_spark.llm.dedup import pair_explode
+
     cand = (
         members.select(
-            F.explode(
-                F.expr(
-                    """
-flatten(transform(sequence(2, size(members)),
-  i -> transform(sequence(1, i - 1),
-    j -> struct(members[j-1] AS vec_a, members[i-1] AS vec_b))))
-"""
-                )
-            ).alias("p")
+            pair_explode("members", {"vec_a": "{lo}", "vec_b": "{hi}"}).alias("p")
         )
         .select("p.vec_a", "p.vec_b")
         .distinct()

@@ -282,10 +282,47 @@ def _header_schema(file_path: str) -> dict:
     return schema
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
+def _check_file_schema(file_schema: dict, expected: dict, evolve: bool) -> None:
+    """Strict mode: normalized name/type/nullability equality.
+    ``evolve`` mode (Avro schema-resolution subset): a file may LACK
+    a target field (rows fill NULL — so the target field must be
+    nullable) and may carry EXTRA fields (ignored); a shared field
+    name must still resolve to the same Spark type."""
+    got = avro_to_spark_schema(file_schema)
+    want = avro_to_spark_schema(expected)
+    if got == want:
+        return
+    if not evolve:
+        raise AvroError(f"schema drift across files: {file_schema} != {expected}")
+    got_fields = {f.name: f for f in got.fields}
+    for f in want.fields:
+        g = got_fields.get(f.name)
+        if g is None:
+            if not f.nullable:
+                raise AvroError(
+                    f"schema evolution: file lacks non-nullable field {f.name!r}"
+                )
+        elif g.dataType != f.dataType:
+            raise AvroError(
+                f"schema evolution: field {f.name!r} is {g.dataType.simpleString()} "
+                f"here but {f.dataType.simpleString()} in the target schema"
+            )
+
+
+def read_avro(spark: SparkSession, path: str, allow_evolution: bool = False) -> DataFrame:
     """Read ``path`` (a directory of ``*.avro`` or a single file)
     into a DataFrame. Schema comes from the first file's header;
-    every file is decoded on an executor."""
+    every file is decoded on an executor.
+
+    ``allow_evolution``: accept files whose record schema differs
+    from the first file's in the Avro schema-resolution subset the
+    decode path supports structurally — a file missing one of the
+    target's NULLABLE fields yields NULL there (``_rows_to_batch``
+    reads absent keys as None), and fields the target doesn't know
+    are dropped; a type change on a shared field is still an error.
+    Default strict, because silently nulling a column on a typo'd
+    schema is worse than an error when evolution wasn't intended.
+    The target schema is the FIRST file's (sorted order)."""
     if os.path.isdir(path):
         files = sorted(_glob.glob(os.path.join(path, "*.avro")))
     else:
@@ -310,11 +347,7 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         for batch in batches:
             for rec in batch.to_pylist():
                 file_schema, rows = read_container(rec["content"])
-                if avro_to_spark_schema(file_schema) != avro_to_spark_schema(expected):
-                    raise AvroError(
-                        "schema drift across files: "
-                        f"{file_schema} != {expected}"
-                    )
+                _check_file_schema(file_schema, expected, allow_evolution)
                 chunk: list[dict] = []
                 for row in rows:
                     chunk.append(row)

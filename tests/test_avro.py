@@ -403,3 +403,44 @@ def test_split_reader_raises_on_truncated_file():
     # truncate inside the count/size varints right at the block start
     with _pytest.raises(AvroError):
         rows_from(data[: second_block + 1])
+
+
+def test_read_avro_schema_evolution(spark, tmp_path):
+    """allow_evolution: a directory mixing an old-schema file (no
+    'score' column) with a new-schema file reads as the first file's
+    schema — the missing nullable column fills NULL, extra columns
+    in other files are dropped, and a TYPE change on a shared field
+    is still an error. Default remains strict."""
+    import pytest as _pytest
+
+    from amplab_hive_spark.sources.avro import read_avro, write_avro
+    from amplab_hive_spark.sources.avro_codec import AvroError
+
+    path = str(tmp_path / "evo")
+    os.makedirs(path)
+    # file 0 (sorted first): the TARGET schema (id, label, score)
+    df_new = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, label string, score double"
+    )
+    write_avro(df_new.coalesce(1), path + "/0new")
+    os.rename(path + "/0new/part-00000.avro", path + "/a-new.avro")
+    # later file: old schema without 'score', plus an extra column
+    df_old = spark.createDataFrame(
+        [(3, "c", 99), (4, "d", 98)], "id long, label string, legacy int"
+    )
+    write_avro(df_old.coalesce(1), path + "/1old")
+    os.rename(path + "/1old/part-00000.avro", path + "/b-old.avro")
+
+    with _pytest.raises(Exception):  # strict default still rejects
+        read_avro(spark, path).collect()
+    got = {r["id"]: r for r in read_avro(spark, path, allow_evolution=True).collect()}
+    assert sorted(got) == [1, 2, 3, 4]
+    assert got[1]["score"] == 1.5 and got[3]["score"] is None
+    assert "legacy" not in got[3].asDict()
+
+    # shared-field type change is never reconcilable
+    df_bad = spark.createDataFrame([(5, 7, 0.1)], "id long, label int, score double")
+    write_avro(df_bad.coalesce(1), path + "/2bad")
+    os.rename(path + "/2bad/part-00000.avro", path + "/c-bad.avro")
+    with _pytest.raises(Exception, match="schema evolution"):
+        read_avro(spark, path, allow_evolution=True).collect()

@@ -70,6 +70,35 @@ def test_export_import(spark, sf_dir, io_dir):
     assert a == b == sorted(r["n_name"] for r in t.nation.collect())
 
 
+def test_export_import_preserves_partitioning(spark, sf_dir, io_dir):
+    """Regression: export recorded only the column schema, so an
+    exported PARTITIONED table silently imported as unpartitioned —
+    partition_values raised 'not partitioned' and the partition-scoped
+    UPDATE/DELETE paths fell back to full rewrites. The snapshot now
+    carries the partition spec and import restores it."""
+    t = tables(spark, sf_dir)
+    ddl.create_table_as(
+        spark, "exp_part", t.nation, f"{io_dir}/exp_part", partition_by=["n_regionkey"]
+    )
+    ddl.export_table(spark, "exp_part", f"{io_dir}/export_p")
+    ddl.import_table(spark, "imp_part", f"{io_dir}/export_p", f"{io_dir}/imp_part")
+    pv = sorted(r["n_regionkey"] for r in ddl.partition_values(spark, "imp_part").collect())
+    assert pv == [0, 1, 2, 3, 4]
+    assert spark.table("imp_part").count() == 25
+
+
+def test_create_table_as_rejects_sort_without_bucket(spark, sf_dir, io_dir):
+    """Spark's sortBy is bucket-local; a sort_by without bucket_by
+    was silently dropped — now it raises."""
+    import pytest as _pytest
+
+    t = tables(spark, sf_dir)
+    with _pytest.raises(ValueError, match="sort_by requires bucket_by"):
+        ddl.create_table_as(
+            spark, "bad_sort", t.nation, f"{io_dir}/bad_sort", sort_by=["n_name"]
+        )
+
+
 def test_load_data_csv(spark, sf_dir, io_dir):
     t = tables(spark, sf_dir)
     ddl.create_table_as(spark, "load_target", t.region.filter("1=0"), f"{io_dir}/load_target")
