@@ -97,6 +97,20 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # Exhausting max_iter with changes still flowing would return
+        # MID-PROPAGATION labels: one real cluster reported as
+        # several, and keep-one dedup would keep multiple "canonical"
+        # copies of the same duplicate group with no sign of failure.
+        # Pointer jumping converges in O(log n) rounds, so hitting
+        # this bound means the graph is far outside expectations —
+        # fail loudly instead.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (label propagation + pointer jumping needs "
+            "O(log n) rounds, so this graph is far deeper than a near-dup "
+            "pair graph should be)"
+        )
     return labels.select("node", "comp")
 
 

@@ -82,3 +82,19 @@ def test_dedup_cluster_resolution_invariants(spark, sf_dir):
         assert len(kept) == 1 and kept[0].doc_id == comp
         assert all(m.cluster_size == len(members) for m in members)
         assert len(members) >= 2, "singletons must not appear"
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    """Exhausting max_iter with labels still changing must raise, not
+    return mid-propagation labels (which would split one real cluster
+    into several 'canonical' groups silently)."""
+    import pytest as _pytest
+
+    from amplab_hive_spark.llm.components import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(64)], "src long, dst long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=1).collect()
+    # the same chain converges with the default budget
+    comp = connected_components(edges)
+    assert comp.select("comp").distinct().count() == 1
