@@ -2949,6 +2949,114 @@ QSCRIPTS_R14 = [
     ),
 ]
 
+# Sixteenth tranche: WITH RECURSIVE (series + reachability), TRY_CAST,
+# EXISTS inside CASE, parenthesized set-op precedence, LATERAL top-1
+# per group, string->date casts, ordinal/expression GROUP BY mix.
+QSCRIPTS_R15 = [
+    (
+        "recursive_cte_series_join",  # WITH RECURSIVE series joined to data
+        """WITH RECURSIVE series(n) AS (
+             SELECT 0
+             UNION ALL
+             SELECT n + 1 FROM series WHERE n < 4
+           )
+           SELECT s.n AS region, COUNT(*) AS n_nations
+           FROM series s JOIN nation ON n_regionkey = s.n
+           GROUP BY s.n ORDER BY s.n""",
+    ),
+    (
+        "recursive_cte_reachability",  # transitive closure over a derived parent tree;
+        # FLOOR because CAST(1.5 AS INT) truncates on Spark but rounds on DuckDB
+        """WITH RECURSIVE reach(k) AS (
+             SELECT 24
+             UNION ALL
+             SELECT CAST(FLOOR(k / 2) AS INT) FROM reach WHERE k > 0
+           )
+           SELECT n_nationkey, n_name FROM nation
+           WHERE n_nationkey IN (SELECT k FROM reach)
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "try_cast_battery",  # TRY_CAST returns NULL instead of raising
+        """SELECT n_nationkey,
+                  TRY_CAST(n_name AS INT)                     AS bad_int,
+                  TRY_CAST(CAST(n_nationkey AS STRING) AS INT) AS good_int,
+                  TRY_CAST('not-a-date' AS DATE)              AS bad_date
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "exists_inside_case",  # EXISTS as a CASE branch condition
+        """SELECT r_name,
+                  CASE WHEN EXISTS (SELECT 1 FROM nation n
+                                    WHERE n.n_regionkey = r.r_regionkey
+                                      AND n.n_nationkey > 20)
+                       THEN 'has-high' ELSE 'low-only' END AS tag
+           FROM region r ORDER BY r_name""",
+    ),
+    (
+        "parenthesized_setop_precedence",  # explicit parens change set-op grouping
+        """SELECT v FROM (
+             (SELECT n_nationkey AS v FROM nation WHERE n_nationkey < 10
+              UNION ALL
+              SELECT n_nationkey FROM nation WHERE n_nationkey < 5)
+             INTERSECT
+             SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 3 AND 12
+           ) t ORDER BY v""",
+    ),
+    (
+        "lateral_top1_per_group",  # greatest-per-group via LATERAL ORDER BY LIMIT 1
+        """SELECT r.r_name, t.top_nation
+           FROM region r JOIN LATERAL (
+             SELECT n_name AS top_nation FROM nation n
+             WHERE n.n_regionkey = r.r_regionkey
+             ORDER BY n.n_nationkey DESC LIMIT 1
+           ) t ON TRUE
+           ORDER BY r.r_name""",
+    ),
+    (
+        "string_to_date_cast_arithmetic",  # CAST string literals to DATE + arithmetic
+        """SELECT n_nationkey,
+                  CAST('2024-03-05' AS DATE) AS base_day,
+                  CAST(CAST('2024-03-05' AS DATE) + INTERVAL 1 DAY * n_nationkey AS DATE) AS shifted
+           FROM nation WHERE n_nationkey < 10 ORDER BY n_nationkey""",
+    ),
+    (
+        "group_by_ordinal_expr_mix",  # ordinal and expression in one GROUP BY
+        """SELECT o_orderstatus, o_orderkey % 3 AS k3, COUNT(*) AS n
+           FROM orders GROUP BY 1, o_orderkey % 3
+           ORDER BY o_orderstatus, k3""",
+    ),
+    (
+        "distinct_count_over_union",  # COUNT(DISTINCT) above a union of key sets
+        """SELECT COUNT(DISTINCT v) AS n_keys FROM (
+             SELECT n_nationkey AS v FROM nation
+             UNION ALL
+             SELECT r_regionkey FROM region
+           ) u""",
+    ),
+    (
+        "case_in_order_by",  # CASE expression as a sort key
+        """SELECT n_nationkey, n_name FROM nation
+           ORDER BY CASE WHEN n_regionkey = 2 THEN 0 ELSE 1 END, n_nationkey
+           LIMIT 12""",
+    ),
+    (
+        "having_on_grouped_expression",  # HAVING references the grouped expression itself
+        """SELECT n_nationkey % 5 AS bucket, COUNT(*) AS n
+           FROM nation GROUP BY n_nationkey % 5
+           HAVING n_nationkey % 5 >= 2
+           ORDER BY bucket""",
+    ),
+    (
+        "row_number_global_order",  # window with ORDER BY only (single partition)
+        """SELECT rn, o_orderkey FROM (
+             SELECT o_orderkey,
+                    ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             FROM orders
+           ) t WHERE rn <= 10 ORDER BY rn""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -2956,7 +3064,7 @@ QSCRIPTS_R14 = [
         (n, s)
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
-        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14
+        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
