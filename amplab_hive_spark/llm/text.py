@@ -350,8 +350,6 @@ def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary before exchanging, so the shuffle carries vocab-sized
     data, not token-stream-sized); the total is a broadcast scalar
     join and the top-15 rank runs on the vocabulary frame."""
-    from pyspark.sql import Window
-
     t = tables(spark, sf_dir)
     counts = (
         t.documents.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))

@@ -73,3 +73,13 @@ def o_davg(expr: str, scale: int = 4) -> str:
         f"(CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"
         f" / COUNT({expr}))"
     )
+
+
+def run_sql(spark, sf_dir: str, text: str):
+    """Register the testdata views, then run ``text`` — the shim every
+    SQL-surface query module shares (previously four identical private
+    copies; a change to the registration contract now lands once)."""
+    from amplab_hive_spark.catalog import tables
+
+    tables(spark, sf_dir)
+    return spark.sql(text)

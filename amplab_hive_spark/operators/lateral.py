@@ -61,10 +61,10 @@ def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "posexplode_tokens",
     tags=("lateral", "udtf"),
     oracle="""
-SELECT doc_id, pos - 1 AS pos, parts[pos] AS word
+SELECT doc_id, s.pos1 - 1 AS pos, parts[s.pos1] AS word
 FROM (SELECT doc_id, string_split(text, ' ') AS parts FROM documents
       WHERE doc_id % 100 = 5) t,
-     unnest(generate_series(1, len(parts))) AS s(pos)
+     unnest(generate_series(1, len(parts))) AS s(pos1)
 """,
 )
 def posexplode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:

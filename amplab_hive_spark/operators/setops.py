@@ -14,9 +14,7 @@ from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.registry import register
 
 
-def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    tables(spark, sf_dir)
-    return spark.sql(text)
+from amplab_hive_spark.operators._util import run_sql as _sql  # noqa: E402
 
 
 _INTERSECT = """

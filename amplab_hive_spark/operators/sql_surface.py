@@ -9,15 +9,13 @@ except UNIQUE JOIN (rewritten below per SURVEY §7.3).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.registry import register
 
 
-def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    tables(spark, sf_dir)
-    return spark.sql(text)
+from amplab_hive_spark.operators._util import run_sql as _sql  # noqa: E402
 
 
 _UNIQUE_JOIN = """
@@ -106,12 +104,17 @@ WHERE o_orderkey % 10 = 3
 """,
 )
 def tablesample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TABLESAMPLE(BUCKET 4 OUT OF 10 ON o_orderkey) semantics
+    """TABLESAMPLE(BUCKET 4 OUT OF 10 ON o_orderkey) SEMANTICS
     (QL/parse/TableSample.java:32). Hive's bucket hash of an integer
     column IS the integer value, so bucket-4-of-10 ≡
-    ``o_orderkey % 10 = 3`` — reproduced identically by the oracle.
-    (Spark's TABLESAMPLE(n PERCENT) is seed-random → not oracle-able;
-    the deterministic bucket form is the reference's own contract.)"""
+    ``o_orderkey % 10 = 3`` — which is what both this query and the
+    oracle execute, making the compare a value check of the SEMANTIC
+    port, not of Spark's TABLESAMPLE parser. Spark's own TABLESAMPLE
+    grammar has no ``ON col`` deterministic form (BUCKET x OUT OF y
+    is a random fraction there), so the syntax itself is pinned
+    separately in tests/test_ddl_surface.py
+    (test_spark_tablesample_syntax), and the deterministic bucket
+    semantics live here."""
     return _sql(
         spark,
         sf_dir,
@@ -128,7 +131,7 @@ WHERE o_orderkey % 10 = 3
     tags=("sort", "null-semantics"),
     oracle="""
 SELECT o_orderkey,
-       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS maybe_price
 FROM orders
 WHERE o_orderkey % 150 = 2
 ORDER BY maybe_price ASC NULLS FIRST, o_orderkey
@@ -143,7 +146,7 @@ def null_ordering_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         sf_dir,
         """
 SELECT o_orderkey,
-       CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_totalprice END AS maybe_price
+       CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS maybe_price
 FROM orders
 WHERE o_orderkey % 150 = 2
 ORDER BY maybe_price ASC NULLS FIRST, o_orderkey
@@ -178,8 +181,6 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     q3/q5 there is no broadcast escape for the first agg: this
     measures raw shuffle + hash-agg throughput. AQE coalesces the
     post-agg partitions (the HAVING kills ~99% of groups)."""
-    from pyspark.sql import functions as F
-
     t = tables(spark, sf_dir)
     big = (
         t.lineitem.groupBy("l_orderkey")
@@ -207,7 +208,7 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("script", "transform"),
     oracle="""
 SELECT l_returnflag, COUNT(*) AS n_rows,
-       SUM(CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)) AS sum_qty
+       SUM(CAST(CAST(floor(l_quantity) AS BIGINT) AS DOUBLE)) AS sum_qty
 FROM lineitem
 GROUP BY l_returnflag
 ORDER BY l_returnflag
@@ -230,7 +231,7 @@ def transform_script_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT k AS l_returnflag, COUNT(*) AS n_rows,
        SUM(CAST(CAST(q AS BIGINT) AS DOUBLE)) AS sum_qty
 FROM (
-  SELECT TRANSFORM (l_returnflag, CAST(l_quantity AS BIGINT))
+  SELECT TRANSFORM (l_returnflag, CAST(floor(l_quantity) AS BIGINT))
     USING '/bin/cat' AS (k STRING, q STRING)
   FROM lineitem
 )
@@ -271,8 +272,6 @@ def profile_documents_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial, and the two COUNT(DISTINCT low-cardinality)
     expand rows only by the distinct-column count. No joins, no
     window, one exchange."""
-    from pyspark.sql import functions as F
-
     t = tables(spark, sf_dir)
     return t.documents.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -14,9 +14,7 @@ from amplab_hive_spark.operators._util import O_DISC_PRICE, disc_price, dsum, o_
 from amplab_hive_spark.registry import register
 
 
-def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
-    tables(spark, sf_dir)
-    return spark.sql(text)
+from amplab_hive_spark.operators._util import run_sql as _sql  # noqa: E402
 
 
 _Q2 = """
@@ -287,7 +285,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sql(spark, sf_dir, _Q9)
 
 
-_LINE_VALUE = "CAST(SUM(CAST((CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(6,2)))) AS DECIMAL(38,4))) AS DOUBLE)"
+# the shared decimal revenue pipeline — identical to o_dsum(O_DISC_PRICE),
+# spelled through the helpers so a scale change in _util propagates here
+_LINE_VALUE = o_dsum(O_DISC_PRICE)
 
 _Q11 = f"""
 SELECT l_partkey AS p_key, {_LINE_VALUE} AS part_value

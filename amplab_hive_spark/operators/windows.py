@@ -167,14 +167,14 @@ def window_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "window_range_frame",
     tags=("window", "frame"),
-    oracle="""
+    oracle=f"""
 SELECT o_orderkey, o_custkey,
        COUNT(*) OVER (
             PARTITION BY o_custkey ORDER BY o_orderkey
             RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW
        ) AS n_near_orders
 FROM orders
-WHERE o_orderkey % 100 = 7
+WHERE {_ORD_FILTER}
 """,
 )
 def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:

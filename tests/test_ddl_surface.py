@@ -118,3 +118,27 @@ def test_describe_function_and_show_functions(spark):
     assert "xpath" in fns and "xpath_int" in fns
     desc = "\n".join(r[0] for r in spark.sql("DESCRIBE FUNCTION pmod").collect())
     assert "pmod" in desc and "positive" in desc.lower()
+
+
+def test_spark_tablesample_syntax(spark, sf_dir):
+    """Spark's own TABLESAMPLE grammar (PERCENT and BUCKET forms)
+    parses and bounds sensibly — the syntax half of the
+    tablesample_bucket registry entry, whose oracle covers only the
+    deterministic Hive bucket SEMANTICS (Spark has no ON col form)."""
+    from amplab_hive_spark.catalog import tables
+
+    tables(spark, sf_dir)
+    total = spark.sql("SELECT COUNT(*) n FROM orders").collect()[0]["n"]
+    pct = spark.sql(
+        "SELECT COUNT(*) n FROM orders TABLESAMPLE (50 PERCENT) REPEATABLE (7)"
+    ).collect()[0]["n"]
+    assert 0 < pct < total
+    bucket = spark.sql(
+        "SELECT COUNT(*) n FROM orders TABLESAMPLE (BUCKET 1 OUT OF 4)"
+    ).collect()[0]["n"]
+    assert 0 < bucket < total
+    # REPEATABLE pins the sample across runs
+    again = spark.sql(
+        "SELECT COUNT(*) n FROM orders TABLESAMPLE (50 PERCENT) REPEATABLE (7)"
+    ).collect()[0]["n"]
+    assert again == pct
