@@ -3057,6 +3057,89 @@ QSCRIPTS_R15 = [
     ),
 ]
 
+# Seventeenth tranche: CUBE syntax, interval RANGE frames on event
+# time, exact integer median, ||-NULL propagation, count flavors over
+# nullables, alias shadowing across derived-table depths, chained
+# INTERSECT, windows over join output, substr edge offsets, pure
+# cartesian.
+QSCRIPTS_R16 = [
+    (
+        "cube_syntax_two_cols",  # GROUP BY CUBE(a, b) — all four grouping sets
+        """SELECT n_regionkey, n_nationkey % 2 AS parity, COUNT(*) AS n,
+                  GROUPING(n_regionkey) AS g_r, GROUPING(n_nationkey % 2) AS g_p
+           FROM nation GROUP BY CUBE(n_regionkey, n_nationkey % 2)
+           ORDER BY g_r, g_p, n_regionkey, parity""",
+    ),
+    (
+        "interval_range_frame_events",  # RANGE frame bounded by a time interval
+        """SELECT event_id, ts,
+                  COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+                                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                    AS n_last_hour
+           FROM events WHERE user_id <= 3
+           ORDER BY user_id, ts, event_id LIMIT 120""",
+    ),
+    (
+        "median_exact_group",  # MEDIAN over integers per group
+        """SELECT o_orderstatus,
+                  median(CAST(o_orderkey AS BIGINT)) AS med_key,
+                  COUNT(*) AS n
+           FROM orders WHERE o_orderkey <= 1001
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "pipe_concat_null_propagation",  # || propagates NULL (unlike DuckDB's concat())
+        """SELECT n_nationkey,
+                  n_name || CASE WHEN n_regionkey = 0 THEN NULL ELSE '-ok' END AS tagged
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "count_flavors_nullable",  # count(*) vs count(1) vs count(col) on a nullable
+        """SELECT COUNT(*) AS all_rows, COUNT(1) AS one_rows,
+                  COUNT(CASE WHEN o_orderkey % 4 = 0 THEN o_orderkey END) AS non_null_only
+           FROM orders WHERE o_orderkey <= 400""",
+    ),
+    (
+        "alias_shadowing_depths",  # same alias name reused at nested depths
+        """SELECT t.k, t.n FROM (
+             SELECT k, COUNT(*) AS n FROM (
+               SELECT n_regionkey AS k FROM nation
+             ) t GROUP BY k
+           ) t ORDER BY t.k""",
+    ),
+    (
+        "chained_intersect",  # three-way INTERSECT
+        """SELECT v FROM (
+             SELECT n_nationkey AS v FROM nation WHERE n_nationkey < 20
+             INTERSECT
+             SELECT n_nationkey FROM nation WHERE n_nationkey >= 5
+             INTERSECT
+             SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 1
+           ) t ORDER BY v""",
+    ),
+    (
+        "window_over_join_result",  # rank within a joined frame
+        """SELECT r_name, n_name,
+                  ROW_NUMBER() OVER (PARTITION BY r_name ORDER BY n_nationkey DESC) AS rn
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           ORDER BY r_name, rn""",
+    ),
+    (
+        "substr_out_of_range_edges",  # offsets past the end and oversized lengths
+        """SELECT n_nationkey,
+                  substr(n_name, 100)     AS past_end,
+                  substr(n_name, 3, 100)  AS long_len,
+                  substr(n_name, 1, 0)    AS zero_len
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "pure_cartesian_count",  # explicit cross product cardinality
+        """SELECT COUNT(*) AS n_pairs,
+                  CAST(SUM(CAST(n_nationkey + r_regionkey AS BIGINT)) AS BIGINT) AS key_sum
+           FROM nation CROSS JOIN region""",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -3065,6 +3148,7 @@ QSCRIPTS_R15 = [
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
+        + QSCRIPTS_R16
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
