@@ -332,3 +332,71 @@ def pipeline_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("epoch", "rank", "doc_id", "ord")
         .orderBy("epoch", "rank")
     )
+
+
+@register(
+    "pipeline_domain_quota",
+    tags=("llm", "pipeline"),
+    oracle="""
+WITH scored AS (
+  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY n_tokens DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tokens
+  FROM scored
+)
+SELECT source,
+       COUNT(*)        AS n_docs_kept,
+       SUM(n_tokens)   AS tokens_kept,
+       MAX(cum_tokens) AS budget_used
+FROM ranked
+WHERE cum_tokens - n_tokens < 20000
+GROUP BY source
+ORDER BY source
+""",
+)
+def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain token budgeting: every source (domain) may
+    contribute at most ~20k tokens to the training mix; docs are
+    admitted longest-first (the deterministic stand-in for a quality
+    rank) until the running total crosses the budget. This is the
+    mixture-balancing step that stops one crawl domain from swamping
+    an epoch — the quota analogue of the reference's per-group
+    windowing (ql/exec/PTFOperator.java:46 running aggregates).
+
+    Admission rule: a doc is kept iff the budget was not yet spent
+    BEFORE it (cum - own < quota), so the first doc of every source
+    always survives and the total may overshoot by at most one doc —
+    the standard greedy knapsack-prefix semantics, identical in both
+    engines because the (n_tokens DESC, doc_id) order is total.
+
+    Scale shape: token counting is a pure projection; ONE
+    hash(source) exchange drives the running-sum window; the rollup
+    reuses the same partitioning (zero extra shuffle — Catalyst
+    collapses groupBy(source) into the window's exchange). Skewed
+    domains are bounded by the quota itself: the window sort is
+    per-source and the output is #sources rows."""
+    t = tables(spark, sf_dir)
+    scored = t.documents.select(
+        "source", "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return (
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < 20000)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_tokens").alias("tokens_kept"),
+            F.max("cum_tokens").alias("budget_used"),
+        )
+        .orderBy("source")
+    )

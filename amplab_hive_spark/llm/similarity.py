@@ -722,3 +722,54 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("q", ",").alias("q_csv"),
         err.alias("max_abs_err"),
     ).orderBy("vec_id")
+
+
+@register(
+    "embedding_dim_profile",
+    tags=("llm", "similarity", "stats"),
+    oracle=f"""
+WITH q AS (
+  SELECT label, d.pos - 1 AS dim,
+         CAST(floor(CAST(embedding[d.pos] AS DOUBLE) * {_IVF_QUANT}) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(1, 9)) AS pos) d
+)
+SELECT label, dim,
+       COUNT(*) AS n,
+       SUM(qv)  AS sum_q,
+       MIN(qv)  AS min_q,
+       MAX(qv)  AS max_q
+FROM q
+GROUP BY label, dim
+ORDER BY label, dim
+""",
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label, per-dimension distribution profile over the first 8
+    embedding coordinates — the drift/health check run before trusting
+    an embedding table (a collapsed dimension or a label whose
+    coordinate range shifted shows up immediately). Uses the same
+    floor(double(x) * 2^24) integer quantization as the IVF oracle so
+    SUM is exact integer arithmetic — order-independent and
+    bit-identical cross-engine, where a float SUM would depend on
+    Spark's partition reduction order.
+
+    Scale shape: slice+posexplode is a pure projection (8 rows out
+    per vector, no full-width explode); the groupBy key space is
+    |labels| x 8, so the map-side partial collapses each partition to
+    a handful of rows before the single exchange."""
+    t = tables(spark, sf_dir)
+    ex = t.embeddings.select(
+        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "val")
+    )
+    qv = F.floor(F.col("val").cast("double") * _IVF_QUANT).cast("bigint")
+    return (
+        ex.select("label", "dim", qv.alias("qv"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qv").alias("sum_q"),
+            F.min("qv").alias("min_q"),
+            F.max("qv").alias("max_q"),
+        )
+        .orderBy("label", "dim")
+    )

@@ -369,3 +369,57 @@ def text_zipf_head(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("rank")
         .limit(15)
     )
+
+
+@register(
+    "text_rare_token_score",
+    tags=("llm", "text"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+  FROM documents
+),
+df AS (
+  SELECT tok, COUNT(*) AS doc_freq FROM toks GROUP BY tok
+)
+SELECT t.doc_id,
+       COUNT(*)                                            AS n_distinct,
+       SUM(CASE WHEN d.doc_freq <= 2 THEN 1 ELSE 0 END)    AS n_rare,
+       MIN(d.doc_freq)                                     AS min_df,
+       MAX(d.doc_freq)                                     AS max_df
+FROM toks t JOIN df d ON t.tok = d.tok
+GROUP BY t.doc_id
+ORDER BY t.doc_id
+""",
+)
+def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document rarity profile against the corpus-wide document
+    frequency table: how many of a doc's distinct tokens appear in at
+    most 2 documents, plus its min/max df — the integer-arithmetic
+    core of TF-IDF-style quality and outlier scoring (gibberish and
+    boilerplate sit at the two df extremes). Deliberately all-integer:
+    no log/idf floats to diverge cross-engine.
+
+    Scale shape: explode distinct tokens (map-side list_distinct
+    collapses within-doc repeats before anything moves), ONE shuffle
+    on tok builds the vocabulary df frame, the df join is
+    vocabulary-sized (AQE broadcasts it when small; at 100 TB it
+    shuffle-joins on tok, co-partitioned with the explode), and the
+    per-doc rollup collapses map-side on doc_id."""
+    t = tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    return (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("doc_freq") <= 2, 1).otherwise(0)).alias("n_rare"),
+            F.min("doc_freq").alias("min_df"),
+            F.max("doc_freq").alias("max_df"),
+        )
+        .orderBy("doc_id")
+    )

@@ -332,3 +332,51 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@register(
+    "events_path_transitions",
+    tags=("streaming", "analytics"),
+    oracle="""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM events
+)
+SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+FROM seq
+WHERE next_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY from_type, to_type
+""",
+)
+def events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-type transition matrix: for every user's time-ordered
+    stream, count (from_type -> to_type) adjacent pairs across the
+    whole log — the Markov-chain path analysis behind funnels and
+    next-action models (the reference spells per-row successor access
+    with its windowing PTF, ql/exec/PTFOperator.java:46; lead() is
+    the same operator).
+
+    Ordering within a user is (ts, event_id): event_id is unique, so
+    the LEAD pass is deterministic even when two events share a
+    timestamp. Scale shape: one hash(user_id) exchange for the window
+    (each user's stream sorts locally within its partition), then the
+    transition groupBy collapses map-side to the #types^2 matrix —
+    the second shuffle carries at most |types|^2 rows per partition.
+    All-integer output, no floats to diverge cross-engine."""
+    t = tables(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = t.events.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("from_type", "to_type")
+    )

@@ -3141,6 +3141,103 @@ QSCRIPTS_R16 = [
 ]
 
 
+# Eighteenth tranche: GROUP BY ALL, any_value over functionally-
+# determined groups, EXISTS as a projected boolean, COUNT(DISTINCT
+# CASE), HAVING with no GROUP BY, scalar-subquery arithmetic in
+# WHERE, UNION type widening, CASE as a grouping key, timestamp
+# INTERVAL arithmetic in a predicate, windowing over aggregate
+# output, bounded self-join pair counting, TRIM(BOTH chars FROM).
+QSCRIPTS_R17 = [
+    (
+        "group_by_all",  # modern GROUP BY ALL (beyond-ref portable syntax,
+        # same plan as groupby1.q's explicit key list)
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority""",
+    ),
+    (
+        "any_value_determined",  # udaf family: any_value is deterministic when
+        # the group functionally determines the value (region name per key)
+        """SELECT n_regionkey, any_value(r_name) AS rname, COUNT(*) AS n
+           FROM nation JOIN region ON n_regionkey = r_regionkey
+           GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "exists_in_select_list",  # subquery_exists.q variant: EXISTS projected
+        # as a boolean column instead of filtering
+        """SELECT s_suppkey,
+                  EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_suppkey = s_suppkey AND l_quantity >= 49) AS has_bulk
+           FROM supplier s ORDER BY s_suppkey""",
+    ),
+    (
+        "count_distinct_case",  # count.q: DISTINCT over a CASE-projected key
+        """SELECT COUNT(DISTINCT CASE WHEN o_totalprice > 150000 THEN o_custkey END)
+                    AS big_spenders,
+                  COUNT(*) AS n_orders
+           FROM orders""",
+    ),
+    (
+        "having_no_groupby",  # having.q: global aggregate gated by HAVING
+        """SELECT COUNT(*) AS n FROM orders HAVING COUNT(*) > 10""",
+    ),
+    (
+        "scalar_subquery_arith",  # subquery_scalar.q: subquery result used in
+        # arithmetic inside the predicate
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE o_totalprice > (SELECT MAX(o_totalprice) FROM orders) / 1.1
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "union_type_widening",  # implicit-cast family: INT branch widens to
+        # DOUBLE across UNION ALL, names from the first branch
+        """SELECT v FROM (
+             SELECT n_nationkey AS v FROM nation
+             UNION ALL SELECT CAST(r_regionkey AS DOUBLE) FROM region
+           ) u ORDER BY v""",
+    ),
+    (
+        "case_as_group_key",  # groupby_ppr-style expression grouping key
+        """SELECT CASE WHEN o_totalprice < 50000 THEN 'S'
+                       WHEN o_totalprice < 200000 THEN 'M'
+                       ELSE 'L' END AS band,
+                  COUNT(*) AS n
+           FROM orders
+           GROUP BY CASE WHEN o_totalprice < 50000 THEN 'S'
+                         WHEN o_totalprice < 200000 THEN 'M'
+                         ELSE 'L' END
+           ORDER BY band""",
+    ),
+    (
+        "interval_arith_predicate",  # interval_arithmetic.q: ts + INTERVAL
+        # compared against a literal inside WHERE
+        """SELECT event_id, ts FROM events
+           WHERE ts + INTERVAL 2 HOUR < TIMESTAMP '2024-01-02 00:00:00'
+             AND user_id = 1
+           ORDER BY event_id LIMIT 20""",
+    ),
+    (
+        "window_after_groupby",  # windowing_gby.q: rank computed over the
+        # aggregate's output in the same query block
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  RANK() OVER (ORDER BY COUNT(*) DESC) AS popularity
+           FROM orders GROUP BY o_orderstatus ORDER BY popularity, o_orderstatus""",
+    ),
+    (
+        "self_join_pair_count",  # self_join family: within-key ordered pairs
+        """SELECT a.o_custkey, COUNT(*) AS n_pairs
+           FROM orders a JOIN orders b
+             ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+           WHERE a.o_custkey <= 50
+           GROUP BY a.o_custkey ORDER BY a.o_custkey""",
+    ),
+    (
+        "trim_both_chars",  # udf_trim.q: character-set TRIM with BOTH
+        """SELECT n_nationkey, TRIM(BOTH 'AEIOU' FROM n_name) AS trimmed
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3148,7 +3245,7 @@ QSCRIPTS_R16 = [
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
-        + QSCRIPTS_R16
+        + QSCRIPTS_R16 + QSCRIPTS_R17
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
