@@ -400,3 +400,57 @@ def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "pipeline_interleave_sources",
+    tags=("llm", "pipeline"),
+    oracle="""
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rnk
+  FROM documents
+),
+ordered AS (
+  SELECT source, doc_id, rnk,
+         ROW_NUMBER() OVER (ORDER BY rnk, source, doc_id) AS position
+  FROM ranked WHERE rnk <= 40
+)
+SELECT position, source, doc_id FROM ordered
+WHERE position <= 40
+ORDER BY position
+""",
+)
+def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-robin source interleaving: the global training order
+    visits every source once before revisiting any (subject to
+    exhaustion), with a per-source order that is itself a
+    deterministic md5 shuffle — the schedule that keeps a batch from
+    being a solid block of one domain without any RNG state to
+    checkpoint. Audit returns the first 40 global positions.
+
+    Scale shape: per-source rank is one hash(source) window exchange.
+    The global-position window is UNpartitioned (single-partition
+    sort — the classic scale trap), so the audit prefilters rnk <= 40
+    first: position orders by rnk before anything else, so no row
+    with rnk > 40 can land in the first 40 positions, and the
+    unpartitioned window sees at most 40 x #sources rows regardless
+    of corpus size. A full-corpus interleave would instead write
+    ordered by (rnk, source) with a range exchange and never ask for
+    a single global row_number."""
+    t = tables(spark, sf_dir)
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    ranked = t.documents.select(
+        "source", "doc_id", F.row_number().over(w_src).alias("rnk")
+    ).filter(F.col("rnk") <= 40)
+    w_glob = Window.orderBy("rnk", "source", "doc_id")
+    return (
+        ranked.withColumn("position", F.row_number().over(w_glob))
+        .filter(F.col("position") <= 40)
+        .select("position", "source", "doc_id")
+        .orderBy("position")
+    )
