@@ -732,6 +732,7 @@ WITH q AS (
   SELECT label, d.pos - 1 AS dim,
          CAST(floor(CAST(embedding[d.pos] AS DOUBLE) * {_IVF_QUANT}) AS BIGINT) AS qv
   FROM embeddings, (SELECT unnest(range(1, 9)) AS pos) d
+  WHERE d.pos <= len(embedding)
 )
 SELECT label, dim,
        COUNT(*) AS n,

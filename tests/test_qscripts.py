@@ -3238,6 +3238,97 @@ QSCRIPTS_R17 = [
 ]
 
 
+# Nineteenth tranche: ordinal GROUP/ORDER BY, EXCEPT ALL /
+# INTERSECT ALL bag semantics, LIKE ... ESCAPE, ILIKE, three-arg
+# LAG with default, NTH_VALUE with a running frame, date_part on
+# event time, position(x IN s), left/right, IEEE-exact sqrt,
+# row-tuple IN over a literal list, and CASE with no ELSE.
+# (FIRST_VALUE ... IGNORE NULLS was prototyped and dropped: Spark
+# puts IGNORE NULLS after the call, DuckDB inside the argument list
+# — no single text parses on both engines.)
+QSCRIPTS_R18 = [
+    (
+        "order_group_by_ordinal",  # groupby_position.q: 1-based ordinals in
+        # both GROUP BY and ORDER BY
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY 1, 2 ORDER BY 2, 1""",
+    ),
+    (
+        "except_all_bag",  # setop family: EXCEPT ALL keeps multiplicity
+        # (each region key removes ONE of its five nation occurrences)
+        """SELECT v FROM (
+             SELECT n_regionkey AS v FROM nation
+             EXCEPT ALL SELECT r_regionkey FROM region
+           ) t ORDER BY v""",
+    ),
+    (
+        "intersect_all_bag",  # INTERSECT ALL: min(multiplicity) per value
+        """SELECT v FROM (
+             SELECT n_regionkey AS v FROM nation
+             INTERSECT ALL SELECT n_regionkey FROM nation WHERE n_nationkey < 10
+           ) t ORDER BY v""",
+    ),
+    (
+        "like_escape",  # udf_like.q: ESCAPE makes _ literal (nation names
+        # contain a real underscore)
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE n_name LIKE 'NATION!_1%' ESCAPE '!' ORDER BY n_nationkey""",
+    ),
+    (
+        "ilike_escape",  # case-insensitive LIKE with the same escape
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE n_name ILIKE 'nation!_2%' ESCAPE '!' ORDER BY n_nationkey""",
+    ),
+    (
+        "lag_with_default",  # windowing.q: three-arg LAG fills leading rows
+        """SELECT o_orderkey,
+                  LAG(o_totalprice, 2, 0.0) OVER (ORDER BY o_orderkey) AS lag2
+           FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+    (
+        "nth_value_running",  # windowing_navfn.q: NTH_VALUE under a growing
+        # frame is NULL until the frame holds 3 rows
+        """SELECT c_custkey, c_mktsegment,
+                  NTH_VALUE(c_custkey, 3) OVER (
+                    PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key
+           FROM customer WHERE c_custkey <= 200 ORDER BY c_mktsegment, c_custkey""",
+    ),
+    (
+        "date_part_fn",  # udf 'date_part' spelling shared by both engines
+        """SELECT event_id, date_part('year', ts) AS y, date_part('hour', ts) AS h
+           FROM events WHERE event_id <= 40 ORDER BY event_id""",
+    ),
+    (
+        "position_in_string",  # udf_instr.q: ANSI position(needle IN hay)
+        """SELECT n_nationkey, position('A' IN n_name) AS pos_a
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "left_right_slices",  # udf_substr.q: left()/right() shorthands
+        """SELECT n_nationkey, left(n_name, 3) AS l3, right(n_name, 3) AS r3
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "sqrt_ieee_exact",  # udf_sqrt.q: sqrt is correctly rounded per IEEE
+        # 754, so DOUBLE results are bit-identical cross-engine
+        """SELECT o_orderkey, sqrt(CAST(o_orderkey AS DOUBLE)) AS root
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "tuple_in_literal_list",  # row-constructor IN over literal tuples
+        """SELECT n_nationkey, n_regionkey FROM nation
+           WHERE (n_regionkey, n_nationkey % 2) IN ((0, 1), (3, 0))
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "case_no_else_null",  # udf_case.q: missing ELSE yields NULL
+        """SELECT o_orderkey, CASE WHEN o_totalprice > 300000 THEN 'big' END AS tag
+           FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3245,7 +3336,7 @@ QSCRIPTS_R17 = [
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
-        + QSCRIPTS_R16 + QSCRIPTS_R17
+        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
