@@ -354,14 +354,14 @@ SELECT source,
        SUM(n_tokens)   AS tokens_kept,
        MAX(cum_tokens) AS budget_used
 FROM ranked
-WHERE cum_tokens - n_tokens < 20000
+WHERE cum_tokens - n_tokens < 800
 GROUP BY source
 ORDER BY source
 """,
 )
 def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-domain token budgeting: every source (domain) may
-    contribute at most ~20k tokens to the training mix; docs are
+    contribute at most ~800 tokens to the training mix; docs are
     admitted longest-first (the deterministic stand-in for a quality
     rank) until the running total crosses the budget. This is the
     mixture-balancing step that stops one crawl domain from swamping
@@ -391,7 +391,7 @@ def pipeline_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
     return (
-        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < 20000)
+        ranked.filter(F.col("cum_tokens") - F.col("n_tokens") < 800)
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs_kept"),
@@ -416,7 +416,7 @@ WITH ranked AS (
 ordered AS (
   SELECT source, doc_id, rnk,
          ROW_NUMBER() OVER (ORDER BY rnk, source, doc_id) AS position
-  FROM ranked WHERE rnk <= 40
+  FROM ranked WHERE rnk <= 10
 )
 SELECT position, source, doc_id FROM ordered
 WHERE position <= 40
@@ -433,11 +433,15 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: per-source rank is one hash(source) window exchange.
     The global-position window is UNpartitioned (single-partition
-    sort — the classic scale trap), so the audit prefilters rnk <= 40
-    first: position orders by rnk before anything else, so no row
-    with rnk > 40 can land in the first 40 positions, and the
-    unpartitioned window sees at most 40 x #sources rows regardless
-    of corpus size. A full-corpus interleave would instead write
+    sort — the classic scale trap), so the audit prefilters rnk <= 10
+    first: position orders by rnk before anything else and 40
+    positions span at most ceil(40 / #sources) <= 10 ranks for the
+    fixture's >= 4 sources, so no row with rnk > 10 can land in the
+    audited prefix, and the unpartitioned window sees at most
+    10 x #sources rows regardless of corpus size. The bound sits
+    BELOW the fixture's 25 docs per source, so the prefilter
+    actually removes rows on the gate data instead of being a
+    vacuous identity. A full-corpus interleave would instead write
     ordered by (rnk, source) with a range exchange and never ask for
     a single global row_number."""
     t = tables(spark, sf_dir)
@@ -446,7 +450,7 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = t.documents.select(
         "source", "doc_id", F.row_number().over(w_src).alias("rnk")
-    ).filter(F.col("rnk") <= 40)
+    ).filter(F.col("rnk") <= 10)
     w_glob = Window.orderBy("rnk", "source", "doc_id")
     return (
         ranked.withColumn("position", F.row_number().over(w_glob))

@@ -760,12 +760,11 @@ def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     a handful of rows before the single exchange."""
     t = tables(spark, sf_dir)
     ex = t.embeddings.select(
-        "label", F.posexplode(F.slice("embedding", 1, 8)).alias("dim", "val")
+        "label",
+        F.posexplode(_quantized(F.slice("embedding", 1, 8))).alias("dim", "qv"),
     )
-    qv = F.floor(F.col("val").cast("double") * _IVF_QUANT).cast("bigint")
     return (
-        ex.select("label", "dim", qv.alias("qv"))
-        .groupBy("label", "dim")
+        ex.groupBy("label", "dim")
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum("qv").alias("sum_q"),

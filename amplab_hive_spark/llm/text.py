@@ -384,7 +384,8 @@ df AS (
 )
 SELECT t.doc_id,
        COUNT(*)                                            AS n_distinct,
-       SUM(CASE WHEN d.doc_freq <= 2 THEN 1 ELSE 0 END)    AS n_rare,
+       SUM(CASE WHEN d.doc_freq * 4 <= (SELECT COUNT(*) FROM documents)
+                THEN 1 ELSE 0 END)                         AS n_rare,
        MIN(d.doc_freq)                                     AS min_df,
        MAX(d.doc_freq)                                     AS max_df
 FROM toks t JOIN df d ON t.tok = d.tok
@@ -395,10 +396,14 @@ ORDER BY t.doc_id
 def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document rarity profile against the corpus-wide document
     frequency table: how many of a doc's distinct tokens appear in at
-    most 2 documents, plus its min/max df — the integer-arithmetic
-    core of TF-IDF-style quality and outlier scoring (gibberish and
-    boilerplate sit at the two df extremes). Deliberately all-integer:
-    no log/idf floats to diverge cross-engine.
+    most a quarter of all documents, plus its min/max df — the
+    integer-arithmetic core of TF-IDF-style quality and outlier
+    scoring (gibberish and boilerplate sit at the two df extremes).
+    Deliberately all-integer: no log/idf floats to diverge
+    cross-engine, and the threshold is RELATIVE (df·4 ≤ N) so it
+    splits the df distribution at every corpus size — a fixed cutoff
+    was vacuous on the gate fixture (no token had df ≤ 2) and left
+    the rarity branch untested.
 
     Scale shape: explode distinct tokens (map-side list_distinct
     collapses within-doc repeats before anything moves), ONE shuffle
@@ -412,12 +417,16 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.array_distinct(F.split(F.lower("text"), " "))).alias("tok"),
     )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n_docs = t.documents.agg(F.count(F.lit(1)).alias("n_docs"))
     return (
         toks.join(df, "tok")
+        .crossJoin(F.broadcast(n_docs))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(F.when(F.col("doc_freq") <= 2, 1).otherwise(0)).alias("n_rare"),
+            F.sum(
+                F.when(F.col("doc_freq") * 4 <= F.col("n_docs"), 1).otherwise(0)
+            ).alias("n_rare"),
             F.min("doc_freq").alias("min_df"),
             F.max("doc_freq").alias("max_df"),
         )
