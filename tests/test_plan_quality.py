@@ -193,3 +193,60 @@ def test_quality_filter_no_shuffle_before_rollup(spark, sf_dir):
     assert shuffles <= 2, f"expected ≤2 exchanges (rollup + order), saw {shuffles}"
     # partial/final agg split proves map-side combine before the shuffle
     assert "partial_count" in final
+
+
+def test_path_transitions_no_join_partial_agg(spark, sf_dir):
+    """Transition counting is window + groupBy only: no join (a
+    self-join spelling would scan the log twice) and a map-side
+    partial aggregate so the matrix shuffle carries at most
+    |types|^2 rows per partition."""
+    plan = plan_of(spark, sf_dir, "events_path_transitions")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in final, "lead() spelling must not join"
+    assert "EvalPython" not in final
+    assert final.count("HashAggregate") >= 2, "partial+final agg required"
+    assert final.count("Exchange") <= 3, "window hash + agg + output sort only"
+
+
+def test_domain_quota_groupby_reuses_window_exchange(spark, sf_dir):
+    """The quota rollup groups on the window's partition key, so
+    Catalyst must NOT add a second hash exchange — the docstring's
+    one-shuffle claim, asserted."""
+    plan = plan_of(spark, sf_dir, "pipeline_domain_quota")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final and "Join" not in final
+    assert final.count("Exchange") <= 2, "hash(source) window + output sort only"
+
+
+def test_rare_token_df_join_broadcasts(spark, sf_dir):
+    """The vocabulary df frame is tiny relative to the token stream;
+    AQE must pick a broadcast join (a sort-merge join here would
+    shuffle the whole exploded token stream a second time)."""
+    plan = plan_of(spark, sf_dir, "text_rare_token_score")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "EvalPython" not in final
+
+
+def test_dim_profile_single_agg_exchange(spark, sf_dir):
+    """posexplode + quantize is a pure projection; the |labels| x 8
+    key space collapses map-side, so the plan is scan -> partial agg
+    -> one exchange -> final agg (+ output sort)."""
+    plan = plan_of(spark, sf_dir, "embedding_dim_profile")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final and "Join" not in final
+    assert final.count("HashAggregate") >= 2
+    assert final.count("Exchange") <= 2
+
+
+def test_interleave_prefilter_bounds_global_window(spark, sf_dir):
+    """The audit's unpartitioned position window must sit above the
+    rnk prefilter: only rows with rnk <= 10 reach the single-partition
+    sort, keeping it bounded at any corpus size."""
+    plan = plan_of(spark, sf_dir, "pipeline_interleave_sources")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "EvalPython" not in final and "Join" not in final
+    # the prefilter must survive into the physical plan
+    assert "<= 10" in final, "rnk prefilter missing from executed plan"
+    assert final.count("Exchange") <= 2
