@@ -440,6 +440,197 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
     return matched
 
 
+def merge_into(
+    spark: SparkSession,
+    name: str,
+    source: DataFrame,
+    on: str,
+    matched_update: dict[str, str] | None = None,
+    matched_delete: str | None = None,
+    not_matched_insert: dict[str, str] | None = None,
+) -> dict[str, int]:
+    """MERGE INTO name t USING source s ON <on> — the ANSI upsert:
+
+    - ``matched_update``: WHEN MATCHED THEN UPDATE SET col=expr
+      (expressions may reference ``t.`` and ``s.`` columns);
+    - ``matched_delete``: WHEN MATCHED AND <cond> THEN DELETE
+      (evaluated BEFORE the update clause, Hive clause-order
+      semantics — a row deleted is not also updated);
+    - ``not_matched_insert``: WHEN NOT MATCHED THEN INSERT with a
+      {target_col: expr-over-s} mapping; unspecified columns become
+      NULL of the target type.
+
+    Beyond the 1.x reference surface (MERGE landed in Hive 2.2) but
+    built on the same rewrite frame as UPDATE/DELETE
+    (ql/parse/UpdateDeleteSemanticAnalyzer.java): copy-on-write,
+    PARTITION-SCOPED. Mechanics:
+
+    1. discovery: a left-semi join finds the target partitions that
+       contain matched rows — only those are re-read and rewritten;
+    2. stage: one full-outer join of the SCOPED target against the
+       source (scoping loses no matches — every matched row's
+       partition is in the discovered set), with every output
+       expression evaluated up front and the whole frame
+       localCheckpoint'ed so classification, counting, and both
+       writes read one materialization;
+    3. cardinality check: a target row matching >1 source row is an
+       ANSI cardinality violation (Hive's
+       ErrorMsg.MERGE_CARDINALITY_VIOLATION) — detected on the staged
+       frame via a per-target-row id and rejected BEFORE any write;
+    4. write: emptied partitions (all rows deleted, none surviving)
+       drop first, survivors overwrite their partitions under dynamic
+       partition overwrite, and inserts APPEND afterwards — appends
+       can create brand-new partitions and can never clobber an
+       unscoped partition the way an overwrite of a non-discovered
+       partition would.
+
+    Crash window (same residual as ``delete_from``, documented): the
+    drop / overwrite / append sequence is not atomic; re-running the
+    SAME merge converges because staged semantics are idempotent for
+    update/delete — but inserts would duplicate, so a crashed merge
+    should be reconciled by key before re-running.
+
+    At 100 TB: the discovery semi-join prunes the rewrite to touched
+    partitions; the source is typically the small side (a change
+    batch) so AQE broadcasts both the semi-join and the outer join's
+    build side; the append path writes only the new rows. Returns
+    {'updated': n, 'deleted': n, 'inserted': n}.
+    """
+    from pyspark.sql import functions as F
+
+    _reject_nondeterministic(on, "MERGE ON")
+    if matched_delete is not None:
+        _reject_nondeterministic(matched_delete, "MERGE WHEN MATCHED AND")
+    if not (matched_update or matched_delete or not_matched_insert):
+        raise ValueError("MERGE requires at least one WHEN clause")
+
+    t = spark.table(name)
+    pcols = _partition_columns(spark, name)
+    by_lower = {c.lower(): c for c in t.columns}
+
+    def _resolve(mapping: dict[str, str], what: str) -> dict[str, str]:
+        resolved, unknown = {}, []
+        for k, v in mapping.items():
+            col = by_lower.get(k.lower())
+            (resolved.__setitem__(col, v) if col else unknown.append(k))
+        if unknown:
+            raise ValueError(
+                f"{what} column(s) {sorted(unknown)} not in table {name} "
+                f"(columns: {t.columns})"
+            )
+        return resolved
+
+    updates = _resolve(matched_update or {}, "MERGE UPDATE target")
+    inserts = _resolve(not_matched_insert or {}, "MERGE INSERT target")
+    bad = sorted(set(updates) & {by_lower[p.lower()] for p in pcols})
+    if bad:
+        raise ValueError(
+            f"MERGE UPDATE cannot change partition column(s) {bad} (Hive "
+            "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT instead"
+        )
+
+    # ---- discovery: which target partitions hold matched rows ----
+    src = source.alias("s")
+    parts: list[tuple] = []
+    if pcols:
+        parts = [
+            tuple(r)
+            for r in t.alias("t")
+            .join(src, F.expr(on), "leftsemi")
+            .select(*pcols)
+            .distinct()
+            .collect()
+        ]
+        scoped = _partition_membership(t, pcols, parts) if parts else t.filter(F.lit(False))
+    else:
+        scoped = t
+
+    # ---- stage: one full-outer join, everything computed up front ----
+    tt = scoped.withColumn("__tid", F.monotonically_increasing_id()).withColumn(
+        "__tmark", F.lit(1)
+    )
+    ss = src.withColumn("__smark", F.lit(1))
+    joined = tt.alias("t").join(ss.alias("s"), F.expr(on), "full_outer")
+    tmark = F.col("__tmark").isNotNull()
+    smark = F.col("__smark").isNotNull()
+    matched = tmark & smark
+    delete_flag = (
+        matched & F.coalesce(F.expr(matched_delete), F.lit(False))
+        if matched_delete is not None
+        else F.lit(False)
+    )
+    cols = []
+    for c in t.columns:
+        keep = F.col(f"t.{c}")
+        upd = F.expr(updates[c]) if c in updates else keep
+        ins = (
+            F.expr(inserts[c]) if c in inserts else F.lit(None)
+        ).cast(t.schema[c].dataType)
+        cols.append(
+            F.when(matched, upd).when(tmark, keep).otherwise(ins).alias(c)
+        )
+    staged = joined.select(
+        *cols,
+        F.col("__tid"),
+        matched.alias("__matched"),
+        delete_flag.alias("__deleted"),
+        (tmark & ~smark).alias("__tonly"),
+        (smark & ~tmark).alias("__sonly"),
+    ).localCheckpoint(eager=True)
+
+    # ---- cardinality: one target row, at most one source row ----
+    dup = (
+        staged.filter("__matched")
+        .groupBy("__tid")
+        .count()
+        .filter("count > 1")
+        .limit(1)
+        .count()
+    )
+    if dup:
+        raise ValueError(
+            "MERGE cardinality violation: a target row matches more than one "
+            "source row (Hive MERGE_CARDINALITY_VIOLATION); aggregate the "
+            "source to one row per key first"
+        )
+
+    n_deleted = staged.filter("__deleted").count()
+    n_updated = (
+        staged.filter("__matched AND NOT __deleted").count() if matched_update else 0
+    )
+    n_inserted = staged.filter("__sonly").count() if not_matched_insert else 0
+
+    survivors = staged.filter(
+        "__tonly OR (__matched AND NOT __deleted)"
+    ).select(*t.columns)
+    new_rows = (
+        staged.filter("__sonly").select(*t.columns) if not_matched_insert else None
+    )
+
+    if not pcols:
+        out = survivors.unionByName(new_rows) if new_rows is not None else survivors
+        out.write.insertInto(name, overwrite=True)
+        return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
+
+    # Partitioned path: drop emptied, overwrite survivors, append new.
+    surviving_parts = {
+        tuple(r) for r in survivors.select(*pcols).distinct().collect()
+    }
+    emptied = [p for p in parts if p not in surviving_parts]
+    drop_specs = [
+        ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
+        for p in emptied
+    ]
+    for spec in drop_specs:
+        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
+    if surviving_parts:
+        with _dynamic_partition_overwrite(spark):
+            survivors.write.insertInto(name, overwrite=True)
+    if new_rows is not None:
+        new_rows.write.insertInto(name, overwrite=False)
+    return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
+
+
 def export_table(spark: SparkSession, name: str, export_dir: str) -> None:
     """EXPORT TABLE name TO dir (HiveParser.g:97): data + schema
     snapshot. Data as Parquet, schema AND partition columns as JSON

@@ -97,6 +97,24 @@ class Engine:
 
         return delete_from(self.spark, name, condition)
 
+    def merge(
+        self,
+        name: str,
+        source: DataFrame,
+        on: str,
+        matched_update: dict[str, str] | None = None,
+        matched_delete: str | None = None,
+        not_matched_insert: dict[str, str] | None = None,
+    ) -> dict[str, int]:
+        from amplab_hive_spark.ddl import merge_into
+
+        return merge_into(
+            self.spark, name, source, on,
+            matched_update=matched_update,
+            matched_delete=matched_delete,
+            not_matched_insert=not_matched_insert,
+        )
+
     def analyze(self, name: str, columns=()) -> None:
         from amplab_hive_spark.ddl import analyze
 

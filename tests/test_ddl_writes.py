@@ -358,3 +358,141 @@ def test_update_delete_reject_nondeterministic_condition(spark, sf_dir, wh):
         assert spark.table("nd_guard").count() == 8
     finally:
         spark.sql("DROP TABLE IF EXISTS nd_guard")
+
+
+def test_merge_upsert_partitioned(spark, sf_dir, wh):
+    """MERGE with all three clauses on a partitioned target: deletes
+    win over updates on matched rows, inserts create a brand-new
+    partition via the append path, and partitions with no matched
+    rows keep their files byte-identical (scope = discovered
+    partitions only)."""
+    t = tables(spark, sf_dir)
+    path = f"{wh}/nation_merge"
+    ddl.create_table_as(
+        spark,
+        "nation_merge",
+        t.nation.withColumn("note", F.lit("orig")),
+        path,
+        partition_by=["n_regionkey"],
+    )
+    before = _partition_files(path)
+    # source: updates for region 0 keys 0/5, delete for key 10,
+    # and one brand-new nation in a new region 9
+    src = spark.createDataFrame(
+        [
+            (0, "RENAMED_0", 0, "upd"),
+            (5, "RENAMED_5", 0, "upd"),
+            (10, "IGNORED", 2, "del"),
+            (99, "NEWLAND", 9, "ins"),
+        ],
+        "k INT, new_name STRING, rk INT, action STRING",
+    )
+    counts = ddl.merge_into(
+        spark,
+        "nation_merge",
+        src,
+        on="t.n_nationkey = s.k",
+        matched_update={"n_name": "s.new_name"},
+        matched_delete="s.action = 'del'",
+        not_matched_insert={
+            "n_nationkey": "s.k",
+            "n_name": "s.new_name",
+            "n_regionkey": "s.rk",
+        },
+    )
+    assert counts == {"updated": 2, "deleted": 1, "inserted": 1}
+    got = spark.table("nation_merge")
+    assert got.count() == 25 - 1 + 1
+    assert {
+        r.n_name for r in got.filter("n_nationkey IN (0, 5)").collect()
+    } == {"RENAMED_0", "RENAMED_5"}
+    assert got.filter("n_nationkey = 10").count() == 0
+    new = got.filter("n_regionkey = 9").collect()
+    assert len(new) == 1 and new[0].n_name == "NEWLAND"
+    assert new[0].note is None  # unspecified insert column -> NULL
+    assert got.filter("note = 'orig'").count() == 24  # survivors keep theirs
+    # regions 1, 3, 4 had no matched rows: files untouched
+    after = _partition_files(path)
+    for part, files in before.items():
+        if not any(f"n_regionkey={r}" in part for r in (0, 2)):
+            assert after[part] == files, f"unmatched partition {part} rewritten"
+    spark.sql("DROP TABLE IF EXISTS nation_merge")
+
+
+def test_merge_insert_appends_into_unmatched_existing_partition(spark, sf_dir, wh):
+    """The trap the append path exists for: an insert lands in an
+    EXISTING partition that contained no matched rows. A naive
+    dynamic-overwrite of the incoming data would replace that whole
+    partition with the single new row; the append path must leave
+    the original rows in place."""
+    t = tables(spark, sf_dir)
+    ddl.create_table_as(
+        spark, "nation_merge_app", t.nation, f"{wh}/nation_merge_app",
+        partition_by=["n_regionkey"],
+    )
+    src = spark.createDataFrame(
+        [(0, "RENAMED_0", 0), (100, "EXTRA_IN_3", 3)],
+        "k INT, new_name STRING, rk INT",
+    )
+    counts = ddl.merge_into(
+        spark, "nation_merge_app", src, on="t.n_nationkey = s.k",
+        matched_update={"n_name": "s.new_name"},
+        not_matched_insert={
+            "n_nationkey": "s.k", "n_name": "s.new_name", "n_regionkey": "s.rk",
+        },
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+    reg3 = spark.table("nation_merge_app").filter("n_regionkey = 3")
+    assert reg3.count() == 6, "append into existing partition must keep old rows"
+    assert reg3.filter("n_name = 'EXTRA_IN_3'").count() == 1
+    spark.sql("DROP TABLE IF EXISTS nation_merge_app")
+
+
+def test_merge_cardinality_violation_rejected_before_write(spark, sf_dir, wh):
+    """Two source rows matching one target row is the ANSI/Hive
+    MERGE_CARDINALITY_VIOLATION; the merge must raise and leave the
+    table untouched."""
+    t = tables(spark, sf_dir)
+    ddl.create_table_as(
+        spark, "nation_merge_card", t.nation, f"{wh}/nation_merge_card",
+        partition_by=["n_regionkey"],
+    )
+    src = spark.createDataFrame(
+        [(0, "A"), (0, "B")], "k INT, new_name STRING"
+    )
+    with pytest.raises(ValueError, match="cardinality"):
+        ddl.merge_into(
+            spark, "nation_merge_card", src, on="t.n_nationkey = s.k",
+            matched_update={"n_name": "s.new_name"},
+        )
+    assert spark.table("nation_merge_card").filter(
+        "n_name LIKE 'NATION%'"
+    ).count() == 25
+    spark.sql("DROP TABLE IF EXISTS nation_merge_card")
+
+
+def test_merge_unpartitioned_and_clause_validation(spark, sf_dir, wh):
+    """Unpartitioned targets take the full-rewrite path; a MERGE with
+    no WHEN clause, an unknown update target, or a partition-column
+    update target is rejected up front."""
+    t = tables(spark, sf_dir)
+    spark.sql("DROP TABLE IF EXISTS region_merge")
+    ddl.create_table_as(spark, "region_merge", t.region, f"{wh}/region_merge")
+    src = spark.createDataFrame([(0, "ZERO"), (9, "NINE")], "k INT, nm STRING")
+    counts = ddl.merge_into(
+        spark, "region_merge", src, on="t.r_regionkey = s.k",
+        matched_update={"r_name": "s.nm"},
+        not_matched_insert={"r_regionkey": "s.k", "r_name": "s.nm"},
+    )
+    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+    got = spark.table("region_merge")
+    assert got.count() == 6
+    assert got.filter("r_regionkey = 0").collect()[0].r_name == "ZERO"
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        ddl.merge_into(spark, "region_merge", src, on="t.r_regionkey = s.k")
+    with pytest.raises(ValueError, match="not in table"):
+        ddl.merge_into(
+            spark, "region_merge", src, on="t.r_regionkey = s.k",
+            matched_update={"nope": "s.nm"},
+        )
+    spark.sql("DROP TABLE IF EXISTS region_merge")
