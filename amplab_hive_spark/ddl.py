@@ -147,6 +147,43 @@ def _reject_nondeterministic(condition: str, statement: str) -> None:
         )
 
 
+def _resolve_targets(
+    columns, mapping: dict[str, str], stmt_label: str, name: str, pcols=None
+) -> dict[str, str]:
+    """Resolve assignment-target column names CASE-INSENSITIVELY
+    against the table schema (Spark SQL identifier semantics).
+    Unknown targets raise like Hive's INVALID_TARGET_COLUMN — a
+    silently ignored typo'd SET column would report rows matched
+    while changing nothing. With ``pcols``, assignments to partition
+    columns are rejected (UPDATE_CANNOT_UPDATE_PART_VALUE): moving
+    rows across partitions under dynamic overwrite would strand
+    stale copies in source partitions the incoming data no longer
+    mentions. Shared by UPDATE and MERGE."""
+    by_lower = {c.lower(): c for c in columns}
+    resolved: dict[str, str] = {}
+    unknown = []
+    for k, expr_text in mapping.items():
+        col = by_lower.get(k.lower())
+        if col is None:
+            unknown.append(k)
+        else:
+            resolved[col] = expr_text
+    if unknown:
+        raise ValueError(
+            f"{stmt_label} target column(s) {sorted(unknown)} not in table "
+            f"{name} (columns: {list(columns)})"
+        )
+    if pcols:
+        bad = sorted(set(resolved) & {by_lower[p.lower()] for p in pcols})
+        if bad:
+            raise ValueError(
+                f"{stmt_label} cannot change partition column(s) {bad} (Hive "
+                "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT "
+                "instead"
+            )
+    return resolved
+
+
 def _affected_partitions(spark, df, cond, pcols) -> list[tuple]:
     """Distinct partition tuples containing rows that match ``cond``.
     The scan is partition-pruned by Catalyst whenever the condition
@@ -321,32 +358,7 @@ def update_table(
     df = spark.table(name)
     cond = F.expr(condition)
     pcols = _partition_columns(spark, name)
-    # Resolve assignment keys CASE-INSENSITIVELY against the table
-    # schema (Spark SQL identifiers are case-insensitive); unknown
-    # targets raise, like Hive's INVALID_TARGET_COLUMN — a silently
-    # ignored typo'd SET column would report rows matched while
-    # changing nothing.
-    by_lower = {c.lower(): c for c in df.columns}
-    resolved: dict[str, str] = {}
-    unknown = []
-    for k, expr_text in assignments.items():
-        col = by_lower.get(k.lower())
-        if col is None:
-            unknown.append(k)
-        else:
-            resolved[col] = expr_text
-    if unknown:
-        raise ValueError(
-            f"UPDATE target column(s) {sorted(unknown)} not in table {name} "
-            f"(columns: {df.columns})"
-        )
-    bad = sorted({c for c in resolved} & {by_lower[p.lower()] for p in pcols})
-    if bad:
-        raise ValueError(
-            f"UPDATE cannot change partition column(s) {bad} (Hive "
-            "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT instead"
-        )
-    assignments = resolved
+    assignments = _resolve_targets(df.columns, assignments, "UPDATE", name, pcols)
     scoped = df
     parts: list[tuple] | None = None
     if pcols:
@@ -490,6 +502,20 @@ def merge_into(
     update/delete — but inserts would duplicate, so a crashed merge
     should be reconciled by key before re-running.
 
+    The ``source`` frame is localCheckpoint'ed once up front: without
+    that, discovery and staging would execute its plan twice, and a
+    non-deterministic source (sample/limit/rand-derived keys, or a
+    view over files being appended concurrently) could match target
+    rows in partitions discovery never scoped — the same silent-skip
+    class ``_reject_nondeterministic`` blocks for string conditions.
+
+    An INSERT-ONLY merge (no matched clause) takes a dedicated fast
+    path: matched target rows are untouched by definition, so there
+    is no discovery, no rewrite of any partition, and — per ANSI/Hive
+    — NO cardinality check (the violation is defined only for rows a
+    WHEN MATCHED clause would touch); unmatched source rows simply
+    anti-join and append.
+
     At 100 TB: the discovery semi-join prunes the rewrite to touched
     partitions; the source is typically the small side (a change
     batch) so AQE broadcasts both the semi-join and the outer join's
@@ -506,31 +532,35 @@ def merge_into(
 
     t = spark.table(name)
     pcols = _partition_columns(spark, name)
-    by_lower = {c.lower(): c for c in t.columns}
 
-    def _resolve(mapping: dict[str, str], what: str) -> dict[str, str]:
-        resolved, unknown = {}, []
-        for k, v in mapping.items():
-            col = by_lower.get(k.lower())
-            (resolved.__setitem__(col, v) if col else unknown.append(k))
-        if unknown:
-            raise ValueError(
-                f"{what} column(s) {sorted(unknown)} not in table {name} "
-                f"(columns: {t.columns})"
-            )
-        return resolved
+    updates = _resolve_targets(
+        t.columns, matched_update or {}, "MERGE UPDATE", name, pcols
+    )
+    inserts = _resolve_targets(t.columns, not_matched_insert or {}, "MERGE INSERT", name)
 
-    updates = _resolve(matched_update or {}, "MERGE UPDATE target")
-    inserts = _resolve(not_matched_insert or {}, "MERGE INSERT target")
-    bad = sorted(set(updates) & {by_lower[p.lower()] for p in pcols})
-    if bad:
-        raise ValueError(
-            f"MERGE UPDATE cannot change partition column(s) {bad} (Hive "
-            "UPDATE_CANNOT_UPDATE_PART_VALUE semantics); DELETE + INSERT instead"
+    # One materialization of the change batch: discovery and staging
+    # (or the anti-join and the append) must see the SAME rows.
+    source = source.localCheckpoint(eager=True)
+    src = source.alias("s")
+
+    def _insert_col(c):
+        return (
+            F.expr(inserts[c]) if c in inserts else F.lit(None)
+        ).cast(t.schema[c].dataType)
+
+    if not updates and matched_delete is None:
+        # ---- insert-only fast path: append, touch nothing else ----
+        new_rows = (
+            src.join(t.alias("t"), F.expr(on), "left_anti")
+            .select(*[_insert_col(c).alias(c) for c in t.columns])
+            .localCheckpoint(eager=True)
         )
+        n_inserted = new_rows.count()
+        if n_inserted:
+            new_rows.write.insertInto(name, overwrite=False)
+        return {"updated": 0, "deleted": 0, "inserted": n_inserted}
 
     # ---- discovery: which target partitions hold matched rows ----
-    src = source.alias("s")
     parts: list[tuple] = []
     if pcols:
         parts = [
@@ -563,11 +593,8 @@ def merge_into(
     for c in t.columns:
         keep = F.col(f"t.{c}")
         upd = F.expr(updates[c]) if c in updates else keep
-        ins = (
-            F.expr(inserts[c]) if c in inserts else F.lit(None)
-        ).cast(t.schema[c].dataType)
         cols.append(
-            F.when(matched, upd).when(tmark, keep).otherwise(ins).alias(c)
+            F.when(matched, upd).when(tmark, keep).otherwise(_insert_col(c)).alias(c)
         )
     staged = joined.select(
         *cols,
@@ -579,6 +606,8 @@ def merge_into(
     ).localCheckpoint(eager=True)
 
     # ---- cardinality: one target row, at most one source row ----
+    # (a separate probe from the counts below: it needs a per-__tid
+    # groupBy and must run BEFORE any write)
     dup = (
         staged.filter("__matched")
         .groupBy("__tid")
@@ -594,11 +623,15 @@ def merge_into(
             "source to one row per key first"
         )
 
-    n_deleted = staged.filter("__deleted").count()
-    n_updated = (
-        staged.filter("__matched AND NOT __deleted").count() if matched_update else 0
-    )
-    n_inserted = staged.filter("__sonly").count() if not_matched_insert else 0
+    # All three counts in ONE pass over the checkpoint.
+    counts_row = staged.agg(
+        F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.expr("__matched AND NOT __deleted"), 1).otherwise(0)).alias("u"),
+        F.sum(F.when(F.col("__sonly"), 1).otherwise(0)).alias("i"),
+    ).collect()[0]
+    n_deleted = int(counts_row.d or 0)
+    n_updated = int(counts_row.u or 0) if matched_update else 0
+    n_inserted = int(counts_row.i or 0) if not_matched_insert else 0
 
     survivors = staged.filter(
         "__tonly OR (__matched AND NOT __deleted)"

@@ -19,7 +19,11 @@ def wh(spark):
     d = tempfile.mkdtemp(prefix="warehouse_")
     yield d
     shutil.rmtree(d, ignore_errors=True)
-    for t in ("nation_ctas", "orders_part", "cust_bkt", "ord_bkt", "seg1", "seg2", "upd_tbl"):
+    for t in (
+        "nation_ctas", "orders_part", "cust_bkt", "ord_bkt", "seg1", "seg2",
+        "upd_tbl", "nation_merge", "nation_merge_app", "nation_merge_card",
+        "region_merge", "nation_merge_insonly",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
 
@@ -364,8 +368,11 @@ def test_merge_upsert_partitioned(spark, sf_dir, wh):
     """MERGE with all three clauses on a partitioned target: deletes
     win over updates on matched rows, inserts create a brand-new
     partition via the append path, and partitions with no matched
-    rows keep their files byte-identical (scope = discovered
-    partitions only)."""
+    rows keep their files byte-identical. In the fixture
+    n_regionkey = n_nationkey % 5, so keys 0/5 (update) and 10
+    (delete) ALL live in partition 0 — region 0 is the only rewritten
+    partition; the source row's rk=2 for the delete is irrelevant
+    because scope comes from the TARGET row's partition."""
     t = tables(spark, sf_dir)
     path = f"{wh}/nation_merge"
     ddl.create_table_as(
@@ -375,48 +382,49 @@ def test_merge_upsert_partitioned(spark, sf_dir, wh):
         path,
         partition_by=["n_regionkey"],
     )
-    before = _partition_files(path)
-    # source: updates for region 0 keys 0/5, delete for key 10,
-    # and one brand-new nation in a new region 9
-    src = spark.createDataFrame(
-        [
-            (0, "RENAMED_0", 0, "upd"),
-            (5, "RENAMED_5", 0, "upd"),
-            (10, "IGNORED", 2, "del"),
-            (99, "NEWLAND", 9, "ins"),
-        ],
-        "k INT, new_name STRING, rk INT, action STRING",
-    )
-    counts = ddl.merge_into(
-        spark,
-        "nation_merge",
-        src,
-        on="t.n_nationkey = s.k",
-        matched_update={"n_name": "s.new_name"},
-        matched_delete="s.action = 'del'",
-        not_matched_insert={
-            "n_nationkey": "s.k",
-            "n_name": "s.new_name",
-            "n_regionkey": "s.rk",
-        },
-    )
-    assert counts == {"updated": 2, "deleted": 1, "inserted": 1}
-    got = spark.table("nation_merge")
-    assert got.count() == 25 - 1 + 1
-    assert {
-        r.n_name for r in got.filter("n_nationkey IN (0, 5)").collect()
-    } == {"RENAMED_0", "RENAMED_5"}
-    assert got.filter("n_nationkey = 10").count() == 0
-    new = got.filter("n_regionkey = 9").collect()
-    assert len(new) == 1 and new[0].n_name == "NEWLAND"
-    assert new[0].note is None  # unspecified insert column -> NULL
-    assert got.filter("note = 'orig'").count() == 24  # survivors keep theirs
-    # regions 1, 3, 4 had no matched rows: files untouched
-    after = _partition_files(path)
-    for part, files in before.items():
-        if not any(f"n_regionkey={r}" in part for r in (0, 2)):
+    try:
+        before = _partition_files(path)
+        src = spark.createDataFrame(
+            [
+                (0, "RENAMED_0", 0, "upd"),
+                (5, "RENAMED_5", 0, "upd"),
+                (10, "IGNORED", 2, "del"),
+                (99, "NEWLAND", 9, "ins"),
+            ],
+            "k INT, new_name STRING, rk INT, action STRING",
+        )
+        counts = ddl.merge_into(
+            spark,
+            "nation_merge",
+            src,
+            on="t.n_nationkey = s.k",
+            matched_update={"n_name": "s.new_name"},
+            matched_delete="s.action = 'del'",
+            not_matched_insert={
+                "n_nationkey": "s.k",
+                "n_name": "s.new_name",
+                "n_regionkey": "s.rk",
+            },
+        )
+        assert counts == {"updated": 2, "deleted": 1, "inserted": 1}
+        got = spark.table("nation_merge")
+        assert got.count() == 25 - 1 + 1
+        assert {
+            r.n_name for r in got.filter("n_nationkey IN (0, 5)").collect()
+        } == {"RENAMED_0", "RENAMED_5"}
+        assert got.filter("n_nationkey = 10").count() == 0
+        new = got.filter("n_regionkey = 9").collect()
+        assert len(new) == 1 and new[0].n_name == "NEWLAND"
+        assert new[0].note is None  # unspecified insert column -> NULL
+        assert got.filter("note = 'orig'").count() == 24  # survivors keep theirs
+        # every partition except the rewritten region 0: files untouched
+        after = _partition_files(path)
+        untouched = {k: v for k, v in before.items() if "n_regionkey=0" not in k}
+        assert len(untouched) >= 4
+        for part, files in untouched.items():
             assert after[part] == files, f"unmatched partition {part} rewritten"
-    spark.sql("DROP TABLE IF EXISTS nation_merge")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_merge")
 
 
 def test_merge_insert_appends_into_unmatched_existing_partition(spark, sf_dir, wh):
@@ -430,22 +438,24 @@ def test_merge_insert_appends_into_unmatched_existing_partition(spark, sf_dir, w
         spark, "nation_merge_app", t.nation, f"{wh}/nation_merge_app",
         partition_by=["n_regionkey"],
     )
-    src = spark.createDataFrame(
-        [(0, "RENAMED_0", 0), (100, "EXTRA_IN_3", 3)],
-        "k INT, new_name STRING, rk INT",
-    )
-    counts = ddl.merge_into(
-        spark, "nation_merge_app", src, on="t.n_nationkey = s.k",
-        matched_update={"n_name": "s.new_name"},
-        not_matched_insert={
-            "n_nationkey": "s.k", "n_name": "s.new_name", "n_regionkey": "s.rk",
-        },
-    )
-    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
-    reg3 = spark.table("nation_merge_app").filter("n_regionkey = 3")
-    assert reg3.count() == 6, "append into existing partition must keep old rows"
-    assert reg3.filter("n_name = 'EXTRA_IN_3'").count() == 1
-    spark.sql("DROP TABLE IF EXISTS nation_merge_app")
+    try:
+        src = spark.createDataFrame(
+            [(0, "RENAMED_0", 0), (100, "EXTRA_IN_3", 3)],
+            "k INT, new_name STRING, rk INT",
+        )
+        counts = ddl.merge_into(
+            spark, "nation_merge_app", src, on="t.n_nationkey = s.k",
+            matched_update={"n_name": "s.new_name"},
+            not_matched_insert={
+                "n_nationkey": "s.k", "n_name": "s.new_name", "n_regionkey": "s.rk",
+            },
+        )
+        assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+        reg3 = spark.table("nation_merge_app").filter("n_regionkey = 3")
+        assert reg3.count() == 6, "append into existing partition must keep old rows"
+        assert reg3.filter("n_name = 'EXTRA_IN_3'").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_merge_app")
 
 
 def test_merge_cardinality_violation_rejected_before_write(spark, sf_dir, wh):
@@ -457,18 +467,34 @@ def test_merge_cardinality_violation_rejected_before_write(spark, sf_dir, wh):
         spark, "nation_merge_card", t.nation, f"{wh}/nation_merge_card",
         partition_by=["n_regionkey"],
     )
-    src = spark.createDataFrame(
-        [(0, "A"), (0, "B")], "k INT, new_name STRING"
-    )
-    with pytest.raises(ValueError, match="cardinality"):
-        ddl.merge_into(
-            spark, "nation_merge_card", src, on="t.n_nationkey = s.k",
-            matched_update={"n_name": "s.new_name"},
+    try:
+        src = spark.createDataFrame(
+            [(0, "A"), (0, "B")], "k INT, new_name STRING"
         )
-    assert spark.table("nation_merge_card").filter(
-        "n_name LIKE 'NATION%'"
-    ).count() == 25
-    spark.sql("DROP TABLE IF EXISTS nation_merge_card")
+        with pytest.raises(ValueError, match="cardinality"):
+            ddl.merge_into(
+                spark, "nation_merge_card", src, on="t.n_nationkey = s.k",
+                matched_update={"n_name": "s.new_name"},
+            )
+        assert spark.table("nation_merge_card").filter(
+            "n_name LIKE 'NATION%'"
+        ).count() == 25
+        # insert-only merge with the SAME duplicate-key source must
+        # NOT raise (ANSI: cardinality is defined only for WHEN
+        # MATCHED clauses), must not rewrite matched partitions, and
+        # inserts nothing since key 0 already exists.
+        before = _partition_files(f"{wh}/nation_merge_card")
+        counts = ddl.merge_into(
+            spark, "nation_merge_card", src, on="t.n_nationkey = s.k",
+            not_matched_insert={"n_nationkey": "s.k", "n_name": "s.new_name",
+                                "n_regionkey": "0"},
+        )
+        assert counts == {"updated": 0, "deleted": 0, "inserted": 0}
+        assert _partition_files(f"{wh}/nation_merge_card") == before, (
+            "insert-only merge must not rewrite any partition"
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_merge_card")
 
 
 def test_merge_unpartitioned_and_clause_validation(spark, sf_dir, wh):
@@ -478,21 +504,57 @@ def test_merge_unpartitioned_and_clause_validation(spark, sf_dir, wh):
     t = tables(spark, sf_dir)
     spark.sql("DROP TABLE IF EXISTS region_merge")
     ddl.create_table_as(spark, "region_merge", t.region, f"{wh}/region_merge")
-    src = spark.createDataFrame([(0, "ZERO"), (9, "NINE")], "k INT, nm STRING")
-    counts = ddl.merge_into(
-        spark, "region_merge", src, on="t.r_regionkey = s.k",
-        matched_update={"r_name": "s.nm"},
-        not_matched_insert={"r_regionkey": "s.k", "r_name": "s.nm"},
-    )
-    assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
-    got = spark.table("region_merge")
-    assert got.count() == 6
-    assert got.filter("r_regionkey = 0").collect()[0].r_name == "ZERO"
-    with pytest.raises(ValueError, match="at least one WHEN"):
-        ddl.merge_into(spark, "region_merge", src, on="t.r_regionkey = s.k")
-    with pytest.raises(ValueError, match="not in table"):
-        ddl.merge_into(
+    try:
+        src = spark.createDataFrame([(0, "ZERO"), (9, "NINE")], "k INT, nm STRING")
+        counts = ddl.merge_into(
             spark, "region_merge", src, on="t.r_regionkey = s.k",
-            matched_update={"nope": "s.nm"},
+            matched_update={"r_name": "s.nm"},
+            not_matched_insert={"r_regionkey": "s.k", "r_name": "s.nm"},
         )
-    spark.sql("DROP TABLE IF EXISTS region_merge")
+        assert counts == {"updated": 1, "deleted": 0, "inserted": 1}
+        got = spark.table("region_merge")
+        assert got.count() == 6
+        assert got.filter("r_regionkey = 0").collect()[0].r_name == "ZERO"
+        with pytest.raises(ValueError, match="at least one WHEN"):
+            ddl.merge_into(spark, "region_merge", src, on="t.r_regionkey = s.k")
+        with pytest.raises(ValueError, match="not in table"):
+            ddl.merge_into(
+                spark, "region_merge", src, on="t.r_regionkey = s.k",
+                matched_update={"nope": "s.nm"},
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS region_merge")
+
+
+def test_merge_insert_only_appends_new_partition(spark, sf_dir, wh):
+    """The insert-only fast path end-to-end: unmatched rows append
+    (creating a new partition), matched rows are untouched, and no
+    existing partition is rewritten."""
+    t = tables(spark, sf_dir)
+    path = f"{wh}/nation_merge_insonly"
+    ddl.create_table_as(
+        spark, "nation_merge_insonly", t.nation, path,
+        partition_by=["n_regionkey"],
+    )
+    try:
+        before = _partition_files(path)
+        src = spark.createDataFrame(
+            [(0, "EXISTS", 0), (200, "NEW_A", 7), (201, "NEW_B", 7)],
+            "k INT, nm STRING, rk INT",
+        )
+        counts = ddl.merge_into(
+            spark, "nation_merge_insonly", src, on="t.n_nationkey = s.k",
+            not_matched_insert={
+                "n_nationkey": "s.k", "n_name": "s.nm", "n_regionkey": "s.rk",
+            },
+        )
+        assert counts == {"updated": 0, "deleted": 0, "inserted": 2}
+        got = spark.table("nation_merge_insonly")
+        assert got.count() == 27
+        assert got.filter("n_nationkey = 0").collect()[0].n_name != "EXISTS"
+        assert got.filter("n_regionkey = 7").count() == 2
+        after = _partition_files(path)
+        for part, files in before.items():
+            assert after[part] == files, f"existing partition {part} rewritten"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS nation_merge_insonly")
