@@ -3329,6 +3329,85 @@ QSCRIPTS_R18 = [
 ]
 
 
+# Twentieth tranche: ANSI EXTRACT fields (DOW deliberately avoided —
+# Spark numbers Sunday=1, DuckDB Sunday=0, a real divergence), month
+# truncation cast to DATE (Spark's date_trunc yields TIMESTAMP,
+# DuckDB's yields DATE — the cast is the portable spelling),
+# timestamp→date cast comparison, concat_ws, NULLIF division guard,
+# GREATEST null-skipping, date BETWEEN, HAVING referencing a SELECT
+# alias, DISTINCT+ORDER BY, ordered-LIMIT derived table, UNION
+# inside an IN subquery, chr/ascii round-trip.
+QSCRIPTS_R19 = [
+    (
+        "extract_ansi_fields",  # udf_extract family: EXTRACT(f FROM ts)
+        """SELECT event_id, EXTRACT(YEAR FROM ts) AS y, EXTRACT(DAY FROM ts) AS d,
+                  EXTRACT(HOUR FROM ts) AS h
+           FROM events WHERE event_id <= 30 ORDER BY event_id""",
+    ),
+    (
+        "date_trunc_month_agg",  # date_trunc month rollup, DATE-cast portable
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m, COUNT(*) AS n
+           FROM orders GROUP BY 1 ORDER BY m LIMIT 24""",
+    ),
+    (
+        "cast_ts_to_date_compare",  # timestamp→date cast in a predicate
+        """SELECT event_id FROM events
+           WHERE CAST(ts AS DATE) = DATE '2024-01-03' ORDER BY event_id LIMIT 25""",
+    ),
+    (
+        "concat_ws_fn",  # udf_concat_ws.q
+        """SELECT n_nationkey,
+                  concat_ws('-', n_name, CAST(n_regionkey AS STRING)) AS tag
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "nullif_div_guard",  # the NULLIF(x,0) divide-by-zero idiom
+        """SELECT o_orderkey, o_totalprice / NULLIF(o_orderkey % 3, 0) AS ratio
+           FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
+    ),
+    (
+        "greatest_null_skipping",  # GREATEST skips NULL args on both engines
+        """SELECT n_nationkey, GREATEST(n_nationkey, NULL, n_regionkey) AS g
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "between_dates",  # date-literal BETWEEN range predicate
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'""",
+    ),
+    (
+        "having_alias_reference",  # HAVING may reference the SELECT alias
+        """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+           GROUP BY o_orderstatus HAVING n > 100 ORDER BY o_orderstatus""",
+    ),
+    (
+        "distinct_with_orderby",  # DISTINCT then ORDER BY the same column
+        """SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority""",
+    ),
+    (
+        "derived_orderby_limit",  # ordered LIMIT inside a derived table is
+        # preserved before the outer reorder
+        """SELECT k, p FROM (
+             SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+             ORDER BY p DESC, k LIMIT 10
+           ) t ORDER BY k""",
+    ),
+    (
+        "union_in_where_subquery",  # IN over a UNION'd subquery
+        """SELECT n_name FROM nation WHERE n_regionkey IN (
+             SELECT r_regionkey FROM region WHERE r_name = 'ASIA'
+             UNION SELECT 0
+           ) ORDER BY n_name""",
+    ),
+    (
+        "chr_ascii_roundtrip",  # udf_ascii.q / udf_chr: code point round-trip
+        """SELECT n_nationkey, ascii(n_name) AS first_code,
+                  chr(ascii(n_name)) AS first_char
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3336,7 +3415,7 @@ QSCRIPTS_R18 = [
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
-        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18
+        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
