@@ -307,3 +307,22 @@ def test_retention_cohort_fixture(spark):
         ("2024-01-01", 2): 1,
         ("2024-01-08", 0): 1,
     }
+
+
+def test_incremental_dedup_branches_not_vacuous(spark, sf_dir):
+    """The incremental classifier must actually exercise its
+    non-trivial branches on the gate fixture: the lead-fingerprint
+    was chosen precisely because a full-text hash produced only
+    'novel' (the fixture has no byte-identical duplicates). At the
+    gate SF both dup_corpus and novel must appear."""
+    from amplab_hive_spark.registry import all_queries
+
+    rows = all_queries()["dedup_incremental_exact"].fn(spark, sf_dir).collect()
+    statuses = {r.status for r in rows}
+    assert "dup_corpus" in statuses, "corpus-duplicate branch untested"
+    assert "novel" in statuses
+    # classification is exhaustive and disjoint: batch total matches
+    batch_total = sum(r.n for r in rows)
+    from amplab_hive_spark.catalog import tables
+    docs = tables(spark, sf_dir).documents
+    assert batch_total == docs.filter("doc_id % 10 >= 8").count()
