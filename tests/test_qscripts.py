@@ -3408,6 +3408,100 @@ QSCRIPTS_R19 = [
 ]
 
 
+# Twenty-first tranche: simple-form CASE, a 40-element IN list,
+# forward-only ROWS frames, LAG under DESC ordering, the
+# QUALIFY-style filter-on-windowed-derived-table, a CTE referenced
+# twice, AVG(DISTINCT expr), MIN/MAX over strings, LIMIT+OFFSET,
+# HAVING on GROUPING(), date-interval RANGE frames, and COALESCE
+# over a NULLIF chain.
+QSCRIPTS_R20 = [
+    (
+        "simple_case_form",  # udf_case.q: CASE expr WHEN v THEN (simple form)
+        """SELECT o_orderkey,
+                  CASE o_orderstatus WHEN 'F' THEN 'finished'
+                                     WHEN 'O' THEN 'open'
+                                     ELSE 'partial' END AS st
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "long_in_list",  # the IN-list shape Hive turns into a hash set
+        """SELECT COUNT(*) AS n FROM lineitem
+           WHERE l_suppkey IN (1,2,3,4,5,6,7,8,9,10,11,12,13,14,15,16,17,18,
+                               19,20,21,22,23,24,25,26,27,28,29,30,31,32,33,
+                               34,35,36,37,38,39,40)""",
+    ),
+    (
+        "rows_following_frame",  # windowing_windowspec.q: forward-only frame
+        """SELECT o_orderkey,
+                  SUM(o_totalprice) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN 1 FOLLOWING AND 2 FOLLOWING) AS nxt2
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "lag_desc_order",  # LAG over a DESC ordering = successor access
+        """SELECT o_orderkey,
+                  LAG(o_orderkey) OVER (ORDER BY o_orderkey DESC) AS next_key
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "qualify_workaround",  # per-group champion via windowed derived
+        # table + outer rn = 1 filter (the portable QUALIFY spelling)
+        """SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+             SELECT c_mktsegment, c_custkey, c_acctbal,
+                    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+             FROM customer) t
+           WHERE rn = 1 ORDER BY c_mktsegment""",
+    ),
+    (
+        "multi_cte_reuse",  # one CTE consumed by a second CTE AND the body
+        """WITH big AS (
+             SELECT o_custkey, COUNT(*) AS n FROM orders
+             GROUP BY o_custkey HAVING COUNT(*) >= 3
+           ), tagged AS (SELECT o_custkey, n, n % 2 AS parity FROM big)
+           SELECT t.parity, COUNT(*) AS cnt, SUM(b.n) AS total
+           FROM tagged t JOIN big b ON t.o_custkey = b.o_custkey
+           GROUP BY t.parity ORDER BY t.parity""",
+    ),
+    (
+        "avg_distinct_expr",  # DISTINCT aggregate over a computed key
+        """SELECT o_orderstatus, AVG(DISTINCT o_orderkey % 7) AS a, COUNT(*) AS n
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "min_max_strings",  # MIN/MAX under binary string ordering
+        """SELECT MIN(n_name) AS lo, MAX(n_name) AS hi FROM nation""",
+    ),
+    (
+        "limit_offset",  # LIMIT k OFFSET n pagination
+        """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 5""",
+    ),
+    (
+        "having_grouping_fn",  # groupby_grouping_sets: HAVING filters on the
+        # GROUPING() marker to keep only the per-returnflag subtotal level
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+           HAVING GROUPING(l_linestatus) = 1 AND GROUPING(l_returnflag) = 0
+           ORDER BY l_returnflag""",
+    ),
+    (
+        "range_interval_date",  # RANGE frame bounded by a day interval over
+        # a DATE ordering column
+        """SELECT o_orderkey, o_orderdate,
+                  COUNT(*) OVER (ORDER BY o_orderdate
+                    RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                    AS n30
+           FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+    (
+        "coalesce_nullif_chain",  # udf_coalesce.q composed with NULLIF
+        """SELECT o_orderkey,
+                  COALESCE(NULLIF(o_orderkey % 3, 0), o_custkey, 999) AS c
+           FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3415,7 +3509,7 @@ QSCRIPTS_R19 = [
         for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
-        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19
+        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
