@@ -3502,6 +3502,79 @@ QSCRIPTS_R20 = [
 ]
 
 
+# Twenty-second tranche: ordered-set aggregates and modern aggregate
+# surface. Prototyped and DROPPED as genuinely non-portable:
+# percentile_disc WITHIN GROUP (boundary-pick semantics differ),
+# listagg/string_agg (Spark wants WITHIN GROUP, DuckDB wants ORDER BY
+# inside the argument list — no single text parses on both), and
+# mode(... ORDER BY) (Spark rejects the deterministic-tie form).
+QSCRIPTS_R21 = [
+    (
+        "percentile_cont_within_group",  # ordered-set aggregate: ANSI
+        # WITHIN GROUP median, linear interpolation identical on both
+        """SELECT o_orderstatus,
+                  percentile_cont(0.5) WITHIN GROUP (ORDER BY o_orderkey) AS med
+           FROM orders WHERE o_orderkey <= 1000
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "mode_aggregate",  # mode(): safe here because each group's
+        # modal l_linestatus is unique (ties would be engine-arbitrary)
+        """SELECT l_returnflag, mode(l_linestatus) AS m
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "bitwise_aggregates",  # bit_and/bit_or/bit_xor — exact integer
+        """SELECT o_orderstatus, bit_and(o_orderkey) AS ba,
+                  bit_or(o_orderkey) AS bo, bit_xor(o_orderkey) AS bx
+           FROM orders WHERE o_orderkey <= 500
+           GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "count_if_aggregate",  # count_if shorthand for SUM(CASE...)
+        """SELECT o_orderstatus, count_if(o_totalprice > 200000) AS n_big,
+                  COUNT(*) AS n
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "floor_ceil_negative",  # rounding toward -inf/+inf on negatives;
+        # BIGINT cast normalizes Spark's integral floor vs DuckDB's double
+        """SELECT o_orderkey, CAST(floor(-o_totalprice / 1000) AS BIGINT) AS f,
+                  CAST(ceil(-o_totalprice / 1000) AS BIGINT) AS c
+           FROM orders WHERE o_orderkey <= 30 ORDER BY o_orderkey""",
+    ),
+    (
+        "log2_exact_powers",  # log2 over exact powers of two is IEEE-exact
+        """SELECT n_nationkey,
+                  log2(CAST(power(2, n_nationkey % 20) AS DOUBLE)) AS lg
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "desc_nulls_last",  # explicit DESC NULLS LAST (non-default on
+        # both engines in opposite ways)
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_orderstatus END AS st
+           FROM orders WHERE o_orderkey <= 150
+           ORDER BY st DESC NULLS LAST, o_orderkey""",
+    ),
+    (
+        "intersect_precedence",  # ANSI: INTERSECT binds tighter than UNION
+        """SELECT v FROM (
+             SELECT n_nationkey AS v FROM nation WHERE n_nationkey < 5
+             UNION SELECT n_nationkey FROM nation WHERE n_nationkey BETWEEN 10 AND 20
+             INTERSECT SELECT n_nationkey FROM nation WHERE n_nationkey % 2 = 0
+           ) t ORDER BY v""",
+    ),
+    (
+        "nested_subquery_3deep",  # IN-subquery chained three levels
+        """SELECT c_custkey FROM customer WHERE c_custkey IN (
+             SELECT o_custkey FROM orders WHERE o_orderkey IN (
+               SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49))
+           ORDER BY c_custkey LIMIT 30""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3510,6 +3583,7 @@ QSCRIPTS_R20 = [
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
+        + QSCRIPTS_R21
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
