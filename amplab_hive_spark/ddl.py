@@ -664,6 +664,118 @@ def merge_into(
     return {"updated": n_updated, "deleted": n_deleted, "inserted": n_inserted}
 
 
+def scd2_apply(
+    spark: SparkSession,
+    name: str,
+    source: DataFrame,
+    key_cols: list[str],
+    tracked_cols: list[str],
+    batch_date: str,
+) -> dict[str, int]:
+    """Slowly-changing-dimension Type 2 maintenance — the standard
+    warehouse recipe for keeping full attribute history, composed
+    from this module's own verbs (MERGE closes old versions, a plain
+    append opens new ones) rather than a third DML path.
+
+    The dimension table must carry ``key_cols + tracked_cols +
+    (valid_from, valid_to, is_current)``. For each source row:
+
+    - key exists with ``is_current`` and any tracked column differs
+      (NULL-safely) → the current row CLOSES (``valid_to`` =
+      batch_date, ``is_current`` = false) and a new current version
+      appends with ``valid_from`` = batch_date;
+    - key unseen → a new current version appends;
+    - key present and unchanged → untouched;
+    - keys absent from the source → untouched (this is a delta
+      apply, not a snapshot diff; close-missing is the caller's
+      explicit delete).
+
+    The source must hold ONE row per key — two versions of a key in
+    one batch is ambiguous (which is current?); the MERGE cardinality
+    check enforces exactly this invariant for changed keys, and a
+    same-batch duplicate of a NEW key is rejected up front.
+
+    Returns {'closed': n, 'inserted': n}. Scale: dimensions are the
+    small side by construction; the change-classification join
+    broadcasts current rows or the batch (AQE picks), the close is a
+    partition-agnostic MERGE, and the open is an append — no history
+    row is ever rewritten, which is the point of Type 2."""
+    from pyspark.sql import functions as F
+
+    source = source.localCheckpoint(eager=True)
+    dup = (
+        source.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
+    )
+    if dup:
+        raise ValueError(
+            "SCD2 source must contain one row per key; aggregate the batch "
+            "to latest-version-per-key first"
+        )
+    t = spark.table(name)
+    cur = t.filter(F.col("is_current"))
+    key_eq = [source[k].eqNullSafe(cur[k]) for k in key_cols]
+    joined = source.join(cur, reduce_and(key_eq), "left")
+    differs = (
+        reduce_or([~source[c].eqNullSafe(cur[c]) for c in tracked_cols])
+        if tracked_cols
+        else F.lit(False)
+    )
+    classified = joined.select(
+        *[source[c] for c in source.columns],
+        F.when(cur[key_cols[0]].isNull(), F.lit("new"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+        .alias("__cls"),
+    ).localCheckpoint(eager=True)
+
+    changed = classified.filter("__cls = 'changed'").drop("__cls")
+    opening = classified.filter("__cls IN ('changed', 'new')").drop("__cls")
+    n_closed = 0
+    if changed.limit(1).count():
+        on = " AND ".join(
+            [f"t.{k} <=> s.{k}" for k in key_cols] + ["t.is_current = true"]
+        )
+        counts = merge_into(
+            spark,
+            name,
+            changed.select(*key_cols),
+            on=on,
+            matched_update={
+                "valid_to": f"DATE'{batch_date}'",
+                "is_current": "false",
+            },
+        )
+        n_closed = counts["updated"]
+    n_inserted = opening.count()
+    if n_inserted:
+        new_rows = opening.select(
+            *[
+                F.col(c)
+                for c in t.columns
+                if c not in ("valid_from", "valid_to", "is_current")
+            ],
+            F.lit(batch_date).cast("date").alias("valid_from"),
+            F.lit(None).cast("date").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        ).select(*t.columns)
+        new_rows.write.insertInto(name, overwrite=False)
+    return {"closed": n_closed, "inserted": n_inserted}
+
+
+def reduce_and(conds):
+    from functools import reduce
+    from operator import and_
+
+    return reduce(and_, conds)
+
+
+def reduce_or(conds):
+    from functools import reduce
+    from operator import or_
+
+    return reduce(or_, conds)
+
+
 def export_table(spark: SparkSession, name: str, export_dir: str) -> None:
     """EXPORT TABLE name TO dir (HiveParser.g:97): data + schema
     snapshot. Data as Parquet, schema AND partition columns as JSON

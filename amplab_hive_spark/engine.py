@@ -115,6 +115,18 @@ class Engine:
             not_matched_insert=not_matched_insert,
         )
 
+    def scd2_apply(
+        self,
+        name: str,
+        source: DataFrame,
+        key_cols: list[str],
+        tracked_cols: list[str],
+        batch_date: str,
+    ) -> dict[str, int]:
+        from amplab_hive_spark.ddl import scd2_apply
+
+        return scd2_apply(self.spark, name, source, key_cols, tracked_cols, batch_date)
+
     def analyze(self, name: str, columns=()) -> None:
         from amplab_hive_spark.ddl import analyze
 

@@ -22,7 +22,7 @@ def wh(spark):
     for t in (
         "nation_ctas", "orders_part", "cust_bkt", "ord_bkt", "seg1", "seg2",
         "upd_tbl", "nation_merge", "nation_merge_app", "nation_merge_card",
-        "region_merge", "nation_merge_insonly",
+        "region_merge", "nation_merge_insonly", "dim_scd2",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -558,3 +558,70 @@ def test_merge_insert_only_appends_new_partition(spark, sf_dir, wh):
             assert after[part] == files, f"existing partition {part} rewritten"
     finally:
         spark.sql("DROP TABLE IF EXISTS nation_merge_insonly")
+
+
+def test_scd2_two_batches(spark, sf_dir, wh):
+    """SCD Type 2 across two delta batches: changed keys close their
+    current version and open a new one, new keys append, unchanged
+    and absent keys are untouched, and the full history chain
+    (valid_from/valid_to/is_current) is queryable."""
+    from pyspark.sql import functions as F
+
+    dim0 = spark.createDataFrame(
+        [(1, "NY", "gold"), (2, "LA", "silver"), (3, "SF", "gold")],
+        "cust_id INT, city STRING, tier STRING",
+    ).select(
+        "*",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    spark.sql("DROP TABLE IF EXISTS dim_scd2")
+    ddl.create_table_as(spark, "dim_scd2", dim0, f"{wh}/dim_scd2")
+    try:
+        # batch 1: cust 1 moves city, cust 4 is new, cust 2 unchanged
+        b1 = spark.createDataFrame(
+            [(1, "BOS", "gold"), (2, "LA", "silver"), (4, "CHI", "bronze")],
+            "cust_id INT, city STRING, tier STRING",
+        )
+        c1 = ddl.scd2_apply(
+            spark, "dim_scd2", b1, ["cust_id"], ["city", "tier"], "2024-02-01"
+        )
+        assert c1 == {"closed": 1, "inserted": 2}
+        tbl = spark.table("dim_scd2")
+        assert tbl.count() == 5
+        hist1 = tbl.filter("cust_id = 1").orderBy("valid_from").collect()
+        assert [r.city for r in hist1] == ["NY", "BOS"]
+        assert hist1[0].valid_to is not None and not hist1[0].is_current
+        assert hist1[1].valid_to is None and hist1[1].is_current
+        assert tbl.filter("cust_id = 2").count() == 1  # unchanged untouched
+        assert tbl.filter("cust_id = 3 AND is_current").count() == 1  # absent
+
+        # batch 2: cust 1 changes tier, cust 4 unchanged
+        b2 = spark.createDataFrame(
+            [(1, "BOS", "platinum"), (4, "CHI", "bronze")],
+            "cust_id INT, city STRING, tier STRING",
+        )
+        c2 = ddl.scd2_apply(
+            spark, "dim_scd2", b2, ["cust_id"], ["city", "tier"], "2024-03-01"
+        )
+        assert c2 == {"closed": 1, "inserted": 1}
+        hist = spark.table("dim_scd2").filter("cust_id = 1").orderBy("valid_from")
+        rows = hist.collect()
+        assert [(r.city, r.tier, r.is_current) for r in rows] == [
+            ("NY", "gold", False), ("BOS", "gold", False), ("BOS", "platinum", True),
+        ]
+        # history chain: each close date equals the successor's open date
+        assert [str(r.valid_to) for r in rows[:2]] == ["2024-02-01", "2024-03-01"]
+
+        # a duplicate-key batch is rejected before any write
+        dup = spark.createDataFrame(
+            [(1, "X", "a"), (1, "Y", "b")], "cust_id INT, city STRING, tier STRING"
+        )
+        with pytest.raises(ValueError, match="one row per key"):
+            ddl.scd2_apply(
+                spark, "dim_scd2", dup, ["cust_id"], ["city", "tier"], "2024-04-01"
+            )
+        assert spark.table("dim_scd2").count() == 6
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dim_scd2")
