@@ -698,13 +698,31 @@ def scd2_apply(
     Returns {'closed': n, 'inserted': n}. Scale: dimensions are the
     small side by construction; the change-classification join
     broadcasts current rows or the batch (AQE picks), the close is a
-    partition-agnostic MERGE, and the open is an append — no history
-    row is ever rewritten, which is the point of Type 2."""
+    MERGE, and the open is an append. LOGICALLY no history version is
+    ever modified (the Type 2 contract); PHYSICALLY the close's MERGE
+    is this module's copy-on-write — on an unpartitioned dimension a
+    batch with >=1 changed key rewrites the table's files, and a
+    dimension partitioned on a stable key range bounds that rewrite
+    the same way UPDATE does. Batches with only new keys are pure
+    appends either way."""
+    import datetime as _dt
+
     from pyspark.sql import functions as F
 
+    # Validate up front: the close path's DATE literal would raise a
+    # ParseException but the append path's lit().cast("date") yields
+    # NULL under non-ANSI mode — a malformed date on a new-keys-only
+    # batch would otherwise corrupt valid_from silently.
+    _dt.date.fromisoformat(batch_date)
     source = source.localCheckpoint(eager=True)
+    # 5: a key column literally named "count" would collide with
+    # groupBy().count()'s output — use an explicit alias.
     dup = (
-        source.groupBy(*key_cols).count().filter("count > 1").limit(1).count()
+        source.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n > 1")
+        .limit(1)
+        .count()
     )
     if dup:
         raise ValueError(
@@ -712,17 +730,24 @@ def scd2_apply(
             "to latest-version-per-key first"
         )
     t = spark.table(name)
+    from functools import reduce
+    from operator import and_, or_
+
     cur = t.filter(F.col("is_current"))
-    key_eq = [source[k].eqNullSafe(cur[k]) for k in key_cols]
-    joined = source.join(cur, reduce_and(key_eq), "left")
+    key_eq = reduce(and_, [source[k].eqNullSafe(cur[k]) for k in key_cols])
+    joined = source.join(cur, key_eq, "left")
     differs = (
-        reduce_or([~source[c].eqNullSafe(cur[c]) for c in tracked_cols])
+        reduce(or_, [~source[c].eqNullSafe(cur[c]) for c in tracked_cols])
         if tracked_cols
         else F.lit(False)
     )
+    # No-match marker: cur.is_current is TRUE on every joined current
+    # row and NULL only when the left join found nothing. Testing a
+    # KEY column for null would misclassify a matched NULL-key row
+    # (the join itself is eqNullSafe, so NULL keys DO match).
     classified = joined.select(
         *[source[c] for c in source.columns],
-        F.when(cur[key_cols[0]].isNull(), F.lit("new"))
+        F.when(cur["is_current"].isNull(), F.lit("new"))
         .when(differs, F.lit("changed"))
         .otherwise(F.lit("unchanged"))
         .alias("__cls"),
@@ -761,19 +786,6 @@ def scd2_apply(
         new_rows.write.insertInto(name, overwrite=False)
     return {"closed": n_closed, "inserted": n_inserted}
 
-
-def reduce_and(conds):
-    from functools import reduce
-    from operator import and_
-
-    return reduce(and_, conds)
-
-
-def reduce_or(conds):
-    from functools import reduce
-    from operator import or_
-
-    return reduce(or_, conds)
 
 
 def export_table(spark: SparkSession, name: str, export_dir: str) -> None:

@@ -22,7 +22,7 @@ def wh(spark):
     for t in (
         "nation_ctas", "orders_part", "cust_bkt", "ord_bkt", "seg1", "seg2",
         "upd_tbl", "nation_merge", "nation_merge_app", "nation_merge_card",
-        "region_merge", "nation_merge_insonly", "dim_scd2",
+        "region_merge", "nation_merge_insonly", "dim_scd2", "dim_scd2_nk",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -625,3 +625,53 @@ def test_scd2_two_batches(spark, sf_dir, wh):
         assert spark.table("dim_scd2").count() == 6
     finally:
         spark.sql("DROP TABLE IF EXISTS dim_scd2")
+
+
+def test_scd2_null_key_and_bad_date(spark, sf_dir, wh):
+    """Two review regressions pinned: (1) a NULL key row MATCHES via
+    the eqNullSafe join and must classify unchanged/changed — not
+    'new' (the old cur[key].isNull() marker duplicated it); (2) a
+    non-ISO batch_date must raise up front on BOTH paths — the
+    append path's lit().cast('date') yields NULL under non-ANSI mode
+    and would silently corrupt valid_from."""
+    from pyspark.sql import functions as F
+
+    dim0 = spark.createDataFrame(
+        [(None, "NY"), (7, "LA")], "cust_id INT, city STRING"
+    ).select(
+        "*",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    spark.sql("DROP TABLE IF EXISTS dim_scd2_nk")
+    ddl.create_table_as(spark, "dim_scd2_nk", dim0, f"{wh}/dim_scd2_nk")
+    try:
+        # identical NULL-key row: unchanged, nothing closes or opens
+        same = spark.createDataFrame([(None, "NY")], "cust_id INT, city STRING")
+        assert ddl.scd2_apply(
+            spark, "dim_scd2_nk", same, ["cust_id"], ["city"], "2024-02-01"
+        ) == {"closed": 0, "inserted": 0}
+        assert spark.table("dim_scd2_nk").filter(
+            "cust_id IS NULL AND is_current"
+        ).count() == 1
+        # changed NULL-key row: closes the old version, opens one
+        moved = spark.createDataFrame([(None, "BOS")], "cust_id INT, city STRING")
+        assert ddl.scd2_apply(
+            spark, "dim_scd2_nk", moved, ["cust_id"], ["city"], "2024-03-01"
+        ) == {"closed": 1, "inserted": 1}
+        nk = spark.table("dim_scd2_nk").filter("cust_id IS NULL")
+        assert nk.count() == 2
+        assert nk.filter("is_current").collect()[0].city == "BOS"
+        # malformed date: rejected before any write, even insert-only
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ddl.scd2_apply(
+                spark, "dim_scd2_nk",
+                spark.createDataFrame([(9, "X")], "cust_id INT, city STRING"),
+                ["cust_id"], ["city"], "02/01/2024",
+            )
+        assert spark.table("dim_scd2_nk").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dim_scd2_nk")
