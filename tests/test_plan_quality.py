@@ -250,3 +250,15 @@ def test_interleave_prefilter_bounds_global_window(spark, sf_dir):
     # the prefilter must survive into the physical plan
     assert "<= 10" in final, "rnk prefilter missing from executed plan"
     assert final.count("Exchange") <= 2
+
+
+def test_pq_broadcasts_codebook_and_lookup(spark, sf_dir):
+    """PQ's codebook and per-query ADC lookup tables are
+    kilobyte-sized — every join against them must broadcast; a
+    sort-merge join would shuffle the full codes table twice."""
+    plan = plan_of(spark, sf_dir, "sim_ann_pq")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert final.count("BroadcastHashJoin") >= 3, "codebook/dtable/rerank joins"
+    assert "EvalPython" not in final
+    assert "CartesianProduct" not in final
