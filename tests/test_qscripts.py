@@ -3518,9 +3518,12 @@ QSCRIPTS_R21 = [
            GROUP BY o_orderstatus ORDER BY o_orderstatus""",
     ),
     (
-        "mode_aggregate",  # mode(): safe here because each group's
-        # modal l_linestatus is unique (ties would be engine-arbitrary)
-        """SELECT l_returnflag, mode(l_linestatus) AS m
+        "mode_aggregate",  # mode(): ties are engine-arbitrary, so the
+        # modal value is made dominant BY CONSTRUCTION (quantity <= 40
+        # covers ~80% of lineitem at every SF) — regeneration-proof,
+        # unlike keying on whichever l_linestatus happens to lead
+        """SELECT l_returnflag,
+                  mode(CASE WHEN l_quantity <= 40 THEN 'common' ELSE 'rare' END) AS m
            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     ),
     (
