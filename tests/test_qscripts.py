@@ -3578,6 +3578,75 @@ QSCRIPTS_R21 = [
 ]
 
 
+# Twenty-third tranche: expression join keys, two window specs in one
+# SELECT, duplicate GROUPING SETS (ANSI: duplicates emit duplicate
+# groups), string-vs-number comparison semantics, old-style comma
+# joins, string BETWEEN, share-of-total via a global window over an
+# aggregate, correlated COUNT in the SELECT list, self-UNION
+# distinctness. (array_contains over a split was prototyped and
+# dropped: the split function itself has no shared name — Spark
+# `split` vs DuckDB `string_split`.)
+QSCRIPTS_R22 = [
+    (
+        "join_on_expression",  # join key is an expression on both sides
+        """SELECT n_name, r_name FROM nation
+           JOIN region ON n_regionkey + 1 = r_regionkey + 1 ORDER BY n_name""",
+    ),
+    (
+        "two_window_specs",  # two OVER clauses with different partitioning
+        # in one projection (two Window operators, one pass each)
+        """SELECT o_orderkey,
+                  ROW_NUMBER() OVER (PARTITION BY o_orderstatus
+                                     ORDER BY o_orderkey) AS rn_status,
+                  RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk_price
+           FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey""",
+    ),
+    (
+        "grouping_sets_duplicate",  # ANSI: a duplicated grouping set
+        # contributes its groups TWICE
+        """SELECT l_returnflag, COUNT(*) AS n
+           FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag))
+           ORDER BY l_returnflag""",
+    ),
+    (
+        "string_number_compare",  # lexicographic, not numeric: '9' > '15'
+        """SELECT n_nationkey FROM nation
+           WHERE CAST(n_nationkey AS STRING) > '15' ORDER BY n_nationkey""",
+    ),
+    (
+        "oldstyle_comma_join",  # pre-ANSI comma join + WHERE equi-predicate
+        """SELECT n_name, r_name FROM nation, region
+           WHERE n_regionkey = r_regionkey AND r_name = 'ASIA' ORDER BY n_name""",
+    ),
+    (
+        "between_strings",  # BETWEEN under string collation
+        """SELECT n_nationkey, n_name FROM nation
+           WHERE n_name BETWEEN 'NATION_1' AND 'NATION_2' ORDER BY n_nationkey""",
+    ),
+    (
+        "share_of_total_window",  # windowing_gby: empty-OVER total over the
+        # aggregate output — the percent-of-total idiom
+        """SELECT o_orderstatus, COUNT(*) AS n,
+                  CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER () AS share
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "correlated_count_select",  # correlated aggregate subquery projected
+        # per outer row (subquery_in_select family)
+        """SELECT c_custkey,
+                  (SELECT COUNT(*) FROM orders o
+                   WHERE o.o_custkey = c.c_custkey) AS n_orders
+           FROM customer c WHERE c_custkey <= 40 ORDER BY c_custkey""",
+    ),
+    (
+        "self_union_distinct",  # UNION of a relation with itself = identity
+        """SELECT COUNT(*) AS n FROM (
+             SELECT n_regionkey FROM nation UNION SELECT n_regionkey FROM nation
+           ) t""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3586,7 +3655,7 @@ QSCRIPTS_R21 = [
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
-        + QSCRIPTS_R21
+        + QSCRIPTS_R21 + QSCRIPTS_R22
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
