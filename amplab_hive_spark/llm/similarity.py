@@ -964,3 +964,89 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qid", "vec_id", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
     )
+
+
+_OUTLIER_ORACLE = f"""
+WITH quant AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+),
+cents AS (
+  SELECT s.label, s.s, c.n
+  FROM (SELECT label, list(s_d ORDER BY pos) AS s FROM (
+          SELECT label, d.pos, SUM(q[d.pos]) AS s_d
+          FROM quant, (SELECT unnest(range(1, 65)) AS pos) d
+          GROUP BY label, d.pos
+        ) GROUP BY label) s
+  JOIN (SELECT label, COUNT(*) AS n FROM quant GROUP BY label) c
+    ON c.label = s.label
+)
+SELECT vec_id, label, dist, rnk FROM (
+  SELECT v.vec_id, v.label,
+         round({_o_ivf_dist('v.q', 'c.s', 'c.n')}, 3) AS dist,
+         ROW_NUMBER() OVER (ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')} DESC,
+                            v.vec_id) AS rnk
+  FROM quant v JOIN cents c ON v.label = c.label
+) WHERE rnk <= 20
+ORDER BY rnk
+"""
+
+
+@register(
+    "embedding_outlier_audit",
+    tags=("llm", "similarity", "quality"),
+    oracle=_OUTLIER_ORACLE,
+)
+def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-quality audit: the 20 vectors farthest from their own
+    label's centroid — the standard mislabeled-example detector run
+    before training a classifier head or trusting labels for
+    eval splits. Centroids are exact per-dimension BIGINT sums plus a
+    count (never a float mean — collect order would make it
+    engine-dependent), and distances compare at the same n²-scale as
+    the IVF build, so the ranking replays exactly in DuckDB.
+
+    Scale shape: the centroid pass is posexplode + groupBy(label,
+    dim) — map-side partials collapse to |labels|×64 rows before one
+    exchange; the centroid table broadcasts back for the distance
+    scan; the global top-20 is TakeOrdered, no full sort."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    quant = t.embeddings.select(
+        "vec_id", "label", _quantized(F.col("embedding")).alias("q")
+    )
+    sums = (
+        quant.select("label", F.posexplode("q").alias("pos", "val"))
+        .groupBy("label", "pos")
+        .agg(F.sum("val").alias("s_d"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "s_d"))),
+                lambda kv: kv["s_d"],
+            ).alias("s")
+        )
+    )
+    cents = sums.join(
+        quant.groupBy("label").agg(F.count(F.lit(1)).alias("n")), "label"
+    )
+    dist = _ivf_dist(F.col("q"), F.col("s"), F.col("n"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-20, merged on one reducer) — a global row_number window
+    # here would instead funnel EVERY vector through one partition.
+    # The rank is assigned afterwards on the 20-row result.
+    top = (
+        quant.join(F.broadcast(cents), "label")
+        .select("vec_id", "label", dist.alias("dist_raw"))
+        .orderBy(F.desc("dist_raw"), "vec_id")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("dist_raw"), "vec_id")
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("vec_id", "label", F.round("dist_raw", 3).alias("dist"), "rnk")
+        .orderBy("rnk")
+    )
