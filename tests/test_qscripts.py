@@ -3647,6 +3647,97 @@ QSCRIPTS_R22 = [
 ]
 
 
+# Twenty-fourth tranche: OR-disjunct join conditions, NOT BETWEEN,
+# LIMIT inside an IN-subquery, int-division and negative-modulo
+# semantics, EXISTS over a UNION'd correlated subquery, FULL JOIN
+# key reconciliation via COALESCE, the LEFT JOIN ... IS NULL manual
+# anti-join, NULL-typed first UNION branch, sliding MIN/MAX frames,
+# computed substr offsets. (CAST(double AS INT) was prototyped and
+# DROPPED: Spark truncates toward zero, DuckDB rounds — a real
+# divergence, not a portability bug.)
+QSCRIPTS_R23 = [
+    (
+        "join_condition_or",  # OR disjunct forces a non-equi join path
+        """SELECT n_nationkey, r_regionkey FROM nation JOIN region
+           ON n_regionkey = r_regionkey OR n_nationkey = r_regionkey + 20
+           ORDER BY n_nationkey, r_regionkey""",
+    ),
+    (
+        "not_between",  # negated range predicate
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderkey <= 200 AND o_totalprice NOT BETWEEN 50000 AND 300000
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "in_subquery_with_limit",  # ordered LIMIT inside IN
+        """SELECT c_custkey FROM customer WHERE c_custkey IN (
+             SELECT o_custkey FROM orders ORDER BY o_totalprice DESC LIMIT 20)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "int_division_semantics",  # non-ANSI int / int -> double on both
+        """SELECT n_nationkey, n_nationkey / 4 AS q, n_nationkey % 4 AS r
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "modulo_negative",  # C-style: remainder takes the dividend's sign
+        """SELECT n_nationkey, (0 - n_nationkey) % 7 AS m
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "exists_union_subquery",  # correlated EXISTS whose body is a UNION
+        """SELECT n_name FROM nation n WHERE EXISTS (
+             SELECT 1 FROM region WHERE r_regionkey = n.n_regionkey
+                                    AND r_name = 'ASIA'
+             UNION
+             SELECT 1 FROM region WHERE r_regionkey = n.n_regionkey
+                                    AND r_name = 'EUROPE')
+           ORDER BY n_name""",
+    ),
+    (
+        "full_join_coalesce_keys",  # the reconciliation idiom: FULL JOIN
+        # two aggregates and COALESCE the key out of whichever side hit
+        """SELECT COALESCE(a.k, b.k) AS k, a.n AS n_a, b.n AS n_b FROM
+             (SELECT n_regionkey AS k, COUNT(*) AS n FROM nation
+              WHERE n_nationkey < 12 GROUP BY 1) a
+           FULL JOIN
+             (SELECT n_regionkey AS k, COUNT(*) AS n FROM nation
+              WHERE n_nationkey >= 12 GROUP BY 1) b
+           ON a.k = b.k ORDER BY k""",
+    ),
+    (
+        "left_join_null_filter_anti",  # manual anti-join spelling
+        """SELECT n.n_nationkey FROM nation n
+           LEFT JOIN customer c ON c.c_nationkey = n.n_nationkey
+                                AND c.c_acctbal > 9990
+           WHERE c.c_custkey IS NULL ORDER BY n.n_nationkey""",
+    ),
+    (
+        "null_first_branch_union",  # untyped NULL in the first branch takes
+        # the other branch's type
+        """SELECT v FROM (
+             SELECT NULL AS v FROM region WHERE r_regionkey = 0
+             UNION ALL SELECT n_nationkey FROM nation WHERE n_nationkey < 3
+           ) t ORDER BY v NULLS FIRST""",
+    ),
+    (
+        "window_minmax_sliding",  # extreme-value sliding frames
+        """SELECT o_orderkey,
+                  MIN(o_totalprice) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mn,
+                  MAX(o_totalprice) OVER (ORDER BY o_orderkey
+                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mx
+           FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey""",
+    ),
+    (
+        "substr_computed_start",  # substr offset from an expression
+        """SELECT n_nationkey,
+                  substr(n_name, CAST(n_nationkey % 5 AS INT) + 1, 4) AS piece
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3655,7 +3746,7 @@ QSCRIPTS_R22 = [
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
-        + QSCRIPTS_R21 + QSCRIPTS_R22
+        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
