@@ -282,3 +282,30 @@ def test_drop_null_partition_by_value_rejected(spark):
 
     with pytest.raises(ValueError, match="HIVE_DEFAULT_PARTITION"):
         _sql_partition_literal(None)
+
+
+def test_percentile_fraction_out_of_range(spark):
+    """Ordered-set aggregate fraction must be in [0, 1] — the analyzer
+    rejects 1.5 with a structured out-of-range class (clientnegative
+    udaf percentile theme)."""
+    with pytest.raises(AnalysisException, match="VALUE_OUT_OF_RANGE"):
+        spark.sql(
+            "SELECT percentile_cont(1.5) WITHIN GROUP (ORDER BY o_orderkey) FROM orders"
+        ).collect()
+
+
+def test_range_frame_requires_order(spark):
+    """A value-offset RANGE frame with no ORDER BY is unanchorable —
+    structured RANGE_FRAME_WITHOUT_ORDER, not a silent full-frame."""
+    with pytest.raises(AnalysisException, match="RANGE_FRAME_WITHOUT_ORDER"):
+        spark.sql(
+            "SELECT SUM(o_totalprice) OVER (RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)"
+            " FROM orders"
+        ).collect()
+
+
+def test_negative_limit_rejected(spark):
+    """LIMIT -3 is a structured IS_NEGATIVE error, not an empty
+    result (clientnegative limit theme)."""
+    with pytest.raises(AnalysisException, match="IS_NEGATIVE"):
+        spark.sql("SELECT * FROM nation LIMIT -3").collect()
