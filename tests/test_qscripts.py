@@ -3738,6 +3738,75 @@ QSCRIPTS_R23 = [
 ]
 
 
+# Twenty-fifth tranche: ORDER BY ALL, aggregates as sort keys,
+# windows over DISTINCT subqueries, correlated EXISTS with
+# GROUP BY + HAVING, ORDER/LIMIT applied to a whole UNION, pad
+# truncation, exact integer powers, WITH inside a derived table,
+# NULL join keys never matching, and EXISTS over LIMIT 0.
+QSCRIPTS_R24 = [
+    (
+        "order_by_all",  # ORDER BY ALL pairs with GROUP BY ALL
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY ALL ORDER BY ALL""",
+    ),
+    (
+        "agg_in_order_by",  # sort key is an aggregate not in the SELECT list
+        """SELECT o_orderstatus FROM orders
+           GROUP BY o_orderstatus ORDER BY COUNT(*) DESC, o_orderstatus""",
+    ),
+    (
+        "window_over_distinct",  # window numbering over a DISTINCT subquery
+        """SELECT st, ROW_NUMBER() OVER (ORDER BY st) AS rn FROM (
+             SELECT DISTINCT o_orderstatus AS st FROM orders) t ORDER BY rn""",
+    ),
+    (
+        "exists_having_agg",  # correlated EXISTS whose body aggregates and
+        # filters on HAVING (subquery_exists_having family)
+        """SELECT c_custkey FROM customer c WHERE EXISTS (
+             SELECT o_custkey FROM orders o WHERE o.o_custkey = c.c_custkey
+             GROUP BY o_custkey HAVING COUNT(*) >= 5)
+           ORDER BY c_custkey LIMIT 25""",
+    ),
+    (
+        "union_order_limit_whole",  # trailing ORDER/LIMIT binds to the whole
+        # UNION, not the last branch
+        """SELECT n_name AS nm FROM nation WHERE n_regionkey = 0
+           UNION ALL SELECT r_name FROM region
+           ORDER BY nm LIMIT 8""",
+    ),
+    (
+        "lpad_truncation",  # pad to a SHORTER length truncates on both
+        """SELECT n_nationkey, lpad(n_name, 4, 'x') AS t4,
+                  rpad(n_name, 3, 'y') AS t3
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "power_int_exact",  # small integer powers are IEEE-exact doubles
+        """SELECT n_nationkey, power(2, n_nationkey % 10) AS p
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "nested_cte_subquery",  # WITH scoped inside a derived table
+        """SELECT t.k, t.n FROM (
+             WITH r0 AS (SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 15)
+             SELECT k, COUNT(*) AS n FROM r0 GROUP BY k) t ORDER BY t.k""",
+    ),
+    (
+        "null_join_keys_drop",  # equi-join semantics: NULL keys match nothing
+        """SELECT COUNT(*) AS n FROM
+             (SELECT CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                          ELSE n_regionkey END AS k FROM nation) a
+           JOIN (SELECT r_regionkey AS k FROM region) b ON a.k = b.k""",
+    ),
+    (
+        "exists_limit_zero",  # EXISTS over LIMIT 0 is definitionally false
+        """SELECT n_nationkey FROM nation
+           WHERE EXISTS (SELECT 1 FROM region LIMIT 0) OR n_nationkey < 3
+           ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3746,7 +3815,7 @@ QSCRIPTS_R23 = [
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
-        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23
+        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
