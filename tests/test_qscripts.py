@@ -3807,6 +3807,72 @@ QSCRIPTS_R24 = [
 ]
 
 
+# Twenty-sixth tranche: regexp_replace, month-interval end-of-month
+# clamping, GROUP BY on a SELECT alias, forward-unbounded frames
+# (DECIMAL-summed — a double tail-sum differs in accumulation order
+# between engines), LEADING/TRAILING character-set TRIM, IN lists
+# containing NULL, EXISTS inside CASE, and non-ANSI division by
+# zero yielding NULL. (octet_length dropped: DuckDB defines it only
+# for BLOBs.)
+QSCRIPTS_R25 = [
+    (
+        "regexp_replace_fn",  # udf_regexp_replace.q: same 3-arg signature
+        """SELECT n_nationkey, regexp_replace(n_name, '[0-9]+', '#') AS masked
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "interval_month_clamp",  # interval_arithmetic.q: +1 MONTH clamps to
+        # month end identically
+        """SELECT o_orderkey, o_orderdate,
+                  CAST(o_orderdate + INTERVAL 1 MONTH AS DATE) AS next_m
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "group_by_select_alias",  # groupby expression alias resolution
+        """SELECT n_regionkey * 10 AS decade, COUNT(*) AS n
+           FROM nation GROUP BY decade ORDER BY decade""",
+    ),
+    (
+        "frame_to_unbounded_following",  # forward-unbounded running frame;
+        # DECIMAL accumulation — double window sums accumulate in
+        # engine-specific order and diverge in the last bits
+        """SELECT o_orderkey,
+                  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    ORDER BY o_orderkey
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                    AS DOUBLE) AS tail_sum
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "trim_leading_trailing",  # udf_trim.q: one-sided character-set trim
+        """SELECT n_nationkey,
+                  TRIM(LEADING 'N' FROM n_name) AS no_lead_n,
+                  TRIM(TRAILING '0123456789' FROM n_name) AS no_digits
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "in_with_null_literal",  # IN (.., NULL, ..): matches are TRUE, the
+        # NULL element never matches anything
+        """SELECT n_nationkey FROM nation
+           WHERE n_regionkey IN (1, NULL, 3) ORDER BY n_nationkey""",
+    ),
+    (
+        "exists_in_case",  # correlated EXISTS as a CASE condition
+        """SELECT n_nationkey,
+                  CASE WHEN EXISTS (SELECT 1 FROM region
+                                    WHERE r_regionkey = n_regionkey
+                                      AND r_name = 'ASIA')
+                       THEN 'asia' ELSE 'other' END AS zone
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "division_by_zero_null",  # non-ANSI: x / 0 is NULL on both engines
+        """SELECT n_nationkey, n_nationkey / (n_regionkey - n_regionkey) AS dz
+           FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3815,7 +3881,7 @@ QSCRIPTS_R24 = [
         + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
-        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24
+        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
