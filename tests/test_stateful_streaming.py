@@ -36,3 +36,56 @@ def test_state_survives_across_batches(spark, tmpdir):
     second = {r["user_id"]: (r["n_events"], r["total_value"]) for r in latest_totals(spark, out).collect()}
     assert sum(n for n, _ in second.values()) == 105, "state must carry over the checkpoint"
     assert sum(v for _, v in second.values()) == pytest.approx(sum(range(70)) + sum(range(35)))
+
+
+def test_streaming_transitions_match_batch_lead(spark, sf_dir, tmpdir):
+    """The stateful streaming transition counter must reproduce the
+    batch lead() matrix exactly when events arrive in event-time
+    order: the events table is split into three disjoint time ranges
+    (files fed one per micro-batch), so every user's stream is
+    ordered across batches — the operator's documented exactness
+    regime. Cross-batch transitions (last event of range i -> first
+    of range i+1 per user) only appear if state really carries
+    last_type over micro-batches."""
+    from pyspark.sql import Window, functions as F
+
+    from amplab_hive_spark.catalog import tables
+    from amplab_hive_spark.streaming.transitions import stream_transition_counts
+
+    events = tables(spark, sf_dir).events.filter("user_id <= 10")
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) / 3
+    src, ckpt, out = f"{tmpdir}/src", f"{tmpdir}/ckpt", f"{tmpdir}/out"
+    for i in range(3):
+        start = lo + i * span
+        end = hi if i == 2 else lo + (i + 1) * span
+        part = events.filter(
+            (F.col("ts") >= F.lit(start))
+            & (F.col("ts") <= F.lit(end) if i == 2 else F.col("ts") < F.lit(end))
+        )
+        part.coalesce(1).write.mode("append").parquet(src)
+    q = stream_transition_counts(spark, src, ckpt, events.schema, out)
+    q.awaitTermination(180)
+
+    streamed = (
+        spark.read.parquet(out)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").alias("n"))
+    )
+    batch = (
+        events.select(
+            "event_type",
+            F.lead("event_type")
+            .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            .alias("next_type"),
+        )
+        .filter("next_type IS NOT NULL")
+        .groupBy(
+            F.col("event_type").alias("from_type"),
+            F.col("next_type").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r.from_type, r.to_type): r.n for r in streamed.collect()}
+    want = {(r.from_type, r.to_type): r.n for r in batch.collect()}
+    assert got == want, "streamed transition matrix must equal the batch lead()"
