@@ -3873,6 +3873,63 @@ QSCRIPTS_R25 = [
 ]
 
 
+# Twenty-seventh tranche: if() shorthand, string literals against
+# DATE columns, CASE-driven custom sort orders, a ROLLUP pair
+# producing the cube lattice, empty-input aggregate identities,
+# NOT IN over an empty subquery, boolean→int casts, DISTINCT over
+# an expression.
+QSCRIPTS_R26 = [
+    (
+        "if_function",  # udf_if.q: the Hive if() shorthand
+        """SELECT n_nationkey, if(n_regionkey = 0, 'zero', 'nonzero') AS z
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "date_vs_string_literal",  # implicit string→date coercion in range
+        # predicates (the most common ad-hoc date filter spelling)
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderdate >= '1995-06-01' AND o_orderdate < '1995-07-01'""",
+    ),
+    (
+        "order_by_case",  # custom collation via CASE sort key
+        """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+           GROUP BY o_orderpriority
+           ORDER BY CASE o_orderpriority WHEN '1-URGENT' THEN 1
+                    WHEN '2-HIGH' THEN 2 ELSE 9 END, o_orderpriority""",
+    ),
+    (
+        "multiple_rollups",  # two independent ROLLUPs compose into the
+        # cross-product lattice (groupby_grouping_sets family)
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem GROUP BY ROLLUP(l_returnflag), ROLLUP(l_linestatus)
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""",
+    ),
+    (
+        "empty_input_aggregates",  # nullgroup.q: COUNT 0, SUM/MAX NULL on
+        # empty input — one row, not zero rows
+        """SELECT COUNT(*) AS c, SUM(o_totalprice) AS s, MAX(o_orderkey) AS m
+           FROM orders WHERE o_orderkey < 0""",
+    ),
+    (
+        "not_in_empty_subquery",  # NOT IN over the empty set is TRUE for
+        # every row (the NULL trap only exists for non-empty sets)
+        """SELECT n_nationkey FROM nation
+           WHERE n_nationkey NOT IN (SELECT o_custkey FROM orders
+                                     WHERE o_orderkey < 0)
+             AND n_nationkey < 5 ORDER BY n_nationkey""",
+    ),
+    (
+        "cast_bool_int",  # boolean→int cast produces 0/1
+        """SELECT n_nationkey, CAST(n_regionkey = 0 AS INT) AS is_zero
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "distinct_on_expression",  # DISTINCT over a computed value
+        """SELECT DISTINCT n_nationkey % 5 AS m FROM nation ORDER BY m""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3882,6 +3939,7 @@ QSCRIPTS_R25 = [
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
+        + QSCRIPTS_R26
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
