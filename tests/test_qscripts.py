@@ -3930,6 +3930,90 @@ QSCRIPTS_R26 = [
 ]
 
 
+# Twenty-eighth tranche: shapes ported from SPECIFIC previously
+# untouched clientpositive scripts (file named per entry). Two
+# numeric spellings were adjusted during porting: DECIMAL→BIGINT
+# casts go through floor() (Spark truncates the cast, DuckDB
+# rounds), and averages are spelled SUM/COUNT of exact decimals
+# (AVG over DECIMAL picks engine-specific result scales whose
+# rounding diverges at the scale boundary).
+QSCRIPTS_R27 = [
+    (
+        "multi_distinct_mixed",  # groupby2_noskew_multi_distinct.q: two
+        # DISTINCT aggregates + group key concatenated with a sum
+        """SELECT substr(o_orderpriority, 1, 1) AS k,
+                  COUNT(DISTINCT o_custkey) AS c1,
+                  concat(substr(o_orderpriority, 1, 1),
+                         CAST(CAST(floor(SUM(CAST(o_totalprice AS DECIMAL(18,2))))
+                              AS BIGINT) AS STRING)) AS c2,
+                  CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS c3,
+                  COUNT(o_orderstatus) AS c4
+           FROM orders GROUP BY substr(o_orderpriority, 1, 1) ORDER BY k""",
+    ),
+    (
+        "aggregate_battery",  # groupby3_map.q: the full aggregate battery
+        # incl. AVG DISTINCT, in one global pass
+        """SELECT
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS s,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS a,
+             CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               / COUNT(DISTINCT CAST(l_quantity AS DECIMAL(18,2))) AS ad,
+             MAX(l_quantity) AS mx, MIN(l_quantity) AS mn
+           FROM lineitem WHERE l_orderkey <= 500""",
+    ),
+    (
+        "udf_bin",  # udf_bin.q: binary-string rendering of integers
+        """SELECT n_nationkey, bin(n_nationkey) AS b, bin(99992421) AS big
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "const_where_groupby",  # notable_alias1.q: constant projection +
+        # WHERE + GROUP BY with count(1)
+        """SELECT '1234' AS dummy, o_custkey, COUNT(1) AS n
+           FROM orders WHERE o_orderkey < 500 GROUP BY o_custkey
+           ORDER BY o_custkey LIMIT 30""",
+    ),
+    (
+        "five_table_join_chain",  # mergejoins.q: four same-key joins + one
+        # on a second key — the merge-join chain planner case
+        """SELECT COUNT(*) AS n FROM nation a
+           JOIN nation b ON a.n_nationkey = b.n_nationkey
+           JOIN nation c ON a.n_nationkey = c.n_nationkey
+           JOIN nation d ON a.n_nationkey = d.n_nationkey
+           JOIN region e ON a.n_regionkey = e.r_regionkey""",
+    ),
+    (
+        "outer_join_on_extra_filter",  # mergejoins.q second shape: inner
+        # then LEFT OUTER whose ON carries an extra build-side filter
+        """SELECT a.n_nationkey, c.n_nationkey AS ck
+           FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+           LEFT OUTER JOIN nation c ON b.n_nationkey = c.n_nationkey
+                                    AND b.n_nationkey < 10
+           ORDER BY a.n_nationkey""",
+    ),
+    (
+        "union_of_counts",  # input41.q: union of two scalar counts,
+        # ordered and limited as a derived table
+        """SELECT cnt FROM (
+             SELECT COUNT(1) AS cnt FROM orders
+             UNION ALL SELECT COUNT(1) AS cnt FROM customer) x
+           ORDER BY cnt LIMIT 2""",
+    ),
+    (
+        "multi_distinct_battery",  # groupby_sort_11.q: count(distinct),
+        # count(1), count(col), sum(distinct) together
+        """SELECT COUNT(DISTINCT o_custkey) AS cd, COUNT(1) AS c1,
+                  COUNT(o_custkey) AS ck, CAST(SUM(DISTINCT o_custkey) AS BIGINT) AS sd
+           FROM orders""",
+    ),
+    (
+        "null_projection_typed",  # null_column.q: typed NULL projections
+        """SELECT CAST(NULL AS INT) AS a, CAST(NULL AS STRING) AS b, n_nationkey
+           FROM nation WHERE n_nationkey < 5 ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -3939,7 +4023,7 @@ QSCRIPTS_R26 = [
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
-        + QSCRIPTS_R26
+        + QSCRIPTS_R26 + QSCRIPTS_R27
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
