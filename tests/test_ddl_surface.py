@@ -142,3 +142,38 @@ def test_spark_tablesample_syntax(spark, sf_dir):
         "SELECT COUNT(*) n FROM orders TABLESAMPLE (50 PERCENT) REPEATABLE (7)"
     ).collect()[0]["n"]
     assert again == pct
+
+
+def test_char_varchar_semantics(spark, tmp_path):
+    """CHAR(n)/VARCHAR(n) typed columns (reference: clientpositive
+    ctas_varchar.q / alter_char2.q; serde2 HiveChar pads, HiveVarchar
+    bounds). Spark honors Hive's core semantics: CHAR pads on read to
+    declared length, CHAR comparison against a shorter literal is
+    padding-insensitive (the literal is padded before comparing), and
+    VARCHAR stores unpadded. Documented divergence: on overflow Hive
+    TRUNCATES silently while Spark raises the structured
+    EXCEED_LIMIT_LENGTH — the engine chooses loud over lossy."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    spark.sql("DROP TABLE IF EXISTS char_sem")
+    spark.sql(
+        f"CREATE TABLE char_sem (c CHAR(5), v VARCHAR(5)) USING parquet"
+        f" LOCATION '{tmp_path}/char_sem'"
+    )
+    try:
+        spark.sql("INSERT INTO char_sem VALUES ('ab', 'ab')")
+        r = spark.sql(
+            """SELECT c, v, length(c) AS lc, length(v) AS lv,
+                      c = 'ab' AS eq_short, c = 'ab   ' AS eq_padded
+               FROM char_sem"""
+        ).collect()[0]
+        assert r.c == "ab   " and r.lc == 5, "CHAR must pad on read"
+        assert r.v == "ab" and r.lv == 2, "VARCHAR must not pad"
+        assert r.eq_short and r.eq_padded, "CHAR comparison pads the literal"
+        for bad in ("('abcdef', 'x')", "('x', 'abcdef')"):
+            with _pytest.raises(SparkRuntimeException, match="EXCEED_LIMIT_LENGTH"):
+                spark.sql(f"INSERT INTO char_sem VALUES {bad}")
+        assert spark.table("char_sem").count() == 1, "failed inserts wrote nothing"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS char_sem")
