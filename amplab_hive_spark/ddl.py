@@ -715,8 +715,8 @@ def scd2_apply(
     # batch would otherwise corrupt valid_from silently.
     _dt.date.fromisoformat(batch_date)
     source = source.localCheckpoint(eager=True)
-    # 5: a key column literally named "count" would collide with
-    # groupBy().count()'s output — use an explicit alias.
+    # explicit alias: a key column literally named "count" would
+    # collide with groupBy().count()'s output column.
     dup = (
         source.groupBy(*key_cols)
         .agg(F.count(F.lit(1)).alias("__n"))

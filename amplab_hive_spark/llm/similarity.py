@@ -232,6 +232,15 @@ _IVF_LLOYD_ITERS = 2
 # over 64 dims stay < 2⁶³ through one Lloyd iteration (see dist).
 _IVF_QUANT = 1 << 24
 
+# The ONE spelling of the fixed-point quantization in oracle SQL —
+# shared by the IVF, dimension-profile, PQ and outlier oracles so the
+# scheme cannot silently fork between them (_quantized is its Spark
+# twin).
+_O_QUANT = (
+    "list_transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT))"
+)
+
 
 def _quantized(col) -> Column:
     return F.transform(
@@ -365,9 +374,7 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 _ANN_IVF_ORACLE = f"""
 WITH quant AS (
-  SELECT vec_id, embedding,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT)) AS q
+  SELECT vec_id, embedding, {_O_QUANT} AS q
   FROM embeddings
 ),
 seeds AS (
@@ -805,9 +812,7 @@ _O_PQ_DIST = (
 
 _ANN_PQ_ORACLE = f"""
 WITH quant AS (
-  SELECT vec_id,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT)) AS q
+  SELECT vec_id, {_O_QUANT} AS q
   FROM embeddings
 ),
 seeds AS (
@@ -947,7 +952,12 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _PQ_SHORTLIST)
         .select("qid", "vec_id")
     )
-    eq = t.embeddings.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qv"))
+    # broadcast side = the QUERY vectors only (vec_id % 100): the join
+    # key restricts to them anyway, but broadcasting the unfiltered
+    # table would ship the whole corpus to every executor at scale.
+    eq = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
     ev = t.embeddings.select("vec_id", "embedding")
     rerank = (
         shortlist.join(F.broadcast(eq), "qid")
@@ -968,9 +978,7 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OUTLIER_ORACLE = f"""
 WITH quant AS (
-  SELECT vec_id, label,
-         list_transform(embedding,
-                        x -> CAST(floor(CAST(x AS DOUBLE) * {_IVF_QUANT}) AS BIGINT)) AS q
+  SELECT vec_id, label, {_O_QUANT} AS q
   FROM embeddings
 ),
 cents AS (
