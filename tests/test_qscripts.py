@@ -4014,6 +4014,77 @@ QSCRIPTS_R27 = [
 ]
 
 
+# Twenty-ninth tranche: five more grounded ports (source script per
+# entry). input26's second branch was adapted to an ORDERED limit —
+# the original's bare `LIMIT 5` picks engine-arbitrary rows; and
+# ppd_join4's contradictory predicates were made satisfiable (the
+# harness rejects empty results as vacuous).
+QSCRIPTS_R28 = [
+    (
+        "derived_join_constant_filter",  # join38.q: join keyed on a derived
+        # column with a constant filter on the build side + group
+        """SELECT a.o_orderstatus, b.derived5, COUNT(1) AS cnt
+           FROM orders a JOIN (
+             SELECT o_orderkey, CAST(o_orderkey + 5 AS INT) AS derived5,
+                    CAST(o_orderkey + 11 AS INT) AS col11
+             FROM orders WHERE o_orderkey <= 300) b
+           ON a.o_orderkey = b.col11
+           WHERE b.col11 <= 200
+           GROUP BY a.o_orderstatus, b.derived5
+           ORDER BY a.o_orderstatus, b.derived5 LIMIT 40""",
+    ),
+    (
+        "incremental_union_refresh",  # union22.q: base slice UNION ALL a
+        # LEFT OUTER JOIN against the filtered delta — the incremental
+        # partition-refresh shape
+        """SELECT k1, k3 FROM (
+             SELECT n_nationkey AS k1, n_regionkey AS k3
+             FROM nation WHERE n_nationkey <= 12
+             UNION ALL
+             SELECT a.n_nationkey AS k1, b.n_regionkey AS k3
+             FROM nation a LEFT OUTER JOIN
+               (SELECT * FROM nation WHERE n_nationkey > 12) b
+               ON a.n_nationkey = b.n_nationkey
+             WHERE a.n_nationkey > 12
+           ) t ORDER BY k1, k3 NULLS FIRST""",
+    ),
+    (
+        "pushdown_through_sorted_subquery",  # ppd_join4.q: outer predicates
+        # push through a doubly-nested sorted derived table into the join
+        """SELECT t2.n_nationkey, t2.n_name FROM (
+             SELECT n_nationkey, n_name FROM (
+               SELECT n_nationkey, n_name FROM nation) t1 ORDER BY n_nationkey) t2
+           JOIN nation t3 ON t2.n_nationkey = t3.n_nationkey
+           WHERE t2.n_name LIKE 'NATION_1%' AND t3.n_regionkey = 1
+           ORDER BY t2.n_nationkey""",
+    ),
+    (
+        "union_of_limited_subqueries",  # input26.q: UNION ALL of two
+        # ordered-LIMIT derived tables, re-sorted outside
+        """SELECT * FROM (
+             SELECT * FROM (SELECT o_orderkey, o_orderstatus FROM orders
+                            WHERE o_orderstatus = 'F'
+                            ORDER BY o_orderkey LIMIT 5) pa
+             UNION ALL
+             SELECT * FROM (SELECT o_orderkey, o_orderstatus FROM orders
+                            WHERE o_orderstatus = 'O'
+                            ORDER BY o_orderkey LIMIT 5) pb
+           ) subq ORDER BY o_orderkey""",
+    ),
+    (
+        "union_tree_join",  # cbo_union.q: a join whose BOTH inputs are
+        # union trees, with a post-join filter
+        """SELECT r2.k FROM
+             (SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 10
+              UNION ALL SELECT r_regionkey FROM region) r2
+           JOIN
+             (SELECT n_nationkey AS k FROM nation WHERE n_nationkey >= 0
+              UNION ALL SELECT r_regionkey FROM region) r3
+           ON r2.k = r3.k WHERE r3.k >= 0 ORDER BY r2.k""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4023,7 +4094,7 @@ QSCRIPTS_R27 = [
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
-        + QSCRIPTS_R26 + QSCRIPTS_R27
+        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
