@@ -4085,6 +4085,56 @@ QSCRIPTS_R28 = [
 ]
 
 
+# Thirtieth tranche: four final grounded ports.
+# (quotedid_basic.q was examined and skipped: Spark quotes exotic
+# identifiers with backticks, DuckDB with double quotes — no single
+# text parses on both.)
+QSCRIPTS_R29 = [
+    (
+        "overlapping_outer_self_joins",  # join_filters_overlap.q: two LEFT
+        # OUTER self-joins whose ON clauses carry constant predicates on
+        # BOTH sides — the preserved-row semantics planners get wrong
+        """SELECT a.n_nationkey, b.n_nationkey AS bk, c.n_nationkey AS ck
+           FROM nation a
+           LEFT OUTER JOIN nation b ON a.n_nationkey = b.n_nationkey
+                                    AND a.n_regionkey = 1 AND b.n_regionkey = 1
+           LEFT OUTER JOIN nation c ON a.n_nationkey = c.n_nationkey
+                                    AND a.n_regionkey = 2 AND c.n_regionkey = 2
+           ORDER BY a.n_nationkey""",
+    ),
+    (
+        "right_then_left_outer_chain",  # join_filters_overlap.q: RIGHT then
+        # LEFT outer, the second keyed on the preserved middle table
+        """SELECT a.n_nationkey AS ak, b.n_nationkey AS bk, c.n_nationkey AS ck
+           FROM nation a
+           RIGHT OUTER JOIN nation b ON a.n_nationkey = b.n_nationkey
+                                     AND a.n_regionkey = 1 AND b.n_regionkey = 1
+           LEFT OUTER JOIN nation c ON b.n_nationkey = c.n_nationkey
+                                    AND b.n_regionkey = 2 AND c.n_regionkey = 2
+           ORDER BY bk""",
+    ),
+    (
+        "distinct_same_group_key",  # groupby_distinct_samekey.q: DISTINCT
+        # aggregate over the grouping key itself (trivially the key)
+        """SELECT q1.k, SUM(DISTINCT q1.k) AS s FROM (
+             SELECT n_regionkey AS k FROM nation ORDER BY n_regionkey) q1
+           GROUP BY q1.k ORDER BY q1.k""",
+    ),
+    (
+        "union_filter_pushdown",  # union_ppr.q: the outer WHERE pushes into
+        # both union branches above partitioned scans
+        """SELECT * FROM (
+             SELECT x.o_orderkey, x.o_orderstatus FROM orders x
+             WHERE x.o_orderkey < 100
+             UNION ALL
+             SELECT y.o_orderkey, y.o_orderstatus FROM orders y
+             WHERE y.o_orderkey < 100
+           ) a WHERE a.o_orderstatus = 'F'
+           ORDER BY a.o_orderkey, a.o_orderstatus""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4094,7 +4144,7 @@ QSCRIPTS_R28 = [
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
-        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28
+        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
