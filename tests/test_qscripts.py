@@ -4135,6 +4135,47 @@ QSCRIPTS_R29 = [
 ]
 
 
+# Thirty-first tranche: four last grounded ports. (no_hooks.q's bare
+# `JOIN ... WHERE` with no ON clause was skipped: DuckDB's grammar
+# requires ON or an explicit CROSS JOIN; the comma-join spelling is
+# already in the twenty-third tranche. ambiguous_col.q's duplicate
+# output names were skipped: DuckDB auto-renames them.)
+QSCRIPTS_R30 = [
+    (
+        "chained_key_join_four",  # join_reorder2.q: each join keyed on the
+        # PREVIOUS table in the chain (a=b, b=c, c=d)
+        """SELECT COUNT(*) AS n, SUM(a.n_nationkey) AS s
+           FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+                         JOIN region c ON b.n_regionkey = c.r_regionkey
+                         JOIN region d ON c.r_regionkey = d.r_regionkey""",
+    ),
+    (
+        "agg_over_agg_mixed_or",  # ppd_gby2.q: aggregate over an aggregate
+        # with a mixed AND/OR predicate between the layers
+        """SELECT MAX(src1.c1) AS m, src1.c2 FROM
+             (SELECT o_orderstatus AS c1, COUNT(o_orderkey) AS c2 FROM orders
+              WHERE o_orderkey > 10 GROUP BY o_orderstatus) src1
+           WHERE src1.c1 > 'A' AND (src1.c2 > 30 OR src1.c1 < 'Z')
+           GROUP BY src1.c2 ORDER BY src1.c2""",
+    ),
+    (
+        "case_on_join_ordered",  # udf_case_column_pruning.q: simple-form
+        # CASE over join output, ordered by the CASE alias
+        """SELECT CASE a.n_regionkey WHEN 1 THEN 2 WHEN 3 THEN 4 ELSE 5 END AS key
+           FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+           ORDER BY key LIMIT 10""",
+    ),
+    (
+        "outer_where_on_limited_subquery",  # order2.q: WHERE applied AFTER
+        # an ordered LIMIT — filters the 10-row prefix, not the table
+        """SELECT subq.o_orderkey, subq.o_orderstatus FROM
+             (SELECT x.o_orderkey, x.o_orderstatus FROM orders x
+              ORDER BY o_orderkey LIMIT 10) subq
+           WHERE subq.o_orderkey < 8""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4144,7 +4185,7 @@ QSCRIPTS_R29 = [
         + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
-        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29
+        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
