@@ -4176,6 +4176,41 @@ QSCRIPTS_R30 = [
 ]
 
 
+# Thirty-second tranche: union24's four-branch UNION ALL,
+# udf_isnull_isnotnull's literal and column null tests, and the
+# ANSI IS DISTINCT FROM null-safe inequality (the SQL spelling of
+# the <=> negation the DML paths use internally).
+# (groupby_complex_types.q was examined and skipped: ARRAY/MAP/
+# STRUCT grouping keys produce non-atomic output cells the two
+# engines render differently.)
+QSCRIPTS_R31 = [
+    (
+        "four_branch_union",  # union24.q: four filtered branches
+        """SELECT s.k, s.n FROM (
+             SELECT n_nationkey AS k, 1 AS n FROM nation WHERE n_nationkey < 10
+             UNION ALL SELECT n_nationkey, 2 FROM nation WHERE n_nationkey < 10
+             UNION ALL SELECT r_regionkey, 3 FROM region WHERE r_regionkey < 10
+             UNION ALL SELECT r_regionkey, 4 FROM region WHERE r_regionkey < 10
+           ) s ORDER BY s.k, s.n""",
+    ),
+    (
+        "isnull_isnotnull_literals",  # udf_isnull_isnotnull.q
+        """SELECT NULL IS NULL AS a, 1 IS NOT NULL AS b,
+                  'x' IS NOT NULL AS c,
+                  CASE WHEN n_nationkey % 4 = 0 THEN NULL
+                       ELSE n_nationkey END IS NULL AS d
+           FROM nation ORDER BY n_nationkey LIMIT 12""",
+    ),
+    (
+        "is_distinct_from",  # ANSI null-safe inequality
+        """SELECT n_nationkey,
+                  CASE WHEN n_nationkey % 3 = 0 THEN NULL
+                       ELSE n_regionkey END IS DISTINCT FROM n_regionkey AS dd
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4186,6 +4221,7 @@ QSCRIPTS_R30 = [
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
+        + QSCRIPTS_R31
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
