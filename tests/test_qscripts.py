@@ -4211,6 +4211,51 @@ QSCRIPTS_R31 = [
 ]
 
 
+# Thirty-third tranche: four final grounded ports.
+QSCRIPTS_R32 = [
+    (
+        "inner_then_right_outer_filters",  # join40.q: inner join with a
+        # probe-side ON filter feeding a RIGHT OUTER with its own
+        """SELECT s1.n_nationkey AS k1, s2.n_nationkey AS k2, s3.n_nationkey AS k3
+           FROM nation s1 JOIN nation s2 ON s1.n_nationkey = s2.n_nationkey
+                                         AND s1.n_nationkey < 10
+           RIGHT OUTER JOIN nation s3 ON s1.n_nationkey = s3.n_nationkey
+                                      AND s3.n_nationkey < 20
+           ORDER BY k3, k1""",
+    ),
+    (
+        "least_greatest_strings",  # udf_least.q / udf_greatest.q: string
+        # arguments under binary collation, incl. case-mixed sets
+        """SELECT LEAST('a', 'b', 'c') AS l1, LEAST('C', 'a', 'B') AS l2,
+                  GREATEST('AAA', 'AaA', 'AAa') AS g1,
+                  GREATEST('A', 'AA', 'AAA') AS g2,
+                  n_nationkey
+           FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey""",
+    ),
+    (
+        "union_of_same_aggregate",  # union_remove_25.q: identical aggregate
+        # branches (the union-remove optimizer's no-go case — results
+        # must stay duplicated)
+        """SELECT a.k, a.vals FROM (
+             SELECT o_orderstatus AS k, COUNT(1) AS vals FROM orders
+             GROUP BY o_orderstatus
+             UNION ALL
+             SELECT o_orderstatus AS k, COUNT(1) AS vals FROM orders
+             GROUP BY o_orderstatus
+           ) a ORDER BY a.k, a.vals""",
+    ),
+    (
+        "join_in_scalar_derived",  # cross_product_check_1.q: grouped
+        # self-join inside a derived table with a vacuous 1=1 conjunct
+        """SELECT od1.k FROM (
+             SELECT d1.n_nationkey AS k FROM nation d1
+             JOIN nation d2 ON d1.n_nationkey = d2.n_nationkey
+             WHERE 1 = 1 GROUP BY d1.n_nationkey) od1
+           WHERE od1.k < 12 ORDER BY od1.k""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4221,7 +4266,7 @@ QSCRIPTS_R31 = [
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
-        + QSCRIPTS_R31
+        + QSCRIPTS_R31 + QSCRIPTS_R32
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
