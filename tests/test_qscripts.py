@@ -4256,6 +4256,35 @@ QSCRIPTS_R32 = [
 ]
 
 
+# Thirty-fourth tranche: three final grounded ports.
+QSCRIPTS_R33 = [
+    (
+        "abs_extremes",  # udf_abs.q: abs over BIGINT extremes
+        """SELECT abs(0) AS a0, abs(-1) AS a1, abs(123) AS a2,
+                  abs(CAST(-9223372036854775807 AS BIGINT)) AS amin,
+                  abs(n_nationkey - 12) AS arel
+           FROM nation ORDER BY n_nationkey LIMIT 25""",
+    ),
+    (
+        "union_scalar_with_rows",  # union17.q: scalar-aggregate branch
+        # unioned with a row stream, types reconciled to STRING
+        """SELECT u.key, u.value FROM (
+             SELECT 'tst1' AS key, CAST(COUNT(1) AS STRING) AS value FROM orders
+             UNION ALL
+             SELECT o_orderstatus AS key, CAST(o_orderkey AS STRING) AS value
+             FROM orders WHERE o_orderkey <= 30
+           ) u ORDER BY u.key, u.value""",
+    ),
+    (
+        "nested_table_aliases",  # subquery_alias.q: triple-nested aliased
+        # SELECT * derived tables resolve through every layer
+        """SELECT src2.n_nationkey, src2.n_name FROM
+             ( SELECT * FROM ( SELECT * FROM nation AS s ) AS src1 ) AS src2
+           WHERE src2.n_nationkey < 7 ORDER BY src2.n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4266,7 +4295,7 @@ QSCRIPTS_R32 = [
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
-        + QSCRIPTS_R31 + QSCRIPTS_R32
+        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
