@@ -4285,6 +4285,29 @@ QSCRIPTS_R33 = [
 ]
 
 
+# Thirty-fifth tranche: two final grounded ports.
+QSCRIPTS_R34 = [
+    (
+        "join_union_constant_on",  # union27.q: join against a union-typed
+        # derived table with a constant key equality inside the ON
+        """SELECT b.k, b.src FROM nation a JOIN (
+             SELECT n_nationkey AS k, 'dim' AS src FROM nation
+             UNION ALL SELECT r_regionkey AS k, 'add' AS src FROM region
+           ) b ON a.n_nationkey = b.k AND b.k = 3
+           ORDER BY b.src""",
+    ),
+    (
+        "ordered_limit_self_join",  # order_within_subquery.q: ordered-LIMIT
+        # prefix joined back to the base table on two columns
+        """SELECT t1.p_name, t2.p_name AS p2
+           FROM (SELECT * FROM part ORDER BY p_size, p_partkey LIMIT 10) t1
+           JOIN part t2 ON t1.p_partkey = t2.p_partkey AND t1.p_size = t2.p_size
+           WHERE t1.p_partkey < 100000
+           ORDER BY t1.p_name, p2""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4295,7 +4318,7 @@ QSCRIPTS_R33 = [
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
-        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33
+        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
