@@ -191,3 +191,90 @@ def test_affine_perm_numpy_wrap_matches_biginteger_spec(h):
         ) & np.uint64((1 << 64) - 1)
         assert int(np_u[0]) == spec_u
         assert int(np_u.astype(np.int64)[0]) == spec_signed
+
+
+# ---- MERGE INTO reference-model property ---------------------------
+# A tiny pure-Python model of ANSI MERGE semantics; merge_into on a
+# real (unpartitioned) table must agree with it for arbitrary
+# target/source contents, including NULL keys (which never match in
+# the t.k = s.k equality) and delete-beats-update clause order.
+
+
+def _model_merge(target, source, delete_vals, update_suffix):
+    """target: [(k, v)], source: [(k, sv)] with unique non-None-safe
+    keys; returns (rows, counts) after:
+    WHEN MATCHED AND sv IN delete_vals THEN DELETE
+    WHEN MATCHED THEN UPDATE SET v = sv || update_suffix
+    WHEN NOT MATCHED THEN INSERT (k, sv)."""
+    src = {k: sv for k, sv in source if k is not None}
+    out, updated, deleted = [], 0, 0
+    for k, v in target:
+        if k is not None and k in src:
+            if src[k] in delete_vals:
+                deleted += 1
+                continue
+            out.append((k, src[k] + update_suffix))
+            updated += 1
+        else:
+            out.append((k, v))
+    inserted = 0
+    matched_keys = {k for k, _ in target if k is not None}
+    for k, sv in source:
+        if k is None or k not in matched_keys:
+            out.append((k, sv))
+            inserted += 1
+    return out, {"updated": updated, "deleted": deleted, "inserted": inserted}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=8,
+    ),
+    st.lists(st.integers(min_value=0, max_value=6), unique=True, max_size=5).map(
+        lambda ks: [(k, "sB" if k % 2 else "sA") for k in ks]
+    ),
+)
+def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
+    """merge_into == the pure-Python ANSI model on arbitrary
+    unpartitioned targets: NULL target keys never match, a matched
+    row whose source value is in the delete set is deleted (not
+    updated), every other matched row updates, and unmatched source
+    rows insert."""
+    from amplab_hive_spark import ddl
+
+    d = tmp_path_factory.mktemp("mergeprop")
+    spark.sql("DROP TABLE IF EXISTS merge_prop")
+    tdf = spark.createDataFrame(target or [(None, "z")], "k INT, v STRING")
+    if not target:
+        tdf = tdf.limit(0)
+    ddl.create_table_as(spark, "merge_prop", tdf, f"{d}/merge_prop")
+    try:
+        sdf = spark.createDataFrame(source or [(0, "sA")], "k INT, sv STRING")
+        if not source:
+            sdf = sdf.limit(0)
+        counts = ddl.merge_into(
+            spark,
+            "merge_prop",
+            sdf,
+            on="t.k = s.k",
+            matched_delete="s.sv = 'sA'",
+            matched_update={"v": "concat(s.sv, '!')"},
+            not_matched_insert={"k": "s.k", "v": "s.sv"},
+        )
+        got = sorted(
+            ((r.k, r.v) for r in spark.table("merge_prop").collect()),
+            key=lambda t: (t[0] is None, t[0], t[1]),
+        )
+        want_rows, want_counts = _model_merge(
+            target, source, delete_vals={"sA"}, update_suffix="!"
+        )
+        want = sorted(want_rows, key=lambda t: (t[0] is None, t[0], t[1]))
+        assert got == want, f"rows {got} != model {want}"
+        assert counts == want_counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_prop")
