@@ -278,3 +278,73 @@ def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
         assert counts == want_counts
     finally:
         spark.sql("DROP TABLE IF EXISTS merge_prop")
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        max_size=5,
+    ).map(lambda rows: list({k: (k, v) for k, v in rows}.values())),
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),
+            st.sampled_from(["x", "y", "z"]),
+        ),
+        max_size=5,
+    ).map(lambda rows: list({k: (k, v) for k, v in rows}.values())),
+)
+def test_scd2_chain_invariants(spark, tmp_path_factory, batch1, batch2):
+    """SCD2 invariants under two arbitrary delta batches: exactly one
+    current row per key ever seen; a key's history is (closed*,
+    current) with each closed row's valid_to equal to its successor's
+    valid_from; and a key whose value never changed has exactly one
+    row. The batches are deduped to one row per key (the operator's
+    documented contract)."""
+    from pyspark.sql import functions as F
+
+    from amplab_hive_spark import ddl
+
+    d = tmp_path_factory.mktemp("scdprop")
+    spark.sql("DROP TABLE IF EXISTS scd_prop")
+    base = spark.createDataFrame([(99, "seed")], "k INT, v STRING").select(
+        "*",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ddl.create_table_as(spark, "scd_prop", base, f"{d}/scd_prop")
+    try:
+        for date, batch in (("2024-02-01", batch1), ("2024-03-01", batch2)):
+            if not batch:
+                continue
+            ddl.scd2_apply(
+                spark,
+                "scd_prop",
+                spark.createDataFrame(batch, "k INT, v STRING"),
+                ["k"],
+                ["v"],
+                date,
+            )
+        rows = spark.table("scd_prop").collect()
+        by_key: dict = {}
+        for r in rows:
+            by_key.setdefault(r.k, []).append(r)
+        for k, hist in by_key.items():
+            current = [r for r in hist if r.is_current]
+            assert len(current) == 1, f"key {k}: {len(current)} current rows"
+            assert current[0].valid_to is None
+            chain = sorted(hist, key=lambda r: r.valid_from)
+            assert chain[-1].is_current, f"key {k}: latest row not current"
+            for prev, nxt in zip(chain, chain[1:]):
+                assert not prev.is_current
+                assert prev.valid_to == nxt.valid_from, (
+                    f"key {k}: close date {prev.valid_to} != successor open "
+                    f"{nxt.valid_from}"
+                )
+                assert prev.v != nxt.v, f"key {k}: version opened without change"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS scd_prop")
