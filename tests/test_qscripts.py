@@ -4308,6 +4308,40 @@ QSCRIPTS_R34 = [
 ]
 
 
+# Thirty-sixth tranche: three grounded ports. join_nullsafe.q's <=>
+# operator is Hive/Spark-only — the ANSI IS NOT DISTINCT FROM
+# spelling is the text both engines parse.
+QSCRIPTS_R35 = [
+    (
+        "nullsafe_join",  # join_nullsafe.q: NULL keys MATCH each other
+        # under the null-safe equality join
+        """SELECT a.k AS ka, b.k AS kb FROM
+             (SELECT CASE WHEN n_nationkey % 5 = 0 THEN NULL
+                          ELSE n_regionkey END AS k,
+                     n_nationkey AS id FROM nation) a
+           JOIN
+             (SELECT CASE WHEN r_regionkey = 2 THEN NULL
+                          ELSE r_regionkey END AS k,
+                     r_regionkey AS id FROM region) b
+           ON a.k IS NOT DISTINCT FROM b.k
+           ORDER BY a.id, b.id""",
+    ),
+    (
+        "arith_join_key",  # decimal_join.q: one join side offset by a
+        # constant inside the equality
+        """SELECT a.o_orderkey, b.o_orderkey AS shifted
+           FROM orders a JOIN orders b ON a.o_orderkey = b.o_orderkey + 450
+           WHERE a.o_orderkey <= 600 ORDER BY a.o_orderkey""",
+    ),
+    (
+        "groupby_const_cast",  # groupby_neg_float.q: grouping on a constant
+        # cast collapses to one group
+        """SELECT CAST('-30.33' AS DOUBLE) AS c, COUNT(*) AS n
+           FROM orders GROUP BY CAST('-30.33' AS DOUBLE)""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4318,7 +4352,7 @@ QSCRIPTS_R34 = [
         + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
-        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34
+        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
