@@ -4342,6 +4342,58 @@ QSCRIPTS_R35 = [
 ]
 
 
+# Thirty-seventh tranche: range-band joins via BETWEEN in ON,
+# compound AND/OR CASE conditions, deep function nesting, combined
+# range+IN predicates, HAVING BETWEEN over aggregates, and an OR
+# predicate spanning both sides of a comma join.
+QSCRIPTS_R36 = [
+    (
+        "between_join_range",  # range-band join: BETWEEN inside the ON
+        """SELECT a.o_orderkey, b.r_regionkey FROM orders a JOIN region b
+           ON a.o_orderkey BETWEEN b.r_regionkey * 100
+                               AND b.r_regionkey * 100 + 10
+           WHERE a.o_orderkey <= 500 ORDER BY a.o_orderkey, b.r_regionkey""",
+    ),
+    (
+        "case_with_and_or",  # compound boolean conditions inside CASE
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice > 100000 AND o_orderstatus = 'F'
+                         THEN 'bigF'
+                       WHEN o_totalprice > 100000 OR o_orderkey % 2 = 0
+                         THEN 'other'
+                       ELSE 'small' END AS cls
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "nested_functions_deep",  # four-deep scalar function nesting
+        """SELECT n_nationkey,
+                  upper(substr(concat(lower(n_name), '-',
+                                      CAST(n_regionkey AS STRING)), 3, 8)) AS mangled
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "where_between_dates_and_in",  # combined range + IN predicate
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderdate BETWEEN DATE '1994-01-01' AND DATE '1996-12-31'
+             AND o_orderpriority IN ('1-URGENT', '2-HIGH')""",
+    ),
+    (
+        "having_between",  # BETWEEN over an aggregate in HAVING
+        """SELECT o_custkey, COUNT(*) AS n FROM orders
+           GROUP BY o_custkey HAVING COUNT(*) BETWEEN 4 AND 6
+           ORDER BY o_custkey LIMIT 30""",
+    ),
+    (
+        "or_predicate_across_tables",  # OR spanning both comma-join sides
+        # (blocks pushdown to either side alone)
+        """SELECT n.n_nationkey FROM nation n, region r
+           WHERE n.n_regionkey = r.r_regionkey
+             AND (n.n_nationkey < 3 OR r.r_regionkey > 3)
+           ORDER BY n.n_nationkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4353,6 +4405,7 @@ QSCRIPTS_R35 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
+        + QSCRIPTS_R36
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
