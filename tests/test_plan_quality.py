@@ -262,3 +262,15 @@ def test_pq_broadcasts_codebook_and_lookup(spark, sf_dir):
     assert final.count("BroadcastHashJoin") >= 3, "codebook/dtable/rerank joins"
     assert "EvalPython" not in final
     assert "CartesianProduct" not in final
+
+
+def test_incremental_dedup_broadcasts_corpus_hashes(spark, sf_dir):
+    """The corpus fingerprint set collapses to DISTINCT hashes and
+    joins the batch as a broadcast under AQE (a sort-merge join here
+    would shuffle the batch a second time); no Python touches the
+    row path."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_exact")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+    assert "EvalPython" not in final
