@@ -704,7 +704,22 @@ def scd2_apply(
     batch with >=1 changed key rewrites the table's files, and a
     dimension partitioned on a stable key range bounds that rewrite
     the same way UPDATE does. Batches with only new keys are pure
-    appends either way."""
+    appends either way.
+
+    CRASH WINDOW (same residual class as merge_into, documented
+    there): the close (MERGE) and the open (append) are two
+    non-atomic writes. A failure BETWEEN them leaves every changed
+    key with its old version closed but no current row — violating
+    the exactly-one-current invariant until recovery. Recovery is
+    re-running the SAME batch after reconciling by key: the close is
+    idempotent (re-matching rows are already closed, the
+    NULL-safe-difference predicate no longer fires), but the append
+    is NOT — a blind re-run after a crash that happened AFTER the
+    append would duplicate current rows, so the reconcile step is
+    "for each source key, if no is_current row exists, re-append
+    that key's new version only". A transactional table format
+    (Iceberg/Delta) collapses both writes into one snapshot commit;
+    with plain parquet this window is inherent to copy-on-write."""
     import datetime as _dt
 
     from pyspark.sql import functions as F

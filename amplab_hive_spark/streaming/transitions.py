@@ -62,8 +62,15 @@ def transition_counts(
 
     last_type = state.get[0] if state.exists else None
     counts: Counter = Counter()
-    for pdf in batches:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    # applyInPandasWithState splits one group's micro-batch into
+    # multiple Arrow chunks (~10k rows) in arbitrary order, so the
+    # (ts, event_id) ordering contract requires materializing the
+    # whole group and sorting ONCE — a per-chunk sort would count
+    # cross-chunk transitions in shuffle order. State stays one
+    # tuple; the per-user per-batch row count bounds the concat.
+    chunks = list(batches)
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         for et in pdf["event_type"]:
             if last_type is not None:
                 counts[(last_type, et)] += 1

@@ -347,3 +347,39 @@ def test_pq_recall_floor(spark, sf_dir):
     recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall {recalls}"
     assert min(recalls) >= 0.4, f"min recall {recalls}"
+
+def test_incremental_dedup_dup_batch_branch(spark, tmp_path):
+    """ADVICE r5: the dup_batch branch (first seen earlier IN THIS
+    BATCH) never fires on the gate fixture — exercise it on a
+    constructed documents table: two batch docs share a lead-8
+    fingerprint absent from the corpus, one batch doc duplicates a
+    corpus lead, one is novel. doc_id % 10 >= 8 is the batch slice."""
+    from amplab_hive_spark.llm.dedup import dedup_incremental_exact
+
+    corpus_lead = "alpha beta gamma delta epsilon zeta eta theta"
+    batch_lead = "one two three four five six seven eight"
+    rows = [
+        # corpus (doc_id % 10 < 8)
+        (1, corpus_lead + " corpus tail", "en", "web", 40),
+        (2, "totally different corpus text goes here now ok", "en", "web", 40),
+        # batch (doc_id % 10 >= 8)
+        (8, batch_lead + " first copy", "en", "web", 40),    # novel (first seen)
+        (18, batch_lead + " second copy", "en", "web", 40),  # dup_batch
+        (9, corpus_lead + " reused lead", "en", "news", 40), # dup_corpus
+        (19, "completely fresh batch document never seen before yes", "en", "news", 40),  # novel
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    out = dedup_incremental_exact(spark, str(tmp_path)).collect()
+    got = {(r.source, r.status): r.n for r in out}
+    assert got == {
+        ("news", "dup_corpus"): 1,
+        ("news", "novel"): 1,
+        ("web", "dup_batch"): 1,
+        ("web", "novel"): 1,
+    }, f"all three branches must fire: {got}"
+    # first-seen is by doc_id order: 8 is novel, 18 is the dup
+    firsts = {(r.source, r.status): r.first_doc for r in out}
+    assert firsts[("web", "dup_batch")] == 18
+    assert firsts[("web", "novel")] == 8

@@ -2810,9 +2810,12 @@ QSCRIPTS_R13 = [
     ),
     (
         "in_subquery_with_limit",  # LIMIT inside the IN source
+        # o_orderkey tiebreak: a totalprice tie at the LIMIT boundary
+        # would otherwise let Spark and DuckDB pick different key sets
+        # (ADVICE r5).
         """SELECT n_name FROM nation
            WHERE n_nationkey IN (SELECT o_custkey % 25 FROM orders
-                                 ORDER BY o_totalprice DESC LIMIT 10)
+                                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 10)
            ORDER BY n_name""",
     ),
     (
@@ -3669,9 +3672,12 @@ QSCRIPTS_R23 = [
            ORDER BY o_orderkey""",
     ),
     (
-        "in_subquery_with_limit",  # ordered LIMIT inside IN
+        "in_subquery_with_limit_keys",  # ordered LIMIT inside IN (renamed
+        # from a duplicate 'in_subquery_with_limit' id; o_orderkey
+        # tiebreak pins the key set across engines — ADVICE r5)
         """SELECT c_custkey FROM customer WHERE c_custkey IN (
-             SELECT o_custkey FROM orders ORDER BY o_totalprice DESC LIMIT 20)
+             SELECT o_custkey FROM orders
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 20)
            ORDER BY c_custkey""",
     ),
     (

@@ -89,3 +89,42 @@ def test_streaming_transitions_match_batch_lead(spark, sf_dir, tmpdir):
     got = {(r.from_type, r.to_type): r.n for r in streamed.collect()}
     want = {(r.from_type, r.to_type): r.n for r in batch.collect()}
     assert got == want, "streamed transition matrix must equal the batch lead()"
+
+def test_transition_counts_multi_chunk_ordering():
+    """applyInPandasWithState splits one group's micro-batch into
+    multiple Arrow chunks (spark.sql.execution.arrow.maxRecordsPerBatch,
+    default ~10k) delivered in ARBITRARY order — the function must
+    materialize all chunks and sort ONCE before counting, or
+    cross-chunk transitions are counted in shuffle order. This unit
+    test drives transition_counts directly with shuffled chunks (the
+    small-fixture streaming test can't reach the multi-chunk regime).
+    """
+    import pandas as pd
+
+    from amplab_hive_spark.streaming.transitions import transition_counts
+
+    class FakeState:
+        exists = False
+
+        def update(self, t):
+            self.get = t
+            self.exists = True
+
+    # One user, 6 events in ts order: A B C A B C → transitions
+    # AB,BC,CA,AB,BC. Deliver as three chunks OUT of ts order and
+    # internally unsorted.
+    rows = [
+        (1, 10, "A"), (2, 20, "B"), (3, 30, "C"),
+        (4, 40, "A"), (5, 50, "B"), (6, 60, "C"),
+    ]
+    cols = ["event_id", "ts", "event_type"]
+    chunks = [
+        pd.DataFrame([rows[4], rows[3]], columns=cols),  # middle, reversed
+        pd.DataFrame([rows[0], rows[5]], columns=cols),  # ends mixed
+        pd.DataFrame([rows[2], rows[1]], columns=cols),  # early, reversed
+    ]
+    state = FakeState()
+    out = pd.concat(list(transition_counts((7,), iter(chunks), state)))
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("A", "B"): 2, ("B", "C"): 2, ("C", "A"): 1}
+    assert state.get == ("C",), "state must carry the ts-LAST type, not chunk-last"
