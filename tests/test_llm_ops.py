@@ -328,11 +328,7 @@ def test_incremental_dedup_branches_not_vacuous(spark, sf_dir):
     assert batch_total == docs.filter("doc_id % 10 >= 8").count()
 
 
-def test_pq_recall_floor(spark, sf_dir):
-    """PQ + exact-rerank recall@10 vs the exact cosine top-10.
-    Measured 0.94 mean / 0.8 min on the round-5 fixture; floors set
-    with regeneration headroom (the fixture is isotropic — the
-    hardest ANN regime; clustered real data does better)."""
+def _recall_vs_exact(spark, sf_dir, name: str):
     from collections import defaultdict
 
     from amplab_hive_spark.registry import all_queries
@@ -341,10 +337,33 @@ def test_pq_recall_floor(spark, sf_dir):
     ex, got = defaultdict(set), defaultdict(set)
     for r in qs["sim_bruteforce_topk"].fn(spark, sf_dir).collect():
         ex[r.qid].add(r.vec_id)
-    for r in qs["sim_ann_pq"].fn(spark, sf_dir).collect():
+    for r in qs[name].fn(spark, sf_dir).collect():
         got[r.qid].add(r.vec_id)
-    assert set(ex) == set(got), "PQ must answer every query"
-    recalls = [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+    assert set(ex) == set(got), f"{name} must answer every query"
+    return [len(ex[q] & got[q]) / len(ex[q]) for q in ex]
+
+
+def test_pq_recall_floor(spark, sf_dir):
+    """Trained-codebook PQ + exact-rerank recall@10 vs the exact
+    cosine top-10. Round-6 (one Lloyd round per subspace): gate
+    fixture 0.94 mean / 0.8 min; sf0.1 lifted 0.68->0.725 mean and
+    0.2->0.4 min vs the round-5 seeded codebook. Floors raised from
+    0.6/0.4 per the r5 verdict, with regeneration headroom (the
+    fixture is isotropic — the hardest ANN regime)."""
+    recalls = _recall_vs_exact(spark, sf_dir, "sim_ann_pq")
+    assert sum(recalls) / len(recalls) >= 0.75, f"mean recall {recalls}"
+    assert min(recalls) >= 0.6, f"min recall {recalls}"
+
+
+def test_ivfpq_recall_floor(spark, sf_dir):
+    """IVFPQ recall@10: bounded above by the IVF routing recall
+    (a true neighbor in an unprobed cell is unreachable regardless
+    of ADC quality) — measured EQUAL to sim_ann_ivf on the gate
+    fixture (0.74 mean / 0.5 min; the 200-wide shortlist covers all
+    probed candidates at this corpus size, so the only loss is
+    routing). Floors = the flat-PQ floors of r5 (0.6/0.4), the
+    verdict's done-criterion for the composition."""
+    recalls = _recall_vs_exact(spark, sf_dir, "sim_ann_ivfpq")
     assert sum(recalls) / len(recalls) >= 0.6, f"mean recall {recalls}"
     assert min(recalls) >= 0.4, f"min recall {recalls}"
 

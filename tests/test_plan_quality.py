@@ -274,3 +274,38 @@ def test_incremental_dedup_broadcasts_corpus_hashes(spark, sf_dir):
     assert "BroadcastHashJoin" in final
     assert "SortMergeJoin" not in final
     assert "EvalPython" not in final
+
+
+def test_ivfpq_adc_join_is_cell_scoped(spark, sf_dir):
+    """The IVFPQ composition's whole point: the ADC lookup must run
+    only INSIDE probed cells. In the executed plan that is a
+    BroadcastHashJoin of the codes table against the probe list ON
+    cid (with the vec_id != qid filter fused into the join) sitting
+    BELOW the (qid, j, code) distance-table join — if the codes
+    table reached the dtable join without the cid restriction, the
+    compressed-domain scan would be full-corpus O(QxN), flat PQ all
+    over again. All small sides (probes, dtable, codebook, query
+    vectors) must broadcast; nothing may sort-merge or go cartesian
+    on the data path (the BroadcastNestedLoopJoin Cross entries are
+    the 8/16-row subspace/centroid fan-outs, broadcast by size)."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "sim_ann_ivfpq")
+    final = plan.split("== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in final
+    assert "CartesianProduct" not in final
+    assert "EvalPython" not in final
+    lines = final.splitlines()
+    cell_join = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"BroadcastHashJoin \[cid#\d+\], \[cid#\d+\], Inner, BuildRight, NOT \(vec_id#\d+L = qid#\d+L\)", ln)
+    ]
+    assert cell_join, "cell-scoping cid join with fused vec_id!=qid missing"
+    adc_join = [
+        i for i, ln in enumerate(lines)
+        if re.search(r"BroadcastHashJoin \[qid#\d+L, j#\d+, code#\d+\]", ln)
+    ]
+    assert adc_join, "(qid, j, code) ADC lookup join missing"
+    # toString lists children after parents: the cid scoping must be
+    # a DESCENDANT of (= appear after) the ADC lookup join.
+    assert min(adc_join) < min(cell_join), "ADC lookup must consume the cell-scoped codes"
