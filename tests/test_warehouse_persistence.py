@@ -80,3 +80,127 @@ def test_managed_tables_survive_process_restart():
         assert os.path.isdir(os.path.join(wh, "metastore_db"))
         out2 = _run(_READER.format(repo=repo, wh=wh))
         assert "READER_OK" in out2
+
+
+# --- round 6: CONCURRENT processes on one warehouse ----------------
+# The reference's Thrift metastore service (HiveMetaStore.java:232)
+# exists precisely so multiple live engines share one catalog. The
+# embedded-Derby analogue is single-process by construction (Derby
+# takes a db.lck on boot); these tests pin the honest contract:
+#   - table DATA is concurrently readable by a second live process
+#     via the warehouse path (parquet files are immutable once
+#     written);
+#   - catalog METADATA is single-writer: a second process's metastore
+#     boot fails LOUDLY (Derby lock exception) and leaves the first
+#     writer's catalog and data intact — no corruption, no silent
+#     partial state.
+# README documents the single-writer contract.
+
+_HOLDER = """
+import os, sys, time
+sys.path.insert(0, {repo!r})
+from amplab_hive_spark.session import get_spark
+
+spark = get_spark("persist-holder", master="local[4]", warehouse={wh!r})
+df = spark.range(50).selectExpr("id", "concat('v-', id) AS label")
+df.write.saveAsTable("live_table")
+open({ready!r}, "w").write("ok")
+print("HOLDER_WROTE", flush=True)
+deadline = time.time() + 180
+while not os.path.exists({done!r}) and time.time() < deadline:
+    time.sleep(0.5)
+assert spark.table("live_table").count() == 50, "table lost while holding"
+spark.stop()
+print("HOLDER_OK")
+"""
+
+_PATH_READER = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+
+spark = (SparkSession.builder.master("local[2]")
+         .appName("concurrent-path-reader").getOrCreate())
+df = spark.read.parquet({table_path!r})
+assert df.count() == 50
+assert df.selectExpr("sum(id) AS s").collect()[0].s == 1225
+spark.stop()
+print("PATH_READER_OK")
+"""
+
+_SECOND_WRITER = """
+import sys
+sys.path.insert(0, {repo!r})
+from amplab_hive_spark.session import get_spark
+
+spark = get_spark("persist-intruder", master="local[2]", warehouse={wh!r})
+try:
+    spark.range(5).write.saveAsTable("intruder_table")
+except Exception as ex:
+    msg = str(ex) + str(getattr(ex, "__cause__", ""))
+    print("SECOND_WRITER_BLOCKED", type(ex).__name__, flush=True)
+    print("DERBY_LOCK" if ("Derby" in msg or "instance" in msg or
+                           "metastore" in msg.lower()) else "OTHER_ERROR")
+else:
+    print("SECOND_WRITER_SUCCEEDED")
+spark.stop()
+"""
+
+
+def test_concurrent_reader_and_single_writer_contract():
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    import time
+
+    with tempfile.TemporaryDirectory(prefix="persist_conc_") as wh:
+        ready = os.path.join(wh, "holder_ready")
+        done = os.path.join(wh, "holder_done")
+        holder = subprocess.Popen(
+            [sys.executable, "-c",
+             _HOLDER.format(repo=repo, wh=wh, ready=ready, done=done)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        try:
+            deadline = time.time() + 180
+            while not os.path.exists(ready):
+                assert holder.poll() is None, holder.communicate()[1][-3000:]
+                assert time.time() < deadline, "holder never wrote the table"
+                time.sleep(0.5)
+            # 1) a second LIVE process reads the table data via path
+            table_path = os.path.join(wh, "live_table")
+            out = _run(_PATH_READER.format(repo=repo, table_path=table_path))
+            assert "PATH_READER_OK" in out
+            # 2) a second WRITER on the same catalog fails loudly
+            proc = subprocess.run(
+                [sys.executable, "-c",
+                 _SECOND_WRITER.format(repo=repo, wh=wh)],
+                capture_output=True, text=True, timeout=240,
+            )
+            assert "SECOND_WRITER_BLOCKED" in proc.stdout, (
+                f"second writer must fail while the first holds Derby:\n"
+                f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+            )
+        finally:
+            open(done, "w").write("ok")
+            h_out, h_err = holder.communicate(timeout=240)
+        # the holder's catalog and data survived the intrusion attempt
+        assert "HOLDER_OK" in h_out, f"{h_out}\n{h_err[-3000:]}"
+        # 3) after the holder exits, a fresh process sees intact state
+        out3 = _run(_READER_INTACT.format(repo=repo, wh=wh))
+        assert "INTACT_OK" in out3
+
+
+_READER_INTACT = """
+import sys
+sys.path.insert(0, {repo!r})
+from amplab_hive_spark.session import get_spark
+
+spark = get_spark("persist-after", master="local[4]", warehouse={wh!r})
+names = {{t.name for t in spark.catalog.listTables()}}
+assert "live_table" in names, names
+assert "intruder_table" not in names, "blocked writer must leave NO catalog trace"
+t = spark.table("live_table")
+assert t.count() == 50
+assert t.selectExpr("sum(id) AS s").collect()[0].s == 1225
+spark.stop()
+print("INTACT_OK")
+"""
