@@ -120,3 +120,91 @@ def test_streaming_append_file_sink_bounded_state(spark, tmpdir):
     }
     assert counts[t0] == 60  # no duplicate emission of window 1
     assert counts[t0 + dt.timedelta(hours=1)] == 60
+
+
+# --- round 6: streaming upsert (foreachBatch + MERGE INTO) ----------
+def _latest_per_key(spark, src_dir):
+    from amplab_hive_spark.streaming.upsert import collapse_latest
+
+    return collapse_latest(
+        spark.read.parquet(src_dir), ["user_id"], ["ts", "event_id"]
+    )
+
+
+def _key_rows(df):
+    return sorted(
+        (r.user_id, r.event_id, r.ts, r.event_type, r.value) for r in df.collect()
+    )
+
+
+def _table_rows(spark, name):
+    return _key_rows(spark.table(name))
+
+
+def test_stream_upsert_merge_equals_batch_recompute(spark, tmpdir):
+    """The streamed MERGE-maintained table must equal the batch
+    newest-per-key recompute over all source rows — including after
+    a stop + checkpoint resume, and including STALE late batches
+    (older ts for existing keys) that must not regress values."""
+    import datetime as dt
+
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.upsert import stream_upsert_merge
+
+    t0 = dt.datetime(2024, 6, 1)
+    src, ckpt = f"{tmpdir}/src", f"{tmpdir}/ckpt"
+    name, path = "upsert_target", f"{tmpdir}/warehouse/upsert_target"
+    empty = spark.createDataFrame([], SCHEMA)
+    create_table_as(spark, name, empty, path)
+    try:
+        # three batches with overlapping keys (user_id = i % 7)
+        append_batch(spark, _mkrows(0, 20, t0), src, schema=SCHEMA)
+        append_batch(spark, _mkrows(100, 20, t0 + dt.timedelta(hours=1)), src, schema=SCHEMA)
+        append_batch(spark, _mkrows(200, 20, t0 + dt.timedelta(hours=2)), src, schema=SCHEMA)
+        q = stream_upsert_merge(spark, src, ckpt, SCHEMA, name)
+        q.awaitTermination(180)
+        assert _table_rows(spark, name) == _key_rows(_latest_per_key(spark, src))
+        assert spark.table(name).count() == 7, "exactly one current row per key"
+
+        # resume from checkpoint: one NEWER batch + one STALE batch
+        # (ts BEFORE everything so far — must be ignored, its keys
+        # all already exist)
+        append_batch(spark, _mkrows(300, 20, t0 + dt.timedelta(hours=3)), src, schema=SCHEMA)
+        stale = [(900 + i, t0 - dt.timedelta(hours=5), i % 7, "stale", -1.0) for i in range(7)]
+        append_batch(spark, stale, src, schema=SCHEMA)
+        q2 = stream_upsert_merge(spark, src, ckpt, SCHEMA, name)
+        q2.awaitTermination(180)
+        got = _table_rows(spark, name)
+        assert got == _key_rows(_latest_per_key(spark, src))
+        assert all(r[3] != "stale" for r in got), "stale batch must not regress any key"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_stream_upsert_redelivery_is_idempotent(spark, tmpdir):
+    """foreachBatch is at-least-once: re-applying an already-merged
+    micro-batch (the post-crash re-delivery case) must leave the
+    table byte-identical — matched keys rewrite equal values via the
+    newest-wins CASE, and nothing inserts twice."""
+    import datetime as dt
+
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.upsert import merge_upsert_batch
+
+    t0 = dt.datetime(2024, 6, 1)
+    name, path = "upsert_redeliver", f"{tmpdir}/warehouse/upsert_redeliver"
+    create_table_as(spark, name, spark.createDataFrame([], SCHEMA), path)
+    try:
+        b1 = spark.createDataFrame(_mkrows(0, 20, t0), SCHEMA)
+        b2 = spark.createDataFrame(_mkrows(100, 10, t0 + dt.timedelta(hours=1)), SCHEMA)
+        merge_upsert_batch(spark, name, b1, ["user_id"], ["ts", "event_id"])
+        merge_upsert_batch(spark, name, b2, ["user_id"], ["ts", "event_id"])
+        before = _table_rows(spark, name)
+        stats = merge_upsert_batch(spark, name, b2, ["user_id"], ["ts", "event_id"])
+        assert stats["inserted"] == 0, "re-delivered keys must all match"
+        assert _table_rows(spark, name) == before
+        # and a second full replay of the OLDER batch is also a no-op
+        merge_upsert_batch(spark, name, b1, ["user_id"], ["ts", "event_id"])
+        assert _table_rows(spark, name) == before
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
