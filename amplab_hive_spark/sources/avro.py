@@ -94,6 +94,16 @@ def _field_type(dt: T.DataType, nullable: bool, path: str) -> Any:
         avro = {"type": "long", "logicalType": "local-timestamp-micros"}
     elif isinstance(dt, T.DateType):
         avro = {"type": "int", "logicalType": "date"}
+    elif isinstance(dt, T.DecimalType):
+        # spec: bytes + decimal logical type, two's-complement
+        # big-endian unscaled int (the AvroSerDe's mapping too,
+        # serde2/avro/AvroSerDe.java)
+        avro = {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": dt.precision,
+            "scale": dt.scale,
+        }
     elif isinstance(dt, T.ArrayType):
         avro = {
             "type": "array",
@@ -129,6 +139,8 @@ def avro_to_spark_field(avro: Any, name: str) -> tuple[T.DataType, bool]:
             return T.TimestampNTZType(), False
         if logical == "date":
             return T.DateType(), False
+        if logical == "decimal" and avro.get("type") == "bytes":
+            return T.DecimalType(int(avro["precision"]), int(avro.get("scale", 0))), False
         t = avro["type"]
         if t == "array":
             item, item_null = avro_to_spark_field(avro["items"], name + ".item")

@@ -15,7 +15,9 @@ Scope (everything the engine's data model needs):
 - complex: record, array, map (string keys), union
 - nullability as the idiomatic ``["null", T]`` union
 - logical types: timestamp-micros (on long), date (on int) — exactly
-  Spark's TimestampType / DateType physical semantics
+  Spark's TimestampType / DateType physical semantics — and
+  decimal(precision, scale) on bytes (two's-complement big-endian
+  unscaled integer, per the spec; values travel as decimal.Decimal)
 - codecs: ``null`` and ``deflate`` (raw RFC-1951, per the spec)
 - container: magic ``Obj\\x01``, file-metadata map, 16-byte sync
   marker, count+size-prefixed data blocks
@@ -137,7 +139,44 @@ def _type_name(schema: Any) -> str:
     raise AvroError(f"unparseable schema node: {schema!r}")
 
 
+def _decimal_scale(schema: Any) -> int | None:
+    """scale iff this node is the spec's bytes-decimal logical type."""
+    if (
+        isinstance(schema, dict)
+        and schema.get("type") == "bytes"
+        and schema.get("logicalType") == "decimal"
+    ):
+        return int(schema.get("scale", 0))
+    return None
+
+
 def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
+    dec_scale = _decimal_scale(schema)
+    if dec_scale is not None:
+
+        def enc_decimal(out: bytearray, v: Any) -> None:
+            # spec: two's-complement big-endian UNSCALED integer.
+            # Integer arithmetic on the Decimal's own (sign, digits,
+            # exponent) tuple — context-free and EXACT at any
+            # precision (Decimal.scaleb would silently round beyond
+            # the ambient context's 28 digits).
+            sign, digits, exp = v.as_tuple()
+            n = int("".join(map(str, digits)))
+            shift = exp + dec_scale
+            if shift < 0:
+                q, r = divmod(n, 10 ** (-shift))
+                if r:
+                    raise AvroError(
+                        f"decimal value {v} does not fit scale {dec_scale}"
+                    )
+                n = q
+            else:
+                n *= 10**shift
+            unscaled = -n if sign else n
+            length = max(1, (unscaled.bit_length() + 8) // 8)
+            write_bytes(out, unscaled.to_bytes(length, "big", signed=True))
+
+        return enc_decimal
     t = _type_name(schema)
     if t == "null":
         return lambda out, v: None
@@ -209,6 +248,23 @@ def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
 
 
 def _decoder(schema: Any) -> Callable[[_Reader], Any]:
+    dec_scale = _decimal_scale(schema)
+    if dec_scale is not None:
+        from decimal import Decimal
+
+        def dec_decimal(r: _Reader) -> Any:
+            unscaled = int.from_bytes(r.read_bytes(), "big", signed=True)
+            # tuple construction is context-free and exact at any
+            # precision (scaleb/division would round past 28 digits)
+            return Decimal(
+                (
+                    1 if unscaled < 0 else 0,
+                    tuple(int(c) for c in str(abs(unscaled))),
+                    -dec_scale,
+                )
+            )
+
+        return dec_decimal
     t = _type_name(schema)
     if t == "null":
         return lambda r: None

@@ -444,3 +444,128 @@ def test_read_avro_schema_evolution(spark, tmp_path):
     os.rename(path + "/2bad/part-00000.avro", path + "/c-bad.avro")
     with _pytest.raises(Exception, match="schema evolution"):
         read_avro(spark, path, allow_evolution=True).collect()
+
+
+# --- round 6: decimal logical type ---------------------------------
+DEC_SCHEMA = {
+    "type": "record",
+    "name": "decrec",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amt", "type": {"type": "bytes", "logicalType": "decimal",
+                                 "precision": 12, "scale": 2}},
+        {"name": "opt", "type": ["null", {"type": "bytes", "logicalType": "decimal",
+                                          "precision": 38, "scale": 10}]},
+    ],
+}
+
+
+def test_codec_decimal_roundtrip():
+    from decimal import Decimal as D
+
+    rows = [
+        {"id": 1, "amt": D("0.00"), "opt": None},
+        {"id": 2, "amt": D("-0.01"), "opt": D("1234567890123456789012345678.0000000001")},
+        {"id": 3, "amt": D("9999999999.99"), "opt": D("-0.0000000001")},
+        {"id": 4, "amt": D("-9999999999.99"), "opt": D("42.0000000000")},
+        {"id": 5, "amt": D("128.00"), "opt": D("-128.0000000000")},  # byte-length edges
+    ]
+    blob = write_container(DEC_SCHEMA, rows)
+    schema, out = read_container(blob)
+    got = list(out)
+    assert schema == DEC_SCHEMA
+    assert got == rows
+    # a value that does not fit the declared scale must fail loudly
+    from decimal import Decimal as D2
+    with pytest.raises(AvroError, match="scale"):
+        write_container(DEC_SCHEMA, [{"id": 9, "amt": D2("0.001"), "opt": None}])
+
+
+def test_spark_decimal_roundtrip(spark, tmp_path):
+    """DecimalType columns survive write_avro -> read_avro with exact
+    schema (precision/scale) and values — including negatives, nulls,
+    and 38-digit precision (the Spark maximum)."""
+    df = spark.sql("""
+        SELECT id,
+               CAST(id * 1.01 - 5 AS DECIMAL(12, 2)) AS amt,
+               CASE WHEN id % 3 = 0 THEN NULL
+                    ELSE CAST(id AS DECIMAL(38, 10)) / 7 END AS frac
+        FROM range(50)
+    """)
+    path = str(tmp_path / "decimals")
+    assert write_avro(df, path) == 50
+    back = read_avro(spark, path)
+    assert [(f.name, f.dataType.simpleString()) for f in back.schema.fields] == [
+        ("id", "bigint"), ("amt", "decimal(12,2)"), ("frac", "decimal(38,10)")
+    ]
+    assert sorted(map(str, back.collect())) == sorted(map(str, df.collect()))
+
+
+def test_java_reads_our_decimals(spark, tmp_path):
+    """The official Java library must decode our decimal bytes to the
+    same unscaled integers (GenericDatumReader returns the raw
+    ByteBuffer; we compare two's-complement decodings)."""
+    df = spark.sql(
+        "SELECT id, CAST(id - 25 + 0.25 AS DECIMAL(10, 2)) AS amt FROM range(50)"
+    )
+    path = str(tmp_path / "jdec")
+    write_avro(df.coalesce(1), path)
+    jvm = spark._jvm
+    got = {}
+    for af in os.listdir(path):
+        if not af.endswith(".avro"):
+            continue
+        reader = jvm.org.apache.avro.file.DataFileReader(
+            jvm.java.io.File(os.path.join(path, af)),
+            jvm.org.apache.avro.generic.GenericDatumReader(),
+        )
+        while reader.hasNext():
+            rec = reader.next()
+            buf = rec.get("amt")  # java.nio.ByteBuffer (heap-backed)
+            # py4j copies Python->Java args, so buf.get(bytearray)
+            # can't write back — copy the range out on the JVM side.
+            raw = jvm.java.util.Arrays.copyOfRange(
+                buf.array(),
+                buf.arrayOffset() + buf.position(),
+                buf.arrayOffset() + buf.limit(),
+            )
+            got[rec.get("id")] = int.from_bytes(bytes(raw), "big", signed=True)
+        reader.close()
+    want = {r.id: int(r.amt.scaleb(2)) for r in df.collect()}
+    assert got == want
+
+
+def test_we_read_java_written_decimals(spark, tmp_path):
+    """Decimal bytes written by the official Java library decode to
+    the right Spark DecimalType column and values."""
+    from decimal import Decimal as D
+
+    jvm = spark._jvm
+    schema_json = json.dumps(DEC_SCHEMA)
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(schema_json)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    jpath = str(tmp_path / "javadec")
+    os.makedirs(jpath)
+    writer.create(jschema, jvm.java.io.File(os.path.join(jpath, "part-0.avro")))
+    GD = jvm.org.apache.avro.generic.GenericData
+    vals = [D("-1.23"), D("0.00"), D("12345678.90"), D("-9999999999.99")]
+    for i, v in enumerate(vals):
+        rec = GD.Record(jschema)
+        rec.put("id", i)
+        unscaled = int(v.scaleb(2))
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        rec.put("amt", jvm.java.nio.ByteBuffer.wrap(
+            unscaled.to_bytes(length, "big", signed=True)))
+        rec.put("opt", None if i % 2 else jvm.java.nio.ByteBuffer.wrap(
+            int(D(i).scaleb(10)).to_bytes(6, "big", signed=True)))
+        writer.append(rec)
+    writer.close()
+    back = read_avro(spark, jpath)
+    assert back.schema["amt"].dataType.simpleString() == "decimal(12,2)"
+    assert back.schema["opt"].dataType.simpleString() == "decimal(38,10)"
+    rows = {r.id: (r.amt, r.opt) for r in back.collect()}
+    assert [rows[i][0] for i in range(4)] == vals
+    assert rows[0][1] == D("0.0000000000") and rows[1][1] is None
+    assert rows[2][1] == D("2.0000000000")
