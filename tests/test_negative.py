@@ -239,28 +239,32 @@ def test_group_by_position_out_of_range(spark):
         spark.sql("SELECT n_name FROM nation GROUP BY 3").collect()
 
 
-def test_star_in_aggregate_argument(spark):
-    """clientnegative: * is only valid inside count(*)."""
+def test_star_in_max_argument(spark):
+    """clientnegative: * is only valid inside count(*) — max variant
+    (renamed from a shadowing duplicate of test_star_in_aggregate_argument)."""
     with pytest.raises(AnalysisException):
         spark.sql("SELECT max(*) FROM nation").collect()
 
 
-def test_window_function_in_where(spark):
-    """clientnegative: window functions are illegal in WHERE."""
+def test_window_function_in_where_match_class(spark):
+    """clientnegative: window functions are illegal in WHERE — message-
+    class variant (renamed from a shadowing duplicate)."""
     with pytest.raises(AnalysisException, match="WINDOW|window"):
         spark.sql(
             "SELECT n_name FROM nation WHERE row_number() OVER (ORDER BY n_name) = 1"
         ).collect()
 
 
-def test_aggregate_in_where(spark):
-    """clientnegative/agg_in_where.q: aggregates belong in HAVING."""
+def test_count_star_in_where(spark):
+    """clientnegative/agg_in_where.q: aggregates belong in HAVING —
+    count(*) variant (renamed from a shadowing duplicate)."""
     with pytest.raises(AnalysisException, match="WHERE|aggregate|AGGREGATE"):
         spark.sql("SELECT n_name FROM nation WHERE count(*) > 1").collect()
 
 
-def test_union_column_count_mismatch(spark):
-    """clientnegative/union2-cols: branch arity mismatch."""
+def test_union_column_count_mismatch_two_vs_one(spark):
+    """clientnegative/union2-cols: branch arity mismatch, 2-vs-1
+    variant (renamed from a shadowing duplicate)."""
     with pytest.raises(AnalysisException, match="NUM_COLUMNS_MISMATCH|number of columns"):
         spark.sql(
             "SELECT n_name, n_nationkey FROM nation UNION ALL SELECT r_name FROM region"
@@ -309,3 +313,246 @@ def test_negative_limit_rejected(spark):
     result (clientnegative limit theme)."""
     with pytest.raises(AnalysisException, match="IS_NEGATIVE"):
         spark.sql("SELECT * FROM nation LIMIT -3").collect()
+
+
+# --- round-6 tranche: ~40 more distinct clientnegative error classes
+# Each entry names its source script in ql/src/test/queries/
+# clientnegative/. Dedupe discipline: one test per DISTINCT error
+# class/site, not per file — e.g. the five invalid_{avg,max,min,sum,
+# std}_syntax.q scripts collapse into one UNEXPECTED_INPUT_TYPE-on-
+# aggregate entry. Probed against this Spark build first; classes the
+# build cannot produce (CHAR(0)/VARCHAR(0) are accepted, subqueries
+# in GROUP BY are supported, printf coerces its format arg) are
+# documented portability drops, not silently skipped.
+
+_SQL_NEGATIVE_CASES = [
+    # (id, source clientnegative script, exception, message class, sql)
+    ("combination_result_clauses", "clusterbysortby.q", ParseException,
+     "COMBINATION_QUERY_RESULT_CLAUSES",
+     "SELECT n_name FROM nation CLUSTER BY n_name SORT BY n_name"),
+    ("invalid_typed_literal", "date_literal2.q", ParseException,
+     "INVALID_TYPED_LITERAL", "SELECT DATE '2011-01-32'"),
+    ("binary_op_diff_types", "invalid_arithmetic_type.q", Exception,
+     "BINARY_OP_DIFF_TYPES", "SELECT array(1) + 1"),
+    ("cast_without_suggestion", "invalid_cast_from_binary.q", Exception,
+     "CAST_WITHOUT_SUGGESTION",
+     "SELECT CAST(CAST('ab' AS BINARY) AS DOUBLE)"),
+    ("distinct_in_scalar_fn", "invalid_distinct1.q", AnalysisException,
+     "FUNCTION_WITH_UNSUPPORTED_SYNTAX",
+     "SELECT upper(DISTINCT n_name) FROM nation"),
+    ("agg_unexpected_input_type", "invalid_avg_syntax.q", Exception,
+     "UNEXPECTED_INPUT_TYPE", "SELECT avg(array(1)) FROM nation"),
+    ("join_on_unqualified_ambiguous", "join_cond_unqual_ambiguous.q",
+     AnalysisException, "AMBIGUOUS_REFERENCE",
+     "SELECT 1 FROM nation a JOIN nation b ON n_nationkey = n_nationkey"),
+    ("udtf_alias_number_mismatch", "select_udtf_alias.q", AnalysisException,
+     "UDTF_ALIAS_NUMBER_MISMATCH", "SELECT explode(map('a', 1)) AS x"),
+    ("semijoin_right_side_column", "semijoin1.q", AnalysisException,
+     "UNRESOLVED_COLUMN",
+     "SELECT b.n_name FROM region a LEFT SEMI JOIN nation b"
+     " ON a.r_regionkey = b.n_regionkey"),
+    ("tablesample_out_of_range", "split_sample_out_of_range.q",
+     ParseException, "must be on interval",
+     "SELECT * FROM nation TABLESAMPLE (150 PERCENT)"),
+    ("nested_corr_two_levels", "subquery_nested_subquery.q",
+     AnalysisException, "UNRESOLVED_COLUMN",
+     """SELECT * FROM nation n WHERE n_nationkey IN
+        (SELECT r_regionkey FROM region r WHERE EXISTS
+          (SELECT 1 FROM orders o WHERE o.o_custkey = n.n_nationkey))"""),
+    ("agg_in_join_condition", "udaf_invalid_place.q", AnalysisException,
+     "UNSUPPORTED_EXPR_FOR_OPERATOR",
+     "SELECT 1 FROM nation a JOIN region b ON max(a.n_regionkey) = b.r_regionkey"),
+    ("map_keys_arg_type", "udf_map_keys_arg_type.q", Exception,
+     "UNEXPECTED_INPUT_TYPE", "SELECT map_keys(array(1))"),
+    ("elt_first_arg_type", "udf_elt_wrong_type.q", Exception,
+     "UNEXPECTED_INPUT_TYPE", "SELECT elt(array(1), 'a', 'b')"),
+    ("sort_array_arg_type", "udf_sort_array_wrong1.q", Exception,
+     "UNEXPECTED_INPUT_TYPE", "SELECT sort_array(5)"),
+    ("size_arg_type", "udf_size_wrong_type.q", Exception,
+     "UNEXPECTED_INPUT_TYPE", "SELECT size(5)"),
+    ("repetitive_window_definition", "ptf_negative_DuplicateWindowAlias.q",
+     ParseException, "REPETITIVE_WINDOW_DEFINITION",
+     """SELECT sum(n_nationkey) OVER w FROM nation
+        WINDOW w AS (PARTITION BY n_regionkey), w AS (ORDER BY n_name)"""),
+    ("range_frame_multi_order", "ptf_negative_InvalidValueBoundary.q",
+     AnalysisException, "RANGE_FRAME_MULTI_ORDER",
+     """SELECT sum(n_nationkey) OVER (ORDER BY n_name, n_regionkey
+        RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) FROM nation"""),
+    ("frame_bounds_wrong_comparison", "ptf_window_boundaries.q",
+     AnalysisException, "SPECIFIED_WINDOW_FRAME_WRONG_COMPARISON",
+     """SELECT sum(n_nationkey) OVER (ORDER BY n_nationkey
+        ROWS BETWEEN 3 FOLLOWING AND 1 PRECEDING) FROM nation"""),
+    ("window_fn_without_over", "windowing_ll_no_over.q", AnalysisException,
+     "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE",
+     "SELECT lead(n_nationkey, 1) FROM nation"),
+    ("window_fn_inside_aggregate", "windowing_leadlag_in_udaf.q",
+     AnalysisException, "window function inside an aggregate",
+     """SELECT sum(lead(n_nationkey, 1) OVER (ORDER BY n_nationkey))
+        FROM nation GROUP BY n_regionkey"""),
+    ("use_missing_database", "database_switch_does_not_exist.q",
+     AnalysisException, "SCHEMA_NOT_FOUND", "USE db_never_was"),
+    ("drop_missing_database", "database_drop_does_not_exist.q",
+     AnalysisException, "SCHEMA_NOT_FOUND", "DROP DATABASE db_never_was"),
+    ("create_view_column_arity", "create_view_failure5.q",
+     AnalysisException, "CREATE_VIEW_COLUMN_ARITY_MISMATCH",
+     "CREATE OR REPLACE TEMPORARY VIEW v_neg_arity (a, b) AS SELECT 1"),
+    ("cte_self_reference_invisible", "cte_recursion.q", AnalysisException,
+     "TABLE_OR_VIEW_NOT_FOUND",
+     "WITH xq AS (SELECT 1 AS a UNION ALL SELECT a + 1 FROM xq) SELECT * FROM xq"),
+    ("decimal_precision_over_max", "decimal_precision.q", Exception,
+     "DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION",
+     "SELECT CAST(1 AS DECIMAL(39, 2))"),
+    ("exchange_partition_statement", "exchange_partition_neg_test.q",
+     ParseException, "INVALID_STATEMENT_OR_CLAUSE",
+     "ALTER TABLE nation EXCHANGE PARTITION (p=1) WITH TABLE region"),
+    ("drop_missing_function", "drop_func_nonexistent.q", AnalysisException,
+     "ROUTINE_NOT_FOUND", "DROP TEMPORARY FUNCTION fn_never_was"),
+    ("create_function_missing_class", "create_function_nonexistent_class.q",
+     AnalysisException, "CANNOT_LOAD_FUNCTION_CLASS",
+     "CREATE TEMPORARY FUNCTION badfn_neg AS 'no.such.Class'"),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _SQL_NEGATIVE_CASES, ids=[c[0] for c in _SQL_NEGATIVE_CASES]
+)
+def test_negative_sql_class(spark, case):
+    _, source, exc, match, sql = case
+    with pytest.raises(exc, match=match):
+        spark.sql(sql).collect()
+
+
+@pytest.fixture()
+def _neg_tables(spark, tmp_path):
+    """A plain, a partitioned, an array-column table and a view —
+    the setup the DDL-negative classes need."""
+    spark.sql(
+        f"CREATE TABLE neg6_t (a INT, b STRING) USING parquet LOCATION '{tmp_path}/t'"
+    )
+    spark.sql(
+        "CREATE TABLE neg6_p (a INT, b STRING) USING parquet"
+        f" PARTITIONED BY (p INT) LOCATION '{tmp_path}/p'"
+    )
+    spark.sql(
+        f"CREATE TABLE neg6_arr (a ARRAY<INT>) USING parquet LOCATION '{tmp_path}/arr'"
+    )
+    spark.sql("CREATE OR REPLACE VIEW neg6_v AS SELECT 1 AS a")
+    yield
+    for stmt in (
+        "DROP TABLE IF EXISTS neg6_t", "DROP TABLE IF EXISTS neg6_p",
+        "DROP TABLE IF EXISTS neg6_arr", "DROP VIEW IF EXISTS neg6_v",
+    ):
+        spark.sql(stmt)
+
+
+_DDL_NEGATIVE_CASES = [
+    ("analyze_view_unsupported", "analyze_view.q",
+     "UNSUPPORTED_FEATURE.ANALYZE_VIEW",
+     ["ANALYZE TABLE neg6_v COMPUTE STATISTICS"]),
+    ("analyze_columns_missing_col", "columnstats_tbllvl_incorrect_column.q",
+     "COLUMN_NOT_FOUND",
+     ["ANALYZE TABLE neg6_t COMPUTE STATISTICS FOR COLUMNS zzz"]),
+    ("partition_spec_non_partition_col", "addpart1.q", "PARTITIONS_NOT_FOUND",
+     ["ALTER TABLE neg6_p ADD PARTITION (zzz=1)"]),
+    ("rename_missing_partition", "alter_rename_partition_failure.q",
+     "PARTITIONS_NOT_FOUND",
+     ["ALTER TABLE neg6_p PARTITION (p=999) RENAME TO PARTITION (p=1000)"]),
+    ("insert_column_arity_too_many", "insert_into_with_schema.q",
+     "INSERT_COLUMN_ARITY_MISMATCH",
+     ["INSERT INTO neg6_t (a) VALUES (1, 'x')"]),
+    ("insert_incompatible_column_type", "wrong_column_type.q",
+     "INCOMPATIBLE_DATA_FOR_TABLE|CANNOT_SAFELY_CAST",
+     ["INSERT INTO neg6_arr VALUES (5)"]),
+    ("insert_duplicate_column_list", "duplicate_insert1.q",
+     "COLUMN_ALREADY_EXISTS", ["INSERT INTO neg6_t (a, a) VALUES (1, 2)"]),
+    ("show_partitions_nonpartitioned", "show_partitions1.q",
+     "INVALID_PARTITION_OPERATION", ["SHOW PARTITIONS neg6_t"]),
+    ("alter_view_as_on_table", "alter_view_failure.q",
+     "EXPECT_VIEW_NOT_TABLE", ["ALTER VIEW neg6_t AS SELECT 1"]),
+    ("alter_table_on_view", "alter_view_failure2.q", "EXPECT_TABLE_NOT_VIEW",
+     ["ALTER TABLE neg6_v ADD COLUMNS (z INT)"]),
+    ("insert_into_view", "insert_view_failure.q", "EXPECT_TABLE_NOT_VIEW",
+     ["INSERT INTO neg6_v VALUES (1)"]),
+    ("create_table_already_exists", "create_table_failure3.q",
+     "TABLE_OR_VIEW_ALREADY_EXISTS",
+     ["CREATE TABLE neg6_t (x INT) USING parquet"]),
+    ("rename_onto_existing_table", "altern1.q",
+     "TABLE_OR_VIEW_ALREADY_EXISTS", ["ALTER TABLE neg6_p RENAME TO neg6_t"]),
+    ("drop_table_on_view", "drop_table_failure2.q",
+     "WRONG_COMMAND_FOR_OBJECT_TYPE", ["DROP TABLE neg6_v"]),
+    ("drop_view_on_table", "drop_view_failure1.q",
+     "WRONG_COMMAND_FOR_OBJECT_TYPE", ["DROP VIEW neg6_t"]),
+    ("load_into_datasource_table", "load_wrong_fileformat.q",
+     "LOAD DATA is not supported",
+     ["LOAD DATA LOCAL INPATH '/no/such/file' INTO TABLE neg6_t"]),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _DDL_NEGATIVE_CASES, ids=[c[0] for c in _DDL_NEGATIVE_CASES]
+)
+def test_negative_ddl_class(spark, _neg_tables, case):
+    _, source, match, sqls = case
+    with pytest.raises(Exception, match=match):
+        for s in sqls:
+            spark.sql(s).collect()
+
+
+def test_schema_already_exists(spark, tmp_path):
+    """database_create_already_exists.q."""
+    spark.sql(f"CREATE DATABASE neg6_db LOCATION '{tmp_path}/db'")
+    try:
+        with pytest.raises(AnalysisException, match="SCHEMA_ALREADY_EXISTS"):
+            spark.sql(f"CREATE DATABASE neg6_db LOCATION '{tmp_path}/db'")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS neg6_db CASCADE")
+
+
+def test_schema_not_empty_on_restrict_drop(spark, tmp_path):
+    """database_drop_not_empty.q / database_drop_not_empty_restrict.q."""
+    spark.sql(f"CREATE DATABASE neg6_db2 LOCATION '{tmp_path}/db2'")
+    try:
+        spark.sql(
+            f"CREATE TABLE neg6_db2.t1 (x INT) USING parquet LOCATION '{tmp_path}/db2/t1'"
+        )
+        with pytest.raises(AnalysisException, match="SCHEMA_NOT_EMPTY"):
+            spark.sql("DROP DATABASE neg6_db2 RESTRICT")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS neg6_db2 CASCADE")
+
+
+def test_invalid_conf_value(spark):
+    """set_hiveconf_validation2.q: a type-invalid SET value fails with
+    a structured class instead of taking effect."""
+    with pytest.raises(Exception, match="INVALID_CONF_VALUE"):
+        spark.sql("SET spark.sql.shuffle.partitions = abc")
+
+
+def test_transform_script_failure_surfaces(spark):
+    """script_error.q: a TRANSFORM subprocess that cannot start must
+    fail the query with the subprocess status, not emit empty rows."""
+    with pytest.raises(Exception, match="Subprocess exited|command not found"):
+        spark.sql(
+            "SELECT TRANSFORM (id) USING 'no_such_cmd_neg6' AS (x STRING) FROM range(3)"
+        ).collect()
+
+
+def test_macro_duplicate_parameter(spark):
+    """macro_duplicate_parameter theme (macro_unused_parameter.q
+    family): the macro layer rejects malformed definitions up front."""
+    from amplab_hive_spark.functions.macros import MacroError, MacroRegistry
+
+    reg = MacroRegistry()
+    with pytest.raises(MacroError, match="duplicate"):
+        reg.handle_statement("CREATE TEMPORARY MACRO m_neg(x INT, x INT) x + x")
+
+
+def test_macro_recursion_rejected(spark):
+    """cte_recursion.q's macro cousin: self-referential macros must
+    terminate with an error, not loop."""
+    from amplab_hive_spark.functions.macros import MacroError, MacroRegistry
+
+    reg = MacroRegistry()
+    reg.handle_statement("CREATE TEMPORARY MACRO m_rec(x INT) m_rec(x) + 1")
+    with pytest.raises(MacroError, match="recursive|terminate"):
+        reg.expand("SELECT m_rec(1)")
