@@ -4399,6 +4399,377 @@ QSCRIPTS_R36 = [
     ),
 ]
 
+# --- round 6, tranche 37: long-tail sweep of the remaining portable
+# join*/union*/input*/udf* clientpositive families (verdict task 6).
+# Every shape was prototyped against BOTH engines before landing.
+# Portability drops found while prototyping (documented, not ported):
+#   - cluster.q / CLUSTER BY selects: DuckDB has no CLUSTER BY grammar;
+#   - semijoin.q as SQL text: Spark spells LEFT SEMI JOIN, DuckDB SEMI
+#     JOIN — no shared spelling (the operator itself is covered by
+#     join_left_semi in the registry and by the ANTI JOIN shape below,
+#     which both engines parse identically);
+#   - udf pmod: no DuckDB equivalent (mod % ported instead);
+#   - split()[i]: Spark indexes arrays 0-based, DuckDB list_extract is
+#     1-based — same text can never agree (substr shapes instead);
+#   - quote1.q: backquoted identifiers are Spark-only grammar.
+QSCRIPTS_R37 = [
+    (
+        "join38_postjoin_filter",  # join38.q: join + filter ON the join
+        # key applied post-join + group by
+        """SELECT r_name, n_regionkey, COUNT(1) AS cnt
+           FROM region JOIN nation ON r_regionkey = n_regionkey
+           WHERE n_regionkey = 2 GROUP BY r_name, n_regionkey""",
+    ),
+    (
+        "join40_left_vs_filtered_subq",  # join40.q: LEFT OUTER against a
+        # filtered subquery (filter must stay on the right side)
+        """SELECT n.n_name, f.s_name
+           FROM nation n LEFT OUTER JOIN
+             (SELECT * FROM supplier WHERE s_suppkey <= 10) f
+             ON n.n_nationkey = f.s_nationkey
+           ORDER BY n_name, s_name""",
+    ),
+    (
+        "join41_on_condition_right_only",  # join41.q: non-key ON condition
+        # of a LEFT OUTER filters only the right side, preserving all left rows
+        """SELECT a.n_nationkey, b.n_nationkey AS bk
+           FROM nation a LEFT OUTER JOIN nation b
+             ON a.n_nationkey = b.n_nationkey AND b.n_nationkey > 10
+           ORDER BY a.n_nationkey""",
+    ),
+    (
+        "join40_chain_inner_then_right",  # join40.q: inner-join chain into
+        # RIGHT OUTER with per-side ON filters
+        """SELECT a.n_nationkey, b.r_regionkey, c.r_regionkey AS ck
+           FROM nation a JOIN region b
+             ON a.n_regionkey = b.r_regionkey AND a.n_nationkey < 10
+           RIGHT OUTER JOIN region c
+             ON a.n_regionkey = c.r_regionkey AND c.r_regionkey < 3
+           ORDER BY ck, n_nationkey, b.r_regionkey""",
+    ),
+    (
+        "union24_four_branch_mixed",  # union24.q: 4-way UNION ALL mixing
+        # pre-aggregated and grouped branches
+        """SELECT s.k, s.c FROM (
+             SELECT n_regionkey AS k, COUNT(1) AS c FROM nation
+             WHERE n_regionkey < 3 GROUP BY n_regionkey
+             UNION ALL SELECT r_regionkey AS k, 7 AS c FROM region WHERE r_regionkey < 3
+             UNION ALL SELECT r_regionkey AS k, 9 AS c FROM region WHERE r_regionkey < 3
+             UNION ALL SELECT n_nationkey AS k, COUNT(1) AS c FROM nation
+             WHERE n_nationkey < 3 GROUP BY n_nationkey
+           ) s ORDER BY k, c""",
+    ),
+    (
+        "union27_join_union_keyfilter",  # union27.q: join against a union
+        # subquery with the key filter inside the ON
+        """SELECT b.r_regionkey, b.r_name FROM nation a JOIN
+             (SELECT * FROM region UNION ALL SELECT * FROM region) b
+             ON a.n_regionkey = b.r_regionkey AND b.r_regionkey = 2
+           ORDER BY r_regionkey, r_name""",
+    ),
+    (
+        "union33_maponly_vs_agg",  # union33.q: map-only branch UNION ALL
+        # an aggregation branch
+        """SELECT k, v FROM (
+             SELECT n_name AS k, CAST(n_regionkey AS STRING) AS v FROM nation
+             WHERE n_nationkey = 0
+             UNION ALL
+             SELECT n_name AS k, CAST(COUNT(*) AS STRING) AS v FROM nation GROUP BY n_name
+           ) a ORDER BY k, v""",
+    ),
+    (
+        "input26_union_of_ordered_limits",  # input26.q: union of
+        # ordered-LIMIT subqueries
+        """SELECT * FROM (
+             SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 5) pa
+             UNION ALL
+             SELECT * FROM (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 5) pb
+           ) subq ORDER BY o_orderkey""",
+    ),
+    (
+        "alias_casted_column",  # alias_casted_column.q (HIVE-2477)
+        """SELECT key2 FROM
+             (SELECT CAST(n_nationkey AS INT) AS key2 FROM nation) t ORDER BY key2""",
+    ),
+    (
+        "ambiguous_col_positive",  # ambiguous_col.q: qualified reference
+        # disambiguates a join of same-schema tables
+        """SELECT t.k FROM (SELECT a.n_nationkey AS k
+             FROM nation a JOIN region b ON a.n_regionkey = b.r_regionkey) t
+           ORDER BY k""",
+    ),
+    (
+        "bool_literal",  # bool_literal.q
+        "SELECT TRUE AS t, FALSE AS f, NOT TRUE AS nt",
+    ),
+    (
+        "cast1_matrix",  # cast1.q: numeric cast/promotion matrix
+        """SELECT CAST(3 AS SMALLINT) + 2 AS a, 3.0 + 2 AS b,
+             3 + CAST(2.0 AS INT) AS c, CAST(1 AS BOOLEAN) AS d,
+             CAST('7' AS BIGINT) + 1 AS e""",
+    ),
+    (
+        "ansi_sql_arithmetic",  # ansi_sql_arithmetic.q: int/int division
+        # yields a fractional result on both engines (non-ANSI mode)
+        "SELECT CAST(o_orderkey AS INT) / 2 AS q FROM orders WHERE o_orderkey <= 6 ORDER BY q",
+    ),
+    (
+        "nullgroup_count_empty",  # nullgroup.q: global count over an
+        # empty input is one row of 0
+        "SELECT COUNT(1) AS c FROM nation x WHERE x.n_nationkey > 9999",
+    ),
+    (
+        "nullgroup_sum_empty",  # nullgroup4.q: sum/max over empty input
+        # is one row of NULLs
+        "SELECT SUM(n_nationkey) AS s, MAX(n_name) AS m FROM nation WHERE n_nationkey > 9999",
+    ),
+    (
+        "ppd_gby_having_or",  # ppd_gby.q: filter over a grouped subquery
+        # with an OR mixing group key and aggregate
+        """SELECT src1.c1 FROM
+             (SELECT n_name AS c1, COUNT(n_nationkey) AS c2 FROM nation
+              WHERE n_name > 'C' GROUP BY n_name) src1
+           WHERE src1.c1 > 'E' AND (src1.c2 > 0 OR src1.c1 < 'R') ORDER BY c1""",
+    ),
+    (
+        "subq2_agg_filter",  # subq2.q: range filter above a grouped subquery
+        """SELECT a.k, a.c FROM
+             (SELECT o_custkey AS k, COUNT(1) AS c FROM orders GROUP BY o_custkey) a
+           WHERE a.k >= 1480 ORDER BY k""",
+    ),
+    (
+        "join_filters_inner_allconds",  # join_filters.q: inner join with
+        # per-side range conditions in the ON
+        """SELECT a.n_nationkey, b.n_nationkey AS bk FROM nation a JOIN nation b
+             ON a.n_nationkey = b.n_regionkey AND a.n_nationkey > 2 AND b.n_nationkey > 10
+           ORDER BY a.n_nationkey, bk""",
+    ),
+    (
+        "join_filters_full_outer",  # join_filters.q: FULL OUTER with
+        # one-sided ON conditions null-extends BOTH ways
+        """SELECT a.r_regionkey, b.r_regionkey AS bk FROM region a FULL OUTER JOIN region b
+             ON a.r_regionkey = b.r_regionkey AND a.r_regionkey > 1 AND b.r_regionkey < 4
+           ORDER BY a.r_regionkey NULLS LAST, bk NULLS LAST""",
+    ),
+    (
+        "join_nulls_cross",  # join_nulls.q: unconditioned join = cross product
+        "SELECT COUNT(1) AS c FROM region a CROSS JOIN region b",
+    ),
+    (
+        "anti_join_keeps_unmatched",  # semijoin4.q theme via the one
+        # anti-join spelling both engines parse
+        """SELECT r_name FROM region ANTI JOIN nation
+             ON r_regionkey = n_regionkey AND n_nationkey < 3 ORDER BY r_name""",
+    ),
+    (
+        "limit_pushdown_subquery",  # limit_pushdown.q: ordered LIMIT
+        # inside, filter outside
+        """SELECT * FROM
+             (SELECT c_custkey, c_acctbal FROM customer
+              ORDER BY c_acctbal DESC, c_custkey LIMIT 8) t
+           WHERE c_acctbal > 0 ORDER BY c_custkey""",
+    ),
+    (
+        "notable_alias_const_gby",  # notable_alias1.q: constant + group key
+        """SELECT '1234' AS dummy, n_regionkey, COUNT(1) AS c
+             FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "groupby_distinct_samekey",  # groupby_distinct_samekey.q
+        """SELECT n_regionkey, COUNT(DISTINCT n_regionkey) AS d
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "implicit_string_number_cmp",  # implicit cast family (§7.3):
+        # int = string literal compares numerically on both
+        "SELECT n_nationkey FROM nation WHERE n_nationkey = '7'",
+    ),
+    (
+        "udf_greatest_least",  # udf_greatest.q / udf_least.q
+        """SELECT GREATEST(n_nationkey, n_regionkey * 6) AS g,
+             LEAST(n_nationkey, n_regionkey * 6) AS l FROM nation
+           ORDER BY n_nationkey LIMIT 10""",
+    ),
+    (
+        "udf_case_nested",  # udf_case.q: nested CASE + GROUP BY ordinal
+        """SELECT CASE WHEN n_regionkey = 0 THEN
+             CASE WHEN n_nationkey > 10 THEN 'hi0' ELSE 'lo0' END
+             ELSE 'other' END AS c, COUNT(1) AS n FROM nation GROUP BY 1 ORDER BY c""",
+    ),
+    (
+        "udf_coalesce_nullif",  # udf_coalesce.q: NULLIF branch exercised
+        # on a value that exists in the fixture
+        """SELECT COALESCE(NULLIF(n_name, 'NATION_0'), 'masked') AS v
+             FROM nation ORDER BY v LIMIT 6""",
+    ),
+    (
+        "input14_transform_like_proj",  # input14.q minus the TRANSFORM
+        # subprocess: derived-alias projection + filter above
+        """SELECT tkey, tval FROM
+             (SELECT n_nationkey AS tkey, n_name AS tval FROM nation) tmap
+           WHERE tkey < 10 ORDER BY tkey""",
+    ),
+    (
+        "join_reorder_three_way",  # join_reorder2.q
+        """SELECT c.c_custkey, o.o_orderkey, n.n_name
+             FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+             JOIN nation n ON c.c_nationkey = n.n_nationkey
+           WHERE o.o_totalprice > 400000 ORDER BY o_orderkey""",
+    ),
+    (
+        "groupby_ppr_partial",  # groupby_ppr.q: group by an expression
+        """SELECT substr(o_orderpriority, 1, 1) AS p, COUNT(1) AS c
+             FROM orders WHERE o_orderkey < 500
+           GROUP BY substr(o_orderpriority, 1, 1) ORDER BY p""",
+    ),
+    (
+        "having_on_alias_agg",  # having.q: HAVING on the aggregate
+        """SELECT o_orderstatus, AVG(o_totalprice) AS avg_p FROM orders
+             GROUP BY o_orderstatus HAVING AVG(o_totalprice) > 100000
+           ORDER BY o_orderstatus""",
+    ),
+    (
+        "order_by_expr_not_selected",  # order2.q: ORDER BY an expression
+        # absent from the select list
+        "SELECT n_name FROM nation ORDER BY length(n_name), n_name LIMIT 10",
+    ),
+    (
+        "count_distinct_plus_sum",  # groupby2.q family: distinct + plain
+        # aggregate in one grouping
+        """SELECT n_regionkey, COUNT(DISTINCT n_name) AS d, SUM(n_nationkey) AS s
+             FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "between_string_range",  # udf_between.q: lexicographic BETWEEN
+        """SELECT n_name FROM nation
+             WHERE n_name BETWEEN 'NATION_1' AND 'NATION_2' ORDER BY n_name""",
+    ),
+    (
+        "in_list_mixed",  # udf_in.q
+        "SELECT n_nationkey FROM nation WHERE n_nationkey IN (1, 3, 5, 24) ORDER BY n_nationkey",
+    ),
+    (
+        "udf_string_matrix",  # udf_upper/lower/length/reverse/trim/replace
+        """SELECT upper(n_name) AS u, lower(n_name) AS l,
+             length(n_name) AS len, reverse(n_name) AS rev, trim('  x  ') AS t,
+             replace(n_name, 'NATION', 'N') AS rep FROM nation ORDER BY n_name LIMIT 5""",
+    ),
+    (
+        "udf_math_matrix",  # udf_abs/ceil/floor/round (+ % for pmod,
+        # which DuckDB lacks — documented drop)
+        """SELECT abs(0 - n_nationkey) AS a, ceil(n_nationkey / 7.0) AS c,
+             floor(n_nationkey / 7.0) AS f, round(n_nationkey / 7.0, 2) AS r,
+             n_nationkey % 7 AS m FROM nation ORDER BY n_nationkey LIMIT 10""",
+    ),
+    (
+        "groupby_multi_single_reducer",  # groupby_multi_single_reducer.q
+        """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS c,
+             CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS mn
+           FROM orders GROUP BY o_orderstatus, o_orderpriority
+           ORDER BY o_orderstatus, o_orderpriority""",
+    ),
+    (
+        "order_within_subquery_agg",  # orderby_limit inside a derived table
+        """SELECT k, c FROM
+             (SELECT o_orderstatus AS k, COUNT(1) AS c FROM orders
+              GROUP BY o_orderstatus ORDER BY c DESC LIMIT 2) t ORDER BY k""",
+    ),
+    (
+        "join_star_schema_filters",  # join_star.q
+        """SELECT r.r_name, COUNT(1) AS suppliers
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE s.s_acctbal > 0 GROUP BY r.r_name ORDER BY r_name""",
+    ),
+    (
+        "case_with_agg_filter",  # udf_case.q + conditional aggregation
+        """SELECT SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS f,
+             SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS o FROM orders""",
+    ),
+    (
+        "cross_join_filtered_as_inner",  # input12.q comma-join rewritten
+        # by the planner into an equi-join
+        """SELECT a.r_regionkey, b.n_nationkey FROM region a, nation b
+             WHERE a.r_regionkey = b.n_regionkey AND b.n_nationkey < 5 ORDER BY 1, 2""",
+    ),
+    (
+        "scalar_subquery_in_select",  # subquery_in_select.q (positive half)
+        """SELECT r_name,
+             (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n
+           FROM region ORDER BY r_name""",
+    ),
+    (
+        "except_all_shape",  # except_all.q (beyond-1.x setop)
+        """SELECT n_regionkey FROM nation EXCEPT ALL SELECT r_regionkey FROM region
+           ORDER BY n_regionkey LIMIT 10""",
+    ),
+    (
+        "intersect_all_shape",  # intersect_all.q
+        """SELECT n_regionkey FROM nation INTERSECT ALL
+           SELECT n_regionkey FROM nation WHERE n_nationkey < 10 ORDER BY n_regionkey""",
+    ),
+    (
+        "windows_mixed_frames",  # windowing.q: ROWS frame rolling sum
+        """SELECT o_orderkey,
+             SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_orderstatus
+               ORDER BY o_orderkey ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "ntile_distribution",  # windowing_ntile.q
+        """SELECT b, COUNT(1) AS c FROM
+             (SELECT NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS b FROM customer) t
+           GROUP BY b ORDER BY b""",
+    ),
+    (
+        "first_last_value_window",  # windowing.q first_value/last_value
+        """SELECT o_orderstatus, o_orderkey,
+             FIRST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS fv,
+             LAST_VALUE(o_orderkey) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderstatus, o_orderkey""",
+    ),
+    (
+        "date_extract_matrix",  # udf_year/month/day
+        """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+             day(o_orderdate) AS d FROM orders WHERE o_orderkey <= 12 ORDER BY o_orderkey""",
+    ),
+    (
+        "date_add_arithmetic",  # date arithmetic via INTERVAL (udf_date_add
+        # itself returns DATE on Spark, TIMESTAMP-typed text on DuckDB)
+        """SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS plus30
+             FROM orders WHERE o_orderkey <= 8 ORDER BY o_orderkey""",
+    ),
+    (
+        "string_concat_ws",  # udf_concat_ws.q (+ substr tail; split()[i]
+        # indexing differs 0- vs 1-based across engines — documented drop)
+        """SELECT concat_ws('-', n_name, CAST(n_regionkey AS STRING)) AS cw,
+             substr(n_name, 8) AS tail FROM nation ORDER BY n_name LIMIT 6""",
+    ),
+    (
+        "udf_instr_position",  # udf_instr.q
+        """SELECT instr(n_name, '_') AS i, position('_' IN n_name) AS p
+             FROM nation ORDER BY n_name LIMIT 4""",
+    ),
+    (
+        "udf_pad_functions",  # udf_lpad.q / udf_rpad.q
+        """SELECT lpad(n_name, 12, '*') AS lp, rpad(n_name, 12, '#') AS rp
+             FROM nation WHERE n_nationkey < 4 ORDER BY n_name""",
+    ),
+    (
+        "udf_if_nvl",  # udf_if.q / udf_nullif
+        """SELECT if(n_regionkey = 0, 'zero', 'nonzero') AS i,
+             nullif(n_regionkey, 0) AS nf FROM nation ORDER BY n_nationkey LIMIT 6""",
+    ),
+    (
+        "substr_negative_start",  # udf_substr.q: negative start counts
+        # from the end on both engines
+        "SELECT substr(n_name, -3) AS s FROM nation ORDER BY n_name LIMIT 5",
+    ),
+]
+
 
 @pytest.mark.parametrize(
     "name,sql",
@@ -4411,7 +4782,7 @@ QSCRIPTS_R36 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36
+        + QSCRIPTS_R36 + QSCRIPTS_R37
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
