@@ -107,6 +107,16 @@ _LOADED: "weakref.WeakKeyDictionary[SparkSession, dict[str, dict[str, DataFrame]
     weakref.WeakKeyDictionary()
 )
 
+# Which sf_dir's frames currently OWN the session's temp views. The
+# view names (region, lineitem, documents, …) are global per session,
+# so loading a SECOND sf_dir re-points them — a later cache hit on the
+# first dir must re-register its views or SQL-text queries silently
+# read the other directory's data (a DataFrame-handle query would
+# still be right, which makes the corruption easy to miss).
+_VIEW_OWNER: "weakref.WeakKeyDictionary[SparkSession, str]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 class _Tables(SimpleNamespace):
     """Namespace that defers a per-table load error to first access,
@@ -144,7 +154,14 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         # one-time failure isn't pinned for the session's lifetime;
         # the happy path stays a pure dict hit.
         prior_errors = _LOAD_ERRORS.setdefault(spark, {}).get(sf_dir) or {}
+        if _VIEW_OWNER.get(spark) != sf_dir:
+            # another sf_dir re-pointed the shared view names since
+            # this dir was loaded — re-assert them (driver-side
+            # catalog ops on cached frames; no parquet re-read)
+            for name, df in cached.items():
+                df.createOrReplaceTempView(name)
         if not prior_errors:
+            _VIEW_OWNER[spark] = sf_dir
             return cached
         todo = list(prior_errors)
     else:
@@ -178,6 +195,7 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
             errors[name] = exc
     _LOADED.setdefault(spark, {})[sf_dir] = out
     _LOAD_ERRORS.setdefault(spark, {})[sf_dir] = errors
+    _VIEW_OWNER[spark] = sf_dir
     return out
 
 

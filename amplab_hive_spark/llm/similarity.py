@@ -817,6 +817,41 @@ _O_PQ_DIST = (
 )
 
 
+def _pq_subvectors(spark, df, vec_col="q", out="sq", carry=("vec_id",)):
+    """Fan each quantized vector into its {_PQ_SUBSPACES} subvectors:
+    (*carry, j, out). The single Spark twin of the oracle's
+    `vec_sub`/`seed_cb` CTE shape — every PQ stage (training,
+    encoding, query lookup tables) derives its subvectors here, so a
+    future slicing change cannot silently fork the three consumers
+    from the shared _O_PQ_TRAIN_CTES fragment."""
+    subs = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("j"))
+    sl = F.expr(f"slice({vec_col}, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
+    return df.crossJoin(subs).select(*carry, "j", sl.alias(out))
+
+
+def _pq_encode(vec_sub, codebook, carry=("vec_id",), keep_sq=False):
+    """Per-(vector, subspace) argmin against the broadcast codebook:
+    nearest codeword by exact integer distance, ties to the lowest
+    code. The single Spark twin of the oracle's `pq_assign`/`encoded`
+    CTEs — shared by codebook training (keep_sq=True feeds the Lloyd
+    stats), flat-PQ encoding, and IVFPQ encoding, so a tie-break or
+    distance tweak lands in all three or none."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
+    keep = [*carry, "j", "code"] + (["sq"] if keep_sq else [])
+    return (
+        vec_sub.join(F.broadcast(codebook), "j")
+        .select(
+            *carry, "j", "code", *(["sq"] if keep_sq else []),
+            _pq_dist_int(F.col("sq"), F.col("cb")).alias("dist"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(*keep)
+    )
+
+
 def _floordiv_long(num: str, den: str) -> Column:
     """Exact floor(num/den) for BIGINT columns, den > 0, spelled in
     PORTABLE truncating arithmetic: Spark's % and DuckDB's % both
@@ -859,8 +894,6 @@ def build_pq_codebook(spark: SparkSession, quant: DataFrame) -> DataFrame:
     beyond-reference)."""
     from pyspark.sql import Window
 
-    subs = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("j"))
-    sub_slice = F.expr(f"slice(q, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
     seeds = (
         quant.orderBy("vec_id")
         .limit(_PQ_CODES)
@@ -868,18 +901,9 @@ def build_pq_codebook(spark: SparkSession, quant: DataFrame) -> DataFrame:
             (F.row_number().over(Window.orderBy("vec_id")) - 1).alias("code"), "q"
         )
     )
-    seed_cb = seeds.crossJoin(subs).select("j", "code", sub_slice.alias("cb"))
-    vec_sub = quant.crossJoin(subs).select("vec_id", "j", sub_slice.alias("sq"))
-    w_assign = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
-    assign = (
-        vec_sub.join(F.broadcast(seed_cb), "j")
-        .select(
-            "vec_id", "j", "code", "sq",
-            _pq_dist_int(F.col("sq"), F.col("cb")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-    )
+    seed_cb = _pq_subvectors(spark, seeds, out="cb", carry=("code",))
+    vec_sub = _pq_subvectors(spark, quant)
+    assign = _pq_encode(vec_sub, seed_cb, keep_sq=True)
     # Order-free integer means: explode to (j, code, pos), sum + count
     # per cell-dimension (commutative), floor-divide, reassemble
     # sorted by pos — same shape as the IVF lloyd() step.
@@ -1036,21 +1060,8 @@ def sim_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # trained (one Lloyd round) codebook — tiny, persisted once per
     # call, broadcast into every consumer below
     codebook = cache_slot("pq_codebook", build_pq_codebook(spark, quant))
-    subs = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("j"))
-    sub_slice = F.expr(f"slice(q, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
-    vec_sub = quant.crossJoin(subs).select("vec_id", "j", sub_slice.alias("sq"))
-
-    w_enc = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
-    encoded = (
-        vec_sub.join(F.broadcast(codebook), "j")
-        .select(
-            "vec_id", "j", "code",
-            _pq_dist_int(F.col("sq"), F.col("cb")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "j", "code")
-    )
+    vec_sub = _pq_subvectors(spark, quant)
+    encoded = _pq_encode(vec_sub, codebook)
     dtable = (
         vec_sub.filter(F.col("vec_id") % 100 == 0)
         .withColumnRenamed("vec_id", "qid")
@@ -1182,26 +1193,12 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = cache_slot(
         "ivfpq_codebook", build_pq_codebook(spark, assigned.select("vec_id", "q"))
     )
-    subs = spark.range(_PQ_SUBSPACES).select(F.col("id").cast("int").alias("j"))
-    sub_slice = F.expr(f"slice(q, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})")
     # corpus codes CARRY their IVF cell id — the "index" a real
     # pipeline stores: (vec_id, cid, 8 codes)
-    vec_sub = (
-        assigned.select("vec_id", "cid", "q")
-        .crossJoin(subs)
-        .select("vec_id", "cid", "j", sub_slice.alias("sq"))
+    vec_sub = _pq_subvectors(
+        spark, assigned.select("vec_id", "cid", "q"), carry=("vec_id", "cid")
     )
-    w_enc = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
-    encoded = (
-        vec_sub.join(F.broadcast(codebook), "j")
-        .select(
-            "vec_id", "cid", "j", "code",
-            _pq_dist_int(F.col("sq"), F.col("cb")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w_enc))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "j", "code")
-    )
+    encoded = _pq_encode(vec_sub, codebook, carry=("vec_id", "cid"))
     queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq")
     )
@@ -1216,9 +1213,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("qid", "cid")
     )
-    q_sub = queries.crossJoin(subs).select(
-        "qid", "j", F.expr(f"slice(qq, j * {_PQ_SUBDIM} + 1, {_PQ_SUBDIM})").alias("sq")
-    )
+    q_sub = _pq_subvectors(spark, queries, vec_col="qq", carry=("qid",))
     dtable = q_sub.join(F.broadcast(codebook), "j").select(
         "qid", "j", "code", _pq_dist_int(F.col("sq"), F.col("cb")).alias("d")
     )
@@ -1237,10 +1232,14 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _PQ_SHORTLIST)
         .select("qid", "vec_id")
     )
-    eq = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
+    # rerank reads the float vectors from the PERSISTED `assigned`
+    # frame (it already carries `embedding`) rather than re-scanning
+    # the base parquet — same reuse sim_ann_ivf applies to its query
+    # side; two extra corpus scans per action would grow with N.
+    eq = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
     )
-    ev = t.embeddings.select("vec_id", "embedding")
+    ev = assigned.select("vec_id", "embedding")
     rerank = (
         shortlist.join(F.broadcast(eq), "qid")
         .join(ev, "vec_id")

@@ -140,6 +140,12 @@ def avro_to_spark_field(avro: Any, name: str) -> tuple[T.DataType, bool]:
         if logical == "date":
             return T.DateType(), False
         if logical == "decimal" and avro.get("type") == "bytes":
+            if "precision" not in avro:
+                # spec requires precision; scale alone is defaulted
+                raise AvroError(
+                    f"decimal logical type for field {name} is missing the "
+                    f"required 'precision' attribute: {avro}"
+                )
             return T.DecimalType(int(avro["precision"]), int(avro.get("scale", 0))), False
         t = avro["type"]
         if t == "array":

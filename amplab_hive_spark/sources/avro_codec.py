@@ -161,6 +161,12 @@ def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
             # precision (Decimal.scaleb would silently round beyond
             # the ambient context's 28 digits).
             sign, digits, exp = v.as_tuple()
+            if not isinstance(exp, int):
+                # NaN/Infinity carry a string exponent ('n'/'F') —
+                # the Avro decimal logical type has no encoding for
+                # non-finite values (unreachable via Spark's
+                # DecimalType, reachable by direct codec users).
+                raise AvroError(f"non-finite decimal {v} has no Avro encoding")
             n = int("".join(map(str, digits)))
             shift = exp + dec_scale
             if shift < 0:

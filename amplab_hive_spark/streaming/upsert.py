@@ -44,7 +44,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from amplab_hive_spark.ddl import merge_into
+from amplab_hive_spark.ddl import _partition_columns, merge_into
 
 
 def collapse_latest(
@@ -78,13 +78,19 @@ def merge_upsert_batch(
     on = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     s_ver = "struct(" + ", ".join(f"s.{c}" for c in order_cols) + ")"
     t_ver = "struct(" + ", ".join(f"t.{c}" for c in order_cols) + ")"
+    # Partition columns behave like keys for MATCHED rows: Hive's
+    # UPDATE_CANNOT_UPDATE_PART_VALUE rule (merge_into rejects them in
+    # the update set) means an existing key never moves partitions —
+    # updates keep the row's original partition value; only the INSERT
+    # path sets partition columns, from the batch row.
+    pcols = {p.lower() for p in _partition_columns(spark, table_name)}
     # >= not >: an equal version is a re-delivered row with identical
     # values — taking s keeps the update expression total and the
     # merge idempotent.
     update = {
         c: f"CASE WHEN {s_ver} >= {t_ver} THEN s.{c} ELSE t.{c} END"
         for c in cols
-        if c not in key_cols
+        if c not in key_cols and c.lower() not in pcols
     }
     insert = {c: f"s.{c}" for c in cols}
     return merge_into(

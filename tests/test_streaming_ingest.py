@@ -181,6 +181,49 @@ def test_stream_upsert_merge_equals_batch_recompute(spark, tmpdir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_stream_upsert_partitioned_target(spark, tmpdir):
+    """A PARTITIONED target must work: partition columns are excluded
+    from the WHEN MATCHED set (Hive UPDATE_CANNOT_UPDATE_PART_VALUE —
+    merge_into rejects them), so an existing key keeps its original
+    partition value while every other column follows newest-wins;
+    new keys land in the partition their insert row carries."""
+    import datetime as dt
+
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.upsert import merge_upsert_batch
+
+    t0 = dt.datetime(2024, 6, 1)
+    name, path = "upsert_part", f"{tmpdir}/warehouse/upsert_part"
+    create_table_as(
+        spark,
+        name,
+        spark.createDataFrame([], SCHEMA),
+        path,
+        partition_by=("event_type",),
+    )
+    try:
+        b1 = spark.createDataFrame(_mkrows(0, 14, t0, etype="click"), SCHEMA)
+        merge_upsert_batch(spark, name, b1, ["user_id"], ["ts", "event_id"])
+        # batch 2: same keys, NEWER, different partition value + new keys
+        b2_rows = [
+            (100 + i, t0 + dt.timedelta(hours=1), i % 7, "view", 100.0 + i)
+            for i in range(7)
+        ] + [(200, t0 + dt.timedelta(hours=1), 99, "view", 999.0)]
+        b2 = spark.createDataFrame(b2_rows, SCHEMA)
+        stats = merge_upsert_batch(spark, name, b2, ["user_id"], ["ts", "event_id"])
+        assert stats["inserted"] == 1 and stats["updated"] == 7
+        got = {r.user_id: r for r in spark.table(name).collect()}
+        assert len(got) == 8
+        # matched keys: newest non-partition values, ORIGINAL partition
+        for uid in range(7):
+            assert got[uid].value == 100.0 + uid and got[uid].ts == t0 + dt.timedelta(hours=1)
+            assert got[uid].event_type == "click", "partition value must not move"
+        # inserted key lands in its own partition
+        assert got[99].event_type == "view" and got[99].value == 999.0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_stream_upsert_redelivery_is_idempotent(spark, tmpdir):
     """foreachBatch is at-least-once: re-applying an already-merged
     micro-batch (the post-crash re-delivery case) must leave the

@@ -115,3 +115,27 @@ def test_testdata_schemas_match_contract(sf_dir):
 def test_all_sf_dirs_present():
     names = {os.path.basename(d) for d in SF_DIRS}
     assert {"sf0.001", "sf0.01", "sf0.1"} <= names, f"missing scale factors: {names}"
+
+
+def test_temp_views_follow_the_requested_sf_dir(spark):
+    """Regression (round 6): temp-view names are GLOBAL per session,
+    so loading a second sf_dir re-points them; a later cache hit on
+    the first dir must re-assert its views or SQL-text queries
+    silently read the other directory's data (surfaced as a 6-row
+    `documents` view stolen by a constructed-fixture test)."""
+    from amplab_hive_spark.catalog import tables
+
+    d1, d2 = "/root/testdata/sf0.001", "/root/testdata/sf0.01"
+
+    def n_orders():
+        return spark.sql("SELECT count(*) AS n FROM orders").collect()[0].n
+
+    tables(spark, d1)
+    n1 = n_orders()
+    tables(spark, d2)
+    n2 = n_orders()
+    assert n1 != n2, "fixture SFs must differ for this test to mean anything"
+    tables(spark, d1)  # cache hit — must still re-point the views
+    assert n_orders() == n1
+    tables(spark, d2)
+    assert n_orders() == n2

@@ -179,6 +179,13 @@ def test_concurrent_reader_and_single_writer_contract():
                 f"second writer must fail while the first holds Derby:\n"
                 f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
             )
+            # the failure must be THE pinned contract (the Derby boot
+            # lock), not an incidental error — otherwise the README's
+            # single-writer claim isn't what this test verifies
+            assert "DERBY_LOCK" in proc.stdout, (
+                f"second writer failed for a non-Derby reason:\n"
+                f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+            )
         finally:
             open(done, "w").write("ok")
             h_out, h_err = holder.communicate(timeout=240)
