@@ -410,6 +410,66 @@ _SQL_NEGATIVE_CASES = [
     ("create_function_missing_class", "create_function_nonexistent_class.q",
      AnalysisException, "CANNOT_LOAD_FUNCTION_CLASS",
      "CREATE TEMPORARY FUNCTION badfn_neg AS 'no.such.Class'"),
+    # --- round-6 second tranche: ~27 more distinct classes. Probed
+    # portability drops (Spark accepts what Hive rejects), documented
+    # here rather than silently skipped: duplicate TRANSFORM output
+    # aliases (duplicate_alias_in_transform.q), DISTRIBUTE BY /
+    # SORT BY inside a window spec (ptf_negative_DistributeByOrderBy
+    # .q, ptf_negative_PartitionBySortBy.q), the same alias on outer
+    # and subquery tables (subquery_shared_alias.q), partitioned
+    # TEMPORARY datasource tables (temp_table_partitions.q), and
+    # ADD JAR of a missing path registering lazily (deletejar.q,
+    # udf_local_resource.q).
+    ("unsupported_datatype", "invalid_t_create2.q", ParseException,
+     "UNSUPPORTED_DATATYPE", "CREATE TABLE t_negtype (a FOOTYPE)"),
+    ("invalid_table_name", "invalid_tbl_name.q", AnalysisException,
+     "INVALID_SCHEMA_OR_RELATION_NAME", "CREATE TABLE `bad//name` (a INT)"),
+    ("invalid_database_name", "database_create_invalid_name.q",
+     AnalysisException, "INVALID_SCHEMA_OR_RELATION_NAME",
+     "CREATE DATABASE `bad//db`"),
+    ("partition_col_complex_type", "part_col_complex_type.q",
+     AnalysisException, "INVALID_PARTITION_COLUMN_DATA_TYPE",
+     "CREATE TABLE t_negpart (a INT) USING parquet PARTITIONED BY (p ARRAY<INT>)"),
+    ("window_fn_in_having", "ptf_negative_HavingLeadWithNoGBYNoWindowing.q",
+     AnalysisException, "window functions inside HAVING",
+     """SELECT n_regionkey FROM nation GROUP BY n_regionkey
+        HAVING lead(n_regionkey, 1) OVER (ORDER BY n_regionkey) > 0"""),
+    ("correlated_ref_in_window", "subquery_windowing_corr.q",
+     AnalysisException, "CORRELATED_REFERENCE",
+     """SELECT * FROM nation n WHERE n_nationkey IN
+        (SELECT max(r_regionkey) OVER (PARTITION BY n.n_regionkey)
+         FROM region)"""),
+    ("assert_true_runtime", "udf_assert_true.q", Exception,
+     "USER_RAISED_EXCEPTION", "SELECT assert_true(1 = 2)"),
+    ("coalesce_mixed_types", "udf_coalesce.q", AnalysisException,
+     "DATA_DIFF_TYPES", "SELECT coalesce(array(1), 1)"),
+    ("in_list_mixed_types", "udf_in.q", AnalysisException,
+     "DATA_DIFF_TYPES", "SELECT 1 IN (array(1))"),
+    ("agg_unorderable_type", "udf_max.q", AnalysisException,
+     "INVALID_ORDERING_TYPE", "SELECT max(map('a', 1)) FROM nation"),
+    ("temp_function_with_db", "udf_qualified_name.q", ParseException,
+     "CREATE_TEMP_FUNC_WITH_DATABASE",
+     "CREATE TEMPORARY FUNCTION somedb.fn_neg AS 'x.Y'"),
+    ("nested_generator", "udtf_explode_not_supported3.q", AnalysisException,
+     "NESTED_IN_EXPRESSIONS", "SELECT explode(explode(array(array(1))))"),
+    ("distinct_star_with_agg", "selectDistinctStarNeg_2.q",
+     AnalysisException, "MISSING_GROUP_BY",
+     "SELECT DISTINCT *, count(*) FROM nation"),
+    ("show_columns_missing_table", "show_columns2.q", AnalysisException,
+     "TABLE_OR_VIEW_NOT_FOUND", "SHOW COLUMNS FROM tbl_never_was"),
+    ("show_create_missing_table", "show_create_table_does_not_exist.q",
+     AnalysisException, "TABLE_OR_VIEW_NOT_FOUND",
+     "SHOW CREATE TABLE tbl_never_was"),
+    ("show_tables_missing_db", "show_tables_bad_db1.q", AnalysisException,
+     "SCHEMA_NOT_FOUND", "SHOW TABLES IN db_never_was"),
+    ("analyze_missing_table", "analyze_non_existent_tbl.q",
+     AnalysisException, "TABLE_OR_VIEW_NOT_FOUND",
+     "ANALYZE TABLE tbl_never_was COMPUTE STATISTICS"),
+    ("describe_invalid_field_extract", "describe_xpath1.q",
+     AnalysisException, "INVALID_EXTRACT_BASE_FIELD_TYPE",
+     "DESCRIBE nation n_name.foo"),
+    ("describe_missing_column", "desc_failure3.q", AnalysisException,
+     "COLUMN_NOT_FOUND", "DESCRIBE nation nosuchcol"),
 ]
 
 
@@ -437,10 +497,14 @@ def _neg_tables(spark, tmp_path):
         f"CREATE TABLE neg6_arr (a ARRAY<INT>) USING parquet LOCATION '{tmp_path}/arr'"
     )
     spark.sql("CREATE OR REPLACE VIEW neg6_v AS SELECT 1 AS a")
+    # a MANAGED (no LOCATION) table: the external-table checks fire
+    # first on LOCATION-backed tables, masking the classes below
+    spark.sql("CREATE TABLE neg6_m (a INT) USING parquet")
     yield
     for stmt in (
         "DROP TABLE IF EXISTS neg6_t", "DROP TABLE IF EXISTS neg6_p",
         "DROP TABLE IF EXISTS neg6_arr", "DROP VIEW IF EXISTS neg6_v",
+        "DROP TABLE IF EXISTS neg6_m",
     ):
         spark.sql(stmt)
 
@@ -485,6 +549,29 @@ _DDL_NEGATIVE_CASES = [
     ("load_into_datasource_table", "load_wrong_fileformat.q",
      "LOAD DATA is not supported",
      ["LOAD DATA LOCAL INPATH '/no/such/file' INTO TABLE neg6_t"]),
+    # --- round-6 second tranche ---
+    ("replace_view_on_table", "create_or_replace_view1.q",
+     "EXPECT_VIEW_NOT_TABLE",
+     ["CREATE OR REPLACE VIEW neg6_t AS SELECT 1 AS a"]),
+    ("create_view_over_existing_table", "create_view_failure1.q",
+     "TABLE_OR_VIEW_ALREADY_EXISTS", ["CREATE VIEW neg6_t AS SELECT 1 AS a"]),
+    ("view_duplicate_column_names", "create_view_failure4.q",
+     "COLUMN_ALREADY_EXISTS",
+     ["CREATE VIEW neg6_dupv (x, x) AS SELECT 1, 2"]),
+    ("external_table_without_location", "external1.q",
+     "must be accompanied by LOCATION",
+     ["CREATE EXTERNAL TABLE neg6_ext (a INT)"]),
+    ("stored_as_unknown_format", "genericFileFormat.q",
+     "STORED AS with file format",
+     ["CREATE TABLE neg6_fmt (a INT) STORED AS FOOBARFORMAT"]),
+    ("truncate_external_table", "truncate_table_failure3.q",
+     "TRUNCATE TABLE on external tables", ["TRUNCATE TABLE neg6_t"]),
+    ("truncate_partition_spec_nonpartitioned", "truncate_table_failure1.q",
+     "PARTITION is not supported",
+     ["TRUNCATE TABLE neg6_m PARTITION (p=1)"]),
+    ("drop_partition_on_nonpartitioned", "drop_partition_failure.q",
+     "DROP PARTITION is not allowed",
+     ["ALTER TABLE neg6_m DROP PARTITION (a=99)"]),
 ]
 
 
