@@ -458,3 +458,106 @@ def pipeline_interleave_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("position", "source", "doc_id")
         .orderBy("position")
     )
+
+
+_EPOCH_MILLIS = 1000  # fractional-epoch resolution (tenths of a percent)
+
+
+@register(
+    "pipeline_epoch_mixture",
+    tags=("llm", "pipeline"),
+    oracle=f"""
+WITH totals AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+),
+plan AS (
+  SELECT t.source, t.n_docs, t.total_chars,
+         (g.target // t.total_chars) AS full_epochs,
+         (((g.target % t.total_chars) * {_EPOCH_MILLIS}) // t.total_chars)
+           AS keep_millis
+  FROM totals t, (SELECT MAX(total_chars) AS target FROM totals) g
+),
+sampled AS (
+  SELECT d.source, COUNT(*) AS sampled_docs
+  FROM documents d JOIN plan p ON d.source = p.source
+  WHERE (('0x' || substr(md5(d.text || '|epoch'), 1, 15))::BIGINT
+           % {_EPOCH_MILLIS}) < p.keep_millis
+  GROUP BY d.source
+)
+SELECT p.source, p.n_docs, p.total_chars, p.full_epochs, p.keep_millis,
+       CAST(COALESCE(s.sampled_docs, 0) AS BIGINT) AS sampled_docs,
+       CAST(p.full_epochs * p.n_docs + COALESCE(s.sampled_docs, 0) AS BIGINT)
+         AS planned_docs
+FROM plan p LEFT JOIN sampled s ON s.source = p.source
+ORDER BY p.source
+""",
+)
+def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epochs-and-fractions source balancing — the standard LLM data
+    recipe move: every source (domain) is UPsampled to the largest
+    source's character count, expressed as ``full_epochs`` complete
+    passes plus a fractional pass that keeps each doc iff its
+    content-hash bucket (0-{_EPOCH_MILLIS}) falls under
+    ``keep_millis``. Hash-gated fractions mean the partial epoch is a
+    deterministic, checkpoint-free subset (re-running selects the
+    SAME docs), and upsampling by repeat factor rather than RNG draws
+    keeps the plan reproducible across engines — the audit returns
+    the per-source plan with its realized fractional-pass count.
+
+    Integer arithmetic throughout: ``//`` floor-division on positive
+    BIGINTs matches Spark's ``DIV``, the md5-prefix bucket is the
+    shared portable-hash idiom (_hash_bucket at
+    {_EPOCH_MILLIS}-bucket resolution), so the plan replays exactly
+    in DuckDB.
+
+    Scale shape: two column-pruned scans — one (source, n_chars)
+    aggregation for totals (#sources rows; the MAX is a 1-row
+    broadcast), one scan computing the md5 bucket with the per-source
+    keep_millis broadcast-joined in. No window, no text shuffle; the
+    expansion itself (full_epochs x corpus + the hash-filtered
+    remainder) is a UNION of narrow scans a real run streams straight
+    to the trainer."""
+    t = tables(spark, sf_dir)
+    totals = t.documents.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    target = totals.agg(F.max("total_chars").alias("target"))
+    plan = totals.crossJoin(F.broadcast(target)).select(
+        "source", "n_docs", "total_chars",
+        F.expr("target DIV total_chars").alias("full_epochs"),
+        F.expr(
+            f"((target % total_chars) * {_EPOCH_MILLIS}) DIV total_chars"
+        ).alias("keep_millis"),
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("text"), F.lit("|epoch"))), 1, 15),
+            16, 10,
+        ).cast("bigint")
+        % _EPOCH_MILLIS
+    )
+    sampled = (
+        t.documents.select("source", bucket.alias("b"))
+        .join(F.broadcast(plan.select("source", "keep_millis")), "source")
+        .filter(F.col("b") < F.col("keep_millis"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled_docs"))
+    )
+    # both sides are #sources rows, but Spark lacks stats for the
+    # aggregated sampled side — broadcast it explicitly or the final
+    # join sort-merges 20 rows through a full shuffle
+    return (
+        plan.join(F.broadcast(sampled), "source", "left")
+        .select(
+            "source", "n_docs", "total_chars", "full_epochs", "keep_millis",
+            F.coalesce("sampled_docs", F.lit(0)).cast("bigint").alias("sampled_docs"),
+            (
+                F.col("full_epochs") * F.col("n_docs")
+                + F.coalesce("sampled_docs", F.lit(0))
+            ).cast("bigint").alias("planned_docs"),
+        )
+        .orderBy("source")
+    )

@@ -1339,3 +1339,105 @@ def embedding_outlier_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "label", F.round("dist_raw", 3).alias("dist"), "rnk")
         .orderBy("rnk")
     )
+
+
+# --- matryoshka (prefix-dimension) retrieval audit -----------------
+_MRL_PREFIX = 16  # candidate truncated storage width (of 64 dims)
+_MRL_K = 10
+
+_MRL_ORACLE = f"""
+WITH quant AS (
+  SELECT vec_id, {_O_QUANT} AS q FROM embeddings
+),
+queries AS (
+  SELECT vec_id AS qid, q AS qq FROM quant WHERE vec_id % 100 = 0
+),
+ranked AS (
+  SELECT p.qid, v.vec_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.qid
+           ORDER BY {_O_PQ_DIST.format(a='v.q', b='p.qq')}, v.vec_id) AS rn_full,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.qid
+           ORDER BY {_O_PQ_DIST.format(a=f'v.q[1:{_MRL_PREFIX}]',
+                                       b=f'p.qq[1:{_MRL_PREFIX}]')},
+                    v.vec_id) AS rn_pre
+  FROM quant v, queries p WHERE v.vec_id <> p.qid
+)
+SELECT qid,
+       CAST(COUNT(*) FILTER (WHERE rn_full <= {_MRL_K}
+                               AND rn_pre  <= {_MRL_K}) AS BIGINT) AS n_overlap,
+       round(COUNT(*) FILTER (WHERE rn_full <= {_MRL_K}
+                                AND rn_pre  <= {_MRL_K}) / {_MRL_K}.0, 6)
+         AS prefix_recall
+FROM ranked
+GROUP BY qid
+ORDER BY qid
+"""
+
+
+@register(
+    "embedding_matryoshka_audit",
+    tags=("llm", "similarity", "quality"),
+    oracle=_MRL_ORACLE,
+)
+def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/prefix-dimension retrieval audit: how much of the
+    exact top-{_MRL_K} neighborhood survives when vectors are
+    truncated to their first {_MRL_PREFIX} of 64 dimensions — the
+    measurement that decides whether a corpus can be STORED at 4x
+    smaller width (the MRL trade: prefix dims carry most of the
+    signal for front-loaded embeddings; on this isotropic fixture the
+    audit reports the honest low baseline). Per query: the overlap
+    count between the full-width and prefix-width top-{_MRL_K} sets
+    and the resulting recall fraction.
+
+    Everything is exact BIGINT geometry on the shared fixed-point
+    grid (_quantized / _O_QUANT), both rankings tie-break on vec_id,
+    so the overlap counts replay bit-identically in DuckDB.
+
+    Scale shape: ONE corpus scan — the broadcast query vectors join
+    every row once and BOTH distances (full + prefix slice) are
+    computed in the same projection; the two row_number windows share
+    one hash(qid) exchange (same partitioning, two sorts). The audit
+    is a sampling decision tool: at 100 TB it runs over a query
+    sample against a corpus sample, not as a serving path — the
+    serving path this audit justifies is sim_bruteforce_topk /
+    sim_ann_* over the truncated column.
+
+    Reference anchor: none — beyond-reference surface (SURVEY §2
+    LLM-ops); Matryoshka Representation Learning (public, Kusupati
+    et al. 2022) is the semantic model."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    quant = t.embeddings.select("vec_id", _quantized(F.col("embedding")).alias("q"))
+    queries = quant.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+    )
+    pairs = (
+        quant.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", "vec_id",
+            _pq_dist_int(F.col("q"), F.col("qq")).alias("d_full"),
+            _pq_dist_int(
+                F.slice("q", 1, _MRL_PREFIX), F.slice("qq", 1, _MRL_PREFIX)
+            ).alias("d_pre"),
+        )
+    )
+    w_full = Window.partitionBy("qid").orderBy("d_full", "vec_id")
+    w_pre = Window.partitionBy("qid").orderBy("d_pre", "vec_id")
+    both = F.when(
+        (F.col("rn_full") <= _MRL_K) & (F.col("rn_pre") <= _MRL_K), 1
+    ).otherwise(0)
+    return (
+        pairs.withColumn("rn_full", F.row_number().over(w_full))
+        .withColumn("rn_pre", F.row_number().over(w_pre))
+        .groupBy("qid")
+        .agg(
+            F.sum(both).cast("bigint").alias("n_overlap"),
+            F.round(F.sum(both) / float(_MRL_K), 6).alias("prefix_recall"),
+        )
+        .orderBy("qid")
+    )

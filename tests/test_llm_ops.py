@@ -402,3 +402,37 @@ def test_incremental_dedup_dup_batch_branch(spark, tmp_path):
     firsts = {(r.source, r.status): r.first_doc for r in out}
     assert firsts[("web", "dup_batch")] == 18
     assert firsts[("web", "novel")] == 8
+
+
+def test_matryoshka_audit_not_vacuous(spark, sf_dir):
+    """The prefix/full overlap must actually vary on the fixture —
+    all-zero would mean the prefix ranking is noise (test bug), all-K
+    would mean the audit can't distinguish widths (vacuous)."""
+    from amplab_hive_spark.registry import all_queries
+
+    rows = all_queries()["embedding_matryoshka_audit"].fn(spark, sf_dir).collect()
+    assert rows, "audit must cover the query sample"
+    overlaps = [r.n_overlap for r in rows]
+    assert any(o > 0 for o in overlaps), "some neighborhood must survive truncation"
+    assert any(o < 10 for o in overlaps), "truncation must lose something on isotropic data"
+    assert all(abs(r.prefix_recall - r.n_overlap / 10.0) < 1e-9 for r in rows)
+
+
+def test_epoch_mixture_plan_invariants(spark, sf_dir):
+    """Every branch of the plan must fire on the fixture: the largest
+    source pins the target (epochs=1, no fraction), at least one
+    smaller source gets a nonzero fractional pass with a realized
+    hash-gated subset, and planned_docs decomposes exactly."""
+    from amplab_hive_spark.registry import all_queries
+
+    rows = all_queries()["pipeline_epoch_mixture"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 2, "needs multiple sources to balance"
+    target = max(r.total_chars for r in rows)
+    anchor = [r for r in rows if r.total_chars == target]
+    assert all(r.full_epochs == 1 and r.keep_millis == 0 for r in anchor)
+    assert any(r.keep_millis > 0 and r.sampled_docs > 0 for r in rows), (
+        "the fractional-epoch branch never fired — vacuous fixture"
+    )
+    for r in rows:
+        assert r.planned_docs == r.full_epochs * r.n_docs + r.sampled_docs
+        assert r.sampled_docs <= r.n_docs

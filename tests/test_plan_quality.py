@@ -309,3 +309,28 @@ def test_ivfpq_adc_join_is_cell_scoped(spark, sf_dir):
     # toString lists children after parents: the cid scoping must be
     # a DESCENDANT of (= appear after) the ADC lookup join.
     assert min(adc_join) < min(cell_join), "ADC lookup must consume the cell-scoped codes"
+
+
+def test_matryoshka_windows_share_one_exchange(spark, sf_dir):
+    """Both rankings (full-dim and prefix-dim) must ride ONE
+    hash(qid) exchange — a second shuffle of the Q x N pair frame
+    would double the audit's dominant cost; the query vectors are a
+    broadcast, never a shuffle side."""
+    plan = plan_of(spark, sf_dir, "embedding_matryoshka_audit")
+    body = plan.split("== Initial Plan ==")[0]  # executed plan only
+    assert body.count("Exchange hashpartitioning") == 1, (
+        "the two row_number windows must share a single qid exchange"
+    )
+    assert body.count("Window") >= 2 and "BroadcastNestedLoopJoin" in body
+    assert "SortMergeJoin" not in body
+
+
+def test_epoch_mixture_broadcasts_plan_rows(spark, sf_dir):
+    """The per-source plan (#sources rows) must broadcast into both
+    the fractional-pass filter and the final assembly — a
+    SortMergeJoin here would shuffle the full corpus scan against a
+    20-row table."""
+    plan = plan_of(spark, sf_dir, "pipeline_epoch_mixture")
+    body = plan.split("== Initial Plan ==")[0]
+    assert body.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in body
