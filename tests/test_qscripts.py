@@ -4771,6 +4771,254 @@ QSCRIPTS_R37 = [
 ]
 
 
+# --- round 6, tranche 38: udf_*/groupby*/ppd_*/having* long tail.
+# Every shape prototyped against BOTH engines before landing; grounded
+# ports name their clientpositive source script. Portability drops
+# found while prototyping (documented, not ported):
+#   - regexp_replace: DuckDB replaces the FIRST match unless given the
+#     'g' flag, Spark replaces ALL and takes no flag arg — the same
+#     text cannot agree (regexp_extract ported instead);
+#   - char_length: no DuckDB spelling (length() already ported);
+#   - find_in_set / space / soundex / hex-sha digests: no shared
+#     name or semantics across the two engines.
+QSCRIPTS_R38 = [
+    (
+        "case_value_form",  # udf_case.q: CASE <expr> WHEN value form
+        """SELECT n_nationkey, CASE n_regionkey WHEN 0 THEN 'zero'
+             WHEN 1 THEN 'one' ELSE 'many' END AS c
+           FROM nation ORDER BY n_nationkey LIMIT 10""",
+    ),
+    (
+        "case_no_else_null",  # udf_when.q: searched CASE, missing ELSE -> NULL
+        """SELECT n_nationkey, CASE WHEN n_regionkey = 0 THEN 'zero' END AS c
+           FROM nation ORDER BY n_nationkey LIMIT 10""",
+    ),
+    (
+        "between_expr_arith",  # udf_between.q: BETWEEN over arithmetic
+        # on both the probe and the bounds
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderkey + 100 BETWEEN (150 + -50) AND (150 + 500)""",
+    ),
+    (
+        "not_between",  # udf_between.q: NOT BETWEEN
+        "SELECT COUNT(*) AS n FROM nation WHERE n_nationkey NOT BETWEEN 5 AND 20",
+    ),
+    (
+        "instr_basic",  # udf_instr.q: 0 for no match, 1-based index
+        "SELECT n_name, instr(n_name, 'AN') AS i FROM nation ORDER BY n_name LIMIT 8",
+    ),
+    (
+        "position_in",  # udf_locate.q: locate ported as ANSI
+        # position(x IN y) — the one spelling both engines share
+        "SELECT n_name, position('A' IN n_name) AS p FROM nation ORDER BY n_name LIMIT 8",
+    ),
+    (
+        "lpad_truncates",  # udf_lpad.q: pad len < input TRUNCATES
+        """SELECT lpad(n_name, 3, '?') AS l, rpad(n_name, 12, '.') AS r
+           FROM nation ORDER BY n_name LIMIT 6""",
+    ),
+    (
+        "translate_map",  # udf_translate.q: per-char mapping
+        "SELECT translate(n_name, 'AEIOU', 'aeiou') AS t FROM nation ORDER BY n_name LIMIT 6",
+    ),
+    (
+        "least_greatest_strings",  # udf_least.q / udf_greatest.q:
+        # lexicographic + numeric forms
+        """SELECT least('C','a','B') AS l1, greatest('AAA','AaA','AAa') AS g1,
+             least(n_nationkey, n_regionkey) AS l2
+           FROM nation ORDER BY n_nationkey LIMIT 5""",
+    ),
+    (
+        "least_with_null",  # udf_greatest.q: NULL args are SKIPPED by
+        # both engines (Hive 1.2 returned NULL — semantics delta is
+        # Spark-side, identical in DuckDB, so the port pins the
+        # modern shared behavior)
+        "SELECT least(n_nationkey, NULL) AS l FROM nation ORDER BY n_nationkey LIMIT 5",
+    ),
+    (
+        "repeat_edge",  # udf_repeat.q: zero-count -> empty string
+        "SELECT repeat('asd', 0) AS r0, repeat('x', 3) AS r3 FROM nation LIMIT 1",
+    ),
+    (
+        "reverse_str",  # udf_reverse.q
+        "SELECT reverse(n_name) AS r FROM nation ORDER BY n_name LIMIT 6",
+    ),
+    (
+        "ascii_fn",  # udf_ascii.q: first-byte code, '' -> 0
+        "SELECT ascii(n_name) AS a, ascii('') AS e FROM nation ORDER BY n_name LIMIT 6",
+    ),
+    (
+        "groupby_substr_key",  # groupby_ppr.q: substr() group key +
+        # DISTINCT agg + concat(key, agg) in one grouped select
+        """SELECT substr(o_orderpriority, 1, 1) AS k,
+             COUNT(DISTINCT o_orderstatus) AS cd,
+             concat(substr(o_orderpriority, 1, 1), CAST(COUNT(*) AS STRING)) AS ck
+           FROM orders GROUP BY substr(o_orderpriority, 1, 1) ORDER BY k""",
+    ),
+    (
+        "ppd_gby_or_filter",  # ppd_gby.q: outer filter mixing the
+        # group key and the aggregate through OR (only the key half
+        # may push below the aggregate)
+        """SELECT c1 FROM (
+             SELECT o_orderpriority AS c1, COUNT(o_orderkey) AS c2
+             FROM orders WHERE o_orderpriority > '1' GROUP BY o_orderpriority
+           ) s WHERE c1 > '2' AND (c2 > 30 OR c1 < '5') ORDER BY c1""",
+    ),
+    (
+        "ppd_gby_join",  # ppd_gby_join.q: join of two filtered
+        # subqueries then regroup
+        """SELECT a.k, COUNT(1) AS n FROM
+             (SELECT n_regionkey AS k FROM nation WHERE n_nationkey > 2) a
+           JOIN (SELECT r_regionkey AS k FROM region WHERE r_regionkey < 4) b
+             ON a.k = b.k GROUP BY a.k ORDER BY a.k""",
+    ),
+    (
+        "join_union_subquery",  # auto_join27.q: UNION ALL subquery as
+        # a join side
+        """SELECT u.k, r.r_name FROM (
+             SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 5
+             UNION ALL SELECT r_regionkey AS k FROM region
+           ) u JOIN region r ON u.k = r.r_regionkey ORDER BY u.k, r.r_name""",
+    ),
+    (
+        "having_multi_conditions",  # having2.q: AND of two aggregates
+        """SELECT o_custkey, COUNT(*) AS n, SUM(o_totalprice) AS s
+           FROM orders GROUP BY o_custkey
+           HAVING COUNT(*) > 3 AND SUM(o_totalprice) > 500000
+           ORDER BY o_custkey LIMIT 20""",
+    ),
+    (
+        "pow_round",  # udf_pow.q: power + sqrt, rounded for float parity
+        """SELECT round(power(n_nationkey, 2), 6) AS p,
+             round(sqrt(n_nationkey), 6) AS sq
+           FROM nation ORDER BY n_nationkey LIMIT 8""",
+    ),
+    (
+        "exp_ln_log",  # udf_exp.q / udf_ln.q / udf_log10.q
+        """SELECT round(exp(1), 6) AS e, round(ln(n_nationkey + 1), 6) AS l,
+             round(log10(n_nationkey + 1), 6) AS l10
+           FROM nation ORDER BY n_nationkey LIMIT 6""",
+    ),
+    (
+        "degrees_radians_sign",  # udf_degrees.q / udf_radians.q /
+        # udf_sign.q (sign cast: Spark returns DOUBLE, DuckDB BIGINT)
+        """SELECT round(degrees(1), 6) AS d, round(radians(180), 6) AS r,
+             CAST(sign(n_nationkey - 10) AS INT) AS sg
+           FROM nation ORDER BY n_nationkey LIMIT 12""",
+    ),
+    (
+        "bitwise_and_or",  # udf_bitwise_and.q / udf_bitwise_or.q
+        """SELECT n_nationkey & 3 AS ba, n_nationkey | 8 AS bo
+           FROM nation ORDER BY n_nationkey LIMIT 8""",
+    ),
+    (
+        "concat_ws_strings",  # udf_concat_ws.q
+        """SELECT concat_ws('-', n_name, CAST(n_regionkey AS STRING)) AS c
+           FROM nation ORDER BY n_name LIMIT 6""",
+    ),
+    (
+        "trim_family",  # udf_trim.q: trim/ltrim/rtrim
+        "SELECT trim('  x  ') AS t, ltrim('  x') AS l, rtrim('x  ') AS r FROM nation LIMIT 1",
+    ),
+    (
+        "regexp_extract_group",  # udf_regexp_extract.q: group index arg
+        "SELECT regexp_extract(n_name, '([A-Z]+)', 1) AS g FROM nation ORDER BY n_name LIMIT 6",
+    ),
+    (
+        "ifnull_fn",  # udf_nvl.q: nvl ported as ifnull — the spelling
+        # both engines share
+        """SELECT ifnull(NULL, 'x') AS i1, ifnull(n_name, 'y') AS i2
+           FROM nation ORDER BY n_name LIMIT 4""",
+    ),
+    (
+        "levenshtein_fn",  # udf_levenshtein.q
+        "SELECT levenshtein(n_name, 'FRANCE') AS d FROM nation ORDER BY n_name LIMIT 8",
+    ),
+    (
+        "groupby_ordinals",  # groupby_position.q: GROUP BY 1 / ORDER BY 1
+        "SELECT n_regionkey, COUNT(*) AS n FROM nation GROUP BY 1 ORDER BY 1",
+    ),
+    (
+        "distinct_mixed_aggs",  # groupby_distinct_samekey.q: DISTINCT
+        # and plain aggregates over different columns in one group
+        """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS cd,
+             SUM(DISTINCT o_custkey % 10) AS sd, COUNT(*) AS n
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "not_distinct_from_join",  # join_nullsafe.q: Hive <=> ported as
+        # ANSI IS NOT DISTINCT FROM — the spelling both engines share
+        """SELECT a.n_nationkey FROM nation a JOIN nation b
+             ON a.n_regionkey IS NOT DISTINCT FROM b.n_regionkey
+             AND a.n_nationkey = b.n_nationkey
+           ORDER BY a.n_nationkey LIMIT 10""",
+    ),
+    (
+        "limit_offset",  # limit_pushdown.q lineage; OFFSET is the
+        # post-1.2 ANSI form both engines share
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 10",
+    ),
+    (
+        "order_by_expr_alias_mix",  # order2.q: ORDER BY select alias
+        """SELECT n_name, n_nationkey * 2 AS dbl FROM nation
+           ORDER BY dbl DESC, n_name LIMIT 6""",
+    ),
+    (
+        "union_distinct_three",  # union3.q: three-branch UNION DISTINCT
+        # with a constant branch
+        """SELECT n_regionkey AS k FROM nation UNION
+           SELECT r_regionkey FROM region UNION SELECT 99 ORDER BY k""",
+    ),
+    (
+        "join_three_way_mixed_outer",  # join28.q: chained LEFT OUTERs,
+        # the second with an extra ON-side filter
+        """SELECT n.n_name, r.r_name, s.s_name
+           FROM nation n LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+           LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_suppkey < 5
+           ORDER BY n.n_name, s.s_name""",
+    ),
+    (
+        "corr_exists_agg",  # subquery_exists_having.q: correlated
+        # EXISTS whose subquery groups and filters on HAVING
+        """SELECT r_name FROM region r WHERE EXISTS (
+             SELECT 1 FROM nation n WHERE n.n_regionkey = r.r_regionkey
+             GROUP BY n.n_regionkey HAVING COUNT(*) >= 5
+           ) ORDER BY r_name""",
+    ),
+    (
+        "case_in_groupby",  # udf_case.q lineage: CASE as the group key
+        # via ordinal
+        """SELECT CASE WHEN o_totalprice < 100000 THEN 'low'
+             WHEN o_totalprice < 200000 THEN 'mid' ELSE 'high' END AS band,
+             COUNT(*) AS n
+           FROM orders GROUP BY 1 ORDER BY band""",
+    ),
+    (
+        "nullif_zero_guard",  # ANSI nullif (shared spelling) guarding
+        # a divide-by-zero in an aggregate expression
+        """SELECT o_custkey, SUM(o_totalprice) / nullif(COUNT(*) - 1, 0) AS avg_rest
+           FROM orders GROUP BY o_custkey ORDER BY o_custkey LIMIT 12""",
+    ),
+    (
+        "string_concat_pipes",  # udf_concat.q ported as ANSI || — the
+        # spelling both engines share
+        """SELECT n_name || '-' || CAST(n_regionkey AS STRING) AS c
+           FROM nation ORDER BY n_name LIMIT 6""",
+    ),
+    (
+        "in_tuple_list",  # udf_in.q: row-constructor IN over tuples
+        """SELECT COUNT(*) AS n FROM nation
+           WHERE (n_regionkey, n_nationkey < 10) IN ((0, true), (1, false))""",
+    ),
+    (
+        "interval_date_add",  # Hive 1.2 INTERVAL arithmetic
+        # (HIVE-9792 era) — DATE + INTERVAL DAY
+        """SELECT o_orderdate + INTERVAL 30 DAY AS d FROM orders
+           ORDER BY o_orderkey LIMIT 5""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -4782,7 +5030,7 @@ QSCRIPTS_R37 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
