@@ -500,11 +500,17 @@ def _neg_tables(spark, tmp_path):
     # a MANAGED (no LOCATION) table: the external-table checks fire
     # first on LOCATION-backed tables, masking the classes below
     spark.sql("CREATE TABLE neg6_m (a INT) USING parquet")
+    # two partition columns: the dynamic/static ordering rule needs
+    # a static spec AFTER a dynamic one to be expressible
+    spark.sql(
+        "CREATE TABLE neg6_p2 (a INT) USING parquet"
+        f" PARTITIONED BY (p INT, q INT) LOCATION '{tmp_path}/p2'"
+    )
     yield
     for stmt in (
         "DROP TABLE IF EXISTS neg6_t", "DROP TABLE IF EXISTS neg6_p",
         "DROP TABLE IF EXISTS neg6_arr", "DROP VIEW IF EXISTS neg6_v",
-        "DROP TABLE IF EXISTS neg6_m",
+        "DROP TABLE IF EXISTS neg6_m", "DROP TABLE IF EXISTS neg6_p2",
     ):
         spark.sql(stmt)
 
@@ -572,6 +578,31 @@ _DDL_NEGATIVE_CASES = [
     ("drop_partition_on_nonpartitioned", "drop_partition_failure.q",
      "DROP PARTITION is not allowed",
      ["ALTER TABLE neg6_m DROP PARTITION (a=99)"]),
+    # --- round-6 third tranche: alter/dyn-part families. Probed
+    # drops, documented: lpad/rpad with negative length returns ''
+    # instead of erroring (char_pad_convert_fail0.q); scalar
+    # subqueries in SELECT are supported (subquery_in_select.q).
+    ("add_columns_duplicate_name", "alter_partition_change_col_dup_col.q",
+     "COLUMN_ALREADY_EXISTS", ["ALTER TABLE neg6_t ADD COLUMNS (a INT)"]),
+    ("rename_column_unsupported_v1", "column_rename1.q",
+     "UNSUPPORTED_FEATURE.TABLE_OPERATION",
+     ["ALTER TABLE neg6_t RENAME COLUMN a TO b"]),
+    ("change_column_incompatible_type",
+     "disallow_incompatible_type_change_on1.q",
+     "NOT_SUPPORTED_CHANGE_COLUMN",
+     ["ALTER TABLE neg6_t ALTER COLUMN a TYPE STRING"]),
+    ("alter_set_location_on_view", "alter_view_failure2.q",
+     "EXPECT_TABLE_NOT_VIEW", ["ALTER TABLE neg6_v SET LOCATION '/tmp/x'"]),
+    ("add_partition_value_bad_type", "illegal_partition_type.q",
+     "CAST_INVALID_INPUT",
+     ["ALTER TABLE neg6_p2 ADD PARTITION (p='abc', q=1)"]),
+    ("static_partition_after_dynamic", "dyn_part2.q",
+     "need to appear before",
+     ["INSERT INTO neg6_p2 PARTITION (p, q=3) SELECT 1, 2"]),
+    ("insert_overwrite_directory_no_path", "duplicate_insert3.q",
+     "must be accompanied by path",  # statement-family anchor: the
+     # OVERWRITE DIRECTORY sink; the empty-path class is Spark's
+     ["INSERT OVERWRITE DIRECTORY '' SELECT 1"]),
 ]
 
 
