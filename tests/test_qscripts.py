@@ -5019,6 +5019,97 @@ QSCRIPTS_R38 = [
 ]
 
 
+# --- round 6, tranche 40: math/string/subquery remainder. Prototyped
+# against both engines; drops documented here:
+#   - octet_length / bit_length / initcap / width_bucket: no DuckDB
+#     spelling;
+#   - concat(x, NULL): Spark NULL-propagates (Hive semantics), DuckDB
+#     treats NULL as '' — the same text cannot agree;
+#   - DATE + INTERVAL: DuckDB widens to TIMESTAMP, Spark stays DATE
+#     (ported earlier with an explicit CAST — not repeated here).
+QSCRIPTS_R40 = [
+    (
+        "round_half_and_negative_scale",  # udf_round.q: half-away-from-
+        # zero + negative scale rounds to tens/hundreds
+        """SELECT round(2.5) AS a, round(-2.5) AS b,
+             round(1234.567, -2) AS c, round(1234.567, 1) AS d
+           FROM nation LIMIT 1""",
+    ),
+    (
+        "ceil_floor_negative",  # udf_ceil.q / udf_ceiling.q / udf_floor.q
+        "SELECT ceil(-1.5) AS cf, floor(-1.5) AS ff, ceiling(2.1) AS cg FROM nation LIMIT 1",
+    ),
+    (
+        "mod_fn",  # udf_modulo.q: mod() function form (pmod has no
+        # DuckDB twin — documented drop in tranche 37)
+        "SELECT mod(n_nationkey, 7) AS m FROM nation ORDER BY n_nationkey LIMIT 8",
+    ),
+    (
+        "pi_fn",  # udf_pi.q
+        "SELECT round(pi(), 6) AS p FROM nation LIMIT 1",
+    ),
+    (
+        "trig_suite",  # udf_sin.q / udf_cos.q / udf_atan.q / udf_asin.q
+        """SELECT round(sin(1), 6) AS s, round(cos(1), 6) AS c,
+             round(atan2(1, 2), 6) AS a2, round(asin(0.5), 6) AS asn
+           FROM nation LIMIT 1""",
+    ),
+    (
+        "split_part_fn",  # udf_split.q lineage: split()[i] indexing
+        # differs 0- vs 1-based (documented drop), but split_part is
+        # 1-based in BOTH engines — the portable spelling
+        """SELECT split_part(n_name, 'A', 1) AS p1,
+             split_part(n_name, 'A', 2) AS p2
+           FROM nation ORDER BY n_name LIMIT 6""",
+    ),
+    (
+        "left_right_fns",  # udf_substr.q lineage: ANSI left/right
+        "SELECT left(n_name, 3) AS l, right(n_name, 3) AS r FROM nation ORDER BY n_name LIMIT 6",
+    ),
+    (
+        "contains_fn",  # shared modern spelling of instr(...) > 0
+        "SELECT n_name, contains(n_name, 'AN') AS c FROM nation ORDER BY n_name LIMIT 8",
+    ),
+    (
+        "substr_past_end",  # udf_substr.q: start beyond length -> '',
+        # length overrun clamps
+        """SELECT substr(n_name, 100) AS s, substr(n_name, 2, 1000) AS t
+           FROM nation ORDER BY n_name LIMIT 4""",
+    ),
+    (
+        "greatest_mixed_numeric",  # udf_greatest.q: expression args
+        """SELECT greatest(n_nationkey, n_regionkey * 3, 7) AS g
+           FROM nation ORDER BY n_nationkey LIMIT 10""",
+    ),
+    (
+        "abs_fn",  # udf_abs.q
+        "SELECT abs(n_nationkey - 12) AS a FROM nation ORDER BY n_nationkey LIMIT 8",
+    ),
+    (
+        "log_base",  # udf_log.q: explicit-base log
+        "SELECT round(log(2, 8), 6) AS l FROM nation LIMIT 1",
+    ),
+    (
+        "power_negative_base",  # udf_pow.q: negative base, integer exp
+        "SELECT round(power(-2, 3), 6) AS p FROM nation LIMIT 1",
+    ),
+    (
+        "exists_uncorrelated",  # subquery_exists.q: uncorrelated EXISTS
+        # keeps or drops ALL outer rows
+        """SELECT r_name FROM region WHERE EXISTS
+             (SELECT 1 FROM nation WHERE n_nationkey > 20) ORDER BY r_name""",
+    ),
+    (
+        "in_subquery_with_agg",  # subquery_in_having.q lineage: IN over
+        # a grouped+HAVING subquery
+        """SELECT n_name FROM nation WHERE n_regionkey IN (
+             SELECT r_regionkey FROM region GROUP BY r_regionkey
+             HAVING COUNT(*) = 1
+           ) ORDER BY n_name LIMIT 10""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5030,7 +5121,7 @@ QSCRIPTS_R38 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
