@@ -800,6 +800,12 @@ _PQ_SUBSPACES = 8
 _PQ_SUBDIM = 8
 _PQ_CODES = 16
 _PQ_SHORTLIST = 200  # ADC prefilter width fed to the exact rerank
+# IVFPQ reranks a WIDER shortlist than flat PQ: its ADC already runs
+# on only the probed fraction of the corpus, so the shortlist is the
+# binding recall constraint (r5 verdict measured the 200-wide list
+# trimming ~0.07 recall vs plain IVF at sf0.1) — and the extra rerank
+# kernels stay bounded by this constant regardless of corpus size.
+_IVFPQ_SHORTLIST = 400
 
 
 def _pq_dist_int(a, b) -> Column:
@@ -1125,7 +1131,7 @@ shortlist AS (
            ROW_NUMBER() OVER (PARTITION BY qid
                               ORDER BY adc_dist, vec_id) AS arn
     FROM adc
-  ) WHERE arn <= {_PQ_SHORTLIST}
+  ) WHERE arn <= {_IVFPQ_SHORTLIST}
 ),
 rerank AS (
   SELECT s.qid, s.vec_id,
@@ -1153,7 +1159,10 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe their {_IVF_NPROBE} nearest of {_IVF_CENTROIDS} Lloyd-refined
     centroid lists) composed with PQ ADC scoring INSIDE the probed
     cells only, then exact cosine rerank of the ADC
-    top-{_PQ_SHORTLIST}. Flat PQ scans every code (O(QxN) in the
+    top-{_IVFPQ_SHORTLIST} (wider than flat PQ's {_PQ_SHORTLIST}:
+    routing already bounds the ADC scan, so the shortlist is the
+    binding recall constraint and widening it costs only a constant
+    number of extra rerank kernels). Flat PQ scans every code (O(QxN) in the
     compressed domain); here the ADC join is cell-scoped — a vector
     participates only when its cell is probed — so the compressed
     scan drops to the probed fraction (nprobe/K of the corpus on
@@ -1229,7 +1238,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_adc = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
     shortlist = (
         adc.withColumn("arn", F.row_number().over(w_adc))
-        .filter(F.col("arn") <= _PQ_SHORTLIST)
+        .filter(F.col("arn") <= _IVFPQ_SHORTLIST)
         .select("qid", "vec_id")
     )
     # rerank reads the float vectors from the PERSISTED `assigned`

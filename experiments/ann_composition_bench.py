@@ -67,6 +67,7 @@ def main() -> None:
     from amplab_hive_spark.llm.similarity import (
         _IVF_CENTROIDS,
         _IVF_NPROBE,
+        _IVFPQ_SHORTLIST,
         _PQ_SHORTLIST,
         _PQ_SUBSPACES,
     )
@@ -81,7 +82,7 @@ def main() -> None:
             "brute": n,
             "ivf": int(n * probed_share),
             "pq_flat": _PQ_SHORTLIST,
-            "ivfpq": _PQ_SHORTLIST,
+            "ivfpq": _IVFPQ_SHORTLIST,
         },
         "compressed_lookups_per_query": {
             "brute": 0,
