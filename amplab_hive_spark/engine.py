@@ -46,7 +46,13 @@ class Engine:
         text."""
         if self.macros.handle_statement(text):
             return self.spark.range(0).select()  # empty result, DDL-style
-        return self.spark.sql(self.macros.expand(text))
+        expanded = self.macros.expand(text)
+        from amplab_hive_spark.dml_text import handle as _dml_handle
+
+        dml = _dml_handle(self.spark, expanded)
+        if dml is not None:  # UPDATE/DELETE/MERGE statement forms
+            return dml
+        return self.spark.sql(expanded)
 
     def table(self, name: str) -> DataFrame:
         return self.spark.table(name)
