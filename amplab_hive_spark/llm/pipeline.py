@@ -52,15 +52,17 @@ _TRAIN_PCT, _VAL_PCT = 80, 10  # train <80, val 80-89, test >=90
 _PACK_BUDGET = 2048  # tokens per packed context window
 
 
-def _hash_bucket(col):
-    """Deterministic [0,100) bucket from md5 — portable across engines."""
+def _hash_bucket(col, buckets: int = _BUCKETS):
+    """Deterministic [0,buckets) bucket from md5 — portable across
+    engines; _sql_bucket is its DuckDB twin, same idiom, so a change
+    to the hash bridge lands in exactly two lines."""
     return (
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % _BUCKETS
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("bigint") % buckets
     )
 
 
-def _sql_bucket(expr: str) -> str:
-    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {_BUCKETS})"
+def _sql_bucket(expr: str, buckets: int = _BUCKETS) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT % {buckets})"
 
 
 @register(
@@ -482,8 +484,7 @@ plan AS (
 sampled AS (
   SELECT d.source, COUNT(*) AS sampled_docs
   FROM documents d JOIN plan p ON d.source = p.source
-  WHERE (('0x' || substr(md5(d.text || '|epoch'), 1, 15))::BIGINT
-           % {_EPOCH_MILLIS}) < p.keep_millis
+  WHERE {_sql_bucket("d.text || '|epoch'", _EPOCH_MILLIS)} < p.keep_millis
   GROUP BY d.source
 )
 SELECT p.source, p.n_docs, p.total_chars, p.full_epochs, p.keep_millis,
@@ -532,12 +533,8 @@ def pipeline_epoch_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"((target % total_chars) * {_EPOCH_MILLIS}) DIV total_chars"
         ).alias("keep_millis"),
     )
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.col("text"), F.lit("|epoch"))), 1, 15),
-            16, 10,
-        ).cast("bigint")
-        % _EPOCH_MILLIS
+    bucket = _hash_bucket(
+        F.concat(F.col("text"), F.lit("|epoch")), _EPOCH_MILLIS
     )
     sampled = (
         t.documents.select("source", bucket.alias("b"))

@@ -137,3 +137,67 @@ def test_merge_duplicate_clause_rejected(eng):
                WHEN MATCHED THEN UPDATE SET val = s.val
                WHEN MATCHED THEN UPDATE SET val = 0"""
         )
+
+
+# --- review-pass regressions (round 6): the shim must parse like a
+# SQL parser, not like a regex ---------------------------------------
+def test_dangling_where_is_error_not_delete_all(eng, spark):
+    """'WHERE ;' must raise, never silently become TRUE."""
+    with pytest.raises(ValueError, match="WHERE requires a condition"):
+        eng.sql("DELETE FROM dmlt WHERE ;")
+    with pytest.raises(ValueError, match="WHERE requires a condition"):
+        eng.sql("UPDATE dmlt SET val = 0 WHERE ;")
+    assert len(_rows(spark)) == 4, "no row may be touched"
+
+
+def test_where_keyword_inside_string_literal(eng, spark):
+    eng.sql("UPDATE dmlt SET grp = 'x where y' WHERE id = 1").collect()
+    assert (1, "x where y", 10) in _rows(spark)
+
+
+def test_alias_prefix_inside_string_literal_survives(eng, spark):
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT 1 AS id) src ON dmlt.id = src.id
+           WHEN MATCHED THEN UPDATE SET grp = 'call src.support'"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (1, "call src.support", 10) in _rows(spark)
+
+
+def test_merge_source_with_nested_parens(eng, spark):
+    out = eng.sql(
+        """MERGE INTO dmlt USING
+             (SELECT greatest(1, least(2, 1)) AS id, 77 AS val) s
+           ON dmlt.id = s.id
+           WHEN MATCHED THEN UPDATE SET val = s.val"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (1, "a", 77) in _rows(spark)
+
+
+def test_escaped_quote_in_set_literal(eng, spark):
+    eng.sql(r"UPDATE dmlt SET grp = 'O\'Brien, Inc', val = 2 WHERE id = 1").collect()
+    assert (1, "O'Brien, Inc", 2) in _rows(spark)
+
+
+def test_update_then_delete_order_rejected(eng):
+    """merge_into evaluates delete-first; a textual UPDATE-then-DELETE
+    order would silently invert the user's first-matching-clause
+    intent — reject instead."""
+    with pytest.raises(ValueError, match="DELETE must\n? *precede|DELETE must precede"):
+        eng.sql(
+            """MERGE INTO dmlt USING (SELECT 1 AS id, 5 AS val) s
+               ON dmlt.id = s.id
+               WHEN MATCHED THEN UPDATE SET val = s.val
+               WHEN MATCHED AND s.val = 5 THEN DELETE"""
+        )
+
+
+def test_unconditional_delete_before_update_rejected(eng):
+    with pytest.raises(ValueError, match="must carry AND"):
+        eng.sql(
+            """MERGE INTO dmlt USING (SELECT 1 AS id, 5 AS val) s
+               ON dmlt.id = s.id
+               WHEN MATCHED THEN DELETE
+               WHEN MATCHED THEN UPDATE SET val = s.val"""
+        )
