@@ -5110,6 +5110,132 @@ QSCRIPTS_R40 = [
 ]
 
 
+# --- round 6, tranche 41: union_remove/auto_join/ppd_outer_join/null
+# families. Prototyped against both engines; all candidates ported
+# (no drops this tranche — the LIMIT-inside-union shape needed an
+# ORDER BY inside each limited subquery to be deterministic, which is
+# also what input26.q itself does on its first branch).
+QSCRIPTS_R41 = [
+    (
+        "union_same_grouped_branch_twice",  # union_remove_1.q: UNION ALL
+        # of two identical grouped branches (the union-remove rewrite)
+        """SELECT * FROM (
+             SELECT o_orderstatus AS k, COUNT(1) AS vals FROM orders GROUP BY o_orderstatus
+             UNION ALL
+             SELECT o_orderstatus AS k, COUNT(1) AS vals FROM orders GROUP BY o_orderstatus
+           ) a ORDER BY k, vals""",
+    ),
+    (
+        "left_outer_overlapping_range_subqs",  # auto_join4.q: LEFT OUTER
+        # between two filtered subselects with overlapping key ranges
+        """SELECT a.c1, a.c2, b.c3, b.c4 FROM
+             (SELECT n_nationkey AS c1, n_name AS c2 FROM nation
+              WHERE n_nationkey > 10 AND n_nationkey < 20) a
+           LEFT OUTER JOIN
+             (SELECT n_nationkey AS c3, n_name AS c4 FROM nation
+              WHERE n_nationkey > 15 AND n_nationkey < 25) b
+           ON a.c1 = b.c3 ORDER BY a.c1""",
+    ),
+    (
+        "join_subselects_nonequi_on",  # auto_join11.q: subselect join
+        # with an extra non-equi ON conjunct, aggregated
+        """SELECT SUM(s1.c1 + s2.c3) AS s FROM
+             (SELECT n_nationkey AS c1 FROM nation) s1 JOIN
+             (SELECT n_nationkey AS c3 FROM nation) s2
+           ON s1.c1 = s2.c3 AND s1.c1 < 10""",
+    ),
+    (
+        "union_of_limited_ordered_subqs",  # input26.q: UNION ALL of two
+        # ordered+limited subqueries, reselected
+        """SELECT * FROM (
+             SELECT * FROM (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderstatus = 'F' ORDER BY o_orderkey LIMIT 5) pa
+             UNION ALL
+             SELECT * FROM (SELECT o_orderkey, o_orderstatus FROM orders
+               WHERE o_orderstatus = 'O' ORDER BY o_orderkey LIMIT 5) pb
+           ) subq ORDER BY o_orderkey""",
+    ),
+    (
+        "self_outer_join_const_on_filters",  # join_filters_overlap.q:
+        # self LEFT OUTER chain whose ON clauses pin BOTH sides with
+        # constant filters (left rows always survive, match rarely)
+        """SELECT a.n_nationkey, b.n_nationkey AS bk, c.n_nationkey AS ck
+           FROM nation a
+           LEFT OUTER JOIN nation b
+             ON a.n_nationkey = b.n_nationkey AND a.n_regionkey = 2 AND b.n_regionkey = 2
+           LEFT OUTER JOIN nation c
+             ON a.n_nationkey = c.n_nationkey AND a.n_regionkey = 3 AND c.n_regionkey = 3
+           ORDER BY a.n_nationkey""",
+    ),
+    (
+        "part_self_join_filtered",  # join_merging.q: part self
+        # LEFT OUTER with a right-side-only ON filter
+        """SELECT p1.p_partkey, p2.p_brand
+           FROM part p1 LEFT OUTER JOIN part p2
+           ON p1.p_partkey = p2.p_partkey AND p2.p_size > 25
+           ORDER BY p1.p_partkey LIMIT 25""",
+    ),
+    (
+        "typed_null_columns",  # null_column.q: typed NULL projections
+        """SELECT CAST(NULL AS INT) AS a, CAST(NULL AS STRING) AS b, n_nationkey
+           FROM nation ORDER BY n_nationkey LIMIT 4""",
+    ),
+    (
+        "aggregates_over_empty_input",  # nullgroup.q: global aggregates
+        # over zero rows — COUNT 0, SUM/MAX NULL
+        """SELECT COUNT(*) AS c, SUM(n_nationkey) AS s, MAX(n_name) AS m
+           FROM nation WHERE n_nationkey < 0""",
+    ),
+    (
+        "where_on_outer_side_becomes_inner",  # ppd_outer_join1.q: WHERE
+        # on the nullable side collapses LEFT OUTER to inner
+        """SELECT n.n_name, r.r_name FROM nation n
+           LEFT OUTER JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE r.r_name > 'A' ORDER BY n_name""",
+    ),
+    (
+        "join_reorder_three_filters",  # join_reorder.q: three-table
+        # chain with selective filters on both ends
+        """SELECT n.n_name, r.r_name, s.s_suppkey FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           WHERE s.s_acctbal > 5000 AND r.r_regionkey IN (1, 2)
+           ORDER BY s.s_suppkey LIMIT 20""",
+    ),
+    (
+        "union_with_nulls_branch",  # union_null.q: an all-NULL branch
+        # unioned in, NULLS FIRST ordering pinned
+        """SELECT k, v FROM (
+             SELECT n_nationkey AS k, n_name AS v FROM nation WHERE n_nationkey < 3
+             UNION ALL SELECT NULL AS k, NULL AS v
+           ) u ORDER BY k NULLS FIRST, v""",
+    ),
+    (
+        "groupby_multi_aggs_single_pass",  # groupby_multi_single_reducer.q
+        """SELECT o_orderstatus, COUNT(*) AS c, MIN(o_totalprice) AS mn,
+             MAX(o_totalprice) AS mx, round(AVG(o_totalprice), 2) AS av
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "nested_subquery_three_deep",  # subq2.q: three nesting levels
+        # collapse into one grouped scan
+        """SELECT * FROM (
+             SELECT k, COUNT(*) AS n FROM (
+               SELECT o_orderpriority AS k FROM (
+                 SELECT o_orderpriority FROM orders WHERE o_totalprice > 100000
+               ) x
+             ) y GROUP BY k
+           ) z ORDER BY k""",
+    ),
+    (
+        "cross_join_filtered_to_theta",  # cross_join.q: CROSS JOIN whose
+        # WHERE makes it a theta join
+        """SELECT a.r_regionkey, b.r_regionkey AS bk FROM region a CROSS JOIN region b
+           WHERE a.r_regionkey < b.r_regionkey ORDER BY a.r_regionkey, bk""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5121,7 +5247,7 @@ QSCRIPTS_R40 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
