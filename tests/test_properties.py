@@ -348,3 +348,88 @@ def test_scd2_chain_invariants(spark, tmp_path_factory, batch1, batch2):
                 assert prev.v != nxt.v, f"key {k}: version opened without change"
     finally:
         spark.sql("DROP TABLE IF EXISTS scd_prop")
+
+
+# --- dml_text scanner properties (round 6) --------------------------
+# The statement shim's quote/paren scanner must agree with a naive
+# character-walking reference model on arbitrary text — this is the
+# layer whose regex-only first draft silently split string literals.
+_DML_ALPHABET = "ab,=()'\\ WHERE x1"
+
+
+def _ref_split_top(s, sep):
+    parts, depth, quote, start, i = [], 0, False, 0, 0
+    while i < len(s):
+        ch = s[i]
+        if quote:
+            if ch == "\\":
+                i += 2
+                continue
+            if ch == "'":
+                quote = False
+        elif ch == "'":
+            quote = True
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == sep and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+        i += 1
+    parts.append(s[start:])
+    return parts
+
+
+@given(st.text(alphabet=_DML_ALPHABET, max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_dml_split_top_matches_reference(s):
+    from amplab_hive_spark.dml_text import _split_top
+
+    assert _split_top(s, ",") == _ref_split_top(s, ",")
+    assert ",".join(_split_top(s, ",")) == s, "split must be lossless"
+
+
+@given(st.text(alphabet=_DML_ALPHABET, max_size=80))
+@settings(max_examples=300, deadline=None)
+def test_dml_find_keyword_never_inside_literal_or_parens(s):
+    from amplab_hive_spark.dml_text import _find_keyword
+
+    idx = _find_keyword(s, "WHERE")
+    if idx >= 0:
+        assert s[idx : idx + 5].lower() == "where"
+        # verify top-level-ness with the reference scanner: count
+        # unescaped quotes and net parens before idx
+        prefix = s[:idx]
+        depth, quote, i = 0, False, 0
+        while i < len(prefix):
+            ch = prefix[i]
+            if quote:
+                if ch == "\\":
+                    i += 2
+                    continue
+                if ch == "'":
+                    quote = False
+            elif ch == "'":
+                quote = True
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        assert not quote and depth == 0
+
+
+@given(st.text(alphabet="xy.s '", max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_dml_alias_rewrite_preserves_literals(s):
+    """Rewriting alias 's' -> 't' must never change the content of a
+    single-quoted literal segment."""
+    import re as _re
+
+    from amplab_hive_spark.dml_text import _rewrite_alias
+
+    out = _rewrite_alias(s, "s", "t")
+    lits_in = _re.findall(r"'(?:[^'\\]|\\.)*'", s, flags=_re.S)
+    lits_out = _re.findall(r"'(?:[^'\\]|\\.)*'", out, flags=_re.S)
+    assert lits_in == lits_out
