@@ -38,3 +38,26 @@ def test_repl_buffers_multiline_literal(spark, sf_dir, monkeypatch, capsys):
     assert main(["--sf-dir", sf_dir]) == 0
     out = capsys.readouterr().out
     assert "multi" in out and "two" in out
+
+
+def test_cli_runs_dml_statements(spark, sf_dir, tmp_path, capsys):
+    """UPDATE/DELETE statement text works through the CLI path (the
+    dml_text shim sits in Engine.sql, which the CLI drives)."""
+    spark.sql("DROP TABLE IF EXISTS cli_dml")
+    spark.sql(
+        f"CREATE TABLE cli_dml (id INT, v INT) USING parquet"
+        f" LOCATION '{tmp_path}/cli_dml'"
+    )
+    try:
+        spark.sql("INSERT INTO cli_dml VALUES (1, 10), (2, 20)")
+        assert main([
+            "-e",
+            "UPDATE cli_dml SET v = 99 WHERE id = 1; DELETE FROM cli_dml WHERE id = 2",
+            "--sf-dir", sf_dir,
+        ]) == 0
+        out = capsys.readouterr().out
+        assert "updated" in out and "deleted" in out
+        rows = sorted(tuple(r) for r in spark.table("cli_dml").collect())
+        assert rows == [(1, 99)]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cli_dml")
