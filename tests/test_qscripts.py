@@ -5236,6 +5236,65 @@ QSCRIPTS_R41 = [
 ]
 
 
+# --- round 6, tranche 42: the last unported windowing/leadlag family
+# scripts. Window sums over DOUBLE partitions are rounded to 2dp in
+# BOTH engines — the per-partition fold order differs (1e-8-scale
+# float drift on a 60-row partition, observed while prototyping).
+QSCRIPTS_R42 = [
+    (
+        "multi_partition_windows_one_select",  # windowing_multipartitioning.q:
+        # two window functions with DIFFERENT partitionings in one select
+        """SELECT o_orderkey,
+             RANK() OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice DESC, o_orderkey) AS r1,
+             round(SUM(o_totalprice) OVER (PARTITION BY o_orderpriority), 2) AS s2
+           FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    ),
+    (
+        "named_windows_two_partitions",  # windowing_multipartitioning.q:
+        # two named WINDOW specs with different partitions
+        """SELECT o_orderkey,
+             RANK() OVER w1 AS r1, RANK() OVER w2 AS r2
+           FROM orders WHERE o_orderkey <= 100
+           WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+                  w2 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "leadlag_offsets_and_defaults",  # leadlag.q: explicit offsets,
+        # an explicit default, NULL tail
+        """SELECT o_orderkey,
+             LEAD(o_totalprice, 2) OVER (ORDER BY o_orderkey) AS ld2,
+             LAG(o_totalprice, 1, -1.0) OVER (ORDER BY o_orderkey) AS lg1
+           FROM orders WHERE o_orderkey <= 60 ORDER BY o_orderkey""",
+    ),
+    (
+        "leadlag_expression_args",  # leadlag_queries.q: lead over an
+        # expression argument, partitioned
+        """SELECT o_orderkey,
+             LEAD(o_totalprice * 2, 1) OVER (PARTITION BY o_orderstatus
+                                             ORDER BY o_orderkey) AS ld
+           FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+    (
+        "rank_dense_percent_together",  # windowing_rank.q: rank /
+        # dense_rank / percent_rank side by side (ties via status)
+        """SELECT o_orderkey,
+             RANK() OVER (ORDER BY o_orderstatus, o_orderkey) AS r,
+             DENSE_RANK() OVER (ORDER BY o_orderstatus) AS dr,
+             round(PERCENT_RANK() OVER (ORDER BY o_orderstatus, o_orderkey), 6) AS pr
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "window_sum_no_order_whole_partition",  # windowing_multipartitioning.q:
+        # no ORDER BY -> whole-partition frame
+        """SELECT o_orderkey, o_orderstatus,
+             round(SUM(o_totalprice) OVER (PARTITION BY o_orderstatus), 2) AS tot
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5247,7 +5306,7 @@ QSCRIPTS_R41 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
