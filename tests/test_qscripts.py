@@ -5295,6 +5295,39 @@ QSCRIPTS_R42 = [
 ]
 
 
+# --- round 6, tranche 43: input* family select shapes (isnull() has
+# no DuckDB spelling — IS NULL ported instead, folded into the first
+# shape's COUNT(CASE) form).
+QSCRIPTS_R43 = [
+    (
+        "null_equals_null_matches_nothing",  # input9.q: NULL = NULL is
+        # NULL, so the predicate admits no row
+        """SELECT COUNT(*) AS n,
+             COUNT(CASE WHEN NULL = NULL THEN 1 END) AS m FROM nation""",
+    ),
+    (
+        "star_plus_computed_alias",  # input22.q: star expansion plus a
+        # re-aliased column in the same subquery select
+        """SELECT a.k2 FROM (SELECT nation.*, n_nationkey AS k2 FROM nation) a
+           ORDER BY a.k2 LIMIT 10""",
+    ),
+    (
+        "typed_in_lists_conjunction",  # input49.q: IN lists over
+        # differently-typed columns ANDed together
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderstatus IN ('F', 'O') AND o_custkey IN (1, 2, 4, 7)
+             AND o_totalprice > 1000.0""",
+    ),
+    (
+        "union_of_two_counts",  # input41.q: UNION ALL of two global
+        # aggregates, reselected
+        """SELECT cnt FROM (
+             SELECT COUNT(1) AS cnt FROM nation
+             UNION ALL SELECT COUNT(1) AS cnt FROM region) u ORDER BY cnt""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5306,7 +5339,7 @@ QSCRIPTS_R42 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
