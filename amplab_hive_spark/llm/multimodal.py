@@ -289,3 +289,85 @@ def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         new_h.alias("new_h"),
         (8 + 64 * F.floor(old_h * 64.0 / old_w)).cast("bigint").alias("new_bytes"),
     ).orderBy("doc_id")
+
+
+_SHARD_BYTES = 4096  # webdataset-style shard budget for the fixture
+
+
+@register(
+    "multimodal_shard_manifest",
+    tags=("llm", "multimodal", "pipeline"),
+    oracle=f"""
+WITH sized AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         CAST(8 + octet_length(encode(text)) AS BIGINT) AS nbytes
+  FROM documents
+),
+placed AS (
+  SELECT media_type, doc_id, nbytes,
+         SUM(nbytes) OVER (PARTITION BY media_type ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM sized
+)
+SELECT media_type,
+       CAST((cum - nbytes) // {_SHARD_BYTES} AS BIGINT) AS shard_id,
+       COUNT(*) AS n_items,
+       CAST(SUM(nbytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc,
+       MAX(doc_id) AS last_doc
+FROM placed
+GROUP BY media_type, 2
+ORDER BY media_type, shard_id
+""",
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard packing for binary payloads — the webdataset/tar-shard
+    build step: assets are packed in deterministic doc_id order into
+    ~{_SHARD_BYTES}-byte shards per media type, an item admitted to
+    the shard its BYTES-BEFORE total falls in (cum − own < budget
+    boundary) — the same greedy-prefix admission rule
+    pipeline_domain_quota documents, so a shard overshoots by at
+    most one item and the assignment is a pure cumulative-sum
+    expression rather than a sequential loop. Returns the manifest a
+    shard writer needs: (media_type, shard_id, n_items, shard_bytes,
+    first/last doc) — exactly what resumable downloads and
+    per-shard shuffling consume.
+
+    Scale shape: ONE hash(media_type) exchange drives the running
+    sum; the manifest is #shards rows; payload BYTES never move —
+    sizes come from octet_length in place (the oracle recomputes the
+    synthetic payload arithmetic, the established multimodal
+    pattern). The actual shard write is a partitionBy(shard_id)
+    file sink that streams each shard's items in the same doc_id
+    order — binary payloads stay on executors end to end."""
+    from pyspark.sql import Window
+
+    media = synthesize_media(spark, sf_dir)
+    sized = media.select(
+        "doc_id", "media_type",
+        F.octet_length("payload").cast("bigint").alias("nbytes"),
+    )
+    w = (
+        Window.partitionBy("media_type")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = sized.withColumn("cum", F.sum("nbytes").over(w))
+    return (
+        placed.withColumn(
+            "shard_id",
+            F.expr(f"CAST((cum - nbytes) DIV {_SHARD_BYTES} AS BIGINT)"),
+        )
+        .groupBy("media_type", "shard_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("nbytes").cast("bigint").alias("shard_bytes"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("media_type", "shard_id")
+    )

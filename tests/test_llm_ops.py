@@ -436,3 +436,32 @@ def test_epoch_mixture_plan_invariants(spark, sf_dir):
     for r in rows:
         assert r.planned_docs == r.full_epochs * r.n_docs + r.sampled_docs
         assert r.sampled_docs <= r.n_docs
+
+
+def test_shard_manifest_invariants(spark, sf_dir):
+    """Every shard respects the greedy-prefix budget rule: bytes
+    BEFORE the last admitted item are under the boundary, shards are
+    contiguous doc_id ranges per type, and the fixture actually
+    produces multiple shards per type (non-vacuous)."""
+    from amplab_hive_spark.llm.multimodal import _SHARD_BYTES
+    from amplab_hive_spark.registry import all_queries
+
+    rows = all_queries()["multimodal_shard_manifest"].fn(spark, sf_dir).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r.media_type, []).append(r)
+    assert len(by_type) == 3
+    for mt, shards in by_type.items():
+        shards.sort(key=lambda r: r.shard_id)
+        assert len(shards) > 1, f"{mt}: single shard — vacuous budget"
+        assert [s.shard_id for s in shards] == list(range(len(shards)))
+        for prev, nxt in zip(shards, shards[1:]):
+            assert prev.last_doc < nxt.first_doc, "shards must not interleave"
+        # greedy-prefix: all but the last shard reach the boundary
+        # (the next item would have started past it)
+        cum = 0
+        for s in shards[:-1]:
+            cum += s.shard_bytes
+            assert cum >= (s.shard_id + 1) * _SHARD_BYTES, (
+                f"{mt} shard {s.shard_id} closed before its boundary"
+            )

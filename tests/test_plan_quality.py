@@ -334,3 +334,14 @@ def test_epoch_mixture_broadcasts_plan_rows(spark, sf_dir):
     body = plan.split("== Initial Plan ==")[0]
     assert body.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in body
+
+
+def test_shard_manifest_single_hash_exchange(spark, sf_dir):
+    """Shard assignment + manifest rollup must ride ONE
+    hash(media_type) exchange (the groupBy's partial aggregation
+    collapses into the window's partitioning) — payload bytes never
+    shuffle, and no join appears at all."""
+    plan = plan_of(spark, sf_dir, "multimodal_shard_manifest")
+    body = plan.split("== Initial Plan ==")[0]
+    assert body.count("Exchange hashpartitioning") == 1
+    assert "Join" not in body and "python" not in body.lower()
