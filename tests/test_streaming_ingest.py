@@ -224,6 +224,51 @@ def test_stream_upsert_partitioned_target(spark, tmpdir):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_stream_upsert_full_stream_on_partitioned_target(spark, tmpdir):
+    """The WHOLE streaming path (readStream → foreachBatch → MERGE)
+    against a partitioned table — the unit test covers one batch;
+    this drives checkpointed micro-batches end to end and pins that
+    keys keep their original partition across batches."""
+    import datetime as dt
+
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.upsert import stream_upsert_merge
+
+    t0 = dt.datetime(2024, 6, 1)
+    src, ckpt = f"{tmpdir}/psrc", f"{tmpdir}/pckpt"
+    name, path = "upsert_part_stream", f"{tmpdir}/warehouse/upsert_part_stream"
+    create_table_as(
+        spark, name, spark.createDataFrame([], SCHEMA), path,
+        partition_by=("event_type",),
+    )
+    try:
+        append_batch(spark, _mkrows(0, 14, t0, etype="click"), src, schema=SCHEMA)
+        append_batch(
+            spark,
+            [(100 + i, t0 + dt.timedelta(hours=1), i % 7, "view", 100.0 + i)
+             for i in range(7)],
+            src, schema=SCHEMA,
+        )
+        q = stream_upsert_merge(spark, src, ckpt, SCHEMA, name)
+        q.awaitTermination(180)
+        got = {r.user_id: r for r in spark.table(name).collect()}
+        assert len(got) == 7
+        for uid in range(7):
+            assert got[uid].value == 100.0 + uid, "newest values must win"
+            assert got[uid].event_type == "click", "partition must not move"
+        # resume from checkpoint with a new key in a new partition
+        append_batch(
+            spark, [(300, t0 + dt.timedelta(hours=2), 99, "stream", 9.0)],
+            src, schema=SCHEMA,
+        )
+        q2 = stream_upsert_merge(spark, src, ckpt, SCHEMA, name)
+        q2.awaitTermination(180)
+        got = {r.user_id: r for r in spark.table(name).collect()}
+        assert got[99].event_type == "stream" and len(got) == 8
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_stream_upsert_redelivery_is_idempotent(spark, tmpdir):
     """foreachBatch is at-least-once: re-applying an already-merged
     micro-batch (the post-crash re-delivery case) must leave the
