@@ -5328,6 +5328,63 @@ QSCRIPTS_R43 = [
 ]
 
 
+# --- round 6, tranche 44: ppd_* family — predicate placement around
+# subqueries, unions, and CASE (all candidates ported).
+QSCRIPTS_R44 = [
+    (
+        "ppd_three_subq_joins_mixed_filters",  # ppd_join2.q: three
+        # filtered subqueries chained with residual WHERE mixing
+        # disjunctions and a non-pushable sqrt()
+        """SELECT s1.c1, s2.c4 FROM
+             (SELECT n_nationkey AS c1, n_regionkey AS c2 FROM nation WHERE n_nationkey <> 3) s1
+           JOIN (SELECT n_nationkey AS c3, n_name AS c4 FROM nation WHERE n_nationkey <> 5) s2
+             ON s1.c1 = s2.c3 AND s1.c1 < 20
+           JOIN (SELECT r_regionkey AS c5 FROM region WHERE r_regionkey <> 0) s3
+             ON s1.c2 = s3.c5
+           WHERE s1.c1 <> 11 AND (s1.c2 <> 2 OR s1.c1 > 1) AND sqrt(s3.c5) <> 13
+           ORDER BY s1.c1""",
+    ),
+    (
+        "ppd_filter_above_union",  # ppd_union.q: outer filter must
+        # reach both union branches
+        """SELECT u.k, u.v FROM (
+             SELECT o_orderkey AS k, o_orderstatus AS v FROM orders WHERE o_orderkey < 100
+             UNION ALL
+             SELECT o_orderkey AS k, o_orderstatus AS v FROM orders WHERE o_orderkey > 150
+           ) u WHERE u.k <> 7 AND u.v = 'F' ORDER BY u.k LIMIT 30""",
+    ),
+    (
+        "ppd_case_in_where",  # ppd_udf_case.q: CASE expression as the
+        # WHERE predicate
+        """SELECT n_name FROM nation
+           WHERE CASE WHEN n_regionkey = 0 THEN 'africa' ELSE 'other' END = 'africa'
+           ORDER BY n_name""",
+    ),
+    (
+        "ppd_constant_where",  # ppd_constant_where.q: constant-folded
+        # always-true conjunction
+        "SELECT COUNT(*) AS n FROM nation WHERE 1 = 1 AND 'a' = 'a'",
+    ),
+    (
+        "ppd_repeated_alias",  # ppd_repeated_alias.q: equal filters on
+        # both sides of a self-join plus a cross-side residual
+        """SELECT a.n_regionkey, b.n_regionkey AS bk FROM
+             (SELECT * FROM nation WHERE n_nationkey < 10) a JOIN
+             (SELECT * FROM nation WHERE n_nationkey < 15) b
+             ON a.n_nationkey = b.n_nationkey
+           WHERE a.n_regionkey = b.n_regionkey AND a.n_regionkey < 3
+           ORDER BY a.n_nationkey""",
+    ),
+    (
+        "ppd_expr_filter_through_subq",  # ppd_udf_col.q: filters over
+        # COMPUTED subquery columns (arith + upper/LIKE)
+        """SELECT c1 FROM
+             (SELECT n_nationkey + 1 AS c1, upper(n_name) AS c2 FROM nation) x
+           WHERE c1 > 10 AND c2 LIKE 'NATION_1%' ORDER BY c1""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5339,7 +5396,7 @@ QSCRIPTS_R43 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
