@@ -201,3 +201,24 @@ def test_unconditional_delete_before_update_rejected(eng):
                WHEN MATCHED THEN DELETE
                WHEN MATCHED THEN UPDATE SET val = s.val"""
         )
+
+
+def test_statement_updates_inherit_nondeterminism_rejection(eng):
+    """The verbs' guard rails must fire through the statement path:
+    a rand() condition is the silent-skip class ddl rejects."""
+    with pytest.raises(ValueError, match="deterministic|non-deterministic"):
+        eng.sql("UPDATE dmlt SET val = 0 WHERE rand() < 0.5")
+    with pytest.raises(ValueError, match="deterministic|non-deterministic"):
+        eng.sql("DELETE FROM dmlt WHERE rand() < 0.5")
+
+
+def test_statement_merge_inherits_cardinality_check(eng):
+    """Two source rows matching one target key must raise the ANSI
+    cardinality violation through the statement path."""
+    with pytest.raises(ValueError, match="cardinality"):
+        eng.sql(
+            """MERGE INTO dmlt USING (SELECT * FROM VALUES (1, 7), (1, 8)
+                 AS v(id, val)) s
+               ON dmlt.id = s.id
+               WHEN MATCHED THEN UPDATE SET val = s.val"""
+        )
