@@ -5385,6 +5385,64 @@ QSCRIPTS_R44 = [
 ]
 
 
+# --- round 6, tranche 45: cast/type-conversion/alias misc sweep (all
+# candidates ported).
+QSCRIPTS_R45 = [
+    (
+        "cast_chain_numeric_string",  # cast1.q: number -> string ->
+        # number round-trip in arithmetic
+        """SELECT CAST(CAST(n_nationkey AS STRING) AS BIGINT) + 1 AS c
+           FROM nation ORDER BY c LIMIT 6""",
+    ),
+    (
+        "cast_bool_int_roundtrip",  # type_cast_1.q: boolean <-> int
+        "SELECT CAST(CAST(1 AS BOOLEAN) AS INT) AS a, CAST(CAST(0 AS BOOLEAN) AS INT) AS b FROM nation LIMIT 1",
+    ),
+    (
+        "implicit_string_number_compare",  # implicit_cast1.q: string
+        # literal against a numeric column
+        "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey = '7'",
+    ),
+    (
+        "notable_alias_qualified_where",  # notable_alias1.q: alias
+        # qualification in WHERE and select
+        "SELECT x.n_name FROM nation x WHERE x.n_regionkey = 1 ORDER BY x.n_name",
+    ),
+    (
+        "between_strings",  # udf_between.q: lexicographic BETWEEN
+        """SELECT n_name FROM nation WHERE n_name BETWEEN 'NATION_1' AND 'NATION_3'
+           ORDER BY n_name""",
+    ),
+    (
+        "order_by_multiple_directions",  # order.q: mixed DESC/ASC keys
+        "SELECT n_regionkey, n_name FROM nation ORDER BY n_regionkey DESC, n_name ASC LIMIT 10",
+    ),
+    (
+        "distinct_multi_column",  # distinct_stats.q lineage: DISTINCT
+        # over a column pair
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+           ORDER BY o_orderstatus, o_orderpriority""",
+    ),
+    (
+        "scalar_subq_in_where_arith",  # subquery_exists.q family:
+        # scalar subquery inside WHERE arithmetic
+        """SELECT n_name FROM nation
+           WHERE n_nationkey > (SELECT MAX(r_regionkey) FROM region) - 2
+           ORDER BY n_name LIMIT 8""",
+    ),
+    (
+        "coalesce_chain_columns",  # udf_coalesce.q: NULL-leading chain
+        "SELECT coalesce(NULL, NULL, n_name, 'x') AS c FROM nation ORDER BY c LIMIT 5",
+    ),
+    (
+        "string_comparison_case_sensitive",  # type_conversions_1.q
+        # lineage: case-sensitive equality yields zero matches (the
+        # COUNT row is the non-empty result)
+        "SELECT COUNT(*) AS n FROM nation WHERE n_name = lower(n_name)",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5396,7 +5454,7 @@ QSCRIPTS_R44 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
