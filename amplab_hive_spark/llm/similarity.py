@@ -1208,12 +1208,44 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, assigned.select("vec_id", "cid", "q"), carry=("vec_id", "cid")
     )
     encoded = _pq_encode(vec_sub, codebook, carry=("vec_id", "cid"))
+    # query frame carries BOTH geometries: the quantized vector for
+    # routing/ADC and the float vector for the exact rerank — sourced
+    # from the PERSISTED `assigned` frame rather than re-scanning the
+    # base parquet (same reuse sim_ann_ivf applies to its query side)
     queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("q").alias("qq")
+        F.col("vec_id").alias("qid"),
+        F.col("q").alias("qq"),
+        F.col("embedding").alias("qv"),
     )
+    return ivfpq_search(
+        spark, queries, centroids, codebook, encoded,
+        assigned.select("vec_id", "embedding"),
+    )
+
+
+def ivfpq_search(
+    spark: SparkSession,
+    queries: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    encoded: DataFrame,
+    vectors: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """The IVFPQ SEARCH stage alone, over an already-built index —
+    shared by sim_ann_ivfpq (which builds the index inline) and the
+    amortized serving-path bench (which reads the stored index back
+    from parquet), so the measured serving numbers can never drift
+    from the shipped algorithm. Inputs: ``queries`` (qid, qq
+    quantized, qv float), ``centroids`` (cid, s, n), ``codebook``
+    (j, code, cb), ``encoded`` (vec_id, cid, j, code), ``vectors``
+    (vec_id, embedding — the rerank's float side)."""
+    from pyspark.sql import Window
+
     wq = Window.partitionBy("qid").orderBy("dist", "cid")
     probes = (
-        queries.crossJoin(F.broadcast(centroids))
+        queries.select("qid", "qq")
+        .crossJoin(F.broadcast(centroids))
         .select(
             "qid", "cid",
             _ivf_dist(F.col("qq"), F.col("s"), F.col("n")).alias("dist"),
@@ -1222,7 +1254,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _IVF_NPROBE)
         .select("qid", "cid")
     )
-    q_sub = _pq_subvectors(spark, queries, vec_col="qq", carry=("qid",))
+    q_sub = _pq_subvectors(
+        spark, queries.select("qid", "qq"), vec_col="qq", carry=("qid",)
+    )
     dtable = q_sub.join(F.broadcast(codebook), "j").select(
         "qid", "j", "code", _pq_dist_int(F.col("sq"), F.col("cb")).alias("d")
     )
@@ -1241,17 +1275,9 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("arn") <= _IVFPQ_SHORTLIST)
         .select("qid", "vec_id")
     )
-    # rerank reads the float vectors from the PERSISTED `assigned`
-    # frame (it already carries `embedding`) rather than re-scanning
-    # the base parquet — same reuse sim_ann_ivf applies to its query
-    # side; two extra corpus scans per action would grow with N.
-    eq = assigned.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    ev = assigned.select("vec_id", "embedding")
     rerank = (
-        shortlist.join(F.broadcast(eq), "qid")
-        .join(ev, "vec_id")
+        shortlist.join(F.broadcast(queries.select("qid", "qv")), "qid")
+        .join(vectors, "vec_id")
         .select(
             "qid", "vec_id",
             F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
@@ -1260,7 +1286,7 @@ def sim_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     w_rank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
         rerank.withColumn("rnk", F.row_number().over(w_rank))
-        .filter(F.col("rnk") <= 10)
+        .filter(F.col("rnk") <= k)
         .select("qid", "vec_id", "cos_sim", "rnk")
         .orderBy("qid", "rnk")
     )

@@ -19,19 +19,15 @@ import shutil
 import tempfile
 import time
 
-from pyspark.sql import Window, functions as F
+from pyspark.sql import functions as F
 
 from amplab_hive_spark.llm.similarity import (
-    _IVF_NPROBE,
-    _IVFPQ_SHORTLIST,
-    _ivf_dist,
-    _pq_dist_int,
     _pq_encode,
     _pq_subvectors,
     _quantized,
     build_ivf_index,
     build_pq_codebook,
-    cosine,
+    ivfpq_search,
 )
 from amplab_hive_spark.session import get_spark
 
@@ -65,53 +61,23 @@ def main() -> None:
         encoded.write.mode("overwrite").parquet(f"{out}/encoded")
         build_wall = round(time.time() - t0, 3)
 
-        # ---- search: read the stored index, never rebuild ----
+        # ---- search: read the stored index, never rebuild — through
+        # the SAME ivfpq_search the registry query uses, so these
+        # numbers cannot drift from the shipped algorithm ----
         t0 = time.time()
-        cent = spark.read.parquet(f"{out}/centroids")
-        cb = spark.read.parquet(f"{out}/codebook")
-        codes = spark.read.parquet(f"{out}/encoded")
         queries = embeddings.filter(F.col("vec_id") % 100 == 0).select(
             F.col("vec_id").alias("qid"),
-            F.col("embedding").alias("qv"),
             _quantized(F.col("embedding")).alias("qq"),
+            F.col("embedding").alias("qv"),
         )
-        wq = Window.partitionBy("qid").orderBy("dist", "cid")
-        probes = (
-            queries.select("qid", "qq")
-            .crossJoin(F.broadcast(cent))
-            .select("qid", "cid", _ivf_dist(F.col("qq"), F.col("s"), F.col("n")).alias("dist"))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= _IVF_NPROBE)
-            .select("qid", "cid")
-        )
-        q_sub = _pq_subvectors(spark, queries.select("qid", "qq"), vec_col="qq", carry=("qid",))
-        dtable = q_sub.join(F.broadcast(cb), "j").select(
-            "qid", "j", "code", _pq_dist_int(F.col("sq"), F.col("cb")).alias("d")
-        )
-        adc = (
-            codes.join(F.broadcast(probes), "cid")
-            .filter(F.col("vec_id") != F.col("qid"))
-            .join(F.broadcast(dtable), ["qid", "j", "code"])
-            .groupBy("qid", "vec_id")
-            .agg(F.sum("d").alias("adc_dist"))
-        )
-        w_adc = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
-        shortlist = (
-            adc.withColumn("arn", F.row_number().over(w_adc))
-            .filter(F.col("arn") <= _IVFPQ_SHORTLIST)
-            .select("qid", "vec_id")
-        )
-        rerank = (
-            shortlist.join(F.broadcast(queries.select("qid", "qv")), "qid")
-            .join(embeddings.select("vec_id", "embedding"), "vec_id")
-            .select("qid", "vec_id", F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"))
-        )
-        w_rank = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
-        n_results = (
-            rerank.withColumn("rnk", F.row_number().over(w_rank))
-            .filter(F.col("rnk") <= 10)
-            .count()
-        )
+        n_results = ivfpq_search(
+            spark,
+            queries,
+            spark.read.parquet(f"{out}/centroids"),
+            spark.read.parquet(f"{out}/codebook"),
+            spark.read.parquet(f"{out}/encoded"),
+            embeddings.select("vec_id", "embedding"),
+        ).count()
         search_wall = round(time.time() - t0, 3)
 
         raw_bytes = _dir_bytes(f"{SF_DIR}/embeddings.parquet") if os.path.isdir(

@@ -242,7 +242,14 @@ def test_stream_upsert_full_stream_on_partitioned_target(spark, tmpdir):
         partition_by=("event_type",),
     )
     try:
+        # drain the click batch to completion BEFORE writing the view
+        # batch: within one availableNow run, FileStreamSource orders
+        # files by modification time, and two back-to-back writes can
+        # tie on coarse-mtime filesystems — the newest-wins assertion
+        # below needs clicks applied first, so force it with two runs
         append_batch(spark, _mkrows(0, 14, t0, etype="click"), src, schema=SCHEMA)
+        q0 = stream_upsert_merge(spark, src, ckpt, SCHEMA, name)
+        q0.awaitTermination(180)
         append_batch(
             spark,
             [(100 + i, t0 + dt.timedelta(hours=1), i % 7, "view", 100.0 + i)
