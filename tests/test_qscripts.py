@@ -5443,6 +5443,40 @@ QSCRIPTS_R45 = [
 ]
 
 
+# --- round 6, tranche 46: groupby/count remainder (drop documented:
+# COUNT(DISTINCT a, b) multi-argument form has no DuckDB spelling —
+# the single-column forms and the distinct-pair semantics are
+# covered via concat-keyed counts in earlier tranches).
+QSCRIPTS_R46 = [
+    (
+        "groupby_constant_cast_key",  # groupby_neg_float.q: negative
+        # float literal as a cast GROUP BY key
+        """SELECT CAST('-30.33' AS DOUBLE) AS k FROM nation
+           GROUP BY CAST('-30.33' AS DOUBLE) LIMIT 1""",
+    ),
+    (
+        "count_distinct_multi_cols_grouped",  # count.q: several
+        # DISTINCT aggregates over different columns in one group
+        """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS cb,
+             COUNT(DISTINCT o_custkey % 100) AS cc, SUM(o_totalprice) AS sd
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "groupby_then_order_limit",  # limit_pushdown.q: grouped agg
+        # with expression input, ordered + limited
+        """SELECT o_orderpriority, round(SUM(o_totalprice + 1), 2) AS s
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority LIMIT 20""",
+    ),
+    (
+        "agg_count_nulls_excluded",  # count.q: COUNT(col) skips the
+        # NULL a window LEAD leaves at the tail, COUNT(*) does not
+        """SELECT COUNT(ld) AS cn, COUNT(*) AS ct FROM (
+             SELECT LEAD(o_orderkey, 1) OVER (ORDER BY o_orderkey) AS ld
+             FROM orders WHERE o_orderkey <= 40) x""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5454,7 +5488,7 @@ QSCRIPTS_R45 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45 + QSCRIPTS_R46
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
