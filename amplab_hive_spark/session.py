@@ -46,6 +46,18 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master or f"local[{_DEFAULT_CPUS}]")
+        # -- driver heap: local mode runs every executor thread INSIDE
+        #    the driver JVM, and Spark's 1g default is sized for a
+        #    thin cluster driver, not a 32-thread local engine whose
+        #    long sessions accumulate localCheckpoint blocks — the 1g
+        #    default OOMed a full-suite run (~1200 tests) in the
+        #    pointer-jumping checkpoints. Honored only on the FIRST
+        #    session of the process (the JVM starts here); on a real
+        #    cluster executors size their own heaps via submit confs.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        )
         # -- shuffle sizing: matched to local cores; on a cluster AQE
         #    coalesces from a deliberately-high initial number.
         .config("spark.sql.shuffle.partitions", _DEFAULT_CPUS)

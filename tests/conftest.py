@@ -2,6 +2,16 @@ import os
 import sys
 
 import pytest
+from hypothesis import settings
+
+# No persistent example database: a property test here can fail for
+# ENVIRONMENT reasons (a transient JVM OOM under host memory
+# pressure did exactly this), and replaying + shrinking such an
+# example on every subsequent run spins Spark jobs for minutes on a
+# "failure" that was never about the input value. Failures still
+# print their seed for manual reproduction.
+settings.register_profile("spark-graft", database=None)
+settings.load_profile("spark-graft")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
