@@ -5477,6 +5477,42 @@ QSCRIPTS_R46 = [
 ]
 
 
+# --- round 6, tranche 47: three-valued-logic and operator-semantics
+# shapes (udf_in.q / udf_like.q / udf_logic* lineage) — the subtle
+# NULL rules a port gets wrong first.
+QSCRIPTS_R47 = [
+    (
+        "negative_modulo_truncation",  # udf_modulo.q: % truncates
+        # toward zero on both engines (sign follows the dividend)
+        "SELECT (-7) % 3 AS a, 7 % (-3) AS b, (-7) % (-3) AS c FROM nation LIMIT 1",
+    ),
+    (
+        "in_list_with_null_semantics",  # udf_in.q: a NULL in the IN
+        # list never matches but does not poison actual matches
+        "SELECT COUNT(*) AS hit FROM nation WHERE n_regionkey IN (1, NULL)",
+    ),
+    (
+        "not_in_list_with_null_is_empty",  # udf_in.q: NOT IN with a
+        # NULL list element admits NOTHING (x <> NULL is NULL)
+        "SELECT COUNT(*) AS n FROM nation WHERE n_regionkey NOT IN (1, NULL)",
+    ),
+    (
+        "like_with_escape",  # udf_like.q: ESCAPE clause makes _ literal
+        "SELECT COUNT(*) AS n FROM nation WHERE n_name LIKE 'NATION!_1%' ESCAPE '!'",
+    ),
+    (
+        "not_like_pattern",  # udf_like.q
+        "SELECT COUNT(*) AS n FROM nation WHERE n_name NOT LIKE '%1%'",
+    ),
+    (
+        "three_valued_or_and",  # udf_logic_java_boolean.q lineage:
+        # NULL OR TRUE = TRUE, NULL AND FALSE = FALSE, NULL OR FALSE = NULL
+        """SELECT (NULL OR TRUE) AS a, (NULL AND FALSE) AS b,
+             (NULL OR FALSE) IS NULL AS c FROM nation LIMIT 1""",
+    ),
+]
+
+
 @pytest.mark.parametrize(
     "name,sql",
     [
@@ -5488,7 +5524,7 @@ QSCRIPTS_R46 = [
         + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
         + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
         + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45 + QSCRIPTS_R46
+        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45 + QSCRIPTS_R46 + QSCRIPTS_R47
     ],
 )
 def test_qscript(spark, sf_dir, name, sql):
