@@ -85,8 +85,6 @@ def get_spark(
         #    them back to microsecond timestamps at scan time.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
-    if os.environ.get("SPARK_GRAFT_DRIVER_MEM"):
-        builder = builder.config("spark.driver.memory", os.environ["SPARK_GRAFT_DRIVER_MEM"])
     if warehouse is not None:
         # persistent-catalog confs ON TOP of the shared engine
         # defaults — a warehouse session must read the same files

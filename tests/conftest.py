@@ -8,9 +8,10 @@ from hypothesis import settings
 # ENVIRONMENT reasons (a transient JVM OOM under host memory
 # pressure did exactly this), and replaying + shrinking such an
 # example on every subsequent run spins Spark jobs for minutes on a
-# "failure" that was never about the input value. Failures still
-# print their seed for manual reproduction.
-settings.register_profile("spark-graft", database=None)
+# "failure" that was never about the input value. print_blob keeps a
+# @reproduce_failure token in the failure output so a GENUINE bug is
+# still replayable by hand without the database.
+settings.register_profile("spark-graft", database=None, print_blob=True)
 settings.load_profile("spark-graft")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
