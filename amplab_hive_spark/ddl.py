@@ -458,19 +458,27 @@ def merge_into(
     source: DataFrame,
     on: str,
     matched_update: dict[str, str] | None = None,
+    matched_update_cond: str | None = None,
     matched_delete: str | None = None,
     not_matched_insert: dict[str, str] | None = None,
+    not_matched_cond: str | None = None,
 ) -> dict[str, int]:
     """MERGE INTO name t USING source s ON <on> — the ANSI upsert:
 
-    - ``matched_update``: WHEN MATCHED THEN UPDATE SET col=expr
-      (expressions may reference ``t.`` and ``s.`` columns);
+    - ``matched_update``: WHEN MATCHED [AND ``matched_update_cond``]
+      THEN UPDATE SET col=expr (expressions and the guard may
+      reference ``t.`` and ``s.`` columns); a matched row whose guard
+      is false or NULL keeps its old values and is NOT counted as
+      updated (ANSI three-valued clause predicates — Hive 2.2's
+      MergeSemanticAnalyzer folds the guard the same way);
     - ``matched_delete``: WHEN MATCHED AND <cond> THEN DELETE
       (evaluated BEFORE the update clause, Hive clause-order
       semantics — a row deleted is not also updated);
-    - ``not_matched_insert``: WHEN NOT MATCHED THEN INSERT with a
-      {target_col: expr-over-s} mapping; unspecified columns become
-      NULL of the target type.
+    - ``not_matched_insert``: WHEN NOT MATCHED [AND
+      ``not_matched_cond``] THEN INSERT with a {target_col:
+      expr-over-s} mapping; unspecified columns become NULL of the
+      target type; a guarded-out source row is simply ignored (the
+      guard sees target columns as NULL, per ANSI).
 
     Beyond the 1.x reference surface (MERGE landed in Hive 2.2) but
     built on the same rewrite frame as UPDATE/DELETE
@@ -527,6 +535,14 @@ def merge_into(
     _reject_nondeterministic(on, "MERGE ON")
     if matched_delete is not None:
         _reject_nondeterministic(matched_delete, "MERGE WHEN MATCHED AND")
+    if matched_update_cond is not None:
+        _reject_nondeterministic(matched_update_cond, "MERGE WHEN MATCHED AND")
+        if not matched_update:
+            raise ValueError("matched_update_cond requires matched_update")
+    if not_matched_cond is not None:
+        _reject_nondeterministic(not_matched_cond, "MERGE WHEN NOT MATCHED AND")
+        if not not_matched_insert:
+            raise ValueError("not_matched_cond requires not_matched_insert")
     if not (matched_update or matched_delete or not_matched_insert):
         raise ValueError("MERGE requires at least one WHEN clause")
 
@@ -550,8 +566,14 @@ def merge_into(
 
     if not updates and matched_delete is None:
         # ---- insert-only fast path: append, touch nothing else ----
+        anti = src.join(t.alias("t"), F.expr(on), "left_anti")
+        if not_matched_cond is not None:
+            # guard sees only s.* here; target columns are NULL for a
+            # not-matched row by definition, and the anti-join has
+            # already dropped them — same ANSI answer either way
+            anti = anti.filter(F.coalesce(F.expr(not_matched_cond), F.lit(False)))
         new_rows = (
-            src.join(t.alias("t"), F.expr(on), "left_anti")
+            anti
             .select(*[_insert_col(c).alias(c) for c in t.columns])
             .localCheckpoint(eager=True)
         )
@@ -589,20 +611,38 @@ def merge_into(
         if matched_delete is not None
         else F.lit(False)
     )
+    # ANSI clause guards are three-valued: NULL means the clause does
+    # not fire. The update flag excludes deleted rows (delete clause
+    # evaluates first); a matched row firing neither clause survives
+    # with its OLD values.
+    update_flag = matched & ~delete_flag
+    if matched_update_cond is not None:
+        update_flag = update_flag & F.coalesce(
+            F.expr(matched_update_cond), F.lit(False)
+        )
+    insert_flag = smark & ~tmark
+    if not_matched_cond is not None:
+        insert_flag = insert_flag & F.coalesce(
+            F.expr(not_matched_cond), F.lit(False)
+        )
     cols = []
     for c in t.columns:
         keep = F.col(f"t.{c}")
         upd = F.expr(updates[c]) if c in updates else keep
         cols.append(
-            F.when(matched, upd).when(tmark, keep).otherwise(_insert_col(c)).alias(c)
+            F.when(update_flag, upd)
+            .when(tmark, keep)
+            .otherwise(_insert_col(c))
+            .alias(c)
         )
     staged = joined.select(
         *cols,
         F.col("__tid"),
         matched.alias("__matched"),
         delete_flag.alias("__deleted"),
+        update_flag.alias("__updated"),
         (tmark & ~smark).alias("__tonly"),
-        (smark & ~tmark).alias("__sonly"),
+        insert_flag.alias("__sonly"),
     ).localCheckpoint(eager=True)
 
     # ---- cardinality: one target row, at most one source row ----
@@ -626,7 +666,7 @@ def merge_into(
     # All three counts in ONE pass over the checkpoint.
     counts_row = staged.agg(
         F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("d"),
-        F.sum(F.when(F.expr("__matched AND NOT __deleted"), 1).otherwise(0)).alias("u"),
+        F.sum(F.when(F.col("__updated"), 1).otherwise(0)).alias("u"),
         F.sum(F.when(F.col("__sonly"), 1).otherwise(0)).alias("i"),
     ).collect()[0]
     n_deleted = int(counts_row.d or 0)

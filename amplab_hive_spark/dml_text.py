@@ -20,22 +20,30 @@ Grammar accepted (documented constraints, mirrored in tests):
 - ``DELETE FROM <table> [WHERE <cond>]``
 - ``MERGE INTO <table> [AS] [<talias>] USING (<subquery>)|<table>
   [AS] [<salias>] ON <cond>
-  [WHEN MATCHED AND <cond> THEN DELETE]
-  [WHEN MATCHED THEN UPDATE SET col = expr[, ...]]
-  [WHEN NOT MATCHED THEN INSERT [(cols)] VALUES (exprs) | INSERT *]``
+  [WHEN MATCHED [AND <cond>] THEN DELETE]
+  [WHEN MATCHED [AND <cond>] THEN UPDATE SET col = expr[, ...]]
+  [WHEN NOT MATCHED [AND <cond>] THEN
+     INSERT [(cols)] VALUES (exprs) | INSERT *]``
 
-All keyword boundaries (WHERE, ON..WHEN, the USING source) are found
-by a quote- and paren-aware scanner, never by bare regex over the
-whole text — string literals containing keywords, commas, or
-``alias.`` prefixes pass through intact. Aliases in MERGE
-expressions are normalized to the ``t.``/``s.`` convention
-merge_into uses, OUTSIDE string literals only. When both MATCHED
-clauses are present the DELETE must come first and carry AND —
-merge_into evaluates delete-before-update, so that is the one
-textual order whose ANSI first-matching-clause semantics the verb
-reproduces exactly; other orders are rejected loudly rather than
-silently reordered. Statements that do not start with one of the
-three keywords pass through untouched (handle() returns None).
+All keyword boundaries (WHERE, ON..WHEN, WHEN..WHEN, AND..THEN, the
+USING source) are found by a quote- and paren-aware scanner, never
+by bare regex over the whole text — string literals containing
+keywords, commas, or ``alias.`` prefixes pass through intact.
+Aliases in MERGE expressions are normalized to the ``t.``/``s.``
+convention merge_into uses via unique placeholder tokens in one
+logical pass (a user alias literally named ``t`` or ``s`` — even
+swapped — cannot collide with the canonical names), OUTSIDE string
+literals only, and a bare table name acts as a qualifier only when
+that side has no explicit alias (standard SQL: the alias hides the
+table name). Both MATCHED-clause orders are accepted with ANSI
+first-matching-clause semantics, composed onto merge_into's fixed
+delete-before-update evaluation: DELETE-first passes through
+directly; UPDATE-first folds ``NOT <update guard>`` into the delete
+condition. Hive 2.2's MergeSemanticAnalyzer rule is enforced either
+way: when two MATCHED clauses are present the FIRST must carry AND
+(the second would be unreachable otherwise). Statements that do not
+start with one of the three keywords pass through untouched
+(handle() returns None).
 """
 
 from __future__ import annotations
@@ -124,10 +132,13 @@ def _assignments(text: str) -> dict[str, str]:
 
 def _rewrite_alias(expr: str, alias: str | None, canonical: str) -> str:
     """Replace ``alias.`` qualifiers with ``canonical.`` OUTSIDE
-    string literals — a literal 'see src.example.com' must survive."""
+    string literals — a literal 'see src.example.com' must survive.
+    The negative lookbehind keeps qualified tails intact: in
+    ``db.tbl.col`` the ``tbl.`` is preceded by ``.`` and is NOT an
+    alias use, so it must not be rewritten."""
     if not alias or alias.lower() == canonical:
         return expr
-    pat = re.compile(rf"\b{re.escape(alias)}\s*\.", re.I)
+    pat = re.compile(rf"(?<![\w.]){re.escape(alias)}\s*\.", re.I)
     # split into literal and non-literal segments; rewrite only the
     # non-literal ones (re.S so literals with newlines stay literals)
     segs = re.split(r"('(?:[^'\\]|\\.)*')", expr, flags=re.S)
@@ -143,17 +154,90 @@ _MERGE_INTO = re.compile(
     r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(?!USING\b)(\w+))?\s+USING\s+",
     re.I | re.S,
 )
-_WHEN_SPLIT_RE = re.compile(r"\bWHEN\s+(?=(?:NOT\s+)?MATCHED\b)", re.I)
-_MATCHED_UPDATE_RE = re.compile(
-    r"^MATCHED\s+THEN\s+UPDATE\s+SET\s+(.*)$", re.I | re.S
-)
-_MATCHED_DELETE_RE = re.compile(
-    r"^MATCHED\s+(?:AND\s+(.*?)\s+)?THEN\s+DELETE\s*;?\s*$", re.I | re.S
-)
-_NOT_MATCHED_RE = re.compile(
-    r"^NOT\s+MATCHED\s+THEN\s+INSERT\s*(\*|(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\))\s*;?\s*$",
-    re.I | re.S,
-)
+def _split_when(rest: str) -> list[str]:
+    """Split the post-ON text at every top-level (depth-0, unquoted)
+    ``WHEN`` that introduces a ``[NOT] MATCHED`` clause — the
+    scanner-found analogue of the regex split this module's docstring
+    forbids. Element 0 is the ON condition text; each later element
+    is one clause body (the text after its WHEN). A string literal
+    containing 'WHEN MATCHED ...' in the ON condition or a SET
+    expression never splits (r6 ADVICE finding)."""
+    bounds: list[int] = []
+    pos = 0
+    while True:
+        i = _find_keyword(rest, "WHEN", pos)
+        if i < 0:
+            break
+        if re.match(r"\s+(?:NOT\s+)?MATCHED\b", rest[i + 4 :], re.I):
+            bounds.append(i)
+        pos = i + 4
+    pieces = [rest[: bounds[0]] if bounds else rest]
+    for j, b in enumerate(bounds):
+        end = bounds[j + 1] if j + 1 < len(bounds) else len(rest)
+        pieces.append(rest[b + 4 : end])
+    return pieces
+
+
+def _parse_when_clause(clause: str) -> tuple[str, str | None, str]:
+    """Parse one WHEN-clause body into (kind, guard, action_text)
+    where kind ∈ {'matched', 'not_matched'}; guard is the optional
+    AND condition; action_text follows THEN. The AND..THEN boundary
+    is scanner-found, so a guard containing 'THEN' inside a string
+    literal or parens survives."""
+    m = re.match(r"^\s*(NOT\s+)?MATCHED\b", clause, re.I)
+    if not m:
+        raise ValueError(f"unsupported MERGE WHEN clause: WHEN {clause.strip()[:60]}")
+    kind = "not_matched" if m.group(1) else "matched"
+    rest = clause[m.end() :]
+    then_at = _find_keyword(rest, "THEN")
+    if then_at < 0:
+        raise ValueError(f"unsupported MERGE WHEN clause: WHEN {clause.strip()[:60]}")
+    guard_text = rest[:then_at].strip()
+    guard = None
+    if guard_text:
+        am = re.match(r"^AND\b", guard_text, re.I)
+        if not am or not guard_text[am.end() :].strip():
+            raise ValueError(
+                f"unsupported MERGE WHEN clause: WHEN {clause.strip()[:60]}"
+            )
+        guard = guard_text[am.end() :].strip()
+    action = rest[then_at + 4 :].strip().rstrip(";").strip()
+    return kind, guard, action
+
+
+_INSERT_COLS_RE = re.compile(r"^INSERT\s*\(([^)]*)\)\s*VALUES\s*", re.I | re.S)
+_INSERT_VALUES_RE = re.compile(r"^INSERT\s+VALUES\s*", re.I | re.S)
+
+
+def _parse_insert_action(action: str) -> tuple[list[str] | None, list[str] | None]:
+    """Parse ``INSERT *`` (returns (None, None)) or
+    ``INSERT [(cols)] VALUES (exprs)`` (returns (cols-or-None,
+    exprs)); the VALUES tuple is scanner-delimited so nested parens
+    and quoted commas survive."""
+    if re.fullmatch(r"INSERT\s*\*", action, re.I):
+        return None, None
+    cols = None
+    m = _INSERT_COLS_RE.match(action)
+    if m:
+        cols = [c.strip() for c in m.group(1).split(",")]
+        rest = action[m.end() :]
+    else:
+        m = _INSERT_VALUES_RE.match(action)
+        if not m:
+            raise ValueError(f"unsupported MERGE WHEN clause: WHEN ... THEN {action[:60]}")
+        rest = action[m.end() :]
+    rest = rest.lstrip()
+    if not rest.startswith("("):
+        raise ValueError("unsupported MERGE syntax — INSERT VALUES requires (...)")
+    for i, ch, quote, depth in _scan(rest):
+        if ch == ")" and not quote and depth == 0:
+            if rest[i + 1 :].strip():
+                raise ValueError(
+                    f"unsupported MERGE syntax — trailing text after INSERT "
+                    f"VALUES: {rest[i + 1 :].strip()[:40]!r}"
+                )
+            return cols, [e.strip() for e in _split_top(rest[1:i], ",")]
+    raise ValueError("unsupported MERGE syntax — unbalanced ( in INSERT VALUES")
 
 
 def _parse_using_source(rest: str) -> tuple[str, str]:
@@ -209,57 +293,79 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
     if on_kw < 0:
         raise ValueError("unsupported MERGE syntax — missing ON condition")
     rest = rest[on_kw + 2 :]
-    pieces = _WHEN_SPLIT_RE.split(rest)
+    pieces = _split_when(rest)
     on = pieces[0].strip()
     if len(pieces) < 2:
         raise ValueError("MERGE requires at least one WHEN clause")
+    if talias and salias and talias.lower() == salias.lower():
+        raise ValueError(
+            f"MERGE target and source aliases collide: {talias!r} — every "
+            f"qualified reference would be ambiguous"
+        )
 
     source = (
         spark.sql(src_text[1:-1]) if src_text.startswith("(") else spark.table(src_text)
     )
 
+    _TGT_PH, _SRC_PH = "__merge_tgt_ph__", "__merge_src_ph__"
+
     def canon(expr: str) -> str:
-        # explicit aliases first, then bare table names used as
-        # qualifiers (Hive allows `MERGE INTO tbl ... ON tbl.id = ...`)
-        expr = _rewrite_alias(_rewrite_alias(expr, talias, "t"), salias, "s")
-        expr = _rewrite_alias(expr, name.split(".")[-1], "t")
-        if not src_text.startswith("("):
-            expr = _rewrite_alias(expr, src_text.split(".")[-1], "s")
-        return expr
+        # Explicit aliases rewrite to UNIQUE placeholder qualifiers
+        # first, so a user alias literally named 't' or 's' — even
+        # swapped t/s aliases — can never be re-rewritten by a later
+        # pass (the r6 ADVICE collision). A bare table short-name
+        # qualifies a side only when that side has no explicit alias
+        # (standard SQL: the alias hides the table name; Hive allows
+        # `MERGE INTO tbl ... ON tbl.id = ...` only unaliased).
+        expr = _rewrite_alias(expr, talias, _TGT_PH)
+        expr = _rewrite_alias(expr, salias, _SRC_PH)
+        if talias is None:
+            expr = _rewrite_alias(expr, name.split(".")[-1], _TGT_PH)
+        if salias is None and not src_text.startswith("("):
+            expr = _rewrite_alias(expr, src_text.split(".")[-1], _SRC_PH)
+        expr = _rewrite_alias(expr, _TGT_PH, "t")
+        return _rewrite_alias(expr, _SRC_PH, "s")
 
     matched_update = matched_delete = not_matched_insert = None
-    delete_seen_at = update_seen_at = None
-    for pos, clause in enumerate(pieces[1:]):
-        clause = clause.strip()
-        mu = _MATCHED_UPDATE_RE.match(clause)
-        md = _MATCHED_DELETE_RE.match(clause)
-        mi = _NOT_MATCHED_RE.match(clause)
-        if mu:
-            if matched_update is not None:
-                raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
-            update_seen_at = pos
-            matched_update = {
-                c: canon(e) for c, e in _assignments(mu.group(1).rstrip("; \n")).items()
-            }
-        elif md:
-            if matched_delete is not None:
-                raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
-            delete_seen_at = pos
-            matched_delete = canon(md.group(1)) if md.group(1) else "true"
-        elif mi:
+    update_guard = insert_guard = None
+    matched_order: list[str] = []  # textual order of the MATCHED clauses
+    for clause in pieces[1:]:
+        kind, guard, action = _parse_when_clause(clause)
+        if kind == "matched":
+            if re.match(r"^UPDATE\s+SET\s+", action, re.I):
+                if matched_update is not None:
+                    raise ValueError("duplicate WHEN MATCHED ... UPDATE clause")
+                set_text = re.sub(r"^UPDATE\s+SET\s+", "", action, count=1, flags=re.I)
+                matched_update = {
+                    c: canon(e) for c, e in _assignments(set_text).items()
+                }
+                update_guard = canon(guard) if guard else None
+                matched_order.append("update")
+            elif re.fullmatch(r"DELETE", action, re.I):
+                if matched_delete is not None:
+                    raise ValueError("duplicate WHEN MATCHED ... DELETE clause")
+                matched_delete = canon(guard) if guard else "true"
+                matched_order.append("delete")
+            else:
+                raise ValueError(
+                    f"unsupported MERGE WHEN clause: WHEN {clause.strip()[:60]}"
+                )
+        else:
             if not_matched_insert is not None:
                 raise ValueError("duplicate WHEN NOT MATCHED clause")
-            if mi.group(1) == "*":
+            if not re.match(r"^INSERT\b", action, re.I):
+                raise ValueError(
+                    f"unsupported MERGE WHEN clause: WHEN {clause.strip()[:60]}"
+                )
+            cols, exprs = _parse_insert_action(action)
+            if exprs is None:
                 tcols = [f.name for f in spark.table(name).schema.fields]
                 scols = {c.lower() for c in source.columns}
                 not_matched_insert = {
                     c: f"s.{c}" for c in tcols if c.lower() in scols
                 }
             else:
-                exprs = [e.strip() for e in _split_top(mi.group(3), ",")]
-                if mi.group(2):
-                    cols = [c.strip() for c in mi.group(2).split(",")]
-                else:
+                if cols is None:
                     cols = [f.name for f in spark.table(name).schema.fields]
                 if len(cols) != len(exprs):
                     raise ValueError(
@@ -267,27 +373,36 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
                         f"{len(exprs)} values"
                     )
                 not_matched_insert = {c: canon(e) for c, e in zip(cols, exprs)}
-        else:
-            raise ValueError(f"unsupported MERGE WHEN clause: WHEN {clause[:60]}")
+            insert_guard = canon(guard) if guard else None
 
     # ANSI applies the FIRST matching MATCHED clause; merge_into
-    # evaluates delete-before-update. The orders agree only when the
-    # DELETE clause is textually first AND carries a condition —
-    # enforce that instead of silently reordering the user's intent
-    # (Hive/Spark likewise reject a non-final MATCHED clause with no
-    # AND: the second clause would be unreachable).
+    # evaluates delete-before-update. DELETE-first passes through
+    # unchanged (the verb runs the update guard only on non-deleted
+    # rows); UPDATE-first folds NOT <update guard> into the delete
+    # condition so a row firing the update can never also fire the
+    # textually-later delete. Either way the FIRST of two MATCHED
+    # clauses must carry AND (Hive 2.2 MergeSemanticAnalyzer rule:
+    # the second clause is unreachable otherwise).
     if matched_update is not None and matched_delete is not None:
-        if delete_seen_at > update_seen_at:
-            raise ValueError(
-                "unsupported MERGE clause order: WHEN MATCHED ... DELETE must "
-                "precede WHEN MATCHED ... UPDATE (delete-first is the order "
-                "this engine evaluates)"
-            )
-        if matched_delete == "true":
-            raise ValueError(
-                "WHEN MATCHED THEN DELETE followed by another MATCHED clause "
-                "must carry AND <cond> — the second clause is unreachable "
-                "otherwise"
+        if matched_order[0] == "delete":
+            if matched_delete == "true":
+                raise ValueError(
+                    "WHEN MATCHED THEN DELETE followed by another MATCHED "
+                    "clause must carry AND <cond> — the second clause is "
+                    "unreachable otherwise"
+                )
+        else:
+            if update_guard is None:
+                raise ValueError(
+                    "WHEN MATCHED THEN UPDATE followed by another MATCHED "
+                    "clause must carry AND <cond> — the second clause is "
+                    "unreachable otherwise"
+                )
+            not_u = f"NOT coalesce(({update_guard}), false)"
+            matched_delete = (
+                not_u
+                if matched_delete == "true"
+                else f"({matched_delete}) AND {not_u}"
             )
 
     stats = merge_into(
@@ -296,8 +411,10 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
         source,
         on=canon(on),
         matched_update=matched_update,
+        matched_update_cond=update_guard,
         matched_delete=matched_delete,
         not_matched_insert=not_matched_insert,
+        not_matched_cond=insert_guard,
     )
     return spark.createDataFrame(
         [(stats["updated"], stats["deleted"], stats["inserted"])],

@@ -180,11 +180,11 @@ def test_escaped_quote_in_set_literal(eng, spark):
     assert (1, "O'Brien, Inc", 2) in _rows(spark)
 
 
-def test_update_then_delete_order_rejected(eng):
-    """merge_into evaluates delete-first; a textual UPDATE-then-DELETE
-    order would silently invert the user's first-matching-clause
-    intent — reject instead."""
-    with pytest.raises(ValueError, match="DELETE must\n? *precede|DELETE must precede"):
+def test_unguarded_update_then_delete_order_rejected(eng):
+    """An unconditioned UPDATE followed by a DELETE leaves the DELETE
+    unreachable under ANSI first-matching-clause — reject loudly
+    (Hive 2.2 rule: the first of two MATCHED clauses must carry AND)."""
+    with pytest.raises(ValueError, match="must carry AND"):
         eng.sql(
             """MERGE INTO dmlt USING (SELECT 1 AS id, 5 AS val) s
                ON dmlt.id = s.id
@@ -200,6 +200,131 @@ def test_unconditional_delete_before_update_rejected(eng):
                ON dmlt.id = s.id
                WHEN MATCHED THEN DELETE
                WHEN MATCHED THEN UPDATE SET val = s.val"""
+        )
+
+
+# --- round 7: conditioned UPDATE / INSERT clauses + ADVICE r6 alias
+# collision fixes -----------------------------------------------------
+def test_merge_conditioned_update(eng, spark):
+    """WHEN MATCHED AND <cond> THEN UPDATE — the Hive 2.2 grammar form
+    r6 rejected. A matched row failing the guard keeps its old values
+    and is NOT counted as updated."""
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT * FROM VALUES (1, 100), (2, 5)
+             AS v(id, val)) s
+           ON dmlt.id = s.id
+           WHEN MATCHED AND s.val > 50 THEN UPDATE SET val = s.val"""
+    ).collect()
+    assert (out[0].updated, out[0].deleted, out[0].inserted) == (1, 0, 0)
+    assert _rows(spark) == [(1, "a", 100), (2, "a", 20), (3, "b", 30), (4, "b", 40)]
+
+
+def test_merge_update_first_then_delete_ansi_order(eng, spark):
+    """UPDATE-first with AND, then DELETE: first-matching-clause means
+    a row satisfying the update guard updates even if the delete
+    condition also holds; only guard-failing rows reach the DELETE."""
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT * FROM VALUES (1, 100), (2, 5), (3, 7)
+             AS v(id, val)) s
+           ON dmlt.id = s.id
+           WHEN MATCHED AND s.val >= 7 THEN UPDATE SET val = s.val
+           WHEN MATCHED THEN DELETE"""
+    ).collect()
+    # id=1 (100>=7) and id=3 (7>=7) update — id=3 would also satisfy
+    # the unconditioned DELETE, but UPDATE is textually first; id=2
+    # fails the guard and falls through to DELETE.
+    assert (out[0].updated, out[0].deleted, out[0].inserted) == (2, 1, 0)
+    assert _rows(spark) == [(1, "a", 100), (3, "b", 7), (4, "b", 40)]
+
+
+def test_merge_conditioned_insert(eng, spark):
+    """WHEN NOT MATCHED AND <cond> THEN INSERT — guarded-out source
+    rows are ignored, not inserted."""
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT * FROM VALUES (8, 'x', 80), (9, 'y', 9)
+             AS v(id, grp, val)) s
+           ON dmlt.id = s.id
+           WHEN NOT MATCHED AND s.val > 50 THEN INSERT (id, grp, val)
+             VALUES (s.id, s.grp, s.val)"""
+    ).collect()
+    assert (out[0].updated, out[0].deleted, out[0].inserted) == (0, 0, 1)
+    rows = _rows(spark)
+    assert (8, "x", 80) in rows and not any(r[0] == 9 for r in rows)
+
+
+def test_merge_alias_named_t_does_not_collide(eng, spark):
+    """r6 ADVICE medium: `MERGE INTO tgt x USING src t` — the x->t
+    rewrite must not be re-rewritten by the t->s source pass."""
+    out = eng.sql(
+        """MERGE INTO dmlt x USING (SELECT 1 AS id, 500 AS val) t
+           ON x.id = t.id
+           WHEN MATCHED THEN UPDATE SET val = t.val + x.val"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (1, "a", 510) in _rows(spark)
+
+
+def test_merge_swapped_t_s_aliases(eng, spark):
+    """Target aliased s, source aliased t — the pathological swap."""
+    out = eng.sql(
+        """MERGE INTO dmlt s USING (SELECT 2 AS id, 7 AS val) t
+           ON s.id = t.id
+           WHEN MATCHED THEN UPDATE SET val = s.val - t.val"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (2, "a", 13) in _rows(spark)
+
+
+def test_merge_identical_aliases_rejected(eng):
+    with pytest.raises(ValueError, match="aliases collide"):
+        eng.sql(
+            """MERGE INTO dmlt z USING (SELECT 1 AS id) z ON z.id = z.id
+               WHEN MATCHED THEN DELETE"""
+        )
+
+
+def test_merge_when_keyword_inside_literal(eng, spark):
+    """r6 ADVICE low: a SET literal containing 'WHEN MATCHED ...' must
+    not split the clause list (scanner-found WHEN boundaries)."""
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT 1 AS id) s ON dmlt.id = s.id
+           WHEN MATCHED THEN UPDATE SET grp = 'WHEN MATCHED THEN DELETE'"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (1, "WHEN MATCHED THEN DELETE", 10) in _rows(spark)
+
+
+def test_merge_then_keyword_inside_guard_literal(eng, spark):
+    """A guard containing ' THEN ' inside a string literal must not
+    truncate the AND..THEN boundary."""
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT 1 AS id) s ON dmlt.id = s.id
+           WHEN MATCHED AND 'if then else' = 'if then else' THEN
+             UPDATE SET val = 0"""
+    ).collect()
+    assert out[0].updated == 1
+    assert (1, "a", 0) in _rows(spark)
+
+
+def test_schema_qualified_reference_not_rewritten():
+    """r6 ADVICE low: `db.tbl.col` must survive when tbl is an alias
+    short-name — the qualifier tail is not an alias use."""
+    from amplab_hive_spark.dml_text import _rewrite_alias
+
+    assert (
+        _rewrite_alias("db.tbl.col = tbl.col", "tbl", "t")
+        == "db.tbl.col = t.col"
+    )
+
+
+def test_alias_hidden_by_explicit_alias(eng, spark):
+    """Standard SQL: once aliased, the bare table name is not a valid
+    qualifier — `dmlt.val` with target aliased `x` must fail loudly
+    (unresolved column), not silently rewrite."""
+    with pytest.raises(Exception, match="dmlt|resolve|RESOLUTION"):
+        eng.sql(
+            """MERGE INTO dmlt x USING (SELECT 1 AS id) s ON x.id = s.id
+               WHEN MATCHED THEN UPDATE SET val = dmlt.val + 1"""
         )
 
 

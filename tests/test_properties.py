@@ -280,6 +280,94 @@ def test_merge_matches_reference_model(spark, tmp_path_factory, target, source):
         spark.sql("DROP TABLE IF EXISTS merge_prop")
 
 
+def _model_merge_guarded(target, source, delete_vals, update_vals, insert_vals):
+    """ANSI first-matching-clause model with guards on all three
+    clauses: WHEN MATCHED AND sv IN delete_vals THEN DELETE; WHEN
+    MATCHED AND sv IN update_vals THEN UPDATE SET v = sv || '!';
+    WHEN NOT MATCHED AND sv IN insert_vals THEN INSERT. A matched
+    row firing neither MATCHED clause survives untouched."""
+    src = {k: sv for k, sv in source if k is not None}
+    out, updated, deleted = [], 0, 0
+    for k, v in target:
+        if k is not None and k in src:
+            if src[k] in delete_vals:
+                deleted += 1
+                continue
+            if src[k] in update_vals:
+                out.append((k, src[k] + "!"))
+                updated += 1
+                continue
+        out.append((k, v))
+    inserted = 0
+    matched_keys = {k for k, _ in target if k is not None}
+    for k, sv in source:
+        if (k is None or k not in matched_keys) and sv in insert_vals:
+            out.append((k, sv))
+            inserted += 1
+    return out, {"updated": updated, "deleted": deleted, "inserted": inserted}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.one_of(st.none(), st.integers(min_value=0, max_value=6)),
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        max_size=8,
+    ),
+    st.lists(st.integers(min_value=0, max_value=6), unique=True, max_size=5).map(
+        lambda ks: [(k, ["sA", "sB", "sC"][k % 3]) for k in ks]
+    ),
+)
+def test_merge_guarded_clauses_match_reference_model(
+    spark, tmp_path_factory, target, source
+):
+    """Round-7 conditioned clauses: merge_into with matched_update_cond
+    and not_matched_cond == the pure-Python ANSI first-matching-clause
+    model. sA deletes, sB updates, sC matches neither MATCHED guard
+    (row survives untouched); only sA/sB source rows may insert."""
+    from amplab_hive_spark import ddl
+
+    d = tmp_path_factory.mktemp("mergeguard")
+    spark.sql("DROP TABLE IF EXISTS merge_guard_prop")
+    tdf = spark.createDataFrame(target or [(None, "z")], "k INT, v STRING")
+    if not target:
+        tdf = tdf.limit(0)
+    ddl.create_table_as(spark, "merge_guard_prop", tdf, f"{d}/merge_guard_prop")
+    try:
+        sdf = spark.createDataFrame(source or [(0, "sA")], "k INT, sv STRING")
+        if not source:
+            sdf = sdf.limit(0)
+        counts = ddl.merge_into(
+            spark,
+            "merge_guard_prop",
+            sdf,
+            on="t.k = s.k",
+            matched_delete="s.sv = 'sA'",
+            matched_update={"v": "concat(s.sv, '!')"},
+            matched_update_cond="s.sv = 'sB'",
+            not_matched_insert={"k": "s.k", "v": "s.sv"},
+            not_matched_cond="s.sv IN ('sA', 'sB')",
+        )
+        got = sorted(
+            ((r.k, r.v) for r in spark.table("merge_guard_prop").collect()),
+            key=lambda t: (t[0] is None, t[0], t[1]),
+        )
+        want_rows, want_counts = _model_merge_guarded(
+            target,
+            source,
+            delete_vals={"sA"},
+            update_vals={"sB"},
+            insert_vals={"sA", "sB"},
+        )
+        want = sorted(want_rows, key=lambda t: (t[0] is None, t[0], t[1]))
+        assert got == want, f"rows {got} != model {want}"
+        assert counts == want_counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS merge_guard_prop")
+
+
 @settings(max_examples=6, deadline=None)
 @given(
     st.lists(
