@@ -3272,7 +3272,7 @@ QSCRIPTS_R18 = [
            ) t ORDER BY v""",
     ),
     (
-        "like_escape",  # udf_like.q: ESCAPE makes _ literal (nation names
+        "like_escape_nation_underscore",  # udf_like.q: ESCAPE makes _ literal (nation names
         # contain a real underscore)
         """SELECT n_nationkey, n_name FROM nation
            WHERE n_name LIKE 'NATION!_1%' ESCAPE '!' ORDER BY n_nationkey""",
@@ -3476,7 +3476,7 @@ QSCRIPTS_R20 = [
         """SELECT MIN(n_name) AS lo, MAX(n_name) AS hi FROM nation""",
     ),
     (
-        "limit_offset",  # LIMIT k OFFSET n pagination
+        "limit_offset_orders_keyorder",  # LIMIT k OFFSET n pagination
         """SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 10 OFFSET 5""",
     ),
     (
@@ -3513,7 +3513,7 @@ QSCRIPTS_R20 = [
 # mode(... ORDER BY) (Spark rejects the deterministic-tie form).
 QSCRIPTS_R21 = [
     (
-        "percentile_cont_within_group",  # ordered-set aggregate: ANSI
+        "percentile_cont_within_group_intkey",  # ordered-set aggregate: ANSI
         # WITHIN GROUP median, linear interpolation identical on both
         """SELECT o_orderstatus,
                   percentile_cont(0.5) WITHIN GROUP (ORDER BY o_orderkey) AS med
@@ -4516,12 +4516,12 @@ QSCRIPTS_R37 = [
         "SELECT CAST(o_orderkey AS INT) / 2 AS q FROM orders WHERE o_orderkey <= 6 ORDER BY q",
     ),
     (
-        "nullgroup_count_empty",  # nullgroup.q: global count over an
+        "nullgroup_count_empty_aliased",  # nullgroup.q: global count over an
         # empty input is one row of 0
         "SELECT COUNT(1) AS c FROM nation x WHERE x.n_nationkey > 9999",
     ),
     (
-        "nullgroup_sum_empty",  # nullgroup4.q: sum/max over empty input
+        "nullgroup_sum_empty_strmax",  # nullgroup4.q: sum/max over empty input
         # is one row of NULLs
         "SELECT SUM(n_nationkey) AS s, MAX(n_name) AS m FROM nation WHERE n_nationkey > 9999",
     ),
@@ -4577,7 +4577,7 @@ QSCRIPTS_R37 = [
              FROM nation WHERE n_nationkey < 20 GROUP BY n_regionkey ORDER BY n_regionkey""",
     ),
     (
-        "groupby_distinct_samekey",  # groupby_distinct_samekey.q
+        "groupby_distinct_samekey_selfkey",  # groupby_distinct_samekey.q
         """SELECT n_regionkey, COUNT(DISTINCT n_regionkey) AS d
              FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
     ),
@@ -4587,19 +4587,19 @@ QSCRIPTS_R37 = [
         "SELECT n_nationkey FROM nation WHERE n_nationkey = '7'",
     ),
     (
-        "udf_greatest_least",  # udf_greatest.q / udf_least.q
+        "udf_greatest_least_nation_arith",  # udf_greatest.q / udf_least.q
         """SELECT GREATEST(n_nationkey, n_regionkey * 6) AS g,
              LEAST(n_nationkey, n_regionkey * 6) AS l FROM nation
            ORDER BY n_nationkey LIMIT 10""",
     ),
     (
-        "udf_case_nested",  # udf_case.q: nested CASE + GROUP BY ordinal
+        "udf_case_nested_groupby_ordinal",  # udf_case.q: nested CASE + GROUP BY ordinal
         """SELECT CASE WHEN n_regionkey = 0 THEN
              CASE WHEN n_nationkey > 10 THEN 'hi0' ELSE 'lo0' END
              ELSE 'other' END AS c, COUNT(1) AS n FROM nation GROUP BY 1 ORDER BY c""",
     ),
     (
-        "udf_coalesce_nullif",  # udf_coalesce.q: NULLIF branch exercised
+        "udf_coalesce_nullif_orderby_alias",  # udf_coalesce.q: NULLIF branch exercised
         # on a value that exists in the fixture
         """SELECT COALESCE(NULLIF(n_name, 'NATION_0'), 'masked') AS v
              FROM nation ORDER BY v LIMIT 6""",
@@ -4695,7 +4695,7 @@ QSCRIPTS_R37 = [
              WHERE a.r_regionkey = b.n_regionkey AND b.n_nationkey < 5 ORDER BY 1, 2""",
     ),
     (
-        "scalar_subquery_in_select",  # subquery_in_select.q (positive half)
+        "scalar_subquery_in_select_region",  # subquery_in_select.q (positive half)
         """SELECT r_name,
              (SELECT COUNT(*) FROM nation WHERE n_regionkey = r_regionkey) AS n
            FROM region ORDER BY r_name""",
@@ -4764,7 +4764,7 @@ QSCRIPTS_R37 = [
              nullif(n_regionkey, 0) AS nf FROM nation ORDER BY n_nationkey LIMIT 6""",
     ),
     (
-        "substr_negative_start",  # udf_substr.q: negative start counts
+        "substr_negative_start_only",  # udf_substr.q: negative start counts
         # from the end on both engines
         "SELECT substr(n_name, -3) AS s FROM nation ORDER BY n_name LIMIT 5",
     ),
@@ -4789,7 +4789,7 @@ QSCRIPTS_R38 = [
            FROM nation ORDER BY n_nationkey LIMIT 10""",
     ),
     (
-        "case_no_else_null",  # udf_when.q: searched CASE, missing ELSE -> NULL
+        "case_no_else_null_nation",  # udf_when.q: searched CASE, missing ELSE -> NULL
         """SELECT n_nationkey, CASE WHEN n_regionkey = 0 THEN 'zero' END AS c
            FROM nation ORDER BY n_nationkey LIMIT 10""",
     ),
@@ -4800,7 +4800,7 @@ QSCRIPTS_R38 = [
            WHERE o_orderkey + 100 BETWEEN (150 + -50) AND (150 + 500)""",
     ),
     (
-        "not_between",  # udf_between.q: NOT BETWEEN
+        "not_between_count",  # udf_between.q: NOT BETWEEN
         "SELECT COUNT(*) AS n FROM nation WHERE n_nationkey NOT BETWEEN 5 AND 20",
     ),
     (
@@ -4822,7 +4822,7 @@ QSCRIPTS_R38 = [
         "SELECT translate(n_name, 'AEIOU', 'aeiou') AS t FROM nation ORDER BY n_name LIMIT 6",
     ),
     (
-        "least_greatest_strings",  # udf_least.q / udf_greatest.q:
+        "least_greatest_strings_mixed_cols",  # udf_least.q / udf_greatest.q:
         # lexicographic + numeric forms
         """SELECT least('C','a','B') AS l1, greatest('AAA','AaA','AAa') AS g1,
              least(n_nationkey, n_regionkey) AS l2
@@ -4921,7 +4921,7 @@ QSCRIPTS_R38 = [
         "SELECT trim('  x  ') AS t, ltrim('  x') AS l, rtrim('x  ') AS r FROM nation LIMIT 1",
     ),
     (
-        "regexp_extract_group",  # udf_regexp_extract.q: group index arg
+        "regexp_extract_group_single",  # udf_regexp_extract.q: group index arg
         "SELECT regexp_extract(n_name, '([A-Z]+)', 1) AS g FROM nation ORDER BY n_name LIMIT 6",
     ),
     (
@@ -4954,7 +4954,7 @@ QSCRIPTS_R38 = [
            ORDER BY a.n_nationkey LIMIT 10""",
     ),
     (
-        "limit_offset",  # limit_pushdown.q lineage; OFFSET is the
+        "limit_offset_nation_tail",  # limit_pushdown.q lineage; OFFSET is the
         # post-1.2 ANSI form both engines share
         "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 10",
     ),
@@ -5399,7 +5399,7 @@ QSCRIPTS_R45 = [
         "SELECT CAST(CAST(1 AS BOOLEAN) AS INT) AS a, CAST(CAST(0 AS BOOLEAN) AS INT) AS b FROM nation LIMIT 1",
     ),
     (
-        "implicit_string_number_compare",  # implicit_cast1.q: string
+        "implicit_string_number_compare_count",  # implicit_cast1.q: string
         # literal against a numeric column
         "SELECT COUNT(*) AS n FROM orders WHERE o_orderkey = '7'",
     ),
@@ -5409,7 +5409,7 @@ QSCRIPTS_R45 = [
         "SELECT x.n_name FROM nation x WHERE x.n_regionkey = 1 ORDER BY x.n_name",
     ),
     (
-        "between_strings",  # udf_between.q: lexicographic BETWEEN
+        "between_strings_name_proj",  # udf_between.q: lexicographic BETWEEN
         """SELECT n_name FROM nation WHERE n_name BETWEEN 'NATION_1' AND 'NATION_3'
            ORDER BY n_name""",
     ),
@@ -5512,20 +5512,25 @@ QSCRIPTS_R47 = [
 ]
 
 
-@pytest.mark.parametrize(
-    "name,sql",
-    [
-        (n, s)
-        for n, s in QSCRIPTS + QSCRIPTS_R2 + QSCRIPTS_R3 + QSCRIPTS_R4 + QSCRIPTS_R5
-        + QSCRIPTS_R6 + QSCRIPTS_R7 + QSCRIPTS_R8 + QSCRIPTS_R9 + QSCRIPTS_R10
-        + QSCRIPTS_R11 + QSCRIPTS_R12 + QSCRIPTS_R13 + QSCRIPTS_R14 + QSCRIPTS_R15
-        + QSCRIPTS_R16 + QSCRIPTS_R17 + QSCRIPTS_R18 + QSCRIPTS_R19 + QSCRIPTS_R20
-        + QSCRIPTS_R21 + QSCRIPTS_R22 + QSCRIPTS_R23 + QSCRIPTS_R24 + QSCRIPTS_R25
-        + QSCRIPTS_R26 + QSCRIPTS_R27 + QSCRIPTS_R28 + QSCRIPTS_R29 + QSCRIPTS_R30
-        + QSCRIPTS_R31 + QSCRIPTS_R32 + QSCRIPTS_R33 + QSCRIPTS_R34 + QSCRIPTS_R35
-        + QSCRIPTS_R36 + QSCRIPTS_R37 + QSCRIPTS_R38 + QSCRIPTS_R40 + QSCRIPTS_R41 + QSCRIPTS_R42 + QSCRIPTS_R43 + QSCRIPTS_R44 + QSCRIPTS_R45 + QSCRIPTS_R46 + QSCRIPTS_R47
-    ],
-)
+ALL_QSCRIPTS = [
+    (n, s)
+    for tranche in sorted(
+        (k for k in dir() if k == "QSCRIPTS" or k.startswith("QSCRIPTS_R")),
+        key=lambda k: int(k.rsplit("R", 1)[-1]) if "_R" in k else 1,
+    )
+    for n, s in globals()[tranche]
+]
+
+# Corpus ids must be UNIQUE: a duplicated name blurs source-script
+# traceability and pytest would silently suffix the test ids (r6
+# verdict finding — 17 names were duplicated across tranches). A
+# module-level assert fails collection itself, so this cannot regress.
+_counts = __import__("collections").Counter(n for n, _ in ALL_QSCRIPTS)
+_dupes = sorted(n for n, c in _counts.items() if c > 1)
+assert not _dupes, f"duplicated q-script names: {_dupes}"
+
+
+@pytest.mark.parametrize("name,sql", ALL_QSCRIPTS)
 def test_qscript(spark, sf_dir, name, sql):
     tables(spark, sf_dir)
     s_cols, s_rows = spark_rows(spark.sql(sql))
