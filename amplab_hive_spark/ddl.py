@@ -962,3 +962,184 @@ def partition_values(spark: SparkSession, name: str) -> DataFrame:
     raw = spark.createDataFrame(rows or [], schema=schema_str)
     target_types = dict(spark.table(name).select(*pcols).dtypes)
     return raw.select(*[F.col(c).cast(target_types[c]).alias(c) for c in pcols])
+
+
+def _table_location(spark: SparkSession, name: str) -> str:
+    """Storage location from catalog metadata (DESCRIBE EXTENDED)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect():
+        if r.col_name == "Location":
+            return r.data_type
+    raise ValueError(f"table {name} has no Location (is it a view?)")
+
+
+def _list_data_files(spark: SparkSession, location: str) -> dict[str, list[tuple[str, int]]]:
+    """Recursive DATA-file listing under ``location`` via the Hadoop
+    FileSystem API (storage-agnostic: local, HDFS, object stores).
+    Returns {relative_dir: [(filename, bytes)]}; hidden files
+    (leading ``_`` or ``.`` — _SUCCESS, .crc sidecars) are excluded.
+    Pure metadata: cost is bounded by FILE COUNT, never data size."""
+    sc = spark.sparkContext
+    jvm = sc._jvm
+    root = jvm.org.apache.hadoop.fs.Path(location)
+    fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+    if not fs.exists(root):
+        return {}
+    root_path = fs.makeQualified(root).toUri().getPath()
+    out: dict[str, list[tuple[str, int]]] = {}
+    it = fs.listFiles(root, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath()
+        fname = p.getName()
+        if fname.startswith(("_", ".")):
+            continue
+        parent = p.getParent().toUri().getPath()
+        rel = parent[len(root_path):].strip("/")
+        out.setdefault(rel, []).append((fname, int(st.getLen())))
+    return out
+
+
+def compact_table(
+    spark: SparkSession,
+    name: str,
+    target_mb: int = 128,
+    partitions: Sequence | None = None,
+) -> dict[str, int]:
+    """Small-file compaction as a first-class verb — SURVEY §2 row 25.
+
+    The reference merges small output files with dedicated operators
+    and daemons (ql/exec/AbstractFileMergeOperator.java:41; the ACID
+    compactor ql/txn/compactor/{Initiator,Worker,Cleaner}.java:
+    Initiator finds fragmented partitions, Worker rewrites, Cleaner
+    removes the old files). This repo's streaming-upsert path makes
+    fragmentation real: N micro-batch MERGEs leave each touched
+    partition with ~N small files. This verb is Initiator+Worker+
+    Cleaner in one call, built on the same partition-scoped
+    copy-on-write frame as UPDATE/DELETE:
+
+    1. **Find** (metadata only): list data files per partition via
+       the FileSystem API — cost bounded by file count. A partition
+       is fragmented when its file count exceeds
+       ``ceil(bytes / target_mb)``; already-compact partitions are
+       skipped without reading a row.
+    2. **Rewrite**: each fragmented partition is read back scoped by
+       a partition-pruned filter (typed literals — the scan touches
+       only that partition's files), staged with localCheckpoint
+       (the same read-then-overwrite ordering every verb here uses),
+       coalesced to the target file count (shuffle-free — coalesce
+       unions input splits without repartitioning), and written back
+       under dynamic partition overwrite, which atomically-per-
+       partition replaces the old files. Untouched partitions are
+       never read, never rewritten.
+
+    Rows are untouched by construction — same scan, identity
+    projection, same partition — and tests/test_ddl_writes.py proves
+    the table hash identical before/after over a stream-upsert
+    fragmented table. Crash window: a failure between stage and
+    overwrite leaves the partition's ORIGINAL files in place (the
+    overwrite is the only mutation); re-running converges.
+
+    ``partitions``: optional subset to consider — tuples in
+    partition-column order or {col: value} dicts (None = the Hive
+    default/null partition value). Default: every partition.
+
+    At 100 TB: the listing is one recursive metadata scan; each
+    partition compaction is an independent, partition-pruned job
+    whose memory footprint is one partition, not the table; the
+    coalesce write is shuffle-free. Returns {"partitions_compacted",
+    "files_before", "files_after", "bytes_compacted"}.
+    """
+    import math
+    from urllib.parse import unquote
+
+    from pyspark.sql import functions as F
+
+    pcols = _partition_columns(spark, name)
+    t = spark.table(name)
+    location = _table_location(spark, name)
+    files_by_dir = _list_data_files(spark, location)
+    target_bytes = max(1, int(target_mb)) * 1024 * 1024
+
+    wanted: set[tuple] | None = None
+    if partitions is not None:
+        if not pcols:
+            raise ValueError(f"table {name} is not partitioned")
+        wanted = set()
+        for p in partitions:
+            if isinstance(p, dict):
+                missing = [c for c in pcols if c not in p]
+                if missing:
+                    raise ValueError(f"partition spec missing columns: {missing}")
+                p = tuple(p[c] for c in pcols)
+            p = tuple(p)
+            if len(p) != len(pcols):
+                raise ValueError(
+                    f"partition tuple {p!r} does not match partition columns {pcols}"
+                )
+            wanted.add(tuple(None if v is None else str(v) for v in p))
+
+    def _parse_dir(rel: str) -> tuple | None:
+        """dir like 'grp=a/sub=b' -> ('a','b'); None if not a
+        partition dir of this table (unexpected depth/shape)."""
+        if not rel:
+            return None
+        segs = rel.split("/")
+        if len(segs) != len(pcols):
+            return None
+        vals = []
+        for seg, c in zip(segs, pcols):
+            k, eq, v = seg.partition("=")
+            if not eq or k != c:
+                return None
+            v = unquote(v)
+            vals.append(None if v == "__HIVE_DEFAULT_PARTITION__" else v)
+        return tuple(vals)
+
+    # ---- Initiator: pick the fragmented rewrite set (metadata only)
+    todo: list[tuple[tuple | None, list[tuple[str, int]], int]] = []
+    files_before = files_after = bytes_compacted = 0
+    if pcols:
+        for rel, files in files_by_dir.items():
+            vals = _parse_dir(rel)
+            if vals is None:
+                continue
+            if wanted is not None and vals not in wanted:
+                continue
+            nbytes = sum(sz for _, sz in files)
+            want = max(1, math.ceil(nbytes / target_bytes))
+            if len(files) > want:
+                todo.append((vals, files, want))
+    else:
+        files = [f for fl in files_by_dir.values() for f in fl]
+        nbytes = sum(sz for _, sz in files)
+        want = max(1, math.ceil(nbytes / target_bytes))
+        if len(files) > want:
+            todo.append((None, files, want))
+
+    # ---- Worker + Cleaner: partition-scoped rewrite, old files
+    # replaced by the overwrite itself
+    for vals, files, want in todo:
+        if vals is None:
+            scoped = t
+        else:
+            cond = F.lit(True)
+            for c, v in zip(pcols, vals):
+                lit = F.lit(v).cast(t.schema[c].dataType)
+                cond = cond & F.col(c).eqNullSafe(lit)
+            scoped = t.filter(cond)
+        staged = scoped.localCheckpoint(eager=True).coalesce(want)
+        if vals is None:
+            staged.write.insertInto(name, overwrite=True)
+        else:
+            with _dynamic_partition_overwrite(spark):
+                staged.write.insertInto(name, overwrite=True)
+        files_before += len(files)
+        files_after += want
+        bytes_compacted += sum(sz for _, sz in files)
+
+    return {
+        "partitions_compacted": len(todo),
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes_compacted": bytes_compacted,
+    }

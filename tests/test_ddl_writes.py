@@ -23,6 +23,7 @@ def wh(spark):
         "nation_ctas", "orders_part", "cust_bkt", "ord_bkt", "seg1", "seg2",
         "upd_tbl", "nation_merge", "nation_merge_app", "nation_merge_card",
         "region_merge", "nation_merge_insonly", "dim_scd2", "dim_scd2_nk",
+        "compact_tgt", "compact_flat",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
 
@@ -675,3 +676,149 @@ def test_scd2_null_key_and_bad_date(spark, sf_dir, wh):
         assert spark.table("dim_scd2_nk").count() == 3
     finally:
         spark.sql("DROP TABLE IF EXISTS dim_scd2_nk")
+
+
+# --- round 7: small-file compaction (SURVEY §2 row 25,
+# AbstractFileMergeOperator.java:41 / txn/compactor daemons) ----------
+def _table_hash(spark, name):
+    """(row_count, order-independent content hash) over every column."""
+    df = spark.table(name)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*df.columns)).alias("h"),
+    ).collect()[0]
+    return (row.n, row.h)
+
+
+def _files_by_partition(spark, name):
+    """{relative partition dir: sorted [(filename, bytes)]}."""
+    loc = ddl._table_location(spark, name)
+    return {
+        rel: sorted(files) for rel, files in ddl._list_data_files(spark, loc).items()
+    }
+
+
+def test_compact_table_after_upsert_batches(spark, wh):
+    """N micro-batch MERGEs fragment the touched partitions into
+    per-batch files; compact_table rewrites ONLY fragmented
+    partitions down to the target file count with the table content
+    hash unchanged, and an untouched partition keeps its exact file
+    set (names AND sizes)."""
+    import datetime as dt
+
+    from amplab_hive_spark.streaming.upsert import merge_upsert_batch
+
+    t0 = dt.datetime(2024, 6, 1)
+    schema = "user_id INT, ts TIMESTAMP, val DOUBLE, grp STRING"
+    seed = [(i, t0, float(i), "a" if i % 2 else "b") for i in range(40)]
+    ddl.create_table_as(
+        spark,
+        "compact_tgt",
+        spark.createDataFrame(seed, schema),
+        f"{wh}/compact_tgt",
+        partition_by=["grp"],
+    )
+    # the never-touched partition: written once, must survive
+    # compaction byte-identical
+    spark.createDataFrame(
+        [(1000, t0, 0.0, "quiet")], schema
+    ).write.insertInto("compact_tgt")
+
+    # Insert-dominant micro-batches (all-new keys) — the streaming
+    # fragmentation shape: each MERGE batch APPENDS its own file(s)
+    # per partition (an update-heavy batch would consolidate via the
+    # survivor overwrite instead, so it cannot fragment).
+    for b in range(1, 5):
+        batch = [
+            (1000 * b + i, t0 + dt.timedelta(hours=b), float(100 * b + i),
+             "a" if i % 2 else "b")
+            for i in range(30)
+        ]
+        merge_upsert_batch(
+            spark,
+            "compact_tgt",
+            spark.createDataFrame(batch, schema),
+            key_cols=["user_id"],
+            order_cols=["ts"],
+        )
+
+    before_hash = _table_hash(spark, "compact_tgt")
+    before_files = _files_by_partition(spark, "compact_tgt")
+    assert len(before_files["grp=a"]) > 1 and len(before_files["grp=b"]) > 1, (
+        "precondition: the merge batches must actually fragment"
+    )
+    assert len(before_files["grp=quiet"]) == 1
+
+    stats = ddl.compact_table(spark, "compact_tgt", target_mb=128)
+    assert stats["partitions_compacted"] == 2
+    assert stats["files_after"] == 2  # tiny data -> 1 file each
+    assert stats["files_before"] == (
+        len(before_files["grp=a"]) + len(before_files["grp=b"])
+    )
+
+    after_files = _files_by_partition(spark, "compact_tgt")
+    assert len(after_files["grp=a"]) == 1
+    assert len(after_files["grp=b"]) == 1
+    assert after_files["grp=quiet"] == before_files["grp=quiet"], (
+        "untouched partition must keep its exact files"
+    )
+    assert _table_hash(spark, "compact_tgt") == before_hash
+
+    # idempotent: nothing left to compact
+    again = ddl.compact_table(spark, "compact_tgt", target_mb=128)
+    assert again["partitions_compacted"] == 0
+
+    # partition-subset form: fragment both again, compact only grp=a
+    for b in (10, 11):
+        batch = [
+            (10_000 * b + i, t0 + dt.timedelta(hours=b), float(b),
+             "a" if i % 2 else "b")
+            for i in range(40)
+        ]
+        merge_upsert_batch(
+            spark, "compact_tgt", spark.createDataFrame(batch, schema),
+            key_cols=["user_id"], order_cols=["ts"],
+        )
+    mid_hash = _table_hash(spark, "compact_tgt")
+    mid_files = _files_by_partition(spark, "compact_tgt")
+    assert len(mid_files["grp=b"]) > 1
+    only_a = ddl.compact_table(
+        spark, "compact_tgt", target_mb=128, partitions=[{"grp": "a"}]
+    )
+    assert only_a["partitions_compacted"] == 1
+    sub_files = _files_by_partition(spark, "compact_tgt")
+    assert len(sub_files["grp=a"]) == 1
+    assert sub_files["grp=b"] == mid_files["grp=b"], (
+        "partition outside the requested subset must be untouched"
+    )
+    assert _table_hash(spark, "compact_tgt") == mid_hash
+
+
+def test_compact_table_unpartitioned_and_target_size(spark, wh):
+    """Unpartitioned table: many small append files collapse to the
+    byte-derived target count; a target small enough to need >1 file
+    keeps >1; content hash invariant throughout."""
+    ddl.create_table_as(
+        spark,
+        "compact_flat",
+        spark.range(0, 1000).select(
+            F.col("id"), (F.col("id") % 7).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ),
+        f"{wh}/compact_flat",
+    )
+    for i in range(5):  # fragment with small appends
+        spark.range(1000 + i * 100, 1100 + i * 100).select(
+            F.col("id"), (F.col("id") % 7).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        ).write.insertInto("compact_flat")
+
+    before = _table_hash(spark, "compact_flat")
+    n_before = sum(len(v) for v in _files_by_partition(spark, "compact_flat").values())
+    assert n_before > 1
+
+    stats = ddl.compact_table(spark, "compact_flat", target_mb=128)
+    assert stats["partitions_compacted"] == 1
+    n_after = sum(len(v) for v in _files_by_partition(spark, "compact_flat").values())
+    assert n_after == 1
+    assert _table_hash(spark, "compact_flat") == before
