@@ -139,7 +139,9 @@ def avro_to_spark_field(avro: Any, name: str) -> tuple[T.DataType, bool]:
             return T.TimestampNTZType(), False
         if logical == "date":
             return T.DateType(), False
-        if logical == "decimal" and avro.get("type") == "bytes":
+        if logical == "decimal" and avro.get("type") in ("bytes", "fixed"):
+            # spec: decimal annotates bytes (length-prefixed) or fixed
+            # (exactly `size` bytes) — both map to the same Spark type
             if "precision" not in avro:
                 # spec requires precision; scale alone is defaulted
                 raise AvroError(

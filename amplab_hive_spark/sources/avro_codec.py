@@ -16,17 +16,19 @@ Scope (everything the engine's data model needs):
 - nullability as the idiomatic ``["null", T]`` union
 - logical types: timestamp-micros (on long), date (on int) — exactly
   Spark's TimestampType / DateType physical semantics — and
-  decimal(precision, scale) on bytes (two's-complement big-endian
-  unscaled integer, per the spec; values travel as decimal.Decimal)
+  decimal(precision, scale) on bytes AND on fixed (two's-complement
+  big-endian unscaled integer, per the spec — length-prefixed for
+  bytes, exactly ``size`` octets for fixed; values travel as
+  decimal.Decimal)
 - codecs: ``null`` and ``deflate`` (raw RFC-1951, per the spec)
 - container: magic ``Obj\\x01``, file-metadata map, 16-byte sync
   marker, count+size-prefixed data blocks
 
 Decoding handles the general array/map block form (negative counts
 with a byte-size prefix) so files produced by the Java implementation
-read correctly. Unsupported Avro features (enum, fixed, recursive
-types, non-nullable multi-branch unions) raise with a clear message
-rather than mis-decoding.
+read correctly. Unsupported Avro features (enum, bare fixed without
+the decimal annotation, recursive types, non-nullable multi-branch
+unions) raise with a clear message rather than mis-decoding.
 
 Cross-validated in tests against the official Apache Avro JAVA
 library (avro-1.12.1.jar, already on Spark's classpath) in both
@@ -139,20 +141,26 @@ def _type_name(schema: Any) -> str:
     raise AvroError(f"unparseable schema node: {schema!r}")
 
 
-def _decimal_scale(schema: Any) -> int | None:
-    """scale iff this node is the spec's bytes-decimal logical type."""
-    if (
-        isinstance(schema, dict)
-        and schema.get("type") == "bytes"
-        and schema.get("logicalType") == "decimal"
-    ):
-        return int(schema.get("scale", 0))
+def _decimal_info(schema: Any) -> tuple[int, int | None] | None:
+    """(scale, fixed_size) iff this node is the spec's decimal logical
+    type — fixed_size is None for the bytes carrier, the mandatory
+    ``size`` for the fixed carrier (spec: decimal annotates bytes OR
+    fixed)."""
+    if not (isinstance(schema, dict) and schema.get("logicalType") == "decimal"):
+        return None
+    if schema.get("type") == "bytes":
+        return int(schema.get("scale", 0)), None
+    if schema.get("type") == "fixed":
+        if "size" not in schema:
+            raise AvroError(f"fixed decimal is missing the required 'size': {schema}")
+        return int(schema.get("scale", 0)), int(schema["size"])
     return None
 
 
 def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
-    dec_scale = _decimal_scale(schema)
-    if dec_scale is not None:
+    dec_info = _decimal_info(schema)
+    if dec_info is not None:
+        dec_scale, dec_size = dec_info
 
         def enc_decimal(out: bytearray, v: Any) -> None:
             # spec: two's-complement big-endian UNSCALED integer.
@@ -179,6 +187,15 @@ def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
             else:
                 n *= 10**shift
             unscaled = -n if sign else n
+            if dec_size is not None:
+                # fixed carrier: exactly size bytes, no length prefix
+                try:
+                    out += unscaled.to_bytes(dec_size, "big", signed=True)
+                except OverflowError:
+                    raise AvroError(
+                        f"decimal value {v} does not fit fixed({dec_size})"
+                    ) from None
+                return
             length = max(1, (unscaled.bit_length() + 8) // 8)
             write_bytes(out, unscaled.to_bytes(length, "big", signed=True))
 
@@ -254,12 +271,14 @@ def _encoder(schema: Any) -> Callable[[bytearray, Any], None]:
 
 
 def _decoder(schema: Any) -> Callable[[_Reader], Any]:
-    dec_scale = _decimal_scale(schema)
-    if dec_scale is not None:
+    dec_info = _decimal_info(schema)
+    if dec_info is not None:
+        dec_scale, dec_size = dec_info
         from decimal import Decimal
 
         def dec_decimal(r: _Reader) -> Any:
-            unscaled = int.from_bytes(r.read_bytes(), "big", signed=True)
+            raw = r.read(dec_size) if dec_size is not None else r.read_bytes()
+            unscaled = int.from_bytes(raw, "big", signed=True)
             # tuple construction is context-free and exact at any
             # precision (scaleb/division would round past 28 digits)
             return Decimal(

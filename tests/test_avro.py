@@ -569,3 +569,125 @@ def test_we_read_java_written_decimals(spark, tmp_path):
     assert [rows[i][0] for i in range(4)] == vals
     assert rows[0][1] == D("0.0000000000") and rows[1][1] is None
     assert rows[2][1] == D("2.0000000000")
+
+
+# --- round 7: decimal over FIXED (the spec's second carrier) --------
+FIXED_DEC_SCHEMA = {
+    "type": "record",
+    "name": "fixdecrec",
+    "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "amt", "type": {"type": "fixed", "name": "amt_fix", "size": 5,
+                                 "logicalType": "decimal",
+                                 "precision": 12, "scale": 2}},
+        {"name": "opt", "type": ["null", {"type": "fixed", "name": "opt_fix",
+                                          "size": 16,
+                                          "logicalType": "decimal",
+                                          "precision": 38, "scale": 10}]},
+    ],
+}
+
+
+def test_codec_fixed_decimal_roundtrip():
+    """decimal over fixed: exactly `size` octets, no length prefix —
+    including sign-extension edges and the null branch; a value too
+    wide for the fixed size fails loudly."""
+    from decimal import Decimal as D
+
+    rows = [
+        {"id": 1, "amt": D("0.00"), "opt": None},
+        {"id": 2, "amt": D("-0.01"), "opt": D("1234567890123456789012345678.0000000001")},
+        # 5 bytes signed: max unscaled 2^39-1 = 549755813887 -> 5497558138.87
+        {"id": 3, "amt": D("5497558138.87"), "opt": D("-0.0000000001")},
+        {"id": 4, "amt": D("-5497558138.88"), "opt": D("42.0000000000")},
+        {"id": 5, "amt": D("128.00"), "opt": D("-128.0000000000")},
+    ]
+    blob = write_container(FIXED_DEC_SCHEMA, rows)
+    schema, out = read_container(blob)
+    assert schema == FIXED_DEC_SCHEMA
+    assert list(out) == rows
+    with pytest.raises(AvroError, match="does not fit fixed"):
+        write_container(
+            FIXED_DEC_SCHEMA,
+            [{"id": 9, "amt": D("5497558138.88"), "opt": None}],  # 2^39 unscaled
+        )
+    with pytest.raises(AvroError, match="scale"):
+        write_container(
+            FIXED_DEC_SCHEMA, [{"id": 9, "amt": D("0.001"), "opt": None}]
+        )
+
+
+def test_java_reads_our_fixed_decimals(spark, tmp_path):
+    """The official Java library must read our fixed-decimal bytes:
+    GenericData.Fixed carries exactly size octets whose two's-
+    complement value is the unscaled integer."""
+    from decimal import Decimal as D
+
+    rows = [
+        {"id": i, "amt": D(i * 7 - 50).scaleb(-2).quantize(D("0.01")),
+         "opt": None if i % 2 else D(i).scaleb(-10).quantize(D("1E-10"))}
+        for i in range(20)
+    ]
+    blob = write_container(FIXED_DEC_SCHEMA, rows)
+    f = tmp_path / "ours.avro"
+    f.write_bytes(blob)
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(str(f)),
+        jvm.org.apache.avro.generic.GenericDatumReader(),
+    )
+    got = {}
+    while reader.hasNext():
+        rec = reader.next()
+        amt = int.from_bytes(bytes(rec.get("amt").bytes()), "big", signed=True)
+        o = rec.get("opt")
+        opt = None if o is None else int.from_bytes(
+            bytes(o.bytes()), "big", signed=True
+        )
+        got[rec.get("id")] = (amt, opt)
+    reader.close()
+    want = {
+        r["id"]: (
+            int(r["amt"].scaleb(2)),
+            None if r["opt"] is None else int(r["opt"].scaleb(10)),
+        )
+        for r in rows
+    }
+    assert got == want
+
+
+def test_we_read_java_written_fixed_decimals(spark, tmp_path):
+    """Fixed-decimal written by the official Java library decodes
+    here to the same Decimals, and read_avro maps the fixed carrier
+    to the right Spark DecimalType."""
+    import os
+    from decimal import Decimal as D
+
+    jvm = spark._jvm
+    jschema = jvm.org.apache.avro.Schema.Parser().parse(json.dumps(FIXED_DEC_SCHEMA))
+    amt_schema = jschema.getField("amt").schema()
+    opt_schema = jschema.getField("opt").schema().getTypes().get(1)
+    writer = jvm.org.apache.avro.file.DataFileWriter(
+        jvm.org.apache.avro.generic.GenericDatumWriter(jschema)
+    )
+    jpath = tmp_path / "javafix"
+    os.makedirs(jpath)
+    writer.create(jschema, jvm.java.io.File(str(jpath / "part-0.avro")))
+    GD = jvm.org.apache.avro.generic.GenericData
+    vals = [D("-1.23"), D("0.00"), D("12345678.90"), D("-5497558138.88")]
+    for i, v in enumerate(vals):
+        rec = GD.Record(jschema)
+        rec.put("id", i)
+        rec.put("amt", GD.Fixed(
+            amt_schema, int(v.scaleb(2)).to_bytes(5, "big", signed=True)))
+        rec.put("opt", None if i % 2 else GD.Fixed(
+            opt_schema, int(D(i).scaleb(10)).to_bytes(16, "big", signed=True)))
+        writer.append(rec)
+    writer.close()
+    back = read_avro(spark, str(jpath))
+    assert back.schema["amt"].dataType.simpleString() == "decimal(12,2)"
+    assert back.schema["opt"].dataType.simpleString() == "decimal(38,10)"
+    rows = {r.id: (r.amt, r.opt) for r in back.collect()}
+    assert [rows[i][0] for i in range(4)] == vals
+    assert rows[0][1] == D("0.0000000000") and rows[1][1] is None
+    assert rows[2][1] == D("2.0000000000")
