@@ -6,6 +6,7 @@ Usage:
     python -m amplab_hive_spark.cli -e "SELECT ..." [--sf-dir DIR]
     python -m amplab_hive_spark.cli -f script.sql [--sf-dir DIR]
     python -m amplab_hive_spark.cli            # REPL
+    python -m amplab_hive_spark.cli --serve [--port N]   # SQL service
 """
 
 from __future__ import annotations
@@ -31,7 +32,34 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("-f", metavar="FILE", help="run a SQL script file and exit")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="testdata dir to attach")
     ap.add_argument("--max-rows", type=int, default=100)
+    ap.add_argument(
+        "--serve", action="store_true",
+        help="run the multi-client SQL service (HiveServer2 analogue) "
+             "until interrupted",
+    )
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=10000)
     args = ap.parse_args(argv)
+
+    if args.serve:
+        from amplab_hive_spark.service import SqlService
+        from amplab_hive_spark.session import get_spark
+
+        svc = SqlService(
+            get_spark("sql-service"), host=args.host, port=args.port,
+            sf_dir=args.sf_dir, max_rows=args.max_rows,
+        )
+        port = svc.start()
+        print(f"SQL service listening on {args.host}:{port}", flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        finally:
+            svc.stop()
+        return 0
 
     from amplab_hive_spark.engine import Engine
 

@@ -109,16 +109,20 @@ class Engine:
         source: DataFrame,
         on: str,
         matched_update: dict[str, str] | None = None,
+        matched_update_cond: str | None = None,
         matched_delete: str | None = None,
         not_matched_insert: dict[str, str] | None = None,
+        not_matched_cond: str | None = None,
     ) -> dict[str, int]:
         from amplab_hive_spark.ddl import merge_into
 
         return merge_into(
             self.spark, name, source, on,
             matched_update=matched_update,
+            matched_update_cond=matched_update_cond,
             matched_delete=matched_delete,
             not_matched_insert=not_matched_insert,
+            not_matched_cond=not_matched_cond,
         )
 
     def scd2_apply(

@@ -1,0 +1,143 @@
+"""The network multi-client SQL service (SURVEY §3.1 entry point 2 —
+the HiveServer2 analogue, reference service/.../SQLOperation.java:71).
+
+The load-bearing test spawns the server over the session and TWO
+concurrent CLIENT PROCESSES that speak only the stdlib wire protocol
+(no Spark import client-side — service.py is loaded by file path to
+bypass the package's pyspark imports): each runs a full DML round
+trip (CREATE TABLE / INSERT / UPDATE / MERGE statements through the
+dml_text front-end) on its own table, and both use the SAME temp-view
+name concurrently to prove per-connection newSession isolation over
+the wire."""
+
+import json
+import subprocess
+import sys
+
+import pytest
+
+from amplab_hive_spark.service import SqlClient, SqlService
+
+CLIENT_SCRIPT = r"""
+import importlib.util, json, sys
+
+spec = importlib.util.spec_from_file_location(
+    "svc_client", "{service_py}"
+)
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+assert "pyspark" not in sys.modules, "client must not need Spark"
+
+port, cid, wh = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+out = {{}}
+with mod.SqlClient("127.0.0.1", port) as c:
+    def ok(sql):
+        r = c.sql(sql)
+        assert r["ok"], f"{{sql!r}} failed: {{r}}"
+        return r
+
+    # per-connection temp-view isolation: every client uses the SAME
+    # view name with a DIFFERENT body
+    ok(f"CREATE OR REPLACE TEMPORARY VIEW svc_scratch AS "
+       f"SELECT {{cid}} AS marker, n_nationkey FROM nation "
+       f"WHERE n_regionkey = {{cid}}")
+    r = ok("SELECT DISTINCT marker FROM svc_scratch")
+    out["marker"] = r["rows"][0][0]
+
+    # DML round trip on this client's own table, all as SQL text
+    t = f"svc_dml_{{cid}}"
+    ok(f"DROP TABLE IF EXISTS {{t}}")
+    ok(f"CREATE TABLE {{t}} (id INT, val INT) USING parquet "
+       f"LOCATION '{{wh}}/{{t}}'")
+    ok(f"INSERT INTO {{t}} VALUES (1, 10), (2, 20), (3, 30)")
+    r = ok(f"UPDATE {{t}} SET val = val + 1 WHERE id >= 2")
+    out["updated"] = r["rows"][0][0]
+    r = ok(f"MERGE INTO {{t}} USING (SELECT 3 AS id, 0 AS val) s "
+           f"ON {{t}}.id = s.id "
+           f"WHEN MATCHED AND s.val = 0 THEN DELETE "
+           f"WHEN NOT MATCHED THEN INSERT (id, val) VALUES (s.id, s.val)")
+    out["merge"] = r["rows"][0]
+    r = ok(f"SELECT id, val FROM {{t}} ORDER BY id")
+    out["rows"] = r["rows"]
+    ok(f"DROP TABLE IF EXISTS {{t}}")
+
+print(json.dumps(out))
+"""
+
+
+def test_two_concurrent_client_processes(spark, sf_dir, tmp_path):
+    import amplab_hive_spark.service as service_mod
+
+    svc = SqlService(spark, sf_dir=sf_dir)
+    port = svc.start()
+    script = tmp_path / "client.py"
+    script.write_text(CLIENT_SCRIPT.format(service_py=service_mod.__file__))
+    try:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(port), cid, str(tmp_path)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.PIPE,
+                text=True,
+            )
+            for cid in ("1", "2")
+        ]
+        outs = []
+        for p in procs:
+            stdout, stderr = p.communicate(timeout=300)
+            assert p.returncode == 0, f"client failed:\n{stderr[-3000:]}"
+            outs.append(json.loads(stdout.strip().splitlines()[-1]))
+        for cid, out in zip((1, 2), outs):
+            assert out["marker"] == cid, (
+                "temp view leaked across connections"
+            )
+            assert out["updated"] == 2
+            assert out["merge"] == [0, 1, 0]  # updated, deleted, inserted
+            assert out["rows"] == [[1, 10], [2, 21]]
+    finally:
+        svc.stop()
+
+
+def test_statement_error_keeps_connection(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            bad = c.sql("SELECT * FROM definitely_missing_table_xyz")
+            assert not bad["ok"]
+            assert bad["error_class"]
+            good = c.sql("SELECT 1 AS one")
+            assert good["ok"] and good["rows"] == [[1]]
+
+
+def test_value_rendering_and_truncation(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir, max_rows=5) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql(
+                "SELECT CAST(1.50 AS DECIMAL(10,2)) AS d, "
+                "DATE'2024-06-01' AS dt, "
+                "TIMESTAMP'2024-06-01 12:00:00' AS ts, "
+                "CAST('ab' AS BINARY) AS b"
+            )
+            assert r["ok"]
+            assert r["rows"][0][0] == "1.50"
+            assert r["rows"][0][1] == "2024-06-01"
+            assert r["rows"][0][2].startswith("2024-06-01T12:00:00")
+            assert r["rows"][0][3] == "YWI="  # base64('ab')
+            big = c.sql("SELECT id FROM range(100)")
+            assert big["ok"] and big["row_count"] == 5 and big["truncated"]
+
+
+def test_macro_statements_over_the_wire(spark, sf_dir):
+    """Engine.sql's macro shim must work per connection: each client
+    defines the same macro name with different bodies."""
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        c1 = SqlClient("127.0.0.1", svc.port)
+        c2 = SqlClient("127.0.0.1", svc.port)
+        try:
+            assert c1.sql("CREATE TEMPORARY MACRO bump(x INT) x + 100")["ok"]
+            assert c2.sql("CREATE TEMPORARY MACRO bump(x INT) x + 200")["ok"]
+            r1 = c1.sql("SELECT bump(1) AS v")
+            r2 = c2.sql("SELECT bump(1) AS v")
+            assert r1["rows"] == [[101]] and r2["rows"] == [[201]]
+        finally:
+            c1.close()
+            c2.close()
