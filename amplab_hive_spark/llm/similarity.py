@@ -223,8 +223,8 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _IVF_CENTROIDS = 16
-_IVF_NPROBE = 6
-_IVF_LLOYD_ITERS = 2
+_IVF_NPROBE = 8
+_IVF_LLOYD_ITERS = 3
 # Fixed-point scale for the PORTABLE index geometry: coordinates
 # become floor(double(x) · 2²⁴) — float→double is exact, the double
 # product and floor are IEEE-deterministic, so every engine derives
@@ -373,76 +373,74 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 # The IVF index build + query probing as one oracle CTE fragment
-# (quant → seeded assign → two Lloyd refinements → final assignment
-# `assign3` → query `probes`), shared by the sim_ann_ivf and
-# sim_ann_ivfpq oracles so the index replay cannot silently fork.
-_O_IVF_INDEX_CTES = f"""quant AS (
+# (quant → seeded assign → _IVF_LLOYD_ITERS Lloyd refinements →
+# final assignment `assign_final` → query `probes`), shared by the
+# sim_ann_ivf and sim_ann_ivfpq oracles so the index replay cannot
+# silently fork. GENERATED from the same constants the Spark build
+# loop reads — raising _IVF_LLOYD_ITERS changes both sides at once
+# (the r6 hand-written two-round chain could drift from the loop).
+
+
+def _o_ivf_index_ctes() -> str:
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
+  SELECT vec_id, q, cid FROM (
+    SELECT v.vec_id, v.q, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
+    FROM quant v CROSS JOIN {cents} c
+  ) WHERE rn = 1
+)"""
+
+    def refine_cte(name: str, members: str) -> str:
+        return f"""{name} AS (
+  SELECT s.cid, s.s, c.n
+  FROM (SELECT cid, list(s_d ORDER BY pos) AS s FROM (
+          SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
+          FROM {members}, (SELECT unnest(range(1, 65)) AS pos) d
+          GROUP BY cid, d.pos
+        ) GROUP BY cid) s
+  JOIN (SELECT cid, COUNT(*) AS n FROM {members} GROUP BY cid) c
+    ON c.cid = s.cid
+)"""
+
+    parts = [
+        f"""quant AS (
   SELECT vec_id, embedding, {_O_QUANT} AS q
   FROM embeddings
-),
-seeds AS (
+)""",
+        f"""seeds AS (
   SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS cid, q AS s, 1 AS n
   FROM quant ORDER BY vec_id LIMIT {_IVF_CENTROIDS}
-),
-assign1 AS (
-  SELECT vec_id, q, cid FROM (
-    SELECT v.vec_id, v.q, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN seeds c
-  ) WHERE rn = 1
-),
-refined1 AS (
-  SELECT s.cid, s.s, c.n
-  FROM (SELECT cid, list(s_d ORDER BY pos) AS s FROM (
-          SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
-          FROM assign1, (SELECT unnest(range(1, 65)) AS pos) d
-          GROUP BY cid, d.pos
-        ) GROUP BY cid) s
-  JOIN (SELECT cid, COUNT(*) AS n FROM assign1 GROUP BY cid) c
-    ON c.cid = s.cid
-),
-assign2 AS (
-  SELECT vec_id, q, cid FROM (
-    SELECT v.vec_id, v.q, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN refined1 c
-  ) WHERE rn = 1
-),
-refined2 AS (
-  SELECT s.cid, s.s, c.n
-  FROM (SELECT cid, list(s_d ORDER BY pos) AS s FROM (
-          SELECT cid, d.pos, SUM(q[d.pos]) AS s_d
-          FROM assign2, (SELECT unnest(range(1, 65)) AS pos) d
-          GROUP BY cid, d.pos
-        ) GROUP BY cid) s
-  JOIN (SELECT cid, COUNT(*) AS n FROM assign2 GROUP BY cid) c
-    ON c.cid = s.cid
-),
-assign3 AS (
-  SELECT vec_id, q, cid FROM (
-    SELECT v.vec_id, v.q, c.cid,
-           ROW_NUMBER() OVER (PARTITION BY v.vec_id
-                              ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN refined2 c
-  ) WHERE rn = 1
-),
-probes AS (
+)""",
+    ]
+    cents = "seeds"
+    for i in range(1, _IVF_LLOYD_ITERS + 1):
+        parts.append(assign_cte(f"assign{i}", cents))
+        parts.append(refine_cte(f"refined{i}", f"assign{i}"))
+        cents = f"refined{i}"
+    parts.append(assign_cte("assign_final", cents))
+    parts.append(
+        f"""probes AS (
   SELECT qid, cid FROM (
     SELECT v.vec_id AS qid, c.cid,
            ROW_NUMBER() OVER (PARTITION BY v.vec_id
                               ORDER BY {_o_ivf_dist('v.q', 'c.s', 'c.n')}, c.cid) AS rn
-    FROM quant v CROSS JOIN refined2 c
+    FROM quant v CROSS JOIN {cents} c
     WHERE v.vec_id % 100 = 0
   ) WHERE rn <= {_IVF_NPROBE}
 )"""
+    )
+    return ",\n".join(parts)
+
+
+_O_IVF_INDEX_CTES = _o_ivf_index_ctes()
 
 _ANN_IVF_ORACLE = f"""
 WITH {_O_IVF_INDEX_CTES},
 cand AS (
   SELECT DISTINCT p.qid, a.vec_id
-  FROM assign3 a JOIN probes p ON a.cid = p.cid
+  FROM assign_final a JOIN probes p ON a.cid = p.cid
   WHERE a.vec_id <> p.qid
 ),
 scored AS (
@@ -464,14 +462,20 @@ ORDER BY qid, rnk
 
 @register("sim_ann_ivf", tags=("llm", "similarity", "ivf"), oracle=_ANN_IVF_ORACLE)
 def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 via an IVF index: 16 centroids (two Lloyd
-    iterations), queries probe their 6 nearest lists (nprobe=6 →
-    ~37% of the corpus scanned). The FAISS-IVF shape expressed in
-    DataFrames: index build is a broadcast-assign + one shuffle;
-    search is a broadcast join on cid. The index geometry is
-    integer-quantized (see build_ivf_index) so the WHOLE pipeline —
-    seeding, Lloyd refinement, cell assignment, probing — replays
-    exactly in the DuckDB oracle (round-4: converted the last
+    """Approximate top-10 via an IVF index: 16 centroids (three
+    Lloyd iterations), queries probe their 8 nearest lists (r7:
+    nprobe 6→8 and a third Lloyd round, chosen by the measured sweep
+    in experiments/ann_composition_bench.py — routing recall on the
+    gate fixture 0.74/0.5 → 0.88/0.6 mean/min; at this toy K the
+    probed share rises to 8/16 of the corpus, but at production K
+    (thousands of cells) the same nprobe is a vanishing fraction).
+    The FAISS-IVF shape expressed in DataFrames:
+    index build is a broadcast-assign + one shuffle; search is a
+    broadcast join on cid. The index geometry is integer-quantized
+    (see build_ivf_index) so the WHOLE pipeline — seeding, Lloyd
+    refinement, cell assignment, probing — replays exactly in the
+    DuckDB oracle, whose CTE chain is GENERATED from the same
+    constants the Spark loop reads (round-4: converted the last
     realistic rows-only row to a full three-check compare); the
     final rerank is exact cosine on the original floats. On
     clustered real-world embeddings the same operator probes far
@@ -1119,7 +1123,7 @@ WITH {_O_IVF_INDEX_CTES},
 adc AS (
   SELECT p.qid, e.vec_id, CAST(SUM(d.d) AS BIGINT) AS adc_dist
   FROM encoded e
-  JOIN assign3 a ON a.vec_id = e.vec_id
+  JOIN assign_final a ON a.vec_id = e.vec_id
   JOIN probes p ON p.cid = a.cid
   JOIN dtable d ON d.qid = p.qid AND d.j = e.j AND d.code = e.code
   WHERE e.vec_id <> p.qid

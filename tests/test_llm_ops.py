@@ -58,12 +58,12 @@ def test_ann_lsh_recall(spark, sf_dir, bruteforce_topk):
 
 
 def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
-    """IVF nprobe=6/16 after two Lloyd iterations (~37% of corpus
-    scanned) recall vs exact top-10: ≥0.7 mean (round-5 push —
-    measured 0.74 on the sf0.01 fixture, up from 0.62 at one
-    iteration/nprobe=4). The corpus is isotropic-random, IVF's worst
-    case; real embedding corpora cluster and do far better at the
-    same nprobe."""
+    """IVF nprobe=8/16 after three Lloyd iterations, recall vs exact
+    top-10: ≥0.8 mean (round-7 push per the r6 verdict — measured
+    0.88 on the sf0.01 fixture, up from 0.74 at nprobe=6/two
+    iterations; sweep in experiments/ann_composition_bench.py). The
+    corpus is isotropic-random, IVF's worst case; real embedding
+    corpora cluster and do far better at the same nprobe."""
     exact: dict[int, set[int]] = {}
     for r in bruteforce_topk:
         exact.setdefault(r["qid"], set()).add(r["vec_id"])
@@ -72,7 +72,7 @@ def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
         ivf.setdefault(r["qid"], set()).add(r["vec_id"])
     assert set(exact) == set(ivf)
     recalls = [len(exact[q] & ivf[q]) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.7, f"mean recall too low: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall too low: {recalls}"
 
 
 def test_langid_mechanism(spark, sf_dir):
@@ -359,13 +359,15 @@ def test_ivfpq_recall_floor(spark, sf_dir):
     """IVFPQ recall@10: bounded above by the IVF routing recall
     (a true neighbor in an unprobed cell is unreachable regardless
     of ADC quality) — measured EQUAL to sim_ann_ivf on the gate
-    fixture (0.74 mean / 0.5 min; the 200-wide shortlist covers all
-    probed candidates at this corpus size, so the only loss is
-    routing). Floors = the flat-PQ floors of r5 (0.6/0.4), the
-    verdict's done-criterion for the composition."""
+    fixture. Round 7 lifted the routing ceiling per the r6 verdict
+    (nprobe 6→8 + a third Lloyd round, chosen by the measured sweep
+    in experiments/ann_composition_bench.py): gate fixture
+    0.74/0.5 → 0.88/0.6 mean/min, sf0.1 0.68/0.4 → 0.745/0.5.
+    Floors raised from the r6 0.6/0.4 to 0.8/0.5 with regeneration
+    headroom (the fixture is isotropic — the hardest ANN regime)."""
     recalls = _recall_vs_exact(spark, sf_dir, "sim_ann_ivfpq")
-    assert sum(recalls) / len(recalls) >= 0.6, f"mean recall {recalls}"
-    assert min(recalls) >= 0.4, f"min recall {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall {recalls}"
+    assert min(recalls) >= 0.5, f"min recall {recalls}"
 
 def test_incremental_dedup_dup_batch_branch(spark, tmp_path):
     """ADVICE r5: the dup_batch branch (first seen earlier IN THIS
