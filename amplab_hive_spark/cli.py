@@ -42,6 +42,9 @@ def main(argv: list[str] | None = None) -> int:
     args = ap.parse_args(argv)
 
     if args.serve:
+        if args.e is not None or args.f is not None:
+            ap.error("--serve cannot be combined with -e/-f (the statement "
+                     "would silently never run)")
         from amplab_hive_spark.service import SqlService
         from amplab_hive_spark.session import get_spark
 

@@ -1076,7 +1076,17 @@ def compact_table(
                 raise ValueError(
                     f"partition tuple {p!r} does not match partition columns {pcols}"
                 )
-            wanted.add(tuple(None if v is None else str(v) for v in p))
+            # normalize to Hive's DIRECTORY rendering, which is what
+            # _parse_dir yields — str(True) is 'True' but the dir says
+            # 'true', so a plain str() would silently match nothing
+            wanted.add(
+                tuple(
+                    None
+                    if v is None
+                    else (str(v).lower() if isinstance(v, bool) else str(v))
+                    for v in p
+                )
+            )
 
     def _parse_dir(rel: str) -> tuple | None:
         """dir like 'grp=a/sub=b' -> ('a','b'); None if not a
@@ -1118,6 +1128,13 @@ def compact_table(
 
     # ---- Worker + Cleaner: partition-scoped rewrite, old files
     # replaced by the overwrite itself
+    rel_by_vals = {}
+    if pcols:
+        for rel, _fl in files_by_dir.items():
+            v = _parse_dir(rel)
+            if v is not None:
+                rel_by_vals[v] = rel
+    compacted = 0
     for vals, files, want in todo:
         if vals is None:
             scoped = t
@@ -1127,18 +1144,51 @@ def compact_table(
                 lit = F.lit(v).cast(t.schema[c].dataType)
                 cond = cond & F.col(c).eqNullSafe(lit)
             scoped = t.filter(cond)
-        staged = scoped.localCheckpoint(eager=True).coalesce(want)
-        if vals is None:
-            staged.write.insertInto(name, overwrite=True)
+        staged = scoped.localCheckpoint(eager=True)
+        if staged.isEmpty():
+            # Every file in this partition is ZERO-ROW (empty part
+            # files from appends whose tasks had no rows): a dynamic
+            # overwrite of an empty frame writes nothing and would
+            # leave the files forever (reruns never converging). This
+            # is the Cleaner's case — delete the dead files directly.
+            sc = spark.sparkContext
+            jvm = sc._jvm
+            root = jvm.org.apache.hadoop.fs.Path(location)
+            fs = root.getFileSystem(sc._jsc.hadoopConfiguration())
+            rel = rel_by_vals.get(vals, "") if vals is not None else ""
+            for fname, _sz in files:
+                fpath = jvm.org.apache.hadoop.fs.Path(
+                    "/".join(x for x in (location, rel, fname) if x)
+                )
+                fs.delete(fpath, False)
+            # direct deletion bypasses the writer paths, so Spark's
+            # cached file listing still references the dead files
+            spark.sql(f"REFRESH TABLE {name}")
+        elif vals is None:
+            staged.coalesce(want).write.insertInto(name, overwrite=True)
         else:
             with _dynamic_partition_overwrite(spark):
-                staged.write.insertInto(name, overwrite=True)
+                staged.coalesce(want).write.insertInto(name, overwrite=True)
+        compacted += 1
         files_before += len(files)
-        files_after += want
         bytes_compacted += sum(sz for _, sz in files)
 
+    # Honest stats: re-LIST the touched partitions instead of assuming
+    # coalesce(want) produced exactly `want` files (the checkpointed
+    # scan can have fewer partitions than `want`, making coalesce a
+    # no-op at a smaller count).
+    if todo:
+        after_listing = _list_data_files(spark, location)
+        touched_rels = {
+            rel_by_vals.get(vals, "") if vals is not None else ""
+            for vals, _f, _w in todo
+        }
+        files_after = sum(
+            len(fl) for rel, fl in after_listing.items() if rel in touched_rels
+        )
+
     return {
-        "partitions_compacted": len(todo),
+        "partitions_compacted": compacted,
         "files_before": files_before,
         "files_after": files_after,
         "bytes_compacted": bytes_compacted,

@@ -302,6 +302,27 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
             f"MERGE target and source aliases collide: {talias!r} — every "
             f"qualified reference would be ambiguous"
         )
+    # An alias on one side that equals the OTHER side's bare table
+    # name is just as ambiguous (standard SQL: both qualifiers are in
+    # scope): `MERGE INTO dst USING src AS dst` would silently bind
+    # every `dst.` reference to the SOURCE. Reject loudly.
+    if salias and talias is None and salias.lower() == name.split(".")[-1].lower():
+        raise ValueError(
+            f"MERGE source alias {salias!r} collides with the unaliased "
+            f"target table name — qualified references would be ambiguous; "
+            f"alias the target too"
+        )
+    if (
+        talias
+        and salias is None
+        and not src_text.startswith("(")
+        and talias.lower() == src_text.split(".")[-1].lower()
+    ):
+        raise ValueError(
+            f"MERGE target alias {talias!r} collides with the unaliased "
+            f"source table name — qualified references would be ambiguous; "
+            f"alias the source too"
+        )
 
     source = (
         spark.sql(src_text[1:-1]) if src_text.startswith("(") else spark.table(src_text)

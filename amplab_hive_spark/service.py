@@ -47,16 +47,22 @@ from typing import Any, Optional
 def _json_safe(v: Any) -> Any:
     if isinstance(v, (decimal.Decimal,)):
         return str(v)
-    if isinstance(v, (datetime.datetime, datetime.date)):
-        return v.isoformat()
+    if isinstance(v, (datetime.datetime, datetime.date, datetime.timedelta)):
+        # timedelta: DayTimeIntervalType results arrive as timedelta —
+        # rendered like the other temporal types, as a string
+        return str(v) if isinstance(v, datetime.timedelta) else v.isoformat()
+    if isinstance(v, float):
+        # json.dumps would emit bare NaN/Infinity — INVALID JSON for a
+        # strict client (jq/JS/Go); render non-finite floats as strings
+        if v != v or v in (float("inf"), float("-inf")):
+            return str(v)
+        return v
     if isinstance(v, (bytes, bytearray)):
         return base64.b64encode(bytes(v)).decode("ascii")
-    if isinstance(v, list):
+    if isinstance(v, (list, tuple)):
         return [_json_safe(x) for x in v]
     if isinstance(v, dict):
         return {str(k): _json_safe(x) for k, x in v.items()}
-    if isinstance(v, tuple):
-        return [_json_safe(x) for x in v]
     if hasattr(v, "asDict"):  # nested Row
         return _json_safe(v.asDict())
     return v
@@ -83,6 +89,8 @@ class SqlService:
         self._max_rows = max_rows
         self._server: Optional[socketserver.ThreadingTCPServer] = None
         self._thread: Optional[threading.Thread] = None
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
 
     # -- server ------------------------------------------------------
     def start(self) -> int:
@@ -94,39 +102,61 @@ class SqlService:
                 # HiveServer2 per-connection HiveConf/session model
                 from amplab_hive_spark.engine import Engine
 
-                eng = Engine(spark=svc._spark.newSession(), sf_dir=svc._sf_dir)
-                for raw in self.rfile:
-                    line = raw.strip()
-                    if not line:
-                        continue
-                    try:
-                        req = json.loads(line)
-                        sql = req["sql"]
-                        df = eng.sql(sql)
-                        rows = df.take(svc._max_rows + 1)
-                        truncated = len(rows) > svc._max_rows
-                        rows = rows[: svc._max_rows]
-                        resp = {
-                            "ok": True,
-                            "columns": df.columns,
-                            "rows": [
-                                [_json_safe(v) for v in r] for r in rows
-                            ],
-                            "row_count": len(rows),
-                            "truncated": truncated,
-                        }
-                    except Exception as e:  # per-statement error — the
-                        # connection survives, like HS2's per-operation
-                        # error state
-                        resp = {
-                            "ok": False,
-                            "error": str(e)[:2000],
-                            "error_class": type(e).__name__,
-                        }
-                    self.wfile.write(
-                        (json.dumps(resp) + "\n").encode("utf-8")
+                with svc._conns_lock:
+                    svc._conns.add(self.connection)
+                try:
+                    eng = Engine(
+                        spark=svc._spark.newSession(), sf_dir=svc._sf_dir
                     )
-                    self.wfile.flush()
+                    for raw in self.rfile:
+                        line = raw.strip()
+                        if not line:
+                            continue
+                        # Serialization happens INSIDE the try: a row
+                        # value json.dumps can't encode must become a
+                        # per-statement error response, never a dead
+                        # connection (the module contract).
+                        try:
+                            req = json.loads(line)
+                            sql = req["sql"]
+                            df = eng.sql(sql)
+                            rows = df.take(svc._max_rows + 1)
+                            truncated = len(rows) > svc._max_rows
+                            rows = rows[: svc._max_rows]
+                            payload = (
+                                json.dumps(
+                                    {
+                                        "ok": True,
+                                        "columns": df.columns,
+                                        "rows": [
+                                            [_json_safe(v) for v in r]
+                                            for r in rows
+                                        ],
+                                        "row_count": len(rows),
+                                        "truncated": truncated,
+                                    },
+                                    allow_nan=False,
+                                )
+                                + "\n"
+                            )
+                        except Exception as e:  # per-statement error —
+                            # the connection survives, like HS2's
+                            # per-operation error state
+                            payload = (
+                                json.dumps(
+                                    {
+                                        "ok": False,
+                                        "error": str(e)[:2000],
+                                        "error_class": type(e).__name__,
+                                    }
+                                )
+                                + "\n"
+                            )
+                        self.wfile.write(payload.encode("utf-8"))
+                        self.wfile.flush()
+                finally:
+                    with svc._conns_lock:
+                        svc._conns.discard(self.connection)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -149,6 +179,20 @@ class SqlService:
             self._server.shutdown()
             self._server.server_close()
             self._server = None
+        # shutdown()/server_close() stop only the LISTENER; established
+        # connections would keep executing SQL forever. Close them too
+        # (their handler threads wake with EOF/error and exit).
+        with self._conns_lock:
+            conns, self._conns = set(self._conns), set()
+        for c in conns:
+            try:
+                c.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                c.close()
+            except OSError:
+                pass
         if self._thread is not None:
             self._thread.join(timeout=10)
             self._thread = None

@@ -822,3 +822,83 @@ def test_compact_table_unpartitioned_and_target_size(spark, wh):
     n_after = sum(len(v) for v in _files_by_partition(spark, "compact_flat").values())
     assert n_after == 1
     assert _table_hash(spark, "compact_flat") == before
+
+
+def test_compact_table_boolean_partition_subset(spark, wh):
+    """Review finding: partitions=[{'flag': True}] must match the
+    Hive directory rendering 'flag=true' (str(True) is 'True' — a
+    plain str() comparison silently matched nothing)."""
+    spark.sql("DROP TABLE IF EXISTS compact_bool")
+    ddl.create_table_as(
+        spark,
+        "compact_bool",
+        spark.createDataFrame(
+            [(i, i % 2 == 0) for i in range(20)], "id INT, flag BOOLEAN"
+        ),
+        f"{wh}/compact_bool",
+        partition_by=["flag"],
+    )
+    try:
+        for _ in range(3):  # fragment both partitions with appends
+            spark.createDataFrame(
+                [(100, True), (101, False)], "id INT, flag BOOLEAN"
+            ).write.insertInto("compact_bool")
+        before = _files_by_partition(spark, "compact_bool")
+        assert len(before["flag=true"]) > 1 and len(before["flag=false"]) > 1
+        stats = ddl.compact_table(
+            spark, "compact_bool", target_mb=128, partitions=[{"flag": True}]
+        )
+        assert stats["partitions_compacted"] == 1, (
+            "boolean partition value must match its directory rendering"
+        )
+        after = _files_by_partition(spark, "compact_bool")
+        assert len(after["flag=true"]) == 1
+        assert after["flag=false"] == before["flag=false"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS compact_bool")
+
+
+def test_compact_table_zero_row_files_cleaned(spark, wh):
+    """Review finding: a partition holding only zero-row files must
+    CONVERGE — the dead files are deleted (the Cleaner's case), not
+    rewritten-by-empty-overwrite forever."""
+    import os
+
+    spark.sql("DROP TABLE IF EXISTS compact_zero")
+    ddl.create_table_as(
+        spark,
+        "compact_zero",
+        spark.createDataFrame([(1, "live")], "id INT, grp STRING"),
+        f"{wh}/compact_zero",
+        partition_by=["grp"],
+    )
+    try:
+        # manufacture a partition dir of ONLY zero-row parquet files
+        empty = spark.createDataFrame([], "id INT")
+        dead_dir = f"{wh}/compact_zero/grp=dead"
+        for _ in range(3):
+            empty.coalesce(1).write.mode("append").parquet(f"{wh}/zero_stage")
+        import shutil as _sh
+
+        os.makedirs(dead_dir, exist_ok=True)
+        n = 0
+        for f in os.listdir(f"{wh}/zero_stage"):
+            if f.endswith(".parquet"):
+                _sh.copy(f"{wh}/zero_stage/{f}", f"{dead_dir}/{f}")
+                n += 1
+        assert n >= 2, "need multiple zero-row files to look fragmented"
+        spark.sql("MSCK REPAIR TABLE compact_zero")
+
+        stats = ddl.compact_table(spark, "compact_zero", target_mb=128)
+        assert stats["partitions_compacted"] == 1
+        assert stats["files_after"] == 0, "dead partition ends with no files"
+        remaining = [
+            f for f in os.listdir(dead_dir) if not f.startswith(("_", "."))
+        ] if os.path.isdir(dead_dir) else []
+        assert remaining == [], f"zero-row files must be deleted: {remaining}"
+        # convergence: a second run finds nothing to do
+        again = ddl.compact_table(spark, "compact_zero", target_mb=128)
+        assert again["partitions_compacted"] == 0
+        assert spark.table("compact_zero").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS compact_zero")

@@ -347,3 +347,30 @@ def test_statement_merge_inherits_cardinality_check(eng):
                ON dmlt.id = s.id
                WHEN MATCHED THEN UPDATE SET val = s.val"""
         )
+
+
+def test_merge_source_alias_shadowing_target_name_rejected(eng):
+    """Review finding: `MERGE INTO dst USING src AS dst` would bind
+    every dst. qualifier to the SOURCE — ambiguous, reject loudly."""
+    with pytest.raises(ValueError, match="collides with the unaliased"):
+        eng.sql(
+            """MERGE INTO dmlt USING (SELECT 1 AS id) dmlt ON dmlt.id = dmlt.id
+               WHEN MATCHED THEN DELETE"""
+        )
+
+
+def test_merge_target_alias_shadowing_source_name_rejected(eng, spark, tmp_path):
+    spark.sql("DROP TABLE IF EXISTS dml_src2")
+    spark.sql(
+        f"CREATE TABLE dml_src2 (id INT) USING parquet"
+        f" LOCATION '{tmp_path}/dml_src2'"
+    )
+    try:
+        with pytest.raises(ValueError, match="collides with the unaliased"):
+            eng.sql(
+                """MERGE INTO dmlt dml_src2 USING dml_src2
+                   ON dml_src2.id = dml_src2.id
+                   WHEN MATCHED THEN DELETE"""
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dml_src2")

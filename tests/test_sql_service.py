@@ -141,3 +141,54 @@ def test_macro_statements_over_the_wire(spark, sf_dir):
         finally:
             c1.close()
             c2.close()
+
+
+# --- round-7 review-pass regressions --------------------------------
+def test_interval_and_nan_results_keep_connection(spark, sf_dir):
+    """A DayTimeIntervalType (timedelta) or NaN result must come back
+    as a valid per-statement JSON response — serialization failures
+    must never kill the connection (review finding: dumps ran outside
+    the try)."""
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql(
+                "SELECT timestamp'2024-01-02 00:00:00' - "
+                "timestamp'2024-01-01 00:00:00' AS iv"
+            )
+            assert r["ok"], r
+            assert "1 day" in r["rows"][0][0]
+            r2 = c.sql("SELECT CAST('NaN' AS DOUBLE) AS x, "
+                       "CAST('Infinity' AS DOUBLE) AS y")
+            assert r2["ok"], r2
+            assert r2["rows"][0] == ["nan", "inf"]
+            # connection still alive
+            assert c.sql("SELECT 1 AS one")["rows"] == [[1]]
+
+
+def test_stop_closes_live_connections(spark, sf_dir):
+    """stop() must terminate ESTABLISHED connections, not just the
+    listener (review finding: clients could keep executing SQL after
+    stop())."""
+    svc = SqlService(spark, sf_dir=sf_dir)
+    port = svc.start()
+    c = SqlClient("127.0.0.1", port)
+    assert c.sql("SELECT 1 AS one")["ok"]
+    svc.stop()
+    with pytest.raises((ConnectionError, OSError)):
+        c.sql("SELECT 2 AS two")
+    c.close()
+
+
+def test_serve_flag_rejects_one_shot_statements(tmp_path):
+    """--serve with -e must error loudly, not silently drop the
+    statement (review finding)."""
+    import subprocess
+    import sys as _sys
+
+    p = subprocess.run(
+        [_sys.executable, "-m", "amplab_hive_spark.cli", "--serve",
+         "-e", "SELECT 1"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert p.returncode != 0
+    assert "--serve cannot be combined" in p.stderr
