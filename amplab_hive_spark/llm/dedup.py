@@ -824,3 +824,97 @@ def dedup_incremental_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("first_doc"))
         .orderBy("source", "status")
     )
+
+
+_EXACT_SUBSTRING_ORACLE = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' ')))
+                          FROM documents))) AS i
+),
+wins AS (
+  SELECT DISTINCT doc_id,
+         list_aggregate(toks[i:i+7], 'string_agg', ' ') AS win
+  FROM d, idx WHERE i + 7 <= len(toks)
+),
+keep AS (
+  SELECT win FROM wins GROUP BY win
+  HAVING COUNT(*) BETWEEN 2 AND 100
+),
+shared AS (
+  SELECT w.doc_id, w.win FROM wins w JOIN keep k ON w.win = k.win
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       COUNT(*) AS n_shared_windows
+FROM shared a JOIN shared b ON a.win = b.win AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+"""
+
+
+@register(
+    "dedup_exact_substring", tags=("llm", "dedup"), oracle=_EXACT_SUBSTRING_ORACLE
+)
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal) expressed
+    Spark-first: two documents are substring-duplicated when they
+    share a VERBATIM run of 8 consecutive tokens. The suffix-array
+    construction the paper uses is replaced by its fixed-width
+    relational core — every 8-token window, distinct per doc, hash-
+    joined across docs — which is the standard distributed
+    approximation (a shared run of length L ≥ 8 is caught by all
+    L-7 of its windows; n_shared_windows ≈ overlap length). Distinct
+    from dedup_ngram_jaccard: Jaccard measures SET similarity of
+    short shingles and misses a verbatim paragraph pasted into an
+    otherwise-different document — exactly the case a single shared
+    8-window catches here.
+
+    Boilerplate guard: windows appearing in >100 documents (site
+    chrome, license headers) are dropped BEFORE pair generation —
+    the quadratic blowup guard every production exact-substring run
+    needs; deterministic, so it replays in the oracle.
+
+    Scale shape: window construction is a JVM indexed transform (no
+    shuffle, no Python); the per-doc DISTINCT and the frequency cap
+    shuffle on win with map-side collapse; pair generation joins
+    only windows that survive the 2..100 frequency band, so its
+    output is bounded by cap²·bands, not corpus²; the pair rollup is
+    one (doc_a, doc_b) exchange. Text never shuffles — only 8-token
+    windows (bounded bytes) move."""
+    t = tables(spark, sf_dir)
+    wins = (
+        t.documents.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+        .filter(F.size("toks") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 7), "
+                    "(w, i) -> concat_ws(' ', slice(toks, i + 1, 8)))"
+                )
+            ).alias("win"),
+        )
+        .distinct()
+    )
+    keep = (
+        wins.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter((F.col("nf") >= 2) & (F.col("nf") <= 100))
+        .select("win")
+    )
+    shared = wins.join(keep, "win")
+    a = shared.alias("a")
+    b = shared.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.win") == F.col("b.win"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

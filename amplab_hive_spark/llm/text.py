@@ -432,3 +432,101 @@ def text_rare_token_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_bigram_lm_score",
+    tags=("llm", "text"),
+    oracle="""
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+),
+idx AS (
+  SELECT unnest(range(1, (SELECT MAX(len(string_split(text, ' ')))
+                          FROM documents))) AS i
+),
+pairs AS (
+  SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+  FROM d, idx WHERE i + 1 <= len(toks)
+),
+ctx AS (SELECT w1, COUNT(*) AS cn FROM pairs GROUP BY w1),
+big AS (SELECT w1, w2, COUNT(*) AS bn FROM pairs GROUP BY w1, w2),
+scored AS (
+  SELECT p.doc_id,
+         (((1000000 * b.bn) - ((((1000000 * b.bn) % c.cn) + c.cn) % c.cn))
+            // c.cn) AS s
+  FROM pairs p
+  JOIN big b ON p.w1 = b.w1 AND p.w2 = b.w2
+  JOIN ctx c ON p.w1 = c.w1
+)
+SELECT doc_id,
+       COUNT(*) AS n_bigrams,
+       ((SUM(s) - (((SUM(s) % COUNT(*)) + COUNT(*)) % COUNT(*))) // COUNT(*))
+         AS lm_avg,
+       MIN(s) AS lm_min
+FROM scored
+WHERE doc_id % 20 = 7
+GROUP BY doc_id
+""",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model predictability score —
+    the classic KenLM-style quality filter collapsed to its integer
+    core: TRAIN bigram/context counts over the WHOLE corpus, then
+    score each document by the floor(1e6·B(w1,w2)/C(w1)) conditional
+    frequency of its own bigrams (average and minimum). Low averages
+    flag unusual text; a low minimum flags one improbable junction
+    (the signal perplexity filters act on). All arithmetic is exact
+    BIGINT floor division (the portable truncating idiom
+    similarity._floordiv_long pins), so training AND scoring replay
+    exactly in the DuckDB oracle — no log-prob floats to diverge.
+
+    Scale shape: bigram construction is a JVM-side indexed transform
+    (no shuffle, no Python); the two count tables shuffle on their
+    own keys with map-side partial aggregation; the score join hits
+    `big` on the same (w1,w2) the count shuffle produced (AQE
+    broadcasts both vocab-sized tables at this SF; at 100 TB they
+    hash-join co-partitioned); the per-doc rollup is one doc_id
+    exchange. The %-20 output gate is applied AFTER training — the
+    model always sees the full corpus, like the real pipeline."""
+    t = tables(spark, sf_dir)
+    pairs = (
+        t.documents.select(
+            "doc_id", F.split(F.col("text"), " ").alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(slice(toks, 1, size(toks) - 1), "
+                    "(w, i) -> struct(w AS w1, element_at(toks, i + 2) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "p.w1", "p.w2")
+    )
+    ctx = pairs.groupBy("w1").agg(F.count(F.lit(1)).alias("cn"))
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    from amplab_hive_spark.llm.similarity import _floordiv_long
+
+    scored = (
+        pairs.join(big, ["w1", "w2"])
+        .join(ctx, ["w1"])
+        .select("doc_id", _floordiv_long("1000000 * bn", "cn").alias("s"))
+    )
+    return (
+        scored.filter(F.col("doc_id") % 20 == 7)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("s").alias("_ssum"),
+            F.min("s").alias("lm_min"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            _floordiv_long("_ssum", "n_bigrams").alias("lm_avg"),
+            "lm_min",
+        )
+    )

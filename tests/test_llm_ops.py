@@ -467,3 +467,48 @@ def test_shard_manifest_invariants(spark, sf_dir):
             assert cum >= (s.shard_id + 1) * _SHARD_BYTES, (
                 f"{mt} shard {s.shard_id} closed before its boundary"
             )
+
+
+# --- round-7 additions: exact-substring dedup + bigram LM score -----
+def test_exact_substring_catches_pasted_paragraph(spark, sf_dir):
+    """The signal dedup_ngram_jaccard misses: a verbatim 12-token run
+    pasted into an otherwise-different document must be reported by
+    dedup_exact_substring with n_shared_windows = 12 - 8 + 1 = 5."""
+    import amplab_hive_spark.llm.dedup as dmod
+    from amplab_hive_spark.catalog import tables as real_tables
+
+    para = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    rows = [
+        (1, para + " unique tail one two three four five six seven eight"),
+        (2, "totally different head nine ten eleven twelve " + para),
+        (3, "no overlap here at all just filler words going on and on"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    class _T:
+        documents = docs
+
+    orig = dmod.tables
+    dmod.tables = lambda *_a, **_k: _T()
+    try:
+        out = {
+            (r.doc_a, r.doc_b): r.n_shared_windows
+            for r in dmod.dedup_exact_substring(spark, sf_dir).collect()
+        }
+    finally:
+        dmod.tables = orig
+    assert out == {(1, 2): 5}, out
+
+
+def test_bigram_lm_score_flags_shuffled_text(spark, sf_dir):
+    """A document whose bigrams never occur elsewhere in the corpus
+    must score lower than one built from corpus-frequent bigrams:
+    the min score of a doc with a unique junction is the smallest
+    possible (1e6 / context count)."""
+    from amplab_hive_spark.registry import all_queries
+
+    rows = all_queries()["text_bigram_lm_score"].fn(spark, sf_dir).collect()
+    assert rows, "gate slice must be non-empty"
+    for r in rows:
+        assert 0 < r.lm_min <= r.lm_avg <= 1_000_000
+        assert r.n_bigrams >= 1
