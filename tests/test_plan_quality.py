@@ -345,3 +345,29 @@ def test_shard_manifest_single_hash_exchange(spark, sf_dir):
     body = plan.split("== Initial Plan ==")[0]
     assert body.count("Exchange hashpartitioning") == 1
     assert "Join" not in body and "python" not in body.lower()
+
+
+def test_exact_substring_no_python_no_text_shuffle(spark, sf_dir):
+    """Window construction must be a JVM transform (zero Python
+    operators) and the pair join must be a hash/broadcast join on the
+    window string — never a cartesian. The `text` column must not
+    appear in any Exchange (only 8-token windows move)."""
+    plan = plan_of(spark, sf_dir, "dedup_exact_substring")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "python" not in body.lower()
+    assert "CartesianProduct" not in body and "NestedLoop" not in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"text column shuffled: {line}"
+
+
+def test_bigram_lm_single_scan_training_no_python(spark, sf_dir):
+    """The bigram construction must stay JVM-side (no Python eval)
+    and the score joins must not degenerate to a cartesian; count
+    tables carry partial_count (map-side combine) before their
+    exchanges."""
+    plan = plan_of(spark, sf_dir, "text_bigram_lm_score")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "python" not in body.lower()
+    assert "CartesianProduct" not in body and "NestedLoop" not in body
+    assert "partial_count" in body, "count tables must combine map-side"
