@@ -5512,6 +5512,116 @@ QSCRIPTS_R47 = [
 ]
 
 
+# --- round 7, tranche 48: date arithmetic / string functions /
+# EXISTS / conditional aggregation / FILTER clause. Prototyped on
+# both engines first; portability drops documented: datediff (DuckDB
+# wants a part name first argument), months_between / trunc(date) /
+# initcap (absent in DuckDB), sort_array-over-collect_list (list
+# aggregate spellings differ), DATE - DATE (interval in Spark,
+# BIGINT days in DuckDB).
+QSCRIPTS_R48 = [
+    (
+        "date_int_arithmetic",  # udf_date_add.q / udf_date_sub.q: the
+        # ANSI DATE +/- INT form both engines share
+        """SELECT o_orderkey, CAST(o_orderdate AS DATE) + 30 AS d30,
+                  CAST(o_orderdate AS DATE) - 7 AS d7
+           FROM orders WHERE o_orderkey <= 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "last_day_fn",  # udf_last_day.q
+        """SELECT DISTINCT last_day(o_orderdate) AS ld FROM orders
+           WHERE o_orderkey <= 100 ORDER BY ld""",
+    ),
+    (
+        "translate_fn",  # udf_translate.q: per-char mapping
+        "SELECT n_nationkey, translate(n_name, 'AEIOU', 'aeiou') AS t FROM nation ORDER BY n_nationkey",
+    ),
+    (
+        "lpad_rpad_strings",  # udf_lpad.q / udf_rpad.q
+        """SELECT n_nationkey, lpad(n_name, 12, '.') AS l,
+                  rpad(n_name, 14, '*') AS r FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "split_part_head_tail",  # udf_split.q ported to the split_part
+        # spelling both engines share (1-based, returns '' past end)
+        """SELECT n_name, split_part(n_name, '_', 1) AS head,
+                  split_part(n_name, '_', 2) AS tail FROM nation ORDER BY n_name""",
+    ),
+    (
+        "not_exists_anti_count",  # subquery_notexists.q
+        """SELECT COUNT(*) AS n FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ),
+    (
+        "nullif_zero_guard_division",  # udf_nullif lineage: the divide-by-zero
+        # guard idiom; NULL result rows preserved
+        """SELECT n_nationkey, n_nationkey / NULLIF(n_regionkey, 0)
+                  AS ratio_null_when_zero
+           FROM nation WHERE n_regionkey IN (0, 2) ORDER BY n_nationkey""",
+    ),
+    (
+        "case_in_join_condition",  # join with CASE inside ON
+        """SELECT COUNT(*) AS n FROM nation a JOIN region b
+           ON (CASE WHEN a.n_regionkey > 2 THEN a.n_regionkey ELSE 0 END)
+              = b.r_regionkey""",
+    ),
+    (
+        "corr_exists_two_tables",  # subquery_exists.q second shape
+        """SELECT r_name FROM region WHERE EXISTS
+             (SELECT 1 FROM nation WHERE n_regionkey = r_regionkey
+              AND n_nationkey > 20) ORDER BY r_name""",
+    ),
+    (
+        "conditional_agg_pivot",  # the manual-pivot CASE-in-SUM idiom
+        """SELECT o_custkey,
+                  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS nf,
+                  SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS no
+           FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+           ORDER BY o_custkey""",
+    ),
+    (
+        "agg_filter_clause_lineitem",  # ANSI FILTER (WHERE ...) on aggregates
+        """SELECT l_returnflag,
+                  COUNT(*) FILTER (WHERE l_quantity > 25) AS big,
+                  COUNT(*) AS total
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "greatest_null_prop",  # udf_greatest.q: NULL args skipped
+        "SELECT greatest(n_nationkey, NULL, n_regionkey) AS g FROM nation ORDER BY n_nationkey LIMIT 6",
+    ),
+    (
+        "between_dates_orders_year",  # date-typed BETWEEN
+        """SELECT COUNT(*) AS n FROM orders
+           WHERE o_orderdate BETWEEN DATE'1995-01-01' AND DATE'1995-12-31'""",
+    ),
+    (
+        "union_distinct_three_way",  # union.q: three-branch UNION DISTINCT
+        """SELECT n_regionkey AS k FROM nation
+           UNION SELECT r_regionkey FROM region
+           UNION SELECT 99 ORDER BY k""",
+    ),
+    (
+        "self_join_inequality_region",  # joinneg lineage: < join condition
+        """SELECT COUNT(*) AS n FROM region a JOIN region b
+           ON a.r_regionkey < b.r_regionkey""",
+    ),
+    (
+        "substr_instr_compose",  # udf_substr.q x udf_instr.q composition
+        """SELECT n_name, substr(n_name, 1, instr(n_name, '_') - 1) AS prefix
+           FROM nation WHERE instr(n_name, '_') > 0 ORDER BY n_name""",
+    ),
+    (
+        "power_sqrt_abs",  # udf_power.q / udf_sqrt.q / udf_abs.q in
+        # integer-exact form (perfect squares only)
+        """SELECT n_nationkey, CAST(power(n_nationkey, 2) AS BIGINT) AS sq,
+                  CAST(sqrt(CAST(n_nationkey * n_nationkey AS DOUBLE)) AS BIGINT) AS rt,
+                  abs(n_nationkey - 12) AS ab
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
