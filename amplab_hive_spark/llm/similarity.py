@@ -1480,3 +1480,105 @@ def embedding_matryoshka_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    tags=("llm", "embeddings"),
+    oracle=f"""
+WITH q AS (
+  SELECT label, vec_id % 2 AS half, d.pos - 1 AS dim,
+         CAST(floor(CAST(embedding[d.pos] AS DOUBLE) * {_IVF_QUANT}) AS BIGINT) AS qv
+  FROM embeddings, (SELECT unnest(range(1, 65)) AS pos) d
+  WHERE d.pos <= len(embedding)
+),
+halves AS (
+  SELECT label, half, dim, SUM(qv) AS s, COUNT(*) AS n
+  FROM q GROUP BY label, half, dim
+),
+means AS (
+  SELECT label, half, dim, n,
+         ((s - (((s % n) + n) % n)) // n) AS m
+  FROM halves
+),
+drift AS (
+  SELECT e.label, e.dim, e.n AS n_even, o.n AS n_odd,
+         abs(e.m - o.m) AS d
+  FROM means e JOIN means o
+    ON e.label = o.label AND e.dim = o.dim
+   AND e.half = 0 AND o.half = 1
+)
+SELECT label,
+       MIN(n_even) AS n_even,
+       MIN(n_odd) AS n_odd,
+       SUM(d) AS drift_sum,
+       MAX(d) AS drift_max,
+       MIN(CASE WHEN d = md THEN dim END) AS drift_argmax_dim
+FROM (SELECT *, MAX(d) OVER (PARTITION BY label) AS md FROM drift)
+GROUP BY label
+ORDER BY label
+""",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit between two halves of the corpus
+    (vec_id parity stands in for the before/after-a-cutoff split a
+    real pipeline compares): per label, the two halves' per-dimension
+    centroid MEANS in the shared fixed-point quantization, their
+    absolute difference summed and maximized across dimensions, and
+    the argmax dimension — the "which feature moved" answer a
+    training-data dashboard needs when a new crawl shifts the
+    embedding distribution.
+
+    Exact integer geometry end-to-end: per-half sums are exact
+    BIGINTs, each mean is the portable floor division (so the means
+    are ≤ 2²⁴ regardless of corpus size — the drift arithmetic can
+    NEVER overflow, unlike a sums-cross-multiplied formulation whose
+    s·n products blow past BIGINT at ~10⁵ rows), and the argmax
+    tie-break is the smallest dimension. Replays exactly in DuckDB.
+
+    Scale shape: one scan exploding (label, half, dim, qv), one
+    shuffle to the (label, half, dim) partial sums — map-side
+    combine collapses each partition to ≤ labels×2×64 rows before
+    the exchange — then every later step (means, the even/odd join,
+    the per-label rollup) operates on a frame bounded by
+    labels×2×64, independent of corpus size."""
+    from pyspark.sql import Window
+
+    t = tables(spark, sf_dir)
+    halves = (
+        t.embeddings.select(
+            "label",
+            (F.col("vec_id") % 2).alias("half"),
+            F.posexplode(_quantized(F.col("embedding"))).alias("dim", "qv"),
+        )
+        .groupBy("label", "half", "dim")
+        .agg(F.sum("qv").alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+    means = halves.select(
+        "label", "half", "dim", "n", _floordiv_long("s", "n").alias("m")
+    )
+    e = means.filter(F.col("half") == 0).alias("e")
+    o = means.filter(F.col("half") == 1).alias("o")
+    drift = e.join(
+        o, (F.col("e.label") == F.col("o.label")) & (F.col("e.dim") == F.col("o.dim"))
+    ).select(
+        F.col("e.label").alias("label"),
+        F.col("e.dim").alias("dim"),
+        F.col("e.n").alias("n_even"),
+        F.col("o.n").alias("n_odd"),
+        F.abs(F.col("e.m") - F.col("o.m")).alias("d"),
+    )
+    w = Window.partitionBy("label")
+    return (
+        drift.withColumn("md", F.max("d").over(w))
+        .groupBy("label")
+        .agg(
+            F.min("n_even").alias("n_even"),
+            F.min("n_odd").alias("n_odd"),
+            F.sum("d").alias("drift_sum"),
+            F.max("d").alias("drift_max"),
+            F.min(F.when(F.col("d") == F.col("md"), F.col("dim"))).alias(
+                "drift_argmax_dim"
+            ),
+        )
+    )

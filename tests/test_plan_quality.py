@@ -371,3 +371,15 @@ def test_bigram_lm_single_scan_training_no_python(spark, sf_dir):
     assert "python" not in body.lower()
     assert "CartesianProduct" not in body and "NestedLoop" not in body
     assert "partial_count" in body, "count tables must combine map-side"
+
+
+def test_centroid_drift_single_corpus_exchange(spark, sf_dir):
+    """Only the (label, half, dim) partial-sum exchange may touch
+    corpus-sized data — partial_sum must collapse map-side before it
+    — and everything downstream (means join, label rollup) operates
+    on label x 2 x 64-bounded frames. No Python anywhere."""
+    plan = plan_of(spark, sf_dir, "embedding_centroid_drift")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "python" not in body.lower()
+    assert "partial_sum" in body, "per-partition combine must precede the exchange"
+    assert "CartesianProduct" not in body and "SortMergeJoin" not in body
