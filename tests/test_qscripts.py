@@ -5622,6 +5622,85 @@ QSCRIPTS_R48 = [
 ]
 
 
+# --- round 7, tranche 49: regex / windows / CTE-reuse / bitwise.
+# Prototyped on both engines; drops documented: regexp predicate
+# spellings differ (Spark RLIKE vs DuckDB regexp_matches — no shared
+# name), xor() absent in DuckDB (only & and | are portable).
+QSCRIPTS_R49 = [
+    (
+        "regexp_replace_portable",  # udf_regexp_replace.q
+        "SELECT n_nationkey, regexp_replace(n_name, '[0-9]+', '#') AS masked FROM nation ORDER BY n_nationkey",
+    ),
+    (
+        "in_list_mixed_hits",  # udf_in.q: literal IN list, partial hits
+        "SELECT n_nationkey FROM nation WHERE n_nationkey IN (1, 3, 5, 7, 99) ORDER BY n_nationkey",
+    ),
+    (
+        "order_nulls_first_explicit",  # explicit NULLS FIRST on a
+        # nullable computed column
+        """SELECT ratio FROM (SELECT n_nationkey / NULLIF(n_regionkey, 0) AS ratio
+             FROM nation) ORDER BY ratio NULLS FIRST LIMIT 8""",
+    ),
+    (
+        "limit_in_subquery",  # limit_pushdown.q: LIMIT inside a
+        # derived table bounds the outer count
+        """SELECT COUNT(*) AS n FROM
+             (SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 50) t""",
+    ),
+    (
+        "window_named_clause_reuse",  # windowing.q: one WINDOW
+        # definition shared by two functions
+        """SELECT c_custkey, RANK() OVER w AS r, COUNT(*) OVER w AS n
+           FROM customer WHERE c_custkey <= 50
+           WINDOW w AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal DESC, c_custkey)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "cume_dist_percent_rank",  # windowing_udaf.q family
+        """SELECT n_nationkey, round(cume_dist() OVER (ORDER BY n_nationkey), 6) AS cd,
+                  round(percent_rank() OVER (ORDER BY n_nationkey), 6) AS pr
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "nth_value_window",  # windowing expressions: nth_value with a
+        # full-partition frame
+        """SELECT n_nationkey,
+                  nth_value(n_name, 2) OVER (PARTITION BY n_regionkey
+                    ORDER BY n_nationkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                  AS second_name
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "variance_moments_exact",  # udaf_variance family reduced to
+        # its exact integer moments (sum, sumsq, n) — the float
+        # variance is derived, the moments are the portable core
+        """SELECT l_returnflag,
+                  CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq,
+                  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "coalesce_left_join_default",  # join28.q lineage: COALESCE
+        # filling the unmatched side of a LEFT JOIN
+        """SELECT r_regionkey, COALESCE(x.cnt, 0) AS n FROM region
+           LEFT JOIN (SELECT n_regionkey, COUNT(*) AS cnt FROM nation
+                      WHERE n_nationkey > 20 GROUP BY n_regionkey) x
+             ON r_regionkey = x.n_regionkey ORDER BY r_regionkey""",
+    ),
+    (
+        "chained_cte_scalar_reuse",  # cte reused by two scalar
+        # subqueries in one SELECT
+        """WITH big AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                        GROUP BY o_custkey HAVING COUNT(*) >= 10)
+           SELECT (SELECT COUNT(*) FROM big) AS n_big,
+                  (SELECT MAX(n) FROM big) AS max_n""",
+    ),
+]
+
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
