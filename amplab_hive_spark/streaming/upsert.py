@@ -112,18 +112,41 @@ def stream_upsert_merge(
     key_cols: Sequence[str] = ("user_id",),
     order_cols: Sequence[str] = ("ts", "event_id"),
     max_files_per_trigger: int = 1,
+    compact_every: int | None = None,
+    compact_target_mb: int = 128,
 ):
     """readStream over the ingest directory → foreachBatch(newest-
     wins MERGE INTO table_name). availableNow: drains everything
     currently available then stops, so catch-up runs and checkpoint
     resumes are plain re-invocations (streaming/ingest.py pattern).
     The target table must exist (create it with ddl.create_table_as
-    over an empty frame of the stream schema)."""
+    over an empty frame of the stream schema).
+
+    ``compact_every=N``: after every Nth non-empty batch, run
+    ddl.compact_table over the target — the reference's compactor
+    Initiator daemon (ql/txn/compactor/Initiator.java) folded into
+    the ingest path itself, closing the loop this round opened:
+    insert-dominant micro-batches fragment partitions into per-batch
+    files, and without periodic compaction every later scan pays for
+    it (experiments/compaction_bench.py measures 7× at 2000
+    fragments). Safe mid-stream because foreachBatch sinks run
+    SERIALLY within a query: no merge executes while the compaction
+    rewrites, and compaction is row-preserving by construction. The
+    batch counter is in-process (resets on restart) — compaction
+    cadence is an optimization, not state, so losing it costs at
+    most one early/late compaction, never correctness."""
+    n_batches = [0]
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         merge_upsert_batch(spark, table_name, batch_df, key_cols, order_cols)
+        if compact_every:
+            n_batches[0] += 1
+            if n_batches[0] % compact_every == 0:
+                from amplab_hive_spark.ddl import compact_table
+
+                compact_table(spark, table_name, target_mb=compact_target_mb)
 
     return (
         spark.readStream.schema(schema)

@@ -303,3 +303,64 @@ def test_stream_upsert_redelivery_is_idempotent(spark, tmpdir):
         assert _table_rows(spark, name) == before
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_stream_upsert_with_auto_compaction(spark, tmpdir):
+    """compact_every=N folds the compactor Initiator into the ingest
+    path: insert-dominant micro-batches fragment each partition into
+    per-batch files; with compact_every=2 over 4 batches the final
+    table holds ONE file per partition while the data is identical
+    to an uncompacted control stream over the same source."""
+    import datetime as dt
+
+    from amplab_hive_spark import ddl
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.upsert import stream_upsert_merge
+
+    t0 = dt.datetime(2024, 6, 1)
+    src = f"{tmpdir}/csrc"
+    # 4 insert-dominant batches: all-new keys, two partitions each
+    for b in range(1, 5):
+        rows = [
+            (1000 * b + i, t0 + dt.timedelta(hours=b), 1000 * b + i,
+             "click" if i % 2 else "view", float(b))
+            for i in range(20)
+        ]
+        append_batch(spark, rows, src, schema=SCHEMA)
+
+    names = {}
+    for label, extra in (
+        ("plain", {}),
+        ("compacted", {"compact_every": 2, "compact_target_mb": 128}),
+    ):
+        name = f"upsert_autocompact_{label}"
+        create_table_as(
+            spark, name, spark.createDataFrame([], SCHEMA),
+            f"{tmpdir}/warehouse/{name}", partition_by=("event_type",),
+        )
+        q = stream_upsert_merge(
+            spark, src, f"{tmpdir}/ckpt_{label}", SCHEMA, name, **extra
+        )
+        q.awaitTermination(180)
+        names[label] = name
+    try:
+        rows_plain = _table_rows(spark, names["plain"])
+        rows_comp = _table_rows(spark, names["compacted"])
+        assert rows_plain == rows_comp, "compaction must not change data"
+        assert len(rows_comp) == 80
+
+        def file_counts(name):
+            loc = ddl._table_location(spark, name)
+            return {k: len(v) for k, v in ddl._list_data_files(spark, loc).items()}
+
+        fc_plain = file_counts(names["plain"])
+        fc_comp = file_counts(names["compacted"])
+        assert all(n > 1 for n in fc_plain.values()), (
+            f"control must be fragmented: {fc_plain}"
+        )
+        assert all(n == 1 for n in fc_comp.values()), (
+            f"every partition must end compacted to one file: {fc_comp}"
+        )
+    finally:
+        for name in names.values():
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
