@@ -179,3 +179,25 @@ class Engine:
         from amplab_hive_spark.sources.avro import read_avro_split
 
         return read_avro_split(self.spark, path, split_bytes=split_bytes)
+
+    def read_sequencefile(self, path: str) -> DataFrame:
+        """Hadoop SequenceFiles -> key/value DataFrame (native
+        distributed reader, sources/seqfile.py; reference format
+        ql/io/SequenceFileStorageFormatDescriptor.java)."""
+        from amplab_hive_spark.sources.seqfile import read_sequencefile
+
+        return read_sequencefile(self.spark, path)
+
+    def write_sequencefile(
+        self, df: DataFrame, path: str, key_col: str | None = "key",
+        value_col: str = "value", record_compress: bool = False,
+    ) -> int:
+        """DataFrame -> one SequenceFile container per partition at
+        ``path``; returns rows written. ``key_col=None`` writes the
+        Hive ignore-key layout (empty BytesWritable keys)."""
+        from amplab_hive_spark.sources.seqfile import write_sequencefile
+
+        return write_sequencefile(
+            df, path, key_col=key_col, value_col=value_col,
+            record_compress=record_compress,
+        )
