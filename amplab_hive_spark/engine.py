@@ -188,6 +188,21 @@ class Engine:
 
         return read_sequencefile(self.spark, path)
 
+    def read_rcfile(self, path: str, schema, columns=None) -> DataFrame:
+        """Hive RCFiles -> DataFrame with columnar projection pushed
+        into the decode (native distributed reader, sources/rcfile.py;
+        reference format ql/io/RCFileStorageFormatDescriptor.java)."""
+        from amplab_hive_spark.sources.rcfile import read_rcfile_table
+
+        return read_rcfile_table(self.spark, path, schema, columns=columns)
+
+    def write_rcfile(self, df: DataFrame, path: str, compress: bool = False) -> int:
+        """DataFrame -> one RCFile container per partition at
+        ``path`` (ColumnarSerDe text cells); returns rows written."""
+        from amplab_hive_spark.sources.rcfile import write_rcfile_table
+
+        return write_rcfile_table(df, path, compress=compress)
+
     def write_sequencefile(
         self, df: DataFrame, path: str, key_col: str | None = "key",
         value_col: str = "value", record_compress: bool = False,
