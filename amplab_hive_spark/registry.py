@@ -65,6 +65,7 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.functions.hive_compat  # noqa: F401
     import amplab_hive_spark.functions.macros  # noqa: F401
     import amplab_hive_spark.functions.semantics  # noqa: F401
+    import amplab_hive_spark.functions.bitmaps  # noqa: F401
     import amplab_hive_spark.llm.dedup  # noqa: F401
     import amplab_hive_spark.llm.components  # noqa: F401
     import amplab_hive_spark.llm.pipeline  # noqa: F401

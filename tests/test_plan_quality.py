@@ -383,3 +383,19 @@ def test_centroid_drift_single_corpus_exchange(spark, sf_dir):
     assert "python" not in body.lower()
     assert "partial_sum" in body, "per-partition combine must precede the exchange"
     assert "CartesianProduct" not in body and "SortMergeJoin" not in body
+
+
+def test_ewah_bitmap_ops_plan(spark, sf_dir):
+    """The bitmap UDAF's positions collapse map-side (partial
+    collect_set before the group exchange — only distinct ints ever
+    shuffle), the 5x5 pair join broadcasts (non-equi -> broadcast
+    nested loop over the 5-row side, never a cartesian of anything
+    corpus-sized), and the orders scan reads only the two columns
+    the index needs."""
+    plan = plan_of(spark, sf_dir, "ewah_bitmap_ops")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "partial_collect_set" in body, "positions must combine map-side"
+    assert "BroadcastNestedLoopJoin" in body, "pair join must broadcast"
+    assert "SortMergeJoin" not in body and "CartesianProduct" not in body
+    read_schema = body.split("ReadSchema: ")[1].split("\n")[0]
+    assert "o_custkey" in read_schema and "o_comment" not in read_schema
