@@ -18,10 +18,61 @@ from pyspark.sql import SparkSession
 _DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 
+# Cooperative cross-process writer locks: warehouse-path -> held fd.
+# flock(2) releases automatically when the holder process dies, so a
+# crashed writer never leaves a stale lock — the property the
+# reference gets from DbTxnManager's lock heartbeat
+# (ql/lockmgr/DbTxnManager.java:46).
+_WRITER_LOCKS: dict[str, int] = {}
+
+
+def _acquire_writer_lock(warehouse: str, lock_wait_s: float | None) -> None:
+    """Advisory writer lock on ``<warehouse>/.writer.lock``.
+
+    Every warehouse writer takes it (cooperatively — it guards our
+    own API, while Derby's boot lock remains the backstop against
+    non-cooperative processes). ``lock_wait_s=None`` keeps the
+    original contract exactly: if the lock is held, fall through and
+    let Derby fail loudly at metastore boot. With a number, poll up
+    to that many seconds — the single-writer analogue of the
+    reference's blocking lock acquisition (DbTxnManager waits on the
+    metastore lock queue rather than erroring) — then TimeoutError.
+    The lock lives for the process lifetime, matching the embedded
+    Derby instance, and is reentrant within one process."""
+    import fcntl
+    import time
+
+    key = os.path.abspath(warehouse)
+    if key in _WRITER_LOCKS:
+        return
+    os.makedirs(key, exist_ok=True)
+    fd = os.open(os.path.join(key, ".writer.lock"), os.O_CREAT | os.O_RDWR, 0o644)
+    deadline = time.monotonic() + (lock_wait_s or 0)
+    while True:
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            _WRITER_LOCKS[key] = fd
+            return
+        except OSError:
+            if lock_wait_s is None:
+                os.close(fd)
+                return  # preserve the loud Derby-boot failure path
+            if time.monotonic() >= deadline:
+                os.close(fd)
+                raise TimeoutError(
+                    f"warehouse {warehouse!r} is still held by another "
+                    f"writer (embedded Derby metastore is single-process) "
+                    f"after waiting {lock_wait_s}s; retry later or raise "
+                    f"lock_wait_s"
+                )
+            time.sleep(0.25)
+
+
 def get_spark(
     app_name: str = "amplab_hive_spark",
     master: str | None = None,
     warehouse: str | None = None,
+    lock_wait_s: float | None = None,
 ) -> SparkSession:
     """Build (or reuse) a SparkSession with scale-ready defaults.
 
@@ -42,6 +93,13 @@ def get_spark(
     construction in a process (getOrCreate reuses the live session and
     ignores new confs); Derby allows one process at a time — the
     multi-client story stays ``newSession()`` off one SparkSession.
+
+    ``lock_wait_s``: with the default ``None`` a second writer
+    process fails loudly at Derby boot (the pinned single-writer
+    contract); pass a number of seconds to instead WAIT for the
+    current writer to exit (cooperative flock, see
+    ``_acquire_writer_lock``) — the reference's DbTxnManager
+    blocking-acquire behavior at warehouse granularity.
     """
     builder = (
         SparkSession.builder.appName(app_name)
@@ -86,6 +144,7 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if warehouse is not None:
+        _acquire_writer_lock(warehouse, lock_wait_s)
         # persistent-catalog confs ON TOP of the shared engine
         # defaults — a warehouse session must read the same files
         # (nanosAsLong, Arrow) and plan the same way (broadcast
