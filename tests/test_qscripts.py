@@ -5700,6 +5700,125 @@ QSCRIPTS_R49 = [
     ),
 ]
 
+# Tranche 50 (round 7): HAVING/ordinal/inline-VALUES/outer-join-ON
+# themes from still-unharvested clientpositive families. All 16
+# prototyped green on both engines at sf0.01 before inclusion;
+# date_trunc needed an explicit DATE cast (Spark keeps timestamp,
+# DuckDB narrows to date).
+QSCRIPTS_R50 = [
+    (
+        "having_multi_agg",  # having.q family: two aggregate
+        # predicates, one not in the select list
+        """SELECT o_orderstatus, COUNT(*) AS n, MAX(o_totalprice) AS mx
+           FROM orders GROUP BY o_orderstatus
+           HAVING COUNT(*) > 5 AND MIN(o_totalprice) < 50000
+           ORDER BY o_orderstatus""",
+    ),
+    (
+        "groupby_ordinal",  # groupby_position.q: GROUP BY 1
+        """SELECT o_orderpriority, COUNT(*) AS n
+           FROM orders GROUP BY 1 ORDER BY 1""",
+    ),
+    (
+        "orderby_unselected_expr",  # order2.q: ORDER BY an expression
+        # absent from the projection
+        """SELECT n_name FROM nation ORDER BY length(n_name), n_name""",
+    ),
+    (
+        "outer_join_on_vs_where",  # join_filters.q: the ON-clause
+        # filter keeps unmatched left rows (a WHERE would drop them)
+        """SELECT r_name, n_name FROM region r
+           LEFT JOIN nation n
+             ON r_regionkey = n_regionkey AND n_nationkey < 5
+           ORDER BY r_name, n_name""",
+    ),
+    (
+        "union_distinct_then_all",  # union_distinct_2.q lineage:
+        # UNION (distinct) composed with UNION ALL
+        """SELECT x FROM (
+             SELECT o_orderstatus AS x FROM orders
+             UNION SELECT l_linestatus AS x FROM lineitem
+             UNION ALL SELECT 'Z' AS x) u ORDER BY x""",
+    ),
+    (
+        "scalar_subquery_compare",  # subquery_scalar.q: comparison
+        # against an uncorrelated scalar aggregate
+        """SELECT c_custkey, c_acctbal FROM customer
+           WHERE c_acctbal > (SELECT AVG(c_acctbal) * 1.8 FROM customer)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "agg_of_case_pivot",  # groupby_map_ppr.q lineage: manual
+        # pivot via SUM(CASE ...)
+        """SELECT l_returnflag,
+                  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_f,
+                  SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_o
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "values_inline_table",  # values clause as a derived table
+        """SELECT t.k, t.v FROM (VALUES (1, 'a'), (2, 'b'), (3, 'c'))
+           AS t(k, v) ORDER BY t.k""",
+    ),
+    (
+        "string_pad_trim",  # udf_lpad.q/udf_rpad.q/udf_trim.q
+        """SELECT n_name, lpad(trim(n_name), 12, '.') AS padded,
+                  rpad(n_name, 4, 'x') AS clipped
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "distinct_over_window_subquery",  # windowing + outer DISTINCT
+        """SELECT DISTINCT rnk FROM (
+             SELECT rank() OVER (PARTITION BY n_regionkey
+                                 ORDER BY n_nationkey) AS rnk
+             FROM nation) x ORDER BY rnk""",
+    ),
+    (
+        "groupby_computed_key",  # groupby expression key (substr)
+        """SELECT substr(o_orderpriority, 1, 1) AS pri, COUNT(*) AS n
+           FROM orders GROUP BY substr(o_orderpriority, 1, 1)
+           ORDER BY pri""",
+    ),
+    (
+        "full_outer_coalesced_key",  # join_1to1.q lineage: FULL OUTER
+        # over two aggregates, COALESCE of the key sides
+        """SELECT COALESCE(a.k, b.k) AS k, a.na, b.nb FROM
+             (SELECT o_orderstatus AS k, COUNT(*) AS na FROM orders
+              GROUP BY o_orderstatus) a
+           FULL OUTER JOIN
+             (SELECT l_linestatus AS k, COUNT(*) AS nb FROM lineitem
+              GROUP BY l_linestatus) b
+             ON a.k = b.k ORDER BY k""",
+    ),
+    (
+        "explicit_cross_join_tiny",  # cross_join.q: explicit CROSS
+        # JOIN against a 2-row derived table
+        """SELECT r_name, q.tag FROM region
+           CROSS JOIN (SELECT 'x' AS tag UNION ALL SELECT 'y') q
+           ORDER BY r_name, q.tag""",
+    ),
+    (
+        "date_trunc_month_rollup",  # timestamp truncation rollup;
+        # CAST to DATE because Spark keeps timestamp and DuckDB
+        # narrows — the cast is the portable spelling
+        """SELECT CAST(date_trunc('month', ts) AS DATE) AS m, COUNT(*) AS n
+           FROM events GROUP BY CAST(date_trunc('month', ts) AS DATE)
+           ORDER BY m""",
+    ),
+    (
+        "greatest_least_clamp",  # udf_greatest.q/udf_least.q: clamp
+        """SELECT p_partkey, greatest(least(p_size, 40), 10) AS clamped
+           FROM part ORDER BY p_partkey LIMIT 30""",
+    ),
+    (
+        "nullif_guard_division",  # udf_nullif lineage: divide-by-zero
+        # guard over aggregates
+        """SELECT l_linenumber,
+                  CAST(SUM(l_extendedprice) / nullif(SUM(l_quantity), 0) AS DOUBLE) AS unit
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+]
+
 
 ALL_QSCRIPTS = [
     (n, s)
