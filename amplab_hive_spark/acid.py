@@ -1,0 +1,215 @@
+"""Merge-on-read row-level deletes — the delta-file half of the
+reference's ACID design, Spark-first.
+
+Reference anchors:
+- ql/io/AcidUtils.java (delta_x_y directory layout under the table
+  location; readers enumerate base + deltas)
+- ql/io/orc/OrcRawRecordMerger.java (read-time merge of base rows
+  against delete events)
+- ql/parse/UpdateDeleteSemanticAnalyzer.java (DELETE rewritten into
+  a sorted ROW__ID insert into a delete delta)
+- ql/txn/compactor/Worker.java (major compaction folds deltas back
+  into a new base)
+
+Shape here: a DELETE appends a tiny parquet of matched KEY tuples
+under ``<table>/_delete_delta/`` — O(matched keys), no base rewrite —
+and readers anti-join the base against the union of deltas. This is
+the "equality delete" design (also how Iceberg v2 spells row-level
+deletes on immutable files), in contrast to ddl.delete_from's
+copy-on-write partition rewrite: MOR makes the DELETE cheap and
+taxes reads until compaction; COW taxes the delete and keeps reads
+free. The reference offers the same trade (streaming ingest writes
+deltas; compaction restores scan speed).
+
+Why ``_delete_delta``: Hadoop/Spark file listings treat ``_``- and
+``.``-prefixed paths as hidden (the `_SUCCESS` convention), so base
+scans — ours or any vanilla ``spark.read.parquet`` — never see the
+delta files, exactly like non-ACID readers never see Hive's deltas.
+
+Row identity: the reference synthesizes ROW__ID (writeid, bucket,
+rowid) at write time. Plain parquet has no such hook, so deletes are
+keyed on caller-named KEY COLUMNS (recorded once in a manifest so
+readers need no arguments). Honest divergence, pinned by a test: an
+equality delete masks every CURRENT and FUTURE base row with a
+matching key until compaction — re-inserting a deleted key without
+compacting first leaves it masked (Iceberg orders deletes with
+sequence numbers; the reference with write ids; we document and
+test the simpler contract instead).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from amplab_hive_spark.ddl import (
+    _dynamic_partition_overwrite,
+    _partition_columns,
+    _reject_nondeterministic,
+    _table_location,
+)
+
+_DELTA_DIR = "_delete_delta"
+_MANIFEST = "_keys.json"
+
+
+def _local_path(location: str) -> str:
+    """Catalog locations are URIs (file:/...); the manifest I/O here
+    uses the local filesystem, so reject non-local schemes loudly
+    rather than writing a literal ``hdfs:`` directory. (The delta
+    PARQUET reads/writes go through Spark and would be
+    storage-agnostic; only the tiny JSON manifest is os-level.)"""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(location)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or location
+    raise NotImplementedError(
+        f"merge-on-read manifest I/O implemented for local warehouses; "
+        f"got {location!r} (port _read/_write_manifest to the Hadoop "
+        f"FileSystem API for {parsed.scheme})"
+    )
+
+
+def _delta_path(spark: SparkSession, name: str) -> str:
+    return os.path.join(_local_path(_table_location(spark, name)), _DELTA_DIR)
+
+
+def _read_manifest(delta_dir: str) -> list[str] | None:
+    path = os.path.join(delta_dir, _MANIFEST)
+    if not os.path.exists(path):
+        return None
+    with open(path) as fh:
+        return json.load(fh)["key_cols"]
+
+
+def _write_manifest(delta_dir: str, key_cols: list[str]) -> None:
+    os.makedirs(delta_dir, exist_ok=True)
+    path = os.path.join(delta_dir, _MANIFEST)
+    existing = _read_manifest(delta_dir)
+    if existing is not None:
+        if existing != key_cols:
+            raise ValueError(
+                f"delete-delta keys already pinned to {existing}; a table "
+                f"has ONE equality-delete key set (got {key_cols})"
+            )
+        return
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump({"key_cols": key_cols}, fh)
+    os.rename(tmp, path)  # atomic: readers see whole manifest or none
+
+
+def _delta_frames(spark: SparkSession, name: str) -> tuple[DataFrame | None, list[str] | None]:
+    """(union of delete-delta keys, key_cols) or (None, None)."""
+    delta_dir = _delta_path(spark, name)
+    key_cols = _read_manifest(delta_dir)
+    if key_cols is None:
+        return None, None
+    files = [
+        os.path.join(delta_dir, f)
+        for f in os.listdir(delta_dir)
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        return None, key_cols
+    return spark.read.parquet(*files), key_cols
+
+
+def delete_mor(
+    spark: SparkSession, name: str, condition: str, key_cols: list[str]
+) -> int:
+    """Merge-on-read DELETE: append the DISTINCT key tuples matching
+    ``condition`` (evaluated against the MOR view, so already-deleted
+    rows are not re-counted) as one new delta file. The base is never
+    rewritten — at 100 TB this is one pruned scan plus a KB-to-MB
+    delta write, versus copy-on-write's partition rewrite
+    (ddl.delete_from). Returns the number of newly deleted rows.
+
+    NULL semantics match delete_from: rows where the condition is
+    NULL survive. NULL keys are rejected — an equality delete with a
+    NULL key matches nothing in the anti-join and would silently
+    mask zero rows."""
+    _reject_nondeterministic(condition, "DELETE")
+    base = spark.table(name)
+    missing = [c for c in key_cols if c not in base.columns]
+    if missing:
+        raise ValueError(f"key columns not in {name}: {missing}")
+    delta_dir = _delta_path(spark, name)
+    _write_manifest(delta_dir, list(key_cols))
+    current = read_mor(spark, name)
+    matched = current.filter(
+        F.coalesce(F.expr(condition), F.lit(False))
+    )
+    # ONE base scan: matched keys with their row counts collapse
+    # map-side; the checkpoint holds one row per key, not per match
+    keyed = matched.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("__mor_cnt")
+    ).localCheckpoint(eager=True)
+    n = keyed.agg(F.sum("__mor_cnt")).collect()[0][0] or 0
+    if n == 0:
+        return 0
+    null_keys = keyed.filter(
+        " OR ".join(f"({c} IS NULL)" for c in key_cols)
+    ).count()
+    if null_keys:
+        raise ValueError(
+            f"DELETE matched rows with NULL in key columns {key_cols}; "
+            "equality deletes cannot address them — use ddl.delete_from"
+        )
+    out = os.path.join(delta_dir, f"delta-{uuid.uuid4().hex}.parquet")
+    # one file per DELETE statement, like one delta dir per txn
+    keyed.drop("__mor_cnt").coalesce(1).write.parquet(out)
+    return int(n)
+
+
+def read_mor(spark: SparkSession, name: str) -> DataFrame:
+    """The merge-on-read view: base rows minus every key present in
+    a delete delta (OrcRawRecordMerger's job, as one anti-join).
+    Deltas are per-statement key sets — small by construction — so
+    the anti-join broadcasts; no shuffle of the base."""
+    base = spark.table(name)
+    deltas, key_cols = _delta_frames(spark, name)
+    if deltas is None:
+        return base
+    return base.join(F.broadcast(deltas.distinct()), on=key_cols, how="left_anti")
+
+
+def compact_mor(spark: SparkSession, name: str) -> int:
+    """Major compaction (compactor Worker): fold the deltas into the
+    base — rewrite the table as its MOR view, then drop the delta
+    files. Partitioned tables rewrite via dynamic partition
+    overwrite so partitions with no surviving deletes still rewrite
+    only if they appear in the view (all do — compaction is a full
+    fold, the reference's MAJOR compaction; partition-scoped minor
+    compaction is ddl.compact_table's territory). Returns the number
+    of delta files folded. Idempotent: re-running with no deltas is
+    a no-op."""
+    delta_dir = _delta_path(spark, name)
+    deltas, _ = _delta_frames(spark, name)
+    if deltas is None:
+        # no deltas (or an empty manifest): nothing to fold
+        if os.path.isdir(delta_dir):
+            _purge_delta_dir(delta_dir)
+        return 0
+    n_files = len([f for f in os.listdir(delta_dir) if f.endswith(".parquet")])
+    folded = read_mor(spark, name).localCheckpoint(eager=True)
+    pcols = _partition_columns(spark, name)
+    if pcols:
+        with _dynamic_partition_overwrite(spark):
+            folded.write.insertInto(name, overwrite=True)
+    else:
+        folded.write.insertInto(name, overwrite=True)
+    _purge_delta_dir(delta_dir)
+    # Spark caches file listings; direct fs deletes need a refresh
+    spark.sql(f"REFRESH TABLE {name}")
+    return n_files
+
+
+def _purge_delta_dir(delta_dir: str) -> None:
+    import shutil
+
+    shutil.rmtree(delta_dir, ignore_errors=True)

@@ -1,0 +1,170 @@
+"""Merge-on-read row-level deletes (SURVEY §2 row 33's delta-file
+half; reference: AcidUtils delta dirs + OrcRawRecordMerger read-time
+merge + compactor Worker). ddl.delete_from remains the copy-on-write
+path; acid.delete_mor is the delete-cheap/read-taxed alternative —
+both trades the reference offers.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from amplab_hive_spark import acid, ddl
+
+
+def _data_files(spark, name):
+    loc = ddl._table_location(spark, name)
+    out = []
+    for root, dirs, files in os.walk(loc):
+        # skip hidden dirs exactly like Spark's listing does
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        out.extend(
+            os.path.join(root, f)
+            for f in files
+            if not f.startswith(("_", "."))
+        )
+    return sorted(out)
+
+
+@pytest.fixture()
+def plain_table(spark):
+    name = "mor_plain"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = spark.range(100).selectExpr(
+        "id AS k", "id % 10 AS grp", "concat('v-', id) AS label"
+    )
+    df.write.saveAsTable(name)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@pytest.fixture()
+def part_table(spark):
+    name = "mor_part"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    df = spark.range(90).selectExpr(
+        "id AS k", "concat('v-', id) AS label", "id % 3 AS bucket"
+    )
+    df.write.partitionBy("bucket").saveAsTable(name)
+    yield name
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_delete_mor_masks_without_rewriting_base(spark, plain_table):
+    before = _data_files(spark, plain_table)
+    n = acid.delete_mor(spark, plain_table, "k >= 90", ["k"])
+    assert n == 10
+    # base files untouched — the whole point vs copy-on-write
+    assert _data_files(spark, plain_table) == before
+    view = acid.read_mor(spark, plain_table)
+    assert view.count() == 90
+    assert view.filter("k >= 90").count() == 0
+    # a vanilla reader of the table still sees all rows (deltas are
+    # hidden, like Hive deltas to non-ACID readers)
+    assert spark.table(plain_table).count() == 100
+
+
+def test_second_delete_counts_only_new_rows(spark, plain_table):
+    assert acid.delete_mor(spark, plain_table, "k >= 90", ["k"]) == 10
+    # overlapping condition: the 10 already-deleted rows don't recount
+    assert acid.delete_mor(spark, plain_table, "k >= 80", ["k"]) == 10
+    assert acid.read_mor(spark, plain_table).count() == 80
+    # no match at all -> no delta file written
+    delta_dir = acid._delta_path(spark, plain_table)
+    files_before = sorted(os.listdir(delta_dir))
+    assert acid.delete_mor(spark, plain_table, "k > 1000", ["k"]) == 0
+    assert sorted(os.listdir(delta_dir)) == files_before
+
+
+def test_null_condition_rows_survive(spark, plain_table):
+    # condition NULL on some rows: those survive (same as delete_from)
+    n = acid.delete_mor(
+        spark, plain_table,
+        "CASE WHEN k < 10 THEN TRUE WHEN k < 20 THEN NULL ELSE FALSE END",
+        ["k"],
+    )
+    assert n == 10
+    assert acid.read_mor(spark, plain_table).count() == 90
+
+
+def test_key_validation(spark, plain_table):
+    with pytest.raises(ValueError, match="key columns not in"):
+        acid.delete_mor(spark, plain_table, "k < 5", ["nope"])
+    acid.delete_mor(spark, plain_table, "k < 5", ["k"])
+    # the key set is pinned by the manifest
+    with pytest.raises(ValueError, match="ONE equality-delete key set"):
+        acid.delete_mor(spark, plain_table, "k < 8", ["grp"])
+
+
+def test_compact_folds_deltas_and_resets(spark, plain_table):
+    acid.delete_mor(spark, plain_table, "k % 7 = 0", ["k"])
+    acid.delete_mor(spark, plain_table, "k = 1", ["k"])
+    view_rows = sorted(r["k"] for r in acid.read_mor(spark, plain_table).collect())
+    assert acid.compact_mor(spark, plain_table) == 2
+    # after compaction the BASE equals the old MOR view
+    base_rows = sorted(r["k"] for r in spark.table(plain_table).collect())
+    assert base_rows == view_rows
+    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+    # and read_mor degrades to the plain table
+    assert acid.read_mor(spark, plain_table).count() == len(view_rows)
+    # idempotent re-run
+    assert acid.compact_mor(spark, plain_table) == 0
+
+
+def test_partitioned_mor_and_compact(spark, part_table):
+    before = _data_files(spark, part_table)
+    n = acid.delete_mor(spark, part_table, "bucket = 1 AND k < 30", ["k"])
+    assert n == 10
+    assert _data_files(spark, part_table) == before
+    assert acid.read_mor(spark, part_table).count() == 80
+    assert acid.compact_mor(spark, part_table) == 1
+    t = spark.table(part_table)
+    assert t.count() == 80
+    assert t.filter("bucket = 1 AND k < 30").count() == 0
+    # untouched partitions kept every row
+    assert t.filter("bucket = 0").count() == 30
+
+
+def test_equality_delete_masks_reinserted_keys(spark, plain_table):
+    """The documented divergence from write-id ordering: an equality
+    delete masks a key REGARDLESS of when its row was inserted —
+    re-adding a deleted key without compacting first stays masked
+    (the reference's write ids / Iceberg's sequence numbers would
+    unmask it). Compaction clears the mask."""
+    acid.delete_mor(spark, plain_table, "k = 5", ["k"])
+    spark.range(1).selectExpr(
+        "CAST(5 AS BIGINT) AS k", "CAST(0 AS BIGINT) AS grp",
+        "'reborn' AS label"
+    ).write.insertInto(plain_table)
+    assert acid.read_mor(spark, plain_table).filter("k = 5").count() == 0
+    acid.compact_mor(spark, plain_table)
+    spark.range(1).selectExpr(
+        "CAST(5 AS BIGINT) AS k", "CAST(0 AS BIGINT) AS grp",
+        "'reborn2' AS label"
+    ).write.insertInto(plain_table)
+    assert acid.read_mor(spark, plain_table).filter("k = 5").count() == 1
+
+
+def test_null_keys_rejected(spark):
+    name = "mor_nullkey"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, "a"), (None, "b"), (3, "c")], "k int, label string"
+    ).write.saveAsTable(name)
+    try:
+        with pytest.raises(ValueError, match="NULL in key columns"):
+            acid.delete_mor(spark, name, "label IN ('b', 'c')", ["k"])
+        # nothing was masked by the failed statement
+        assert acid.read_mor(spark, name).count() == 3
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_mor_read_is_broadcast_anti_join(spark, plain_table):
+    acid.delete_mor(spark, plain_table, "k < 50", ["k"])
+    df = acid.read_mor(spark, plain_table)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
