@@ -103,6 +103,24 @@ class Engine:
 
         return delete_from(self.spark, name, condition)
 
+    # -- merge-on-read twins (acid.py: delta-file deletes, the
+    #    reference's AcidUtils/compactor design) ------------------
+
+    def delete_mor(self, name: str, condition: str, key_cols: list[str]) -> int:
+        from amplab_hive_spark.acid import delete_mor
+
+        return delete_mor(self.spark, name, condition, key_cols)
+
+    def read_mor(self, name: str) -> DataFrame:
+        from amplab_hive_spark.acid import read_mor
+
+        return read_mor(self.spark, name)
+
+    def compact_mor(self, name: str) -> int:
+        from amplab_hive_spark.acid import compact_mor
+
+        return compact_mor(self.spark, name)
+
     def merge(
         self,
         name: str,

@@ -1,0 +1,96 @@
+"""Measure the merge-on-read vs copy-on-write DELETE trade at sf0.1.
+
+The reference keeps both paths (delta-writing transactional deletes,
+and the compactor that restores scan speed) because neither side of
+the trade wins universally:
+
+- COW (ddl.delete_from): the delete pays a partition rewrite; every
+  later scan is free.
+- MOR (acid.delete_mor): the delete pays one scan + a KB delta
+  write; every later scan pays the anti-join until compact_mor.
+
+This prints one JSON line with: both delete wall times, the
+MOR read tax (base scan vs merged scan), compaction cost, and the
+break-even scan count (how many merged reads equal the COW rewrite
+premium) — the number an operator would use to schedule compaction.
+
+Run: ``python experiments/mor_delete_bench.py``.
+"""
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from amplab_hive_spark import acid, ddl
+from amplab_hive_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COND = "l_orderkey % 97 = 0"  # ~1% of rows
+
+
+def timed(fn, reps=3):
+    best, out = 9e9, None
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn()
+        best = min(best, time.time() - t0)
+    return best, out
+
+
+def scan_cost(spark, df):
+    def run():
+        spark.catalog.clearCache()
+        return df.agg(F.count(F.lit(1)), F.sum("l_extendedprice")).collect()[0][0]
+
+    return timed(run)
+
+
+def setup_table(spark, name):
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+     .repartition(32).write.saveAsTable(name))
+
+
+def main() -> None:
+    spark = get_spark("mor-delete-bench")
+
+    setup_table(spark, "bench_cow")
+    t_cow, n_cow = timed(
+        lambda: ddl.delete_from(spark, "bench_cow", COND), reps=1)
+
+    setup_table(spark, "bench_mor")
+    t_base_scan, _ = scan_cost(spark, spark.table("bench_mor"))
+    t_mor, n_mor = timed(
+        lambda: acid.delete_mor(spark, "bench_mor", COND, ["l_orderkey", "l_linenumber"]),
+        reps=1)
+    assert n_cow == n_mor, (n_cow, n_mor)
+    t_merged_scan, _ = scan_cost(spark, acid.read_mor(spark, "bench_mor"))
+    t_compact, _ = timed(lambda: acid.compact_mor(spark, "bench_mor"), reps=1)
+    t_post_scan, _ = scan_cost(spark, spark.table("bench_mor"))
+
+    read_tax = max(t_merged_scan - t_base_scan, 0.0)
+    breakeven = (t_cow - t_mor) / read_tax if read_tax > 0 else None
+    print(json.dumps({
+        "experiment": "mor_vs_cow_delete",
+        "rows_deleted": n_mor,
+        "cow_delete_s": round(t_cow, 3),
+        "mor_delete_s": round(t_mor, 3),
+        "base_scan_s": round(t_base_scan, 3),
+        "merged_scan_s": round(t_merged_scan, 3),
+        "read_tax_s": round(read_tax, 3),
+        "compact_s": round(t_compact, 3),
+        "post_compact_scan_s": round(t_post_scan, 3),
+        "breakeven_scans": round(breakeven, 1) if breakeven else None,
+        "sf_dir": SF_DIR,
+    }))
+    for name in ("bench_cow", "bench_mor"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+if __name__ == "__main__":
+    main()

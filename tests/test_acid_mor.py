@@ -168,3 +168,13 @@ def test_mor_read_is_broadcast_anti_join(spark, plain_table):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_engine_facade_mor_roundtrip(spark, plain_table):
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    assert eng.delete_mor(plain_table, "k < 10", ["k"]) == 10
+    assert eng.read_mor(plain_table).count() == 90
+    assert eng.compact_mor(plain_table) == 1
+    assert spark.table(plain_table).count() == 90
