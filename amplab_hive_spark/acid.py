@@ -127,28 +127,45 @@ def delete_mor(
     rows are not re-counted) as one new delta file. The base is never
     rewritten — at 100 TB this is one pruned scan plus a KB-to-MB
     delta write, versus copy-on-write's partition rewrite
-    (ddl.delete_from). Returns the number of newly deleted rows.
+    (ddl.delete_from).
+
+    Equality-delete semantics: the delta masks BY KEY — if any row
+    of a key group matches, the WHOLE group is deleted (a key group
+    is one row whenever key_cols are unique). The return value is
+    the number of rows the new delta masks, i.e. the full group
+    sizes, not just the condition-matched rows — the honest count
+    of what read_mor will stop returning.
 
     NULL semantics match delete_from: rows where the condition is
     NULL survive. NULL keys are rejected — an equality delete with a
     NULL key matches nothing in the anti-join and would silently
-    mask zero rows."""
+    mask zero rows. Validation happens BEFORE the manifest is
+    pinned, so a failed or zero-match statement leaves no trace."""
     _reject_nondeterministic(condition, "DELETE")
     base = spark.table(name)
     missing = [c for c in key_cols if c not in base.columns]
     if missing:
         raise ValueError(f"key columns not in {name}: {missing}")
     delta_dir = _delta_path(spark, name)
-    _write_manifest(delta_dir, list(key_cols))
+    pinned = _read_manifest(delta_dir)
+    if pinned is not None and pinned != list(key_cols):
+        raise ValueError(
+            f"delete-delta keys already pinned to {pinned}; a table "
+            f"has ONE equality-delete key set (got {list(key_cols)})"
+        )
     current = read_mor(spark, name)
-    matched = current.filter(
-        F.coalesce(F.expr(condition), F.lit(False))
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    # ONE base scan: per-key group size + did-any-row-match collapse
+    # map-side; the checkpoint holds one row per MATCHED key group
+    keyed = (
+        current.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__mor_cnt"),
+            F.max(cond).alias("__mor_hit"),
+        )
+        .filter("__mor_hit")
+        .localCheckpoint(eager=True)
     )
-    # ONE base scan: matched keys with their row counts collapse
-    # map-side; the checkpoint holds one row per key, not per match
-    keyed = matched.groupBy(*key_cols).agg(
-        F.count(F.lit(1)).alias("__mor_cnt")
-    ).localCheckpoint(eager=True)
     n = keyed.agg(F.sum("__mor_cnt")).collect()[0][0] or 0
     if n == 0:
         return 0
@@ -160,9 +177,11 @@ def delete_mor(
             f"DELETE matched rows with NULL in key columns {key_cols}; "
             "equality deletes cannot address them — use ddl.delete_from"
         )
+    # every check passed: NOW pin the manifest and write the delta
+    _write_manifest(delta_dir, list(key_cols))
     out = os.path.join(delta_dir, f"delta-{uuid.uuid4().hex}.parquet")
     # one file per DELETE statement, like one delta dir per txn
-    keyed.drop("__mor_cnt").coalesce(1).write.parquet(out)
+    keyed.select(*key_cols).coalesce(1).write.parquet(out)
     return int(n)
 
 
@@ -181,13 +200,20 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
 def compact_mor(spark: SparkSession, name: str) -> int:
     """Major compaction (compactor Worker): fold the deltas into the
     base — rewrite the table as its MOR view, then drop the delta
-    files. Partitioned tables rewrite via dynamic partition
-    overwrite so partitions with no surviving deletes still rewrite
-    only if they appear in the view (all do — compaction is a full
-    fold, the reference's MAJOR compaction; partition-scoped minor
-    compaction is ddl.compact_table's territory). Returns the number
-    of delta files folded. Idempotent: re-running with no deltas is
-    a no-op."""
+    files. Returns the number of delta files folded. Idempotent:
+    re-running with no deltas is a no-op.
+
+    Partitioned tables: dynamic partition overwrite rewrites only
+    partitions PRESENT in the folded view, so a partition whose
+    every row was delta-deleted must be dropped explicitly — exactly
+    ddl.delete_from's emptied-partition handling, and in the same
+    order (drops BEFORE the overwrite, after the survivors are
+    safely checkpointed) so a mid-statement crash leaves a state
+    from which re-running converges. Without the drops, purging the
+    deltas would RESURRECT fully-deleted partitions (their base
+    files survive the overwrite and the masking delta is gone)."""
+    from amplab_hive_spark.ddl import _sql_partition_literal
+
     delta_dir = _delta_path(spark, name)
     deltas, _ = _delta_frames(spark, name)
     if deltas is None:
@@ -199,6 +225,25 @@ def compact_mor(spark: SparkSession, name: str) -> int:
     folded = read_mor(spark, name).localCheckpoint(eager=True)
     pcols = _partition_columns(spark, name)
     if pcols:
+        base_parts = {
+            tuple(r) for r in
+            spark.table(name).select(*pcols).distinct().collect()
+        }
+        surviving = {
+            tuple(r) for r in folded.select(*pcols).distinct().collect()
+        }
+        emptied = sorted(base_parts - surviving, key=repr)
+        # render every drop spec BEFORE mutating anything (an
+        # unrenderable NULL partition must fail the statement whole)
+        drop_specs = [
+            ", ".join(
+                f"{c} = {_sql_partition_literal(v)}"
+                for c, v in zip(pcols, p)
+            )
+            for p in emptied
+        ]
+        for spec in drop_specs:
+            spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
         with _dynamic_partition_overwrite(spark):
             folded.write.insertInto(name, overwrite=True)
     else:

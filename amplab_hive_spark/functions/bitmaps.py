@@ -52,8 +52,12 @@ Scale notes: positions collapse to DISTINCT ints group-side
 asymptotic state as the reference's per-group bitmap buffer
 (BitmapAgg.estimate() = sizeInBytes). The only Python is the Arrow
 encode/op step over the final per-group arrays (a documented Arrow
-path); the pairwise AND/OR operate on the compressed streams and
-never re-expand into rows.
+path). Cardinality and the EMPTY test are computed straight off the
+word stream (one-run lengths + literal popcounts — no position list
+is ever materialized); the pairwise AND/OR decode each operand to a
+position set per pair, bounded by the bitmap's universe (the bucket
+size in the index layout) — a word-aligned stream merge would avoid
+that and is noted as the upgrade path in ewah_bitmap_and.
 """
 
 from __future__ import annotations
@@ -153,6 +157,24 @@ def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
     return (max_pos + 1 if max_pos >= 0 else 0), words, rlw_position
 
 
+def ewah_cardinality_words(words: Sequence[int]) -> int:
+    """Set-bit count straight off the compressed stream: 64 bits per
+    one-run word plus a popcount per literal — never materializes
+    positions (javaewah cardinality() walks words the same way)."""
+    total = 0
+    i = 0
+    while i < len(words):
+        marker = words[i]
+        i += 1
+        if marker & 1:
+            total += ((marker >> 1) & _MAX_RUN) * _WORD
+        n_lit = marker >> (_RUN_LEN_BITS + 1)
+        for _ in range(n_lit):
+            total += words[i].bit_count()
+            i += 1
+    return total
+
+
 def ewah_decode(words: Sequence[int]) -> list[int]:
     """uint64 word stream -> sorted bit positions."""
     out: list[int] = []
@@ -227,32 +249,46 @@ def _bitmap_or(a: pd.Series, b: pd.Series) -> pd.Series:
     ])
 
 
+def _words_of(arr: Sequence[int]) -> list[int]:
+    n_words = int(arr[1])
+    if len(arr) != n_words + 3:
+        raise ValueError(
+            f"malformed bitmap list: {len(arr)} elems for {n_words} words")
+    return [_to_unsigned(int(w)) for w in arr[2:2 + n_words]]
+
+
 @F.pandas_udf(LongType())
 def _bitmap_cardinality(a: pd.Series) -> pd.Series:
-    return a.apply(lambda x: len(hive_list_to_positions(x)))
+    # popcount over the word stream — positions never materialize
+    return a.apply(lambda x: ewah_cardinality_words(_words_of(x)))
 
 
 def ewah_bitmap_and(a: Column, b: Column) -> Column:
-    """GenericUDFEWAHBitmapAnd: bitmap ∧ bitmap -> bitmap."""
+    """GenericUDFEWAHBitmapAnd: bitmap ∧ bitmap -> bitmap. The op
+    decodes both operands to position sets per pair (bounded by the
+    bitmap universe — the bucket size in the index layout); a
+    word-aligned stream merge like javaewah's andToContainer would
+    avoid the expansion and is the upgrade path if un-bucketed
+    bitmaps ever appear."""
     return _bitmap_and(a, b)
 
 
 def ewah_bitmap_or(a: Column, b: Column) -> Column:
-    """GenericUDFEWAHBitmapOr: bitmap ∨ bitmap -> bitmap."""
+    """GenericUDFEWAHBitmapOr: bitmap ∨ bitmap -> bitmap (same
+    decode-bounded shape as ewah_bitmap_and)."""
     return _bitmap_or(a, b)
 
 
 def ewah_bitmap_empty(a: Column) -> Column:
-    """GenericUDFEWAHBitmapEmpty: true iff no set bits. JVM-side:
-    empty iff every payload word decodes to zero bits, which in the
-    canonical layout means n_words == rlw span with zero one-runs and
-    zero literals — cheapest exact test is cardinality == 0."""
+    """GenericUDFEWAHBitmapEmpty: true iff no set bits — a popcount
+    over the word stream, no position list."""
     return _bitmap_cardinality(a) == F.lit(0)
 
 
 def ewah_bitmap_cardinality(a: Column) -> Column:
     """Set-bit count (not in the reference registry; the natural
-    companion — Hive reads it via the index handler's row counts)."""
+    companion — Hive reads it via the index handler's row counts).
+    Computed off the compressed stream (ewah_cardinality_words)."""
     return _bitmap_cardinality(a)
 
 

@@ -144,7 +144,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     if warehouse is not None:
-        _acquire_writer_lock(warehouse, lock_wait_s)
+        # Only lock when a session will actually be BUILT: getOrCreate
+        # reuses a live session and ignores new confs, so locking the
+        # requested warehouse then would exclude other processes from
+        # a metastore this one never boots (review finding r7).
+        if SparkSession.getActiveSession() is None and \
+                getattr(SparkSession, "_instantiatedSession", None) is None:
+            _acquire_writer_lock(warehouse, lock_wait_s)
         # persistent-catalog confs ON TOP of the shared engine
         # defaults — a warehouse session must read the same files
         # (nanosAsLong, Arrow) and plan the same way (broadcast

@@ -5,10 +5,9 @@ the format's entire reason to exist over SequenceFile rows
 (reference container ql/io/RCFile.java; the RCFile paper's
 motivating benchmark is exactly this projection ratio).
 
-Setup: write sf0.1 lineitem (16 columns, ~600k rows) as compressed
-RCFile via write_rcfile_table, then time read+aggregate of
-(a) all 16 columns, (b) a 2-column projection, against BOTH
-read paths (whole-file reader and the sync-anchored split reader).
+Setup: write sf0.1 lineitem (the fixture's 11 columns, ~600k rows)
+as compressed RCFile via write_rcfile_table, then time
+read+aggregate of (a) all 11 columns, (b) a 2-column projection.
 A format without decode-side projection would time (b) == (a).
 
 Run: ``python experiments/rcfile_projection_bench.py`` — one JSON

@@ -178,3 +178,46 @@ def test_engine_facade_mor_roundtrip(spark, plain_table):
     assert eng.read_mor(plain_table).count() == 90
     assert eng.compact_mor(plain_table) == 1
     assert spark.table(plain_table).count() == 90
+
+
+def test_compact_drops_fully_deleted_partition(spark, part_table):
+    """Review finding r7: dynamic overwrite can't express a partition
+    absent from the folded view — without an explicit DROP the
+    partition's base files would survive compaction while the
+    masking delta is purged, RESURRECTING every deleted row."""
+    assert acid.delete_mor(spark, part_table, "bucket = 1", ["k"]) == 30
+    assert acid.read_mor(spark, part_table).count() == 60
+    assert acid.compact_mor(spark, part_table) == 1
+    t = spark.table(part_table)
+    assert t.count() == 60, "fully-deleted partition resurrected"
+    assert t.filter("bucket = 1").count() == 0
+    assert acid.read_mor(spark, part_table).count() == 60
+
+
+def test_delete_count_is_masked_rows_for_nonunique_keys(spark):
+    """Equality deletes mask BY KEY: with non-unique keys the return
+    value must be the whole key group's size (what read_mor stops
+    returning), not just the condition-matched rows."""
+    name = "mor_nonuniq"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c")], "k int, label string"
+    ).write.saveAsTable(name)
+    try:
+        n = acid.delete_mor(spark, name, "label = 'a'", ["k"])
+        assert n == 2, "must count both rows of key group k=1"
+        assert acid.read_mor(spark, name).count() == 1
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_failed_or_empty_delete_pins_no_manifest(spark, plain_table):
+    """Review finding r7: validation precedes manifest pinning — a
+    zero-match or NULL-key-failed DELETE must leave the key set
+    unpinned so a later DELETE can choose the right keys."""
+    assert acid.delete_mor(spark, plain_table, "k > 1000", ["grp"]) == 0
+    delta_dir = acid._delta_path(spark, plain_table)
+    assert acid._read_manifest(delta_dir) is None
+    # now pin with a DIFFERENT key set — must succeed
+    assert acid.delete_mor(spark, plain_table, "k < 3", ["k"]) == 3
+    assert acid._read_manifest(delta_dir) == ["k"]

@@ -116,6 +116,9 @@ def test_roundtrip_property(ps):
     marker = words[rlw]
     assert rlw + (marker >> 33) == len(words) - 1
     assert hive_list_to_positions(positions_to_hive_list(sorted_ps)) == sorted_ps
+    # stream-level cardinality (no position materialization) agrees
+    from amplab_hive_spark.functions.bitmaps import ewah_cardinality_words
+    assert ewah_cardinality_words(words) == len(ps)
 
 
 @settings(max_examples=100, deadline=None)

@@ -306,6 +306,9 @@ def test_second_writer_waits_for_lock_then_proceeds():
             assert "WAIT_WRITER_OK" in w_out, f"{w_out}\n{w_err[-3000:]}"
         finally:
             open(done, "w").write("ok")
-            for p in (holder,):
-                if p.poll() is None:
+            # kill BOTH subprocesses on any failure path — a leaked
+            # waiter would boot Spark against the TemporaryDirectory
+            # pytest is deleting (review finding r7)
+            for p in (holder, locals().get("waiter")):
+                if p is not None and p.poll() is None:
                     p.kill()
