@@ -972,3 +972,41 @@ def test_merge_statement_grammar_negatives(spark):
         eng.sql(
             "MERGE INTO nation USING region s ON n_regionkey = s.r_regionkey"
         )
+
+
+# --- round-7 late tranche: 7 more DISTINCT error classes, probed
+# against the live engine before inclusion (near-duplicates of
+# already-covered classes were deliberately dropped — e.g.
+# greatest() type mismatch is the covered DATA_DIFF_TYPES).
+_SQL_NEGATIVE_CASES_R7B = [
+    ("groupby_position_aggregate", "groupby_position.q (negative twin)",
+     AnalysisException, "GROUP_BY_POS_AGGREGATE",
+     "SELECT COUNT(*) FROM nation GROUP BY 1"),
+    ("distinct_window_function", "windowing negative family",
+     AnalysisException, "DISTINCT_WINDOW_FUNCTION_UNSUPPORTED",
+     "SELECT COUNT(DISTINCT n_name) OVER (PARTITION BY n_regionkey) FROM nation"),
+    ("star_in_predicate", "input negative family (star misuse)",
+     AnalysisException, "INVALID_USAGE_OF_STAR_OR_REGEX",
+     "SELECT n_name FROM nation WHERE * = 1"),
+    ("limit_noninteger", "limit negative family (type, vs the covered IS_NEGATIVE)",
+     AnalysisException, "INVALID_LIMIT_LIKE_EXPRESSION.DATA_TYPE",
+     "SELECT * FROM nation LIMIT 1.5"),
+    ("filter_clause_on_window", "windowing negative family: FILTER on a window agg",
+     AnalysisException, "filter predicate is not supported",
+     "SELECT COUNT(*) FILTER (WHERE n_nationkey > 1) OVER () FROM nation"),
+    ("tablesample_over_100_percent", "bad TABLESAMPLE spec (r6 verdict theme)",
+     Exception, r"Sampling fraction .* must be on interval \[0, 1\]",
+     "SELECT * FROM nation TABLESAMPLE (150 PERCENT)"),
+    ("interval_arith_overflow", "interval overflow (runtime family)",
+     Exception, "INVALID_INTERVAL_FORMAT|ArithmeticException",
+     "SELECT INTERVAL '300' YEAR + INTERVAL '9999999999999' YEAR"),
+]
+
+
+@pytest.mark.parametrize(
+    "case", _SQL_NEGATIVE_CASES_R7B, ids=[c[0] for c in _SQL_NEGATIVE_CASES_R7B]
+)
+def test_negative_sql_class_r7b(spark, case):
+    _, source, exc, match, sql = case
+    with pytest.raises(exc, match=match):
+        spark.sql(sql).collect()
