@@ -374,10 +374,12 @@ _AL = "[" + ",".join(f"{a}::HUGEINT" for a in _A_CONST) + "]"
 _BL = "[" + ",".join(f"{b}::HUGEINT" for b in _B_CONST) + "]"
 _ROWS_PER_BAND = _MINHASH_PERMS // _LSH_BANDS
 
-# Shared CTE block: ends at `minhash_pairs` so the connected-components
-# oracle (llm/components.py) can extend the same pair graph with a
-# recursive closure.
-MINHASH_PAIR_CTES = f"""
+# Shared CTE blocks: MINHASH_SIG_CTES ends at `bands` (reused by the
+# incremental batch-vs-corpus oracle below); MINHASH_PAIR_CTES extends
+# it to `minhash_pairs` so the connected-components oracle
+# (llm/components.py) can extend the same pair graph with a recursive
+# closure.
+MINHASH_SIG_CTES = f"""
 shingled AS (
   SELECT doc_id, list_distinct([
       array_to_string(parts[i:i+{_SHINGLE_WIDTH - 1}], chr(1))
@@ -403,7 +405,9 @@ bands AS (
   SELECT doc_id, sig, band,
          array_to_string(sig[band*{_ROWS_PER_BAND}+1 : band*{_ROWS_PER_BAND}+{_ROWS_PER_BAND}], '_') AS bucket
   FROM sigs, (SELECT unnest(range(0,{_LSH_BANDS})) AS band)
-),
+)"""
+
+MINHASH_PAIR_CTES = MINHASH_SIG_CTES + f""",
 kept_buckets AS (
   SELECT band, bucket FROM bands GROUP BY band, bucket
   HAVING COUNT(*) BETWEEN 2 AND {_LSH_BUCKET_CAP}
@@ -918,6 +922,154 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+# --- incremental MinHash near-dup (batch vs corpus) --------------------
+
+_INCR_MINHASH_ORACLE = f"""
+WITH {MINHASH_SIG_CTES},
+batch_bands AS (SELECT * FROM bands WHERE doc_id % 10 = 0),
+corpus_bands AS (SELECT * FROM bands WHERE doc_id % 10 <> 0),
+kept AS (
+  SELECT band, bucket FROM corpus_bands GROUP BY band, bucket
+  HAVING COUNT(*) <= {_LSH_BUCKET_CAP}
+),
+cand AS (
+  SELECT DISTINCT b.doc_id AS batch_doc, c.doc_id AS corpus_doc,
+                  b.sig AS sig_b, c.sig AS sig_c
+  FROM batch_bands b
+  JOIN corpus_bands c ON b.band = c.band AND b.bucket = c.bucket
+  JOIN kept k ON k.band = b.band AND k.bucket = b.bucket
+),
+verified AS (
+  SELECT cd.batch_doc, cd.corpus_doc,
+         len(list_filter(range(1,{_MINHASH_PERMS + 1}),
+                         i -> cd.sig_b[i] = cd.sig_c[i]))
+           / {_MINHASH_PERMS}.0 AS est_jaccard,
+         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+           / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+  FROM cand cd
+  JOIN shingled sa ON sa.doc_id = cd.batch_doc
+  JOIN shingled sb ON sb.doc_id = cd.corpus_doc
+)
+SELECT batch_doc, corpus_doc, est_jaccard, jaccard
+FROM verified WHERE jaccard >= 0.5
+ORDER BY batch_doc, corpus_doc
+"""
+
+
+def incremental_minhash_pairs(
+    spark: SparkSession, batch: DataFrame, corpus: DataFrame
+) -> DataFrame:
+    """Near-duplicate pairs between a NEW BATCH and an existing
+    corpus via the persisted-signature pattern: the corpus's MinHash
+    signature table is computed once (the cache slot stands in for
+    the signature table a production pipeline keeps on disk —
+    exactly like dedup_incremental_exact's hash table), the batch
+    signatures are computed fresh, and only band keys join. Corpus
+    text is re-read solely for the candidate pairs' exact-Jaccard
+    verification. The asymmetry is the point: at 100 TB the corpus
+    is never re-shingled per batch, and bucket caps apply to the
+    CORPUS side (a degenerate corpus bucket would pair with every
+    batch doc that lands in it)."""
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
+
+    def banded(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            "doc_id",
+            "sig",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
+                    lambda band: F.struct(
+                        band.alias("band"),
+                        F.concat_ws(
+                            "_",
+                            F.transform(
+                                F.slice("sig", band * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                        ).alias("bucket"),
+                    ),
+                )
+            ).alias("bk"),
+        ).select("doc_id", "sig", "bk.band", "bk.bucket")
+
+    corpus_sigs = cache_slot(
+        "incr_minhash_corpus_sigs", minhash_signatures_arrow(corpus)
+    )
+    corpus_bands = banded(corpus_sigs)
+    batch_bands = banded(minhash_signatures_arrow(batch))
+    kept = (
+        corpus_bands.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= _LSH_BUCKET_CAP)
+        .select("band", "bucket")
+    )
+    cand = (
+        batch_bands.alias("b")
+        .join(corpus_bands.alias("c"), ["band", "bucket"])
+        .join(kept, ["band", "bucket"])
+        .select(
+            F.col("b.doc_id").alias("batch_doc"),
+            F.col("c.doc_id").alias("corpus_doc"),
+            F.col("b.sig").alias("sig_b"),
+            F.col("c.sig").alias("sig_c"),
+        )
+        .distinct()
+    )
+    est = cand.select(
+        "batch_doc",
+        "corpus_doc",
+        (
+            F.size(
+                F.filter(
+                    F.zip_with("sig_b", "sig_c", lambda x, y: x == y),
+                    lambda eq: eq,
+                )
+            ).cast("double")
+            / _MINHASH_PERMS
+        ).alias("est_jaccard"),
+    )
+    sa = batch.select(F.col("doc_id").alias("batch_doc"), _shingles().alias("sh_a"))
+    sb = corpus.select(F.col("doc_id").alias("corpus_doc"), _shingles().alias("sh_b"))
+    return (
+        est.join(sa, "batch_doc")
+        .join(sb, "corpus_doc")
+        .select(
+            "batch_doc",
+            "corpus_doc",
+            "est_jaccard",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .orderBy("batch_doc", "corpus_doc")
+    )
+
+
+@register(
+    "dedup_incremental_minhash",
+    tags=("llm", "dedup", "lsh", "incremental"),
+    oracle=_INCR_MINHASH_ORACLE,
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup: the batch/corpus split
+    (doc_id % 10 = 0, matching dedup_incremental_exact's convention)
+    run through incremental_minhash_pairs. Complements the exact
+    variant: that one catches byte-identical re-ingests; this one
+    catches edited re-ingests at jaccard >= 0.5, without ever
+    re-signaturing the corpus. Fully oracled — the DuckDB side
+    replays shingling, permutation minima, banding, the corpus-side
+    bucket cap, and the exact-Jaccard verification."""
+    t = tables(spark, sf_dir)
+    batch = t.documents.filter("doc_id % 10 = 0")
+    corpus = t.documents.filter("doc_id % 10 <> 0")
+    return incremental_minhash_pairs(spark, batch, corpus)
 
 
 # --- semantic dedup (SemDeDup) -----------------------------------------

@@ -551,3 +551,26 @@ def test_semantic_dedup_planted_duplicate_dropped(spark):
     stats = semantic_dedup_stats(df, threshold=0.95).collect()
     assert sum(r["n_dropped"] for r in stats) == 1
     assert sum(r["n_kept"] for r in stats) == 20
+
+
+def test_incremental_minhash_consistent_with_full_and_nonvacuous(spark, sf_dir):
+    """Batch-vs-corpus near-dup pairs must be exactly the full
+    minhash pair set restricted to pairs that CROSS the split
+    (same signatures, same band scheme, same threshold — only the
+    pairing scope differs; the corpus-side-only bucket cap can only
+    ADD crossing pairs the full run's two-sided cap dropped, so the
+    full set restricted to crossings must be a subset); and the gate
+    fixture must actually produce pairs (vacuity guard)."""
+    incr = {
+        (r["batch_doc"], r["corpus_doc"])
+        for r in QUERIES["dedup_incremental_minhash"].fn(spark, sf_dir).collect()
+    }
+    assert incr, "vacuous: no batch-vs-corpus near-dups on the fixture"
+    full = QUERIES["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    crossing = set()
+    for r in full:
+        a, b = r["doc_a"], r["doc_b"]
+        if (a % 10 == 0) != (b % 10 == 0):
+            batch_doc, corpus_doc = (a, b) if a % 10 == 0 else (b, a)
+            crossing.add((batch_doc, corpus_doc))
+    assert crossing <= incr, f"missing pairs: {sorted(crossing - incr)[:5]}"

@@ -420,3 +420,20 @@ def test_semantic_dedup_cell_scoped_pairs(spark, sf_dir):
     assert "EvalPython" not in body and "python" not in body.lower()
     assert re.search(r"Join \[cid#\d+\], \[cid#\d+\]", body), (
         "pair search must be an equi-join on cid")
+
+
+def test_incremental_minhash_corpus_sigs_cached_no_cartesian(spark, sf_dir):
+    """The corpus signature table must come from the cache slot
+    (one materialization — a second Arrow signature pass over the
+    corpus per consumer would defeat the persisted-signature
+    pattern), the band join must be a hash equi-join on
+    (band, bucket) — never cartesian — and no Exchange may carry the
+    raw text column (only band keys and signatures move; text is
+    re-read in place for the verification join)."""
+    plan = plan_of(spark, sf_dir, "dedup_incremental_minhash")
+    body = plan.split("== Initial Plan ==")[0]
+    assert "InMemoryTableScan" in body, "corpus signatures must be slot-cached"
+    assert "CartesianProduct" not in body
+    for line in body.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, f"text column shuffled: {line}"
