@@ -5819,6 +5819,87 @@ QSCRIPTS_R50 = [
     ),
 ]
 
+# Tranche 51 (round 7): aggregate/subquery/string themes. All 12
+# prototyped green on both engines at sf0.01 (and non-vacuity
+# probed at sf0.001) before inclusion; candidate group_by_all and
+# between-strings shapes were dropped as collisions with existing
+# corpus ids per the uniqueness rule (the collection-time assert
+# caught the second one).
+QSCRIPTS_R51 = [
+    (
+        "median_agg",  # udaf_percentile lineage: exact median
+        """SELECT l_linenumber, median(l_quantity) AS med
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    (
+        "bool_and_or_agg",  # udaf boolean aggregates
+        """SELECT o_orderstatus, bool_and(o_totalprice > 1000) AS all_big,
+                  bool_or(o_totalprice > 400000) AS any_huge
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "try_cast_null",  # safe-cast: malformed input -> NULL
+        """SELECT n_name, TRY_CAST(n_name AS INTEGER) AS as_int,
+                  TRY_CAST(CAST(n_nationkey AS STRING) AS INTEGER) AS roundtrip
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "having_global_agg",  # having.q: HAVING without GROUP BY
+        """SELECT COUNT(*) AS n FROM lineitem HAVING COUNT(*) > 10""",
+    ),
+    (
+        "sum_empty_is_null",  # agg null semantics: COUNT 0 but SUM NULL
+        """SELECT COUNT(*) AS n, SUM(l_quantity) AS s
+           FROM lineitem WHERE l_quantity > 1000000""",
+    ),
+    (
+        "case_in_orderby",  # order by a CASE expression
+        """SELECT o_orderpriority FROM orders GROUP BY o_orderpriority
+           ORDER BY CASE WHEN o_orderpriority = '5-LOW' THEN 0 ELSE 1 END,
+                    o_orderpriority""",
+    ),
+    (
+        "correlated_scalar_select",  # scalar subquery in the SELECT list
+        """SELECT r_name,
+                  (SELECT COUNT(*) FROM nation
+                   WHERE n_regionkey = r_regionkey) AS n_nations
+           FROM region ORDER BY r_name""",
+    ),
+    (
+        "not_exists_conjunct",  # NOT EXISTS with an extra conjunct
+        """SELECT c_custkey FROM customer c
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+             WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+           ORDER BY c_custkey""",
+    ),
+    (
+        "dense_rank_distinct_count",  # windowing trick: COUNT DISTINCT
+        # via MAX(dense_rank)
+        """SELECT l_returnflag, MAX(dr) AS n_distinct_qty FROM (
+             SELECT l_returnflag, dense_rank() OVER (
+               PARTITION BY l_returnflag ORDER BY l_quantity) AS dr
+             FROM lineitem) x
+           GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    (
+        "translate_chars",  # udf_translate.q
+        """SELECT n_name, translate(n_name, 'AEIOU', 'aeiou') AS lowered_vowels
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "intersect_all_dups",  # setop with duplicate preservation
+        """SELECT x FROM (
+             SELECT l_linestatus AS x FROM lineitem
+             INTERSECT ALL SELECT o_orderstatus AS x FROM orders
+           ) t ORDER BY x""",
+    ),
+    (
+        "position_instr",  # udf_instr.q / position syntax
+        """SELECT n_name, position('A' IN n_name) AS pos_a
+           FROM nation ORDER BY n_name""",
+    ),
+]
+
 
 ALL_QSCRIPTS = [
     (n, s)
