@@ -120,7 +120,8 @@ def _delta_frames(spark: SparkSession, name: str) -> tuple[DataFrame | None, lis
 
 
 def delete_mor(
-    spark: SparkSession, name: str, condition: str, key_cols: list[str]
+    spark: SparkSession, name: str, condition: str, key_cols: list[str],
+    compact_after: int | None = None,
 ) -> int:
     """Merge-on-read DELETE: append the DISTINCT key tuples matching
     ``condition`` (evaluated against the MOR view, so already-deleted
@@ -140,7 +141,14 @@ def delete_mor(
     NULL survive. NULL keys are rejected — an equality delete with a
     NULL key matches nothing in the anti-join and would silently
     mask zero rows. Validation happens BEFORE the manifest is
-    pinned, so a failed or zero-match statement leaves no trace."""
+    pinned, so a failed or zero-match statement leaves no trace.
+
+    ``compact_after``: the Initiator analogue
+    (ql/txn/compactor/Initiator.java watches delta counts and
+    schedules major compaction) — when the table's delta-file count
+    reaches this threshold after the delete, compact_mor runs
+    inline, folding the deltas and resetting the read tax (measured
+    break-even ~10 merged scans, experiments/mor_delete_bench.py)."""
     _reject_nondeterministic(condition, "DELETE")
     base = spark.table(name)
     missing = [c for c in key_cols if c not in base.columns]
@@ -182,6 +190,12 @@ def delete_mor(
     out = os.path.join(delta_dir, f"delta-{uuid.uuid4().hex}.parquet")
     # one file per DELETE statement, like one delta dir per txn
     keyed.select(*key_cols).coalesce(1).write.parquet(out)
+    if compact_after is not None:
+        n_deltas = len(
+            [f for f in os.listdir(delta_dir) if f.endswith(".parquet")]
+        )
+        if n_deltas >= compact_after:
+            compact_mor(spark, name)
     return int(n)
 
 

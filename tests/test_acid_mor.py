@@ -221,3 +221,18 @@ def test_failed_or_empty_delete_pins_no_manifest(spark, plain_table):
     # now pin with a DIFFERENT key set — must succeed
     assert acid.delete_mor(spark, plain_table, "k < 3", ["k"]) == 3
     assert acid._read_manifest(delta_dir) == ["k"]
+
+
+def test_compact_after_threshold_triggers_fold(spark, plain_table):
+    """The Initiator analogue: the Nth delete (delta-file count
+    reaching compact_after) triggers an inline major compaction —
+    deltas fold into the base and the delta dir resets; deletes
+    below the threshold leave deltas in place."""
+    acid.delete_mor(spark, plain_table, "k = 1", ["k"], compact_after=3)
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"], compact_after=3)
+    delta_dir = acid._delta_path(spark, plain_table)
+    assert len([f for f in os.listdir(delta_dir) if f.endswith(".parquet")]) == 2
+    acid.delete_mor(spark, plain_table, "k = 3", ["k"], compact_after=3)
+    assert not os.path.isdir(delta_dir), "threshold must trigger compaction"
+    assert spark.table(plain_table).count() == 97
+    assert acid.read_mor(spark, plain_table).count() == 97
