@@ -52,17 +52,19 @@ UDTF_FNS = """explode inline json_tuple posexplode stack""".split()
 
 OPERATORS = list("+ - * / % & | ^ ~ = == <=> != <> < <= > >= div".split())
 
-# Gap set provided by our compat pack (functions/hive_compat.py) as
-# Python column-expression helpers rather than SQL-registered names.
+# Gap set provided by our compat pack (functions/hive_compat.py and
+# functions/bitmaps.py) as Python column-expression helpers rather
+# than SQL-registered names. ewah_* moved here from DROPPED in
+# round 7 (functions/bitmaps.py implements the family natively).
 COMPAT_PACK = {
     "field", "parse_url_tuple", "create_union", "in_file",
     "ngrams", "context_ngrams",
+    "ewah_bitmap", "ewah_bitmap_and", "ewah_bitmap_or", "ewah_bitmap_empty",
 }
 
 # Documented drops (README "Deliberately dropped"):
 DROPPED = {
     "reflect", "reflect2", "java_method",
-    "ewah_bitmap", "ewah_bitmap_and", "ewah_bitmap_or", "ewah_bitmap_empty",
     "compute_stats",  # internal; maps to ANALYZE TABLE (ddl.analyze)
     "matchpath",  # provided as operators/matchpath.py PTF, not a SQL fn
     "windowingtablefunction", "noop", "noopwithmap",  # PTF plumbing
@@ -114,15 +116,21 @@ def test_operators_resolve_in_expressions(engine):
 
 
 def test_compat_pack_importable_and_callable(spark, sf_dir):
+    from amplab_hive_spark.functions import bitmaps as bm
     from amplab_hive_spark.functions import hive_compat as hc
 
     for fn_name in ("field", "parse_url_tuple", "create_union", "union_tag",
                     "union_field", "in_file", "top_ngrams", "context_ngrams"):
         assert callable(getattr(hc, fn_name))
+    for fn_name in ("ewah_bitmap", "ewah_bitmap_and", "ewah_bitmap_or",
+                    "ewah_bitmap_empty"):
+        assert callable(getattr(bm, fn_name))
 
 
 def test_dropped_set_documented_in_readme():
     readme = open("README.md").read()
     assert "Deliberately dropped" in readme
-    for name in ("reflect", "EWAH", "HBase"):
+    for name in ("reflect", "HBase"):
         assert name in readme
+    # ewah_* left the dropped set in round 7 (functions/bitmaps.py)
+    assert "EWAH bitmap index UDAFs" not in readme
