@@ -163,21 +163,17 @@ def delete_mor(
         )
     current = read_mor(spark, name)
     cond = F.coalesce(F.expr(condition), F.lit(False))
-    # ONE base scan: per-key group size + did-any-row-match collapse
-    # map-side; the checkpoint holds one row per MATCHED key group
-    keyed = (
-        current.groupBy(*key_cols)
-        .agg(
-            F.count(F.lit(1)).alias("__mor_cnt"),
-            F.max(cond).alias("__mor_hit"),
-        )
-        .filter("__mor_hit")
+    # Scan 1 — condition-FIRST, so predicate pushdown and partition
+    # pruning apply and only MATCHED rows' keys ever shuffle (a
+    # groupBy over all keys would aggregate the whole table to
+    # discard almost every group — the 100 TB anti-pattern).
+    hit_keys = (
+        current.filter(cond).select(*key_cols).distinct()
         .localCheckpoint(eager=True)
     )
-    n = keyed.agg(F.sum("__mor_cnt")).collect()[0][0] or 0
-    if n == 0:
+    if hit_keys.isEmpty():
         return 0
-    null_keys = keyed.filter(
+    null_keys = hit_keys.filter(
         " OR ".join(f"({c} IS NULL)" for c in key_cols)
     ).count()
     if null_keys:
@@ -185,17 +181,36 @@ def delete_mor(
             f"DELETE matched rows with NULL in key columns {key_cols}; "
             "equality deletes cannot address them — use ddl.delete_from"
         )
+    # Scan 2 — the masked-row count (whole key groups): a broadcast
+    # semi-join of the view against the small hit-key set, no shuffle.
+    n = current.join(
+        F.broadcast(hit_keys), on=list(key_cols), how="left_semi"
+    ).count()
     # every check passed: NOW pin the manifest and write the delta
     _write_manifest(delta_dir, list(key_cols))
     out = os.path.join(delta_dir, f"delta-{uuid.uuid4().hex}.parquet")
     # one file per DELETE statement, like one delta dir per txn
-    keyed.select(*key_cols).coalesce(1).write.parquet(out)
+    hit_keys.coalesce(1).write.parquet(out)
     if compact_after is not None:
         n_deltas = len(
             [f for f in os.listdir(delta_dir) if f.endswith(".parquet")]
         )
         if n_deltas >= compact_after:
-            compact_mor(spark, name)
+            # The delete is already durable (delta written); a
+            # compaction failure must not convert a committed DELETE
+            # into an exception that loses the caller's count —
+            # surface it as a warning, exactly like a failed
+            # background compactor run leaves deltas for the next one.
+            import warnings
+
+            try:
+                compact_mor(spark, name)
+            except Exception as ex:  # noqa: BLE001
+                warnings.warn(
+                    f"auto-compaction after DELETE on {name} failed "
+                    f"({ex}); deltas left in place for a later "
+                    f"compact_mor", RuntimeWarning, stacklevel=2,
+                )
     return int(n)
 
 
@@ -226,7 +241,7 @@ def compact_mor(spark: SparkSession, name: str) -> int:
     from which re-running converges. Without the drops, purging the
     deltas would RESURRECT fully-deleted partitions (their base
     files survive the overwrite and the masking delta is gone)."""
-    from amplab_hive_spark.ddl import _sql_partition_literal
+    from amplab_hive_spark.ddl import _drop_emptied_partitions, partition_values
 
     delta_dir = _delta_path(spark, name)
     deltas, _ = _delta_frames(spark, name)
@@ -239,27 +254,17 @@ def compact_mor(spark: SparkSession, name: str) -> int:
     folded = read_mor(spark, name).localCheckpoint(eager=True)
     pcols = _partition_columns(spark, name)
     if pcols:
-        base_parts = {
-            tuple(r) for r in
-            spark.table(name).select(*pcols).distinct().collect()
-        }
+        # base partition list from CATALOG METADATA (SHOW PARTITIONS
+        # via partition_values) — never a base data scan
+        base_parts = {tuple(r) for r in partition_values(spark, name).collect()}
         surviving = {
             tuple(r) for r in folded.select(*pcols).distinct().collect()
         }
         emptied = sorted(base_parts - surviving, key=repr)
-        # render every drop spec BEFORE mutating anything (an
-        # unrenderable NULL partition must fail the statement whole)
-        drop_specs = [
-            ", ".join(
-                f"{c} = {_sql_partition_literal(v)}"
-                for c, v in zip(pcols, p)
-            )
-            for p in emptied
-        ]
-        for spec in drop_specs:
-            spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
-        with _dynamic_partition_overwrite(spark):
-            folded.write.insertInto(name, overwrite=True)
+        _drop_emptied_partitions(spark, name, pcols, emptied)
+        if surviving:
+            with _dynamic_partition_overwrite(spark):
+                folded.write.insertInto(name, overwrite=True)
     else:
         folded.write.insertInto(name, overwrite=True)
     _purge_delta_dir(delta_dir)

@@ -289,6 +289,25 @@ class _dynamic_partition_overwrite:
             self._LOCK.release()
 
 
+def _drop_emptied_partitions(spark: SparkSession, name: str,
+                             pcols: Sequence[str],
+                             emptied: Sequence[tuple]) -> None:
+    """Drop partitions that dynamic overwrite cannot express (it only
+    rewrites partitions PRESENT in the incoming data). Shared by
+    delete_from, merge_into and acid.compact_mor — one copy of the
+    two ordering rules: render EVERY spec before mutating anything
+    (an unrenderable NULL partition must fail the whole statement up
+    front, not half-way), and the caller runs the drops BEFORE its
+    survivor overwrite so a mid-statement crash leaves a state from
+    which re-running converges."""
+    drop_specs = [
+        ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
+        for p in emptied
+    ]
+    for spec in drop_specs:
+        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
+
+
 def _sql_partition_literal(v) -> str:
     """Render one partition value as a Spark SQL literal for
     ALTER TABLE .. DROP PARTITION. Strings are escaped; date/datetime
@@ -428,14 +447,6 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
         for r in staged.filter(~F.col("__matched")).select(*pcols).distinct().collect()
     }
     emptied = [p for p in parts if p not in surviving]
-    # Render EVERY drop spec BEFORE mutating anything: an
-    # unrenderable value (the NULL partition) must fail the whole
-    # statement up front, not after the overwrite already committed
-    # and some partitions were dropped (a half-applied delete).
-    drop_specs = [
-        ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
-        for p in emptied
-    ]
     # Drop emptied partitions BEFORE the survivor overwrite (advice
     # r4): the survivors are already materialized in the eager
     # checkpoint, so the drops can't corrupt them, and either
@@ -444,8 +455,7 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
     # The old order (overwrite, then drops) had the one bad window
     # where a failed drop left fully-deleted partitions visible after
     # the statement had already "committed" its other half.
-    for spec in drop_specs:
-        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
+    _drop_emptied_partitions(spark, name, pcols, emptied)
     if surviving:
         with _dynamic_partition_overwrite(spark):
             remaining.write.insertInto(name, overwrite=True)
@@ -690,12 +700,7 @@ def merge_into(
         tuple(r) for r in survivors.select(*pcols).distinct().collect()
     }
     emptied = [p for p in parts if p not in surviving_parts]
-    drop_specs = [
-        ", ".join(f"{c} = {_sql_partition_literal(v)}" for c, v in zip(pcols, p))
-        for p in emptied
-    ]
-    for spec in drop_specs:
-        spark.sql(f"ALTER TABLE {name} DROP PARTITION ({spec})")
+    _drop_emptied_partitions(spark, name, pcols, emptied)
     if surviving_parts:
         with _dynamic_partition_overwrite(spark):
             survivors.write.insertInto(name, overwrite=True)

@@ -214,13 +214,7 @@ def positions_to_hive_list(positions: Iterable[int]) -> list[int]:
 
 def hive_list_to_positions(arr: Sequence[int]) -> list[int]:
     """Inverse of positions_to_hive_list (BitmapObjectInput analogue)."""
-    if len(arr) < 3:
-        raise ValueError(f"malformed bitmap list (len {len(arr)})")
-    n_words = int(arr[1])
-    if len(arr) != n_words + 3:
-        raise ValueError(
-            f"malformed bitmap list: {len(arr)} elems for {n_words} words")
-    return ewah_decode([_to_unsigned(int(w)) for w in arr[2:2 + n_words]])
+    return ewah_decode(_words_of(arr))
 
 
 # --- Arrow-path column functions (the documented Python steps) --------
@@ -250,6 +244,10 @@ def _bitmap_or(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def _words_of(arr: Sequence[int]) -> list[int]:
+    """Validated payload words of a Hive bitmap list — the ONE place
+    the [sizeInBits, nWords, words..., rlwPos] framing is checked."""
+    if len(arr) < 3:
+        raise ValueError(f"malformed bitmap list (len {len(arr)})")
     n_words = int(arr[1])
     if len(arr) != n_words + 3:
         raise ValueError(

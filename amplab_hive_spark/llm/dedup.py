@@ -439,26 +439,15 @@ _MINHASH_ORACLE = (
 )
 
 
-@register("dedup_minhash_lsh", tags=("llm", "dedup", "lsh"), oracle=_MINHASH_ORACLE, bench=True)
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash + banded LSH near-dup candidates, verified by exact
-    Jaccard. Returns (doc_a, doc_b, est_jaccard, jaccard) for
-    candidate pairs with exact jaccard ≥ 0.5.
-
-    Pipeline: signature scan → explode to {_LSH_BANDS} band keys →
-    self-join per band bucket (dedup pair set) → verify. The shuffle
-    carries only (band_hash, doc_id); text is re-read just for the
-    candidate pairs' verification join."""
-    t = tables(spark, sf_dir)
+def _explode_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) -> (doc_id, sig, band, bucket): one row per LSH
+    band, bucket = the band's signature slice rendered as a string.
+    The bucket-string format is a cross-engine parity contract with
+    the band CTE in MINHASH_SIG_CTES (array_to_string(slice, '_')) —
+    ONE copy here so the full and incremental operators cannot
+    silently diverge from each other or the oracle."""
     rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-    # persist() = the "signature table" a production pipeline writes
-    # out; also an optimizer barrier — without it CollapseProject
-    # inlines the signature expression into every band slice and the
-    # corpus is re-hashed once per band (measured ~2×).
-    from amplab_hive_spark.llm._cache import cache_slot
-
-    sigs = cache_slot("minhash_sigs", minhash_signatures_arrow(t.documents))
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         "sig",
         F.explode(
@@ -466,10 +455,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
                 lambda band: F.struct(
                     band.alias("band"),
-                    # Band key = the band's sig slice rendered as a
-                    # string — portable (the oracle groups on the same
-                    # string), and grouping on it is equivalent to
-                    # grouping on the slice's values.
                     F.concat_ws(
                         "_",
                         F.transform(
@@ -481,6 +466,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bk"),
     ).select("doc_id", "sig", "bk.band", "bk.bucket")
+
+
+@register("dedup_minhash_lsh", tags=("llm", "dedup", "lsh"), oracle=_MINHASH_ORACLE, bench=True)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + banded LSH near-dup candidates, verified by exact
+    Jaccard. Returns (doc_a, doc_b, est_jaccard, jaccard) for
+    candidate pairs with exact jaccard ≥ 0.5.
+
+    Pipeline: signature scan → explode to {_LSH_BANDS} band keys →
+    self-join per band bucket (dedup pair set) → verify. The shuffle
+    carries only (band_hash, doc_id); text is re-read just for the
+    candidate pairs' verification join."""
+    t = tables(spark, sf_dir)
+    # persist() = the "signature table" a production pipeline writes
+    # out; also an optimizer barrier — without it CollapseProject
+    # inlines the signature expression into every band slice and the
+    # corpus is re-hashed once per band (measured ~2×).
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    sigs = cache_slot("minhash_sigs", minhash_signatures_arrow(t.documents))
+    bands = _explode_bands(sigs)
     # Candidate generation: group each bucket and pair its members —
     # NOT a self-join. A self-join re-evaluates the whole signature
     # expression tree on both sides (measured 20×+ slower) and at
@@ -974,34 +980,11 @@ def incremental_minhash_pairs(
     batch doc that lands in it)."""
     from amplab_hive_spark.llm._cache import cache_slot
 
-    rows_per_band = _MINHASH_PERMS // _LSH_BANDS
-
-    def banded(sigs: DataFrame) -> DataFrame:
-        return sigs.select(
-            "doc_id",
-            "sig",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(_LSH_BANDS - 1)),
-                    lambda band: F.struct(
-                        band.alias("band"),
-                        F.concat_ws(
-                            "_",
-                            F.transform(
-                                F.slice("sig", band * rows_per_band + 1, rows_per_band),
-                                lambda x: x.cast("string"),
-                            ),
-                        ).alias("bucket"),
-                    ),
-                )
-            ).alias("bk"),
-        ).select("doc_id", "sig", "bk.band", "bk.bucket")
-
     corpus_sigs = cache_slot(
         "incr_minhash_corpus_sigs", minhash_signatures_arrow(corpus)
     )
-    corpus_bands = banded(corpus_sigs)
-    batch_bands = banded(minhash_signatures_arrow(batch))
+    corpus_bands = _explode_bands(corpus_sigs)
+    batch_bands = _explode_bands(minhash_signatures_arrow(batch))
     kept = (
         corpus_bands.groupBy("band", "bucket")
         .agg(F.count(F.lit(1)).alias("nb"))

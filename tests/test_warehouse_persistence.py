@@ -274,6 +274,7 @@ def test_second_writer_waits_for_lock_then_proceeds():
     with tempfile.TemporaryDirectory(prefix="persist_wait_") as wh:
         ready = os.path.join(wh, "holder_ready")
         done = os.path.join(wh, "holder_done")
+        waiter = None
         holder = subprocess.Popen(
             [sys.executable, "-c",
              _WAIT_HOLDER.format(repo=repo, wh=wh, ready=ready, done=done)],
@@ -309,6 +310,7 @@ def test_second_writer_waits_for_lock_then_proceeds():
             # kill BOTH subprocesses on any failure path — a leaked
             # waiter would boot Spark against the TemporaryDirectory
             # pytest is deleting (review finding r7)
-            for p in (holder, locals().get("waiter")):
+            for p in (holder, waiter):
                 if p is not None and p.poll() is None:
                     p.kill()
+                    p.wait()
