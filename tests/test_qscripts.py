@@ -5900,6 +5900,70 @@ QSCRIPTS_R51 = [
     ),
 ]
 
+# Tranche 52 (round 7): string/window/join-syntax themes, 9 shapes
+# prototyped green on both engines at sf0.01; width_bucket and
+# octet_length candidates dropped (DuckDB lacks/renames them — not
+# portable as one text), in_tuple_list dropped as an id collision.
+QSCRIPTS_R52 = [
+    (
+        "left_right_substr",  # udf left/right
+        """SELECT n_name, left(n_name, 6) AS l6, right(n_name, 2) AS r2
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "exists_or_exists",  # two correlated EXISTS joined by OR
+        """SELECT r_regionkey FROM region r
+           WHERE EXISTS (SELECT 1 FROM nation n
+                         WHERE n.n_regionkey = r.r_regionkey AND n.n_nationkey < 2)
+              OR EXISTS (SELECT 1 FROM nation n2
+                         WHERE n2.n_regionkey = r.r_regionkey AND n2.n_nationkey > 22)
+           ORDER BY r_regionkey""",
+    ),
+    (
+        "window_sum_desc_rows",  # descending ORDER BY with a
+        # forward-looking ROWS frame
+        """SELECT o_orderkey, SUM(o_totalprice) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderkey DESC
+             ROWS BETWEEN CURRENT ROW AND 2 FOLLOWING) AS fwd_sum
+           FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""",
+    ),
+    (
+        "cast_string_to_date_arith",  # date arithmetic on a cast column
+        """SELECT o_orderkey, o_orderdate,
+                  CAST(o_orderdate AS DATE) + 30 AS due
+           FROM orders ORDER BY o_orderkey LIMIT 20""",
+    ),
+    (
+        "string_repeat_concat",  # udf_repeat.q with computed count
+        """SELECT n_nationkey, repeat('*', CAST(n_nationkey % 5 AS INT)) AS stars
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "mod_negative_operands",  # % sign semantics (both engines
+        # return sign-of-dividend)
+        """SELECT -7 % 3 AS a, 7 % -3 AS b, -7 % -3 AS c""",
+    ),
+    (
+        "least_greatest_null",  # NULL-skipping greatest/least
+        """SELECT greatest(1, NULL, 3) AS g, least(NULL, NULL) AS l""",
+    ),
+    (
+        "nested_cte_union",  # two CTEs unioned then aggregated
+        """WITH a AS (SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 5),
+                b AS (SELECT r_regionkey AS k FROM region)
+           SELECT k, COUNT(*) AS n
+           FROM (SELECT k FROM a UNION ALL SELECT k FROM b) u
+           GROUP BY k ORDER BY k""",
+    ),
+    (
+        "join_using_syntax",  # JOIN ... USING column merge
+        """SELECT c_custkey, o_orderkey FROM customer c
+           JOIN (SELECT o_custkey AS c_custkey, o_orderkey FROM orders) o
+             USING (c_custkey)
+           ORDER BY c_custkey, o_orderkey LIMIT 30""",
+    ),
+]
+
 
 ALL_QSCRIPTS = [
     (n, s)
