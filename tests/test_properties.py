@@ -521,3 +521,93 @@ def test_dml_alias_rewrite_preserves_literals(s):
     lits_in = _re.findall(r"'(?:[^'\\]|\\.)*'", s, flags=_re.S)
     lits_out = _re.findall(r"'(?:[^'\\]|\\.)*'", out, flags=_re.S)
     assert lits_in == lits_out
+
+
+# --- merge-on-read equality deletes vs a reference model -------------
+# acid.py's contract in pure Python: a delete masks WHOLE key groups
+# whose condition fires on any live row; compaction folds the mask
+# into the base; inserts of masked keys stay masked until compaction.
+
+
+def _model_mor(rows, ops):
+    """rows: [(k, v)]; ops: sequence of ("delete", key_set) /
+    ("compact",) / ("insert", [(k, v)]). Returns (visible rows,
+    per-delete masked-row counts) under equality-delete semantics."""
+    base = list(rows)
+    masked: set[int] = set()
+    counts = []
+
+    def visible():
+        return [(k, v) for k, v in base if k not in masked]
+
+    for op in ops:
+        if op[0] == "delete":
+            keys = {k for k, _ in visible() if k in op[1]}
+            counts.append(sum(1 for k, _ in visible() if k in keys))
+            masked |= keys
+        elif op[0] == "compact":
+            base = visible()
+            masked = set()
+        else:  # insert
+            base.extend(op[1])
+    return sorted(visible()), counts
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=5),
+                  st.sampled_from(["a", "b"])),
+        min_size=1, max_size=10,
+    ),
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"),
+                      st.sets(st.integers(min_value=0, max_value=5), max_size=3)),
+            st.tuples(st.just("compact")),
+            st.tuples(st.just("insert"),
+                      st.lists(st.tuples(st.integers(min_value=0, max_value=5),
+                                         st.just("n")), max_size=2)),
+        ),
+        min_size=1, max_size=5,
+    ),
+)
+def test_mor_matches_reference_model(spark, tmp_path_factory, rows, ops):
+    """acid.delete_mor/read_mor/compact_mor == the pure-Python
+    equality-delete model over arbitrary op sequences: masked key
+    groups count whole-group sizes, re-inserted masked keys stay
+    hidden until a compaction, and compaction is exactly
+    mask-folding."""
+    from amplab_hive_spark import acid, ddl
+
+    d = tmp_path_factory.mktemp("morprop")
+    spark.sql("DROP TABLE IF EXISTS mor_prop")
+    ddl.create_table_as(
+        spark, "mor_prop",
+        spark.createDataFrame(rows, "k INT, v STRING"),
+        f"{d}/mor_prop",
+    )
+    try:
+        got_counts = []
+        for op in ops:
+            if op[0] == "delete":
+                cond = ("k IN (" + ",".join(map(str, sorted(op[1]))) + ")"
+                        if op[1] else "FALSE")
+                got_counts.append(
+                    acid.delete_mor(spark, "mor_prop", cond, ["k"]))
+            elif op[0] == "compact":
+                acid.compact_mor(spark, "mor_prop")
+            else:
+                if op[1]:
+                    spark.createDataFrame(
+                        op[1], "k INT, v STRING"
+                    ).write.insertInto("mor_prop")
+        want_rows, want_counts = _model_mor(rows, ops)
+        got_rows = sorted(
+            (r["k"], r["v"])
+            for r in acid.read_mor(spark, "mor_prop").collect()
+        )
+        assert got_rows == want_rows
+        assert got_counts == want_counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mor_prop")
