@@ -302,12 +302,47 @@ def _header_schema(file_path: str) -> dict:
     return schema
 
 
+# Avro spec "Schema Resolution" type promotions (writer -> reader),
+# spelled as Spark simpleString pairs. long->float and int->float are
+# spec-legal despite the precision loss; string<->bytes convert
+# through UTF-8, exactly as the spec prescribes.
+_PROMOTIONS = {
+    ("int", "bigint"), ("int", "float"), ("int", "double"),
+    ("bigint", "float"), ("bigint", "double"),
+    ("float", "double"),
+    ("string", "binary"), ("binary", "string"),
+}
+
+# Reader-default support is limited to primitives whose Avro JSON
+# default IS the Python value — logical types (date = int days) and
+# complex defaults are out of the subset and fall back to the
+# NULL-if-nullable rule.
+_DEFAULTABLE_PRIMS = {"int", "long", "float", "double", "string", "boolean"}
+
+
+def _usable_default(avro_field: dict):
+    """(has_default, value) for the resolution subset."""
+    if "default" not in avro_field:
+        return False, None
+    t = avro_field["type"]
+    if isinstance(t, list):  # [null, T] union: default must be null
+        return avro_field["default"] is None, None
+    if isinstance(t, dict):
+        t = t.get("type")
+    if t in _DEFAULTABLE_PRIMS:
+        return True, avro_field["default"]
+    return False, None
+
+
 def _check_file_schema(file_schema: dict, expected: dict, evolve: bool) -> None:
     """Strict mode: normalized name/type/nullability equality.
     ``evolve`` mode (Avro schema-resolution subset): a file may LACK
-    a target field (rows fill NULL — so the target field must be
+    a target field (rows fill the target's primitive default if it
+    has one, else NULL — so the field must carry a default or be
     nullable) and may carry EXTRA fields (ignored); a shared field
-    name must still resolve to the same Spark type."""
+    may differ in type only along the spec's promotion arrows
+    (_PROMOTIONS — int->long/float/double, long->float/double,
+    float->double, string<->bytes)."""
     got = avro_to_spark_schema(file_schema)
     want = avro_to_spark_schema(expected)
     if got == want:
@@ -315,18 +350,65 @@ def _check_file_schema(file_schema: dict, expected: dict, evolve: bool) -> None:
     if not evolve:
         raise AvroError(f"schema drift across files: {file_schema} != {expected}")
     got_fields = {f.name: f for f in got.fields}
+    want_avro = {f["name"]: f for f in expected["fields"]}
     for f in want.fields:
         g = got_fields.get(f.name)
         if g is None:
-            if not f.nullable:
+            has_default, _ = _usable_default(want_avro.get(f.name, {}))
+            if not f.nullable and not has_default:
                 raise AvroError(
-                    f"schema evolution: file lacks non-nullable field {f.name!r}"
+                    f"schema evolution: file lacks non-nullable field "
+                    f"{f.name!r} and the target schema has no usable default"
                 )
         elif g.dataType != f.dataType:
-            raise AvroError(
-                f"schema evolution: field {f.name!r} is {g.dataType.simpleString()} "
-                f"here but {f.dataType.simpleString()} in the target schema"
-            )
+            pair = (g.dataType.simpleString(), f.dataType.simpleString())
+            if pair not in _PROMOTIONS:
+                raise AvroError(
+                    f"schema evolution: field {f.name!r} is "
+                    f"{g.dataType.simpleString()} here but "
+                    f"{f.dataType.simpleString()} in the target schema "
+                    f"(not a legal Avro promotion)"
+                )
+
+
+def _row_adapter(file_schema: dict, expected: dict):
+    """None, or a row->row callable applying the resolution work the
+    arrow build can't: UTF-8 string<->bytes promotion and reader
+    defaults for fields the file lacks. Numeric promotions need no
+    adaptation — pyarrow widens Python ints/floats into the target
+    column type exactly."""
+    got = {f.name: f for f in avro_to_spark_schema(file_schema).fields}
+    want = avro_to_spark_schema(expected)
+    conv = {}
+    for f in want.fields:
+        g = got.get(f.name)
+        if g is None or g.dataType == f.dataType:
+            continue
+        pair = (g.dataType.simpleString(), f.dataType.simpleString())
+        if pair == ("string", "binary"):
+            conv[f.name] = lambda v: v.encode("utf-8")
+        elif pair == ("binary", "string"):
+            conv[f.name] = lambda v: bytes(v).decode("utf-8")
+    defaults = {}
+    for af in expected["fields"]:
+        if af["name"] in got:
+            continue
+        has_default, value = _usable_default(af)
+        if has_default and value is not None:
+            defaults[af["name"]] = value
+    if not conv and not defaults:
+        return None
+
+    def adapt(row: dict) -> dict:
+        for k, fn in conv.items():
+            if row.get(k) is not None:
+                row[k] = fn(row[k])
+        for k, d in defaults.items():
+            if k not in row:
+                row[k] = d
+        return row
+
+    return adapt
 
 
 def read_avro(spark: SparkSession, path: str, allow_evolution: bool = False) -> DataFrame:
@@ -368,9 +450,13 @@ def read_avro(spark: SparkSession, path: str, allow_evolution: bool = False) -> 
             for rec in batch.to_pylist():
                 file_schema, rows = read_container(rec["content"])
                 _check_file_schema(file_schema, expected, allow_evolution)
+                adapt = (
+                    _row_adapter(file_schema, expected)
+                    if allow_evolution else None
+                )
                 chunk: list[dict] = []
                 for row in rows:
-                    chunk.append(row)
+                    chunk.append(adapt(row) if adapt else row)
                     if len(chunk) >= _DECODE_BATCH_ROWS:
                         yield _rows_to_batch(chunk, arrow_schema)
                         chunk = []

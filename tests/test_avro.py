@@ -691,3 +691,87 @@ def test_we_read_java_written_fixed_decimals(spark, tmp_path):
     assert [rows[i][0] for i in range(4)] == vals
     assert rows[0][1] == D("0.0000000000") and rows[1][1] is None
     assert rows[2][1] == D("2.0000000000")
+
+
+# --- round 7: schema-resolution promotions + reader defaults --------
+
+
+def test_read_avro_type_promotions(spark, tmp_path):
+    """Avro spec Schema Resolution promotions under allow_evolution:
+    a writer-int column reads into a long/double target, writer-float
+    into double, and string<->bytes convert through UTF-8 — while an
+    illegal direction (long file vs int target) still errors."""
+    import pytest as _pytest
+
+    from amplab_hive_spark.sources.avro import read_avro, write_avro
+
+    path = str(tmp_path / "promo")
+    os.makedirs(path)
+    # target (sorted first): wide types
+    df_wide = spark.createDataFrame(
+        [(1, 10.5, 2.25, b"bin", "str")],
+        "id long, d double, f double, payload binary, label string",
+    )
+    write_avro(df_wide.coalesce(1), path + "/0w")
+    os.rename(path + "/0w/part-00000.avro", path + "/a-wide.avro")
+    # writer file with promotable narrow types: int id, int d,
+    # float f, string payload, bytes label
+    df_narrow = spark.createDataFrame(
+        [(2, 7, 1.5, "text", b"raw")],
+        "id int, d int, f float, payload string, label binary",
+    )
+    write_avro(df_narrow.coalesce(1), path + "/1n")
+    os.rename(path + "/1n/part-00000.avro", path + "/b-narrow.avro")
+
+    got = {r["id"]: r for r in
+           read_avro(spark, path, allow_evolution=True).collect()}
+    assert sorted(got) == [1, 2]
+    assert got[2]["d"] == 7.0 and abs(got[2]["f"] - 1.5) < 1e-9
+    assert got[2]["payload"] == b"text"      # string -> bytes via UTF-8
+    assert got[2]["label"] == "raw"          # bytes -> string via UTF-8
+    assert got[1]["payload"] == b"bin" and got[1]["label"] == "str"
+
+    # the reverse arrow (long file into int target) is NOT a promotion
+    path2 = str(tmp_path / "promo_bad")
+    os.makedirs(path2)
+    write_avro(spark.createDataFrame([(1,)], "id int").coalesce(1), path2 + "/0")
+    os.rename(path2 + "/0/part-00000.avro", path2 + "/a.avro")
+    write_avro(spark.createDataFrame([(2,)], "id long").coalesce(1), path2 + "/1")
+    os.rename(path2 + "/1/part-00000.avro", path2 + "/b.avro")
+    with _pytest.raises(Exception, match="not a legal Avro promotion"):
+        read_avro(spark, path2, allow_evolution=True).collect()
+
+
+def test_read_avro_reader_defaults(spark, tmp_path):
+    """A field missing from a writer file fills the TARGET schema's
+    default (Avro resolution rule) — including for a NON-nullable
+    field, which previously required nullability; a [null, T] field
+    without a usable default still fills NULL."""
+    from amplab_hive_spark.sources.avro import read_avro
+    from amplab_hive_spark.sources.avro_codec import write_container
+
+    path = str(tmp_path / "defs")
+    os.makedirs(path)
+    target = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "tier", "type": "string", "default": "standard"},
+            {"name": "note", "type": ["null", "string"], "default": None},
+        ],
+    }
+    old = {
+        "type": "record", "name": "r", "fields": [
+            {"name": "id", "type": "long"},
+        ],
+    }
+    with open(path + "/a-target.avro", "wb") as fh:
+        fh.write(write_container(
+            target, [{"id": 1, "tier": "gold", "note": "hi"}]))
+    with open(path + "/b-old.avro", "wb") as fh:
+        fh.write(write_container(old, [{"id": 2}]))
+
+    got = {r["id"]: r for r in
+           read_avro(spark, path, allow_evolution=True).collect()}
+    assert got[1]["tier"] == "gold" and got[1]["note"] == "hi"
+    assert got[2]["tier"] == "standard", "reader default must fill"
+    assert got[2]["note"] is None
