@@ -313,10 +313,10 @@ _PROMOTIONS = {
     ("string", "binary"), ("binary", "string"),
 }
 
-# Reader-default support is limited to primitives whose Avro JSON
-# default IS the Python value — logical types (date = int days) and
-# complex defaults are out of the subset and fall back to the
-# NULL-if-nullable rule.
+# Reader-default support is limited to plain primitives whose Avro
+# JSON default IS the Python value — logical types (date = int days,
+# decimal = bytes), records, arrays, and non-null union defaults are
+# out of the subset and fall back to the NULL-if-nullable rule.
 _DEFAULTABLE_PRIMS = {"int", "long", "float", "double", "string", "boolean"}
 
 
@@ -327,75 +327,94 @@ def _usable_default(avro_field: dict):
     t = avro_field["type"]
     if isinstance(t, list):  # [null, T] union: default must be null
         return avro_field["default"] is None, None
-    if isinstance(t, dict):
-        t = t.get("type")
+    if isinstance(t, dict):  # logical/complex types: out of subset
+        return False, None
     if t in _DEFAULTABLE_PRIMS:
         return True, avro_field["default"]
     return False, None
 
 
-def _check_file_schema(file_schema: dict, expected: dict, evolve: bool) -> None:
-    """Strict mode: normalized name/type/nullability equality.
-    ``evolve`` mode (Avro schema-resolution subset): a file may LACK
-    a target field (rows fill the target's primitive default if it
-    has one, else NULL — so the field must carry a default or be
-    nullable) and may carry EXTRA fields (ignored); a shared field
-    may differ in type only along the spec's promotion arrows
-    (_PROMOTIONS — int->long/float/double, long->float/double,
-    float->double, string<->bytes)."""
+def _bytes_to_str(name: str):
+    def conv(v, _name=name):
+        try:
+            return bytes(v).decode("utf-8")
+        except UnicodeDecodeError as ex:
+            raise AvroError(
+                f"bytes->string promotion for field {_name!r}: value is "
+                f"not valid UTF-8 ({ex})"
+            ) from ex
+
+    return conv
+
+
+def _resolve_file(file_schema: dict, expected: dict, evolve: bool):
+    """Validate a file's schema against the target and return the
+    row adapter it needs (or None). ONE function for both halves so
+    the accepted promotion set and the adaptation logic cannot
+    drift (review finding r7: a split version accepted 8 promotion
+    pairs but adapted only 2).
+
+    Strict mode: normalized name/type/nullability equality, no
+    adapter. ``evolve`` mode (Avro schema-resolution subset): a file
+    may LACK a target field (rows fill the target's plain-primitive
+    default if any, else NULL — so the field must carry a default or
+    be nullable) and may carry EXTRA fields (ignored); a shared
+    field may differ in type only along the spec's promotion arrows
+    (_PROMOTIONS), and may not be nullable here if the target says
+    non-nullable (a null datum inside a non-nullable Spark column
+    would silently break null-aware optimizations downstream).
+
+    Adaptation per promotion: int/long -> float/double convert via
+    float() BEFORE the arrow build (pyarrow REFUSES pythonints not
+    exactly representable in the target — 2^24+1 into float32 raises
+    ArrowInvalid; the spec's promotion is value-rounding, like
+    Java's implicit widening); string<->bytes convert through UTF-8
+    with a named error on undecodable bytes; int->long and
+    float->double need nothing (exact widenings pyarrow performs)."""
     got = avro_to_spark_schema(file_schema)
     want = avro_to_spark_schema(expected)
     if got == want:
-        return
+        return None
     if not evolve:
         raise AvroError(f"schema drift across files: {file_schema} != {expected}")
     got_fields = {f.name: f for f in got.fields}
     want_avro = {f["name"]: f for f in expected["fields"]}
+    conv: dict = {}
+    defaults: dict = {}
     for f in want.fields:
         g = got_fields.get(f.name)
         if g is None:
-            has_default, _ = _usable_default(want_avro.get(f.name, {}))
+            has_default, value = _usable_default(want_avro.get(f.name, {}))
             if not f.nullable and not has_default:
                 raise AvroError(
                     f"schema evolution: file lacks non-nullable field "
                     f"{f.name!r} and the target schema has no usable default"
                 )
-        elif g.dataType != f.dataType:
-            pair = (g.dataType.simpleString(), f.dataType.simpleString())
-            if pair not in _PROMOTIONS:
-                raise AvroError(
-                    f"schema evolution: field {f.name!r} is "
-                    f"{g.dataType.simpleString()} here but "
-                    f"{f.dataType.simpleString()} in the target schema "
-                    f"(not a legal Avro promotion)"
-                )
-
-
-def _row_adapter(file_schema: dict, expected: dict):
-    """None, or a row->row callable applying the resolution work the
-    arrow build can't: UTF-8 string<->bytes promotion and reader
-    defaults for fields the file lacks. Numeric promotions need no
-    adaptation — pyarrow widens Python ints/floats into the target
-    column type exactly."""
-    got = {f.name: f for f in avro_to_spark_schema(file_schema).fields}
-    want = avro_to_spark_schema(expected)
-    conv = {}
-    for f in want.fields:
-        g = got.get(f.name)
-        if g is None or g.dataType == f.dataType:
+            if has_default and value is not None:
+                defaults[f.name] = value
+            continue
+        if g.nullable and not f.nullable:
+            raise AvroError(
+                f"schema evolution: field {f.name!r} is nullable here "
+                f"but non-nullable in the target schema"
+            )
+        if g.dataType == f.dataType:
             continue
         pair = (g.dataType.simpleString(), f.dataType.simpleString())
+        if pair not in _PROMOTIONS:
+            raise AvroError(
+                f"schema evolution: field {f.name!r} is "
+                f"{g.dataType.simpleString()} here but "
+                f"{f.dataType.simpleString()} in the target schema "
+                f"(not a legal Avro promotion)"
+            )
         if pair == ("string", "binary"):
             conv[f.name] = lambda v: v.encode("utf-8")
         elif pair == ("binary", "string"):
-            conv[f.name] = lambda v: bytes(v).decode("utf-8")
-    defaults = {}
-    for af in expected["fields"]:
-        if af["name"] in got:
-            continue
-        has_default, value = _usable_default(af)
-        if has_default and value is not None:
-            defaults[af["name"]] = value
+            conv[f.name] = _bytes_to_str(f.name)
+        elif pair[1] in ("float", "double") and pair[0] in ("int", "bigint"):
+            conv[f.name] = float
+        # (int, bigint) and (float, double): exact, no adaptation
     if not conv and not defaults:
         return None
 
@@ -449,11 +468,7 @@ def read_avro(spark: SparkSession, path: str, allow_evolution: bool = False) -> 
         for batch in batches:
             for rec in batch.to_pylist():
                 file_schema, rows = read_container(rec["content"])
-                _check_file_schema(file_schema, expected, allow_evolution)
-                adapt = (
-                    _row_adapter(file_schema, expected)
-                    if allow_evolution else None
-                )
+                adapt = _resolve_file(file_schema, expected, allow_evolution)
                 chunk: list[dict] = []
                 for row in rows:
                     chunk.append(adapt(row) if adapt else row)

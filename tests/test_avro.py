@@ -775,3 +775,61 @@ def test_read_avro_reader_defaults(spark, tmp_path):
     assert got[1]["tier"] == "gold" and got[1]["note"] == "hi"
     assert got[2]["tier"] == "standard", "reader default must fill"
     assert got[2]["note"] is None
+
+
+def test_promotion_rounds_inexact_ints_and_names_utf8_errors(spark, tmp_path):
+    """Review-pass regressions: (a) an int not exactly representable
+    in the float/double target (2^24+1) must ROUND like the spec's
+    widening, not crash the arrow build; (b) non-UTF-8 bytes under a
+    bytes->string promotion raise a NAMED AvroError, not a raw
+    UnicodeDecodeError; (c) a nullable writer field cannot resolve
+    into a non-nullable target (null datums would silently violate
+    the Spark schema)."""
+    import pytest as _pytest
+
+    from amplab_hive_spark.sources.avro import read_avro
+    from amplab_hive_spark.sources.avro_codec import write_container
+
+    # (a) inexact int -> float
+    path = str(tmp_path / "inexact")
+    os.makedirs(path)
+    target = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "x", "type": "float"}]}
+    old = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "x", "type": "int"}]}
+    with open(path + "/a.avro", "wb") as fh:
+        fh.write(write_container(target, [{"id": 1, "x": 0.5}]))
+    with open(path + "/b.avro", "wb") as fh:
+        fh.write(write_container(old, [{"id": 2, "x": (1 << 24) + 1}]))
+    got = {r["id"]: r["x"] for r in
+           read_avro(spark, path, allow_evolution=True).collect()}
+    assert got[1] == 0.5 and abs(got[2] - float((1 << 24) + 1)) <= 1.0
+
+    # (b) non-UTF-8 bytes -> string
+    path2 = str(tmp_path / "badutf8")
+    os.makedirs(path2)
+    t2 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "s", "type": "string"}]}
+    o2 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "s", "type": "bytes"}]}
+    with open(path2 + "/a.avro", "wb") as fh:
+        fh.write(write_container(t2, [{"id": 1, "s": "ok"}]))
+    with open(path2 + "/b.avro", "wb") as fh:
+        fh.write(write_container(o2, [{"id": 2, "s": b"\xff\xfe"}]))
+    with _pytest.raises(Exception, match="not valid UTF-8"):
+        read_avro(spark, path2, allow_evolution=True).collect()
+
+    # (c) nullable writer field into non-nullable target
+    path3 = str(tmp_path / "nullability")
+    os.makedirs(path3)
+    t3 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"}, {"name": "s", "type": "string"}]}
+    o3 = {"type": "record", "name": "r", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "s", "type": ["null", "string"]}]}
+    with open(path3 + "/a.avro", "wb") as fh:
+        fh.write(write_container(t3, [{"id": 1, "s": "ok"}]))
+    with open(path3 + "/b.avro", "wb") as fh:
+        fh.write(write_container(o3, [{"id": 2, "s": None}]))
+    with _pytest.raises(Exception, match="nullable here"):
+        read_avro(spark, path3, allow_evolution=True).collect()

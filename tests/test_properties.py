@@ -531,8 +531,12 @@ def test_dml_alias_rewrite_preserves_literals(s):
 
 def _model_mor(rows, ops):
     """rows: [(k, v)]; ops: sequence of ("delete", key_set) /
-    ("compact",) / ("insert", [(k, v)]). Returns (visible rows,
-    per-delete masked-row counts) under equality-delete semantics."""
+    ("delete_v", key_set) / ("compact",) / ("insert", [(k, v)]).
+    Returns (visible rows, per-delete masked-row counts) under
+    equality-delete semantics. "delete_v" restricts the CONDITION to
+    rows with v == 'a' — but the mask is still the WHOLE key group
+    of any hit row (the semantics a row-level regression would get
+    wrong; plain key-membership deletes can't tell the two apart)."""
     base = list(rows)
     masked: set[int] = set()
     counts = []
@@ -541,8 +545,11 @@ def _model_mor(rows, ops):
         return [(k, v) for k, v in base if k not in masked]
 
     for op in ops:
-        if op[0] == "delete":
-            keys = {k for k, _ in visible() if k in op[1]}
+        if op[0] in ("delete", "delete_v"):
+            keys = {
+                k for k, v in visible()
+                if k in op[1] and (op[0] == "delete" or v == "a")
+            }
             counts.append(sum(1 for k, _ in visible() if k in keys))
             masked |= keys
         elif op[0] == "compact":
@@ -564,6 +571,8 @@ def _model_mor(rows, ops):
         st.one_of(
             st.tuples(st.just("delete"),
                       st.sets(st.integers(min_value=0, max_value=5), max_size=3)),
+            st.tuples(st.just("delete_v"),
+                      st.sets(st.integers(min_value=0, max_value=5), max_size=3)),
             st.tuples(st.just("compact")),
             st.tuples(st.just("insert"),
                       st.lists(st.tuples(st.integers(min_value=0, max_value=5),
@@ -575,9 +584,12 @@ def _model_mor(rows, ops):
 def test_mor_matches_reference_model(spark, tmp_path_factory, rows, ops):
     """acid.delete_mor/read_mor/compact_mor == the pure-Python
     equality-delete model over arbitrary op sequences: masked key
-    groups count whole-group sizes, re-inserted masked keys stay
-    hidden until a compaction, and compaction is exactly
-    mask-folding."""
+    groups count whole-group sizes (the value-conditioned delete_v
+    ops pin the WHOLE-GROUP fold — a ("a","b")-mixed key group hit
+    only on its 'a' row must mask its 'b' row too, which plain
+    key-membership deletes cannot distinguish from row-level
+    deletion), re-inserted masked keys stay hidden until a
+    compaction, and compaction is exactly mask-folding."""
     from amplab_hive_spark import acid, ddl
 
     d = tmp_path_factory.mktemp("morprop")
@@ -590,9 +602,11 @@ def test_mor_matches_reference_model(spark, tmp_path_factory, rows, ops):
     try:
         got_counts = []
         for op in ops:
-            if op[0] == "delete":
-                cond = ("k IN (" + ",".join(map(str, sorted(op[1]))) + ")"
-                        if op[1] else "FALSE")
+            if op[0] in ("delete", "delete_v"):
+                keys = ",".join(map(str, sorted(op[1])))
+                cond = f"k IN ({keys})" if op[1] else "FALSE"
+                if op[0] == "delete_v" and op[1]:
+                    cond += " AND v = 'a'"
                 got_counts.append(
                     acid.delete_mor(spark, "mor_prop", cond, ["k"]))
             elif op[0] == "compact":
