@@ -150,17 +150,7 @@ def delete_mor(
     inline, folding the deltas and resetting the read tax (measured
     break-even ~10 merged scans, experiments/mor_delete_bench.py)."""
     _reject_nondeterministic(condition, "DELETE")
-    base = spark.table(name)
-    missing = [c for c in key_cols if c not in base.columns]
-    if missing:
-        raise ValueError(f"key columns not in {name}: {missing}")
-    delta_dir = _delta_path(spark, name)
-    pinned = _read_manifest(delta_dir)
-    if pinned is not None and pinned != list(key_cols):
-        raise ValueError(
-            f"delete-delta keys already pinned to {pinned}; a table "
-            f"has ONE equality-delete key set (got {list(key_cols)})"
-        )
+    _validate_keys(spark, name, key_cols)
     current = read_mor(spark, name)
     cond = F.coalesce(F.expr(condition), F.lit(False))
     # Scan 1 — condition-FIRST, so predicate pushdown and partition
@@ -171,6 +161,63 @@ def delete_mor(
         current.filter(cond).select(*key_cols).distinct()
         .localCheckpoint(eager=True)
     )
+    return _commit_key_deletes(
+        spark, name, hit_keys, list(key_cols), compact_after
+    )
+
+
+def delete_keys_mor(
+    spark: SparkSession, name: str, keys_df: DataFrame,
+    key_cols: list[str], compact_after: int | None = None,
+) -> int:
+    """Merge-on-read DELETE by an explicit KEY FRAME (the CDC
+    tombstone shape: a stream or batch of deleted keys rather than a
+    predicate — streaming/tombstones.py feeds micro-batches here).
+    Same contract as delete_mor: whole key groups mask, the return
+    value is the number of PREVIOUSLY-VISIBLE rows the delta masks
+    (so re-applying the same keys returns 0 — masking is a set
+    union, idempotent by construction), NULL keys are rejected, and
+    nothing is pinned or written when no visible row matches."""
+    _validate_keys(spark, name, key_cols)
+    missing = [c for c in key_cols if c not in keys_df.columns]
+    if missing:
+        raise ValueError(f"key columns not in tombstone frame: {missing}")
+    current = read_mor(spark, name)
+    # only keys that currently mask something: keeps the no-op
+    # re-delivery path delta-free and the count honest
+    hit_keys = (
+        keys_df.select(*key_cols).distinct()
+        .join(current.select(*key_cols).distinct(), list(key_cols), "left_semi")
+        .localCheckpoint(eager=True)
+    )
+    return _commit_key_deletes(
+        spark, name, hit_keys, list(key_cols), compact_after
+    )
+
+
+def _validate_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
+    base = spark.table(name)
+    missing = [c for c in key_cols if c not in base.columns]
+    if missing:
+        raise ValueError(f"key columns not in {name}: {missing}")
+    pinned = _read_manifest(_delta_path(spark, name))
+    if pinned is not None and pinned != list(key_cols):
+        raise ValueError(
+            f"delete-delta keys already pinned to {pinned}; a table "
+            f"has ONE equality-delete key set (got {list(key_cols)})"
+        )
+
+
+def _commit_key_deletes(
+    spark: SparkSession, name: str, hit_keys: DataFrame,
+    key_cols: list[str], compact_after: int | None,
+) -> int:
+    """Shared tail of both delete forms: NULL-key check, masked-row
+    count (Scan 2 — broadcast semi-join of the view against the
+    small hit-key set, no shuffle), manifest pin, delta write,
+    threshold compaction. ``hit_keys`` must already be distinct and
+    eagerly checkpointed."""
+    delta_dir = _delta_path(spark, name)
     if hit_keys.isEmpty():
         return 0
     null_keys = hit_keys.filter(
@@ -181,9 +228,7 @@ def delete_mor(
             f"DELETE matched rows with NULL in key columns {key_cols}; "
             "equality deletes cannot address them — use ddl.delete_from"
         )
-    # Scan 2 — the masked-row count (whole key groups): a broadcast
-    # semi-join of the view against the small hit-key set, no shuffle.
-    n = current.join(
+    n = read_mor(spark, name).join(
         F.broadcast(hit_keys), on=list(key_cols), how="left_semi"
     ).count()
     # every check passed: NOW pin the manifest and write the delta

@@ -364,3 +364,108 @@ def test_stream_upsert_with_auto_compaction(spark, tmpdir):
     finally:
         for name in names.values():
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# --- round 7: streaming tombstones (CDC deletes -> MOR deltas) ------
+
+
+def test_stream_tombstones_equal_batch_delete_and_idempotent(spark, tmpdir):
+    """Tombstone keys streamed through stream_apply_tombstones must
+    leave read_mor equal to the one-shot batch delete of the same
+    keys; re-draining the SAME files after the checkpoint already
+    consumed them applies nothing; and re-applying an already-applied
+    batch through the standalone entry returns 0 and writes no delta
+    (idempotent by construction — masking is a set union)."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amplab_hive_spark import acid
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.tombstones import (
+        apply_tombstone_batch,
+        stream_apply_tombstones,
+    )
+
+    key_schema = StructType([StructField("k", LongType())])
+    src, ckpt = f"{tmpdir}/tomb_src", f"{tmpdir}/tomb_ckpt"
+    _os.makedirs(src)
+    name, path = "tomb_target", f"{tmpdir}/warehouse/tomb_target"
+    base = spark.range(100).selectExpr("id AS k", "concat('v-', id) AS label")
+    create_table_as(spark, name, base, path)
+    try:
+        # two tombstone files -> two micro-batches (maxFilesPerTrigger=1)
+        spark.createDataFrame([(i,) for i in range(0, 10)], key_schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        spark.createDataFrame([(i,) for i in range(5, 15)], key_schema) \
+            .coalesce(1).write.mode("append").parquet(src)
+        q = stream_apply_tombstones(spark, src, ckpt, key_schema, name,
+                                    key_cols=("k",))
+        q.awaitTermination(180)
+        visible = sorted(r["k"] for r in acid.read_mor(spark, name).collect())
+        assert visible == list(range(15, 100))
+        # overlapping second batch masked only the 5 NEW keys; both
+        # deltas exist (overlap pruned to new keys, still a delta)
+        delta_dir = acid._delta_path(spark, name)
+        n_deltas = len([f for f in _os.listdir(delta_dir)
+                        if f.endswith(".parquet")])
+        assert n_deltas == 2
+
+        # checkpoint resume with nothing new: applies nothing
+        q2 = stream_apply_tombstones(spark, src, ckpt, key_schema, name,
+                                     key_cols=("k",))
+        q2.awaitTermination(180)
+        assert sorted(r["k"] for r in acid.read_mor(spark, name).collect()) \
+            == list(range(15, 100))
+
+        # at-least-once re-delivery of an applied batch: 0, no delta
+        redelivered = spark.createDataFrame([(i,) for i in range(0, 15)],
+                                            key_schema)
+        assert apply_tombstone_batch(spark, name, redelivered, ("k",)) == 0
+        assert len([f for f in _os.listdir(delta_dir)
+                    if f.endswith(".parquet")]) == n_deltas
+
+        # equals the batch one-shot delete of the same key set
+        name2, path2 = "tomb_batch", f"{tmpdir}/warehouse/tomb_batch"
+        create_table_as(spark, name2, base, path2)
+        acid.delete_mor(spark, name2, "k < 15", ["k"])
+        assert (sorted(map(tuple, acid.read_mor(spark, name).collect()))
+                == sorted(map(tuple, acid.read_mor(spark, name2).collect())))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql("DROP TABLE IF EXISTS tomb_batch")
+
+
+def test_stream_tombstones_threshold_compaction(spark, tmpdir):
+    """compact_after folds the accumulated tombstone deltas into the
+    base mid-stream: after the threshold batch, the delta dir resets
+    and the BASE no longer contains the masked rows."""
+    import os as _os
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from amplab_hive_spark import acid
+    from amplab_hive_spark.ddl import create_table_as
+    from amplab_hive_spark.streaming.tombstones import stream_apply_tombstones
+
+    key_schema = StructType([StructField("k", LongType())])
+    src, ckpt = f"{tmpdir}/tombc_src", f"{tmpdir}/tombc_ckpt"
+    _os.makedirs(src)
+    name, path = "tombc_target", f"{tmpdir}/warehouse/tombc_target"
+    create_table_as(
+        spark, name,
+        spark.range(60).selectExpr("id AS k", "id * 2 AS dbl"), path)
+    try:
+        for lo in (0, 10, 20):  # three single-file batches
+            spark.createDataFrame([(i,) for i in range(lo, lo + 10)],
+                                  key_schema) \
+                .coalesce(1).write.mode("append").parquet(src)
+        q = stream_apply_tombstones(spark, src, ckpt, key_schema, name,
+                                    key_cols=("k",), compact_after=3)
+        q.awaitTermination(180)
+        assert not _os.path.isdir(acid._delta_path(spark, name)), \
+            "threshold must have folded the deltas"
+        assert sorted(r["k"] for r in spark.table(name).collect()) \
+            == list(range(30, 60))
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
