@@ -5964,6 +5964,61 @@ QSCRIPTS_R52 = [
     ),
 ]
 
+# Tranche 53 (round 7): operator/aggregate/rounding themes, 8 shapes
+# prototyped green on both engines at sf0.01; case-no-else and
+# negative-substr candidates dropped as id collisions.
+QSCRIPTS_R53 = [
+    (
+        "concat_pipe_operator",  # || string concatenation operator
+        """SELECT n_name || '/' || CAST(n_regionkey AS STRING) AS tag
+           FROM nation ORDER BY tag""",
+    ),
+    (
+        "distinct_star_count_sub",  # COUNT(*) over a DISTINCT subquery
+        """SELECT COUNT(*) AS n FROM (
+             SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem) x""",
+    ),
+    (
+        "union_in_cte_referenced_twice",  # one UNION CTE, two scalar
+        # subquery consumers
+        """WITH u AS (
+             SELECT o_custkey AS k FROM orders WHERE o_totalprice > 350000
+             UNION SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0)
+           SELECT (SELECT COUNT(*) FROM u) AS total,
+                  (SELECT MAX(k) FROM u) AS mx""",
+    ),
+    (
+        "avg_of_distinct",  # AVG(DISTINCT ...)
+        """SELECT l_linenumber, CAST(AVG(DISTINCT l_quantity) AS DOUBLE) AS adq
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    (
+        "where_in_constant_list_notin_null",  # IN + NOT IN constant
+        # lists combined
+        """SELECT n_nationkey FROM nation
+           WHERE n_nationkey NOT IN (1, 2, 3) AND n_regionkey IN (0, 1)
+           ORDER BY n_nationkey""",
+    ),
+    (
+        "round_half_behavior",  # round() tie behavior on decimal
+        # literals agrees cross-engine (HALF_UP on exact decimals)
+        """SELECT round(2.5) AS a, round(3.5) AS b, round(-2.5) AS c,
+                  round(2.25, 1) AS d""",
+    ),
+    (
+        "window_over_empty_partition_col",  # global window (no
+        # PARTITION BY): one total ordering
+        """SELECT o_orderkey,
+                  row_number() OVER (ORDER BY o_orderkey) AS rn
+           FROM orders WHERE o_orderkey <= 50 ORDER BY o_orderkey""",
+    ),
+    (
+        "nullif_same_different",  # nullif equal/unequal/string
+        """SELECT nullif(1, 1) AS a, nullif(1, 2) AS b,
+                  nullif('x', 'x') AS c""",
+    ),
+]
+
 
 ALL_QSCRIPTS = [
     (n, s)
