@@ -1,46 +1,73 @@
-"""Merge-on-read row-level deletes — the delta-file half of the
-reference's ACID design, Spark-first.
+"""Merge-on-read row-level DELETE and UPDATE — the delta-file half
+of the reference's ACID design, Spark-first.
 
 Reference anchors:
 - ql/io/AcidUtils.java (delta_x_y directory layout under the table
-  location; readers enumerate base + deltas)
+  location; readers enumerate base + deltas; write ids order events)
 - ql/io/orc/OrcRawRecordMerger.java (read-time merge of base rows
   against delete events)
 - ql/parse/UpdateDeleteSemanticAnalyzer.java (DELETE rewritten into
-  a sorted ROW__ID insert into a delete delta)
+  a sorted ROW__ID insert into a delete delta; UPDATE rewritten into
+  a delete event PLUS a re-insert of the updated row — the same
+  delta mechanism, which this module mirrors with update_mor)
 - ql/txn/compactor/Worker.java (major compaction folds deltas back
   into a new base)
 
 Shape here: a DELETE appends a tiny parquet of matched KEY tuples
 under ``<table>/_delete_delta/`` — O(matched keys), no base rewrite —
-and readers anti-join the base against the union of deltas. This is
-the "equality delete" design (also how Iceberg v2 spells row-level
-deletes on immutable files), in contrast to ddl.delete_from's
-copy-on-write partition rewrite: MOR makes the DELETE cheap and
-taxes reads until compaction; COW taxes the delete and keeps reads
-free. The reference offers the same trade (streaming ingest writes
-deltas; compaction restores scan speed).
+and readers anti-join the base against the union of deltas. An
+UPDATE appends BOTH a delete delta (the matched keys) and an INSERT
+delta (the updated rows) carrying the same sequence number, exactly
+the reference's update = delete event + reinsert decomposition.
+This is the "equality delete" design (also how Iceberg v2 spells
+row-level deletes on immutable files), in contrast to
+ddl.delete_from / ddl.update_table's copy-on-write partition
+rewrite: MOR makes the write cheap and taxes reads until
+compaction; COW taxes the write and keeps reads free. The reference
+offers the same trade (streaming ingest writes deltas; compaction
+restores scan speed).
 
 Why ``_delete_delta``: Hadoop/Spark file listings treat ``_``- and
 ``.``-prefixed paths as hidden (the `_SUCCESS` convention), so base
 scans — ours or any vanilla ``spark.read.parquet`` — never see the
 delta files, exactly like non-ACID readers never see Hive's deltas.
 
+Sequencing (the write-id analogue): every delta filename carries a
+monotonically increasing statement sequence number. Base rows are
+sequence 0; a delete delta at sequence i masks any row whose
+sequence is < i (base rows, and insert-delta rows written by
+EARLIER statements); an insert delta's rows carry its own sequence,
+so an UPDATE's re-inserted rows survive their statement's own
+delete event and remain maskable by later statements — the same
+ordering AcidUtils gets from write ids.
+
 Row identity: the reference synthesizes ROW__ID (writeid, bucket,
-rowid) at write time. Plain parquet has no such hook, so deletes are
+rowid) at write time. Plain parquet has no such hook, so deltas are
 keyed on caller-named KEY COLUMNS (recorded once in a manifest so
 readers need no arguments). Honest divergence, pinned by a test: an
-equality delete masks every CURRENT and FUTURE base row with a
-matching key until compaction — re-inserting a deleted key without
-compacting first leaves it masked (Iceberg orders deletes with
-sequence numbers; the reference with write ids; we document and
-test the simpler contract instead).
+equality delete masks every current and future BASE row with a
+matching key until compaction — re-inserting a deleted key through
+a plain INSERT (sequence 0 by definition) stays masked, while a
+re-insert through update_mor (sequenced above the delete) is
+visible. Iceberg orders everything with sequence numbers; the
+reference with write ids; we sequence only the delta files and
+document the plain-INSERT divergence.
+
+Broadcast discipline: delta key sets are small by construction
+(per-statement matches) but nothing BOUNDS them between compactions
+— a CDC stream tombstoning 1% of a 100 TB table would make a forced
+``F.broadcast`` of the accumulated union a driver OOM (the hint
+bypasses autoBroadcastJoinThreshold's safety). Every join here
+size-gates the hint: file-byte estimate for on-disk deltas, row
+count for in-memory key frames; above the cap the hint is dropped
+and AQE still broadcasts genuinely small sides at runtime.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -49,11 +76,34 @@ from amplab_hive_spark.ddl import (
     _dynamic_partition_overwrite,
     _partition_columns,
     _reject_nondeterministic,
+    _resolve_targets,
     _table_location,
 )
 
 _DELTA_DIR = "_delete_delta"
 _MANIFEST = "_keys.json"
+
+# Filename grammar. DELETE statements write one flat sequenced file
+# delta-<seq>-<hex>.parquet; UPDATE statements commit a per-
+# transaction directory txn-<seq>-<hex>/ holding delete.parquet +
+# insert.parquet (the reference's delta_x_y-per-transaction layout —
+# ql/io/AcidUtils.java — which makes the two-file commit one atomic
+# rename). Legacy (pre-update era) delete deltas had no sequence —
+# they can only coexist with base rows (no inserts existed then), so
+# any positive sequence is order-correct; they read as sequence 1
+# and new statements start at 2.
+_DELETE_RE = re.compile(r"delta-(\d{8})-[0-9a-f]+\.parquet")
+_TXN_RE = re.compile(r"txn-(\d{8})-[0-9a-f]+")
+_LEGACY_RE = re.compile(r"delta-[0-9a-f]+\.parquet")
+
+# Broadcast size gates (see module docstring). Byte cap mirrors
+# Spark's autoBroadcastJoinThreshold default (10 MB of parquet);
+# the row cap bounds in-memory key frames that have no file size.
+_BROADCAST_CAP_BYTES = 10 << 20
+_BROADCAST_KEY_ROW_CAP = 1_000_000
+
+_SEQ = "__mor_seq"
+_MAX_DEL = "__mor_max_del"
 
 
 def _local_path(location: str) -> str:
@@ -103,20 +153,56 @@ def _write_manifest(delta_dir: str, key_cols: list[str]) -> None:
     os.rename(tmp, path)  # atomic: readers see whole manifest or none
 
 
-def _delta_frames(spark: SparkSession, name: str) -> tuple[DataFrame | None, list[str] | None]:
-    """(union of delete-delta keys, key_cols) or (None, None)."""
-    delta_dir = _delta_path(spark, name)
-    key_cols = _read_manifest(delta_dir)
-    if key_cols is None:
-        return None, None
-    files = [
-        os.path.join(delta_dir, f)
-        for f in os.listdir(delta_dir)
-        if f.endswith(".parquet")
-    ]
-    if not files:
-        return None, key_cols
-    return spark.read.parquet(*files), key_cols
+def _scan_deltas(delta_dir: str) -> list[tuple[str, int, str]]:
+    """[(kind, seq, abs_path)] for every committed delta, filename-
+    sorted for determinism. Staging dirs (``.``-prefixed) and the
+    manifest are invisible here by grammar."""
+    if not os.path.isdir(delta_dir):
+        return []
+    out: list[tuple[str, int, str]] = []
+    for f in sorted(os.listdir(delta_dir)):
+        p = os.path.join(delta_dir, f)
+        m = _DELETE_RE.fullmatch(f)
+        if m:
+            out.append(("delete", int(m.group(1)), p))
+            continue
+        m = _TXN_RE.fullmatch(f)
+        if m and os.path.isdir(p):
+            seq = int(m.group(1))
+            dp = os.path.join(p, "delete.parquet")
+            ip = os.path.join(p, "insert.parquet")
+            if os.path.isdir(dp):
+                out.append(("delete", seq, dp))
+            if os.path.isdir(ip):
+                out.append(("insert", seq, ip))
+            continue
+        if _LEGACY_RE.fullmatch(f):
+            out.append(("delete", 1, p))
+    return out
+
+
+def _next_seq(delta_dir: str) -> int:
+    seqs = [s for _, s, _ in _scan_deltas(delta_dir)]
+    return max(seqs, default=1) + 1
+
+
+def _tree_bytes(paths: list[str]) -> int:
+    total = 0
+    for root in paths:
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(dirpath, f))
+                except OSError:
+                    pass
+    return total
+
+
+def _gate_broadcast_files(df: DataFrame, paths: list[str]) -> DataFrame:
+    """Broadcast hint only under the byte cap; above it the plain
+    frame goes in and AQE decides at runtime (shuffle join degrades
+    gracefully instead of a forced-broadcast OOM)."""
+    return F.broadcast(df) if _tree_bytes(paths) <= _BROADCAST_CAP_BYTES else df
 
 
 def delete_mor(
@@ -195,6 +281,86 @@ def delete_keys_mor(
     )
 
 
+def update_mor(
+    spark: SparkSession,
+    name: str,
+    condition: str,
+    assignments: dict[str, str],
+    key_cols: list[str],
+    compact_after: int | None = None,
+) -> int:
+    """Merge-on-read UPDATE — the reference's update = delete event +
+    reinsert decomposition (ql/parse/UpdateDeleteSemanticAnalyzer.java
+    rewrites UPDATE into a delta insert exactly like DELETE, plus the
+    new row images). One statement commits TWO delta files sharing a
+    sequence number: the matched keys as a delete delta, and the full
+    row images of every TOUCHED KEY GROUP — matched rows with the SET
+    applied, unmatched group-mates unchanged — as an insert delta.
+    read_mor's sequenced fold makes the net effect exactly row-level
+    UPDATE, even over non-unique keys, while the write stays
+    O(matched groups): no base rewrite, versus ddl.update_table's
+    copy-on-write partition rewrite (trade measured in
+    experiments/mor_delete_bench.py).
+
+    Returns #rows matched (the rows whose values changed), like
+    ddl.update_table. The condition evaluates against PRE-update
+    values; NULL conditions don't match; it must be deterministic
+    (it runs in separate scans). Assignments to partition columns
+    are rejected (UPDATE_CANNOT_UPDATE_PART_VALUE parity) — an
+    insert-delta row never moves between partition directories, so a
+    partition-column change would silently diverge from the fold at
+    compaction time. Assignments to KEY columns are allowed: the
+    delete delta carries the OLD key, the insert delta the new row.
+
+    Atomic commit: both files are staged under a hidden dot-prefixed
+    directory and published by ONE os.rename to the per-transaction
+    ``txn-<seq>-<hex>/`` directory (the reference's delta_x_y-per-
+    transaction layout, ql/io/AcidUtils.java) — readers see the
+    delete event and the re-insert together or not at all. A crash
+    before the rename leaves only an invisible staging dir, swept by
+    the next compaction."""
+    _reject_nondeterministic(condition, "UPDATE")
+    _validate_keys(spark, name, key_cols)
+    base_cols = spark.table(name).columns
+    pcols = _partition_columns(spark, name)
+    assignments = _resolve_targets(base_cols, assignments, "UPDATE", name, pcols)
+    current = read_mor(spark, name)
+    cond = F.coalesce(F.expr(condition), F.lit(False))
+    hit_keys = (
+        current.filter(cond).select(*key_cols).distinct()
+        .localCheckpoint(eager=True)
+    )
+    if hit_keys.isEmpty():
+        return 0
+    _check_null_keys(hit_keys, key_cols, "UPDATE")
+    n_keys = hit_keys.count()
+    keyed = F.broadcast(hit_keys) if n_keys <= _BROADCAST_KEY_ROW_CAP else hit_keys
+    group_rows = current.join(keyed, on=list(key_cols), how="left_semi")
+    cols = [
+        F.when(cond, F.expr(assignments[c])).otherwise(F.col(c)).alias(c)
+        if c in assignments
+        else F.col(c)
+        for c in base_cols
+    ]
+    staged = group_rows.select(
+        *cols, F.coalesce(cond, F.lit(False)).alias("__matched")
+    ).localCheckpoint(eager=True)
+    matched = staged.filter("__matched").count()
+    new_rows = staged.drop("__matched")
+    delta_dir = _delta_path(spark, name)
+    # every check passed: NOW pin the manifest and commit the pair
+    _write_manifest(delta_dir, list(key_cols))
+    seq = _next_seq(delta_dir)
+    tag = uuid.uuid4().hex
+    stage = os.path.join(delta_dir, f".staging-{tag}")
+    new_rows.coalesce(1).write.parquet(os.path.join(stage, "insert.parquet"))
+    hit_keys.coalesce(1).write.parquet(os.path.join(stage, "delete.parquet"))
+    # one rename publishes the whole transaction (see docstring)
+    os.rename(stage, os.path.join(delta_dir, f"txn-{seq:08d}-{tag}"))
+    _maybe_autocompact(spark, name, delta_dir, compact_after, "UPDATE")
+    return int(matched)
+
+
 def _validate_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
     base = spark.table(name)
     missing = [c for c in key_cols if c not in base.columns]
@@ -208,67 +374,114 @@ def _validate_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
         )
 
 
-def _commit_key_deletes(
-    spark: SparkSession, name: str, hit_keys: DataFrame,
-    key_cols: list[str], compact_after: int | None,
-) -> int:
-    """Shared tail of both delete forms: NULL-key check, masked-row
-    count (Scan 2 — broadcast semi-join of the view against the
-    small hit-key set, no shuffle), manifest pin, delta write,
-    threshold compaction. ``hit_keys`` must already be distinct and
-    eagerly checkpointed."""
-    delta_dir = _delta_path(spark, name)
-    if hit_keys.isEmpty():
-        return 0
+def _check_null_keys(hit_keys: DataFrame, key_cols: list[str], verb: str) -> None:
     null_keys = hit_keys.filter(
         " OR ".join(f"({c} IS NULL)" for c in key_cols)
     ).count()
     if null_keys:
         raise ValueError(
-            f"DELETE matched rows with NULL in key columns {key_cols}; "
-            "equality deletes cannot address them — use ddl.delete_from"
+            f"{verb} matched rows with NULL in key columns {key_cols}; "
+            "equality deletes cannot address them — use the ddl copy-on-"
+            "write verb instead"
         )
+
+
+def _maybe_autocompact(
+    spark: SparkSession, name: str, delta_dir: str,
+    compact_after: int | None, verb: str,
+) -> None:
+    if compact_after is None:
+        return
+    if len(_scan_deltas(delta_dir)) >= compact_after:
+        # The statement is already durable (deltas written); a
+        # compaction failure must not convert a committed write into
+        # an exception that loses the caller's count — surface it as
+        # a warning, exactly like a failed background compactor run
+        # leaves deltas for the next one.
+        import warnings
+
+        try:
+            compact_mor(spark, name)
+        except Exception as ex:  # noqa: BLE001
+            warnings.warn(
+                f"auto-compaction after {verb} on {name} failed "
+                f"({ex}); deltas left in place for a later "
+                f"compact_mor", RuntimeWarning, stacklevel=3,
+            )
+
+
+def _commit_key_deletes(
+    spark: SparkSession, name: str, hit_keys: DataFrame,
+    key_cols: list[str], compact_after: int | None,
+) -> int:
+    """Shared tail of both delete forms: NULL-key check, masked-row
+    count (Scan 2 — semi-join of the view against the hit-key set,
+    broadcast-hinted only under the row cap), manifest pin, delta
+    write, threshold compaction. ``hit_keys`` must already be
+    distinct and eagerly checkpointed."""
+    delta_dir = _delta_path(spark, name)
+    if hit_keys.isEmpty():
+        return 0
+    _check_null_keys(hit_keys, key_cols, "DELETE")
+    n_keys = hit_keys.count()
+    keyed = F.broadcast(hit_keys) if n_keys <= _BROADCAST_KEY_ROW_CAP else hit_keys
     n = read_mor(spark, name).join(
-        F.broadcast(hit_keys), on=list(key_cols), how="left_semi"
+        keyed, on=list(key_cols), how="left_semi"
     ).count()
     # every check passed: NOW pin the manifest and write the delta
     _write_manifest(delta_dir, list(key_cols))
-    out = os.path.join(delta_dir, f"delta-{uuid.uuid4().hex}.parquet")
+    seq = _next_seq(delta_dir)
+    out = os.path.join(delta_dir, f"delta-{seq:08d}-{uuid.uuid4().hex}.parquet")
     # one file per DELETE statement, like one delta dir per txn
     hit_keys.coalesce(1).write.parquet(out)
-    if compact_after is not None:
-        n_deltas = len(
-            [f for f in os.listdir(delta_dir) if f.endswith(".parquet")]
-        )
-        if n_deltas >= compact_after:
-            # The delete is already durable (delta written); a
-            # compaction failure must not convert a committed DELETE
-            # into an exception that loses the caller's count —
-            # surface it as a warning, exactly like a failed
-            # background compactor run leaves deltas for the next one.
-            import warnings
-
-            try:
-                compact_mor(spark, name)
-            except Exception as ex:  # noqa: BLE001
-                warnings.warn(
-                    f"auto-compaction after DELETE on {name} failed "
-                    f"({ex}); deltas left in place for a later "
-                    f"compact_mor", RuntimeWarning, stacklevel=2,
-                )
+    _maybe_autocompact(spark, name, delta_dir, compact_after, "DELETE")
     return int(n)
 
 
 def read_mor(spark: SparkSession, name: str) -> DataFrame:
-    """The merge-on-read view: base rows minus every key present in
-    a delete delta (OrcRawRecordMerger's job, as one anti-join).
-    Deltas are per-statement key sets — small by construction — so
-    the anti-join broadcasts; no shuffle of the base."""
+    """The merge-on-read view (OrcRawRecordMerger's job as one plan):
+
+    - delete-only deltas (the common CDC shape): base anti-join the
+      union of delta keys — one join, no shuffle of the base when
+      the key set broadcasts (size-gated; above the cap AQE decides).
+    - with insert deltas (updates): base rows at sequence 0 union
+      the insert rows at their sequences, left-joined against ONE
+      row per key (the MAX delete sequence — aggregated first, so
+      the join never multiplies), keeping rows whose sequence is >=
+      every masking delete. Insert deltas are per-statement matched
+      groups — tiny next to the base — so the union adds no
+      meaningful scan cost; the join side is the aggregated key set,
+      size-gated like the delete-only path."""
     base = spark.table(name)
-    deltas, key_cols = _delta_frames(spark, name)
-    if deltas is None:
+    delta_dir = _delta_path(spark, name)
+    key_cols = _read_manifest(delta_dir)
+    if key_cols is None:
         return base
-    return base.join(F.broadcast(deltas.distinct()), on=key_cols, how="left_anti")
+    entries = _scan_deltas(delta_dir)
+    del_entries = [e for e in entries if e[0] == "delete"]
+    ins_entries = [e for e in entries if e[0] == "insert"]
+    if not del_entries and not ins_entries:
+        return base
+    if not ins_entries:
+        paths = [p for _, _, p in del_entries]
+        keys = _gate_broadcast_files(spark.read.parquet(*paths).distinct(), paths)
+        return base.join(keys, on=key_cols, how="left_anti")
+    rows = base.withColumn(_SEQ, F.lit(0))
+    for _, seq, p in ins_entries:
+        rows = rows.unionByName(
+            spark.read.parquet(p).withColumn(_SEQ, F.lit(seq))
+        )
+    if not del_entries:  # orphan insert (crash window) — union only
+        return rows.drop(_SEQ).select(*base.columns)
+    del_keys = None
+    for _, seq, p in del_entries:
+        part = spark.read.parquet(p).withColumn(_MAX_DEL, F.lit(seq))
+        del_keys = part if del_keys is None else del_keys.unionByName(part)
+    del_keys = del_keys.groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
+    del_keys = _gate_broadcast_files(del_keys, [p for _, _, p in del_entries])
+    out = rows.join(del_keys, on=key_cols, how="left")
+    out = out.filter(F.col(_MAX_DEL).isNull() | (F.col(_MAX_DEL) <= F.col(_SEQ)))
+    return out.drop(_SEQ, _MAX_DEL).select(*base.columns)
 
 
 def compact_mor(spark: SparkSession, name: str) -> int:
@@ -289,13 +502,14 @@ def compact_mor(spark: SparkSession, name: str) -> int:
     from amplab_hive_spark.ddl import _drop_emptied_partitions, partition_values
 
     delta_dir = _delta_path(spark, name)
-    deltas, _ = _delta_frames(spark, name)
-    if deltas is None:
-        # no deltas (or an empty manifest): nothing to fold
+    entries = _scan_deltas(delta_dir)
+    if not entries or _read_manifest(delta_dir) is None:
+        # no deltas (or no manifest — readers ignore unpinned files):
+        # nothing to fold
         if os.path.isdir(delta_dir):
             _purge_delta_dir(delta_dir)
         return 0
-    n_files = len([f for f in os.listdir(delta_dir) if f.endswith(".parquet")])
+    n_files = len(entries)
     folded = read_mor(spark, name).localCheckpoint(eager=True)
     pcols = _partition_columns(spark, name)
     if pcols:

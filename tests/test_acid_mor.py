@@ -236,3 +236,211 @@ def test_compact_after_threshold_triggers_fold(spark, plain_table):
     assert not os.path.isdir(delta_dir), "threshold must trigger compaction"
     assert spark.table(plain_table).count() == 97
     assert acid.read_mor(spark, plain_table).count() == 97
+
+
+# ---------------------------------------------------------------- r8:
+# UPDATE via merge-on-read (update = delete event + reinsert, the
+# UpdateDeleteSemanticAnalyzer decomposition) + broadcast size gates
+# + the COW/MOR composition guard.
+
+
+def test_update_mor_updates_without_rewriting_base(spark, plain_table):
+    before = _data_files(spark, plain_table)
+    n = acid.update_mor(
+        spark, plain_table, "k < 10", {"label": "concat(label, '-upd')"}, ["k"]
+    )
+    assert n == 10
+    assert _data_files(spark, plain_table) == before  # base untouched
+    rows = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert len(rows) == 100
+    assert rows[3] == "v-3-upd" and rows[42] == "v-42"
+
+
+def test_update_mor_is_row_level_over_nonunique_keys(spark):
+    """Unlike DELETE (whole-group mask), the re-insert carries the
+    unmatched group-mates unchanged — net effect is row-level UPDATE
+    even though the underlying delete delta masks the whole group."""
+    name = "mor_upd_groups"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "a", 30), (2, "b", 40)],
+        "k INT, v STRING, amt INT",
+    ).write.saveAsTable(name)
+    try:
+        n = acid.update_mor(
+            spark, name, "v = 'a'", {"amt": "amt + 100"}, ["k"]
+        )
+        assert n == 2  # matched ROWS, not groups
+        got = sorted(
+            (r.k, r.v, r.amt) for r in acid.read_mor(spark, name).collect()
+        )
+        assert got == [(1, "a", 110), (1, "b", 20), (2, "a", 130), (2, "b", 40)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_update_mor_sequencing_across_statements(spark, plain_table):
+    """update -> update (compounds) -> delete (masks the updated row)
+    -> plain INSERT of that key stays masked (base rows are seq 0,
+    the documented divergence), while updated rows survive the
+    deletes that PRECEDED them."""
+    acid.update_mor(spark, plain_table, "k = 4", {"label": "'u1'"}, ["k"])
+    acid.update_mor(spark, plain_table, "k = 4", {"label": "concat(label, '+u2')"}, ["k"])
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[4] == "u1+u2"
+    acid.delete_mor(spark, plain_table, "k = 4", ["k"])
+    assert 4 not in {r.k for r in acid.read_mor(spark, plain_table).collect()}
+    spark.createDataFrame([(4, 4, "reborn")], "k BIGINT, grp BIGINT, label STRING") \
+        .write.insertInto(plain_table)
+    assert 4 not in {r.k for r in acid.read_mor(spark, plain_table).collect()}
+    # but an UPDATE re-insert is sequenced ABOVE the delete: update a
+    # different live key and confirm it stays visible after the fold
+    acid.update_mor(spark, plain_table, "k = 5", {"label": "'u5'"}, ["k"])
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[5] == "u5" and 4 not in got
+
+
+def test_update_mor_compacts_to_same_rows(spark, plain_table):
+    acid.update_mor(spark, plain_table, "k % 10 = 7", {"label": "'seven'"}, ["k"])
+    acid.delete_mor(spark, plain_table, "k >= 90", ["k"])
+    want = sorted(
+        (r.k, r.grp, r.label)
+        for r in acid.read_mor(spark, plain_table).collect()
+    )
+    folded = acid.compact_mor(spark, plain_table)
+    assert folded >= 3  # txn dir contributes delete+insert entries
+    got = sorted(
+        (r.k, r.grp, r.label) for r in spark.table(plain_table).collect()
+    )
+    assert got == want and len(got) == 90
+
+
+def test_update_mor_condition_on_pre_update_values(spark, plain_table):
+    """SET label = <expr over label> WHERE label = ... must evaluate
+    the condition against PRE-update values (same projection-input
+    rule as ddl.update_table)."""
+    n = acid.update_mor(
+        spark, plain_table, "label = 'v-1'", {"label": "'v-2'"}, ["k"]
+    )
+    assert n == 1
+    got = sorted(
+        r.k for r in acid.read_mor(spark, plain_table)
+        .filter("label = 'v-2'").collect()
+    )
+    assert got == [1, 2]  # k=1 renamed, k=2 original — not re-matched
+
+
+def test_update_mor_zero_match_writes_nothing(spark, plain_table):
+    assert acid.update_mor(
+        spark, plain_table, "k = -1", {"label": "'x'"}, ["k"]
+    ) == 0
+    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+
+
+def test_update_mor_rejects_partition_column_assignment(spark, part_table):
+    with pytest.raises(ValueError, match="partition column"):
+        acid.update_mor(
+            spark, part_table, "k = 1", {"bucket": "2"}, ["k"]
+        )
+
+
+def test_update_mor_partitioned_roundtrip(spark, part_table):
+    n = acid.update_mor(
+        spark, part_table, "bucket = 1 AND k < 10",
+        {"label": "concat(label, '!')"}, ["k"],
+    )
+    assert n == 3  # k in {1,4,7}
+    got = {r.k: r.label for r in acid.read_mor(spark, part_table).collect()}
+    assert got[1] == "v-1!" and got[4] == "v-4!" and got[2] == "v-2"
+    acid.compact_mor(spark, part_table)
+    got = {r.k: r.label for r in spark.table(part_table).collect()}
+    assert got[7] == "v-7!" and len(got) == 90
+
+
+def test_update_mor_null_condition_rows_unmatched(spark):
+    name = "mor_upd_null"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.createDataFrame(
+        [(1, None), (2, 5)], "k INT, amt INT"
+    ).write.saveAsTable(name)
+    try:
+        n = acid.update_mor(spark, name, "amt > 0", {"amt": "amt + 1"}, ["k"])
+        assert n == 1  # NULL condition row unmatched
+        got = sorted(
+            (r.k, r.amt) for r in acid.read_mor(spark, name).collect()
+        )
+        assert got == [(1, None), (2, 6)]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_cow_verbs_refuse_pinned_mor_deltas(spark, plain_table):
+    """ADVICE r7: a whole-location INSERT OVERWRITE would delete
+    _delete_delta and resurrect MOR-masked rows; the COW verbs must
+    refuse until compact_mor folds the deltas."""
+    acid.delete_mor(spark, plain_table, "k < 5", ["k"])
+    with pytest.raises(ValueError, match="compact_mor"):
+        ddl.delete_from(spark, plain_table, "k = 50")
+    with pytest.raises(ValueError, match="compact_mor"):
+        ddl.update_table(spark, plain_table, "k = 50", {"label": "'x'"})
+    src = spark.createDataFrame([(50, 5, "m")], "k BIGINT, grp BIGINT, label STRING")
+    with pytest.raises(ValueError, match="compact_mor"):
+        ddl.merge_into(
+            spark, plain_table, src, "t.k = s.k",
+            matched_update={"label": "s.label"},
+        )
+    acid.compact_mor(spark, plain_table)
+    assert ddl.delete_from(spark, plain_table, "k = 50") == 1
+
+
+def test_broadcast_gate_degrades_gracefully(spark, plain_table, monkeypatch):
+    """With the caps forced to zero no forced-broadcast hint is
+    planted (a multi-GB accumulated delta must not OOM the driver);
+    results are identical — AQE still picks the strategy at runtime."""
+    monkeypatch.setattr(acid, "_BROADCAST_CAP_BYTES", 0)
+    monkeypatch.setattr(acid, "_BROADCAST_KEY_ROW_CAP", 0)
+    assert acid.delete_mor(spark, plain_table, "k < 20", ["k"]) == 20
+    assert acid.update_mor(
+        spark, plain_table, "k = 30", {"label": "'g'"}, ["k"]
+    ) == 1
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert len(got) == 80 and got[30] == "g"
+    plan = acid.read_mor(spark, plain_table)._jdf.queryExecution() \
+        .optimizedPlan().toString()
+    assert "ResolvedHint" not in plan  # the hint really is gone
+
+
+def test_crash_before_txn_rename_leaves_nothing_visible(spark, plain_table):
+    """Atomic-commit contract: a staging dir that never got renamed
+    (simulated crash) is invisible to readers and swept by
+    compaction."""
+    import shutil
+
+    acid.delete_mor(spark, plain_table, "k = 0", ["k"])
+    delta_dir = acid._delta_path(spark, plain_table)
+    # simulate a crashed UPDATE: staging dir with a valid parquet pair
+    stage = os.path.join(delta_dir, ".staging-deadbeef")
+    frame = spark.createDataFrame([(1, 1, "ghost")], "k BIGINT, grp BIGINT, label STRING")
+    frame.coalesce(1).write.parquet(os.path.join(stage, "insert.parquet"))
+    frame.select("k").coalesce(1).write.parquet(os.path.join(stage, "delete.parquet"))
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[1] == "v-1" and 0 not in got  # ghost invisible
+    acid.compact_mor(spark, plain_table)
+    assert not os.path.isdir(delta_dir)  # staging swept with the rest
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_compact_table_ignores_mor_delta_files(spark, plain_table, tmp_path):
+    """ADVICE r7: _list_data_files must skip files under hidden
+    PARENT directories — delta part files are not data files and must
+    not inflate fragmentation stats."""
+    acid.delete_mor(spark, plain_table, "k < 5", ["k"])
+    loc = ddl._table_location(spark, plain_table)
+    listing = ddl._list_data_files(spark, loc)
+    all_files = [f for files in listing.values() for f, _ in files]
+    delta_dir = acid._delta_path(spark, plain_table)
+    delta_parts = []
+    for root, _dirs, files in os.walk(delta_dir):
+        delta_parts.extend(f for f in files if f.endswith(".parquet"))
+    assert delta_parts  # the delta really has part files
+    assert not set(all_files) & set(delta_parts)

@@ -625,3 +625,124 @@ def test_mor_matches_reference_model(spark, tmp_path_factory, rows, ops):
         assert got_counts == want_counts
     finally:
         spark.sql("DROP TABLE IF EXISTS mor_prop")
+
+
+def _model_mor_seq(rows, ops):
+    """Sequenced reference model for the r8 delta layer: base rows at
+    seq 0; ("delete", keys) masks visible key groups; ("update",
+    keys) re-inserts every row of a touched key group at the new
+    sequence with its 'a'-valued rows suffixed (value-conditioned so
+    a whole-group rewrite regression is detectable); ("insert",
+    rows) appends at seq 0 (plain INSERT = base file); ("compact",)
+    folds. Returns (visible rows, per-op counts)."""
+    live = [(k, v, 0) for k, v in rows]
+    dels: list[tuple[set, int]] = []
+    seq = 1
+    counts = []
+
+    def visible():
+        return [
+            (k, v, s) for k, v, s in live
+            if not any(k in ks and ds > s for ks, ds in dels)
+        ]
+
+    for op in ops:
+        if op[0] == "delete":
+            vis = visible()
+            keys = {k for k, v, s in vis if k in op[1]}
+            counts.append(sum(1 for k, _, _ in vis if k in keys))
+            if keys:
+                seq += 1
+                dels.append((keys, seq))
+        elif op[0] == "update":
+            vis = visible()
+            hit = {k for k, v, s in vis if k in op[1] and v.startswith("a")}
+            counts.append(
+                sum(1 for k, v, s in vis if k in hit and v.startswith("a"))
+            )
+            if hit:
+                seq += 1
+                group = [
+                    (k, v + "u" if v.startswith("a") else v, seq)
+                    for k, v, s in vis if k in hit
+                ]
+                dels.append((hit, seq))
+                live.extend(group)
+        elif op[0] == "compact":
+            live = [(k, v, 0) for k, v, s in visible()]
+            dels = []
+            seq = 1
+        else:  # plain insert — base files are sequence 0
+            live.extend((k, v, 0) for k, v in op[1])
+    return sorted((k, v) for k, v, s in visible()), counts
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=4),
+                  st.sampled_from(["a", "b"])),
+        min_size=1, max_size=8,
+    ),
+    st.lists(
+        st.one_of(
+            st.tuples(st.just("delete"),
+                      st.sets(st.integers(min_value=0, max_value=4), max_size=3)),
+            st.tuples(st.just("update"),
+                      st.sets(st.integers(min_value=0, max_value=4), max_size=3)),
+            st.tuples(st.just("compact")),
+            st.tuples(st.just("insert"),
+                      st.lists(st.tuples(st.integers(min_value=0, max_value=4),
+                                         st.just("n")), max_size=2)),
+        ),
+        min_size=1, max_size=5,
+    ),
+)
+def test_mor_update_matches_sequenced_model(spark, tmp_path_factory, rows, ops):
+    """acid.update_mor/delete_mor/read_mor/compact_mor == the
+    sequenced pure-Python model over arbitrary op sequences. The
+    update op is VALUE-conditioned (only 'a'-prefixed rows match) so
+    the fold must re-insert unmatched group-mates unchanged — a
+    whole-group-overwrite or whole-group-mask regression both break
+    it — and updated rows must survive the delete event committed by
+    their own statement while later deletes still mask them."""
+    from amplab_hive_spark import acid, ddl
+
+    d = tmp_path_factory.mktemp("morupdprop")
+    spark.sql("DROP TABLE IF EXISTS mor_upd_prop")
+    ddl.create_table_as(
+        spark, "mor_upd_prop",
+        spark.createDataFrame(rows, "k INT, v STRING"),
+        f"{d}/mor_upd_prop",
+    )
+    try:
+        got_counts = []
+        for op in ops:
+            if op[0] == "delete":
+                keys = ",".join(map(str, sorted(op[1])))
+                cond = f"k IN ({keys})" if op[1] else "FALSE"
+                got_counts.append(
+                    acid.delete_mor(spark, "mor_upd_prop", cond, ["k"]))
+            elif op[0] == "update":
+                keys = ",".join(map(str, sorted(op[1])))
+                cond = (f"k IN ({keys}) AND v LIKE 'a%'"
+                        if op[1] else "FALSE")
+                got_counts.append(
+                    acid.update_mor(spark, "mor_upd_prop", cond,
+                                    {"v": "concat(v, 'u')"}, ["k"]))
+            elif op[0] == "compact":
+                acid.compact_mor(spark, "mor_upd_prop")
+            else:
+                if op[1]:
+                    spark.createDataFrame(
+                        op[1], "k INT, v STRING"
+                    ).write.insertInto("mor_upd_prop")
+        want_rows, want_counts = _model_mor_seq(rows, ops)
+        got_rows = sorted(
+            (r["k"], r["v"])
+            for r in acid.read_mor(spark, "mor_upd_prop").collect()
+        )
+        assert got_rows == want_rows
+        assert got_counts == want_counts
+    finally:
+        spark.sql("DROP TABLE IF EXISTS mor_upd_prop")

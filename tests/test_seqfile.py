@@ -295,3 +295,36 @@ def test_engine_facade_sequencefile(spark, tmp_path):
     path = str(tmp_path / "facade")
     assert eng.write_sequencefile(df, path) == 20
     assert eng.read_sequencefile(path).count() == 20
+
+
+def test_span_reader_block_larger_than_initial_read(spark, tmp_path, monkeypatch):
+    """ADVICE r7: a block whose compressed size exceeds the span
+    reader's first read must still decode (growing re-read, simulating
+    a writer-raised io.seqfile.compress.blocksize), and a genuinely
+    truncated block must raise SeqFileError, not IndexError deep in
+    read_vlong."""
+    import io as _io
+
+    from amplab_hive_spark.sources import seqfile_codec as sc
+
+    block = str(tmp_path / "bigblock")
+    spark.sparkContext.parallelize(
+        [(f"k{i:05d}", "v" * 200 + str(i)) for i in range(2000)], 1
+    ).saveAsSequenceFile(block, "org.apache.hadoop.io.compress.DefaultCodec")
+    part = sorted(glob.glob(block + "/part-*"))[0]
+    buf = open(part, "rb").read()
+    assert read_header(buf).block_compressed
+
+    def span_pairs(data):
+        reader = sc.FileSpanReader(_io.BytesIO(data), read_header(data))
+        return list(reader.rows_in_span(0, len(data)))
+
+    want = span_pairs(buf)
+    assert len(want) == 2000  # normal path first
+    # force the initial read far below the block size so the doubling
+    # path executes
+    monkeypatch.setattr(sc, "_BLOCK_READ_BYTES", 256)
+    assert span_pairs(buf) == want
+    # truncated file: loud SeqFileError, never a bare IndexError
+    with pytest.raises(sc.SeqFileError):
+        span_pairs(buf[: len(buf) - 40])
