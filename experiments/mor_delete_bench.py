@@ -88,6 +88,35 @@ def main() -> None:
         "breakeven_scans": round(breakeven, 1) if breakeven else None,
         "sf_dir": SF_DIR,
     }))
+
+    # --- the same trade for UPDATE (r8: acid.update_mor) -------------
+    UPD = {"l_comment": "concat(l_comment, '+')"}
+    setup_table(spark, "bench_cow")
+    t_cow_u, n_cow_u = timed(
+        lambda: ddl.update_table(spark, "bench_cow", COND, UPD), reps=1)
+
+    setup_table(spark, "bench_mor")
+    t_mor_u, n_mor_u = timed(
+        lambda: acid.update_mor(
+            spark, "bench_mor", COND, UPD, ["l_orderkey", "l_linenumber"]),
+        reps=1)
+    assert n_cow_u == n_mor_u, (n_cow_u, n_mor_u)
+    t_merged_scan_u, _ = scan_cost(spark, acid.read_mor(spark, "bench_mor"))
+    t_compact_u, _ = timed(lambda: acid.compact_mor(spark, "bench_mor"), reps=1)
+
+    read_tax_u = max(t_merged_scan_u - t_base_scan, 0.0)
+    breakeven_u = (t_cow_u - t_mor_u) / read_tax_u if read_tax_u > 0 else None
+    print(json.dumps({
+        "experiment": "mor_vs_cow_update",
+        "rows_updated": n_mor_u,
+        "cow_update_s": round(t_cow_u, 3),
+        "mor_update_s": round(t_mor_u, 3),
+        "merged_scan_s": round(t_merged_scan_u, 3),
+        "read_tax_s": round(read_tax_u, 3),
+        "compact_s": round(t_compact_u, 3),
+        "breakeven_scans": round(breakeven_u, 1) if breakeven_u else None,
+        "sf_dir": SF_DIR,
+    }))
     for name in ("bench_cow", "bench_mor"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

@@ -374,3 +374,57 @@ def test_merge_target_alias_shadowing_source_name_rejected(eng, spark, tmp_path)
             )
     finally:
         spark.sql("DROP TABLE IF EXISTS dml_src2")
+
+
+# r8: CASE ... END opens a scanner scope (r7 ADVICE) — an
+# unparenthesized CASE inside a MERGE guard or SET expression must
+# neither mis-split the AND..THEN boundary nor look like a new WHEN
+# MATCHED clause.
+
+
+def test_merge_guard_with_unparenthesized_case(eng, spark):
+    out = eng.sql(
+        """MERGE INTO dmlt USING (SELECT 1 AS id UNION ALL SELECT 3) s
+           ON dmlt.id = s.id
+           WHEN MATCHED AND CASE WHEN dmlt.grp = 'a' THEN 1 ELSE 0 END = 1
+             THEN UPDATE SET val = -1"""
+    ).collect()
+    assert out[0].updated == 1  # only id=1 (grp 'a'); id=3 is grp 'b'
+    assert (1, "a", -1) in _rows(spark) and (3, "b", 30) in _rows(spark)
+
+
+def test_merge_case_over_column_named_matched(eng, spark):
+    """CASE WHEN <boolean col expr> ... with text 'WHEN matched'
+    appearing at what WOULD be depth 0 without CASE tracking must not
+    split a new clause."""
+    spark.sql("ALTER TABLE dmlt ADD COLUMNS (matched BOOLEAN)")
+    try:
+        out = eng.sql(
+            """MERGE INTO dmlt USING (SELECT 2 AS id) s ON dmlt.id = s.id
+               WHEN MATCHED THEN UPDATE SET
+                 val = CASE WHEN matched THEN 1 ELSE 99 END"""
+        ).collect()
+        assert out[0].updated == 1
+        assert any(r[0] == 2 and r[2] == 99 for r in _rows(spark))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt")
+
+
+def test_update_set_case_with_commas_inside(eng, spark):
+    out = eng.sql(
+        """UPDATE dmlt SET
+             val = CASE WHEN grp = 'a' THEN val + 1 ELSE val END,
+             grp = upper(grp)
+           WHERE id <= 2"""
+    ).collect()
+    assert out[0].updated == 2
+    assert (1, "A", 11) in _rows(spark) and (2, "A", 21) in _rows(spark)
+
+
+def test_scan_bare_end_column_does_not_underflow():
+    from amplab_hive_spark.dml_text import _find_keyword
+
+    # a bare column named `end` at top level with no open CASE: the
+    # WHERE after it must still be found at depth 0
+    s = "SET a = end WHERE b = 1"
+    assert _find_keyword(s, "WHERE") == s.index("WHERE")

@@ -192,3 +192,112 @@ def test_serve_flag_rejects_one_shot_statements(tmp_path):
     )
     assert p.returncode != 0
     assert "--serve cannot be combined" in p.stderr
+
+
+# r8: operation handles — cancellation + FETCH_NEXT pagination
+# (CLIService.cancelOperation / OperationHandle analogues) and the
+# ADVICE fix: session-init failures reported in-band.
+
+
+def test_fetch_pages_wide_result_to_completion(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir, max_rows=7) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql("SELECT id FROM range(25) ORDER BY id")
+            assert r["ok"] and r["truncated"] and r["has_more"]
+            assert r["row_count"] == 7 and "handle" in r
+            got = [row[0] for row in r["rows"]]
+            h = r["handle"]
+            while r["has_more"]:
+                r = c.fetch(h)
+                assert r["ok"]
+                got.extend(row[0] for row in r["rows"])
+            assert got == list(range(25))
+            # exhausted cursor is gone
+            dead = c.fetch(h)
+            assert not dead["ok"] and dead["error_class"] == "KeyError"
+
+
+def test_sql_all_convenience_pages_everything(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir, max_rows=4) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql_all("SELECT id FROM range(11) ORDER BY id")
+            assert r["ok"] and not r["has_more"]
+            assert [row[0] for row in r["rows"]] == list(range(11))
+            assert r["row_count"] == 11
+
+
+def test_close_cursor_frees_handle(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir, max_rows=3) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql("SELECT id FROM range(10)")
+            assert r["has_more"]
+            out = c.close_cursor(r["handle"])
+            assert out["ok"] and out["existed"]
+            dead = c.fetch(r["handle"])
+            assert not dead["ok"]
+
+
+def test_cancel_long_statement_connection_survives(spark, sf_dir):
+    """A second connection cancels a statement mid-flight by id; the
+    first connection gets a per-statement error and keeps working —
+    HS2's CANCELED operation state, via Spark job groups."""
+    import threading as _th
+    import time as _time
+
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port, timeout=300) as c1, \
+                SqlClient("127.0.0.1", svc.port) as c2:
+            result: dict = {}
+
+            def run_slow():
+                # ~10^10 cross-join rows: minutes of work if not cancelled
+                result["resp"] = c1.sql(
+                    "SELECT count(*) FROM range(100000) a "
+                    "CROSS JOIN range(100000) b "
+                    "WHERE a.id * b.id = 999999999999",
+                    stmt_id="slow-one",
+                )
+
+            t = _th.Thread(target=run_slow)
+            t.start()
+            deadline = _time.time() + 30
+            cancelled = None
+            while _time.time() < deadline:
+                cancelled = c2.cancel("slow-one")
+                if cancelled["was_running"]:
+                    break
+                _time.sleep(0.2)
+            assert cancelled and cancelled["was_running"], \
+                "statement never observed running"
+            t.join(timeout=120)
+            assert not t.is_alive(), "cancel did not interrupt the statement"
+            resp = result["resp"]
+            assert not resp["ok"] and "cancel" in resp["error"].lower()
+            # the connection survives the cancelled statement
+            again = c1.sql("SELECT 42 AS v")
+            assert again["ok"] and again["rows"] == [[42]]
+
+
+def test_cancel_unknown_id_is_safe(spark, sf_dir):
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.cancel("never-ran")
+            assert r["ok"] and not r["was_running"]
+
+
+def test_engine_init_failure_reported_in_band(spark, sf_dir, monkeypatch):
+    """ADVICE r7: Engine construction failure must produce one
+    ok:false line, not a bare connection drop."""
+    import amplab_hive_spark.engine as engine_mod
+
+    class Boom:
+        def __init__(self, *a, **k):
+            raise RuntimeError("forced init failure for test")
+
+    monkeypatch.setattr(engine_mod, "Engine", Boom)
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql("SELECT 1")
+            assert not r["ok"]
+            assert "session initialization failed" in r["error"]
+            assert r["error_class"] == "RuntimeError"
