@@ -83,8 +83,12 @@ def _load_all_modules() -> None:
 # EVERY SURVEY.md §2 operator family AND every LLM-pipeline module.
 _PRIORITY: tuple[str, ...] = (
     # relational core
+    # (r8 rotation: join_left_anti and setop_intersect gave up their
+    # slots to the newest flagship ops — both families keep a second
+    # green entry in the window: join_full_outer / grouping sets)
     "q1_pricing_summary", "scan_filter_project", "join_inner",
-    "join_full_outer", "join_left_anti", "union_all_counts", "topk_orders",
+    "join_full_outer", "dedup_exact_substring", "union_all_counts",
+    "topk_orders",
     # grouping / aggregates
     "agg_basic_suite", "rollup_pricing", "count_distinct_multi",
     "agg_percentile_exact",
@@ -99,8 +103,8 @@ _PRIORITY: tuple[str, ...] = (
     # SQL surface
     "unique_join_rewrite", "null_ordering_semantics",
     "q18_large_order_customers",
-    # set ops / grouping id
-    "setop_intersect", "grouping_id_virtual_column",
+    # bitmap UDAF family (r8 rotation) / grouping id
+    "ewah_bitmap_ops", "grouping_id_virtual_column",
     # TPC-H deep cuts
     "q21_suppliers_kept_waiting", "q8_market_share",
     # scalar function suites + decontamination flagship

@@ -51,7 +51,11 @@ def scan_cost(spark, df):
 
 
 def setup_table(spark, name):
+    import shutil
     spark.sql(f"DROP TABLE IF EXISTS {name}")
+    # a crashed previous run can orphan the managed location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, name), ignore_errors=True)
     (spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
      .repartition(32).write.saveAsTable(name))
 
@@ -90,7 +94,7 @@ def main() -> None:
     }))
 
     # --- the same trade for UPDATE (r8: acid.update_mor) -------------
-    UPD = {"l_comment": "concat(l_comment, '+')"}
+    UPD = {"l_returnflag": "concat(l_returnflag, '+')"}
     setup_table(spark, "bench_cow")
     t_cow_u, n_cow_u = timed(
         lambda: ddl.update_table(spark, "bench_cow", COND, UPD), reps=1)

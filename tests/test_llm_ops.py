@@ -58,12 +58,12 @@ def test_ann_lsh_recall(spark, sf_dir, bruteforce_topk):
 
 
 def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
-    """IVF nprobe=8/16 after three Lloyd iterations, recall vs exact
-    top-10: ≥0.8 mean (round-7 push per the r6 verdict — measured
-    0.88 on the sf0.01 fixture, up from 0.74 at nprobe=6/two
-    iterations; sweep in experiments/ann_composition_bench.py). The
+    """IVF nprobe=20/32 after three Lloyd iterations, recall vs
+    exact top-10: ≥0.9 mean (r8 sweep, experiments/ivf_sweep.py —
+    measured 0.98/0.9 mean/min on the sf0.01 fixture and 0.88/0.7 at
+    sf0.1, up from 0.88/0.6 and 0.795/0.5 at K=16/nprobe=8). The
     corpus is isotropic-random, IVF's worst case; real embedding
-    corpora cluster and do far better at the same nprobe."""
+    corpora cluster and do far better at the same probed share."""
     exact: dict[int, set[int]] = {}
     for r in bruteforce_topk:
         exact.setdefault(r["qid"], set()).add(r["vec_id"])
@@ -72,7 +72,8 @@ def test_ann_ivf_recall(spark, sf_dir, bruteforce_topk):
         ivf.setdefault(r["qid"], set()).add(r["vec_id"])
     assert set(exact) == set(ivf)
     recalls = [len(exact[q] & ivf[q]) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.8, f"mean recall too low: {recalls}"
+    assert sum(recalls) / len(recalls) >= 0.9, f"mean recall too low: {recalls}"
+    assert min(recalls) >= 0.7, f"min recall too low: {recalls}"
 
 
 def test_langid_mechanism(spark, sf_dir):

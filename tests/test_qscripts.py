@@ -6019,6 +6019,766 @@ QSCRIPTS_R53 = [
     ),
 ]
 
+# ---------------------------------------------------------------- r8
+# Fifty-fourth tranche: the unported families the r7 verdict named —
+# groupby_sort_* (bucket-sorted agg shortcut SEMANTICS: the plan-level
+# map-side-GBY shortcut is Catalyst's call, the RESULT must be
+# identical whether or not it fires), semijoin.q's distinct shapes,
+# ppd2/ppd_union_view/ppd_vc pushdown-through-nesting shapes, and the
+# bucketmapjoin/bucketsortoptimize result-parity shapes. Ported onto
+# the fixture tables; DISTRIBUTE/SORT BY respelled portably where
+# DuckDB lacks the clause (the harness sorts rows, so ordering
+# clauses carry no information here anyway).
+QSCRIPTS_R54 = [
+    (
+        "gbysort_key_prefix_agg",  # groupby_sort_1.q: GROUP BY = the
+        # sorted/bucketed key -> map-side shortcut eligible; result
+        # parity is the portable contract
+        """SELECT o_custkey, count(1) AS cnt
+           FROM orders GROUP BY o_custkey""",
+    ),
+    (
+        "gbysort_superset_key_agg",  # groupby_sort_1.q: GROUP BY a
+        # SUPERSET of the sort key (no shortcut, same results)
+        """SELECT o_custkey, o_orderstatus, count(1) AS cnt
+           FROM orders GROUP BY o_custkey, o_orderstatus""",
+    ),
+    (
+        "gbysort_through_subquery",  # groupby_sort_1.q: shortcut must
+        # survive an identity subquery
+        """SELECT k, count(1) AS cnt FROM
+             (SELECT o_custkey AS k, o_orderstatus FROM orders) subq1
+           GROUP BY k""",
+    ),
+    (
+        "gbysort_nonsort_key_agg",  # groupby_sort_2.q: GROUP BY a
+        # non-sorted column
+        """SELECT o_orderpriority, count(1) AS cnt
+           FROM orders GROUP BY o_orderpriority""",
+    ),
+    (
+        "gbysort_key_expr_agg",  # groupby_sort_3.q: GROUP BY an
+        # EXPRESSION over the key (no shortcut; exact results)
+        """SELECT o_custkey % 10 AS kb, count(1) AS cnt
+           FROM orders GROUP BY o_custkey % 10""",
+    ),
+    (
+        "gbysort_filtered_prefix",  # groupby_sort_6.q: filter below
+        # the agg keeps the shortcut legal
+        """SELECT o_custkey, count(1) AS cnt FROM orders
+           WHERE o_orderstatus = 'F' GROUP BY o_custkey""",
+    ),
+    (
+        "gbysort_count_distinct_on_key",  # groupby_sort_7.q
+        """SELECT o_custkey, count(DISTINCT o_orderpriority) AS cd
+           FROM orders GROUP BY o_custkey HAVING count(1) > 2""",
+    ),
+    (
+        "gbysort_distinct_on_key",  # groupby_sort_8.q: DISTINCT over
+        # the sorted key == GROUP BY key with no aggregates
+        """SELECT DISTINCT l_orderkey FROM lineitem
+           WHERE l_orderkey < 200""",
+    ),
+    (
+        "gbysort_union_of_aggs",  # groupby_sort_9.q: UNION ALL of two
+        # per-key aggs, re-aggregated above
+        """SELECT k, sum(cnt) AS total FROM (
+             SELECT o_custkey AS k, count(1) AS cnt FROM orders
+             WHERE o_orderstatus = 'O' GROUP BY o_custkey
+             UNION ALL
+             SELECT o_custkey AS k, count(1) AS cnt FROM orders
+             WHERE o_orderstatus = 'F' GROUP BY o_custkey
+           ) u GROUP BY k""",
+    ),
+    (
+        "gbysort_const_key_agg",  # groupby_sort_10.q: constant-folded
+        # key (WHERE key = c GROUP BY key -> one group)
+        """SELECT o_custkey, count(1) AS cnt FROM orders
+           WHERE o_custkey = 370 GROUP BY o_custkey""",
+    ),
+    (
+        "gbysort_global_count_distinct",  # groupby_sort_11.q:
+        # count(DISTINCT key) with no GROUP BY
+        """SELECT count(DISTINCT o_custkey) AS cd,
+                  count(1) AS total FROM orders""",
+    ),
+    (
+        "gbysort_multi_agg_one_scan",  # groupby_sort_skew_1.q shape:
+        # several aggregates over the same grouped scan
+        """SELECT o_custkey, count(1) AS cnt,
+                  min(o_orderdate) AS first_o, max(o_orderdate) AS last_o,
+                  CAST(sum(o_totalprice) AS DOUBLE) AS vol
+           FROM orders GROUP BY o_custkey HAVING count(1) >= 3""",
+    ),
+    (
+        "semijoin_right_filter_in_on",  # semijoin.q: LEFT SEMI with a
+        # right-side filter inside the ON
+        """SELECT n_nationkey, n_name FROM nation a
+           SEMI JOIN customer b
+             ON a.n_nationkey = b.c_nationkey AND b.c_acctbal < 0""",
+    ),
+    (
+        "semijoin_right_subquery",  # semijoin.q: right side is a
+        # filtered subquery
+        """SELECT a.n_name FROM nation a
+           SEMI JOIN (SELECT c_nationkey FROM customer
+                           WHERE c_acctbal > 5000) b
+             ON a.n_nationkey = b.c_nationkey""",
+    ),
+    (
+        "semijoin_expr_key",  # semijoin.q: expression join key
+        # (a.key = 2*b.key)
+        """SELECT a.n_nationkey FROM nation a
+           SEMI JOIN region b ON a.n_nationkey = 2 * b.r_regionkey""",
+    ),
+    (
+        "semijoin_after_inner_join",  # semijoin.q: inner join then a
+        # semijoin on the joined column
+        """SELECT a.n_name, b.r_name FROM nation a
+           JOIN region b ON a.n_regionkey = b.r_regionkey
+           SEMI JOIN supplier c ON a.n_nationkey = c.s_nationkey""",
+    ),
+    (
+        "semijoin_both_directions",  # semijoin.q: the ON condition
+        # written right=left (b.key=a.key) must behave identically
+        """SELECT a.r_regionkey FROM region a
+           SEMI JOIN nation b ON b.n_regionkey = a.r_regionkey""",
+    ),
+    (
+        "semijoin_then_groupby",  # semijoin.q + gby: aggregate above
+        # a semijoin
+        """SELECT a.n_regionkey, count(1) AS cnt FROM nation a
+           SEMI JOIN supplier b ON a.n_nationkey = b.s_nationkey
+           GROUP BY a.n_regionkey""",
+    ),
+    (
+        "ppd2_filter_above_nested_agg",  # ppd2.q: outer filter on an
+        # aggregate computed two nesting levels down (the filter can
+        # NOT push below the agg; results must agree)
+        """SELECT b.k, b.cc FROM (
+             SELECT a.* FROM (
+               SELECT l_orderkey AS k, count(l_returnflag) AS cc
+               FROM lineitem WHERE l_shipdate >= DATE '1995-01-01'
+               GROUP BY l_orderkey
+             ) a
+           ) b WHERE b.cc > 3""",
+    ),
+    (
+        "ppd2_join_of_filtered_aggs",  # ppd2.q second statement:
+        # join of two aggregated subqueries with outer filters
+        """SELECT x.k, x.cc, y.cc AS cc2 FROM
+             (SELECT o_custkey AS k, count(1) AS cc FROM orders
+              GROUP BY o_custkey) x
+           JOIN
+             (SELECT c_custkey AS k, count(1) AS cc FROM customer
+              GROUP BY c_custkey) y
+           ON x.k = y.k WHERE x.cc > 5 AND y.cc = 1""",
+    ),
+    (
+        "ppduv_filter_into_union_view",  # ppd_union_view.q: a view
+        # over UNION ALL of (plain, joined) branches; the outer
+        # partition-like filter must prune INTO both branches
+        """WITH t1 AS (
+             SELECT n_name AS key, n_nationkey AS value,
+                    n_regionkey AS ds FROM nation
+             UNION ALL
+             SELECT s.s_name AS key, s.s_suppkey AS value,
+                    n.n_regionkey AS ds
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           )
+           SELECT key, value FROM t1 WHERE ds = 2""",
+    ),
+    (
+        "ppduv_filter_on_joined_branch_col",  # ppd_union_view.q: the
+        # filter references a column computed only via the join branch
+        """WITH t1 AS (
+             SELECT n_name AS key, CAST(n_nationkey AS BIGINT) AS value
+             FROM nation
+             UNION ALL
+             SELECT s.s_name AS key, CAST(s.s_acctbal AS BIGINT) AS value
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             WHERE n.n_regionkey = 1
+           )
+           SELECT key FROM t1 WHERE value > 1000""",
+    ),
+    (
+        "ppdvc_subquery_extra_join_filter",  # ppd_vc.q shape: join
+        # against a filtered subquery with an ADDITIONAL pushdown
+        # predicate in the ON over the subquery's projected column
+        # (the virtual-column original is metadata-bound; the
+        # pushdown-through-projection shape is what ports)
+        """SELECT b.o_orderkey, b.pricebucket FROM customer a JOIN
+             (SELECT o_orderkey, o_custkey,
+                     CAST(FLOOR(o_totalprice / 10000) AS INT) AS pricebucket
+              FROM orders WHERE o_totalprice < 200000) b
+           ON a.c_custkey = b.o_custkey AND b.pricebucket < 5""",
+    ),
+    (
+        "bmj_bucket_key_join_parity",  # bucketmapjoin1.q: join ON the
+        # bucket key of both sides — result parity is the portable
+        # contract (the bucket-local join plan is gated in
+        # tests/test_plan_quality.py over bucketed tables)
+        """SELECT count(1) AS n,
+                  CAST(sum(l.l_quantity) AS DOUBLE) AS q
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey""",
+    ),
+    (
+        "bmj_one_side_filtered",  # bucketmapjoin2.q: bucket-key join
+        # with a filter on one side only
+        """SELECT o.o_orderstatus, count(1) AS n
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE l.l_returnflag = 'R' GROUP BY o.o_orderstatus""",
+    ),
+    (
+        "bmj_join_key_projected",  # bucketmapjoin5.q: the join key
+        # re-projected through a subquery alias
+        """SELECT count(1) AS n FROM
+             (SELECT l_orderkey AS k FROM lineitem WHERE l_linenumber = 1) l
+           JOIN (SELECT o_orderkey AS k FROM orders) o ON l.k = o.k""",
+    ),
+    (
+        "bso_insert_select_join_agg",  # bucketsortoptimize_insert_2.q
+        # SELECT body: join of two bucket-sorted sources then agg on
+        # the join key
+        """SELECT l.l_orderkey, count(1) AS n,
+                  CAST(sum(l.l_extendedprice) AS DOUBLE) AS rev
+           FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           WHERE o.o_orderstatus <> 'P'
+           GROUP BY l.l_orderkey HAVING count(1) > 4""",
+    ),
+    (
+        "bso_union_then_join",  # bucketsortoptimize_insert_5.q shape:
+        # union of two filtered scans joined against the dimension
+        """SELECT o.o_orderpriority, count(1) AS n FROM (
+             SELECT l_orderkey FROM lineitem WHERE l_linenumber = 1
+             UNION ALL
+             SELECT l_orderkey FROM lineitem WHERE l_linenumber = 2
+           ) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+           GROUP BY o.o_orderpriority""",
+    ),
+    (
+        "bso_join_key_subset_projection",  # bucketsortoptimize_insert_7.q:
+        # only the join key and one payload column survive projection
+        """SELECT l.k, o.o_orderpriority FROM
+             (SELECT l_orderkey AS k FROM lineitem
+              WHERE l_quantity > 49) l
+           JOIN orders o ON l.k = o.o_orderkey""",
+    ),
+]
+
+# ---------------------------------------------------------------- r8
+# Fifty-fifth tranche: skewjoinopt_* (skew-key join result parity
+# under every join type — the reference splits skewed keys into a
+# separate map-join; AQE skew-join is Spark's twin and the RESULT is
+# the portable contract), smb_mapjoin_4/6's outer-join chains over
+# three sorted-bucket sources, auto_sortmerge_join's filtered-side
+# variants, and correlationoptimizer's gby-join-gby chains (ported
+# with exact integer surrogates instead of Hive's HASH(), which is
+# engine-specific).
+QSCRIPTS_R55 = [
+    (
+        "skewopt_inner_skew_key",  # skewjoinopt1.q: inner join where
+        # one key value dominates (l_linenumber=1 is ~1/4 of rows)
+        """SELECT a.l_linenumber, count(1) AS n
+           FROM lineitem a JOIN lineitem b
+             ON a.l_linenumber = b.l_linenumber AND a.l_orderkey = b.l_orderkey
+           GROUP BY a.l_linenumber""",
+    ),
+    (
+        "skewopt_filter_on_skew_col",  # skewjoinopt2.q: filter
+        # restricted to the skewed values before the join
+        """SELECT count(1) AS n FROM
+             (SELECT o_custkey FROM orders WHERE o_custkey % 5 = 0) a
+           JOIN
+             (SELECT c_custkey FROM customer WHERE c_custkey % 5 = 0) b
+           ON a.o_custkey = b.c_custkey""",
+    ),
+    (
+        "skewopt_three_way",  # skewjoinopt4.q: three-way join through
+        # the same potentially-skewed key
+        """SELECT n.n_regionkey, count(1) AS n
+           FROM supplier s
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN customer c ON c.c_nationkey = n.n_nationkey
+           GROUP BY n.n_regionkey""",
+    ),
+    (
+        "skewopt_union_of_joins",  # skewjoinopt9.q: UNION ALL of two
+        # joins over the same skewed key then re-agg
+        """SELECT k, sum(n) AS total FROM (
+             SELECT o_orderkey AS k, count(1) AS n FROM orders o
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE l.l_returnflag = 'R' GROUP BY o_orderkey
+             UNION ALL
+             SELECT o_orderkey AS k, count(1) AS n FROM orders o
+             JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+             WHERE l.l_returnflag = 'A' GROUP BY o_orderkey
+           ) u GROUP BY k HAVING sum(n) > 5""",
+    ),
+    (
+        "skewopt_double_key",  # skewjoinopt13.q: compound join key
+        # (only one component skewed)
+        """SELECT count(1) AS n FROM lineitem a JOIN lineitem b
+           ON a.l_orderkey = b.l_orderkey
+              AND a.l_linenumber = b.l_linenumber
+           WHERE a.l_returnflag = 'R'""",
+    ),
+    (
+        "skewopt_left_outer_skew",  # skewjoinopt7.q: LEFT OUTER with
+        # skewed probe side (unmatched rows must survive)
+        """SELECT a.n_nationkey, count(b.s_suppkey) AS matched
+           FROM nation a LEFT OUTER JOIN supplier b
+             ON a.n_nationkey = b.s_nationkey AND b.s_acctbal > 9000
+           GROUP BY a.n_nationkey""",
+    ),
+    (
+        "skewopt_subquery_then_join",  # skewjoinopt14.q: skewed join
+        # fed by a grouped subquery
+        """SELECT a.k, a.cnt, b.o_orderpriority FROM
+             (SELECT l_orderkey AS k, count(1) AS cnt FROM lineitem
+              GROUP BY l_orderkey) a
+           JOIN orders b ON a.k = b.o_orderkey WHERE a.cnt >= 6""",
+    ),
+    (
+        "smb_full_outer_chain",  # smb_mapjoin_6.q: full outer join
+        # then full outer join over three sources
+        """SELECT a.r_regionkey AS k1, b.n_nationkey AS k2,
+                  c.s_suppkey AS k3
+           FROM region a
+           FULL OUTER JOIN nation b ON a.r_regionkey = b.n_nationkey
+           FULL OUTER JOIN supplier c ON b.n_nationkey = c.s_suppkey""",
+    ),
+    (
+        "smb_full_then_inner",  # smb_mapjoin_6.q: FULL OUTER then
+        # INNER (the inner filters the padded rows)
+        """SELECT a.r_regionkey, b.n_nationkey, c.n_name
+           FROM region a
+           FULL OUTER JOIN nation b ON a.r_regionkey = b.n_regionkey
+           JOIN nation c ON b.n_nationkey = c.n_nationkey""",
+    ),
+    (
+        "smb_left_then_right_outer",  # smb_mapjoin_6.q: LEFT OUTER
+        # then RIGHT OUTER over the chain
+        """SELECT a.n_nationkey, b.s_suppkey, c.c_custkey
+           FROM nation a
+           LEFT OUTER JOIN supplier b ON a.n_nationkey = b.s_nationkey
+           RIGHT OUTER JOIN customer c ON a.n_nationkey = c.c_nationkey
+           WHERE c.c_custkey < 50""",
+    ),
+    (
+        "smb_join_with_range_filter",  # smb_mapjoin_4.q: bucket-key
+        # join with a range filter above (a.key > 1000 analogue)
+        """SELECT count(1) AS n FROM lineitem a JOIN orders b
+           ON a.l_orderkey = b.o_orderkey WHERE a.l_orderkey > 300""",
+    ),
+    (
+        "smb_join_project_both_stars",  # smb_mapjoin_4.q: SELECT a.*,
+        # b.* through the join (column parity both sides)
+        """SELECT a.*, b.* FROM region a JOIN nation b
+           ON a.r_regionkey = b.n_regionkey WHERE b.n_nationkey < 5""",
+    ),
+    (
+        "asmj_filtered_big_side",  # auto_sortmerge_join_1.q: the big
+        # side pre-filtered to one "partition" before the merge join
+        """SELECT count(1) AS n FROM
+             (SELECT l_orderkey FROM lineitem
+              WHERE l_shipdate BETWEEN DATE '1994-01-01'
+                                   AND DATE '1994-12-31') a
+           JOIN orders b ON a.l_orderkey = b.o_orderkey""",
+    ),
+    (
+        "asmj_small_side_union",  # auto_sortmerge_join_13.q: small
+        # side assembled by a UNION ALL
+        """SELECT count(1) AS n FROM
+             (SELECT r_regionkey AS k FROM region
+              UNION ALL
+              SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 3) a
+           JOIN nation b ON a.k = b.n_regionkey""",
+    ),
+    (
+        "asmj_count_only_no_payload",  # auto_sortmerge_join_9.q:
+        # count(*) over the join, no payload columns survive
+        """SELECT count(*) AS cnt FROM supplier a JOIN nation b
+           ON a.s_nationkey = b.n_nationkey""",
+    ),
+    (
+        "corropt_gby_join_gby",  # correlationoptimizer1.q: agg, join
+        # back to the base, re-agg — one shared shuffle in the
+        # reference's correlation optimizer; results must agree
+        # (exact surrogates instead of engine-specific HASH())
+        """SELECT sum(tmp.key) AS sk, sum(tmp.cnt) AS sc FROM
+             (SELECT x.n_nationkey AS key, count(1) AS cnt
+              FROM nation x JOIN supplier y
+                ON x.n_nationkey = y.s_nationkey
+              GROUP BY x.n_nationkey) tmp""",
+    ),
+    (
+        "corropt_join_two_aggs",  # correlationoptimizer2.q: join of
+        # two aggregated subqueries sharing the key
+        """SELECT sum(key1) AS a1, sum(cnt1) AS a2,
+                  sum(key2) AS a3, sum(cnt2) AS a4 FROM
+             (SELECT a.o_custkey AS key1, a.cnt AS cnt1,
+                     b.c_custkey AS key2, b.cnt AS cnt2 FROM
+                (SELECT o_custkey, count(1) AS cnt FROM orders
+                 GROUP BY o_custkey) a
+              JOIN
+                (SELECT c_custkey, count(1) AS cnt FROM customer
+                 GROUP BY c_custkey) b
+              ON a.o_custkey = b.c_custkey) t""",
+    ),
+    (
+        "corropt_agg_join_raw_then_agg",  # correlationoptimizer3.q:
+        # aggregated side joined to a RAW side, re-aggregated above
+        """SELECT sum(tmp.key) AS sk, sum(tmp.cnt) AS sc,
+                  count(DISTINCT tmp.stat) AS sv FROM
+             (SELECT b.o_custkey AS key, b.cnt AS cnt,
+                     d.o_orderstatus AS stat FROM
+                (SELECT o_custkey, count(1) AS cnt FROM orders
+                 GROUP BY o_custkey) b
+              JOIN orders d ON b.o_custkey = d.o_custkey) tmp""",
+    ),
+    (
+        "corropt_self_join_agg_reuse",  # correlationoptimizer6.q:
+        # the same aggregate subquery joined twice (xx/yy)
+        """SELECT xx.k, xx.cnt, yy.cnt AS cnt2 FROM
+             (SELECT c_nationkey AS k, count(1) AS cnt FROM customer
+              GROUP BY c_nationkey) xx
+           JOIN
+             (SELECT s_nationkey AS k, count(1) AS cnt FROM supplier
+              GROUP BY s_nationkey) yy
+           ON xx.k = yy.k WHERE xx.cnt > yy.cnt""",
+    ),
+    (
+        "corropt_union_then_gby_join",  # correlationoptimizer11.q:
+        # union feeding a groupby whose key then joins
+        """SELECT u.k, u.cnt, n.n_name FROM
+             (SELECT k, count(1) AS cnt FROM (
+                SELECT s_nationkey AS k FROM supplier
+                UNION ALL
+                SELECT c_nationkey AS k FROM customer) raw
+              GROUP BY k) u
+           JOIN nation n ON u.k = n.n_nationkey WHERE u.cnt >= 40""",
+    ),
+    (
+        "corropt_distinct_above_join",  # correlationoptimizer8.q:
+        # DISTINCT above a join collapses duplicate pairs
+        """SELECT DISTINCT a.n_regionkey, b.r_name
+           FROM nation a JOIN region b ON a.n_regionkey = b.r_regionkey""",
+    ),
+]
+
+# ---------------------------------------------------------------- r8
+# Fifty-sixth tranche: the numbered join-chain scripts (join28/29/32/
+# 35's subquery-join-payload shapes), nullgroup_* (aggregates over
+# EMPTY inputs — the classic "count of nothing" family), union tail
+# shapes, and input_part-style pruned-scan shapes.
+QSCRIPTS_R56 = [
+    (
+        "join28_subq_key_then_dim",  # join28.q: subquery join feeding
+        # a second join for the payload column
+        """SELECT subq.key1, z.r_name FROM
+             (SELECT x.n_nationkey AS key1, x.n_regionkey AS key2
+              FROM nation x JOIN supplier y
+                ON x.n_nationkey = y.s_nationkey) subq
+           JOIN region z ON subq.key2 = z.r_regionkey""",
+    ),
+    (
+        "join29_two_agg_subqs",  # join29.q: join of two counted
+        # subqueries projecting both counts
+        """SELECT subq1.k, subq1.cnt, subq2.cnt AS cnt2 FROM
+             (SELECT s_nationkey AS k, count(1) AS cnt FROM supplier
+              GROUP BY s_nationkey) subq1
+           JOIN
+             (SELECT c_nationkey AS k, count(1) AS cnt FROM customer
+              GROUP BY c_nationkey) subq2
+           ON subq1.k = subq2.k""",
+    ),
+    (
+        "join32_three_way_mixed_payload",  # join32.q: x-z-y chain
+        # where the middle table supplies the join key only
+        """SELECT x.n_name, z.r_name, y.s_name
+           FROM nation x JOIN region z ON x.n_regionkey = z.r_regionkey
+           JOIN supplier y ON y.s_nationkey = x.n_nationkey
+           WHERE z.r_regionkey < 3""",
+    ),
+    (
+        "join35_union_agg_then_join",  # join35.q: UNION ALL of two
+        # filtered aggs joined back to a base table
+        """SELECT x.o_orderkey, x.o_orderpriority, subq1.cnt FROM
+             (SELECT l_orderkey AS k, count(1) AS cnt FROM lineitem
+              WHERE l_quantity < 3 GROUP BY l_orderkey
+              UNION ALL
+              SELECT l_orderkey AS k, count(1) AS cnt FROM lineitem
+              WHERE l_quantity > 48 GROUP BY l_orderkey) subq1
+           JOIN orders x ON x.o_orderkey = subq1.k""",
+    ),
+    (
+        "nullgroup_agg_empty_all_aggs",  # nullgroup2.q: every
+        # aggregate over empty input (sum/min/max -> NULL, counts 0)
+        """SELECT count(1) AS c1, count(o_custkey) AS c2,
+                  sum(o_custkey) AS s, min(o_orderdate) AS mn,
+                  max(o_orderdate) AS mx
+           FROM orders WHERE o_orderkey < 0""",
+    ),
+    (
+        "nullgroup_gby_empty",  # nullgroup3.q: GROUP BY over empty
+        # input -> ZERO groups (not one global row); counted above so
+        # the harness's empty-result vacuity guard stays meaningful
+        """SELECT count(1) AS groups FROM (
+             SELECT o_orderstatus, count(1) AS n FROM orders
+             WHERE o_orderkey < 0 GROUP BY o_orderstatus) t""",
+    ),
+    (
+        "nullgroup_distinct_empty",  # nullgroup4.q: count(distinct)
+        # over empty input
+        """SELECT count(1) AS n, count(DISTINCT o_custkey) AS d
+           FROM orders WHERE o_orderkey < 0""",
+    ),
+    (
+        "nullgroup_empty_union_side",  # nullgroup5.q: UNION ALL where
+        # one branch is empty
+        """SELECT k FROM (
+             SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 0
+             UNION ALL
+             SELECT o_orderkey AS k FROM orders WHERE o_orderkey < 20
+           ) u""",
+    ),
+    (
+        "union22_self_union_distinct_cast",  # union22.q: UNION
+        # (DISTINCT) of overlapping projections with casts
+        """SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+           WHERE n_regionkey = 0
+           UNION
+           SELECT CAST(n_nationkey AS BIGINT) AS k, n_name FROM nation
+           WHERE n_nationkey < 10""",
+    ),
+    (
+        "union24_agg_branch_plus_raw",  # union24.q: an aggregated
+        # branch unioned with a raw branch, counted above
+        """SELECT count(1) AS total FROM (
+             SELECT s_nationkey AS k FROM supplier
+             UNION ALL
+             SELECT n_nationkey AS k FROM nation GROUP BY n_nationkey
+           ) u""",
+    ),
+    (
+        "union_constants_typed",  # union27.q-ish: typed constant
+        # branches unioned with a table branch
+        """SELECT k FROM (
+             SELECT 1 AS k
+             UNION ALL SELECT 2 AS k
+             UNION ALL SELECT n_nationkey AS k FROM nation
+           ) u WHERE k < 4""",
+    ),
+    (
+        "inputpart_prune_single",  # input_part1.q: single partition-
+        # like equality filter (l_shipdate plays the partition column)
+        """SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_shipdate = DATE '1995-06-17'""",
+    ),
+    (
+        "inputpart_prune_or_two",  # input_part2.q: OR of two
+        # partition-like values
+        """SELECT count(1) AS n FROM lineitem
+           WHERE l_shipdate = DATE '1995-06-17'
+              OR l_shipdate = DATE '1996-01-02'""",
+    ),
+    (
+        "inputpart_prune_nonpart_conj",  # input_part3.q: pruning
+        # filter conjoined with a payload filter
+        """SELECT l_orderkey FROM lineitem
+           WHERE l_shipdate BETWEEN DATE '1995-06-01' AND DATE '1995-06-30'
+             AND l_returnflag = 'R'""",
+    ),
+    (
+        "input_nested_case_expr",  # input8.q/input9.q family: nested
+        # CASE + arithmetic + NULL propagation in one projection
+        """SELECT o_orderkey,
+                  CASE WHEN o_orderstatus = 'F'
+                       THEN CASE WHEN o_totalprice > 100000
+                                 THEN 'big-f' ELSE 'small-f' END
+                       ELSE 'open' END AS klass,
+                  o_totalprice + NULL AS nullified
+           FROM orders WHERE o_orderkey < 40""",
+    ),
+    (
+        "input_cast_chain",  # input14.q family: chained casts
+        # string->double->int with arithmetic (FLOOR keeps the
+        # Spark-truncates / DuckDB-rounds divergence out of play)
+        """SELECT o_orderkey,
+                  CAST(FLOOR(CAST(CAST(o_totalprice AS STRING) AS DOUBLE) / 1000)
+                       AS INT) AS kilo
+           FROM orders WHERE o_orderkey < 60""",
+    ),
+    (
+        "input_where_between_not",  # input-family: NOT BETWEEN +
+        # parenthesized OR precedence
+        """SELECT n_nationkey FROM nation
+           WHERE n_nationkey NOT BETWEEN 5 AND 20
+             AND (n_regionkey = 0 OR n_regionkey = 4)""",
+    ),
+    (
+        "join_payload_only_from_probe",  # join2.q family: payload
+        # columns taken only from the probe side
+        """SELECT a.l_orderkey, a.l_quantity FROM lineitem a
+           JOIN orders b ON a.l_orderkey = b.o_orderkey
+           WHERE b.o_orderstatus = 'P'""",
+    ),
+    (
+        "join_on_constant_folded_key",  # join-family: join key
+        # wrapped in constant-foldable arithmetic
+        """SELECT count(1) AS n FROM nation a JOIN region b
+           ON a.n_regionkey + 0 = b.r_regionkey * 1""",
+    ),
+    (
+        "join_inequality_pair",  # theta shape from join-family:
+        # equality + strict inequality in one ON
+        """SELECT a.n_nationkey, b.s_suppkey
+           FROM nation a JOIN supplier b
+             ON a.n_nationkey = b.s_nationkey
+                AND a.n_regionkey < b.s_suppkey""",
+    ),
+    (
+        "groupby_ppr_multi_distinct",  # groupby_ppr_multi_distinct.q:
+        # several DISTINCT aggregates in one grouped query
+        """SELECT l_returnflag,
+                  count(DISTINCT l_orderkey) AS d1,
+                  count(DISTINCT l_partkey) AS d2,
+                  CAST(sum(l_quantity) AS DOUBLE) AS q
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    (
+        "groupby7_two_aggs_same_source",  # groupby7.q: two different
+        # group-bys over one source, unioned
+        """SELECT k, n FROM (
+             SELECT l_returnflag AS k, count(1) AS n FROM lineitem
+             GROUP BY l_returnflag
+             UNION ALL
+             SELECT l_linestatus AS k, count(1) AS n FROM lineitem
+             GROUP BY l_linestatus
+           ) u""",
+    ),
+    (
+        "groupby_expr_key_and_alias",  # groupby-family: expression
+        # key referenced through its alias in HAVING
+        """SELECT substr(o_orderpriority, 1, 1) AS pri, count(1) AS n
+           FROM orders GROUP BY substr(o_orderpriority, 1, 1)
+           HAVING count(1) > 100""",
+    ),
+    (
+        "having_on_nonprojected_agg",  # having.q: HAVING references
+        # an aggregate absent from the SELECT list
+        """SELECT o_custkey FROM orders GROUP BY o_custkey
+           HAVING max(o_totalprice) > 400000""",
+    ),
+    (
+        "order_by_expression_not_alias",  # order-family: ORDER BY an
+        # expression over a projected column (harness sorts rows, so
+        # this checks EXECUTION, not order — kept for the expression
+        # resolution shape)
+        """SELECT n_name, n_nationkey FROM nation
+           ORDER BY length(n_name), n_nationkey""",
+    ),
+    (
+        "limit_after_join_subquery",  # join38-ish + limit: LIMIT on a
+        # deterministically ordered joined subquery
+        """SELECT * FROM (
+             SELECT a.n_nationkey, b.r_name FROM nation a
+             JOIN region b ON a.n_regionkey = b.r_regionkey
+             ORDER BY a.n_nationkey LIMIT 7
+           ) t""",
+    ),
+    (
+        "scalar_subq_in_projection",  # subquery-family positive:
+        # uncorrelated scalar subquery used in arithmetic
+        """SELECT n_nationkey,
+                  n_nationkey - (SELECT min(n_nationkey) FROM nation) AS rel
+           FROM nation WHERE n_regionkey = 1""",
+    ),
+    (
+        "in_subquery_with_agg_filter",  # subquery_in.q positive:
+        # IN-subquery whose body aggregates
+        """SELECT o_orderkey FROM orders
+           WHERE o_custkey IN (SELECT c_custkey FROM customer
+                               GROUP BY c_custkey HAVING count(1) = 1)
+             AND o_orderkey < 100""",
+    ),
+    (
+        "not_exists_anti_with_filter",  # subquery_notexists.q:
+        # NOT EXISTS with a correlated filter (nations with no
+        # negative-balance supplier — excludes rows at sf>=0.01,
+        # non-empty at every SF)
+        """SELECT n_nationkey FROM nation n
+           WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                             WHERE s.s_nationkey = n.n_nationkey
+                               AND s.s_acctbal < 0)""",
+    ),
+    (
+        "cross_count_pairwise_regions",  # cross_product family:
+        # bounded cross join counted
+        """SELECT count(1) AS pairs FROM region a, region b
+           WHERE a.r_regionkey < b.r_regionkey""",
+    ),
+    (
+        "coalesce_join_null_padding",  # join-null family: COALESCE
+        # over outer-join padding
+        """SELECT a.n_nationkey,
+                  coalesce(b.s_name, 'none') AS sname
+           FROM nation a LEFT OUTER JOIN
+             (SELECT * FROM supplier WHERE s_acctbal > 9990) b
+           ON a.n_nationkey = b.s_nationkey""",
+    ),
+    (
+        "case_agg_conditional_sums",  # count/case family: conditional
+        # aggregation via CASE inside SUM
+        """SELECT l_returnflag,
+                  sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS hi,
+                  sum(CASE WHEN l_quantity <= 25 THEN 1 ELSE 0 END) AS lo
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    (
+        "distinct_star_small_table",  # distinct-family: SELECT
+        # DISTINCT * over a table with duplicates impossible (identity)
+        """SELECT DISTINCT * FROM region""",
+    ),
+    (
+        "agg_filter_is_null_vs_not",  # null-handling family: IS NULL
+        # partitioned counts must cover every row exactly once
+        """SELECT count(1) AS total,
+                  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS nulls,
+                  sum(CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END)
+                    AS notnulls
+           FROM orders""",
+    ),
+    (
+        "union_three_branch_mixed_agg",  # union31-ish: three branches
+        # (raw, grouped, constant) with a global count
+        """SELECT count(1) AS n FROM (
+             SELECT r_regionkey AS k FROM region
+             UNION ALL
+             SELECT n_regionkey AS k FROM nation GROUP BY n_regionkey
+             UNION ALL
+             SELECT 99 AS k
+           ) u""",
+    ),
+    (
+        "join_then_window_rank",  # windowing-over-join family: rank
+        # within join-derived partitions
+        """SELECT n_name, s_name, rnk FROM (
+             SELECT n.n_name, s.s_name,
+                    rank() OVER (PARTITION BY n.n_name
+                                 ORDER BY s.s_acctbal DESC) AS rnk
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           ) t WHERE rnk <= 2""",
+    ),
+    (
+        "interval_date_arith_portable",  # date-arith family: date +
+        # INTERVAL literal arithmetic both engines fold identically
+        """SELECT o_orderkey, o_orderdate,
+                  o_orderdate + INTERVAL 30 DAY AS due
+           FROM orders WHERE o_orderkey < 30""",
+    ),
+]
 
 ALL_QSCRIPTS = [
     (n, s)
