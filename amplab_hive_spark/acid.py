@@ -231,8 +231,10 @@ def delete_mor(
 
     ``compact_after``: the Initiator analogue
     (ql/txn/compactor/Initiator.java watches delta counts and
-    schedules major compaction) — when the table's delta-file count
-    reaches this threshold after the delete, compact_mor runs
+    schedules major compaction) — when the table's delta TRANSACTION
+    count (one per DELETE/UPDATE statement; an UPDATE's paired
+    delete+insert files count once) reaches this threshold after the
+    delete, compact_mor runs
     inline, folding the deltas and resetting the read tax (measured
     break-even ~10 merged scans, experiments/mor_delete_bench.py)."""
     _reject_nondeterministic(condition, "DELETE")
@@ -347,6 +349,11 @@ def update_mor(
     ).localCheckpoint(eager=True)
     matched = staged.filter("__matched").count()
     new_rows = staged.drop("__matched")
+    if set(assignments) & set(key_cols):
+        # a key-column assignment may produce NULL keys — rows no
+        # future equality delete could address (the delete-side NULL
+        # rejection would otherwise be silently bypassed on re-insert)
+        _check_null_keys(new_rows, list(key_cols), "UPDATE (SET on key column)")
     delta_dir = _delta_path(spark, name)
     # every check passed: NOW pin the manifest and commit the pair
     _write_manifest(delta_dir, list(key_cols))
@@ -392,7 +399,8 @@ def _maybe_autocompact(
 ) -> None:
     if compact_after is None:
         return
-    if len(_scan_deltas(delta_dir)) >= compact_after:
+    n_txns = len({seq for _, seq, _ in _scan_deltas(delta_dir)})
+    if n_txns >= compact_after:
         # The statement is already durable (deltas written); a
         # compaction failure must not convert a committed write into
         # an exception that loses the caller's count — surface it as
@@ -487,7 +495,9 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
 def compact_mor(spark: SparkSession, name: str) -> int:
     """Major compaction (compactor Worker): fold the deltas into the
     base — rewrite the table as its MOR view, then drop the delta
-    files. Returns the number of delta files folded. Idempotent:
+    files. Returns the number of delta FILES folded (an UPDATE
+    transaction contributes two: its delete and insert halves).
+    Idempotent:
     re-running with no deltas is a no-op.
 
     Partitioned tables: dynamic partition overwrite rewrites only

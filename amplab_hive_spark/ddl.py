@@ -345,15 +345,17 @@ def _assert_no_mor_deltas(spark: SparkSession, name: str, verb: str) -> None:
     is then exact. (The reference serializes the same conflict
     through the compactor + write-id visibility; we refuse loudly.)"""
     import os as _os
-    from urllib.parse import urlparse as _urlparse
 
-    loc = _table_location(spark, name)
-    parsed = _urlparse(loc)
-    if parsed.scheme not in ("", "file"):
-        return  # MOR manifests only exist on local warehouses (acid._local_path)
-    manifest = _os.path.join(
-        parsed.path or loc, "_delete_delta", "_keys.json"
-    )
+    # late import breaks the ddl<->acid cycle; acid owns the delta
+    # layout (_DELTA_DIR/_MANIFEST/_local_path), so a layout rename
+    # cannot silently disarm this guard
+    from amplab_hive_spark import acid as _acid
+
+    try:
+        delta_dir = _acid._delta_path(spark, name)
+    except NotImplementedError:
+        return  # non-local warehouse: MOR manifests cannot exist there
+    manifest = _os.path.join(delta_dir, _acid._MANIFEST)
     if _os.path.exists(manifest):
         raise ValueError(
             f"{verb} on {name} is copy-on-write and would resurrect rows "

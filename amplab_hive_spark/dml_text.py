@@ -63,15 +63,18 @@ def _is_word_at(s: str, i: int, word: str) -> bool:
 
 
 def _scan(s: str):
-    """Yield (index, char, in_quote, depth) with single-quote and
-    backslash-escape awareness and nesting depth tracking. Depth
-    counts parens AND ``CASE .. END`` blocks (r7 ADVICE: a CASE WHEN
-    .. THEN .. END inside a MERGE guard must not look like the
-    guard/action boundary or a new WHEN MATCHED clause — CASE opens a
-    scope exactly like a paren). ``END`` only closes an OPEN case
-    scope, so a bare column named ``end`` at top level never drives
-    the depth negative."""
-    depth, case_depth, quote, i = 0, 0, False, 0
+    """Yield (index, char, in_quote, depth) with single-quote,
+    backtick-identifier and backslash-escape awareness plus nesting
+    depth tracking. Depth counts parens AND ``CASE .. END`` blocks
+    (r7 ADVICE: a CASE WHEN .. THEN .. END inside a MERGE guard must
+    not look like the guard/action boundary or a new WHEN MATCHED
+    clause — CASE opens a scope exactly like a paren). ``END`` only
+    closes an OPEN case scope, so a bare column named ``end`` at top
+    level never drives the depth negative; a backtick-quoted
+    identifier like ``\`case\``` is opaque (review r8: without
+    backtick awareness it opened a phantom CASE scope and swallowed
+    the rest of the statement)."""
+    depth, case_depth, quote, btick, i = 0, 0, False, False, 0
     while i < len(s):
         ch = s[i]
         if quote:
@@ -81,8 +84,19 @@ def _scan(s: str):
                 continue
             if ch == "'":
                 quote = False
+        elif btick:
+            if ch == "`":
+                btick = False
+            yield i, ch, True, depth + case_depth
+            i += 1
+            continue
         elif ch == "'":
             quote = True
+        elif ch == "`":
+            btick = True
+            yield i, ch, True, depth + case_depth
+            i += 1
+            continue
         elif ch == "(":
             depth += 1
         elif ch == ")":
@@ -145,7 +159,12 @@ def _assignments(text: str) -> dict[str, str]:
         col, eq, expr = piece.partition("=")
         if not eq or not col.strip() or not expr.strip():
             raise ValueError(f"malformed SET assignment: {piece.strip()!r}")
-        out[col.strip()] = expr.strip()
+        col = col.strip()
+        # backtick-quoted target identifier (`case` = 1): the verb
+        # layer resolves PLAIN names against the schema
+        if len(col) >= 2 and col[0] == col[-1] == "`":
+            col = col[1:-1]
+        out[col] = expr.strip()
     return out
 
 

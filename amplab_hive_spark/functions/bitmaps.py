@@ -150,13 +150,9 @@ class _SegmentBuilder:
                 and segments[-1][0] == 0:
             segments.pop()
         if len(segments) == 1 and not segments[0][2] and segments[0][0] == 0:
-            segments[0][1] = 0  # empty bitmap: single zero marker
-        else:
-            last = segments[-1]
-            if not last[2] and last[0] == 0:
-                last[1] = 0
-        # also trim a trailing zero RUN on a segment that still has
-        # literals? impossible: runs precede literals within a marker.
+            segments[0][1] = 0  # all-zero bitmap: single zero marker
+        # (a trailing zero RUN on a segment that still has literals is
+        # impossible: runs precede literals within a marker)
         words: list[int] = []
         rlw_position = 0
         for run_bit, run_len, literals in segments:
@@ -172,9 +168,6 @@ def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
     uint64 words, rlw_position). Canonical form: maximal zero/one
     runs become markers, everything else literals."""
     builder = _SegmentBuilder()
-    _add_run = builder._add_run
-    _add_literal = builder._add_literal
-    segments = builder._segments
 
     max_pos = -1
     next_word = 0  # next word index to emit
@@ -186,11 +179,8 @@ def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
         if cur_idx < 0:
             return
         if cur_idx > next_word:
-            _add_run(0, cur_idx - next_word)
-        if cur_word == _FULL:
-            _add_run(1, 1)
-        else:
-            _add_literal(cur_word)
+            builder.add_words(0, cur_idx - next_word)
+        builder.add_words(cur_word)  # routes 0 / FULL / literal
         next_word = cur_idx + 1
         cur_word = 0
 
@@ -207,15 +197,12 @@ def ewah_encode(positions: Iterable[int]) -> tuple[int, list[int], int]:
             cur_idx = w
         cur_word |= 1 << (p % _WORD)
     _flush_word()
-
-    words: list[int] = []
-    rlw_position = 0
-    for run_bit, run_len, literals in segments:
-        rlw_position = len(words)
-        words.append((len(literals) << (_RUN_LEN_BITS + 1))
-                     | (run_len << 1) | run_bit)
-        words.extend(literals)
-    return (max_pos + 1 if max_pos >= 0 else 0), words, rlw_position
+    # ONE copy of the marker-word assembly (finish); the position
+    # encoder never emits trailing zeros, so the canonical trim is a
+    # no-op here and size_in_bits equals max_pos + 1 by construction.
+    size_bits, words, rlw_position = builder.finish()
+    assert size_bits == (max_pos + 1 if max_pos >= 0 else 0)
+    return size_bits, words, rlw_position
 
 
 def ewah_cardinality_words(words: Sequence[int]) -> int:

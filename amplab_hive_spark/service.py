@@ -96,13 +96,16 @@ def _json_safe(v: Any) -> Any:
 
 
 class _Cursor:
-    """One open result cursor: a toLocalIterator plus its column list.
+    """One open result cursor: a toLocalIterator plus its column list
+    and the statement id it belongs to (fetch pages re-register under
+    that id so cancellation still has a handle to aim at).
     ``page(n)`` pulls up to n rows and reports has_more by buffering
     one look-ahead row (toLocalIterator holds one partition driver-
     side, never the full result)."""
 
-    def __init__(self, columns: list[str], it: Iterator):
+    def __init__(self, columns: list[str], it: Iterator, stmt_id: str):
         self.columns = columns
+        self.stmt_id = stmt_id
         self._it = it
         self._peeked: Any = _SENTINEL
 
@@ -230,7 +233,13 @@ class SqlService:
                             "existed": cursors.pop(handle, None) is not None}
                 sql = req["sql"]
                 stmt_id = str(req.get("id") or uuid.uuid4().hex[:12])
-                group = f"sqlsvc-{stmt_id}"
+                # The job group carries a fresh uuid: Spark's
+                # cancelJobGroupAndFutureJobs POISONS a group id
+                # forever, so reusing f"sqlsvc-{id}" would make a
+                # retried statement with the same client id
+                # auto-cancel. _running maps the CLIENT id to the
+                # current execution's group.
+                group = f"sqlsvc-{stmt_id}-{uuid.uuid4().hex[:8]}"
                 sc = eng.spark.sparkContext
                 with svc._running_lock:
                     svc._running[stmt_id] = group
@@ -262,7 +271,7 @@ class SqlService:
                         )
                     handle = uuid.uuid4().hex[:12]
                     cur = _Cursor(df.columns, df.toLocalIterator(
-                        prefetchPartitions=True))
+                        prefetchPartitions=True), stmt_id)
                     rows, has_more = cur.page(page_n)
                     if has_more:
                         cursors[handle] = cur
@@ -275,7 +284,10 @@ class SqlService:
                     }
                 finally:
                     with svc._running_lock:
-                        svc._running.pop(stmt_id, None)
+                        # pop only OUR registration: a concurrent
+                        # statement reusing the id must stay cancellable
+                        if svc._running.get(stmt_id) == group:
+                            svc._running.pop(stmt_id)
                     # PySpark 4 dropped SparkContext.clearJobGroup;
                     # resetting the thread-local properties is its body
                     sc.setLocalProperty("spark.jobGroup.id", None)
@@ -288,7 +300,28 @@ class SqlService:
                 if cur is None:
                     raise KeyError(f"no open cursor {handle!r}")
                 n = min(int(req.get("n") or svc._max_rows), svc._max_rows)
-                rows, has_more = cur.page(n)
+                # Re-register the owning statement id while this page
+                # pulls, under a fresh group, so {"cancel": id} during
+                # an active fetch has a target. Best-effort honesty:
+                # toLocalIterator's prefetch jobs are submitted by the
+                # JVM's socket-server thread and may not inherit this
+                # thread-local group — {"close": handle} is the
+                # guaranteed way to stop a paginated result.
+                group = f"sqlsvc-{cur.stmt_id}-{uuid.uuid4().hex[:8]}"
+                sc = svc._spark.sparkContext
+                with svc._running_lock:
+                    svc._running[cur.stmt_id] = group
+                sc.setJobGroup(group, f"sqlsvc fetch {cur.stmt_id}",
+                               interruptOnCancel=True)
+                try:
+                    rows, has_more = cur.page(n)
+                finally:
+                    with svc._running_lock:
+                        if svc._running.get(cur.stmt_id) == group:
+                            svc._running.pop(cur.stmt_id)
+                    sc.setLocalProperty("spark.jobGroup.id", None)
+                    sc.setLocalProperty("spark.job.description", None)
+                    sc.setLocalProperty("spark.job.interruptOnCancel", None)
                 if not has_more:
                     cursors.pop(handle, None)
                 return {

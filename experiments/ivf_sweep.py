@@ -29,15 +29,16 @@ ivf = {}
 for r in qs["sim_ann_ivf"].fn(spark, sf_dir).collect():
     ivf.setdefault(r["qid"], set()).add(r["vec_id"])
 recalls = [len(exact[q] & ivf.get(q, set())) / len(exact[q]) for q in exact]
-oracle_ok = True
+oracle_exact, oracle_err = True, None
 try:
     compare(spark, qs["sim_ann_ivf"], sf_dir)
 except AssertionError as ex:
-    oracle_ok = str(ex)[:120]
+    oracle_exact, oracle_err = False, str(ex)[:120]
 print("RESULT " + json.dumps({
     "mean": round(sum(recalls) / len(recalls), 3),
     "min": round(min(recalls), 3),
-    "oracle_exact": oracle_ok,
+    "oracle_exact": oracle_exact,
+    **({"oracle_err": oracle_err} if oracle_err else {}),
 }))
 """
 

@@ -444,3 +444,33 @@ def test_compact_table_ignores_mor_delta_files(spark, plain_table, tmp_path):
         delta_parts.extend(f for f in files if f.endswith(".parquet"))
     assert delta_parts  # the delta really has part files
     assert not set(all_files) & set(delta_parts)
+
+
+def test_update_mor_null_key_assignment_rejected(spark, plain_table):
+    """Review r8: a SET on a key column that produces NULL keys would
+    write insert-delta rows no future equality delete could address —
+    rejected before anything is pinned or written."""
+    with pytest.raises(ValueError, match="NULL"):
+        acid.update_mor(
+            spark, plain_table, "k = 1",
+            {"k": "CAST(NULL AS BIGINT)"}, ["k"],
+        )
+    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+
+
+def test_compact_after_counts_transactions_not_files(spark, plain_table):
+    """Review r8: one UPDATE txn holds two files (delete+insert) but
+    is ONE delta transaction — compact_after=3 must fire on the third
+    STATEMENT, not after two updates (4 files)."""
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'a'"}, ["k"],
+                    compact_after=3)
+    acid.update_mor(spark, plain_table, "k = 2", {"label": "'b'"}, ["k"],
+                    compact_after=3)
+    # two txns (4 files) — threshold 3 must NOT have fired
+    assert os.path.isdir(acid._delta_path(spark, plain_table))
+    assert len(acid._scan_deltas(acid._delta_path(spark, plain_table))) == 4
+    acid.delete_mor(spark, plain_table, "k = 3", ["k"], compact_after=3)
+    # third statement reaches the transaction threshold: folded
+    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+    got = {r.k: r.label for r in spark.table(plain_table).collect()}
+    assert got[1] == "a" and got[2] == "b" and 3 not in got

@@ -428,3 +428,21 @@ def test_scan_bare_end_column_does_not_underflow():
     # WHERE after it must still be found at depth 0
     s = "SET a = end WHERE b = 1"
     assert _find_keyword(s, "WHERE") == s.index("WHERE")
+
+
+def test_backticked_keyword_identifiers_parse(eng, spark):
+    """Review r8: a backtick-quoted identifier named `case` (or `end`)
+    must not open a phantom CASE scope and swallow the WHERE."""
+    spark.sql("ALTER TABLE dmlt ADD COLUMNS (`case` INT, `end` INT)")
+    try:
+        out = eng.sql(
+            "UPDATE dmlt SET `case` = 7, `end` = 8 WHERE id = 2"
+        ).collect()
+        assert out[0].updated == 1
+        row = [r for r in spark.table("dmlt").collect() if r.id == 2][0]
+        assert row["case"] == 7 and row["end"] == 8
+        # and id=1 untouched (WHERE was honored, not swallowed)
+        row1 = [r for r in spark.table("dmlt").collect() if r.id == 1][0]
+        assert row1["case"] is None
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt")

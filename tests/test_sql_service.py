@@ -301,3 +301,23 @@ def test_engine_init_failure_reported_in_band(spark, sf_dir, monkeypatch):
             assert not r["ok"]
             assert "session initialization failed" in r["error"]
             assert r["error_class"] == "RuntimeError"
+
+
+def test_retry_after_cancel_same_id_not_poisoned(spark, sf_dir):
+    """Review r8: cancelJobGroupAndFutureJobs poisons a job-group id
+    forever, so the group must carry a per-execution uuid — retrying
+    a statement with the SAME client id after a cancel must succeed."""
+    with SqlService(spark, sf_dir=sf_dir) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r1 = c.sql("SELECT 1 AS v", stmt_id="retry-me")
+            assert r1["ok"]
+            # cancel by that id (nothing running: was_running false,
+            # but a naive fixed group name would now be poisoned)
+            svc._cancel("retry-me")
+            # simulate the worst case: cancel fired while registered
+            import uuid as _uuid
+            g = f"sqlsvc-retry-me-{_uuid.uuid4().hex[:8]}"
+            spark.sparkContext._jsc.sc().cancelJobGroupAndFutureJobs(g)
+            r2 = c.sql("SELECT count(*) AS n FROM range(1000)",
+                       stmt_id="retry-me")
+            assert r2["ok"] and r2["rows"] == [[1000]]
