@@ -205,6 +205,30 @@ def _gate_broadcast_files(df: DataFrame, paths: list[str]) -> DataFrame:
     return F.broadcast(df) if _tree_bytes(paths) <= _BROADCAST_CAP_BYTES else df
 
 
+def pin_mor_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
+    """Declare a table merge-on-read by pinning its equality-delete
+    key columns — the analogue of Hive's ``TBLPROPERTIES
+    ('transactional'='true')`` (ql/io/AcidUtils.java decides the
+    read/write path off that property; here the pinned manifest under
+    ``_delete_delta/`` is the marker). Once pinned, the SQL statement
+    surface (dml_text) routes UPDATE/DELETE against this table to the
+    delta verbs automatically, exactly like statements against a Hive
+    transactional table take the ACID path. Idempotent for the same
+    key set; a different key set raises (one key set per table)."""
+    _validate_keys(spark, name, key_cols)
+    _write_manifest(_delta_path(spark, name), list(key_cols))
+
+
+def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
+    """The pinned equality-delete key columns, or None when the table
+    is not merge-on-read (or the warehouse is non-local, where MOR
+    manifests cannot exist)."""
+    try:
+        return _read_manifest(_delta_path(spark, name))
+    except NotImplementedError:
+        return None
+
+
 def delete_mor(
     spark: SparkSession, name: str, condition: str, key_cols: list[str],
     compact_after: int | None = None,

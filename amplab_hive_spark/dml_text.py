@@ -44,6 +44,13 @@ way: when two MATCHED clauses are present the FIRST must carry AND
 (the second would be unreachable otherwise). Statements that do not
 start with one of the three keywords pass through untouched
 (handle() returns None).
+
+Write-path selection (r8): a table with pinned merge-on-read keys
+(acid.pin_mor_keys — the ``transactional=true`` analogue) routes
+UPDATE/DELETE statements through acid.update_mor/delete_mor (delta
+files, no base rewrite); unpinned tables take the copy-on-write
+verbs. Exactly how the reference picks the ACID path off the table
+property (ql/io/AcidUtils.java).
 """
 
 from __future__ import annotations
@@ -295,15 +302,34 @@ def _parse_using_source(rest: str) -> tuple[str, str]:
 
 
 def handle(spark: SparkSession, text: str) -> DataFrame | None:
-    """Route a DML statement to its ddl verb; None if ``text`` is not
-    an UPDATE/DELETE/MERGE statement. Returns a one-row count frame
-    (the rows-affected answer a CLI prints)."""
+    """Route a DML statement to its verb; None if ``text`` is not an
+    UPDATE/DELETE/MERGE statement. Returns a one-row count frame
+    (the rows-affected answer a CLI prints).
+
+    Write-path selection mirrors the reference: Hive routes
+    statements against ``transactional=true`` tables through the
+    ACID delta path and everything else through the rewrite path
+    (ql/io/AcidUtils.java). Here a table with PINNED merge-on-read
+    keys (acid.pin_mor_keys, or any prior *_mor write) takes
+    acid.update_mor/delete_mor; unpinned tables take the
+    copy-on-write ddl verbs. MERGE is copy-on-write only and raises
+    on a pinned table (run acid.compact_mor first) — honest scope,
+    same as the COW-verb guard."""
+    from amplab_hive_spark.acid import delete_mor as _delete_mor
+    from amplab_hive_spark.acid import mor_keys as _mor_keys
+    from amplab_hive_spark.acid import update_mor as _update_mor
     from amplab_hive_spark.ddl import delete_from, merge_into, update_table
 
     m = _UPDATE_HEAD.match(text)
     if m:
         set_text, cond = _split_where(text[m.end() :], "UPDATE")
-        n = update_table(spark, m.group(1), cond or "true", _assignments(set_text))
+        keys = _mor_keys(spark, m.group(1))
+        if keys is not None:
+            n = _update_mor(spark, m.group(1), cond or "true",
+                            _assignments(set_text), keys)
+        else:
+            n = update_table(spark, m.group(1), cond or "true",
+                             _assignments(set_text))
         return spark.createDataFrame([(n,)], "updated bigint")
 
     m = _DELETE_HEAD.match(text)
@@ -311,7 +337,11 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
         tail, cond = _split_where(text[m.end() :], "DELETE")
         if tail.strip():
             raise ValueError(f"unsupported DELETE syntax near: {tail.strip()[:40]!r}")
-        n = delete_from(spark, m.group(1), cond or "true")
+        keys = _mor_keys(spark, m.group(1))
+        if keys is not None:
+            n = _delete_mor(spark, m.group(1), cond or "true", keys)
+        else:
+            n = delete_from(spark, m.group(1), cond or "true")
         return spark.createDataFrame([(n,)], "deleted bigint")
 
     if not re.match(r"^\s*MERGE\b", text, re.I):

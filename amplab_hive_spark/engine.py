@@ -111,6 +111,20 @@ class Engine:
 
         return delete_mor(self.spark, name, condition, key_cols)
 
+    def update_mor(self, name: str, condition: str,
+                   assignments: dict[str, str], key_cols: list[str]) -> int:
+        from amplab_hive_spark.acid import update_mor
+
+        return update_mor(self.spark, name, condition, assignments, key_cols)
+
+    def pin_mor_keys(self, name: str, key_cols: list[str]) -> None:
+        """Declare ``name`` merge-on-read: UPDATE/DELETE statements
+        via ``sql()`` take the delta path from now on (the
+        transactional=true analogue — see acid.pin_mor_keys)."""
+        from amplab_hive_spark.acid import pin_mor_keys
+
+        pin_mor_keys(self.spark, name, key_cols)
+
     def read_mor(self, name: str) -> DataFrame:
         from amplab_hive_spark.acid import read_mor
 

@@ -446,3 +446,47 @@ def test_backticked_keyword_identifiers_parse(eng, spark):
         assert row1["case"] is None
     finally:
         spark.sql("DROP TABLE IF EXISTS dmlt")
+
+
+def test_statements_route_to_mor_when_pinned(eng, spark):
+    """r8: pin_mor_keys = the transactional=true analogue — the SAME
+    UPDATE/DELETE statement text takes the delta path on a pinned
+    table (base files untouched) and copy-on-write otherwise."""
+    import os
+
+    from amplab_hive_spark import acid
+
+    def base_files():
+        loc = acid._local_path(ddl_loc)
+        return sorted(
+            f for _root, _d, files in os.walk(loc) for f in files
+            if not f.startswith(("_", ".")) and "_delete_delta" not in _root
+        )
+
+    from amplab_hive_spark import ddl as _ddl
+    ddl_loc = _ddl._table_location(spark, "dmlt")
+    eng.pin_mor_keys("dmlt", ["id"])
+    before = base_files()
+    out = eng.sql("UPDATE dmlt SET val = val + 100 WHERE grp = 'a'").collect()
+    assert out[0].updated == 2
+    out = eng.sql("DELETE FROM dmlt WHERE id = 3").collect()
+    assert out[0].deleted == 1
+    assert base_files() == before  # delta path: base never rewritten
+    got = {r.id: r.val for r in acid.read_mor(spark, "dmlt").collect()}
+    assert got == {1: 110, 2: 120, 4: 40}
+    # fold and confirm the statements' net effect persisted
+    acid.compact_mor(spark, "dmlt")
+    got = {r.id: r.val for r in spark.table("dmlt").collect()}
+    assert got == {1: 110, 2: 120, 4: 40}
+
+
+def test_merge_statement_on_pinned_table_refuses(eng, spark):
+    from amplab_hive_spark import acid
+
+    eng.pin_mor_keys("dmlt", ["id"])
+    acid.delete_mor(spark, "dmlt", "id = 1", ["id"])
+    with pytest.raises(ValueError, match="compact_mor"):
+        eng.sql(
+            """MERGE INTO dmlt USING (SELECT 2 AS id) s ON dmlt.id = s.id
+               WHEN MATCHED THEN DELETE"""
+        )
