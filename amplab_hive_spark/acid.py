@@ -220,13 +220,46 @@ def pin_mor_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
 
 
 def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
-    """The pinned equality-delete key columns, or None when the table
-    is not merge-on-read (or the warehouse is non-local, where MOR
-    manifests cannot exist)."""
+    """The table's equality-delete key columns, or None when it is
+    not merge-on-read. Two triggers, checked in order:
+
+    1. a pinned manifest under ``_delete_delta/`` (pin_mor_keys or
+       any prior *_mor write);
+    2. the HiveQL spelling — ``TBLPROPERTIES ('transactional'='true',
+       'merge_keys'='col1,col2')`` — exactly the property the
+       reference's AcidUtils.isTransactionalTable reads, plus
+       merge_keys because plain parquet has no ROW__ID to address
+       rows by (declaring transactional WITHOUT merge_keys raises:
+       silently falling back to copy-on-write would betray the
+       declared write model).
+
+    Returns None on non-local warehouses (no manifest I/O there)."""
     try:
-        return _read_manifest(_delta_path(spark, name))
+        pinned = _read_manifest(_delta_path(spark, name))
     except NotImplementedError:
         return None
+    if pinned is not None:
+        return pinned
+    try:
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+        }
+    except Exception:  # temp view / nonexistent: let the caller's
+        return None    # own verb produce the natural error
+    if props.get("transactional", "").lower() != "true":
+        return None
+    mk = props.get("merge_keys", "").strip()
+    if not mk:
+        raise ValueError(
+            f"{name} declares transactional=true but no merge_keys "
+            f"tblproperty; equality deletes need key columns "
+            f"(TBLPROPERTIES ('transactional'='true', "
+            f"'merge_keys'='col1,col2'))"
+        )
+    keys = [c.strip() for c in mk.split(",") if c.strip()]
+    _validate_keys(spark, name, keys)
+    return keys
 
 
 def delete_mor(

@@ -7,6 +7,11 @@ Usage:
     python -m amplab_hive_spark.cli -f script.sql [--sf-dir DIR]
     python -m amplab_hive_spark.cli            # REPL
     python -m amplab_hive_spark.cli --serve [--port N]   # SQL service
+    python -m amplab_hive_spark.cli --connect HOST:PORT [-e SQL]
+        # beeline analogue: a THIN network client (no Spark in this
+        # process) against a --serve instance; -e/-f one-shots or an
+        # interactive REPL; wide results auto-page via the cursor
+        # protocol (SqlClient.sql_all)
 """
 
 from __future__ import annotations
@@ -26,6 +31,70 @@ def _run_statements(engine, text: str, max_rows: int) -> None:
         df.show(max_rows, truncate=False)
 
 
+def _render_remote(resp: dict, max_rows: int) -> None:
+    """Render a service response like beeline: a header row, tab-
+    separated values, a row-count trailer; errors to stderr."""
+    if not resp.get("ok"):
+        print(f"ERROR ({resp.get('error_class')}): {resp.get('error')}",
+              file=sys.stderr)
+        return
+    cols = resp.get("columns") or []
+    rows = resp.get("rows") or []
+    if cols:
+        print("\t".join(cols))
+    for r in rows[:max_rows]:
+        print("\t".join("NULL" if v is None else str(v) for v in r))
+    shown = min(len(rows), max_rows)
+    suffix = f" (showing {shown})" if shown < len(rows) else ""
+    print(f"-- {len(rows)} row(s){suffix}")
+
+
+def _client_main(args) -> int:
+    """The beeline analogue: statements go over the wire to a --serve
+    instance; this process imports ONLY the stdlib client."""
+    from amplab_hive_spark.service import SqlClient
+    from amplab_hive_spark.testing_golden import split_statements
+
+    host, _, port = args.connect.rpartition(":")
+    if not host or not port.isdigit():
+        print(f"--connect expects HOST:PORT, got {args.connect!r}",
+              file=sys.stderr)
+        return 2
+    with SqlClient(host, int(port)) as client:
+        def run(text: str) -> None:
+            for stmt in split_statements(text):
+                _render_remote(client.sql_all(stmt), args.max_rows)
+
+        if args.e is not None:
+            run(args.e)
+            return 0
+        if args.f is not None:
+            with open(args.f) as fh:
+                run(fh.read())
+            return 0
+        print(f"connected to {host}:{port} — ';'-terminated statements, "
+              f"'quit;' to exit")
+        buf = ""
+        for line in sys.stdin:
+            buf += line
+            segs = split_statements(buf + "\x00")
+            if segs and segs[-1] != "\x00":
+                buf = segs[-1][:-1] if segs[-1].endswith("\x00") else segs[-1]
+                complete = segs[:-1]
+            else:
+                buf = ""
+                complete = segs[:-1] if segs else []
+            for stmt in complete:
+                if stmt.strip().lower() in ("quit", "exit"):
+                    return 0
+                try:
+                    run(stmt)
+                except ConnectionError as exc:
+                    print(f"connection lost: {exc}", file=sys.stderr)
+                    return 1
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="amplab-hive-spark")
     ap.add_argument("-e", metavar="SQL", help="run a SQL string and exit")
@@ -39,7 +108,17 @@ def main(argv: list[str] | None = None) -> int:
     )
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=10000)
+    ap.add_argument(
+        "--connect", metavar="HOST:PORT",
+        help="connect to a running --serve instance as a thin client "
+             "(the beeline analogue; this process never starts Spark)",
+    )
     args = ap.parse_args(argv)
+
+    if args.connect:
+        if args.serve:
+            ap.error("--connect and --serve are different roles")
+        return _client_main(args)
 
     if args.serve:
         if args.e is not None or args.f is not None:

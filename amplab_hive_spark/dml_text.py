@@ -193,6 +193,9 @@ def _rewrite_alias(expr: str, alias: str | None, canonical: str) -> str:
     )
 
 
+_COMPACT_STMT = re.compile(
+    r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+COMPACT\s+'(\w+)'\s*;?\s*$", re.I
+)
 _UPDATE_HEAD = re.compile(r"^\s*UPDATE\s+([\w.]+)\s+SET\s+", re.I | re.S)
 _DELETE_HEAD = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*", re.I | re.S)
 _MERGE_INTO = re.compile(
@@ -315,10 +318,27 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
     copy-on-write ddl verbs. MERGE is copy-on-write only and raises
     on a pinned table (run acid.compact_mor first) — honest scope,
     same as the COW-verb guard."""
+    from amplab_hive_spark.acid import compact_mor as _compact_mor
     from amplab_hive_spark.acid import delete_mor as _delete_mor
     from amplab_hive_spark.acid import mor_keys as _mor_keys
     from amplab_hive_spark.acid import update_mor as _update_mor
     from amplab_hive_spark.ddl import delete_from, merge_into, update_table
+
+    m = _COMPACT_STMT.match(text)
+    if m:
+        # HiveQL's ALTER TABLE .. COMPACT 'major' (DDLSemanticAnalyzer
+        # -> compactor Worker). Only major exists here: minor
+        # compaction (delta consolidation without a base rewrite) is
+        # not implemented, and silently running major instead would
+        # change the statement's cost class.
+        if m.group(2).lower() != "major":
+            raise ValueError(
+                f"only COMPACT 'major' is supported (got "
+                f"{m.group(2)!r}); minor compaction is a documented "
+                f"non-goal"
+            )
+        n = _compact_mor(spark, m.group(1))
+        return spark.createDataFrame([(n,)], "compacted_deltas bigint")
 
     m = _UPDATE_HEAD.match(text)
     if m:

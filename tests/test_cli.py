@@ -61,3 +61,37 @@ def test_cli_runs_dml_statements(spark, sf_dir, tmp_path, capsys):
         assert rows == [(1, 99)]
     finally:
         spark.sql("DROP TABLE IF EXISTS cli_dml")
+
+
+def test_connect_client_roundtrip(spark, sf_dir, capsys):
+    """r8: the --connect thin client (beeline analogue) runs one-shot
+    statements over the wire, auto-paging wide results, without
+    starting Spark in the client process (verified by max_rows=3 on
+    the SERVICE forcing the cursor path)."""
+    from amplab_hive_spark.cli import main as cli_main
+    from amplab_hive_spark.service import SqlService
+
+    with SqlService(spark, sf_dir=sf_dir, max_rows=3) as svc:
+        rc = cli_main([
+            "--connect", f"127.0.0.1:{svc.port}",
+            "-e", "SELECT id FROM range(8) ORDER BY id",
+            "--max-rows", "100",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        assert "-- 8 row(s)" in out  # paged 3+3+2 to completion
+        assert out.splitlines()[0] == "id"
+
+        rc = cli_main([
+            "--connect", f"127.0.0.1:{svc.port}",
+            "-e", "SELECT * FROM definitely_missing_zzz",
+        ])
+        assert rc == 0  # statement errors are data, not exit codes
+        err = capsys.readouterr().err
+        assert "TABLE_OR_VIEW_NOT_FOUND" in err
+
+
+def test_connect_bad_address_exits_2():
+    from amplab_hive_spark.cli import main as cli_main
+
+    assert cli_main(["--connect", "nonsense", "-e", "SELECT 1"]) == 2

@@ -490,3 +490,46 @@ def test_merge_statement_on_pinned_table_refuses(eng, spark):
             """MERGE INTO dmlt USING (SELECT 2 AS id) s ON dmlt.id = s.id
                WHEN MATCHED THEN DELETE"""
         )
+
+
+def test_transactional_tblproperties_trigger(eng, spark, tmp_path):
+    """r8: TBLPROPERTIES ('transactional'='true','merge_keys'=...) is
+    the pure-SQL MOR trigger (AcidUtils.isTransactionalTable
+    analogue); COMPACT 'major' folds; declaring transactional WITHOUT
+    merge_keys raises instead of silently falling back to COW."""
+    import os
+
+    from amplab_hive_spark import acid
+
+    spark.sql("DROP TABLE IF EXISTS dmlt_txn")
+    spark.sql(
+        f"CREATE TABLE dmlt_txn (id INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/txn' "
+        f"TBLPROPERTIES ('transactional'='true','merge_keys'='id')"
+    )
+    try:
+        spark.sql("INSERT INTO dmlt_txn VALUES (1,10),(2,20)")
+        assert eng.sql("UPDATE dmlt_txn SET v = 0 WHERE id = 1") \
+            .collect()[0].updated == 1
+        assert os.path.isdir(acid._delta_path(spark, "dmlt_txn"))
+        n = eng.sql("ALTER TABLE dmlt_txn COMPACT 'major'") \
+            .collect()[0].compacted_deltas
+        assert n == 2  # one update txn = delete+insert halves
+        assert sorted(tuple(r) for r in spark.table("dmlt_txn").collect()) \
+            == [(1, 0), (2, 20)]
+        with pytest.raises(ValueError, match="minor"):
+            eng.sql("ALTER TABLE dmlt_txn COMPACT 'minor'")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt_txn")
+
+    spark.sql("DROP TABLE IF EXISTS dmlt_nokeys")
+    spark.sql(
+        f"CREATE TABLE dmlt_nokeys (id INT) USING parquet "
+        f"LOCATION '{tmp_path}/nk' TBLPROPERTIES ('transactional'='true')"
+    )
+    try:
+        spark.sql("INSERT INTO dmlt_nokeys VALUES (1)")
+        with pytest.raises(ValueError, match="merge_keys"):
+            eng.sql("DELETE FROM dmlt_nokeys WHERE id = 1")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt_nokeys")
