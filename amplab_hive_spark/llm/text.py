@@ -530,3 +530,73 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_min",
         )
     )
+
+
+@register(
+    "text_keyword_extraction",
+    tags=("llm", "text"),
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, tok, COUNT(*) AS tf FROM toks WHERE length(tok) >= 3
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT tok, COUNT(*) AS doc_freq FROM (
+    SELECT DISTINCT doc_id, tok FROM toks WHERE length(tok) >= 3
+  ) GROUP BY tok
+),
+ranked AS (
+  SELECT t.doc_id, t.tok, t.tf, d.doc_freq,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY t.tf DESC, d.doc_freq ASC, t.tok) AS rnk
+  FROM tf t JOIN df d ON t.tok = d.tok
+)
+SELECT doc_id, rnk, tok, tf, doc_freq FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+""",
+)
+def text_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 keywords — the TF-IDF family with an
+    INTEGER-EXACT ranking: (term frequency DESC, document frequency
+    ASC, token) instead of tf·log(N/df). For a fixed tf, 1/df and
+    log(N/df) induce the same order, so the keyword set matches what
+    float TF-IDF would pick whenever tf decides or rarity
+    tie-breaks; what it deliberately gives up is CROSS-tf mixing
+    (a tf=2/df=3 term can never outrank tf=3/df=390). That trade
+    buys bit-exact cross-engine reproducibility — no platform libm
+    in the ranking — which this repo's hash-match gate (and any
+    deterministic rerun of a 100 TB pipeline) values over the
+    blended score. The gate fixture exercises the tie-break for real
+    (tf ties broken by df at every doc).
+
+    Scale shape: one explode, tf collapses map-side on (doc_id, tok);
+    df is one vocabulary-sized shuffle reused from the same explode;
+    the df join co-partitions on tok (AQE broadcasts a small
+    vocabulary); the per-doc top-3 window partitions on doc_id —
+    nothing outside those keyed exchanges moves."""
+    t = tables(spark, sf_dir)
+    from pyspark.sql import Window
+
+    toks = t.documents.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), " ")).alias("tok"),
+    ).filter(F.length("tok") >= 3)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        toks.select("doc_id", "tok").distinct()
+        .groupBy("tok").agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("doc_freq"), F.asc("tok")
+    )
+    return (
+        tf.join(df, "tok")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "rnk", "tok", "tf", "doc_freq")
+        .orderBy("doc_id", "rnk")
+    )

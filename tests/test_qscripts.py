@@ -6780,6 +6780,150 @@ QSCRIPTS_R56 = [
     ),
 ]
 
+# ---------------------------------------------------------------- r8
+# Fifty-seventh tranche: union_remove tail shapes (union -> select* ->
+# sink collapse must not change results), smb_mapjoin_13's
+# different-name join columns, auto_join30's pre-sorted-subquery
+# joins, multi-column IN, and scattered input/window shapes still
+# unported.
+QSCRIPTS_R57 = [
+    (
+        "unionrm_star_over_two_aggs",  # union_remove_19.q: union of
+        # two aggregated branches, SELECT * above, filter above that
+        """SELECT * FROM (
+             SELECT n_regionkey AS k, count(1) AS v FROM nation
+             GROUP BY n_regionkey
+             UNION ALL
+             SELECT r_regionkey AS k, count(1) AS v FROM region
+             GROUP BY r_regionkey
+           ) u WHERE k < 3""",
+    ),
+    (
+        "unionrm_maponly_plus_agg",  # union_remove_15.q: one
+        # map-only branch + one aggregated branch
+        """SELECT k, v FROM (
+             SELECT n_nationkey AS k, 1 AS v FROM nation
+             WHERE n_regionkey = 2
+             UNION ALL
+             SELECT n_regionkey AS k, count(1) AS v FROM nation
+             GROUP BY n_regionkey
+           ) u""",
+    ),
+    (
+        "unionrm_double_nesting",  # union_remove_22.q: a union INSIDE
+        # a unioned branch (flattening must preserve multiplicity)
+        """SELECT count(1) AS n, CAST(sum(k) AS BIGINT) AS s FROM (
+             SELECT r_regionkey AS k FROM region
+             UNION ALL
+             SELECT k FROM (
+               SELECT n_nationkey AS k FROM nation WHERE n_nationkey < 5
+               UNION ALL
+               SELECT n_regionkey AS k FROM nation WHERE n_nationkey < 5
+             ) inner_u
+           ) outer_u""",
+    ),
+    (
+        "smb13_different_key_names",  # smb_mapjoin_13.q: merge join
+        # on columns with DIFFERENT names on each side
+        """SELECT count(1) AS n FROM
+             (SELECT c_custkey AS a FROM customer) x
+           JOIN
+             (SELECT o_custkey AS b FROM orders) y
+           ON x.a = y.b""",
+    ),
+    (
+        "aj30_presorted_subquery_join",  # auto_join30.q: both join
+        # inputs are pre-sorted subqueries (sort must not change the
+        # join result; exact integer surrogate instead of Hive HASH)
+        """SELECT CAST(sum(y.k) AS BIGINT) AS s, count(1) AS n FROM
+             (SELECT n_nationkey AS k, n_regionkey FROM nation
+              ORDER BY n_nationkey) x
+           JOIN
+             (SELECT n_nationkey AS k, n_name FROM nation
+              ORDER BY n_name) y
+           ON x.k = y.k""",
+    ),
+    (
+        "multi_col_in_struct",  # multi-column IN via row constructor
+        # ((a,b) IN ((1,2),(3,4)) — both engines accept the struct form)
+        """SELECT n_nationkey FROM nation
+           WHERE (n_regionkey, n_nationkey % 2) IN ((0, 1), (2, 0))""",
+    ),
+    (
+        "in_expr_list_mixed_types_coerced",  # input-family: IN list
+        # mixing int and decimal literals coerces consistently
+        """SELECT l_orderkey, l_quantity FROM lineitem
+           WHERE l_quantity IN (1, 2.0, 3) AND l_orderkey < 100""",
+    ),
+    (
+        "window_lag_default_and_lead_null",  # windowing_navfn.q tail:
+        # lag with explicit default + lead off the partition end
+        """SELECT n_regionkey, n_nationkey,
+                  lag(n_nationkey, 1, -1) OVER w AS prev_k,
+                  lead(n_nationkey, 2) OVER w AS next2_k
+           FROM nation WINDOW w AS (PARTITION BY n_regionkey
+                                    ORDER BY n_nationkey)""",
+    ),
+    (
+        "window_sum_unbounded_both",  # windowing_windowspec.q: frame
+        # UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING = group total
+        """SELECT n_regionkey, n_nationkey,
+                  CAST(sum(n_nationkey) OVER (PARTITION BY n_regionkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING) AS BIGINT) AS tot
+           FROM nation""",
+    ),
+    (
+        "window_count_over_filtered_join",  # windowing-over-join:
+        # count window above an outer join's padded rows
+        """SELECT r.r_regionkey,
+                  count(n.n_nationkey) OVER (PARTITION BY r.r_name) AS cnt
+           FROM region r LEFT OUTER JOIN nation n
+             ON r.r_regionkey = n.n_regionkey AND n.n_nationkey > 20""",
+    ),
+    (
+        "groupby_all_constants",  # input-family: GROUP BY over a
+        # constant-only projection collapses to distinct constants
+        """SELECT k, count(1) AS n FROM
+             (SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'even'
+                          ELSE 'odd' END AS k FROM orders) t
+           GROUP BY k""",
+    ),
+    (
+        "except_then_join",  # setop tail: EXCEPT feeding a join
+        """SELECT a.k, n.n_name FROM (
+             SELECT n_nationkey AS k FROM nation
+             EXCEPT
+             SELECT s_nationkey AS k FROM supplier
+             WHERE s_acctbal < 0
+           ) a JOIN nation n ON a.k = n.n_nationkey""",
+    ),
+    (
+        "string_funcs_compound",  # udf chains: trim/upper/substr/
+        # replace composed in one projection
+        """SELECT n_nationkey,
+                  upper(substr(n_name, 1, 3)) AS pre,
+                  replace(lower(n_name), 'a', '@') AS repl,
+                  trim(concat('  ', n_name, '  ')) AS trimmed
+           FROM nation WHERE n_nationkey < 8""",
+    ),
+    (
+        "arith_mixed_precedence",  # input-family: arithmetic
+        # precedence + unary minus + modulo chain
+        """SELECT o_orderkey,
+                  -o_orderkey + 2 * (o_orderkey % 7) - 3 AS expr1,
+                  CAST(FLOOR(o_totalprice) AS BIGINT) % 97 AS m97
+           FROM orders WHERE o_orderkey < 25""",
+    ),
+    (
+        "between_dates_and_like",  # input-family: BETWEEN on dates
+        # conjoined with LIKE prefix/suffix patterns
+        """SELECT o_orderkey FROM orders
+           WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+             AND o_orderpriority LIKE '1-%'""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
