@@ -233,22 +233,41 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
        silently falling back to copy-on-write would betray the
        declared write model).
 
-    Returns None on non-local warehouses (no manifest I/O there)."""
+    A DECLARED-transactional table never silently degrades: missing
+    merge_keys raises, and so does a non-local warehouse (where the
+    manifest I/O is unimplemented) — the caller asked for the delta
+    write model and must not get a copy-on-write rewrite instead."""
+    local = True
+    pinned = None
     try:
         pinned = _read_manifest(_delta_path(spark, name))
     except NotImplementedError:
+        local = False
+    except ValueError:
+        # no catalog Location (temp view): MOR is impossible there and
+        # so is the tblproperties trigger — let the caller's verb
+        # produce its natural not-a-table error
         return None
     if pinned is not None:
         return pinned
+    from pyspark.errors import AnalysisException
+
     try:
         props = {
             r["key"]: r["value"]
             for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
         }
-    except Exception:  # temp view / nonexistent: let the caller's
-        return None    # own verb produce the natural error
+    except AnalysisException:  # temp view / nonexistent: let the
+        return None            # caller's own verb raise naturally
     if props.get("transactional", "").lower() != "true":
         return None
+    if not local:
+        raise NotImplementedError(
+            f"{name} declares transactional=true but the warehouse is "
+            f"non-local; merge-on-read manifest I/O is local-only "
+            f"(see acid._local_path) — refusing to degrade the "
+            f"declared write model to copy-on-write"
+        )
     mk = props.get("merge_keys", "").strip()
     if not mk:
         raise ValueError(
@@ -257,7 +276,13 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
             f"(TBLPROPERTIES ('transactional'='true', "
             f"'merge_keys'='col1,col2'))"
         )
-    keys = [c.strip() for c in mk.split(",") if c.strip()]
+    # resolve property names case-insensitively, like every other
+    # identifier on the SQL surface
+    by_lower = {c.lower(): c for c in spark.table(name).columns}
+    keys = [
+        by_lower.get(c.strip().lower(), c.strip())
+        for c in mk.split(",") if c.strip()
+    ]
     _validate_keys(spark, name, keys)
     return keys
 

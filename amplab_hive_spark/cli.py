@@ -10,14 +10,46 @@ Usage:
     python -m amplab_hive_spark.cli --connect HOST:PORT [-e SQL]
         # beeline analogue: a THIN network client (no Spark in this
         # process) against a --serve instance; -e/-f one-shots or an
-        # interactive REPL; wide results auto-page via the cursor
-        # protocol (SqlClient.sql_all)
+        # interactive REPL; wide results page via the cursor
+        # protocol, BOUNDED by --max-rows
 """
 
 from __future__ import annotations
 
 import argparse
 import sys
+
+
+def _iter_statements(stream):
+    """Yield complete ';'-terminated statements from a line stream
+    (CliDriver.processLine's accumulation rule): the buffer keeps
+    growing while a string literal or the statement itself is open.
+    At EOF any non-blank remainder is yielded too — a final statement
+    whose ';' is followed by a '--' comment (which swallows the
+    sentinel) or whose line lacks a trailing newline must still run
+    (review r8: it was silently dropped)."""
+    from amplab_hive_spark.testing_golden import split_statements
+
+    buf = ""
+    for line in stream:
+        buf += line
+        # marker trick: append \x00 and split — if the buffer ends at
+        # an unquoted ';', the marker comes back as its own final
+        # segment; otherwise it rides at the end of the open tail,
+        # which stays buffered for the next line.
+        segs = split_statements(buf + "\x00")
+        if segs and segs[-1] != "\x00":
+            buf = segs[-1][:-1] if segs[-1].endswith("\x00") else segs[-1]
+            complete = segs[:-1]
+        else:
+            buf = ""
+            complete = segs[:-1] if segs else []
+        yield from (s for s in complete if s.strip())
+    tail = buf.replace("\x00", "").strip()
+    if tail:
+        for s in split_statements(tail):
+            if s.strip():
+                yield s
 
 
 def _run_statements(engine, text: str, max_rows: int) -> None:
@@ -51,7 +83,12 @@ def _render_remote(resp: dict, max_rows: int) -> None:
 
 def _client_main(args) -> int:
     """The beeline analogue: statements go over the wire to a --serve
-    instance; this process imports ONLY the stdlib client."""
+    instance; this process imports ONLY the stdlib client. Fetching
+    is BOUNDED by --max-rows (pages stop at max_rows+1 and the cursor
+    is closed server-side — the client never accumulates a huge
+    result it will not display); a timed-out or broken connection is
+    fatal for the whole session (the wire is desynchronized once a
+    reply goes unread), reported once to stderr with exit 1."""
     from amplab_hive_spark.service import SqlClient
     from amplab_hive_spark.testing_golden import split_statements
 
@@ -60,38 +97,45 @@ def _client_main(args) -> int:
         print(f"--connect expects HOST:PORT, got {args.connect!r}",
               file=sys.stderr)
         return 2
-    with SqlClient(host, int(port)) as client:
-        def run(text: str) -> None:
-            for stmt in split_statements(text):
-                _render_remote(client.sql_all(stmt), args.max_rows)
 
-        if args.e is not None:
-            run(args.e)
-            return 0
-        if args.f is not None:
-            with open(args.f) as fh:
-                run(fh.read())
-            return 0
-        print(f"connected to {host}:{port} — ';'-terminated statements, "
-              f"'quit;' to exit")
-        buf = ""
-        for line in sys.stdin:
-            buf += line
-            segs = split_statements(buf + "\x00")
-            if segs and segs[-1] != "\x00":
-                buf = segs[-1][:-1] if segs[-1].endswith("\x00") else segs[-1]
-                complete = segs[:-1]
-            else:
-                buf = ""
-                complete = segs[:-1] if segs else []
-            for stmt in complete:
+    def run_one(client, stmt: str) -> None:
+        resp = client.sql(stmt)
+        while (resp.get("ok") and resp.get("has_more")
+               and len(resp["rows"]) <= args.max_rows):
+            nxt = client.fetch(resp["handle"])
+            if not nxt.get("ok"):
+                resp = nxt
+                break
+            resp["rows"].extend(nxt["rows"])
+            resp["has_more"] = nxt["has_more"]
+            resp["handle"] = resp.get("handle") or nxt.get("handle")
+        if resp.get("ok") and resp.get("has_more"):
+            client.close_cursor(resp["handle"])  # free the cursor
+        _render_remote(resp, args.max_rows)
+
+    try:
+        with SqlClient(host, int(port)) as client:
+            def run(text: str) -> None:
+                for stmt in split_statements(text):
+                    if stmt.strip():
+                        run_one(client, stmt)
+
+            if args.e is not None:
+                run(args.e)
+                return 0
+            if args.f is not None:
+                with open(args.f) as fh:
+                    run(fh.read())
+                return 0
+            print(f"connected to {host}:{port} — ';'-terminated "
+                  f"statements, 'quit;' to exit")
+            for stmt in _iter_statements(sys.stdin):
                 if stmt.strip().lower() in ("quit", "exit"):
                     return 0
-                try:
-                    run(stmt)
-                except ConnectionError as exc:
-                    print(f"connection lost: {exc}", file=sys.stderr)
-                    return 1
+                run_one(client, stmt)
+    except (ConnectionError, TimeoutError, OSError) as exc:
+        print(f"connection lost: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 
@@ -156,39 +200,16 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.f) as fh:
             _run_statements(engine, fh.read(), args.max_rows)
         return 0
-    # REPL (CliDriver.processLine equivalent). Statements complete at
-    # an UNQUOTED ';' — the buffer keeps accumulating across lines
-    # while a string literal (or the statement itself) is still open,
-    # so a multi-line literal containing ';' does not flush early.
-    from amplab_hive_spark.testing_golden import split_statements
-
+    # REPL (CliDriver.processLine equivalent): statement accumulation
+    # shared with the thin client (_iter_statements).
     print("amplab-hive-spark CLI — ';'-terminated statements, 'quit;' to exit")
-    buf = ""
-    for line in sys.stdin:
-        buf += line
-        # marker trick: append \x00 and split — if the buffer ends at
-        # an unquoted ';', the marker comes back as its own final
-        # segment; otherwise it rides at the end of the open tail
-        # (unterminated statement or still-open string literal), which
-        # stays buffered for the next line.
-        segs = split_statements(buf + "\x00")
-        if segs and segs[-1] != "\x00":
-            buf = segs[-1][:-1] if segs[-1].endswith("\x00") else segs[-1]
-            complete = segs[:-1]
-        else:
-            buf = ""
-            complete = segs[:-1] if segs else []
-        done = False
-        for stmt in complete:
-            if stmt.strip().lower() in ("quit", "exit"):
-                done = True
-                break
-            try:
-                _run_statements(engine, stmt, args.max_rows)
-            except Exception as exc:  # surface analyzer errors, keep REPL alive
-                print(f"ERROR: {exc}", file=sys.stderr)
-        if done:
+    for stmt in _iter_statements(sys.stdin):
+        if stmt.strip().lower() in ("quit", "exit"):
             break
+        try:
+            _run_statements(engine, stmt, args.max_rows)
+        except Exception as exc:  # surface analyzer errors, keep REPL alive
+            print(f"ERROR: {exc}", file=sys.stderr)
     return 0
 
 

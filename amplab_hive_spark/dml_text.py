@@ -45,12 +45,17 @@ way: when two MATCHED clauses are present the FIRST must carry AND
 start with one of the three keywords pass through untouched
 (handle() returns None).
 
-Write-path selection (r8): a table with pinned merge-on-read keys
-(acid.pin_mor_keys — the ``transactional=true`` analogue) routes
-UPDATE/DELETE statements through acid.update_mor/delete_mor (delta
-files, no base rewrite); unpinned tables take the copy-on-write
-verbs. Exactly how the reference picks the ACID path off the table
-property (ql/io/AcidUtils.java).
+Write-path selection (r8): a merge-on-read table — pinned keys
+(acid.pin_mor_keys) or TBLPROPERTIES ('transactional'='true',
+'merge_keys'=...) — routes UPDATE/DELETE statements through
+acid.update_mor/delete_mor (delta files, no base rewrite); other
+tables take the copy-on-write verbs. Exactly how the reference picks
+the ACID path off the table property (ql/io/AcidUtils.java). MERGE
+is copy-on-write only and REFUSES a merge-on-read table (either
+trigger) rather than mixing write models. One more statement form is
+recognized: HiveQL's ``ALTER TABLE t COMPACT 'major'`` runs
+acid.compact_mor ('minor' raises — documented non-goal); every other
+statement passes through untouched (handle() returns None).
 """
 
 from __future__ import annotations
@@ -306,8 +311,8 @@ def _parse_using_source(rest: str) -> tuple[str, str]:
 
 def handle(spark: SparkSession, text: str) -> DataFrame | None:
     """Route a DML statement to its verb; None if ``text`` is not an
-    UPDATE/DELETE/MERGE statement. Returns a one-row count frame
-    (the rows-affected answer a CLI prints).
+    UPDATE/DELETE/MERGE/COMPACT statement. Returns a one-row count
+    frame (the rows-affected answer a CLI prints).
 
     Write-path selection mirrors the reference: Hive routes
     statements against ``transactional=true`` tables through the
@@ -385,6 +390,14 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
     on = pieces[0].strip()
     if len(pieces) < 2:
         raise ValueError("MERGE requires at least one WHEN clause")
+    if _mor_keys(spark, name) is not None:
+        raise ValueError(
+            f"MERGE on merge-on-read table {name} is not supported "
+            f"(copy-on-write MERGE would mix write models); run "
+            f"acid.compact_mor(spark, {name!r}) and unset the "
+            f"transactional property, or decompose into UPDATE/DELETE "
+            f"statements"
+        )
     if talias and salias and talias.lower() == salias.lower():
         raise ValueError(
             f"MERGE target and source aliases collide: {talias!r} — every "

@@ -95,3 +95,41 @@ def test_connect_bad_address_exits_2():
     from amplab_hive_spark.cli import main as cli_main
 
     assert cli_main(["--connect", "nonsense", "-e", "SELECT 1"]) == 2
+
+
+def test_iter_statements_eof_comment_and_no_newline():
+    """Review r8: a final ';'-terminated statement followed by a --
+    comment (which swallows the sentinel) or missing its trailing
+    newline must still be yielded."""
+    import io
+
+    from amplab_hive_spark.cli import _iter_statements
+
+    got = list(_iter_statements(io.StringIO("SELECT 1; -- done")))
+    assert len(got) == 1 and got[0].strip() == "SELECT 1"
+    got = list(_iter_statements(io.StringIO("SELECT 1;\nSELECT 2")))
+    assert [g.strip() for g in got] == ["SELECT 1", "SELECT 2"]
+    # open literal across lines still buffers correctly
+    got = list(_iter_statements(io.StringIO("SELECT 'a;\nb' AS s;\n")))
+    assert len(got) == 1 and "a;\nb" in got[0]
+
+
+def test_connect_client_bounds_fetch(spark, sf_dir, capsys):
+    """Review r8: the thin client stops paging at --max-rows and
+    closes the cursor instead of slurping the whole result."""
+    from amplab_hive_spark.cli import main as cli_main
+    from amplab_hive_spark.service import SqlService
+
+    with SqlService(spark, sf_dir=sf_dir, max_rows=5) as svc:
+        rc = cli_main([
+            "--connect", f"127.0.0.1:{svc.port}",
+            "-e", "SELECT id FROM range(1000) ORDER BY id",
+            "--max-rows", "7",
+        ])
+        assert rc == 0
+        out = capsys.readouterr().out
+        lines = out.splitlines()
+        assert lines[0] == "id"
+        # 7 displayed rows + trailer; way fewer than 1000 fetched
+        assert len([l for l in lines[1:] if l.isdigit()]) == 7
+        assert "showing 7" in lines[-1]

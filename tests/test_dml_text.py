@@ -533,3 +533,42 @@ def test_transactional_tblproperties_trigger(eng, spark, tmp_path):
             eng.sql("DELETE FROM dmlt_nokeys WHERE id = 1")
     finally:
         spark.sql("DROP TABLE IF EXISTS dmlt_nokeys")
+
+
+def test_merge_refuses_transactional_tblproperties_table(eng, spark, tmp_path):
+    """Review r8: MERGE must refuse BOTH MOR triggers — a declared-
+    transactional table with zero deltas previously took a silent
+    copy-on-write rewrite."""
+    spark.sql("DROP TABLE IF EXISTS dmlt_txn2")
+    spark.sql(
+        f"CREATE TABLE dmlt_txn2 (id INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/txn2' "
+        f"TBLPROPERTIES ('transactional'='true','merge_keys'='id')"
+    )
+    try:
+        spark.sql("INSERT INTO dmlt_txn2 VALUES (1,10)")
+        with pytest.raises(ValueError, match="merge-on-read"):
+            eng.sql(
+                """MERGE INTO dmlt_txn2 USING (SELECT 1 AS id, 0 AS v) s
+                   ON dmlt_txn2.id = s.id
+                   WHEN MATCHED THEN UPDATE SET v = s.v"""
+            )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt_txn2")
+
+
+def test_merge_keys_tblproperty_case_insensitive(eng, spark, tmp_path):
+    """Review r8: merge_keys='ID' must resolve against column id like
+    every other identifier on the SQL surface."""
+    spark.sql("DROP TABLE IF EXISTS dmlt_txn3")
+    spark.sql(
+        f"CREATE TABLE dmlt_txn3 (id INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/txn3' "
+        f"TBLPROPERTIES ('transactional'='true','merge_keys'='ID')"
+    )
+    try:
+        spark.sql("INSERT INTO dmlt_txn3 VALUES (1,10),(2,20)")
+        assert eng.sql("DELETE FROM dmlt_txn3 WHERE id = 1") \
+            .collect()[0].deleted == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dmlt_txn3")
