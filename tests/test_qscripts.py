@@ -6924,6 +6924,102 @@ QSCRIPTS_R57 = [
     ),
 ]
 
+# ---------------------------------------------------------------- r8
+# Fifty-eighth tranche: input/join long-tail shapes — outer joins
+# with constant payloads, join keys through functions, scalar
+# subqueries in filters, HAVING over expressions, and null-ordering
+# interplay with windows.
+QSCRIPTS_R58 = [
+    (
+        "left_join_constant_payload",  # join-family: constants
+        # projected through the preserved side survive NULL padding
+        """SELECT r.r_regionkey, 'marker' AS tag, n.n_name
+           FROM region r LEFT OUTER JOIN
+             (SELECT * FROM nation WHERE n_nationkey < 3) n
+           ON r.r_regionkey = n.n_regionkey""",
+    ),
+    (
+        "join_key_through_function",  # join-family: both keys wrapped
+        # in the same function (abs) — still an equi-join semantically
+        """SELECT count(1) AS n FROM nation a JOIN nation b
+           ON abs(a.n_nationkey - 12) = abs(b.n_nationkey - 12)""",
+    ),
+    (
+        "filter_scalar_subquery_arith",  # subquery positive family:
+        # scalar subquery inside the WHERE arithmetic (MAX, not AVG:
+        # double-avg is summation-order-dependent and a borderline
+        # row flipped between engines)
+        """SELECT o_orderkey FROM orders
+           WHERE o_totalprice > (SELECT max(o_totalprice) FROM orders) * 0.9""",
+    ),
+    (
+        "having_expression_not_alias",  # having family: HAVING over
+        # an expression of two aggregates
+        """SELECT l_returnflag,
+                  CAST(sum(l_extendedprice) AS DOUBLE) AS rev,
+                  count(1) AS n
+           FROM lineitem GROUP BY l_returnflag
+           HAVING sum(l_extendedprice) / count(1) > 30000""",
+    ),
+    (
+        "window_over_null_keys",  # null-ordering + windows: rows with
+        # NULL partition keys form ONE partition
+        """SELECT k, v, count(1) OVER (PARTITION BY k) AS grp_n FROM (
+             SELECT CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                         ELSE o_orderkey % 3 END AS k,
+                    o_orderkey AS v
+             FROM orders WHERE o_orderkey < 30) t""",
+    ),
+    (
+        "anti_pattern_not_in_with_nulls_safe",  # notin_null family:
+        # NOT IN against a NULL-free subquery behaves as anti-join
+        """SELECT n_nationkey FROM nation
+           WHERE n_nationkey NOT IN (
+             SELECT s_nationkey FROM supplier WHERE s_nationkey IS NOT NULL
+             AND s_acctbal < 0)""",
+    ),
+    (
+        "union_all_then_distinct_above",  # union tail: DISTINCT above
+        # a UNION ALL equals UNION
+        """SELECT DISTINCT k FROM (
+             SELECT n_regionkey AS k FROM nation
+             UNION ALL
+             SELECT r_regionkey AS k FROM region
+           ) u""",
+    ),
+    (
+        "cross_join_with_agg_sides",  # cross of two single-row aggs
+        """SELECT a.mx - b.mn AS spread FROM
+             (SELECT max(o_totalprice) AS mx FROM orders) a
+           CROSS JOIN
+             (SELECT min(o_totalprice) AS mn FROM orders) b""",
+    ),
+    (
+        "group_by_two_exprs_same_col",  # groupby family: two distinct
+        # expressions over one source column as a compound key
+        """SELECT o_orderkey % 5 AS k1, o_orderkey % 3 AS k2,
+                  count(1) AS n
+           FROM orders GROUP BY o_orderkey % 5, o_orderkey % 3""",
+    ),
+    (
+        "string_agg_concat_ws_collect",  # listagg-ish portable shape:
+        # count + min/max of strings per group (array_agg grammars
+        # differ cross-engine; the min/max string fold is the
+        # portable slice of groupby_complex)
+        """SELECT n_regionkey, count(1) AS n,
+                  min(n_name) AS first_name, max(n_name) AS last_name
+           FROM nation GROUP BY n_regionkey""",
+    ),
+    (
+        "date_trunc_month_groupby",  # date-family: month-truncated
+        # grouping (date_trunc exists in both engines)
+        """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  count(1) AS n
+           FROM orders WHERE o_orderdate >= DATE '1996-01-01'
+           GROUP BY date_trunc('month', o_orderdate)""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
