@@ -907,19 +907,66 @@ def export_table(spark: SparkSession, name: str, export_dir: str) -> None:
 def import_table(spark: SparkSession, name: str, export_dir: str, path: str) -> None:
     """IMPORT TABLE name FROM dir (HiveParser.g:98) — restores the
     exported partitioning (pre-partition-aware exports without the
-    key import as unpartitioned, matching their snapshot)."""
+    key import as unpartitioned, matching their snapshot).
+
+    Existing-target semantics follow Hive's exim contract (r8 — the
+    old behavior silently CLOBBERED the target):
+
+    - target absent → created (the normal restore);
+    - target exists, schema-compatible AND EMPTY → data imported into
+      it (clientnegative exim_02's positive twin);
+    - target exists with rows → error (exim_01_nonpart_over_loaded.q:
+      importing over loaded data would union or clobber silently);
+    - column names/types/count differ → error
+      (exim_03/04/05_nonpart_noncompat_col{schema,number,type}.q);
+    - partitioning differs → error (exim_14_nonpart_part.q /
+      exim_15_part_nonpart.q);
+    - missing/corrupt export metadata → error
+      (exim_00_unsupported_schema.q)."""
     import json
     import os
 
     from pyspark.sql.types import StructType
 
-    with open(os.path.join(export_dir, "_schema.json")) as fh:
+    meta_path = os.path.join(export_dir, "_schema.json")
+    if not os.path.exists(meta_path):
+        raise ValueError(
+            f"IMPORT source {export_dir} has no _schema.json — not an "
+            f"export produced by export_table (exim_00 class)"
+        )
+    with open(meta_path) as fh:
         meta = json.load(fh)
     schema = StructType.fromJson(meta["schema"])
+    pcols = list(meta.get("partition_columns", ()))
     df = spark.read.schema(schema).parquet(os.path.join(export_dir, "data"))
-    create_table_as(
-        spark, name, df, path, partition_by=meta.get("partition_columns", ())
-    )
+
+    if spark.catalog.tableExists(name):
+        existing = spark.table(name)
+        want = [(f.name.lower(), f.dataType) for f in schema.fields]
+        have = [(f.name.lower(), f.dataType) for f in existing.schema.fields]
+        if have != want:
+            raise ValueError(
+                f"IMPORT target {name} exists with an incompatible "
+                f"schema (exim_03/04/05 class): table has {have}, "
+                f"export carries {want}"
+            )
+        have_p = [c.lower() for c in _partition_columns(spark, name)]
+        if have_p != [c.lower() for c in pcols]:
+            raise ValueError(
+                f"IMPORT target {name} partitioning differs "
+                f"(exim_14/15 class): table partitioned by {have_p}, "
+                f"export by {[c.lower() for c in pcols]}"
+            )
+        if not existing.isEmpty():
+            raise ValueError(
+                f"IMPORT target {name} already contains data "
+                f"(exim_01_nonpart_over_loaded class); importing over "
+                f"loaded data would silently clobber or duplicate — "
+                f"TRUNCATE or drop the table first"
+            )
+        df.write.insertInto(name)
+        return
+    create_table_as(spark, name, df, path, partition_by=pcols)
 
 
 def load_data(

@@ -1440,3 +1440,107 @@ def test_cow_statement_on_pinned_table_is_mor_not_error(spark, _neg_dml):
     assert _neg_dml.sql("DELETE FROM negdml WHERE id = 1").collect()[0].deleted == 1
     with pytest.raises(ValueError, match="compact_mor"):
         ddl.delete_from(spark, "negdml", "id = 2")
+
+
+# r8 tranche 3: the exim clientnegative family — IMPORT's
+# existing-target contract (ql/src/test/queries/clientnegative/
+# exim_*.q), exercised through ddl.export_table/import_table.
+
+
+@pytest.fixture()
+def _exim(spark, tmp_path):
+    from amplab_hive_spark import ddl
+
+    spark.sql("DROP TABLE IF EXISTS exim_src")
+    spark.sql(
+        f"CREATE TABLE exim_src (id INT, v STRING) USING parquet"
+        f" LOCATION '{tmp_path}/src'"
+    )
+    spark.sql("INSERT INTO exim_src VALUES (1,'a'),(2,'b')")
+    exp = str(tmp_path / "exp")
+    ddl.export_table(spark, "exim_src", exp)
+    yield exp, str(tmp_path)
+    for t in ("exim_src", "exim_tgt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exim_import_over_loaded_table(spark, _exim):
+    """exim_01_nonpart_over_loaded.q."""
+    from amplab_hive_spark import ddl
+
+    exp, base = _exim
+    spark.sql(
+        f"CREATE TABLE exim_tgt (id INT, v STRING) USING parquet"
+        f" LOCATION '{base}/tgt'"
+    )
+    spark.sql("INSERT INTO exim_tgt VALUES (9,'x')")
+    with pytest.raises(ValueError, match="already contains data"):
+        ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
+    # and the existing data survived untouched
+    assert [tuple(r) for r in spark.table("exim_tgt").collect()] == [(9, "x")]
+
+
+def test_exim_import_incompatible_coltype(spark, _exim):
+    """exim_05_nonpart_noncompat_coltype.q."""
+    from amplab_hive_spark import ddl
+
+    exp, base = _exim
+    spark.sql(
+        f"CREATE TABLE exim_tgt (id STRING, v STRING) USING parquet"
+        f" LOCATION '{base}/tgt'"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
+
+
+def test_exim_import_wrong_column_count(spark, _exim):
+    """exim_04_nonpart_noncompat_colnumber.q."""
+    from amplab_hive_spark import ddl
+
+    exp, base = _exim
+    spark.sql(
+        f"CREATE TABLE exim_tgt (id INT, v STRING, extra INT) USING parquet"
+        f" LOCATION '{base}/tgt'"
+    )
+    with pytest.raises(ValueError, match="incompatible"):
+        ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
+
+
+def test_exim_import_partitioning_mismatch(spark, _exim):
+    """exim_15_part_nonpart.q: nonpartitioned export into a
+    partitioned target."""
+    from amplab_hive_spark import ddl
+
+    exp, base = _exim
+    spark.sql(
+        f"CREATE TABLE exim_tgt (id INT) USING parquet"
+        f" PARTITIONED BY (v STRING) LOCATION '{base}/tgt'"
+    )
+    with pytest.raises(ValueError, match="partitioning differs"):
+        ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
+
+
+def test_exim_import_not_an_export(spark, _exim, tmp_path):
+    """exim_00_unsupported_schema.q: source dir lacks the export
+    metadata."""
+    from amplab_hive_spark import ddl
+
+    _exp, base = _exim
+    with pytest.raises(ValueError, match="_schema.json"):
+        ddl.import_table(spark, "exim_tgt", str(tmp_path / "empty"),
+                         f"{base}/tgt2")
+
+
+def test_exim_import_into_empty_compatible_target(spark, _exim):
+    """The positive twin (exim_02's legal case): compatible EMPTY
+    target receives the data in place."""
+    from amplab_hive_spark import ddl
+
+    exp, base = _exim
+    spark.sql(
+        f"CREATE TABLE exim_tgt (id INT, v STRING) USING parquet"
+        f" LOCATION '{base}/tgt'"
+    )
+    ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
+    assert sorted(tuple(r) for r in spark.table("exim_tgt").collect()) \
+        == [(1, "a"), (2, "b")]
