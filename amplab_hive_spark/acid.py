@@ -88,12 +88,23 @@ _MANIFEST = "_keys.json"
 # transaction directory txn-<seq>-<hex>/ holding delete.parquet +
 # insert.parquet (the reference's delta_x_y-per-transaction layout —
 # ql/io/AcidUtils.java — which makes the two-file commit one atomic
-# rename). Legacy (pre-update era) delete deltas had no sequence —
+# rename). MINOR compaction publishes a consolidated RANGE directory
+# txnc-<lo>-<hi>-<hex>/ with the same two-file layout — the analogue
+# of Hive's delta_x_y spanning multiple write ids
+# (ql/txn/compactor/CompactorMR.java minor) — which SUBSUMES every
+# delta whose sequence falls in [lo, hi]: the scanner ignores
+# subsumed units, so publishing the consolidated dir (one rename) and
+# cleaning the old files (the Cleaner step) need not be atomic
+# together. Legacy (pre-update era) delete deltas had no sequence —
 # they can only coexist with base rows (no inserts existed then), so
 # any positive sequence is order-correct; they read as sequence 1
-# and new statements start at 2.
-_DELETE_RE = re.compile(r"delta-(\d{8})-[0-9a-f]+\.parquet")
-_TXN_RE = re.compile(r"txn-(\d{8})-[0-9a-f]+")
+# and new statements start at 2. Sequences format as {seq:08d} —
+# AT LEAST eight digits, unbounded above — so the regexes accept
+# \d{8,}: the scanner and writer grammars cannot diverge at
+# seq >= 10^8 (ordering is parsed-int, never filename-lexical).
+_DELETE_RE = re.compile(r"delta-(\d{8,})-[0-9a-f]+\.parquet")
+_TXN_RE = re.compile(r"txn-(\d{8,})-[0-9a-f]+")
+_TXNC_RE = re.compile(r"txnc-(\d{8,})-(\d{8,})-[0-9a-f]+")
 _LEGACY_RE = re.compile(r"delta-[0-9a-f]+\.parquet")
 
 # Broadcast size gates (see module docstring). Byte cap mirrors
@@ -101,6 +112,10 @@ _LEGACY_RE = re.compile(r"delta-[0-9a-f]+\.parquet")
 # the row cap bounds in-memory key frames that have no file size.
 _BROADCAST_CAP_BYTES = 10 << 20
 _BROADCAST_KEY_ROW_CAP = 1_000_000
+# coalesce(1) on delta writes only under this row cap — one file per
+# statement is a nicety, not worth a one-partition write cliff when
+# an UPDATE touches a large fraction of the table
+_SINGLE_FILE_ROW_CAP = 1_000_000
 
 _SEQ = "__mor_seq"
 _MAX_DEL = "__mor_max_del"
@@ -153,31 +168,74 @@ def _write_manifest(delta_dir: str, key_cols: list[str]) -> None:
     os.rename(tmp, path)  # atomic: readers see whole manifest or none
 
 
-def _scan_deltas(delta_dir: str) -> list[tuple[str, int, str]]:
-    """[(kind, seq, abs_path)] for every committed delta, filename-
-    sorted for determinism. Staging dirs (``.``-prefixed) and the
-    manifest are invisible here by grammar."""
+def _delta_units(delta_dir: str) -> list[tuple[int, int, str, str]]:
+    """Top-level committed delta units, SUBSUMPTION-filtered:
+    ``[(lo, hi, kind, abs_path)]`` filename-sorted, where kind is one
+    of ``flat`` / ``legacy`` / ``txn`` / ``txnc`` and lo == hi except
+    for consolidated ranges. Subsumption (AcidUtils.getAcidState's
+    delta-selection rule): a unit strictly contained in some txnc
+    range is ignored — it was folded into the consolidated dir and
+    merely awaits the Cleaner; two txnc dirs with the IDENTICAL range
+    (a crashed minor compaction re-run) keep only the filename-first
+    one, since reading both would double-count insert rows. Staging
+    dirs (``.``-prefixed) and the manifest are invisible by grammar."""
     if not os.path.isdir(delta_dir):
         return []
-    out: list[tuple[str, int, str]] = []
+    units: list[tuple[int, int, str, str]] = []
     for f in sorted(os.listdir(delta_dir)):
         p = os.path.join(delta_dir, f)
         m = _DELETE_RE.fullmatch(f)
         if m:
-            out.append(("delete", int(m.group(1)), p))
+            s = int(m.group(1))
+            units.append((s, s, "flat", p))
+            continue
+        m = _TXNC_RE.fullmatch(f)
+        if m and os.path.isdir(p):
+            units.append((int(m.group(1)), int(m.group(2)), "txnc", p))
             continue
         m = _TXN_RE.fullmatch(f)
         if m and os.path.isdir(p):
-            seq = int(m.group(1))
-            dp = os.path.join(p, "delete.parquet")
-            ip = os.path.join(p, "insert.parquet")
-            if os.path.isdir(dp):
-                out.append(("delete", seq, dp))
-            if os.path.isdir(ip):
-                out.append(("insert", seq, ip))
+            s = int(m.group(1))
+            units.append((s, s, "txn", p))
             continue
         if _LEGACY_RE.fullmatch(f):
-            out.append(("delete", 1, p))
+            units.append((1, 1, "legacy", p))
+    ranges: dict[tuple[int, int], str] = {}
+    for lo, hi, kind, p in units:
+        if kind == "txnc" and (lo, hi) not in ranges:
+            ranges[(lo, hi)] = p  # filename-first wins identical ranges
+    kept: list[tuple[int, int, str, str]] = []
+    for lo, hi, kind, p in units:
+        if kind == "txnc" and ranges[(lo, hi)] != p:
+            continue  # identical-range duplicate
+        if any(
+            rl <= lo <= hi <= rh and (rl, rh) != (lo, hi)
+            for (rl, rh) in ranges
+        ):
+            continue  # folded into a wider consolidated range
+        kept.append((lo, hi, kind, p))
+    return kept
+
+
+def _scan_deltas(delta_dir: str) -> list[tuple[str, int, str]]:
+    """[(kind, seq, abs_path)] for every LIVE committed delta file
+    (see _delta_units for subsumption). A consolidated txnc unit's
+    files read at its RANGE END ``hi`` — every in-range insert
+    already survived the in-range deletes at fold time, and relative
+    order against out-of-range events is preserved because any later
+    delete has seq > hi and any base row is seq 0 (proof in the
+    _compact_minor docstring)."""
+    out: list[tuple[str, int, str]] = []
+    for lo, hi, kind, p in _delta_units(delta_dir):
+        if kind in ("flat", "legacy"):
+            out.append(("delete", hi, p))
+            continue
+        dp = os.path.join(p, "delete.parquet")
+        ip = os.path.join(p, "insert.parquet")
+        if os.path.isdir(dp):
+            out.append(("delete", hi, dp))
+        if os.path.isdir(ip):
+            out.append(("insert", hi, ip))
     return out
 
 
@@ -203,6 +261,26 @@ def _gate_broadcast_files(df: DataFrame, paths: list[str]) -> DataFrame:
     frame goes in and AQE decides at runtime (shuffle join degrades
     gracefully instead of a forced-broadcast OOM)."""
     return F.broadcast(df) if _tree_bytes(paths) <= _BROADCAST_CAP_BYTES else df
+
+
+def _file_seq():
+    """A delta row's sequence number, derived from its FILE PATH (the
+    delta-/txn-/txnc- filename grammar) as a column expression. This
+    is what lets read_mor scan ALL insert deltas — and all delete
+    deltas — in ONE ``spark.read.parquet(*paths)`` call whose plan is
+    O(1) in transaction count, instead of an N-way union of per-file
+    scans each carrying a ``lit(seq)``: at N uncompacted statements
+    in the hundreds the per-file plan is the Hive many-deltas read
+    problem (the reason ql/txn/compactor/Initiator.java exists), as
+    driver-side plan growth. Consolidated txnc-<lo>-<hi> files read
+    at hi (see _scan_deltas); legacy unsequenced deltas at 1."""
+    f = F.input_file_name()
+    return F.coalesce(
+        F.nullif(F.regexp_extract(f, r"txnc-\d{8,}-(\d{8,})-", 1), F.lit("")),
+        F.nullif(F.regexp_extract(f, r"txn-(\d{8,})-", 1), F.lit("")),
+        F.nullif(F.regexp_extract(f, r"delta-(\d{8,})-", 1), F.lit("")),
+        F.lit("1"),
+    ).cast("long")
 
 
 def pin_mor_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
@@ -442,8 +520,17 @@ def update_mor(
     seq = _next_seq(delta_dir)
     tag = uuid.uuid4().hex
     stage = os.path.join(delta_dir, f".staging-{tag}")
-    new_rows.coalesce(1).write.parquet(os.path.join(stage, "insert.parquet"))
-    hit_keys.coalesce(1).write.parquet(os.path.join(stage, "delete.parquet"))
+    # single-file write only under the row cap — a broad UPDATE's full
+    # row images must not funnel through one task (the same gating
+    # discipline as the broadcast hints); above the cap the
+    # transaction dir simply holds multiple part files per half
+    n_new = staged.count()
+    writer = new_rows.coalesce(1) if n_new <= _SINGLE_FILE_ROW_CAP else new_rows
+    writer.write.parquet(os.path.join(stage, "insert.parquet"))
+    keys_writer = (
+        hit_keys.coalesce(1) if n_keys <= _SINGLE_FILE_ROW_CAP else hit_keys
+    )
+    keys_writer.write.parquet(os.path.join(stage, "delete.parquet"))
     # one rename publishes the whole transaction (see docstring)
     os.rename(stage, os.path.join(delta_dir, f"txn-{seq:08d}-{tag}"))
     _maybe_autocompact(spark, name, delta_dir, compact_after, "UPDATE")
@@ -522,8 +609,12 @@ def _commit_key_deletes(
     _write_manifest(delta_dir, list(key_cols))
     seq = _next_seq(delta_dir)
     out = os.path.join(delta_dir, f"delta-{seq:08d}-{uuid.uuid4().hex}.parquet")
-    # one file per DELETE statement, like one delta dir per txn
-    hit_keys.coalesce(1).write.parquet(out)
+    # one file per DELETE statement, like one delta dir per txn —
+    # but only under the row cap (no one-partition write cliff)
+    keys_writer = (
+        hit_keys.coalesce(1) if n_keys <= _SINGLE_FILE_ROW_CAP else hit_keys
+    )
+    keys_writer.write.parquet(out)
     _maybe_autocompact(spark, name, delta_dir, compact_after, "DELETE")
     return int(n)
 
@@ -541,7 +632,14 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
       every masking delete. Insert deltas are per-statement matched
       groups — tiny next to the base — so the union adds no
       meaningful scan cost; the join side is the aggregated key set,
-      size-gated like the delete-only path."""
+      size-gated like the delete-only path.
+
+    Plan size is O(1) in transaction count: all insert deltas are ONE
+    ``spark.read.parquet(*paths)`` scan and all delete deltas
+    another, with each row's sequence derived from its file path
+    (_file_seq) rather than a per-file ``lit(seq)`` union — N
+    uncompacted UPDATEs no longer grow the plan (plan-gated in
+    tests/test_acid_mor.py)."""
     base = spark.table(name)
     delta_dir = _delta_path(spark, name)
     key_cols = _read_manifest(delta_dir)
@@ -556,51 +654,72 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
         paths = [p for _, _, p in del_entries]
         keys = _gate_broadcast_files(spark.read.parquet(*paths).distinct(), paths)
         return base.join(keys, on=key_cols, how="left_anti")
-    rows = base.withColumn(_SEQ, F.lit(0))
-    for _, seq, p in ins_entries:
-        rows = rows.unionByName(
-            spark.read.parquet(p).withColumn(_SEQ, F.lit(seq))
-        )
+    ins_paths = [p for _, _, p in ins_entries]
+    rows = base.withColumn(_SEQ, F.lit(0).cast("long")).unionByName(
+        spark.read.parquet(*ins_paths)
+        .select(*base.columns)
+        .withColumn(_SEQ, _file_seq())
+    )
     if not del_entries:  # orphan insert (crash window) — union only
         return rows.drop(_SEQ).select(*base.columns)
-    del_keys = None
-    for _, seq, p in del_entries:
-        part = spark.read.parquet(p).withColumn(_MAX_DEL, F.lit(seq))
-        del_keys = part if del_keys is None else del_keys.unionByName(part)
-    del_keys = del_keys.groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
-    del_keys = _gate_broadcast_files(del_keys, [p for _, _, p in del_entries])
+    del_paths = [p for _, _, p in del_entries]
+    del_keys = (
+        spark.read.parquet(*del_paths)
+        .withColumn(_MAX_DEL, _file_seq())
+        .groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
+    )
+    del_keys = _gate_broadcast_files(del_keys, del_paths)
     out = rows.join(del_keys, on=key_cols, how="left")
     out = out.filter(F.col(_MAX_DEL).isNull() | (F.col(_MAX_DEL) <= F.col(_SEQ)))
     return out.drop(_SEQ, _MAX_DEL).select(*base.columns)
 
 
-def compact_mor(spark: SparkSession, name: str) -> int:
-    """Major compaction (compactor Worker): fold the deltas into the
-    base — rewrite the table as its MOR view, then drop the delta
-    files. Returns the number of delta FILES folded (an UPDATE
-    transaction contributes two: its delete and insert halves).
-    Idempotent:
-    re-running with no deltas is a no-op.
+def compact_mor(spark: SparkSession, name: str, mode: str = "major") -> int:
+    """Compaction (compactor Worker, ql/txn/compactor/Worker.java).
+    Returns the number of delta FILES folded (an UPDATE transaction
+    contributes two: its delete and insert halves). Idempotent:
+    re-running with nothing to fold is a no-op. Either mode PRESERVES
+    a pinned manifest — a table declared merge-on-read stays
+    merge-on-read through compaction (``pin_mor_keys``'s "from now
+    on" contract); ``unpin_mor_keys`` is the explicit opt-out.
 
-    Partitioned tables: dynamic partition overwrite rewrites only
-    partitions PRESENT in the folded view, so a partition whose
-    every row was delta-deleted must be dropped explicitly — exactly
-    ddl.delete_from's emptied-partition handling, and in the same
-    order (drops BEFORE the overwrite, after the survivors are
-    safely checkpointed) so a mid-statement crash leaves a state
-    from which re-running converges. Without the drops, purging the
-    deltas would RESURRECT fully-deleted partitions (their base
-    files survive the overwrite and the masking delta is gone)."""
+    ``mode='major'``: fold the deltas into the BASE — rewrite the
+    table as its MOR view, then drop the delta files (CompactorMR
+    major = base_x rewrite). Partitioned tables: dynamic partition
+    overwrite rewrites only partitions PRESENT in the folded view, so
+    a partition whose every row was delta-deleted must be dropped
+    explicitly — exactly ddl.delete_from's emptied-partition
+    handling, and in the same order (drops BEFORE the overwrite,
+    after the survivors are safely checkpointed) so a mid-statement
+    crash leaves a state from which re-running converges. Without the
+    drops, purging the deltas would RESURRECT fully-deleted
+    partitions (their base files survive the overwrite and the
+    masking delta is gone).
+
+    ``mode='minor'``: consolidate the deltas WITHOUT touching the
+    base (CompactorMR minor = delta_x_y spanning the folded write-id
+    range) — see _compact_minor. At 100 TB this is the half you can
+    afford to run often: its cost is O(delta bytes), not O(table
+    bytes), and it resets both the read-time merge tax and the
+    plan's file count while the base stays byte-identical."""
+    if mode not in ("major", "minor"):
+        raise ValueError(
+            f"compact_mor mode must be 'major' or 'minor', got {mode!r}"
+        )
     from amplab_hive_spark.ddl import _drop_emptied_partitions, partition_values
 
     delta_dir = _delta_path(spark, name)
+    pinned = _read_manifest(delta_dir)
     entries = _scan_deltas(delta_dir)
-    if not entries or _read_manifest(delta_dir) is None:
+    if not entries or pinned is None:
         # no deltas (or no manifest — readers ignore unpinned files):
-        # nothing to fold
+        # nothing to fold; sweep stray staging/subsumed files but keep
+        # the pin
         if os.path.isdir(delta_dir):
-            _purge_delta_dir(delta_dir)
+            _purge_delta_dir(delta_dir, manifest=pinned)
         return 0
+    if mode == "minor":
+        return _compact_minor(spark, name, delta_dir, pinned)
     n_files = len(entries)
     folded = read_mor(spark, name).localCheckpoint(eager=True)
     pcols = _partition_columns(spark, name)
@@ -618,13 +737,165 @@ def compact_mor(spark: SparkSession, name: str) -> int:
                 folded.write.insertInto(name, overwrite=True)
     else:
         folded.write.insertInto(name, overwrite=True)
-    _purge_delta_dir(delta_dir)
+    _purge_delta_dir(delta_dir, manifest=pinned)
     # Spark caches file listings; direct fs deletes need a refresh
     spark.sql(f"REFRESH TABLE {name}")
     return n_files
 
 
-def _purge_delta_dir(delta_dir: str) -> None:
+def _compact_minor(
+    spark: SparkSession, name: str, delta_dir: str, key_cols: list[str]
+) -> int:
+    """Minor compaction: fold ALL live delta units into one
+    consolidated ``txnc-<lo>-<hi>-<hex>/`` transaction directory —
+    the base is never read or written (mtime-pinned by test). The
+    reference's CompactorMR minor does exactly this: merge
+    delta_a_b..delta_y_z into delta_a_z, base untouched; the Cleaner
+    later removes the subsumed dirs.
+
+    What the consolidated unit holds, and why reading it at seq=hi
+    is exact:
+
+    - ``delete.parquet``: the DISTINCT union of every in-range delete
+      key. Every in-range delete (seq d >= 1) masks base rows (seq 0)
+      regardless of d, so the union at hi masks exactly the same base
+      rows. Inserts OUTSIDE the range are all later (seq > hi,
+      because consolidation covers min..max of everything live), so
+      neither the originals nor the consolidated copy mask them.
+    - ``insert.parquet``: the in-range insert rows that SURVIVE the
+      in-range fold (masked ones are gone for good — no later delete
+      can un-mask). A survivor at original seq s was, by surviving,
+      masked by no in-range delete with d > s; out-of-range deletes
+      have d > hi >= s, and they mask the consolidated copy (seq hi
+      < d) exactly when they masked the original (seq s < d) —
+      always. Survivors' keys may sit in the consolidated delete set
+      (their own update's event); seq hi <= hi keeps them, the same
+      same-statement rule as a live txn dir.
+
+    Publish-then-clean is crash-convergent WITHOUT a compound atomic
+    step: the single rename publishes the txnc dir, at which instant
+    every folded unit becomes subsumed-by-range and invisible to
+    _delta_units; the Cleaner sweep afterwards is best-effort (a
+    crash leaves subsumed files the next compaction removes).
+
+    Returns the number of delta files folded; < 2 live transactions
+    is a no-op (already minimal)."""
+    units = _delta_units(delta_dir)
+    if len(units) < 2:
+        return 0
+    entries = _scan_deltas(delta_dir)
+    n_files = len(entries)
+    lo = min(u[0] for u in units)
+    hi = max(u[1] for u in units)
+    base_cols = spark.table(name).columns
+    del_paths = [p for k, _, p in entries if k == "delete"]
+    ins_paths = [p for k, _, p in entries if k == "insert"]
+    del_keys = None
+    if del_paths:
+        del_keys = (
+            spark.read.parquet(*del_paths).select(*key_cols).distinct()
+            .localCheckpoint(eager=True)
+        )
+    survivors = None
+    if ins_paths:
+        ins = (
+            spark.read.parquet(*ins_paths)
+            .select(*base_cols)
+            .withColumn(_SEQ, _file_seq())
+        )
+        if del_paths:
+            dk = (
+                spark.read.parquet(*del_paths)
+                .withColumn(_MAX_DEL, _file_seq())
+                .groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
+            )
+            dk = _gate_broadcast_files(dk, del_paths)
+            ins = ins.join(dk, on=key_cols, how="left").filter(
+                F.col(_MAX_DEL).isNull() | (F.col(_MAX_DEL) <= F.col(_SEQ))
+            )
+        survivors = ins.select(*base_cols).localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            survivors = None
+    tag = uuid.uuid4().hex
+    stage = os.path.join(delta_dir, f".staging-{tag}")
+    wrote = False
+    if survivors is not None:
+        n_rows = survivors.count()
+        w = survivors.coalesce(1) if n_rows <= _SINGLE_FILE_ROW_CAP else survivors
+        w.write.parquet(os.path.join(stage, "insert.parquet"))
+        wrote = True
+    if del_keys is not None and not del_keys.isEmpty():
+        n_k = del_keys.count()
+        w = del_keys.coalesce(1) if n_k <= _SINGLE_FILE_ROW_CAP else del_keys
+        w.write.parquet(os.path.join(stage, "delete.parquet"))
+        wrote = True
+    if not wrote:
+        # every unit was contentless (cannot happen through the write
+        # verbs, which refuse empty commits) — just clean
+        _purge_delta_dir(delta_dir, manifest=key_cols)
+        return n_files
+    # one rename publishes the consolidated transaction; every folded
+    # unit is subsumed-by-range from this instant
+    os.rename(stage, os.path.join(delta_dir, f"txnc-{lo:08d}-{hi:08d}-{tag}"))
+    _clean_subsumed(delta_dir)
+    return n_files
+
+
+def _clean_subsumed(delta_dir: str) -> None:
+    """The Cleaner (ql/txn/compactor/Cleaner.java): remove committed
+    units no longer visible to _delta_units (subsumed by a
+    consolidated range) plus dead staging dirs. Best-effort — a
+    partial sweep converges on the next call."""
+    import shutil
+
+    live = {p for _, _, _, p in _delta_units(delta_dir)}
+    if not os.path.isdir(delta_dir):
+        return
+    for f in sorted(os.listdir(delta_dir)):
+        if f == _MANIFEST:
+            continue
+        p = os.path.join(delta_dir, f)
+        if p in live:
+            continue
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        else:
+            try:
+                os.remove(p)
+            except OSError:
+                pass
+
+
+def unpin_mor_keys(spark: SparkSession, name: str) -> None:
+    """Explicitly revert a manifest-pinned table to copy-on-write
+    routing — the opt-out to ``pin_mor_keys`` (compaction itself
+    never unpins). Requires a clean table: outstanding deltas would
+    silently resurrect their masked rows the moment the manifest
+    disappears, so run compact_mor first. Idempotent when not
+    pinned. A table ALSO declaring ``TBLPROPERTIES
+    ('transactional'='true')`` keeps routing merge-on-read off that
+    property (unset the property to fully revert)."""
+    delta_dir = _delta_path(spark, name)
+    if _read_manifest(delta_dir) is None:
+        return
+    if _scan_deltas(delta_dir):
+        raise ValueError(
+            f"{name} has outstanding merge-on-read deltas; unpinning now "
+            f"would resurrect masked rows — run acid.compact_mor(spark, "
+            f"{name!r}) first"
+        )
+    _purge_delta_dir(delta_dir)
+
+
+def _purge_delta_dir(delta_dir: str, manifest: list[str] | None = None) -> None:
+    """rmtree the delta dir; when ``manifest`` is given, re-pin it
+    afterwards (the compaction-preserves-the-pin contract). The value
+    is PASSED IN, never re-read here: a non-partitioned major
+    compaction's whole-location INSERT OVERWRITE has already
+    destroyed the delta dir by the time this runs, so a re-read
+    would silently find nothing and drop the pin."""
     import shutil
 
     shutil.rmtree(delta_dir, ignore_errors=True)
+    if manifest is not None:
+        _write_manifest(delta_dir, manifest)

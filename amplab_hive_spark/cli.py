@@ -63,9 +63,13 @@ def _run_statements(engine, text: str, max_rows: int) -> None:
         df.show(max_rows, truncate=False)
 
 
-def _render_remote(resp: dict, max_rows: int) -> None:
+def _render_remote(resp: dict, max_rows: int, truncated: bool = False) -> None:
     """Render a service response like beeline: a header row, tab-
-    separated values, a row-count trailer; errors to stderr."""
+    separated values, a row-count trailer; errors to stderr.
+    ``truncated``: the cursor was closed with rows remaining
+    server-side, so the fetched count is a LOWER BOUND — the trailer
+    reads '-- 40+ row(s)', never presenting a partial count as the
+    full result size."""
     if not resp.get("ok"):
         print(f"ERROR ({resp.get('error_class')}): {resp.get('error')}",
               file=sys.stderr)
@@ -77,8 +81,9 @@ def _render_remote(resp: dict, max_rows: int) -> None:
     for r in rows[:max_rows]:
         print("\t".join("NULL" if v is None else str(v) for v in r))
     shown = min(len(rows), max_rows)
-    suffix = f" (showing {shown})" if shown < len(rows) else ""
-    print(f"-- {len(rows)} row(s){suffix}")
+    suffix = f" (showing {shown})" if truncated or shown < len(rows) else ""
+    plus = "+" if truncated else ""
+    print(f"-- {len(rows)}{plus} row(s){suffix}")
 
 
 def _client_main(args) -> int:
@@ -109,9 +114,10 @@ def _client_main(args) -> int:
             resp["rows"].extend(nxt["rows"])
             resp["has_more"] = nxt["has_more"]
             resp["handle"] = resp.get("handle") or nxt.get("handle")
-        if resp.get("ok") and resp.get("has_more"):
+        truncated = bool(resp.get("ok") and resp.get("has_more"))
+        if truncated:
             client.close_cursor(resp["handle"])  # free the cursor
-        _render_remote(resp, args.max_rows)
+        _render_remote(resp, args.max_rows, truncated=truncated)
 
     try:
         with SqlClient(host, int(port)) as client:

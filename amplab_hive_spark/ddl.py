@@ -358,9 +358,12 @@ def _assert_no_mor_deltas(spark: SparkSession, name: str, verb: str) -> None:
     manifest = _os.path.join(delta_dir, _acid._MANIFEST)
     if _os.path.exists(manifest):
         raise ValueError(
-            f"{verb} on {name} is copy-on-write and would resurrect rows "
-            f"masked by merge-on-read deltas pinned under _delete_delta/; "
-            f"run acid.compact_mor(spark, {name!r}) first"
+            f"{verb} on {name} is copy-on-write but the table is pinned "
+            f"merge-on-read (manifest under _delete_delta/) — a COW "
+            f"rewrite would resurrect delta-masked rows and wipe the "
+            f"pin; run acid.compact_mor(spark, {name!r}) to fold the "
+            f"deltas, then acid.unpin_mor_keys(spark, {name!r}) to "
+            f"revert the table to copy-on-write"
         )
 
 

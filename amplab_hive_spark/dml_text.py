@@ -53,8 +53,9 @@ tables take the copy-on-write verbs. Exactly how the reference picks
 the ACID path off the table property (ql/io/AcidUtils.java). MERGE
 is copy-on-write only and REFUSES a merge-on-read table (either
 trigger) rather than mixing write models. One more statement form is
-recognized: HiveQL's ``ALTER TABLE t COMPACT 'major'`` runs
-acid.compact_mor ('minor' raises — documented non-goal); every other
+recognized: HiveQL's ``ALTER TABLE t COMPACT 'major'|'minor'`` runs
+acid.compact_mor in that mode (major folds deltas into the base,
+minor consolidates deltas without a base rewrite); every other
 statement passes through untouched (handle() returns None).
 """
 
@@ -331,18 +332,16 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 
     m = _COMPACT_STMT.match(text)
     if m:
-        # HiveQL's ALTER TABLE .. COMPACT 'major' (DDLSemanticAnalyzer
-        # -> compactor Worker). Only major exists here: minor
-        # compaction (delta consolidation without a base rewrite) is
-        # not implemented, and silently running major instead would
-        # change the statement's cost class.
-        if m.group(2).lower() != "major":
+        # HiveQL's ALTER TABLE .. COMPACT 'major'|'minor'
+        # (DDLSemanticAnalyzer -> compactor Worker): major folds the
+        # deltas into the base; minor consolidates the deltas without
+        # a base rewrite (CompactorMR's two modes).
+        mode = m.group(2).lower()
+        if mode not in ("major", "minor"):
             raise ValueError(
-                f"only COMPACT 'major' is supported (got "
-                f"{m.group(2)!r}); minor compaction is a documented "
-                f"non-goal"
+                f"COMPACT expects 'major' or 'minor' (got {m.group(2)!r})"
             )
-        n = _compact_mor(spark, m.group(1))
+        n = _compact_mor(spark, m.group(1), mode=mode)
         return spark.createDataFrame([(n,)], "compacted_deltas bigint")
 
     m = _UPDATE_HEAD.match(text)

@@ -130,10 +130,18 @@ class Engine:
 
         return read_mor(self.spark, name)
 
-    def compact_mor(self, name: str) -> int:
+    def compact_mor(self, name: str, mode: str = "major") -> int:
         from amplab_hive_spark.acid import compact_mor
 
-        return compact_mor(self.spark, name)
+        return compact_mor(self.spark, name, mode=mode)
+
+    def unpin_mor_keys(self, name: str) -> None:
+        """Explicitly revert a pinned merge-on-read table to
+        copy-on-write routing (compaction never unpins) — see
+        acid.unpin_mor_keys."""
+        from amplab_hive_spark.acid import unpin_mor_keys
+
+        unpin_mor_keys(self.spark, name)
 
     def merge(
         self,

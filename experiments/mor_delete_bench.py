@@ -121,6 +121,44 @@ def main() -> None:
         "breakeven_scans": round(breakeven_u, 1) if breakeven_u else None,
         "sf_dir": SF_DIR,
     }))
+    # --- r9: many-deltas read scaling + minor compaction -------------
+    # The Hive many-deltas problem (Initiator exists because reads
+    # degrade as deltas accumulate): N uncompacted UPDATE statements,
+    # then (a) plan size — must be O(1) in N since the batched
+    # _file_seq read — (b) merged-scan wall time, (c) minor compaction
+    # cost and the post-minor merged scan (base untouched).
+    import re as _re
+
+    setup_table(spark, "bench_mor")
+    keys = ["l_orderkey", "l_linenumber"]
+    n_txns = 12
+    t0 = time.time()
+    for i in range(n_txns):
+        acid.update_mor(
+            spark, "bench_mor", f"l_orderkey % 997 = {i}",
+            {"l_returnflag": "concat(l_returnflag, '+')"}, keys)
+    t_updates = time.time() - t0
+    view = acid.read_mor(spark, "bench_mor")
+    plan = view._jdf.queryExecution().executedPlan().toString()
+    n_scans = len(_re.findall(r"Scan parquet", plan))
+    t_merged_n, _ = scan_cost(spark, view)
+    t_minor, n_folded = timed(
+        lambda: acid.compact_mor(spark, "bench_mor", mode="minor"), reps=1)
+    view2 = acid.read_mor(spark, "bench_mor")
+    t_merged_post, _ = scan_cost(spark, view2)
+    t_major, _ = timed(lambda: acid.compact_mor(spark, "bench_mor"), reps=1)
+    print(json.dumps({
+        "experiment": "mor_many_deltas_minor",
+        "n_txns": n_txns,
+        "updates_total_s": round(t_updates, 3),
+        "plan_parquet_scans_at_n": n_scans,  # constant 3 by design
+        "merged_scan_n_deltas_s": round(t_merged_n, 3),
+        "minor_compact_s": round(t_minor, 3),
+        "files_folded": n_folded,
+        "merged_scan_post_minor_s": round(t_merged_post, 3),
+        "major_compact_s": round(t_major, 3),
+        "sf_dir": SF_DIR,
+    }))
     for name in ("bench_cow", "bench_mor"):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
 

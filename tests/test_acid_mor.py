@@ -105,11 +105,17 @@ def test_compact_folds_deltas_and_resets(spark, plain_table):
     # after compaction the BASE equals the old MOR view
     base_rows = sorted(r["k"] for r in spark.table(plain_table).collect())
     assert base_rows == view_rows
-    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+    # ADVICE r8: compaction PRESERVES the pin — the delta files are
+    # gone but the manifest survives, so the table stays merge-on-read
+    delta_dir = acid._delta_path(spark, plain_table)
+    assert acid._scan_deltas(delta_dir) == []
+    assert acid._read_manifest(delta_dir) == ["k"]
+    assert acid.mor_keys(spark, plain_table) == ["k"]
     # and read_mor degrades to the plain table
     assert acid.read_mor(spark, plain_table).count() == len(view_rows)
     # idempotent re-run
     assert acid.compact_mor(spark, plain_table) == 0
+    assert acid._read_manifest(delta_dir) == ["k"]
 
 
 def test_partitioned_mor_and_compact(spark, part_table):
@@ -233,7 +239,8 @@ def test_compact_after_threshold_triggers_fold(spark, plain_table):
     delta_dir = acid._delta_path(spark, plain_table)
     assert len([f for f in os.listdir(delta_dir) if f.endswith(".parquet")]) == 2
     acid.delete_mor(spark, plain_table, "k = 3", ["k"], compact_after=3)
-    assert not os.path.isdir(delta_dir), "threshold must trigger compaction"
+    assert acid._scan_deltas(delta_dir) == [], "threshold must trigger compaction"
+    assert acid._read_manifest(delta_dir) == ["k"]  # pin survives
     assert spark.table(plain_table).count() == 97
     assert acid.read_mor(spark, plain_table).count() == 97
 
@@ -389,7 +396,27 @@ def test_cow_verbs_refuse_pinned_mor_deltas(spark, plain_table):
             spark, plain_table, src, "t.k = s.k",
             matched_update={"label": "s.label"},
         )
+    # ADVICE r8: compaction preserves the pin, so COW verbs STILL
+    # refuse (pinned = merge-on-read from now on); the explicit
+    # unpin is the one road back to copy-on-write
     acid.compact_mor(spark, plain_table)
+    with pytest.raises(ValueError, match="unpin_mor_keys"):
+        ddl.delete_from(spark, plain_table, "k = 50")
+    acid.unpin_mor_keys(spark, plain_table)
+    assert ddl.delete_from(spark, plain_table, "k = 50") == 1
+
+
+def test_unpin_requires_compaction_first(spark, plain_table):
+    """unpin with live deltas would resurrect masked rows the moment
+    the manifest disappears — refused until compact_mor folds them."""
+    acid.delete_mor(spark, plain_table, "k < 5", ["k"])
+    with pytest.raises(ValueError, match="outstanding merge-on-read deltas"):
+        acid.unpin_mor_keys(spark, plain_table)
+    acid.compact_mor(spark, plain_table)
+    acid.unpin_mor_keys(spark, plain_table)
+    assert acid.mor_keys(spark, plain_table) is None
+    acid.unpin_mor_keys(spark, plain_table)  # idempotent
+    # and the COW path is open again
     assert ddl.delete_from(spark, plain_table, "k = 50") == 1
 
 
@@ -426,7 +453,8 @@ def test_crash_before_txn_rename_leaves_nothing_visible(spark, plain_table):
     got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
     assert got[1] == "v-1" and 0 not in got  # ghost invisible
     acid.compact_mor(spark, plain_table)
-    assert not os.path.isdir(delta_dir)  # staging swept with the rest
+    # staging swept with the rest; only the preserved pin remains
+    assert sorted(os.listdir(delta_dir)) == [acid._MANIFEST]
     shutil.rmtree(stage, ignore_errors=True)
 
 
@@ -471,6 +499,181 @@ def test_compact_after_counts_transactions_not_files(spark, plain_table):
     assert len(acid._scan_deltas(acid._delta_path(spark, plain_table))) == 4
     acid.delete_mor(spark, plain_table, "k = 3", ["k"], compact_after=3)
     # third statement reaches the transaction threshold: folded
-    assert not os.path.isdir(acid._delta_path(spark, plain_table))
+    # (manifest survives — the pin outlives auto-compaction too)
+    assert acid._scan_deltas(acid._delta_path(spark, plain_table)) == []
+    assert acid.mor_keys(spark, plain_table) == ["k"]
     got = {r.k: r.label for r in spark.table(plain_table).collect()}
     assert got[1] == "a" and got[2] == "b" and 3 not in got
+
+
+# ---------------------------------------------------------------- r9:
+# minor compaction (CompactorMR's cheap half: consolidate deltas
+# WITHOUT a base rewrite), the O(1)-in-txn-count batched delta read,
+# the preserved-pin contract, and the widened sequence grammar.
+
+
+def _base_state(spark, name):
+    """(path, mtime_ns, size) of every base data file — byte-identity
+    proxy for 'the base was never rewritten'."""
+    return [
+        (p, os.stat(p).st_mtime_ns, os.stat(p).st_size)
+        for p in _data_files(spark, name)
+    ]
+
+
+def test_minor_compaction_consolidates_without_base_rewrite(spark, plain_table):
+    acid.update_mor(spark, plain_table, "k < 10", {"label": "'u1'"}, ["k"])
+    acid.delete_mor(spark, plain_table, "k >= 95", ["k"])
+    acid.update_mor(spark, plain_table, "k = 3", {"label": "'u2'"}, ["k"])
+    want = sorted(
+        (r.k, r.grp, r.label) for r in acid.read_mor(spark, plain_table).collect()
+    )
+    base_before = _base_state(spark, plain_table)
+    delta_dir = acid._delta_path(spark, plain_table)
+    n_before = len(acid._scan_deltas(delta_dir))
+    assert n_before == 5  # 2 update txns (2 files each) + 1 delete
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 5
+    # base untouched — THE minor-compaction contract
+    assert _base_state(spark, plain_table) == base_before
+    # N deltas folded to one consolidated txnc unit (<= 2 files)
+    units = acid._delta_units(delta_dir)
+    assert len(units) == 1 and units[0][2] == "txnc"
+    assert len(acid._scan_deltas(delta_dir)) <= 2
+    got = sorted(
+        (r.k, r.grp, r.label) for r in acid.read_mor(spark, plain_table).collect()
+    )
+    assert got == want
+    # pin survives; re-run is a no-op (already minimal)
+    assert acid._read_manifest(delta_dir) == ["k"]
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 0
+
+
+def test_minor_then_more_statements_then_minor_again(spark, plain_table):
+    """Nested consolidated ranges: a second minor folds the first
+    txnc PLUS the newer deltas into a wider range that subsumes it;
+    sequencing across the consolidation stays correct (a later delete
+    still masks consolidated re-inserts)."""
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'u1'"}, ["k"])
+    acid.update_mor(spark, plain_table, "k = 2", {"label": "'u2'"}, ["k"])
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 4
+    # post-consolidation statements sequence ABOVE the range end
+    acid.delete_mor(spark, plain_table, "k = 1", ["k"])  # masks the u1 row
+    acid.update_mor(spark, plain_table, "k = 2", {"label": "'u3'"}, ["k"])
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert 1 not in got and got[2] == "u3" and len(got) == 99
+    assert acid.compact_mor(spark, plain_table, mode="minor") > 0
+    delta_dir = acid._delta_path(spark, plain_table)
+    units = acid._delta_units(delta_dir)
+    assert len(units) == 1 and units[0][2] == "txnc"
+    got2 = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got2 == got
+    # and a major compaction folds the consolidated unit into the base
+    acid.compact_mor(spark, plain_table)
+    got3 = {r.k: r.label for r in spark.table(plain_table).collect()}
+    assert got3 == got
+
+
+def test_minor_noop_below_two_transactions(spark, plain_table):
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 0
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'x'"}, ["k"])
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 0
+    # the lone txn is untouched
+    assert len(acid._scan_deltas(acid._delta_path(spark, plain_table))) == 2
+
+
+def test_minor_delete_only_deltas(spark, plain_table):
+    acid.delete_mor(spark, plain_table, "k = 1", ["k"])
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"])
+    acid.delete_mor(spark, plain_table, "k = 3", ["k"])
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 3
+    delta_dir = acid._delta_path(spark, plain_table)
+    entries = acid._scan_deltas(delta_dir)
+    assert [k for k, _, _ in entries] == ["delete"]
+    assert acid.read_mor(spark, plain_table).count() == 97
+
+
+def test_crashed_minor_cleaner_converges(spark, plain_table, monkeypatch):
+    """Publish-then-clean: with the Cleaner disabled (simulated crash
+    after the txnc rename) the subsumed old units are still on disk
+    but INVISIBLE to the scanner — reads stay exact, and the next
+    sweep removes them."""
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'u1'"}, ["k"])
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"])
+    want = sorted(
+        (r.k, r.label) for r in acid.read_mor(spark, plain_table).collect()
+    )
+    monkeypatch.setattr(acid, "_clean_subsumed", lambda d: None)
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 3
+    monkeypatch.undo()
+    delta_dir = acid._delta_path(spark, plain_table)
+    on_disk = [f for f in os.listdir(delta_dir) if f != acid._MANIFEST]
+    assert len(on_disk) == 3  # txnc + the 2 subsumed units still there
+    got = sorted(
+        (r.k, r.label) for r in acid.read_mor(spark, plain_table).collect()
+    )
+    assert got == want  # subsumed units never double-read
+    acid._clean_subsumed(delta_dir)
+    on_disk = [f for f in os.listdir(delta_dir) if f != acid._MANIFEST]
+    assert len(on_disk) == 1 and on_disk[0].startswith("txnc-")
+    got = sorted(
+        (r.k, r.label) for r in acid.read_mor(spark, plain_table).collect()
+    )
+    assert got == want
+
+
+def test_read_mor_plan_constant_in_txn_count(spark, plain_table):
+    """The r8-flagged driver-side plan growth: N uncompacted UPDATEs
+    must NOT produce an N-way union of per-file scans. All insert
+    deltas are one scan, all delete deltas another (sequence derived
+    from the file path), so the scan count is a constant 3."""
+    import re as _re
+
+    def n_scans(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return len(_re.findall(r"Scan parquet", plan))
+
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'a'"}, ["k"])
+    acid.update_mor(spark, plain_table, "k = 2", {"label": "'b'"}, ["k"])
+    two = n_scans(acid.read_mor(spark, plain_table))
+    for i in range(3, 9):
+        acid.update_mor(spark, plain_table, f"k = {i}", {"label": "'x'"}, ["k"])
+    eight = n_scans(acid.read_mor(spark, plain_table))
+    assert two == eight == 3, f"plan must not grow with txn count ({two}->{eight})"
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[1] == "a" and got[2] == "b" and got[5] == "x" and len(got) == 100
+
+
+def test_sequence_grammar_beyond_eight_digits(spark, plain_table):
+    """ADVICE r8: writers format {seq:08d} (unbounded digits); the
+    scanner must accept \\d{8,} so a committed delta at seq >= 10^8
+    never silently resurrects its masked rows."""
+    acid.delete_mor(spark, plain_table, "k = 7", ["k"])
+    delta_dir = acid._delta_path(spark, plain_table)
+    (old,) = [f for f in os.listdir(delta_dir) if f.startswith("delta-")]
+    wide = old.replace("delta-00000002-", "delta-100000001-")
+    os.rename(os.path.join(delta_dir, old), os.path.join(delta_dir, wide))
+    assert [(k, s) for k, s, _ in acid._scan_deltas(delta_dir)] \
+        == [("delete", 100000001)]
+    assert acid.read_mor(spark, plain_table).filter("k = 7").count() == 0
+    assert acid._next_seq(delta_dir) == 100000002
+    # and an UPDATE committed above 10^8 reads back exactly
+    acid.update_mor(spark, plain_table, "k = 9", {"label": "'wide'"}, ["k"])
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[9] == "wide" and 7 not in got
+
+
+def test_update_single_file_gate(spark, plain_table, monkeypatch):
+    """ADVICE r8: coalesce(1) on delta writes is gated — above the
+    row cap the transaction directory holds multiple part files and
+    reads are unchanged (no one-partition write cliff)."""
+    monkeypatch.setattr(acid, "_SINGLE_FILE_ROW_CAP", 0)
+    assert acid.update_mor(
+        spark, plain_table, "k < 50", {"label": "'m'"}, ["k"]
+    ) == 50
+    delta_dir = acid._delta_path(spark, plain_table)
+    (txn,) = [f for f in os.listdir(delta_dir) if f.startswith("txn-")]
+    ins = os.path.join(delta_dir, txn, "insert.parquet")
+    parts = [f for f in os.listdir(ins) if f.startswith("part-")]
+    assert len(parts) > 1, "above the cap the write must stay partitioned"
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[0] == "m" and got[99] == "v-99" and len(got) == 100

@@ -517,8 +517,21 @@ def test_transactional_tblproperties_trigger(eng, spark, tmp_path):
         assert n == 2  # one update txn = delete+insert halves
         assert sorted(tuple(r) for r in spark.table("dmlt_txn").collect()) \
             == [(1, 0), (2, 20)]
-        with pytest.raises(ValueError, match="minor"):
-            eng.sql("ALTER TABLE dmlt_txn COMPACT 'minor'")
+        # r9: COMPACT 'minor' consolidates deltas WITHOUT a base
+        # rewrite (CompactorMR's cheap half) — no longer raises
+        eng.sql("UPDATE dmlt_txn SET v = 1 WHERE id = 1")
+        eng.sql("UPDATE dmlt_txn SET v = 2 WHERE id = 1")
+        base_before = sorted(tuple(r) for r in spark.table("dmlt_txn").collect())
+        n = eng.sql("ALTER TABLE dmlt_txn COMPACT 'minor'") \
+            .collect()[0].compacted_deltas
+        assert n == 4  # two update txns, two files each
+        # base untouched, MOR view reflects both updates
+        assert sorted(tuple(r) for r in spark.table("dmlt_txn").collect()) \
+            == base_before
+        got = sorted(tuple(r) for r in acid.read_mor(spark, "dmlt_txn").collect())
+        assert got == [(1, 2), (2, 20)]
+        with pytest.raises(ValueError, match="major.*minor|minor.*major"):
+            eng.sql("ALTER TABLE dmlt_txn COMPACT 'nope'")
     finally:
         spark.sql("DROP TABLE IF EXISTS dmlt_txn")
 

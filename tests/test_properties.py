@@ -672,6 +672,12 @@ def _model_mor_seq(rows, ops):
             live = [(k, v, 0) for k, v, s in visible()]
             dels = []
             seq = 1
+        elif op[0] == "compact_minor":
+            # r9: minor compaction consolidates the DELTAS only — by
+            # definition it must not change the visible state at all,
+            # so the model does nothing (the strongest equivalence
+            # claim: any op interleaving reads identically pre/post)
+            pass
         else:  # plain insert — base files are sequence 0
             live.extend((k, v, 0) for k, v in op[1])
     return sorted((k, v) for k, v, s in visible()), counts
@@ -691,6 +697,7 @@ def _model_mor_seq(rows, ops):
             st.tuples(st.just("update"),
                       st.sets(st.integers(min_value=0, max_value=4), max_size=3)),
             st.tuples(st.just("compact")),
+            st.tuples(st.just("compact_minor")),
             st.tuples(st.just("insert"),
                       st.lists(st.tuples(st.integers(min_value=0, max_value=4),
                                          st.just("n")), max_size=2)),
@@ -732,6 +739,8 @@ def test_mor_update_matches_sequenced_model(spark, tmp_path_factory, rows, ops):
                                     {"v": "concat(v, 'u')"}, ["k"]))
             elif op[0] == "compact":
                 acid.compact_mor(spark, "mor_upd_prop")
+            elif op[0] == "compact_minor":
+                acid.compact_mor(spark, "mor_upd_prop", mode="minor")
             else:
                 if op[1]:
                     spark.createDataFrame(

@@ -463,8 +463,10 @@ def test_stream_tombstones_threshold_compaction(spark, tmpdir):
         q = stream_apply_tombstones(spark, src, ckpt, key_schema, name,
                                     key_cols=("k",), compact_after=3)
         q.awaitTermination(180)
-        assert not _os.path.isdir(acid._delta_path(spark, name)), \
+        # threshold folded the deltas; the pin survives (r9 contract)
+        assert acid._scan_deltas(acid._delta_path(spark, name)) == [], \
             "threshold must have folded the deltas"
+        assert acid.mor_keys(spark, name) == ["k"]
         assert sorted(r["k"] for r in spark.table(name).collect()) \
             == list(range(30, 60))
     finally:
