@@ -321,3 +321,54 @@ def test_retry_after_cancel_same_id_not_poisoned(spark, sf_dir):
             r2 = c.sql("SELECT count(*) AS n FROM range(1000)",
                        stmt_id="retry-me")
             assert r2["ok"] and r2["rows"] == [[1000]]
+
+
+# r9: cursor hygiene (VERDICT r8 "What's wrong" #2) — idle eviction
+# + LRU cap, the hive.server2.idle.operation.timeout analogue.
+
+
+def test_idle_cursor_evicted_on_next_request(spark, sf_dir):
+    import time
+
+    with SqlService(spark, sf_dir=sf_dir, max_rows=3,
+                    cursor_idle_s=2.5) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql("SELECT id FROM range(10)")
+            assert r["has_more"]
+            h = r["handle"]
+            time.sleep(3.0)
+            # any request sweeps the abandoned cursor...
+            assert c.sql("SELECT 1 AS one")["ok"]
+            # ...so the stale handle is gone
+            dead = c.fetch(h)
+            assert not dead["ok"] and dead["error_class"] == "KeyError"
+            # a FRESH cursor paged promptly is untouched by the sweep
+            r2 = c.sql("SELECT id FROM range(9) ORDER BY id")
+            got = [row[0] for row in r2["rows"]]
+            while r2["has_more"]:
+                r2 = c.fetch(r2["handle"])
+                got.extend(row[0] for row in r2["rows"])
+            assert got == list(range(9))
+
+
+def test_cursor_spam_is_lru_bounded_not_fatal(spark, sf_dir):
+    """A client opening cursors and never closing them stays bounded
+    at the cap: the least-recently-used handle is evicted (its fetch
+    later fails), the NEW statement succeeds, and recently-touched
+    cursors keep paging."""
+    from amplab_hive_spark import service as svc_mod
+
+    with SqlService(spark, sf_dir=sf_dir, max_rows=2) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            handles = []
+            for i in range(svc_mod._MAX_CURSORS + 4):
+                r = c.sql(f"SELECT id FROM range({100 + i}) ORDER BY id")
+                assert r["ok"] and r["has_more"], f"statement {i} must succeed"
+                handles.append(r["handle"])
+            # the 4 oldest were LRU-evicted
+            for h in handles[:4]:
+                dead = c.fetch(h)
+                assert not dead["ok"] and dead["error_class"] == "KeyError"
+            # the newest still pages fine
+            r = c.fetch(handles[-1])
+            assert r["ok"] and [row[0] for row in r["rows"]] == [2, 3]
