@@ -1,0 +1,663 @@
+"""Authorization DDL — roles, role grants, and object privileges.
+
+Reference anchors:
+- ql/parse/DDLSemanticAnalyzer.java (analyzeCreateRole/analyzeDropRole/
+  analyzeGrant/analyzeRevoke/analyzeShowGrant/analyzeSetRole and the
+  SHOW ROLES / SHOW CURRENT ROLES / SHOW ROLE GRANT branches)
+- ql/security/authorization/plugin/sqlstd/SQLStdHiveAccessController.java
+  (reserved role names, role cycles, the ADMIN/PUBLIC built-ins,
+  grant/revoke bookkeeping)
+- metastore's ROLES / ROLE_MAP / TBL_PRIVS tables (the persisted state
+  this module's JSON store mirrors)
+
+Scope, stated honestly: this is the CATALOG surface — statements
+parse, validate, persist, and SHOW back — with **no enforcement at
+read/write time**. That is Hive's own default posture
+(``hive.security.authorization.enabled=false``: grants are stored in
+the metastore and surfaced by SHOW GRANT, but nothing blocks a
+query), and the right scope for a single-user analytics engine; an
+enforcing deployment would wrap Engine.sql with a check against
+``grants_for``. The SQL-standard authorizer's VALIDATION rules are
+implemented in full, because they are catalog semantics, not
+enforcement:
+
+- reserved role names (ALL / DEFAULT / NONE) cannot be created;
+  ADMIN / PUBLIC are built-ins that cannot be created or dropped
+- role names are case-insensitive; every user implicitly holds PUBLIC
+- GRANT role TO ROLE builds a hierarchy; a grant that would close a
+  CYCLE is rejected (SQLStdHiveAccessController.grantRole's
+  reachability check)
+- object privileges are the SQL-std set SELECT / INSERT / UPDATE /
+  DELETE (+ ALL as shorthand for all four); anything else —
+  ``GRANT INDEX ON ...`` — is rejected
+  (clientnegative/authorization_invalid_priv_v2.q)
+- duplicate grants and revokes of absent grants are errors
+  ("Cannot find privilege to revoke")
+- SET ROLE requires the role to exist AND be granted to the current
+  user (clientnegative/authorization_set_role_neg1/neg2.q);
+  SET ROLE ALL / NONE are the usual specials
+
+Persistence: one JSON document ``_authz.json`` under the Spark SQL
+warehouse dir (the metastore-tables analogue), read-modify-written
+under a process lock — authorization DDL is metadata-rate, never
+data-rate. Session state (current user, current roles) lives in the
+session's SQLConf, so the SQL service's per-connection
+``newSession()`` isolates it exactly like HS2 sessions; the Hive
+test idiom ``SET user.name=alice`` works unchanged.
+
+Output shapes match the reference so SHOW results line up with
+beeline expectations: SHOW GRANT returns (database, table, partition,
+column, principal_name, principal_type, privilege, grant_option,
+grant_time, grantor); SHOW ROLE GRANT returns (role, grant_option,
+grant_time, grantor); SHOW ROLES / SHOW CURRENT ROLES one ``role``
+column; SHOW PRINCIPALS (principal_name, principal_type,
+grant_option, grantor, grantor_type, grant_time).
+"""
+
+from __future__ import annotations
+
+import getpass
+import json
+import os
+import re
+import threading
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+_RESERVED = {"all", "default", "none"}
+_BUILTIN = {"admin", "public"}
+_PRIVS = ("SELECT", "INSERT", "UPDATE", "DELETE")
+_PRINCIPAL_TYPES = ("USER", "ROLE", "GROUP")
+
+_USER_CONF = "user.name"                      # the Hive test idiom
+_ROLES_CONF = "spark.sql.authz.currentRoles"  # session's SET ROLE state
+
+_LOCK = threading.Lock()
+
+_GRANT_SCHEMA = (
+    "database string, table string, partition string, column string, "
+    "principal_name string, principal_type string, privilege string, "
+    "grant_option boolean, grant_time bigint, grantor string"
+)
+_ROLE_GRANT_SCHEMA = (
+    "role string, grant_option boolean, grant_time bigint, grantor string"
+)
+_PRINCIPALS_SCHEMA = (
+    "principal_name string, principal_type string, grant_option boolean, "
+    "grantor string, grantor_type string, grant_time bigint"
+)
+
+
+# -- store -------------------------------------------------------------
+def _store_path(spark: SparkSession) -> str:
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    from urllib.parse import urlparse
+
+    parsed = urlparse(wh)
+    if parsed.scheme not in ("", "file"):
+        raise NotImplementedError(
+            f"authorization store implemented for local warehouses; got "
+            f"{wh!r} (port _load/_save to the Hadoop FileSystem API)"
+        )
+    root = parsed.path or wh
+    os.makedirs(root, exist_ok=True)
+    return os.path.join(root, "_authz.json")
+
+
+def _load(spark: SparkSession) -> dict:
+    path = _store_path(spark)
+    if not os.path.exists(path):
+        return {"roles": {}, "role_grants": [], "privs": []}
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def _save(spark: SparkSession, store: dict) -> None:
+    import uuid
+
+    path = _store_path(spark)
+    tmp = path + f".tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(store, fh)
+    os.rename(tmp, path)  # atomic: readers see whole store or none
+
+
+# -- session state -----------------------------------------------------
+def current_user(spark: SparkSession) -> str:
+    """The session user — ``SET user.name=alice`` (the reference's
+    SessionStateConfigUserAuthenticator idiom) or the OS user."""
+    try:
+        u = spark.conf.get(_USER_CONF)
+        if u:
+            return u
+    except Exception:  # noqa: BLE001 — unset conf key
+        pass
+    try:
+        return getpass.getuser()
+    except Exception:  # noqa: BLE001 — no passwd entry (containers)
+        return "anonymous"
+
+
+def _user_roles(spark: SparkSession, store: dict, user: str) -> list[str]:
+    """All roles granted (directly) to ``user``, plus the implicit
+    PUBLIC membership every user holds."""
+    direct = sorted({
+        g["role"] for g in store["role_grants"]
+        if g["principal_type"] == "USER" and g["principal"] == user
+    })
+    return (["public"] if "public" not in direct else []) + direct
+
+
+def current_roles(spark: SparkSession) -> list[str]:
+    """The session's active role set: SET ROLE's choice, defaulting to
+    every granted role (Hive's default before any SET ROLE)."""
+    try:
+        raw = spark.conf.get(_ROLES_CONF)
+    except Exception:  # noqa: BLE001
+        raw = None
+    if raw is not None and raw != "\x00unset":
+        return [r for r in raw.split(",") if r]
+    store = _load(spark)
+    return _user_roles(spark, store, current_user(spark))
+
+
+# -- helpers -----------------------------------------------------------
+def _norm_role(name: str) -> str:
+    return name.lower()  # roles are case-insensitive in the reference
+
+
+def _require_role(store: dict, role: str) -> str:
+    r = _norm_role(role)
+    if r not in store["roles"] and r not in _BUILTIN:
+        raise ValueError(f"Role {role} does not exist")
+    return r
+
+
+def _role_edges(store: dict) -> dict[str, set[str]]:
+    """principal-role -> set of roles granted TO it (membership
+    edges for cycle/reachability checks)."""
+    edges: dict[str, set[str]] = {}
+    for g in store["role_grants"]:
+        if g["principal_type"] == "ROLE":
+            edges.setdefault(g["principal"], set()).add(g["role"])
+    return edges
+
+
+def _reachable(edges: dict[str, set[str]], start: str) -> set[str]:
+    seen, stack = set(), [start]
+    while stack:
+        n = stack.pop()
+        for m in edges.get(n, ()):
+            if m not in seen:
+                seen.add(m)
+                stack.append(m)
+    return seen
+
+
+def _table_exists(spark: SparkSession, name: str) -> tuple[str, str]:
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.table(name)
+    except AnalysisException as ex:
+        raise ValueError(f"Table not found {name}: {ex}") from ex
+    if "." in name:
+        db, _, tbl = name.rpartition(".")
+    else:
+        db, tbl = spark.catalog.currentDatabase(), name
+    return db.lower(), tbl.lower()
+
+
+def _df(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    return spark.createDataFrame(rows, schema)
+
+
+def _now() -> int:
+    return int(time.time())
+
+
+def _split_names(seg: str) -> list[str]:
+    return [s.strip() for s in seg.split(",") if s.strip()]
+
+
+def _parse_principals(seg: str) -> list[tuple[str, str]]:
+    """'USER alice, ROLE r1, GROUP g' -> [(type, name), ...] — the
+    grammar's principalSpecification. A bare name (the role-grant
+    shorthand ``grant r1 to user2`` is NOT in the reference grammar;
+    principals always carry a type keyword in DDLSemanticAnalyzer) is
+    rejected with the list of valid types."""
+    out = []
+    for part in _split_names(seg):
+        m = re.match(r"(?i)^(USER|ROLE|GROUP)\s+([\w.@-]+)$", part)
+        if not m:
+            raise ValueError(
+                f"invalid principal {part!r}: expected USER|ROLE|GROUP "
+                f"<name>"
+            )
+        ptype = m.group(1).upper()
+        pname = m.group(2)
+        out.append((ptype, _norm_role(pname) if ptype == "ROLE" else pname))
+    return out
+
+
+# -- verbs -------------------------------------------------------------
+def create_role(spark: SparkSession, name: str) -> None:
+    r = _norm_role(name)
+    if r in _RESERVED:
+        raise ValueError(
+            f"Role name cannot be one of the reserved roles: "
+            f"{sorted(x.upper() for x in _RESERVED)} (got {name})"
+        )
+    with _LOCK:
+        store = _load(spark)
+        if r in _BUILTIN or r in store["roles"]:
+            raise ValueError(f"Role {name} already exists")
+        store["roles"][r] = {
+            "created_by": current_user(spark), "create_time": _now(),
+        }
+        _save(spark, store)
+
+
+def drop_role(spark: SparkSession, name: str) -> None:
+    r = _norm_role(name)
+    if r in _BUILTIN:
+        raise ValueError(
+            f"Role {name} is a built-in role and cannot be dropped"
+        )
+    with _LOCK:
+        store = _load(spark)
+        if r not in store["roles"]:
+            raise ValueError(f"Role {name} does not exist")
+        del store["roles"][r]
+        # metastore behavior: dropping a role drops its memberships
+        # and the privileges granted TO it
+        store["role_grants"] = [
+            g for g in store["role_grants"]
+            if g["role"] != r
+            and not (g["principal_type"] == "ROLE" and g["principal"] == r)
+        ]
+        store["privs"] = [
+            p for p in store["privs"]
+            if not (p["principal_type"] == "ROLE" and p["principal"] == r)
+        ]
+        _save(spark, store)
+
+
+def grant_roles(
+    spark: SparkSession, roles: list[str],
+    principals: list[tuple[str, str]], admin_option: bool = False,
+) -> None:
+    with _LOCK:
+        store = _load(spark)
+        edges = _role_edges(store)
+        for role in roles:
+            r = _require_role(store, role)
+            for ptype, pname in principals:
+                if ptype == "ROLE":
+                    _require_role(store, pname)
+                    # cycle check: r (or anything r reaches) must not
+                    # already include pname
+                    if pname == r or pname in _reachable(edges, r):
+                        raise ValueError(
+                            f"Cannot grant role {role} to role {pname}: "
+                            f"would create a role cycle"
+                        )
+                    edges.setdefault(pname, set()).add(r)
+                dup = [
+                    g for g in store["role_grants"]
+                    if g["role"] == r and g["principal_type"] == ptype
+                    and g["principal"] == pname
+                ]
+                if dup:
+                    dup[0]["admin_option"] = dup[0]["admin_option"] or admin_option
+                    continue  # idempotent re-grant (metastore upserts)
+                store["role_grants"].append({
+                    "role": r, "principal_type": ptype, "principal": pname,
+                    "admin_option": bool(admin_option),
+                    "grantor": current_user(spark), "grant_time": _now(),
+                })
+        _save(spark, store)
+
+
+def revoke_roles(
+    spark: SparkSession, roles: list[str],
+    principals: list[tuple[str, str]], admin_option_only: bool = False,
+) -> None:
+    with _LOCK:
+        store = _load(spark)
+        for role in roles:
+            r = _require_role(store, role)
+            for ptype, pname in principals:
+                hit = [
+                    g for g in store["role_grants"]
+                    if g["role"] == r and g["principal_type"] == ptype
+                    and g["principal"] == pname
+                ]
+                if not hit:
+                    raise ValueError(
+                        f"Cannot find role grant of {role} to "
+                        f"{ptype.lower()} {pname} to revoke"
+                    )
+                if admin_option_only:
+                    hit[0]["admin_option"] = False
+                else:
+                    store["role_grants"].remove(hit[0])
+        _save(spark, store)
+
+
+def _parse_priv_list(seg: str) -> list[tuple[str, Optional[str]]]:
+    """'SELECT(key), INSERT' -> [('SELECT', 'key'), ('INSERT', None)];
+    ALL expands to the full SQL-std set; anything outside it raises
+    (clientnegative/authorization_invalid_priv_v2.q)."""
+    out: list[tuple[str, Optional[str]]] = []
+    for part in _split_names(seg):
+        m = re.match(r"(?i)^(\w+)\s*(?:\(\s*([\w\s,]+?)\s*\))?$", part)
+        if not m:
+            raise ValueError(f"cannot parse privilege {part!r}")
+        priv = m.group(1).upper()
+        cols = (
+            [c.lower() for c in _split_names(m.group(2))]
+            if m.group(2) else [None]
+        )
+        if priv == "ALL":
+            if m.group(2):
+                raise ValueError("ALL does not take a column list")
+            out.extend((p, None) for p in _PRIVS)
+            continue
+        if priv not in _PRIVS:
+            raise ValueError(
+                f"Unsupported privilege type {priv}; the SQL-standard "
+                f"set is {', '.join(_PRIVS)} (or ALL)"
+            )
+        out.extend((priv, c) for c in cols)
+    return out
+
+
+def grant_privs(
+    spark: SparkSession, privs: list[tuple[str, Optional[str]]],
+    table: str, principals: list[tuple[str, str]],
+    grant_option: bool = False,
+) -> None:
+    db, tbl = _table_exists(spark, table)
+    with _LOCK:
+        store = _load(spark)
+        for ptype, pname in principals:
+            if ptype == "ROLE":
+                _require_role(store, pname)
+            for priv, col in privs:
+                dup = [
+                    p for p in store["privs"]
+                    if p["database"] == db and p["table"] == tbl
+                    and p["column"] == col and p["privilege"] == priv
+                    and p["principal_type"] == ptype
+                    and p["principal"] == pname
+                ]
+                if dup:
+                    raise ValueError(
+                        f"{priv} on {table} is already granted to "
+                        f"{ptype.lower()} {pname} "
+                        f"(clientnegative/authorization_fail_1.q contract)"
+                    )
+                store["privs"].append({
+                    "database": db, "table": tbl, "column": col,
+                    "principal_type": ptype, "principal": pname,
+                    "privilege": priv, "grant_option": bool(grant_option),
+                    "grantor": current_user(spark), "grant_time": _now(),
+                })
+        _save(spark, store)
+
+
+def revoke_privs(
+    spark: SparkSession, privs: list[tuple[str, Optional[str]]],
+    table: str, principals: list[tuple[str, str]],
+    grant_option_only: bool = False,
+) -> None:
+    db, tbl = _table_exists(spark, table)
+    with _LOCK:
+        store = _load(spark)
+        for ptype, pname in principals:
+            for priv, col in privs:
+                hit = [
+                    p for p in store["privs"]
+                    if p["database"] == db and p["table"] == tbl
+                    and p["column"] == col and p["privilege"] == priv
+                    and p["principal_type"] == ptype
+                    and p["principal"] == pname
+                ]
+                if not hit:
+                    raise ValueError(
+                        f"Cannot find privilege to revoke: {priv} on "
+                        f"{table} from {ptype.lower()} {pname}"
+                    )
+                if grant_option_only:
+                    hit[0]["grant_option"] = False
+                else:
+                    store["privs"].remove(hit[0])
+        _save(spark, store)
+
+
+def set_role(spark: SparkSession, name: str) -> None:
+    r = _norm_role(name)
+    store = _load(spark)
+    user = current_user(spark)
+    granted = set(_user_roles(spark, store, user))
+    if r == "all":
+        spark.conf.set(_ROLES_CONF, ",".join(sorted(granted)))
+        return
+    if r == "none":
+        spark.conf.set(_ROLES_CONF, "")
+        return
+    if r not in store["roles"] and r not in _BUILTIN:
+        raise ValueError(f"Role {name} does not exist")
+    if r not in granted:
+        raise ValueError(
+            f"Current user {user} is not a member of role {name} "
+            f"(clientnegative/authorization_set_role_neg2.q contract)"
+        )
+    spark.conf.set(_ROLES_CONF, r)
+
+
+# -- SHOW verbs --------------------------------------------------------
+def show_roles(spark: SparkSession) -> DataFrame:
+    store = _load(spark)
+    names = sorted(_BUILTIN | set(store["roles"]))
+    return _df(spark, [(n,) for n in names], "role string")
+
+
+def show_current_roles(spark: SparkSession) -> DataFrame:
+    return _df(
+        spark, [(r,) for r in sorted(current_roles(spark))], "role string"
+    )
+
+
+def show_role_grant(
+    spark: SparkSession, ptype: str, pname: str
+) -> DataFrame:
+    store = _load(spark)
+    if ptype == "ROLE":
+        pname = _norm_role(pname)
+    rows = [
+        (g["role"], g["admin_option"], g["grant_time"], g["grantor"])
+        for g in store["role_grants"]
+        if g["principal_type"] == ptype and g["principal"] == pname
+    ]
+    if ptype == "USER":  # the implicit PUBLIC membership
+        rows.append(("public", False, 0, "hive"))
+    return _df(spark, sorted(rows), _ROLE_GRANT_SCHEMA)
+
+
+def show_principals(spark: SparkSession, role: str) -> DataFrame:
+    store = _load(spark)
+    r = _require_role(store, role)
+    rows = [
+        (g["principal"], g["principal_type"], g["admin_option"],
+         g["grantor"], "USER", g["grant_time"])
+        for g in store["role_grants"] if g["role"] == r
+    ]
+    return _df(spark, sorted(rows), _PRINCIPALS_SCHEMA)
+
+
+def show_grant(
+    spark: SparkSession,
+    principal: Optional[tuple[str, str]] = None,
+    table: Optional[str] = None,
+    column: Optional[str] = None,
+) -> DataFrame:
+    store = _load(spark)
+    rows = []
+    want_db = want_tbl = None
+    if table is not None:
+        want_db, want_tbl = _table_exists(spark, table)
+    for p in store["privs"]:
+        if principal is not None and (
+            p["principal_type"] != principal[0]
+            or p["principal"] != principal[1]
+        ):
+            continue
+        if table is not None and (
+            p["database"] != want_db or p["table"] != want_tbl
+        ):
+            continue
+        if column is not None and p["column"] != column.strip().lower():
+            continue
+        rows.append((
+            p["database"], p["table"], None, p["column"],
+            p["principal"], p["principal_type"], p["privilege"],
+            p["grant_option"], p["grant_time"], p["grantor"],
+        ))
+    return _df(spark, sorted(rows, key=repr), _GRANT_SCHEMA)
+
+
+def grants_for(
+    spark: SparkSession, user: str, table: str
+) -> list[str]:
+    """The privileges ``user`` holds on ``table`` — directly, via any
+    role reachable from the roles granted to them, or via PUBLIC.
+    This is the hook an ENFORCING wrapper would call; provided (and
+    tested) so the documented out-of-scope is one function, not a
+    redesign."""
+    store = _load(spark)
+    db, tbl = _table_exists(spark, table)
+    roles = set(_user_roles(spark, store, user))
+    edges = _role_edges(store)
+    for r in list(roles):
+        roles |= _reachable(edges, r)
+    out = set()
+    for p in store["privs"]:
+        if p["database"] != db or p["table"] != tbl:
+            continue
+        if (p["principal_type"] == "USER" and p["principal"] == user) or (
+            p["principal_type"] == "ROLE" and p["principal"] in roles
+        ):
+            out.add(p["privilege"])
+    return sorted(out)
+
+
+# -- statement front-end ------------------------------------------------
+_CREATE_ROLE = re.compile(r"(?is)^\s*CREATE\s+ROLE\s+([\w-]+)\s*;?\s*$")
+_DROP_ROLE = re.compile(r"(?is)^\s*DROP\s+ROLE\s+([\w-]+)\s*;?\s*$")
+_SHOW_ROLES = re.compile(r"(?is)^\s*SHOW\s+ROLES\s*;?\s*$")
+_SHOW_CURRENT = re.compile(r"(?is)^\s*SHOW\s+CURRENT\s+ROLES\s*;?\s*$")
+_SHOW_ROLE_GRANT = re.compile(
+    r"(?is)^\s*SHOW\s+ROLE\s+GRANT\s+(USER|ROLE|GROUP)\s+([\w.@-]+)\s*;?\s*$"
+)
+_SHOW_PRINCIPALS = re.compile(
+    r"(?is)^\s*SHOW\s+PRINCIPALS\s+([\w-]+)\s*;?\s*$"
+)
+_SET_ROLE = re.compile(r"(?is)^\s*SET\s+ROLE\s+([\w-]+)\s*;?\s*$")
+_GRANT_ROLE = re.compile(
+    r"(?is)^\s*GRANT\s+(?:ROLE\s+)?([\w\s,-]+?)\s+TO\s+(.+?)"
+    r"(\s+WITH\s+ADMIN\s+OPTION)?\s*;?\s*$"
+)
+_REVOKE_ROLE = re.compile(
+    r"(?is)^\s*REVOKE\s+(ADMIN\s+OPTION\s+FOR\s+)?(?:ROLE\s+)?"
+    r"([\w\s,-]+?)\s+FROM\s+(.+?)\s*;?\s*$"
+)
+_GRANT_PRIV = re.compile(
+    r"(?is)^\s*GRANT\s+([\w\s,()]+?)\s+ON\s+(?:TABLE\s+)?([\w.]+)\s+TO\s+"
+    r"(.+?)(\s+WITH\s+GRANT\s+OPTION)?\s*;?\s*$"
+)
+_REVOKE_PRIV = re.compile(
+    r"(?is)^\s*REVOKE\s+(GRANT\s+OPTION\s+FOR\s+)?([\w\s,()]+?)\s+ON\s+"
+    r"(?:TABLE\s+)?([\w.]+)\s+FROM\s+(.+?)\s*;?\s*$"
+)
+_SHOW_GRANT = re.compile(
+    r"(?is)^\s*SHOW\s+GRANT(?:\s+(USER|ROLE|GROUP)\s+([\w.@-]+))?"
+    r"(?:\s+ON\s+(?:TABLE\s+)?([\w.]+?)(?:\s*\(\s*([\w]+)\s*\))?)?\s*;?\s*$"
+)
+
+
+def _ok(spark: SparkSession) -> DataFrame:
+    return spark.range(0).selectExpr("CAST(id AS STRING) AS result")
+
+
+def handle(spark: SparkSession, text: str) -> DataFrame | None:
+    """Route an authorization statement; None when ``text`` is not
+    one (the dml_text.handle contract). SHOW verbs return their
+    reference-shaped frames; mutating verbs return an empty
+    DDL-style frame."""
+    m = _CREATE_ROLE.match(text)
+    if m:
+        create_role(spark, m.group(1))
+        return _ok(spark)
+    m = _DROP_ROLE.match(text)
+    if m:
+        drop_role(spark, m.group(1))
+        return _ok(spark)
+    if _SHOW_ROLES.match(text):
+        return show_roles(spark)
+    if _SHOW_CURRENT.match(text):
+        return show_current_roles(spark)
+    m = _SHOW_ROLE_GRANT.match(text)
+    if m:
+        return show_role_grant(spark, m.group(1).upper(), m.group(2))
+    m = _SHOW_PRINCIPALS.match(text)
+    if m:
+        return show_principals(spark, m.group(1))
+    m = _SET_ROLE.match(text)
+    if m:
+        set_role(spark, m.group(1))
+        return _ok(spark)
+    m = _SHOW_GRANT.match(text)
+    if m:
+        principal = None
+        if m.group(1):
+            ptype = m.group(1).upper()
+            pname = m.group(2)
+            principal = (
+                ptype, _norm_role(pname) if ptype == "ROLE" else pname
+            )
+        return show_grant(spark, principal, m.group(3), m.group(4))
+    # GRANT/REVOKE: an ON clause means object privileges, otherwise
+    # role grants (the reference grammar's same fork)
+    m = _GRANT_PRIV.match(text)
+    if m:
+        grant_privs(
+            spark, _parse_priv_list(m.group(1)), m.group(2),
+            _parse_principals(m.group(3)), bool(m.group(4)),
+        )
+        return _ok(spark)
+    m = _GRANT_ROLE.match(text)
+    if m:
+        grant_roles(
+            spark, [_norm_role(r) for r in _split_names(m.group(1))],
+            _parse_principals(m.group(2)), bool(m.group(3)),
+        )
+        return _ok(spark)
+    m = _REVOKE_PRIV.match(text)
+    if m:
+        revoke_privs(
+            spark, _parse_priv_list(m.group(2)), m.group(3),
+            _parse_principals(m.group(4)), bool(m.group(1)),
+        )
+        return _ok(spark)
+    m = _REVOKE_ROLE.match(text)
+    if m:
+        revoke_roles(
+            spark, [_norm_role(r) for r in _split_names(m.group(2))],
+            _parse_principals(m.group(3)), bool(m.group(1)),
+        )
+        return _ok(spark)
+    return None

@@ -76,7 +76,7 @@ def _is_word_at(s: str, i: int, word: str) -> bool:
 
 
 def _scan(s: str):
-    """Yield (index, char, in_quote, depth) with single-quote,
+    r"""Yield (index, char, in_quote, depth) with single-quote,
     backtick-identifier and backslash-escape awareness plus nesting
     depth tracking. Depth counts parens AND ``CASE .. END`` blocks
     (r7 ADVICE: a CASE WHEN .. THEN .. END inside a MERGE guard must

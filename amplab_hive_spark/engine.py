@@ -47,8 +47,14 @@ class Engine:
         if self.macros.handle_statement(text):
             return self.spark.range(0).select()  # empty result, DDL-style
         expanded = self.macros.expand(text)
+        from amplab_hive_spark.authorization import handle as _auth_handle
         from amplab_hive_spark.dml_text import handle as _dml_handle
 
+        # authorization DDL first: Spark SQL would misparse SET ROLE
+        # as a conf assignment and has no GRANT/SHOW ROLES at all
+        auth = _auth_handle(self.spark, expanded)
+        if auth is not None:
+            return auth
         dml = _dml_handle(self.spark, expanded)
         if dml is not None:  # UPDATE/DELETE/MERGE statement forms
             return dml

@@ -1,0 +1,257 @@
+"""Authorization DDL (SURVEY §2.9's role/grant surface; reference:
+ql/parse/DDLSemanticAnalyzer.java role/grant analyzers +
+SQLStdHiveAccessController). Catalog semantics only — storage,
+validation, SHOW — with enforcement documented out of scope (Hive's
+own hive.security.authorization.enabled=false default). Flows mirror
+clientpositive/authorization_1.q and authorization_role_grant1.q;
+error classes mirror the clientnegative authorization_* family (also
+exercised in tests/test_negative.py)."""
+
+import os
+
+import pytest
+
+from amplab_hive_spark import authorization as az
+from amplab_hive_spark.engine import Engine
+
+
+@pytest.fixture()
+def eng(spark):
+    # a clean authz store + session state per test
+    path = az._store_path(spark)
+    if os.path.exists(path):
+        os.remove(path)
+    for key in (az._ROLES_CONF, az._USER_CONF):
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
+    e = Engine(spark)
+    yield e
+    if os.path.exists(path):
+        os.remove(path)
+    for key in (az._ROLES_CONF, az._USER_CONF):
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
+
+
+@pytest.fixture()
+def tbl(spark):
+    spark.sql("DROP TABLE IF EXISTS src_autho_test")
+    spark.range(5).selectExpr("id AS key", "concat('v', id) AS value") \
+        .write.saveAsTable("src_autho_test")
+    yield "src_autho_test"
+    spark.sql("DROP TABLE IF EXISTS src_autho_test")
+
+
+def test_role_lifecycle_and_case_insensitivity(eng):
+    """authorization_role_grant1.q: roles are case-insensitive; SHOW
+    ROLES lists built-ins + created; DROP removes."""
+    eng.sql("CREATE ROLE src_Role2")
+    roles = [r.role for r in eng.sql("SHOW ROLES").collect()]
+    assert roles == ["admin", "public", "src_role2"]
+    # duplicate under different case
+    with pytest.raises(ValueError, match="already exists"):
+        eng.sql("CREATE ROLE SRC_ROLE2")
+    eng.sql("DROP ROLE sRc_roLe2")
+    roles = [r.role for r in eng.sql("SHOW ROLES").collect()]
+    assert roles == ["admin", "public"]
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("DROP ROLE src_role2")
+
+
+def test_reserved_and_builtin_role_names(eng):
+    """authorization_cannot_create_{all,default,none}_role.q +
+    drop_admin_role.q."""
+    for bad in ("all", "DEFAULT", "None"):
+        with pytest.raises(ValueError, match="reserved"):
+            eng.sql(f"CREATE ROLE {bad}")
+    for builtin in ("admin", "PUBLIC"):
+        with pytest.raises(ValueError, match="already exists"):
+            eng.sql(f"CREATE ROLE {builtin}")
+        with pytest.raises(ValueError, match="built-in"):
+            eng.sql(f"DROP ROLE {builtin}")
+
+
+def test_role_grant_revoke_and_show(eng, spark):
+    eng.sql("CREATE ROLE src_role_wadmin")
+    eng.sql("GRANT src_role_wadmin TO USER user2 WITH ADMIN OPTION")
+    got = eng.sql("SHOW ROLE GRANT USER user2").collect()
+    by_role = {r.role: r for r in got}
+    assert set(by_role) == {"public", "src_role_wadmin"}
+    assert by_role["src_role_wadmin"].grant_option is True
+    # revoke just the admin option, membership stays
+    eng.sql("REVOKE ADMIN OPTION FOR src_role_wadmin FROM USER user2")
+    by_role = {r.role: r for r in
+               eng.sql("SHOW ROLE GRANT USER user2").collect()}
+    assert by_role["src_role_wadmin"].grant_option is False
+    # revoke the role
+    eng.sql("REVOKE src_role_wadmin FROM USER user2")
+    roles = [r.role for r in eng.sql("SHOW ROLE GRANT USER user2").collect()]
+    assert roles == ["public"]
+    with pytest.raises(ValueError, match="Cannot find role grant"):
+        eng.sql("REVOKE src_role_wadmin FROM USER user2")
+
+
+def test_role_cycle_rejected(eng):
+    """authorization_role_cycles1.q: role1 -> role2 then role2 ->
+    role1 closes a cycle and is refused."""
+    eng.sql("CREATE ROLE role1")
+    eng.sql("CREATE ROLE role2")
+    eng.sql("GRANT ROLE role1 TO ROLE role2")
+    with pytest.raises(ValueError, match="cycle"):
+        eng.sql("GRANT ROLE role2 TO ROLE role1")
+    # deeper cycle (cycles2): role2 -> role3, then role3 -> ... role1
+    eng.sql("CREATE ROLE role3")
+    eng.sql("GRANT ROLE role2 TO ROLE role3")
+    with pytest.raises(ValueError, match="cycle"):
+        eng.sql("GRANT ROLE role3 TO ROLE role1")
+    # self-grant is the degenerate cycle
+    with pytest.raises(ValueError, match="cycle"):
+        eng.sql("GRANT ROLE role1 TO ROLE role1")
+
+
+def test_table_priv_grant_show_revoke(eng, tbl):
+    """authorization_1.q's table + column grant/revoke flow, with the
+    reference SHOW GRANT output shape."""
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO USER hive_test_user")
+    got = eng.sql(f"SHOW GRANT USER hive_test_user ON TABLE {tbl}").collect()
+    assert len(got) == 1
+    g = got[0]
+    assert (g.table, g.principal_name, g.principal_type, g.privilege,
+            g.grant_option) == (tbl, "hive_test_user", "USER", "SELECT", False)
+    assert g.column is None
+    # column grant
+    eng.sql(f"GRANT SELECT(key) ON TABLE {tbl} TO USER hive_test_user")
+    cols = eng.sql(
+        f"SHOW GRANT USER hive_test_user ON TABLE {tbl}(key)").collect()
+    assert len(cols) == 1 and cols[0].column == "key"
+    # revoke table-level; column grant remains
+    eng.sql(f"REVOKE SELECT ON TABLE {tbl} FROM USER hive_test_user")
+    left = eng.sql(f"SHOW GRANT USER hive_test_user ON TABLE {tbl}").collect()
+    assert [r.column for r in left] == ["key"]
+    eng.sql(f"REVOKE SELECT(key) ON TABLE {tbl} FROM USER hive_test_user")
+    assert eng.sql(
+        f"SHOW GRANT USER hive_test_user ON TABLE {tbl}").count() == 0
+
+
+def test_all_expands_and_invalid_priv_rejected(eng, tbl):
+    """ALL = the SQL-std four; GRANT INDEX raises
+    (authorization_invalid_priv_v2.q)."""
+    eng.sql(f"GRANT ALL ON TABLE {tbl} TO ROLE public")
+    got = sorted(
+        r.privilege
+        for r in eng.sql(f"SHOW GRANT ROLE public ON TABLE {tbl}").collect()
+    )
+    assert got == ["DELETE", "INSERT", "SELECT", "UPDATE"]
+    with pytest.raises(ValueError, match="Unsupported privilege"):
+        eng.sql(f"GRANT INDEX ON TABLE {tbl} TO USER hive_test_user")
+    with pytest.raises(ValueError, match="Unsupported privilege"):
+        eng.sql(f"GRANT LOCK ON TABLE {tbl} TO USER hive_test_user")
+
+
+def test_duplicate_grant_and_missing_revoke_raise(eng, tbl):
+    """authorization_fail_1.q (duplicate grant) and the 'Cannot find
+    privilege to revoke' contract."""
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO USER u1")
+    with pytest.raises(ValueError, match="already granted"):
+        eng.sql(f"GRANT SELECT ON TABLE {tbl} TO USER u1")
+    with pytest.raises(ValueError, match="Cannot find privilege"):
+        eng.sql(f"REVOKE INSERT ON TABLE {tbl} FROM USER u1")
+
+
+def test_grant_on_missing_table_raises(eng):
+    with pytest.raises(ValueError, match="Table not found"):
+        eng.sql("GRANT SELECT ON TABLE no_such_table_az TO USER u1")
+
+
+def test_grant_to_missing_role_raises(eng, tbl):
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql(f"GRANT SELECT ON TABLE {tbl} TO ROLE no_such_role")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("GRANT no_such_role TO USER u1")
+
+
+def test_set_role_and_current_roles(eng, spark):
+    """authorization_set_role_neg1/neg2.q: SET ROLE requires existence
+    AND membership; ALL/NONE specials; SET user.name switches the
+    session user (SessionStateConfigUserAuthenticator idiom)."""
+    spark.sql("SET user.name=alice")
+    eng.sql("CREATE ROLE analyst")
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("SET ROLE nosuchroleexists")
+    with pytest.raises(ValueError, match="not a member"):
+        eng.sql("SET ROLE analyst")
+    eng.sql("GRANT analyst TO USER alice")
+    eng.sql("SET ROLE analyst")
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["analyst"]
+    eng.sql("SET ROLE NONE")
+    assert eng.sql("SHOW CURRENT ROLES").count() == 0
+    eng.sql("SET ROLE ALL")
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["analyst", "public"]
+    # another session user doesn't inherit alice's roles
+    spark.sql("SET user.name=bob")
+    spark.conf.unset(az._ROLES_CONF)
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["public"]
+
+
+def test_drop_role_cascades_memberships_and_privs(eng, spark, tbl):
+    eng.sql("CREATE ROLE doomed")
+    eng.sql("GRANT doomed TO USER u1")
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO ROLE doomed")
+    eng.sql("DROP ROLE doomed")
+    assert [r.role for r in eng.sql("SHOW ROLE GRANT USER u1").collect()] \
+        == ["public"]
+    assert eng.sql(f"SHOW GRANT ON TABLE {tbl}").count() == 0
+
+
+def test_show_principals(eng):
+    eng.sql("CREATE ROLE team")
+    eng.sql("GRANT team TO USER u1, USER u2 WITH ADMIN OPTION")
+    got = eng.sql("SHOW PRINCIPALS team").collect()
+    assert [(r.principal_name, r.principal_type, r.grant_option)
+            for r in got] == [("u1", "USER", True), ("u2", "USER", True)]
+    with pytest.raises(ValueError, match="does not exist"):
+        eng.sql("SHOW PRINCIPALS no_such")
+
+
+def test_grants_resolve_through_role_hierarchy(eng, spark, tbl):
+    """authorization_rolehierarchy_privs.q: user1 -> role1 -> role2 ->
+    role3; a privilege granted to role3 is visible to user1 via
+    reachability (the hook an enforcing wrapper would call)."""
+    for r in ("role1", "role2", "role3"):
+        eng.sql(f"CREATE ROLE {r}")
+    eng.sql("GRANT role1 TO USER user1")
+    eng.sql("GRANT ROLE role2 TO ROLE role1")
+    eng.sql("GRANT ROLE role3 TO ROLE role2")
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO ROLE role3")
+    assert az.grants_for(spark, "user1", tbl) == ["SELECT"]
+    assert az.grants_for(spark, "user2", tbl) == []
+    # public grants reach everyone
+    eng.sql(f"GRANT INSERT ON TABLE {tbl} TO ROLE public")
+    assert az.grants_for(spark, "user2", tbl) == ["INSERT"]
+
+
+def test_store_persists_across_engine_instances(eng, spark, tbl):
+    eng.sql("CREATE ROLE keeper")
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO ROLE keeper")
+    # a fresh Engine over a fresh Spark *session* sees the same store
+    eng2 = Engine(spark.newSession())
+    roles = [r.role for r in eng2.sql("SHOW ROLES").collect()]
+    assert "keeper" in roles
+    got = eng2.sql(f"SHOW GRANT ROLE keeper ON TABLE {tbl}").collect()
+    assert [r.privilege for r in got] == ["SELECT"]
+
+
+def test_grant_with_grant_option_and_revoke_option_only(eng, tbl):
+    eng.sql(f"GRANT SELECT ON TABLE {tbl} TO USER u9 WITH GRANT OPTION")
+    (g,) = eng.sql(f"SHOW GRANT USER u9 ON TABLE {tbl}").collect()
+    assert g.grant_option is True
+    eng.sql(f"REVOKE GRANT OPTION FOR SELECT ON TABLE {tbl} FROM USER u9")
+    (g,) = eng.sql(f"SHOW GRANT USER u9 ON TABLE {tbl}").collect()
+    assert g.grant_option is False and g.privilege == "SELECT"

@@ -1085,9 +1085,9 @@ _R8_NEGATIVE_CASES = [
     ("window_frame_unbounded_following_start", "ptf_window_boundaries2.q",
      "SPECIFIED_WINDOW_FRAME_INVALID_BOUND", "SELECT sum(a) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED FOLLOWING AND CURRENT ROW) FROM nv"),
     ("lead_in_where", "ptf_negative_WhereWithRankCond.q",
-     "It\ is\ not\ allowed", "SELECT a FROM nv WHERE rank() OVER (ORDER BY a) < 2"),
+     "It\\ is\\ not\\ allowed", "SELECT a FROM nv WHERE rank() OVER (ORDER BY a) < 2"),
     ("lead_having_no_gby", "ptf_negative_HavingLeadWithNoGBYNoWindowing.q",
-     "It\ is\ not\ allowed", "SELECT a FROM nv HAVING lead(a, 1) OVER (ORDER BY a) > 0"),
+     "It\\ is\\ not\\ allowed", "SELECT a FROM nv HAVING lead(a, 1) OVER (ORDER BY a) > 0"),
     ("subquery_missing_from", "subquery_missing_from.q",
      "WITHOUT_SUGGESTION", "SELECT (SELECT b FROM) FROM nv"),
     ("nonscalar_subquery_select", "subquery_in_select.q",
@@ -1544,3 +1544,130 @@ def test_exim_import_into_empty_compatible_target(spark, _exim):
     ddl.import_table(spark, "exim_tgt", exp, f"{base}/tgt2")
     assert sorted(tuple(r) for r in spark.table("exim_tgt").collect()) \
         == [(1, "a"), (2, "b")]
+
+
+# r9 tranche: the authorization_* clientnegative family — CATALOG
+# semantics errors (ql/src/test/queries/clientnegative/
+# authorization_*.q, 104 scripts). Scope note: this engine stores and
+# validates grants but does not ENFORCE them at query time (Hive's
+# own hive.security.authorization.enabled=false default), so the
+# ~60 denial-class scripts (authorization_fail_3..8, *_noselectpriv,
+# *_not_owner_*, *_uri_*, show_grant_otheruser_*, *_no_admin) are
+# documented drops; the catalog-validation classes are ported below.
+
+
+@pytest.fixture()
+def _az_eng(spark):
+    import os as _os
+
+    from amplab_hive_spark import authorization as _az
+    from amplab_hive_spark.engine import Engine as _Engine
+
+    path = _az._store_path(spark)
+    if _os.path.exists(path):
+        _os.remove(path)
+    for key in (_az._ROLES_CONF, _az._USER_CONF):
+        try:
+            spark.conf.unset(key)
+        except Exception:
+            pass
+    spark.sql("DROP TABLE IF EXISTS az_neg_t")
+    spark.range(3).selectExpr("id AS a").write.saveAsTable("az_neg_t")
+    yield _Engine(spark)
+    spark.sql("DROP TABLE IF EXISTS az_neg_t")
+    if _os.path.exists(path):
+        _os.remove(path)
+
+
+_AZ_SINGLE_CASES = [
+    # (name, cited clientnegative script, match, statement)
+    ("create_all_role", "authorization_cannot_create_all_role.q",
+     "reserved", "CREATE ROLE all"),
+    ("create_default_role", "authorization_cannot_create_default_role.q",
+     "reserved", "CREATE ROLE default"),
+    ("create_none_role", "authorization_cannot_create_none_role.q",
+     "reserved", "CREATE ROLE none"),
+    ("create_admin_role", "authorization_caseinsensitivity.q (admin exists)",
+     "already exists", "CREATE ROLE Admin"),
+    ("create_public_role", "authorization_public_create.q",
+     "already exists", "CREATE ROLE public"),
+    ("drop_admin_role", "authorization_drop_admin_role.q",
+     "built-in", "DROP ROLE admin"),
+    ("drop_public_role", "authorization_public_drop.q",
+     "built-in", "DROP ROLE public"),
+    ("drop_missing_role", "authorization_role_grant_nosuchrole.q (drop twin)",
+     "does not exist", "DROP ROLE az_no_such_role"),
+    ("grant_missing_role_to_user", "authorization_role_grant_nosuchrole.q",
+     "does not exist", "GRANT az_no_such_role TO USER u1"),
+    ("table_grant_to_missing_role", "authorization_table_grant_nosuchrole.q",
+     "does not exist", "GRANT SELECT ON TABLE az_neg_t TO ROLE az_no_such_role"),
+    ("invalid_priv_index", "authorization_invalid_priv_v2.q",
+     "Unsupported privilege", "GRANT INDEX ON TABLE az_neg_t TO USER u1"),
+    ("invalid_priv_lock", "authorization_invalid_priv_v1.q",
+     "Unsupported privilege", "GRANT LOCK ON TABLE az_neg_t TO USER u1"),
+    ("invalid_priv_create", "authorization_invalid_priv_v1.q (CREATE class)",
+     "Unsupported privilege", "GRANT CREATE ON TABLE az_neg_t TO USER u1"),
+    ("revoke_absent_table_priv", "authorization_revoke_table_fail1.q",
+     "Cannot find privilege", "REVOKE SELECT ON TABLE az_neg_t FROM USER u1"),
+    ("set_role_nonexistent", "authorization_set_role_neg1.q",
+     "does not exist", "SET ROLE az_nosuchroleexists"),
+    ("grant_on_missing_table", "authorization_grant_table_fail1.q (missing-table class)",
+     "Table not found", "GRANT SELECT ON TABLE az_no_such_tbl TO USER u1"),
+    ("grant_invalid_principal_type", "DDLSemanticAnalyzer principalSpecification",
+     "USER|ROLE|GROUP", "GRANT SELECT ON TABLE az_neg_t TO SERVER s1"),
+    ("grant_all_with_columns", "DDLSemanticAnalyzer privilegeList (ALL is table-level)",
+     "column list", "GRANT ALL(a) ON TABLE az_neg_t TO USER u1"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _AZ_SINGLE_CASES, ids=[c[0] for c in _AZ_SINGLE_CASES],
+)
+def test_authorization_negative(_az_eng, name, script, match, stmt):
+    with pytest.raises((ValueError, NotImplementedError), match=match):
+        _az_eng.sql(stmt).collect()
+
+
+def test_az_duplicate_table_grant(_az_eng):
+    """authorization_fail_1.q: granting the identical privilege twice
+    is an error, not a silent upsert."""
+    _az_eng.sql("GRANT SELECT ON TABLE az_neg_t TO USER dupuser")
+    with pytest.raises(ValueError, match="already granted"):
+        _az_eng.sql("GRANT SELECT ON TABLE az_neg_t TO USER dupuser")
+
+
+def test_az_role_cycle_two(_az_eng):
+    """authorization_role_cycles1.q."""
+    _az_eng.sql("CREATE ROLE azc_role1")
+    _az_eng.sql("CREATE ROLE azc_role2")
+    _az_eng.sql("GRANT ROLE azc_role1 TO ROLE azc_role2")
+    with pytest.raises(ValueError, match="cycle"):
+        _az_eng.sql("GRANT ROLE azc_role2 TO ROLE azc_role1")
+
+
+def test_az_role_cycle_deep(_az_eng):
+    """authorization_role_cycles2.q: the cycle closes through a
+    longer chain."""
+    for r in ("azd_r1", "azd_r2", "azd_r3"):
+        _az_eng.sql(f"CREATE ROLE {r}")
+    _az_eng.sql("GRANT ROLE azd_r1 TO ROLE azd_r2")
+    _az_eng.sql("GRANT ROLE azd_r2 TO ROLE azd_r3")
+    with pytest.raises(ValueError, match="cycle"):
+        _az_eng.sql("GRANT ROLE azd_r3 TO ROLE azd_r1")
+
+
+def test_az_set_role_not_member(_az_eng, spark):
+    """authorization_set_role_neg2.q: the role exists but is not
+    granted to the current user."""
+    spark.sql("SET user.name=az_nobody")
+    _az_eng.sql("CREATE ROLE az_private")
+    with pytest.raises(ValueError, match="not a member"):
+        _az_eng.sql("SET ROLE az_private")
+
+
+def test_az_revoke_absent_role_grant(_az_eng):
+    """authorization_role_grant.q's revoke-without-grant error."""
+    _az_eng.sql("CREATE ROLE az_ungraned")
+    with pytest.raises(ValueError, match="Cannot find role grant"):
+        _az_eng.sql("REVOKE az_ungraned FROM USER u1")
