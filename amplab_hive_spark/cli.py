@@ -163,7 +163,33 @@ def main(argv: list[str] | None = None) -> int:
         help="connect to a running --serve instance as a thin client "
              "(the beeline analogue; this process never starts Spark)",
     )
+    ap.add_argument(
+        "--serve-thrift", action="store_true",
+        help="run the HiveServer2-COMPATIBLE Thrift/JDBC server "
+             "(thrift.py) until interrupted; real beeline/JDBC/ODBC "
+             "clients connect with jdbc:hive2://host:port",
+    )
     args = ap.parse_args(argv)
+
+    if args.serve_thrift:
+        if args.e is not None or args.f is not None or args.serve or args.connect:
+            ap.error("--serve-thrift is a standalone role")
+        from amplab_hive_spark.catalog import tables
+        from amplab_hive_spark.session import get_spark
+        from amplab_hive_spark.thrift import start_thrift_server
+
+        spark = get_spark("thrift-service")
+        tables(spark, args.sf_dir)  # single_session: views answer via JDBC
+        port = start_thrift_server(spark, port=args.port)
+        print(f"Thrift/JDBC server on jdbc:hive2://{args.host}:{port}",
+              flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            pass
+        return 0
 
     if args.connect:
         if args.serve:
