@@ -1296,7 +1296,7 @@ def test_negative_corpus_size():
     n_param = len(_re.findall(r'^    \("', src, _re.M))
     n_standalone = len(_re.findall(r"^def test_", src, _re.M))
     total = n_param + n_standalone
-    assert total >= 300, f"negative corpus shrank: {total} classes"
+    assert total >= 400, f"negative corpus shrank: {total} classes"
 
 
 # r8 tranche 2: the row-level-DML error surface — Hive's acid/update/
@@ -1671,3 +1671,211 @@ def test_az_revoke_absent_role_grant(_az_eng):
     _az_eng.sql("CREATE ROLE az_ungraned")
     with pytest.raises(ValueError, match="Cannot find role grant"):
         _az_eng.sql("REVOKE az_ungraned FROM USER u1")
+
+
+# r9 tranche 2: the alter_*/archive_* clientnegative families
+# (verdict task 3) — partition-spec validation, view-vs-table verb
+# guards, Hive-only ALTER clauses rejected loudly as
+# INVALID_STATEMENT_OR_CLAUSE (archive/concatenate/skew/bucket/
+# fileformat/offline/no_drop — the reference implements them,
+# ql/parse/DDLSemanticAnalyzer.java; this engine documents them as
+# statement-level drops and must FAIL, not ignore), create/cache/
+# describe long tail. Every case probed against Spark first
+# (probe-first workflow); NO_ERROR candidates were dropped as
+# documented divergences (e.g. ALTER TABLE SET TBLPROPERTIES
+# ('EXTERNAL'='TRUE') and UNSET TBLPROPERTIES of a missing key are
+# accepted by Spark).
+
+
+@pytest.fixture()
+def _neg9(spark, tmp_path):
+    spark.sql("DROP VIEW IF EXISTS np9_v")
+    for t in ("np9_t", "np9_p", "np9_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(
+        f"CREATE TABLE np9_t (a INT, b STRING, m MAP<STRING,INT>, "
+        f"arr ARRAY<INT>) USING parquet LOCATION '{tmp_path}/t'"
+    )
+    spark.sql(
+        f"CREATE TABLE np9_p (a INT, ds STRING, hr STRING) USING parquet "
+        f"PARTITIONED BY (ds, hr) LOCATION '{tmp_path}/p'"
+    )
+    spark.sql("INSERT INTO np9_p PARTITION (ds='d1', hr='h1') VALUES (1)")
+    spark.sql("CREATE VIEW np9_v AS SELECT a FROM np9_t")
+    spark.sql(f"CREATE TABLE np9_t2 (x INT) USING parquet LOCATION '{tmp_path}/t2'")
+    yield
+    spark.sql("DROP VIEW IF EXISTS np9_v")
+    for t in ("np9_t", "np9_p", "np9_t2"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+_NEG9_DDL_CASES = [
+    # (name, cited clientnegative script, match token, statement)
+    ("alter_view_add_partition", "alter_view_failure4.q",
+     "INVALID_STATEMENT_OR_CLAUSE",
+     "ALTER VIEW np9_v ADD PARTITION (value='v')"),
+    ("add_partition_undeclared_col", "alter_table_add_partition.q",
+     "PARTITIONS_NOT_FOUND", "ALTER TABLE np9_p ADD PARTITION (ds='d2', xx='1')"),
+    ("add_partition_partial_spec", "alter_partition_invalidspec.q",
+     "Partition spec is invalid", "ALTER TABLE np9_p ADD PARTITION (ds='d9')"),
+    ("add_partition_unpartitioned", "alter_table_add_partition.q (unpartitioned twin)",
+     "ADD PARTITION is not allowed", "ALTER TABLE np9_t ADD PARTITION (ds='d')"),
+    ("add_partition_duplicate", "alter_rename_partition_failure3.q (existing-target class)",
+     "PARTITIONS_ALREADY_EXIST", "ALTER TABLE np9_p ADD PARTITION (ds='d1', hr='h1')"),
+    ("replace_columns_unsupported_v1", "altern1.q",
+     "UNSUPPORTED_FEATURE", "ALTER TABLE np9_t REPLACE COLUMNS (a INT)"),
+    ("change_col_hive_style_rename", "alter_partition_change_col_dup_col.q",
+     "RENAME COLUMN", "ALTER TABLE np9_t CHANGE b a STRING"),
+    ("add_columns_duplicate_name", "alter_partition_change_col_dup_col.q (ADD twin)",
+     "COLUMN_ALREADY_EXISTS", "ALTER TABLE np9_t ADD COLUMNS (a INT)"),
+    ("set_fileformat_statement", "alter_file_format.q",
+     "INVALID_STATEMENT_OR_CLAUSE", "ALTER TABLE np9_t SET FILEFORMAT NOSUCHFORMAT"),
+    ("unarchive_partition", "archive2.q",
+     "INVALID_STATEMENT_OR_CLAUSE",
+     "ALTER TABLE np9_p UNARCHIVE PARTITION (ds='d1', hr='h1')"),
+    ("concatenate_statement", "alter_concatenate_indexed_table.q",
+     "INVALID_STATEMENT_OR_CLAUSE", "ALTER TABLE np9_t CONCATENATE"),
+    ("alter_skewed_by", "create_skewed_table_dup_col_name.q (ALTER twin)",
+     "INVALID_STATEMENT_OR_CLAUSE", "ALTER TABLE np9_t SKEWED BY (a) ON (1)"),
+    ("alter_not_skewed", "alter table not skewed (DDLSemanticAnalyzer skew branch)",
+     "INVALID_STATEMENT_OR_CLAUSE", "ALTER TABLE np9_t NOT SKEWED"),
+    ("alter_clustered_by", "alter_numbuckets_partitioned_table.q family",
+     "INVALID_STATEMENT_OR_CLAUSE",
+     "ALTER TABLE np9_t CLUSTERED BY (a) INTO 4 BUCKETS"),
+    ("partition_enable_no_drop", "alter_partition_nodrop.q",
+     "PARSE_SYNTAX_ERROR",
+     "ALTER TABLE np9_p PARTITION (ds='d1', hr='h1') ENABLE NO_DROP"),
+    ("partition_enable_offline", "alter_partition_offline.q",
+     "PARSE_SYNTAX_ERROR",
+     "ALTER TABLE np9_p PARTITION (ds='d1', hr='h1') ENABLE OFFLINE"),
+    ("msck_on_view", "msck_repair_1.q (view twin)",
+     "EXPECT_TABLE_NOT_VIEW", "MSCK REPAIR TABLE np9_v"),
+    ("rename_partition_partial_target", "alter_rename_partition_failure2.q",
+     "Partition spec is invalid",
+     "ALTER TABLE np9_p PARTITION (ds='d1', hr='h1') RENAME TO PARTITION (ds='d3')"),
+    ("alter_view_as_on_table", "alter_view_failure.q (inverse verb)",
+     "EXPECT_VIEW_NOT_TABLE", "ALTER VIEW np9_t AS SELECT 1"),
+    ("create_table_like_missing", "create_table_failure1.q (LIKE class)",
+     "TABLE_OR_VIEW_NOT_FOUND", "CREATE TABLE np9_like LIKE np9_missing_zzz"),
+    ("desc_missing_partition", "describe_xpath1.q family (partition class)",
+     "PARTITIONS_NOT_FOUND", "DESCRIBE np9_p PARTITION (ds='zz', hr='zz')"),
+    ("analyze_missing_partition", "columnstats_partlvl_dp.q (missing-part class)",
+     "PARTITIONS_NOT_FOUND",
+     "ANALYZE TABLE np9_p PARTITION (ds='zz', hr='zz') COMPUTE STATISTICS"),
+    ("partition_spec_nonliteral", "alter_partition_coltype_invalidtype.q",
+     "PARSE_SYNTAX_ERROR", "ALTER TABLE np9_p ADD PARTITION (ds='d4', hr=ARRAY(1))"),
+    ("create_index_statement", "authorization_create_index.q (index family)",
+     "INVALID_STATEMENT_OR_CLAUSE", "CREATE INDEX idx ON TABLE np9_t (a) AS 'COMPACT'"),
+    ("drop_index_statement", "authorization_drop_index.q (index family)",
+     "DropIndex is not supported", "DROP INDEX idx ON np9_t"),
+    ("lock_table_statement", "lockneg1.q family",
+     "INVALID_STATEMENT_OR_CLAUSE", "LOCK TABLE np9_t EXCLUSIVE"),
+    ("unlock_table_statement", "lockneg2.q family",
+     "INVALID_STATEMENT_OR_CLAUSE", "UNLOCK TABLE np9_t"),
+    ("show_locks_statement", "lockneg_query_tbl_in_locked_db.q family",
+     "INVALID_STATEMENT_OR_CLAUSE", "SHOW LOCKS"),
+    ("insert_overwrite_dir_empty_path", "insertover_dynapart_ifnotexists.q family",
+     "Directory path", "INSERT OVERWRITE DIRECTORY '' USING parquet SELECT 1"),
+    ("create_table_bad_format", "fileformat_bad_class.q",
+     "DATA_SOURCE_NOT_FOUND", "CREATE TABLE np9_badfmt (a INT) USING nosuchformat"),
+    ("create_external_no_location", "create_external_acid.q family",
+     "must be accompanied by LOCATION",
+     "CREATE EXTERNAL TABLE np9_ext (a INT) USING parquet"),
+    ("bucket_count_zero", "create_bucketed_table failure class",
+     "INVALID_BUCKET_COUNT",
+     "CREATE TABLE np9_b0 (a INT) USING parquet CLUSTERED BY (a) INTO 0 BUCKETS"),
+    ("sort_column_not_in_table", "create_sorted_table failure class",
+     "COLUMN_NOT_DEFINED_IN_TABLE",
+     "CREATE TABLE np9_bs (a INT) USING parquet CLUSTERED BY (a) SORTED BY (zz) INTO 4 BUCKETS"),
+    ("view_with_location", "create_view_failure3.q (storage clause on view)",
+     "PARSE_SYNTAX_ERROR", "CREATE VIEW np9_v3 LOCATION '/tmp/x' AS SELECT 1"),
+    ("temp_view_partitioned", "create_view_failure5.q (PARTITIONED ON class)",
+     "INVALID_STATEMENT_OR_CLAUSE",
+     "CREATE TEMPORARY VIEW np9_tv PARTITIONED ON (a) AS SELECT 1 AS a"),
+    ("cache_nonexistent_table", "nonexistent table verb family",
+     "TABLE_OR_VIEW_NOT_FOUND", "CACHE TABLE np9_missing_zzz2"),
+    ("refresh_missing_table", "nonexistent table verb family (refresh)",
+     "TABLE_OR_VIEW_NOT_FOUND", "REFRESH TABLE np9_missing_zzz4"),
+    ("describe_function_missing", "udf_nonexistent_resource.q (describe class)",
+     "UNRESOLVED_ROUTINE", "DESCRIBE FUNCTION np9_no_such_fn"),
+    ("show_create_missing_table", "show_create_table_does_not_exist.q",
+     "TABLE_OR_VIEW_NOT_FOUND", "SHOW CREATE TABLE np9_missing_zzz5"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _NEG9_DDL_CASES, ids=[c[0] for c in _NEG9_DDL_CASES],
+)
+def test_neg9_ddl(spark, _neg9, name, script, match, stmt):
+    with pytest.raises(Exception, match=match):
+        spark.sql(stmt).collect()
+
+
+# r9 tranche 3: expression/function error classes over complex types
+# (maps/arrays), typed literals, decimal bounds, window/aggregate
+# placement rules — the udf_*/wrong_* clientnegative themes that
+# previous tranches had not reached. Probed first; NO_ERROR drops
+# documented: lead(a, -1) (negative offsets are legal lead semantics
+# in Spark), invalid hints (warn, not error), unclosed regex pattern
+# (lazy evaluation returns at runtime only for matching rows),
+# percentile negative weight (aggregated silently).
+
+_NEG9_EXPR_CASES = [
+    ("cast_map_to_int", "wrong_column_type.q",
+     "DATATYPE_MISMATCH", "SELECT CAST(m AS INT) FROM np9_t"),
+    ("cast_array_to_struct", "wrong_column_type.q (array class)",
+     "DATATYPE_MISMATCH", "SELECT CAST(arr AS STRUCT<x: INT>) FROM np9_t"),
+    ("map_key_wrong_type", "invalid_map_index.q",
+     "DATATYPE_MISMATCH", "SELECT m[arr] FROM np9_t"),
+    ("element_at_wrong_container", "invalid_map_index.q (scalar class)",
+     "DATATYPE_MISMATCH", "SELECT element_at(a, 1) FROM np9_t"),
+    ("explode_scalar_input", "udtf_explode_not_supported1.q",
+     "DATATYPE_MISMATCH", "SELECT explode(a) FROM np9_t"),
+    ("map_constructor_odd_args", "udf_map.q error class",
+     "WRONG_NUM_ARGS", "SELECT map('k') FROM np9_t"),
+    ("date_literal_invalid", "date_literal1.q",
+     "INVALID_TYPED_LITERAL", "SELECT DATE 'not-a-date'"),
+    ("timestamp_literal_invalid", "timestamp_literal.q family",
+     "INVALID_TYPED_LITERAL", "SELECT TIMESTAMP '2020-99-99'"),
+    ("decimal_precision_exceeds_max", "invalid_decimal_precision.q class",
+     "DECIMAL_PRECISION_EXCEEDS_MAX_PRECISION", "SELECT CAST(1 AS DECIMAL(50, 2))"),
+    ("decimal_scale_gt_precision", "invalid_decimal_scale.q class",
+     "scale", "SELECT CAST(1 AS DECIMAL(5, 9))"),
+    ("first_value_zero_args", "windowing_invalid_udaf.q (arity class)",
+     "WRONG_NUM_ARGS", "SELECT first_value() OVER (ORDER BY a) FROM np9_t"),
+    ("window_fn_in_group_by", "ptf_negative_AggrFuncsWithNoGBYNoPartDef.q",
+     "MISSING_AGGREGATION", "SELECT a FROM np9_t GROUP BY rank() OVER (ORDER BY a)"),
+    ("aggregate_in_join_condition", "joins_arg_type error class",
+     "UNSUPPORTED_EXPR_FOR_OPERATOR",
+     "SELECT 1 FROM np9_t x JOIN np9_t2 y ON SUM(x.a) = y.x"),
+    ("order_by_agg_without_group", "orderbysortby.q error class",
+     "UNSUPPORTED_EXPR_FOR_OPERATOR", "SELECT a FROM np9_t ORDER BY SUM(a)"),
+    ("distinct_on_map_column", "union_remove set-op map class",
+     "SET_OPERATION_ON_MAP_TYPE", "SELECT DISTINCT *, a FROM np9_t"),
+    ("cte_self_reference_unresolved", "recursive_view.q (CTE class)",
+     "TABLE_OR_VIEW_NOT_FOUND", "WITH c AS (SELECT * FROM c) SELECT * FROM c"),
+    ("lateral_view_missing_alias", "lateral_view_alias.q class",
+     "PARSE_SYNTAX_ERROR", "SELECT x FROM np9_t LATERAL VIEW explode(arr)"),
+    ("transform_without_using", "transform wrong-arity class (SELECT TRANSFORM grammar)",
+     "WRONG_NUM_ARGS", "SELECT TRANSFORM (a) FROM np9_t"),
+    ("from_json_invalid_schema_text", "json serde schema error class",
+     "PARSE_SYNTAX_ERROR", "SELECT from_json(b, 'not a schema') FROM np9_t"),
+    ("sequence_zero_step", "udf_sequence error class",
+     "Illegal sequence boundaries", "SELECT sequence(1, 10, 0)"),
+    ("concat_ws_nonstring_separator", "udf_concat_ws.q error class",
+     "DATATYPE_MISMATCH", "SELECT concat_ws(arr, b) FROM np9_t"),
+    ("overlay_wrong_types", "udf_overlay arity/type class",
+     "DATATYPE_MISMATCH", "SELECT overlay(b PLACING 5 FROM m) FROM np9_t"),
+    ("substring_on_map", "udf_substr.q wrong-type class",
+     "DATATYPE_MISMATCH", "SELECT substring(m, 1, 2) FROM np9_t"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _NEG9_EXPR_CASES, ids=[c[0] for c in _NEG9_EXPR_CASES],
+)
+def test_neg9_expr(spark, _neg9, name, script, match, stmt):
+    with pytest.raises(Exception, match=match):
+        spark.sql(stmt).collect()

@@ -7020,6 +7020,938 @@ QSCRIPTS_R58 = [
     ),
 ]
 
+
+
+# Tranche 59 (round 9): the r8 verdict's named unported families —
+# union_remove_* (the 25 scripts collapse to ~8 distinct QUERY shapes;
+# the file-merge/subdirectory knobs they vary are Catalyst-owned
+# execution details here), windowing_expressions.q /
+# windowing_multipartitioning.q, join_filters.q / join_nulls.q
+# remainder (ON-vs-WHERE outer filter placement, NULL and null-safe
+# keys), limit_pushdown*.q (+ limit_pushdown_negative's
+# unselected-order-key shape), nullgroup remainder. All 36 prototyped
+# green on both engines at sf0.01 (experiments/cand_r9.py) before
+# inclusion; running SUMs over doubles are folded in DECIMAL then cast
+# (fold-order parity, the standing numeric policy).
+QSCRIPTS_R59 = [
+    # ---- union_remove_* (the 25 scripts collapse to the distinct
+    # QUERY shapes below; the file-merge/subdirectory settings they
+    # vary are execution details Catalyst owns here)
+    (
+        "ur_union_of_two_aggs",  # union_remove_1.q
+        """SELECT key, cnt FROM (
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+             UNION ALL
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+           ) a ORDER BY key, cnt""",
+    ),
+    (
+        "ur_agg_over_union",  # union_remove_2.q outer agg
+        """SELECT key, SUM(cnt) AS total FROM (
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+             UNION ALL
+             SELECT r_regionkey AS key, 1 AS cnt FROM region
+           ) a GROUP BY key ORDER BY key""",
+    ),
+    (
+        "ur_union_maponly_and_agg",  # union_remove_7.q: map-only side + reduce side
+        """SELECT key, val FROM (
+             SELECT o_orderstatus AS key, COUNT(*) AS val FROM orders GROUP BY o_orderstatus
+             UNION ALL
+             SELECT o_orderstatus AS key, CAST(o_orderkey AS BIGINT) AS val FROM orders WHERE o_orderkey < 5
+           ) u ORDER BY key, val""",
+    ),
+    (
+        "ur_three_way_union_aggs",  # union_remove_4.q 3-subquery form
+        """SELECT key, SUM(c) AS s FROM (
+             SELECT l_returnflag AS key, COUNT(*) AS c FROM lineitem GROUP BY l_returnflag
+             UNION ALL
+             SELECT l_linestatus AS key, COUNT(*) AS c FROM lineitem GROUP BY l_linestatus
+             UNION ALL
+             SELECT 'Z' AS key, 1 AS c
+           ) u GROUP BY key ORDER BY key""",
+    ),
+    (
+        "ur_union_distinct_of_aggs",  # union_remove_10 DISTINCT variant
+        """SELECT key, cnt FROM (
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+             UNION
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+           ) a ORDER BY key""",
+    ),
+    (
+        "ur_union_joined_to_dim",  # union_remove_17-ish: union then join
+        """SELECT r.r_name, u.cnt FROM (
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+             UNION ALL
+             SELECT n_regionkey AS key, SUM(n_nationkey) AS cnt FROM nation GROUP BY n_regionkey
+           ) u JOIN region r ON u.key = r.r_regionkey
+           ORDER BY r.r_name, u.cnt""",
+    ),
+    (
+        "ur_count_star_over_union",
+        """SELECT COUNT(*) AS n FROM (
+             SELECT n_nationkey FROM nation WHERE n_regionkey = 0
+             UNION ALL
+             SELECT s_suppkey FROM supplier WHERE s_nationkey < 5
+           ) u""",
+    ),
+    (
+        "ur_union_in_in_subquery",
+        """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+           WHERE c_nationkey IN (
+             SELECT n_nationkey FROM nation WHERE n_regionkey = 1
+             UNION ALL
+             SELECT n_nationkey FROM nation WHERE n_regionkey = 2
+           )
+           GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    ),
+    # ---- windowing_expressions.q shapes
+    (
+        "we_lag_numeric_default",
+        """SELECT l_orderkey, l_linenumber,
+                  l_quantity - lag(l_quantity, 3, 0) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber) AS d3
+           FROM lineitem WHERE l_orderkey < 40
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "we_lead_numeric_default",
+        """SELECT l_orderkey, l_linenumber,
+                  l_quantity - lead(l_quantity, 2, 0) OVER
+                    (PARTITION BY l_orderkey ORDER BY l_linenumber) AS dl
+           FROM lineitem WHERE l_orderkey < 40
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "we_lag_string_default",  # lag(s, 3, 'fred')
+        """SELECT n_nationkey,
+                  lag(n_name, 3, 'fred') OVER (ORDER BY n_nationkey) AS lagged
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "we_window_clause_reuse",  # WINDOW w AS ... used twice
+        """SELECT p_brand, p_partkey,
+                  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running,
+                  MAX(p_size) OVER w AS mx
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY p_partkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "we_minmax_span_equals_firstlast",  # the identity row from windowing_expressions.q
+        """SELECT p_brand, p_partkey,
+                  MAX(p_size) OVER w - MIN(p_size) OVER w AS span,
+                  first_value(p_size) OVER w AS fv,
+                  last_value(p_size) OVER w AS lv
+           FROM part
+           WINDOW w AS (PARTITION BY p_brand ORDER BY p_size
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "we_sliding_frame_1_1",
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(SUM(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS DOUBLE) AS s3
+           FROM lineitem WHERE l_orderkey < 60
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "we_nth_value",
+        """SELECT p_brand, p_partkey,
+                  nth_value(p_partkey, 2) OVER (PARTITION BY p_brand ORDER BY p_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_key
+           FROM part ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "we_range_numeric_frame",
+        """SELECT p_brand, p_size,
+                  COUNT(*) OVER (PARTITION BY p_brand ORDER BY p_size
+                     RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS near
+           FROM part ORDER BY p_brand, p_size, near""",
+    ),
+    # ---- windowing_multipartitioning.q: different specs in one select
+    (
+        "wm_two_partition_specs",
+        """SELECT s_suppkey,
+                  rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal) AS r_nat,
+                  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) OVER (ORDER BY s_suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_all
+           FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "wm_three_partition_specs",
+        """SELECT o_orderkey,
+                  row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey) AS rn_status,
+                  rank() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice) AS rk_prio,
+                  COUNT(*) OVER (PARTITION BY o_custkey) AS per_cust
+           FROM orders WHERE o_orderkey < 200
+           ORDER BY o_orderkey""",
+    ),
+    # ---- join_filters / join_nulls remainder
+    (
+        "jf_left_filter_in_on",
+        """SELECT n.n_name, s.s_name
+           FROM nation n LEFT JOIN supplier s
+             ON n.n_nationkey = s.s_nationkey AND s.s_acctbal > 5000
+           ORDER BY n.n_name, s.s_name""",
+    ),
+    (
+        "jf_left_filter_in_where",  # same predicate in WHERE = inner
+        """SELECT n.n_name, s.s_name
+           FROM nation n LEFT JOIN supplier s
+             ON n.n_nationkey = s.s_nationkey
+           WHERE s.s_acctbal > 5000
+           ORDER BY n.n_name, s.s_name""",
+    ),
+    (
+        "jf_full_outer_on_filters",
+        """SELECT n.n_name, r.r_name
+           FROM nation n FULL OUTER JOIN region r
+             ON n.n_regionkey = r.r_regionkey AND n.n_nationkey > 10 AND r.r_regionkey < 3
+           ORDER BY n.n_name NULLS FIRST, r.r_name NULLS FIRST""",
+    ),
+    (
+        "jf_right_filter_on_left_side",
+        """SELECT n.n_name, s.s_name
+           FROM supplier s RIGHT JOIN nation n
+             ON n.n_nationkey = s.s_nationkey AND s.s_suppkey % 2 = 0
+           ORDER BY n.n_name, s.s_name""",
+    ),
+    (
+        "jn_nullable_key_inner_drops_nulls",
+        """SELECT COUNT(*) AS n
+           FROM (SELECT nullif(n_regionkey, 2) AS k FROM nation) a
+           JOIN (SELECT nullif(r_regionkey, 2) AS k FROM region) b
+             ON a.k = b.k""",
+    ),
+    (
+        "jn_null_safe_join",  # <=> spelled portably
+        """SELECT COUNT(*) AS n
+           FROM (SELECT nullif(n_regionkey, 2) AS k FROM nation) a
+           JOIN (SELECT nullif(r_regionkey, 2) AS k FROM region) b
+             ON a.k IS NOT DISTINCT FROM b.k""",
+    ),
+    (
+        "jn_coalesced_join_key",
+        """SELECT COALESCE(a.k, -1) AS k, COUNT(*) AS n
+           FROM (SELECT nullif(n_regionkey, 0) AS k FROM nation) a
+           LEFT JOIN region b ON a.k = b.r_regionkey
+           GROUP BY COALESCE(a.k, -1) ORDER BY k""",
+    ),
+    (
+        "jf_or_condition_outer",
+        """SELECT n.n_name, r.r_name
+           FROM nation n LEFT JOIN region r
+             ON n.n_regionkey = r.r_regionkey AND (r.r_name LIKE 'A%' OR r.r_name LIKE 'E%')
+           ORDER BY n.n_name, r.r_name NULLS FIRST""",
+    ),
+    # ---- limit_pushdown* shapes
+    (
+        "lp_limit_over_group_by",
+        """SELECT l_partkey, CAST(SUM(l_quantity) AS DOUBLE) AS q
+           FROM lineitem GROUP BY l_partkey
+           ORDER BY q DESC, l_partkey LIMIT 7""",
+    ),
+    (
+        "lp_limit_distinct",
+        """SELECT DISTINCT o_orderpriority FROM orders
+           ORDER BY o_orderpriority LIMIT 3""",
+    ),
+    (
+        "lp_limit_over_union",
+        """SELECT k FROM (
+             SELECT n_nationkey AS k FROM nation
+             UNION ALL
+             SELECT r_regionkey AS k FROM region
+           ) u ORDER BY k DESC LIMIT 6""",
+    ),
+    (
+        "lp_limit_offset",
+        """SELECT n_nationkey, n_name FROM nation
+           ORDER BY n_nationkey LIMIT 5 OFFSET 10""",
+    ),
+    (
+        "lp_order_by_unselected_then_limit",  # limit_pushdown_negative theme
+        """SELECT o_orderkey FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 9""",
+    ),
+    (
+        "lp_limit_after_window",
+        """SELECT * FROM (
+             SELECT c_custkey, c_acctbal,
+                    row_number() OVER (ORDER BY c_acctbal DESC, c_custkey) AS rn
+             FROM customer
+           ) t WHERE rn <= 5 ORDER BY rn""",
+    ),
+    # ---- nullgroup / groupby remainder
+    (
+        "ng_count_on_empty_input",  # nullgroup.q: aggs over zero rows
+        """SELECT COUNT(*) AS n, COUNT(n_name) AS nn,
+                  CAST(COALESCE(SUM(n_nationkey), 0) AS BIGINT) AS s
+           FROM nation WHERE n_nationkey < 0""",
+    ),
+    (
+        "gb_expression_keys",
+        """SELECT length(n_name) AS len, COUNT(*) AS n
+           FROM nation GROUP BY length(n_name) ORDER BY len""",
+    ),
+    (
+        "gb_having_on_agg_expr",
+        """SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+           GROUP BY l_returnflag
+           HAVING COUNT(*) > 100 AND MIN(l_quantity) >= 1
+           ORDER BY l_returnflag""",
+    ),
+    (
+        "gb_distinct_inside_count_over_union",
+        """SELECT COUNT(DISTINCT k) AS n FROM (
+             SELECT n_regionkey AS k FROM nation
+             UNION ALL
+             SELECT r_regionkey AS k FROM region
+           ) u""",
+    ),
+]
+
+
+
+
+# Tranche 60 (round 9): set-operation tail (EXCEPT forms, mixed
+# chains), subquery long tail (exists/not-exists in HAVING, scalar
+# subqueries in the select list, correlated-aggregate comparison),
+# portable udf_* string/date/math shapes (instr/locate, translate,
+# lpad/rpad, split_part, levenshtein, ascii/chr, trim variants,
+# date_trunc/extract/last_day/interval arithmetic, decimal precision
+# chains, greatest/least, factorial/cbrt), ORDER BY null-placement,
+# GROUPING SETS edges (explicit sets, expression keys, grouping()),
+# count variants (FILTER clause, conditional, distinct-pair via
+# concat), having-on-unselected-agg, cbo semi/anti/exists mixes. All
+# 42 prototyped green on both engines (experiments/cand_r9b.py).
+# Drops, documented: quantified comparison `> ALL (subquery)` is a
+# PARSE error in Spark (no quantified comparisons — DuckDB has them);
+# DuckDB lacks add_months/width_bucket/datediff(end,start)/
+# multi-arg COUNT(DISTINCT a,b) so those shapes are respelled
+# portably or replaced; thresholds are distribution-relative so the
+# per-round testdata regeneration cannot make a branch vacuous.
+QSCRIPTS_R60 = [
+    # ---- set operations (intersect.q / except_all.q / setop tails)
+    (
+        "setop_except_distinct",
+        """SELECT o_orderpriority FROM orders
+           EXCEPT
+           SELECT '1-URGENT' AS o_orderpriority
+           ORDER BY o_orderpriority""",
+    ),
+    (
+        "setop_chain_mixed",
+        """SELECT k FROM (
+             SELECT n_regionkey AS k FROM nation
+             INTERSECT
+             SELECT r_regionkey AS k FROM region
+           ) a
+           UNION ALL
+           SELECT 99 AS k
+           ORDER BY k""",
+    ),
+    # ---- subquery long tail
+    (
+        "subq_exists_having",  # subquery_exists_having.q
+        """SELECT c_nationkey, COUNT(*) AS n
+           FROM customer c GROUP BY c_nationkey
+           HAVING EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey
+                            AND n.n_regionkey = 2)
+           ORDER BY c_nationkey""",
+    ),
+    (
+        "subq_not_exists_having",  # subquery_notexists_having.q
+        """SELECT s_nationkey, COUNT(*) AS n
+           FROM supplier s GROUP BY s_nationkey
+           HAVING NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey
+                                AND n.n_regionkey IN (0, 1))
+           ORDER BY s_nationkey""",
+    ),
+    (
+        "subq_scalar_in_select",  # subquery_scalar.q select-list form
+        """SELECT n_name,
+                  (SELECT r_name FROM region r
+                   WHERE r.r_regionkey = n.n_regionkey) AS region_name
+           FROM nation n ORDER BY n_name""",
+    ),
+    (
+        "subq_scalar_agg_in_select",
+        """SELECT o_orderpriority,
+                  COUNT(*) AS n,
+                  (SELECT COUNT(*) FROM orders) AS total
+           FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    ),
+    (
+        "subq_correlated_agg_compare",  # subquery_in.q agg-correlated form
+        """SELECT p_brand, p_partkey FROM part p
+           WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) * 1.02
+                                  FROM part p2
+                                  WHERE p2.p_brand = p.p_brand)
+           ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "subq_in_from_derived_chain",  # nested derived tables, 3 deep
+        """SELECT k, n FROM (
+             SELECT k, COUNT(*) AS n FROM (
+               SELECT n_regionkey AS k FROM nation WHERE n_nationkey <> 3
+             ) a GROUP BY k
+           ) b WHERE n > 3 ORDER BY k""",
+    ),
+    # ---- string udf_* portable shapes
+    (
+        "str_instr_locate_family",  # udf_instr.q / udf_locate.q
+        """SELECT n_name,
+                  instr(n_name, 'AN') AS pos_an,
+                  position('A' IN n_name) AS pos_a
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "str_translate_replace",  # udf_translate.q
+        """SELECT n_name,
+                  translate(n_name, 'AEIOU', 'aeiou') AS tr,
+                  replace(n_name, 'IA', '**') AS rep
+           FROM nation ORDER BY n_name""",
+    ),
+    (
+        "str_lpad_rpad_repeat",
+        """SELECT n_nationkey,
+                  lpad(n_name, 12, '.') AS lp,
+                  rpad(n_name, 12, '.') AS rp,
+                  repeat('ab', CAST(n_regionkey AS INT)) AS rep
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "str_split_part_family",
+        """SELECT p_partkey, p_type,
+                  split_part(p_type, ' ', 1) AS w1,
+                  split_part(p_type, ' ', 2) AS w2
+           FROM part WHERE p_partkey < 60 ORDER BY p_partkey""",
+    ),
+    (
+        "str_levenshtein",  # udf_levenshtein.q
+        """SELECT r_name, levenshtein(r_name, 'AMERICA') AS d
+           FROM region ORDER BY r_name""",
+    ),
+    (
+        "str_ascii_chr_roundtrip",
+        """SELECT n_nationkey, ascii(n_name) AS first_code,
+                  chr(ascii(n_name)) AS first_char
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "str_trim_variants",
+        """SELECT r_name,
+                  trim(BOTH 'A' FROM r_name) AS both_a,
+                  ltrim('  ' || r_name) AS lt,
+                  rtrim(r_name || '  ') AS rt
+           FROM region ORDER BY r_name""",
+    ),
+    (
+        "str_concat_ws_upperlower",
+        """SELECT n_nationkey,
+                  concat_ws('-', lower(n_name), upper(n_name)) AS both_cases
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    # ---- date/time udf shapes over real date columns
+    (
+        "date_trunc_quarter_month",
+        """SELECT CAST(date_trunc('quarter', o_orderdate) AS DATE) AS q,
+                  CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1, 2 ORDER BY q, m""",
+    ),
+    (
+        "date_interval_add",
+        """SELECT l_orderkey, l_linenumber,
+                  CAST(CAST(l_shipdate AS DATE) + INTERVAL 30 DAY AS DATE) AS eta,
+                  CAST(l_shipdate + INTERVAL 2 HOUR AS TIMESTAMP) AS ship_plus2h
+           FROM lineitem WHERE l_orderkey < 40
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "date_parts_extract",
+        """SELECT EXTRACT(YEAR FROM o_orderdate) AS y,
+                  EXTRACT(MONTH FROM o_orderdate) AS m,
+                  EXTRACT(DAY FROM o_orderdate) AS d,
+                  COUNT(*) AS n
+           FROM orders GROUP BY 1, 2, 3 ORDER BY y, m, d""",
+    ),
+    (
+        "date_last_day_eom",
+        """SELECT DISTINCT CAST(date_trunc('month', o_orderdate) AS DATE) AS m,
+                  CAST(last_day(o_orderdate) AS DATE) AS eom
+           FROM orders ORDER BY m""",
+    ),
+    (
+        "date_between_range",
+        """SELECT COUNT(*) AS n,
+                  MIN(l_shipdate) AS lo, MAX(l_shipdate) AS hi
+           FROM lineitem
+           WHERE l_shipdate BETWEEN DATE '1994-03-01' AND DATE '1994-06-30'""",
+    ),
+    # ---- decimal arithmetic precision (decimal_precision.q family)
+    (
+        "dec_div_precision",
+        """SELECT l_linenumber,
+                  CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                       / CAST(COUNT(*) AS DECIMAL(18,0)) AS DECIMAL(18,6)) AS avg_price
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    (
+        "dec_mul_round_floor_ceil",
+        """SELECT p_partkey,
+                  ROUND(CAST(p_retailprice AS DECIMAL(12,2)) * CAST(1.0750 AS DECIMAL(6,4)), 2) AS taxed,
+                  CAST(FLOOR(p_retailprice) AS BIGINT) AS fl, CAST(CEIL(p_retailprice) AS BIGINT) AS ce
+           FROM part WHERE p_partkey < 50 ORDER BY p_partkey""",
+    ),
+    (
+        "dec_mod_abs_sign",
+        """SELECT l_linenumber,
+                  CAST(MOD(CAST(SUM(CAST(l_quantity AS DECIMAL(12,0))) AS BIGINT), 7) AS BIGINT) AS m7,
+                  ABS(-l_linenumber) AS ab, CAST(SIGN(l_linenumber - 4) AS INT) AS sg
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    # ---- ORDER BY null placement (order_null.q)
+    (
+        "ord_nulls_first_last_mix",
+        """SELECT k, v FROM (
+             SELECT nullif(n_regionkey, 2) AS k, n_name AS v FROM nation
+           ) t ORDER BY k ASC NULLS FIRST, v DESC""",
+    ),
+    (
+        "ord_desc_nulls_last",
+        """SELECT k, v FROM (
+             SELECT nullif(n_regionkey, 0) AS k, n_nationkey AS v FROM nation
+           ) t ORDER BY k DESC NULLS LAST, v""",
+    ),
+    # ---- grouping sets edges (groupby_grouping_sets*.q beyond rollup)
+    (
+        "gsets_explicit_sets",
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+           FROM lineitem
+           GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+           ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""",
+    ),
+    (
+        "gsets_with_expression_key",
+        """SELECT length(o_orderpriority) AS len, o_orderstatus, COUNT(*) AS n
+           FROM orders
+           GROUP BY GROUPING SETS ((length(o_orderpriority)), (o_orderstatus))
+           ORDER BY len NULLS FIRST, o_orderstatus NULLS FIRST""",
+    ),
+    (
+        "gsets_grouping_function",
+        """SELECT o_orderstatus, o_orderpriority,
+                  grouping(o_orderstatus) AS g_s, grouping(o_orderpriority) AS g_p,
+                  COUNT(*) AS n
+           FROM orders
+           GROUP BY CUBE (o_orderstatus, o_orderpriority)
+           ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""",
+    ),
+    # ---- count.q variants
+    (
+        "cnt_distinct_pairs",
+        """SELECT COUNT(DISTINCT l_returnflag || '|' || l_linestatus) AS pairs
+           FROM lineitem""",
+    ),
+    (
+        "cnt_conditional_null_skip",
+        """SELECT o_orderstatus,
+                  COUNT(CASE WHEN o_totalprice > 200000 THEN 1 END) AS big,
+                  COUNT(*) AS total
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "cnt_filter_clause",
+        """SELECT l_returnflag,
+                  COUNT(*) FILTER (WHERE l_discount > 0.05) AS discounted,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    # ---- having / cbo shapes
+    (
+        "having_on_nonselected_agg",  # having2.q
+        """SELECT c_nationkey FROM customer
+           GROUP BY c_nationkey
+           HAVING CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) > 20000
+           ORDER BY c_nationkey""",
+    ),
+    (
+        "cbo_semi_then_agg",  # cbo_semijoin.q composition
+        """SELECT n_regionkey, COUNT(*) AS n
+           FROM nation WHERE n_nationkey IN (SELECT s_nationkey FROM supplier)
+           GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "cbo_exists_join_mix",
+        """SELECT c.c_mktsegment, COUNT(*) AS n
+           FROM customer c JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+           WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 250000)
+           GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""",
+    ),
+    (
+        "cbo_anti_via_not_exists_join",
+        """SELECT nt.n_name, COUNT(*) AS suppliers_without_big_balance
+           FROM supplier s JOIN nation nt ON s.s_nationkey = nt.n_nationkey
+           WHERE NOT EXISTS (SELECT 1 FROM customer c JOIN orders o
+                               ON o.o_custkey = c.c_custkey
+                             WHERE c.c_nationkey = s.s_nationkey
+                               AND o.o_totalprice > (SELECT MAX(o2.o_totalprice) * 0.994 FROM orders o2))
+           GROUP BY nt.n_name ORDER BY nt.n_name""",
+    ),
+    # ---- case expression shapes (udf_case.q / udf_when.q)
+    (
+        "case_nested_searched",
+        """SELECT o_orderkey,
+                  CASE WHEN o_totalprice > 300000 THEN 'huge'
+                       WHEN o_totalprice > 150000 THEN
+                         CASE o_orderstatus WHEN 'F' THEN 'big-final' ELSE 'big-open' END
+                       ELSE 'small' END AS bucket
+           FROM orders WHERE o_orderkey < 120 ORDER BY o_orderkey""",
+    ),
+    (
+        "case_simple_form_with_null",
+        """SELECT n_regionkey,
+                  CASE n_regionkey WHEN 0 THEN 'zero' WHEN NULL THEN 'never' ELSE 'other' END AS simple,
+                  COUNT(*) AS n
+           FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""",
+    ),
+    # ---- math udf shapes
+    (
+        "math_log_exp_sqrt_pow",
+        """SELECT p_partkey,
+                  ROUND(ln(p_retailprice), 6) AS lnp,
+                  ROUND(log10(p_retailprice), 6) AS l10,
+                  ROUND(sqrt(p_size), 6) AS sq,
+                  CAST(power(p_size, 2) AS DOUBLE) AS p2
+           FROM part WHERE p_partkey < 40 ORDER BY p_partkey""",
+    ),
+    (
+        "math_trig_rounded",
+        """SELECT n_nationkey,
+                  ROUND(sin(n_nationkey), 10) AS s,
+                  ROUND(cos(n_nationkey), 10) AS c,
+                  ROUND(atan(n_nationkey), 10) AS a
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "math_greatest_least",
+        """SELECT l_orderkey, l_linenumber,
+                  greatest(l_quantity, l_discount * 100, l_linenumber) AS g,
+                  least(l_quantity, l_tax * 100, 10.0) AS l
+           FROM lineitem WHERE l_orderkey < 30
+           ORDER BY l_orderkey, l_linenumber""",
+    ),
+    (
+        "math_factorial_cbrt",
+        """SELECT n_nationkey,
+                  factorial(CAST(n_regionkey AS INT)) AS f,
+                  ROUND(cbrt(n_nationkey), 8) AS cb
+           FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
+
+
+
+# Tranche 61 (round 9): ppd_outer_join*/ppd_union/join_cond_pushdown
+# predicate-placement shapes (including the nonpushable IS NULL probe
+# with a distribution-relative threshold so testdata regeneration
+# cannot vacuate it), multi-way star/self/cross join chains, regexp
+# and LIKE-with-ESCAPE patterns over the real fixture vocabulary,
+# events-table time analytics (hour histogram, first/last per user,
+# lag transitions), statistical aggregates, bitwise AND/OR (xor
+# dropped: DuckDB's ^ means POWER), type-coercion unions,
+# documents-table CASE matrices, rank/ntile/percent_rank over joins.
+# All 38 prototyped green on both engines (experiments/cand_r9c.py).
+QSCRIPTS_R61 = [
+    # ---- ppd_* remainder: predicate placement around outer joins
+    (
+        "ppd_outer_join_pushable_left",  # ppd_outer_join1.q
+        """SELECT n.n_name, s.s_name
+           FROM nation n LEFT JOIN supplier s ON n.n_nationkey = s.s_nationkey
+           WHERE n.n_regionkey = 1
+           ORDER BY n.n_name, s.s_name NULLS FIRST""",
+    ),
+    (
+        "ppd_outer_join_nonpushable_right",  # ppd_outer_join2.q: IS NULL probe
+        """SELECT n.n_name
+           FROM nation n LEFT JOIN (
+             SELECT * FROM supplier
+             WHERE s_acctbal > (SELECT MAX(s2.s_acctbal) * 0.9 FROM supplier s2)
+           ) s ON n.n_nationkey = s.s_nationkey
+           WHERE s.s_suppkey IS NULL
+           ORDER BY n.n_name""",
+    ),
+    (
+        "ppd_through_derived_and_union",  # ppd_union.q over a derived union
+        """SELECT key, cnt FROM (
+             SELECT n_regionkey AS key, COUNT(*) AS cnt FROM nation GROUP BY n_regionkey
+             UNION ALL
+             SELECT r_regionkey AS key, 10 AS cnt FROM region
+           ) u WHERE key >= 2 ORDER BY key, cnt""",
+    ),
+    (
+        "ppd_constant_fold_filter",  # constant folding + residual
+        """SELECT o_orderkey, o_totalprice FROM orders
+           WHERE 1 = 1 AND o_orderkey < 50 AND 2 > 1
+           ORDER BY o_orderkey""",
+    ),
+    (
+        "ppd_join_cond_expression",  # join_cond_pushdown_*.q: expr in ON
+        """SELECT n.n_name, r.r_name
+           FROM nation n JOIN region r
+             ON n.n_regionkey + 1 = r.r_regionkey + 1 AND upper(r.r_name) = r.r_name
+           ORDER BY n.n_name""",
+    ),
+    # ---- multi-way join chains
+    (
+        "join_star_two_dims",
+        """SELECT n.n_name, p.p_brand, COUNT(*) AS n
+           FROM lineitem l
+           JOIN supplier s ON l.l_suppkey = s.s_suppkey
+           JOIN nation n ON s.s_nationkey = n.n_nationkey
+           JOIN part p ON l.l_partkey = p.p_partkey
+           WHERE p.p_size < 5
+           GROUP BY n.n_name, p.p_brand
+           ORDER BY n.n_name, p.p_brand""",
+    ),
+    (
+        "join_self_pairs_same_table",  # self-join distinct pairs
+        """SELECT a.n_name AS n1, b.n_name AS n2
+           FROM nation a JOIN nation b
+             ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+           WHERE a.n_regionkey = 0
+           ORDER BY n1, n2""",
+    ),
+    (
+        "join_cross_small_dims",  # cross_product_check lineage
+        """SELECT r1.r_name AS a, r2.r_name AS b
+           FROM region r1 CROSS JOIN region r2
+           WHERE r1.r_regionkey < r2.r_regionkey
+           ORDER BY a, b""",
+    ),
+    (
+        "join_mixed_inner_left_right",
+        """SELECT n.n_name, r.r_name, COUNT(s.s_suppkey) AS n_supp
+           FROM nation n
+           JOIN region r ON n.n_regionkey = r.r_regionkey
+           LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey AND s.s_acctbal > 9000
+           GROUP BY n.n_name, r.r_name
+           ORDER BY n.n_name""",
+    ),
+    # ---- regexp / LIKE patterns (udf_regexp*.q, like escapes)
+    (
+        "re_extract_groups",
+        """SELECT p_partkey,
+                  regexp_extract(p_type, '^(\\\\w+) (\\\\w+)', 1) AS w1,
+                  regexp_extract(p_type, '^(\\\\w+) (\\\\w+)', 2) AS w2
+           FROM part WHERE p_partkey < 40 ORDER BY p_partkey""",
+    ),
+    (
+        "re_replace_digits",
+        """SELECT o_orderkey,
+                  regexp_replace(o_orderpriority, '[0-9]', '#') AS masked
+           FROM orders WHERE o_orderkey < 40 ORDER BY o_orderkey""",
+    ),
+    (
+        "like_multi_patterns",
+        """SELECT p_partkey, p_name FROM part
+           WHERE p_name LIKE '%widget%' OR p_name LIKE 'sma%'
+           ORDER BY p_partkey""",
+    ),
+    (
+        "like_underscore_and_not",
+        """SELECT r_name FROM region
+           WHERE r_name LIKE 'A_____A' AND r_name NOT LIKE '%Z%'
+           ORDER BY r_name""",
+    ),
+    (
+        "like_escape_literal_percent",
+        """SELECT COUNT(*) AS n FROM (
+             SELECT '10% off' AS s UNION ALL SELECT '20x off' UNION ALL SELECT '5% off'
+           ) t WHERE s LIKE '%!%%' ESCAPE '!'""",
+    ),
+    # ---- events-table time analytics
+    (
+        "ev_hourly_activity",
+        """SELECT EXTRACT(HOUR FROM ts) AS h, COUNT(*) AS n
+           FROM events GROUP BY 1 ORDER BY h""",
+    ),
+    (
+        "ev_type_share_per_user_band",
+        """SELECT event_type,
+                  COUNT(*) AS n,
+                  COUNT(DISTINCT user_id) AS users
+           FROM events GROUP BY event_type ORDER BY event_type""",
+    ),
+    (
+        "ev_first_last_per_user",
+        """SELECT user_id, MIN(ts) AS first_seen, MAX(ts) AS last_seen,
+                  COUNT(*) AS n
+           FROM events GROUP BY user_id
+           ORDER BY user_id LIMIT 40""",
+    ),
+    (
+        "ev_value_stats_by_type",
+        """SELECT event_type,
+                  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total,
+                  MAX(value) AS mx, MIN(value) AS mn
+           FROM events GROUP BY event_type ORDER BY event_type""",
+    ),
+    (
+        "ev_prev_event_transition",
+        """SELECT user_id, event_id, event_type,
+                  lag(event_type, 1, 'START') OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+           FROM events WHERE user_id <= 3
+           ORDER BY user_id, event_id""",
+    ),
+    # ---- statistical aggregates (udaf_* parity shapes)
+    (
+        "stat_stddev_var_rounded",
+        """SELECT l_linenumber,
+                  ROUND(stddev_samp(l_quantity), 6) AS sd,
+                  ROUND(var_pop(l_quantity), 6) AS vp
+           FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    (
+        "stat_corr_covar_rounded",
+        """SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c,
+                  ROUND(covar_samp(l_quantity, l_discount), 6) AS cs
+           FROM lineitem""",
+    ),
+    (
+        "stat_min_max_strings_dates",
+        """SELECT o_orderstatus,
+                  MIN(o_orderpriority) AS min_prio, MAX(o_orderpriority) AS max_prio,
+                  MIN(o_orderdate) AS first_dt, MAX(o_orderdate) AS last_dt
+           FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "stat_avg_distinct",
+        """SELECT l_returnflag,
+                  CAST(AVG(DISTINCT l_linenumber) AS DOUBLE) AS avg_distinct_ln
+           FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    ),
+    # ---- bit operations (udf_bitwise_and/or.q; xor dropped: DuckDB
+    # spells it xor() while ^ means POWER there — not portable text)
+    (
+        "bit_and_or_masks",
+        """SELECT n_nationkey,
+                  n_nationkey & 5 AS band, n_nationkey | 8 AS bor
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    # ---- coercion / conditional
+    (
+        "coerce_union_int_bigint_double",
+        """SELECT k, COUNT(*) AS n FROM (
+             SELECT CAST(n_regionkey AS INT) AS k FROM nation
+             UNION ALL
+             SELECT CAST(r_regionkey AS BIGINT) AS k FROM region
+             UNION ALL
+             SELECT CAST(0.5 AS DOUBLE) AS k
+           ) u GROUP BY k ORDER BY k""",
+    ),
+    (
+        "cond_ifnull_nullif_coalesce",
+        """SELECT n_nationkey,
+                  ifnull(nullif(n_regionkey, 2), -1) AS masked,
+                  coalesce(nullif(n_name, 'CANADA'), 'was-canada') AS name2
+           FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "cond_mod_negative_dividend",
+        """SELECT (0 - n_nationkey) % 3 AS m, COUNT(*) AS n
+           FROM nation GROUP BY 1 ORDER BY m""",
+    ),
+    (
+        "cond_between_symmetric_edges",
+        """SELECT COUNT(*) AS in_range,
+                  SUM(CASE WHEN p_size BETWEEN 10 AND 20 THEN 1 ELSE 0 END) AS case_sum
+           FROM part WHERE p_size BETWEEN 10 AND 20""",
+    ),
+    # ---- order/limit composition over joins
+    (
+        "topn_join_then_order",
+        """SELECT c.c_name, o.o_totalprice
+           FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+           ORDER BY o.o_totalprice DESC, c.c_name LIMIT 8""",
+    ),
+    (
+        "distinct_on_join_result",
+        """SELECT DISTINCT n.n_regionkey, s.s_nationkey
+           FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+           ORDER BY n.n_regionkey, s.s_nationkey""",
+    ),
+    # ---- documents-table text shapes
+    (
+        "doc_length_band_by_lang",
+        """SELECT lang,
+                  SUM(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS short_docs,
+                  SUM(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS long_docs
+           FROM documents GROUP BY lang ORDER BY lang""",
+    ),
+    (
+        "doc_source_lang_matrix",
+        """SELECT source,
+                  COUNT(CASE WHEN lang = 'en' THEN 1 END) AS en,
+                  COUNT(CASE WHEN lang <> 'en' THEN 1 END) AS other
+           FROM documents GROUP BY source ORDER BY source""",
+    ),
+    (
+        "doc_prefix_grouping",
+        """SELECT substr(CAST(doc_id AS STRING), 1, 2) AS prefix, COUNT(*) AS n
+           FROM documents GROUP BY 1 ORDER BY prefix LIMIT 20""",
+    ),
+    # ---- window over join (windowing_gby lineage)
+    (
+        "win_rank_over_join_agg",
+        """SELECT n_name, total,
+                  rank() OVER (ORDER BY total DESC, n_name) AS rnk
+           FROM (
+             SELECT n.n_name, CAST(SUM(CAST(s.s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+             FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+             GROUP BY n.n_name
+           ) t ORDER BY rnk, n_name""",
+    ),
+    (
+        "win_percent_rank_cume_dist",
+        """SELECT s_suppkey,
+                  ROUND(percent_rank() OVER (ORDER BY s_acctbal), 8) AS pr,
+                  ROUND(cume_dist() OVER (ORDER BY s_acctbal), 8) AS cd
+           FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "win_ntile_quartiles",
+        """SELECT c_custkey, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS quartile
+           FROM customer WHERE c_custkey <= 200
+           ORDER BY c_custkey""",
+    ),
+    (
+        "str_hex_md5_digest",
+        """SELECT r_regionkey, hex(r_regionkey) AS h, md5(r_name) AS digest
+           FROM region ORDER BY r_regionkey""",
+    ),
+    (
+        "win_first_order_per_cust_band",
+        """SELECT o_custkey, MIN(o_orderdate) AS first_order,
+                  COUNT(*) AS orders
+           FROM orders GROUP BY o_custkey
+           HAVING COUNT(*) >= 12
+           ORDER BY o_custkey""",
+    ),
+]
+
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
