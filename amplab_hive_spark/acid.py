@@ -208,11 +208,17 @@ def _delta_units(delta_dir: str) -> list[tuple[int, int, str, str]]:
     for lo, hi, kind, p in units:
         if kind == "txnc" and ranges[(lo, hi)] != p:
             continue  # identical-range duplicate
+        # a unit is subsumed when some txnc range covers it — for a
+        # PLAIN unit even an equal-width range counts (review r9: two
+        # legacy deltas both at seq 1 fold into txnc-1-1, which must
+        # subsume them or minor compaction never converges); only a
+        # txnc is exempt from its own identical range
         if any(
-            rl <= lo <= hi <= rh and (rl, rh) != (lo, hi)
+            rl <= lo <= hi <= rh
+            and not (kind == "txnc" and (rl, rh) == (lo, hi))
             for (rl, rh) in ranges
         ):
-            continue  # folded into a wider consolidated range
+            continue  # folded into a consolidated range
         kept.append((lo, hi, kind, p))
     return kept
 
@@ -782,6 +788,11 @@ def _compact_minor(
     is a no-op (already minimal)."""
     units = _delta_units(delta_dir)
     if len(units) < 2:
+        # already minimal — but a PRIOR minor crash may have left
+        # subsumed files behind (publish happened, clean did not);
+        # sweep them so the crashed run's cleanup converges here
+        # rather than waiting for the next delta commit (review r9)
+        _clean_subsumed(delta_dir)
         return 0
     entries = _scan_deltas(delta_dir)
     n_files = len(entries)

@@ -73,6 +73,7 @@ _PRINCIPAL_TYPES = ("USER", "ROLE", "GROUP")
 
 _USER_CONF = "user.name"                      # the Hive test idiom
 _ROLES_CONF = "spark.sql.authz.currentRoles"  # session's SET ROLE state
+_ALL_SENTINEL = "\x00all"  # SET ROLE ALL: dynamic, never a snapshot
 
 _LOCK = threading.Lock()
 
@@ -152,12 +153,15 @@ def _user_roles(spark: SparkSession, store: dict, user: str) -> list[str]:
 
 def current_roles(spark: SparkSession) -> list[str]:
     """The session's active role set: SET ROLE's choice, defaulting to
-    every granted role (Hive's default before any SET ROLE)."""
+    every granted role (Hive's default before any SET ROLE). SET ROLE
+    ALL stores a sentinel, not a snapshot — the granted set is
+    re-resolved on every read so roles granted AFTER the statement
+    become active immediately, like the reference (review r9)."""
     try:
         raw = spark.conf.get(_ROLES_CONF)
     except Exception:  # noqa: BLE001
         raw = None
-    if raw is not None and raw != "\x00unset":
+    if raw is not None and raw != _ALL_SENTINEL:
         return [r for r in raw.split(",") if r]
     store = _load(spark)
     return _user_roles(spark, store, current_user(spark))
@@ -223,11 +227,16 @@ def _split_names(seg: str) -> list[str]:
 
 
 def _parse_principals(seg: str) -> list[tuple[str, str]]:
-    """'USER alice, ROLE r1, GROUP g' -> [(type, name), ...] — the
-    grammar's principalSpecification. A bare name (the role-grant
-    shorthand ``grant r1 to user2`` is NOT in the reference grammar;
-    principals always carry a type keyword in DDLSemanticAnalyzer) is
-    rejected with the list of valid types."""
+    """'USER alice, ROLE r1' -> [(type, name), ...] — the grammar's
+    principalSpecification. A bare name (the role-grant shorthand
+    ``grant r1 to user2`` is NOT in the reference grammar; principals
+    always carry a type keyword in DDLSemanticAnalyzer) is rejected
+    with the list of valid types. GROUP principals parse but are
+    REJECTED for grants/revokes, exactly the SQL-standard authorizer
+    (SQLStdHiveAccessController refuses group grants —
+    clientnegative/authorization_grant_group.q); accepting and
+    persisting a grant no membership lookup would ever follow
+    (review r9) would be a silent no-op, the worst kind."""
     out = []
     for part in _split_names(seg):
         m = re.match(r"(?i)^(USER|ROLE|GROUP)\s+([\w.@-]+)$", part)
@@ -237,6 +246,12 @@ def _parse_principals(seg: str) -> list[tuple[str, str]]:
                 f"<name>"
             )
         ptype = m.group(1).upper()
+        if ptype == "GROUP":
+            raise ValueError(
+                "Invalid principal type GROUP: SQL-standard "
+                "authorization supports USER and ROLE grants only "
+                "(authorization_grant_group.q contract)"
+            )
         pname = m.group(2)
         out.append((ptype, _norm_role(pname) if ptype == "ROLE" else pname))
     return out
@@ -347,12 +362,24 @@ def revoke_roles(
         _save(spark, store)
 
 
+def _split_privs(seg: str) -> list[str]:
+    """Split a privilege list on commas OUTSIDE parentheses — a
+    column list like SELECT(a, b) holds commas of its own (review r9:
+    a top-level split broke every multi-column grant)."""
+    return [
+        s.strip()
+        for s in re.split(r",(?![^(]*\))", seg)
+        if s.strip()
+    ]
+
+
 def _parse_priv_list(seg: str) -> list[tuple[str, Optional[str]]]:
-    """'SELECT(key), INSERT' -> [('SELECT', 'key'), ('INSERT', None)];
-    ALL expands to the full SQL-std set; anything outside it raises
+    """'SELECT(k1, k2), INSERT' -> [('SELECT','k1'), ('SELECT','k2'),
+    ('INSERT', None)]; ALL expands to the full SQL-std set; anything
+    outside it raises
     (clientnegative/authorization_invalid_priv_v2.q)."""
     out: list[tuple[str, Optional[str]]] = []
-    for part in _split_names(seg):
+    for part in _split_privs(seg):
         m = re.match(r"(?i)^(\w+)\s*(?:\(\s*([\w\s,]+?)\s*\))?$", part)
         if not m:
             raise ValueError(f"cannot parse privilege {part!r}")
@@ -444,7 +471,7 @@ def set_role(spark: SparkSession, name: str) -> None:
     user = current_user(spark)
     granted = set(_user_roles(spark, store, user))
     if r == "all":
-        spark.conf.set(_ROLES_CONF, ",".join(sorted(granted)))
+        spark.conf.set(_ROLES_CONF, _ALL_SENTINEL)
         return
     if r == "none":
         spark.conf.set(_ROLES_CONF, "")
@@ -483,7 +510,9 @@ def show_role_grant(
         for g in store["role_grants"]
         if g["principal_type"] == ptype and g["principal"] == pname
     ]
-    if ptype == "USER":  # the implicit PUBLIC membership
+    # the implicit PUBLIC membership — unless public was also granted
+    # explicitly (one row per role, never a duplicate — review r9)
+    if ptype == "USER" and not any(r[0] == "public" for r in rows):
         rows.append(("public", False, 0, "hive"))
     return _df(spark, sorted(rows), _ROLE_GRANT_SCHEMA)
 

@@ -180,7 +180,7 @@ def main(argv: list[str] | None = None) -> int:
 
         spark = get_spark("thrift-service")
         tables(spark, args.sf_dir)  # single_session: views answer via JDBC
-        port = start_thrift_server(spark, port=args.port)
+        port = start_thrift_server(spark, port=args.port, host=args.host)
         print(f"Thrift/JDBC server on jdbc:hive2://{args.host}:{port}",
               flush=True)
         try:

@@ -48,9 +48,11 @@ OperationHandle + cancelOperation + FetchOrientation.FETCH_NEXT):
   hygiene bounds (HS2's hive.server2.idle.operation.timeout
   analogue): a cursor idle longer than ``cursor_idle_s`` is evicted
   on the connection's next request, and opening a cursor at the
-  ``_MAX_CURSORS`` cap evicts the least-recently-used one instead of
-  failing the new statement; eviction closes the iterator, releasing
-  the JVM-side serving job.
+  ``_MAX_CURSORS`` cap evicts the least-recently-used one only when
+  it has been idle past a grace window (an actively-paged cursor is
+  never yanked mid-pagination — the new statement gets the explicit
+  too-many-cursors error instead); eviction closes the iterator,
+  releasing the JVM-side serving job.
 
 Results are value-rendered for JSON (Decimal/date/timestamp →
 strings, bytes → base64). Errors are per-statement: the connection
@@ -153,6 +155,11 @@ class _Cursor:
 
 _SENTINEL = object()
 _MAX_CURSORS = 16
+# at the cursor cap, the least-recently-used handle may be evicted for
+# a NEW statement only after this much idle time — long enough that an
+# actively-interleaved pagination (fetches are sub-second) is never
+# evicted, short enough that a spam-and-abandon client unblocks fast
+_LRU_EVICT_GRACE_S = 10.0
 
 
 class SqlService:
@@ -311,15 +318,29 @@ class SqlService:
                     # wider than one page: open a cursor (HS2
                     # FETCH_NEXT). toLocalIterator recomputes from the
                     # start but holds only one partition driver-side.
-                    # At the cap, evict the LEAST-RECENTLY-USED cursor
-                    # (closed, so its iterator — and with it the JVM's
-                    # serving job — is released) instead of failing the
-                    # new statement: a cursor-spam client stays bounded
-                    # at _MAX_CURSORS live handles and only hurts its
-                    # own abandoned results.
+                    # At the cap: evict the least-recently-used cursor
+                    # ONLY if it has sat idle past the grace window —
+                    # an actively-paged cursor must never vanish into
+                    # an unexplained KeyError mid-pagination (review
+                    # r9: pure LRU thrashes >cap interleaved-active
+                    # cursors) — otherwise fail the NEW statement with
+                    # the explicit error.
                     if len(cursors) >= _MAX_CURSORS:
+                        import time as _time
+
                         lru = min(cursors, key=lambda h: cursors[h].touched)
-                        cursors.pop(lru).close()
+                        if (_time.monotonic() - cursors[lru].touched
+                                > _LRU_EVICT_GRACE_S):
+                            cursors.pop(lru).close()
+                        else:
+                            raise RuntimeError(
+                                f"too many open cursors ({_MAX_CURSORS}); "
+                                f"close or exhaust one first (idle "
+                                f"cursors are reclaimed automatically "
+                                f"after {svc._cursor_idle_s:g}s, LRU "
+                                f"after {_LRU_EVICT_GRACE_S:g}s at the "
+                                f"cap)"
+                            )
                     handle = uuid.uuid4().hex[:12]
                     cur = _Cursor(df.columns, df.toLocalIterator(
                         prefetchPartitions=True), stmt_id)

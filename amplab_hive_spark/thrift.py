@@ -65,14 +65,19 @@ def free_port() -> int:
 def start_thrift_server(
     spark: SparkSession,
     port: int = 10000,
+    host: str = "127.0.0.1",
     single_session: bool = True,
     wait_s: float = 30.0,
 ) -> int:
     """Start the HS2-compatible Thrift server over ``spark``; returns
     the bound port once it accepts connections. Process-wide
     singleton (see module docstring); calling again with the same
-    port is a no-op returning it."""
+    port is a no-op returning it. Refuses a port something else is
+    already listening on — otherwise the readiness probe would bless
+    the FOREIGN listener and hand the caller a JDBC URL that talks to
+    the wrong service (review r9)."""
     global _STARTED
+    probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
     with _LOCK:
         if _STARTED is not None:
             if _STARTED["port"] != port:
@@ -82,8 +87,17 @@ def start_thrift_server(
                     f"cannot start another on {port}"
                 )
             return port
+        try:
+            pre = socket.create_connection((probe_host, port), 0.5)
+            pre.close()
+            raise RuntimeError(
+                f"port {port} is already in use by another listener; "
+                f"refusing to start the Thrift server behind it"
+            )
+        except OSError:
+            pass  # free — expected
         spark.conf.set("hive.server2.thrift.port", str(port))
-        spark.conf.set("hive.server2.thrift.bind.host", "127.0.0.1")
+        spark.conf.set("hive.server2.thrift.bind.host", host)
         if single_session:
             # STATIC conf — session.py sets it at build time; a session
             # built elsewhere without it cannot flip it live, so check
@@ -108,7 +122,7 @@ def start_thrift_server(
         last_err: Exception | None = None
         while time.monotonic() < deadline:
             try:
-                probe = socket.create_connection(("127.0.0.1", port), 1.0)
+                probe = socket.create_connection((probe_host, port), 1.0)
                 probe.close()
                 _STARTED = {"port": port, "server": server}
                 return port

@@ -677,3 +677,44 @@ def test_update_single_file_gate(spark, plain_table, monkeypatch):
     assert len(parts) > 1, "above the cap the write must stay partitioned"
     got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
     assert got[0] == "m" and got[99] == "v-99" and len(got) == 100
+
+
+def test_minor_rerun_after_crash_sweeps_leftovers(spark, plain_table,
+                                                  monkeypatch):
+    """Review r9: a minor compaction that crashed between publish and
+    clean leaves only the txnc unit live — the NEXT minor run (a
+    no-op fold) must still sweep the subsumed leftovers instead of
+    leaking them until some unrelated delta commits."""
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'u1'"}, ["k"])
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"])
+    monkeypatch.setattr(acid, "_clean_subsumed", lambda d: None)
+    acid.compact_mor(spark, plain_table, mode="minor")
+    monkeypatch.undo()
+    delta_dir = acid._delta_path(spark, plain_table)
+    assert len([f for f in os.listdir(delta_dir) if f != acid._MANIFEST]) == 3
+    # the re-run has < 2 live units (just the txnc) — and must clean
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 0
+    on_disk = [f for f in os.listdir(delta_dir) if f != acid._MANIFEST]
+    assert len(on_disk) == 1 and on_disk[0].startswith("txnc-")
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[1] == "u1" and 2 not in got and len(got) == 99
+
+
+def test_minor_converges_on_equal_sequence_units(spark, plain_table):
+    """Review r9: two legacy deltas both read at seq 1 fold into
+    txnc-1-1, whose range must subsume them (same-width coverage
+    counts for PLAIN units) or minor never becomes a no-op."""
+    import uuid as _uuid
+
+    acid.pin_mor_keys(spark, plain_table, ["k"])
+    delta_dir = acid._delta_path(spark, plain_table)
+    for k in (3, 4):  # two LEGACY (unsequenced) delete deltas
+        spark.createDataFrame([(k,)], "k BIGINT").coalesce(1).write.parquet(
+            os.path.join(delta_dir, f"delta-{_uuid.uuid4().hex}.parquet"))
+    assert acid.read_mor(spark, plain_table).count() == 98
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 2
+    units = acid._delta_units(delta_dir)
+    assert len(units) == 1 and units[0][2] == "txnc"
+    assert acid.read_mor(spark, plain_table).count() == 98
+    # converged: the re-run is a no-op
+    assert acid.compact_mor(spark, plain_table, mode="minor") == 0

@@ -255,3 +255,52 @@ def test_grant_with_grant_option_and_revoke_option_only(eng, tbl):
     eng.sql(f"REVOKE GRANT OPTION FOR SELECT ON TABLE {tbl} FROM USER u9")
     (g,) = eng.sql(f"SHOW GRANT USER u9 ON TABLE {tbl}").collect()
     assert g.grant_option is False and g.privilege == "SELECT"
+
+
+# ---------------------------------------------------------------- r9
+# review-pass regressions.
+
+
+def test_multi_column_grant_parses(eng, tbl):
+    """Review r9: a column list holds its own commas — SELECT(key,
+    value) must not be split at the top level into garbage."""
+    eng.sql(f"GRANT SELECT(key, value), INSERT ON TABLE {tbl} TO USER mc")
+    got = sorted(
+        (r.privilege, r.column)
+        for r in eng.sql(f"SHOW GRANT USER mc ON TABLE {tbl}").collect()
+    )
+    assert got == [("INSERT", None), ("SELECT", "key"), ("SELECT", "value")]
+
+
+def test_set_role_all_is_dynamic_not_snapshot(eng, spark):
+    """Review r9: SET ROLE ALL must track the granted set — a role
+    granted AFTER the statement is active immediately."""
+    spark.sql("SET user.name=dyn_user")
+    eng.sql("CREATE ROLE dyn_r1")
+    eng.sql("GRANT dyn_r1 TO USER dyn_user")
+    eng.sql("SET ROLE ALL")
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["dyn_r1", "public"]
+    eng.sql("CREATE ROLE dyn_r2")
+    eng.sql("GRANT dyn_r2 TO USER dyn_user")
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["dyn_r1", "dyn_r2", "public"]
+
+
+def test_explicit_public_grant_not_duplicated(eng):
+    """Review r9: SHOW ROLE GRANT must render ONE public row even
+    when public was also granted explicitly."""
+    eng.sql("GRANT public TO USER pub_user")
+    rows = eng.sql("SHOW ROLE GRANT USER pub_user").collect()
+    assert [r.role for r in rows] == ["public"]
+
+
+def test_group_principals_rejected_sql_std(eng, tbl):
+    """Review r9 / authorization_grant_group.q: the SQL-standard
+    authorizer refuses GROUP grants at statement time — storing a
+    grant no membership lookup would follow is a silent no-op."""
+    with pytest.raises(ValueError, match="GROUP"):
+        eng.sql(f"GRANT SELECT ON TABLE {tbl} TO GROUP eng_team")
+    eng.sql("CREATE ROLE grp_r")
+    with pytest.raises(ValueError, match="GROUP"):
+        eng.sql("GRANT grp_r TO GROUP eng_team")

@@ -351,24 +351,31 @@ def test_idle_cursor_evicted_on_next_request(spark, sf_dir):
             assert got == list(range(9))
 
 
-def test_cursor_spam_is_lru_bounded_not_fatal(spark, sf_dir):
-    """A client opening cursors and never closing them stays bounded
-    at the cap: the least-recently-used handle is evicted (its fetch
-    later fails), the NEW statement succeeds, and recently-touched
-    cursors keep paging."""
+def test_cursor_spam_bounded_active_cursors_protected(spark, sf_dir,
+                                                      monkeypatch):
+    """Review r9: at the cap, a RECENTLY-touched LRU cursor must not
+    be yanked mid-pagination — the new statement gets the explicit
+    too-many-cursors error and every existing handle keeps working;
+    once the grace window passes (forced to 0 here), the LRU handle
+    is evicted and the new statement succeeds."""
     from amplab_hive_spark import service as svc_mod
 
     with SqlService(spark, sf_dir=sf_dir, max_rows=2) as svc:
         with SqlClient("127.0.0.1", svc.port) as c:
             handles = []
-            for i in range(svc_mod._MAX_CURSORS + 4):
+            for i in range(svc_mod._MAX_CURSORS):
                 r = c.sql(f"SELECT id FROM range({100 + i}) ORDER BY id")
                 assert r["ok"] and r["has_more"], f"statement {i} must succeed"
                 handles.append(r["handle"])
-            # the 4 oldest were LRU-evicted
-            for h in handles[:4]:
-                dead = c.fetch(h)
-                assert not dead["ok"] and dead["error_class"] == "KeyError"
-            # the newest still pages fine
-            r = c.fetch(handles[-1])
+            # cap reached, all cursors freshly touched: explicit error
+            over = c.sql("SELECT id FROM range(200) ORDER BY id")
+            assert not over["ok"] and "too many open cursors" in over["error"]
+            # the oldest handle is still alive and pages correctly
+            r = c.fetch(handles[0])
             assert r["ok"] and [row[0] for row in r["rows"]] == [2, 3]
+            # grace elapsed (forced): LRU evicted, new statement works
+            monkeypatch.setattr(svc_mod, "_LRU_EVICT_GRACE_S", 0.0)
+            r2 = c.sql("SELECT id FROM range(201) ORDER BY id")
+            assert r2["ok"] and r2["has_more"]
+            dead = c.fetch(handles[1])  # handles[0] was re-touched above
+            assert not dead["ok"] and dead["error_class"] == "KeyError"

@@ -73,3 +73,21 @@ def test_second_start_same_port_is_noop_other_port_raises(spark, thrift_port):
     assert thrift.start_thrift_server(spark, port=thrift_port) == thrift_port
     with pytest.raises(RuntimeError, match="once-per-JVM"):
         thrift.start_thrift_server(spark, port=thrift.free_port())
+
+
+def test_occupied_port_refused_not_blessed(spark, monkeypatch):
+    """Review r9: the readiness probe must not bless a FOREIGN
+    listener — starting on a port something else owns raises before
+    HiveServer2 is even touched."""
+    import socket
+
+    lst = socket.socket()
+    lst.bind(("127.0.0.1", 0))
+    lst.listen(1)
+    taken = lst.getsockname()[1]
+    try:
+        monkeypatch.setattr(thrift, "_STARTED", None)
+        with pytest.raises(RuntimeError, match="already in use"):
+            thrift.start_thrift_server(spark, port=taken)
+    finally:
+        lst.close()
