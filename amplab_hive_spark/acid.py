@@ -373,7 +373,7 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
 
 def delete_mor(
     spark: SparkSession, name: str, condition: str, key_cols: list[str],
-    compact_after: int | None = None,
+    compact_after: int | None = None, compact_mode: str = "major",
 ) -> int:
     """Merge-on-read DELETE: append the DISTINCT key tuples matching
     ``condition`` (evaluated against the MOR view, so already-deleted
@@ -397,13 +397,18 @@ def delete_mor(
 
     ``compact_after``: the Initiator analogue
     (ql/txn/compactor/Initiator.java watches delta counts and
-    schedules major compaction) — when the table's delta TRANSACTION
+    schedules compaction) — when the table's delta TRANSACTION
     count (one per DELETE/UPDATE statement; an UPDATE's paired
     delete+insert files count once) reaches this threshold after the
-    delete, compact_mor runs
-    inline, folding the deltas and resetting the read tax (measured
-    break-even ~10 merged scans, experiments/mor_delete_bench.py)."""
+    delete, compact_mor runs inline, folding the deltas and resetting
+    the read tax (measured break-even ~10 merged scans,
+    experiments/mor_delete_bench.py). ``compact_mode`` picks what
+    runs: 'major' (default, folds into the base), 'minor'
+    (delta consolidation only), or 'auto' — the Initiator's own rule
+    (major only when delta bytes reach 10% of the base, else minor;
+    _initiator_mode)."""
     _reject_nondeterministic(condition, "DELETE")
+    _validate_compact_mode(compact_mode)
     _validate_keys(spark, name, key_cols)
     current = read_mor(spark, name)
     cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -416,13 +421,14 @@ def delete_mor(
         .localCheckpoint(eager=True)
     )
     return _commit_key_deletes(
-        spark, name, hit_keys, list(key_cols), compact_after
+        spark, name, hit_keys, list(key_cols), compact_after, compact_mode
     )
 
 
 def delete_keys_mor(
     spark: SparkSession, name: str, keys_df: DataFrame,
     key_cols: list[str], compact_after: int | None = None,
+    compact_mode: str = "major",
 ) -> int:
     """Merge-on-read DELETE by an explicit KEY FRAME (the CDC
     tombstone shape: a stream or batch of deleted keys rather than a
@@ -432,6 +438,7 @@ def delete_keys_mor(
     (so re-applying the same keys returns 0 — masking is a set
     union, idempotent by construction), NULL keys are rejected, and
     nothing is pinned or written when no visible row matches."""
+    _validate_compact_mode(compact_mode)
     _validate_keys(spark, name, key_cols)
     missing = [c for c in key_cols if c not in keys_df.columns]
     if missing:
@@ -445,7 +452,7 @@ def delete_keys_mor(
         .localCheckpoint(eager=True)
     )
     return _commit_key_deletes(
-        spark, name, hit_keys, list(key_cols), compact_after
+        spark, name, hit_keys, list(key_cols), compact_after, compact_mode
     )
 
 
@@ -456,6 +463,7 @@ def update_mor(
     assignments: dict[str, str],
     key_cols: list[str],
     compact_after: int | None = None,
+    compact_mode: str = "major",
 ) -> int:
     """Merge-on-read UPDATE — the reference's update = delete event +
     reinsert decomposition (ql/parse/UpdateDeleteSemanticAnalyzer.java
@@ -488,6 +496,7 @@ def update_mor(
     before the rename leaves only an invisible staging dir, swept by
     the next compaction."""
     _reject_nondeterministic(condition, "UPDATE")
+    _validate_compact_mode(compact_mode)
     _validate_keys(spark, name, key_cols)
     base_cols = spark.table(name).columns
     pcols = _partition_columns(spark, name)
@@ -539,7 +548,8 @@ def update_mor(
     keys_writer.write.parquet(os.path.join(stage, "delete.parquet"))
     # one rename publishes the whole transaction (see docstring)
     os.rename(stage, os.path.join(delta_dir, f"txn-{seq:08d}-{tag}"))
-    _maybe_autocompact(spark, name, delta_dir, compact_after, "UPDATE")
+    _maybe_autocompact(spark, name, delta_dir, compact_after, "UPDATE",
+                       compact_mode)
     return int(matched)
 
 
@@ -568,9 +578,40 @@ def _check_null_keys(hit_keys: DataFrame, key_cols: list[str], verb: str) -> Non
         )
 
 
+# Initiator.java's major trigger: accumulated delta bytes as a
+# fraction of base bytes (hive.compactor.delta.pct.threshold = 0.1)
+_MAJOR_DELTA_PCT = 0.1
+
+
+def _initiator_mode(spark: SparkSession, name: str, delta_dir: str) -> str:
+    """The Initiator's minor-vs-major choice
+    (ql/txn/compactor/Initiator.java): the txn-count threshold the
+    caller already crossed requests SOME compaction; it becomes MAJOR
+    only when the accumulated delta bytes reach
+    ``hive.compactor.delta.pct.threshold`` (0.1) of the base —
+    otherwise MINOR, the O(delta-bytes) half you can afford often.
+    Byte counts are filesystem-level (no scans)."""
+    delta_bytes = _tree_bytes([delta_dir])
+    base_root = _local_path(_table_location(spark, name))
+    base_bytes = max(_tree_bytes([base_root]) - delta_bytes, 0)
+    if base_bytes == 0 or delta_bytes / base_bytes >= _MAJOR_DELTA_PCT:
+        return "major"
+    return "minor"
+
+
+def _validate_compact_mode(compact_mode: str) -> None:
+    """Called at VERB ENTRY (before any delta commits) — a bad knob
+    must fail the statement up front, never after the write."""
+    if compact_mode not in ("major", "minor", "auto"):
+        raise ValueError(
+            f"compact_mode must be 'major', 'minor' or 'auto', got "
+            f"{compact_mode!r}"
+        )
+
+
 def _maybe_autocompact(
     spark: SparkSession, name: str, delta_dir: str,
-    compact_after: int | None, verb: str,
+    compact_after: int | None, verb: str, compact_mode: str = "major",
 ) -> None:
     if compact_after is None:
         return
@@ -583,11 +624,15 @@ def _maybe_autocompact(
         # leaves deltas for the next one.
         import warnings
 
+        mode = (
+            _initiator_mode(spark, name, delta_dir)
+            if compact_mode == "auto" else compact_mode
+        )
         try:
-            compact_mor(spark, name)
+            compact_mor(spark, name, mode=mode)
         except Exception as ex:  # noqa: BLE001
             warnings.warn(
-                f"auto-compaction after {verb} on {name} failed "
+                f"auto-compaction ({mode}) after {verb} on {name} failed "
                 f"({ex}); deltas left in place for a later "
                 f"compact_mor", RuntimeWarning, stacklevel=3,
             )
@@ -596,6 +641,7 @@ def _maybe_autocompact(
 def _commit_key_deletes(
     spark: SparkSession, name: str, hit_keys: DataFrame,
     key_cols: list[str], compact_after: int | None,
+    compact_mode: str = "major",
 ) -> int:
     """Shared tail of both delete forms: NULL-key check, masked-row
     count (Scan 2 — semi-join of the view against the hit-key set,
@@ -621,7 +667,8 @@ def _commit_key_deletes(
         hit_keys.coalesce(1) if n_keys <= _SINGLE_FILE_ROW_CAP else hit_keys
     )
     keys_writer.write.parquet(out)
-    _maybe_autocompact(spark, name, delta_dir, compact_after, "DELETE")
+    _maybe_autocompact(spark, name, delta_dir, compact_after, "DELETE",
+                       compact_mode)
     return int(n)
 
 

@@ -92,8 +92,10 @@ _PRIORITY: tuple[str, ...] = (
     # grouping / aggregates
     "agg_basic_suite", "rollup_pricing", "count_distinct_multi",
     "agg_percentile_exact",
-    # windows
-    "window_rank_suite", "window_range_frame",
+    # windows (r9 rotation: window_range_frame out — the frame suite
+    # keeps full oracle coverage in tests — so the TEMPORAL AS-OF join
+    # family, previously only suite-green, gets a driver-graded slot)
+    "window_rank_suite", "events_asof_join",
     # subqueries / CTEs
     "subquery_exists_correlated", "subquery_not_in", "cte_multilevel",
     # lateral views / UDTFs / complex types
@@ -123,8 +125,10 @@ _PRIORITY: tuple[str, ...] = (
     # 50 stays stable — embedding_quantize_int8 holds the
     # similarity-family slot and ann recall is tested in-repo)
     "sim_bruteforce_topk", "embedding_quantize_int8", "sim_embedding_neardup",
-    # LLM: text analysis
-    "text_token_stats", "text_quality_score", "text_fingerprint",
+    # LLM: text analysis (r9 rotation: text_fingerprint out for the
+    # r8 flagship text_keyword_extraction — fingerprint keeps its
+    # oracle in the suite; the family still holds three slots)
+    "text_token_stats", "text_quality_score", "text_keyword_extraction",
     # LLM: multimodal plumbing
     "multimodal_binary_stats", "multimodal_decode_features",
     # event windows

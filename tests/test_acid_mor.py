@@ -718,3 +718,44 @@ def test_minor_converges_on_equal_sequence_units(spark, plain_table):
     assert acid.read_mor(spark, plain_table).count() == 98
     # converged: the re-run is a no-op
     assert acid.compact_mor(spark, plain_table, mode="minor") == 0
+
+
+def test_autocompact_mode_auto_follows_initiator_rule(spark, plain_table):
+    """compact_mode='auto' = the Initiator's own choice
+    (ql/txn/compactor/Initiator.java): minor while the accumulated
+    delta bytes stay under 10% of the base, major once they reach it.
+    Tiny point deltas against the 100-row base stay minor (base
+    untouched); forcing the threshold to 0 makes the next statement
+    trigger major."""
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'a'"}, ["k"])
+    base_before = _base_state(spark, plain_table)
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"],
+                    compact_after=2, compact_mode="auto")
+    delta_dir = acid._delta_path(spark, plain_table)
+    # ratio rule picked MINOR: base untouched, one consolidated unit
+    assert _base_state(spark, plain_table) == base_before
+    units = acid._delta_units(delta_dir)
+    assert len(units) == 1 and units[0][2] == "txnc"
+    got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
+    assert got[1] == "a" and 2 not in got
+    # force the major branch: any delta ratio now crosses it
+    import pytest as _pytest
+    orig = acid._MAJOR_DELTA_PCT
+    acid._MAJOR_DELTA_PCT = 0.0
+    try:
+        acid.delete_mor(spark, plain_table, "k = 3", ["k"],
+                        compact_after=1, compact_mode="auto")
+    finally:
+        acid._MAJOR_DELTA_PCT = orig
+    assert acid._scan_deltas(delta_dir) == []  # folded into the base
+    got = {r.k: r.label for r in spark.table(plain_table).collect()}
+    assert got[1] == "a" and 2 not in got and 3 not in got
+
+
+def test_autocompact_invalid_mode_rejected_before_commit(spark, plain_table):
+    """A bad compact_mode fails the statement UP FRONT — no delta may
+    have been committed by the time it raises."""
+    with pytest.raises(ValueError, match="compact_mode"):
+        acid.delete_mor(spark, plain_table, "k = 1", ["k"],
+                        compact_after=1, compact_mode="aggressive")
+    assert not os.path.isdir(acid._delta_path(spark, plain_table))
