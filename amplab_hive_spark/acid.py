@@ -727,6 +727,57 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
     return out.drop(_SEQ, _MAX_DEL).select(*base.columns)
 
 
+def show_compactions(spark: SparkSession) -> DataFrame:
+    """``SHOW COMPACTIONS`` — the reference lists the metastore's
+    compaction queue (DDLTask.showCompactions, columns Database/
+    Table/Partition/Type/State/Worker/Start Time). This engine has no
+    background queue — compactions run inline — so the honest
+    analogue reports the PENDING work the Initiator would see: one
+    row per merge-on-read table in the current database, with the
+    live delta footprint and the mode _initiator_mode would pick.
+    State: ``initiated`` when live deltas await compaction,
+    ``ready for cleaning`` when only subsumed leftovers remain (the
+    reference's post-compaction state of the same name), ``clean``
+    when just the pin is left. Partition is NULL — equality deltas
+    are table-scoped here."""
+    db = spark.catalog.currentDatabase()
+    rows = []
+    for t in spark.catalog.listTables(db):
+        if t.tableType not in ("MANAGED", "EXTERNAL"):
+            continue  # temp views have no location, hence no deltas
+        name = t.name if t.database is None else f"{t.database}.{t.name}"
+        try:
+            delta_dir = _delta_path(spark, name)
+        except Exception:  # noqa: BLE001 — non-local / no location
+            continue
+        if _read_manifest(delta_dir) is None:
+            continue
+        entries = _scan_deltas(delta_dir)
+        txns = {seq for _, seq, _ in entries}
+        on_disk = [
+            f for f in os.listdir(delta_dir)
+            if f != _MANIFEST and not f.startswith(".")
+        ] if os.path.isdir(delta_dir) else []
+        if entries:
+            state = "initiated"
+            ctype = _initiator_mode(spark, name, delta_dir)
+        elif on_disk:
+            state = "ready for cleaning"
+            ctype = None
+        else:
+            state = "clean"
+            ctype = None
+        rows.append((
+            t.database or db, t.name, None, ctype, state,
+            len(txns), len(entries), _tree_bytes([delta_dir]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "database string, table string, partition string, type string, "
+        "state string, delta_txns int, delta_files int, delta_bytes bigint",
+    )
+
+
 def compact_mor(spark: SparkSession, name: str, mode: str = "major") -> int:
     """Compaction (compactor Worker, ql/txn/compactor/Worker.java).
     Returns the number of delta FILES folded (an UPDATE transaction

@@ -55,8 +55,10 @@ is copy-on-write only and REFUSES a merge-on-read table (either
 trigger) rather than mixing write models. One more statement form is
 recognized: HiveQL's ``ALTER TABLE t COMPACT 'major'|'minor'`` runs
 acid.compact_mor in that mode (major folds deltas into the base,
-minor consolidates deltas without a base rewrite); every other
-statement passes through untouched (handle() returns None).
+minor consolidates deltas without a base rewrite), and ``SHOW
+COMPACTIONS`` lists the pending inline-compaction work per
+merge-on-read table (acid.show_compactions); every other statement
+passes through untouched (handle() returns None).
 """
 
 from __future__ import annotations
@@ -202,6 +204,7 @@ def _rewrite_alias(expr: str, alias: str | None, canonical: str) -> str:
 _COMPACT_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+COMPACT\s+'(\w+)'\s*;?\s*$", re.I
 )
+_SHOW_COMPACTIONS_STMT = re.compile(r"^\s*SHOW\s+COMPACTIONS\s*;?\s*$", re.I)
 _UPDATE_HEAD = re.compile(r"^\s*UPDATE\s+([\w.]+)\s+SET\s+", re.I | re.S)
 _DELETE_HEAD = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*", re.I | re.S)
 _MERGE_INTO = re.compile(
@@ -329,6 +332,14 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
     from amplab_hive_spark.acid import mor_keys as _mor_keys
     from amplab_hive_spark.acid import update_mor as _update_mor
     from amplab_hive_spark.ddl import delete_from, merge_into, update_table
+
+    if _SHOW_COMPACTIONS_STMT.match(text):
+        # DDLTask.showCompactions: the queue listing — here the
+        # PENDING inline-compaction work per merge-on-read table
+        # (acid.show_compactions documents the column mapping)
+        from amplab_hive_spark.acid import show_compactions
+
+        return show_compactions(spark)
 
     m = _COMPACT_STMT.match(text)
     if m:

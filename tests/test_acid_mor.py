@@ -759,3 +759,29 @@ def test_autocompact_invalid_mode_rejected_before_commit(spark, plain_table):
         acid.delete_mor(spark, plain_table, "k = 1", ["k"],
                         compact_after=1, compact_mode="aggressive")
     assert not os.path.isdir(acid._delta_path(spark, plain_table))
+
+
+def test_show_compactions_statement(spark, plain_table):
+    """SHOW COMPACTIONS (DDLTask.showCompactions analogue): pending
+    inline-compaction work per pinned table — Initiator-recommended
+    type while deltas are live, 'clean' after compaction (the pin
+    survives and keeps the table listed)."""
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    acid.update_mor(spark, plain_table, "k = 1", {"label": "'x'"}, ["k"])
+    acid.delete_mor(spark, plain_table, "k = 2", ["k"])
+    rows = {r.table: r for r in eng.sql("SHOW COMPACTIONS").collect()}
+    assert plain_table in rows
+    got = rows[plain_table]
+    assert got.state == "initiated" and got.type in ("minor", "major")
+    assert got.delta_txns == 2 and got.delta_files == 3
+    assert got.delta_bytes > 0 and got.partition is None
+    acid.compact_mor(spark, plain_table)
+    rows = {r.table: r for r in eng.sql("SHOW COMPACTIONS").collect()}
+    got = rows[plain_table]
+    assert got.state == "clean" and got.type is None and got.delta_files == 0
+    # unpinned tables never appear
+    acid.unpin_mor_keys(spark, plain_table)
+    rows = {r.table: r for r in eng.sql("SHOW COMPACTIONS").collect()}
+    assert plain_table not in rows
