@@ -583,17 +583,26 @@ def _check_null_keys(hit_keys: DataFrame, key_cols: list[str], verb: str) -> Non
 _MAJOR_DELTA_PCT = 0.1
 
 
+def _live_delta_bytes(delta_dir: str) -> int:
+    """Bytes of the LIVE delta files only — subsumed leftovers, dead
+    staging dirs and the manifest are excluded (second review pass: a
+    crashed minor compaction's uncleaned originals would otherwise
+    double the apparent footprint and flip the Initiator rule to an
+    unneeded major rewrite)."""
+    return _tree_bytes([p for _, _, p in _scan_deltas(delta_dir)])
+
+
 def _initiator_mode(spark: SparkSession, name: str, delta_dir: str) -> str:
     """The Initiator's minor-vs-major choice
     (ql/txn/compactor/Initiator.java): the txn-count threshold the
     caller already crossed requests SOME compaction; it becomes MAJOR
-    only when the accumulated delta bytes reach
+    only when the accumulated LIVE delta bytes reach
     ``hive.compactor.delta.pct.threshold`` (0.1) of the base —
     otherwise MINOR, the O(delta-bytes) half you can afford often.
     Byte counts are filesystem-level (no scans)."""
-    delta_bytes = _tree_bytes([delta_dir])
+    delta_bytes = _live_delta_bytes(delta_dir)
     base_root = _local_path(_table_location(spark, name))
-    base_bytes = max(_tree_bytes([base_root]) - delta_bytes, 0)
+    base_bytes = max(_tree_bytes([base_root]) - _tree_bytes([delta_dir]), 0)
     if base_bytes == 0 or delta_bytes / base_bytes >= _MAJOR_DELTA_PCT:
         return "major"
     return "minor"
@@ -748,10 +757,14 @@ def show_compactions(spark: SparkSession) -> DataFrame:
         name = t.name if t.database is None else f"{t.database}.{t.name}"
         try:
             delta_dir = _delta_path(spark, name)
-        except Exception:  # noqa: BLE001 — non-local / no location
-            continue
-        if _read_manifest(delta_dir) is None:
-            continue
+            # BOTH merge-on-read triggers (pinned manifest OR
+            # TBLPROPERTIES transactional=true) — a declared table
+            # with no delta yet must still list as 'clean' (second
+            # review pass: the manifest-only check dropped it)
+            if mor_keys(spark, name) is None:
+                continue
+        except Exception:  # noqa: BLE001 — non-local / no location /
+            continue       # misconfigured declaration (its own verbs raise)
         entries = _scan_deltas(delta_dir)
         txns = {seq for _, seq, _ in entries}
         on_disk = [
@@ -769,7 +782,7 @@ def show_compactions(spark: SparkSession) -> DataFrame:
             ctype = None
         rows.append((
             t.database or db, t.name, None, ctype, state,
-            len(txns), len(entries), _tree_bytes([delta_dir]),
+            len(txns), len(entries), _live_delta_bytes(delta_dir),
         ))
     return spark.createDataFrame(
         rows,

@@ -226,17 +226,22 @@ def _split_names(seg: str) -> list[str]:
     return [s.strip() for s in seg.split(",") if s.strip()]
 
 
-def _parse_principals(seg: str) -> list[tuple[str, str]]:
+def _parse_principals(
+    seg: str, allow_group: bool = False
+) -> list[tuple[str, str]]:
     """'USER alice, ROLE r1' -> [(type, name), ...] — the grammar's
     principalSpecification. A bare name (the role-grant shorthand
     ``grant r1 to user2`` is NOT in the reference grammar; principals
     always carry a type keyword in DDLSemanticAnalyzer) is rejected
     with the list of valid types. GROUP principals parse but are
-    REJECTED for grants/revokes, exactly the SQL-standard authorizer
+    REJECTED for GRANTS, exactly the SQL-standard authorizer
     (SQLStdHiveAccessController refuses group grants —
     clientnegative/authorization_grant_group.q); accepting and
     persisting a grant no membership lookup would ever follow
-    (review r9) would be a silent no-op, the worst kind."""
+    (review r9) would be a silent no-op, the worst kind. REVOKE
+    passes ``allow_group=True``: a legacy GROUP row persisted before
+    the rejection existed must stay removable (second review pass —
+    rejecting both directions made such rows immortal)."""
     out = []
     for part in _split_names(seg):
         m = re.match(r"(?i)^(USER|ROLE|GROUP)\s+([\w.@-]+)$", part)
@@ -246,7 +251,7 @@ def _parse_principals(seg: str) -> list[tuple[str, str]]:
                 f"<name>"
             )
         ptype = m.group(1).upper()
-        if ptype == "GROUP":
+        if ptype == "GROUP" and not allow_group:
             raise ValueError(
                 "Invalid principal type GROUP: SQL-standard "
                 "authorization supports USER and ROLE grants only "
@@ -467,15 +472,15 @@ def revoke_privs(
 
 def set_role(spark: SparkSession, name: str) -> None:
     r = _norm_role(name)
-    store = _load(spark)
-    user = current_user(spark)
-    granted = set(_user_roles(spark, store, user))
     if r == "all":
         spark.conf.set(_ROLES_CONF, _ALL_SENTINEL)
         return
     if r == "none":
         spark.conf.set(_ROLES_CONF, "")
         return
+    store = _load(spark)
+    user = current_user(spark)
+    granted = set(_user_roles(spark, store, user))
     if r not in store["roles"] and r not in _BUILTIN:
         raise ValueError(f"Role {name} does not exist")
     if r not in granted:
@@ -679,14 +684,16 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
     if m:
         revoke_privs(
             spark, _parse_priv_list(m.group(2)), m.group(3),
-            _parse_principals(m.group(4)), bool(m.group(1)),
+            _parse_principals(m.group(4), allow_group=True),
+            bool(m.group(1)),
         )
         return _ok(spark)
     m = _REVOKE_ROLE.match(text)
     if m:
         revoke_roles(
             spark, [_norm_role(r) for r in _split_names(m.group(2))],
-            _parse_principals(m.group(3)), bool(m.group(1)),
+            _parse_principals(m.group(3), allow_group=True),
+            bool(m.group(1)),
         )
         return _ok(spark)
     return None

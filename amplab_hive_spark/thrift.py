@@ -80,11 +80,12 @@ def start_thrift_server(
     probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
     with _LOCK:
         if _STARTED is not None:
-            if _STARTED["port"] != port:
+            if _STARTED["port"] != port or _STARTED.get("host") != host:
                 raise RuntimeError(
-                    f"Thrift server already running on port "
-                    f"{_STARTED['port']} (HiveServer2 is once-per-JVM); "
-                    f"cannot start another on {port}"
+                    f"Thrift server already running on "
+                    f"{_STARTED.get('host')}:{_STARTED['port']} "
+                    f"(HiveServer2 is once-per-JVM); cannot start "
+                    f"another on {host}:{port}"
                 )
             return port
         try:
@@ -124,7 +125,7 @@ def start_thrift_server(
             try:
                 probe = socket.create_connection((probe_host, port), 1.0)
                 probe.close()
-                _STARTED = {"port": port, "server": server}
+                _STARTED = {"port": port, "host": host, "server": server}
                 return port
             except OSError as e:
                 last_err = e

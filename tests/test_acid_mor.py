@@ -739,7 +739,6 @@ def test_autocompact_mode_auto_follows_initiator_rule(spark, plain_table):
     got = {r.k: r.label for r in acid.read_mor(spark, plain_table).collect()}
     assert got[1] == "a" and 2 not in got
     # force the major branch: any delta ratio now crosses it
-    import pytest as _pytest
     orig = acid._MAJOR_DELTA_PCT
     acid._MAJOR_DELTA_PCT = 0.0
     try:

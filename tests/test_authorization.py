@@ -304,3 +304,20 @@ def test_group_principals_rejected_sql_std(eng, tbl):
     eng.sql("CREATE ROLE grp_r")
     with pytest.raises(ValueError, match="GROUP"):
         eng.sql("GRANT grp_r TO GROUP eng_team")
+
+
+def test_legacy_group_grant_is_revocable(eng, spark, tbl):
+    """Second review pass: GROUP is rejected at GRANT time, but a
+    legacy GROUP row persisted before the rejection existed must stay
+    REVOKABLE — rejecting both directions would make it immortal."""
+    store = az._load(spark)
+    store["privs"].append({
+        "database": spark.catalog.currentDatabase(), "table": tbl,
+        "column": None, "principal_type": "GROUP", "principal": "legacy_g",
+        "privilege": "SELECT", "grant_option": False,
+        "grantor": "old_release", "grant_time": 0,
+    })
+    az._save(spark, store)
+    assert eng.sql(f"SHOW GRANT GROUP legacy_g ON TABLE {tbl}").count() == 1
+    eng.sql(f"REVOKE SELECT ON TABLE {tbl} FROM GROUP legacy_g")
+    assert eng.sql(f"SHOW GRANT GROUP legacy_g ON TABLE {tbl}").count() == 0
