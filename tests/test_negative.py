@@ -1879,3 +1879,35 @@ _NEG9_EXPR_CASES = [
 def test_neg9_expr(spark, _neg9, name, script, match, stmt):
     with pytest.raises(Exception, match=match):
         spark.sql(stmt).collect()
+
+
+# r9 tranche 4: database-DDL stragglers not covered by the earlier
+# schema-error classes (probe-first; the SCHEMA_NOT_FOUND/NOT_EMPTY
+# families were already mined in rounds 6-8).
+
+
+def test_drop_default_database_rejected(spark):
+    """database_drop_not_empty.q's sibling contract: the default
+    database itself can never be dropped."""
+    with pytest.raises(AnalysisException, match="DROP_DATABASE"):
+        spark.sql("DROP DATABASE default")
+
+
+def test_rename_table_across_databases_rejected(spark):
+    """alter_rename_table (cross-db class): RENAME TO may not move a
+    table between databases."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS neg9db_a")
+    spark.sql("CREATE DATABASE IF NOT EXISTS neg9db_b")
+    spark.sql("CREATE TABLE IF NOT EXISTS neg9db_a.t (a INT) USING parquet")
+    try:
+        with pytest.raises(AnalysisException,
+                           match="databases do not match"):
+            spark.sql("ALTER TABLE neg9db_a.t RENAME TO neg9db_b.t")
+    finally:
+        spark.sql("DROP DATABASE IF EXISTS neg9db_a CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS neg9db_b CASCADE")
+
+
+def test_comment_on_missing_table_rejected(spark):
+    with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
+        spark.sql("COMMENT ON TABLE neg9_no_such_tbl IS 'x'")
