@@ -139,8 +139,23 @@ def _local_path(location: str) -> str:
     )
 
 
+def _qualify(spark: SparkSession, name: str) -> str:
+    """Database-qualified form of ``name``. Every INTERNAL read of the
+    base table (metadata or rows) goes through this: a multi-part
+    identifier can never resolve to a session temp view, so the
+    merged-read shadow views this module publishes over MOR table
+    names (mor_statement_scope / publish_mor_views) cannot intercept
+    the module's own base access — read_mor building its plan through
+    its own shadow would recurse."""
+    if "." in name:
+        return name
+    return f"{spark.catalog.currentDatabase()}.{name}"
+
+
 def _delta_path(spark: SparkSession, name: str) -> str:
-    return os.path.join(_local_path(_table_location(spark, name)), _DELTA_DIR)
+    return os.path.join(
+        _local_path(_table_location(spark, _qualify(spark, name))), _DELTA_DIR
+    )
 
 
 def _read_manifest(delta_dir: str) -> list[str] | None:
@@ -301,6 +316,7 @@ def pin_mor_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
     key set; a different key set raises (one key set per table)."""
     _validate_keys(spark, name, key_cols)
     _write_manifest(_delta_path(spark, name), list(key_cols))
+    _register_pinned(name)
 
 
 def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
@@ -321,15 +337,20 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
     merge_keys raises, and so does a non-local warehouse (where the
     manifest I/O is unimplemented) — the caller asked for the delta
     write model and must not get a copy-on-write rewrite instead."""
+    from pyspark.errors import AnalysisException as _AE
+
     local = True
     pinned = None
     try:
         pinned = _read_manifest(_delta_path(spark, name))
     except NotImplementedError:
         local = False
-    except ValueError:
-        # no catalog Location (temp view): MOR is impossible there and
-        # so is the tblproperties trigger — let the caller's verb
+    except (ValueError, _AE):
+        # no catalog Location (a view), or the QUALIFIED lookup found
+        # no table at all (a temp view / nonexistent name — internal
+        # metadata reads are database-qualified so shadow temp views
+        # can't intercept them, see _qualify): MOR is impossible there
+        # and so is the tblproperties trigger — let the caller's verb
         # produce its natural not-a-table error
         return None
     if pinned is not None:
@@ -339,7 +360,9 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
     try:
         props = {
             r["key"]: r["value"]
-            for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+            for r in spark.sql(
+                f"SHOW TBLPROPERTIES {_qualify(spark, name)}"
+            ).collect()
         }
     except AnalysisException:  # temp view / nonexistent: let the
         return None            # caller's own verb raise naturally
@@ -362,7 +385,7 @@ def mor_keys(spark: SparkSession, name: str) -> list[str] | None:
         )
     # resolve property names case-insensitively, like every other
     # identifier on the SQL surface
-    by_lower = {c.lower(): c for c in spark.table(name).columns}
+    by_lower = {c.lower(): c for c in spark.table(_qualify(spark, name)).columns}
     keys = [
         by_lower.get(c.strip().lower(), c.strip())
         for c in mk.split(",") if c.strip()
@@ -498,8 +521,8 @@ def update_mor(
     _reject_nondeterministic(condition, "UPDATE")
     _validate_compact_mode(compact_mode)
     _validate_keys(spark, name, key_cols)
-    base_cols = spark.table(name).columns
-    pcols = _partition_columns(spark, name)
+    base_cols = spark.table(_qualify(spark, name)).columns
+    pcols = _partition_columns(spark, _qualify(spark, name))
     assignments = _resolve_targets(base_cols, assignments, "UPDATE", name, pcols)
     current = read_mor(spark, name)
     cond = F.coalesce(F.expr(condition), F.lit(False))
@@ -548,13 +571,15 @@ def update_mor(
     keys_writer.write.parquet(os.path.join(stage, "delete.parquet"))
     # one rename publishes the whole transaction (see docstring)
     os.rename(stage, os.path.join(delta_dir, f"txn-{seq:08d}-{tag}"))
+    _register_pinned(name)
     _maybe_autocompact(spark, name, delta_dir, compact_after, "UPDATE",
                        compact_mode)
+    _sync_published(spark, name)
     return int(matched)
 
 
 def _validate_keys(spark: SparkSession, name: str, key_cols: list[str]) -> None:
-    base = spark.table(name)
+    base = spark.table(_qualify(spark, name))
     missing = [c for c in key_cols if c not in base.columns]
     if missing:
         raise ValueError(f"key columns not in {name}: {missing}")
@@ -676,8 +701,10 @@ def _commit_key_deletes(
         hit_keys.coalesce(1) if n_keys <= _SINGLE_FILE_ROW_CAP else hit_keys
     )
     keys_writer.write.parquet(out)
+    _register_pinned(name)
     _maybe_autocompact(spark, name, delta_dir, compact_after, "DELETE",
                        compact_mode)
+    _sync_published(spark, name)
     return int(n)
 
 
@@ -702,7 +729,7 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
     (_file_seq) rather than a per-file ``lit(seq)`` union — N
     uncompacted UPDATEs no longer grow the plan (plan-gated in
     tests/test_acid_mor.py)."""
-    base = spark.table(name)
+    base = spark.table(_qualify(spark, name))
     delta_dir = _delta_path(spark, name)
     key_cols = _read_manifest(delta_dir)
     if key_cols is None:
@@ -836,27 +863,33 @@ def compact_mor(spark: SparkSession, name: str, mode: str = "major") -> int:
             _purge_delta_dir(delta_dir, manifest=pinned)
         return 0
     if mode == "minor":
-        return _compact_minor(spark, name, delta_dir, pinned)
+        n = _compact_minor(spark, name, delta_dir, pinned)
+        _sync_published(spark, name)
+        return n
     n_files = len(entries)
     folded = read_mor(spark, name).localCheckpoint(eager=True)
-    pcols = _partition_columns(spark, name)
+    # qualified target: the base rewrite must reach the CATALOG table
+    # even when a merged-read shadow view holds the bare name
+    qname = _qualify(spark, name)
+    pcols = _partition_columns(spark, qname)
     if pcols:
         # base partition list from CATALOG METADATA (SHOW PARTITIONS
         # via partition_values) — never a base data scan
-        base_parts = {tuple(r) for r in partition_values(spark, name).collect()}
+        base_parts = {tuple(r) for r in partition_values(spark, qname).collect()}
         surviving = {
             tuple(r) for r in folded.select(*pcols).distinct().collect()
         }
         emptied = sorted(base_parts - surviving, key=repr)
-        _drop_emptied_partitions(spark, name, pcols, emptied)
+        _drop_emptied_partitions(spark, qname, pcols, emptied)
         if surviving:
             with _dynamic_partition_overwrite(spark):
-                folded.write.insertInto(name, overwrite=True)
+                folded.write.insertInto(qname, overwrite=True)
     else:
-        folded.write.insertInto(name, overwrite=True)
+        folded.write.insertInto(qname, overwrite=True)
     _purge_delta_dir(delta_dir, manifest=pinned)
     # Spark caches file listings; direct fs deletes need a refresh
-    spark.sql(f"REFRESH TABLE {name}")
+    spark.sql(f"REFRESH TABLE {qname}")
+    _sync_published(spark, name)
     return n_files
 
 
@@ -909,7 +942,7 @@ def _compact_minor(
     n_files = len(entries)
     lo = min(u[0] for u in units)
     hi = max(u[1] for u in units)
-    base_cols = spark.table(name).columns
+    base_cols = spark.table(_qualify(spark, name)).columns
     del_paths = [p for k, _, p in entries if k == "delete"]
     ins_paths = [p for k, _, p in entries if k == "insert"]
     del_keys = None
@@ -1007,6 +1040,10 @@ def unpin_mor_keys(spark: SparkSession, name: str) -> None:
             f"{name!r}) first"
         )
     _purge_delta_dir(delta_dir)
+    bare = name.split(".")[-1].lower()
+    _PINNED_NAMES.discard(bare)
+    if bare in _PUBLISHED:
+        unpublish_mor_views(spark, [bare])
 
 
 def _purge_delta_dir(delta_dir: str, manifest: list[str] | None = None) -> None:
@@ -1021,3 +1058,257 @@ def _purge_delta_dir(delta_dir: str, manifest: list[str] | None = None) -> None:
     shutil.rmtree(delta_dir, ignore_errors=True)
     if manifest is not None:
         _write_manifest(delta_dir, manifest)
+
+
+# ---------------------------------------------------------------------------
+# Merged READ routing — the reference's rule that EVERY SQL reader of a
+# transactional table sees the merged state (ql/io/AcidUtils.java
+# getAcidState enumerates base + deltas for each read;
+# ql/io/orc/OrcRawRecordMerger.java folds them inside the input format, so
+# a SELECT after an UPDATE always returns the updated rows — only raw
+# file-system tools see unmerged base files). Plain parquet has no input-
+# format hook, so the engine routes at STATEMENT RESOLUTION time instead:
+#
+# - ``resolve_read`` (Engine.table): a merge-on-read table resolves to its
+#   read_mor plan; anything else to the raw table.
+# - ``mor_statement_scope`` (Engine.sql): before a statement runs, every
+#   single-part reference to a MOR table with live deltas is shadowed by a
+#   session temp view holding the merged plan (temp views win name
+#   resolution for single-part identifiers); the shadows are dropped as
+#   soon as the statement is analyzed. Spark analyzes eagerly at
+#   ``spark.sql()`` — the shadow's plan is inlined into the returned
+#   DataFrame, so dropping it immediately is safe.
+# - ``publish_mor_views``: the PERSISTENT form of the same shadow, for
+#   sessions whose statements bypass the Engine (the Thrift/JDBC surface
+#   runs raw ``spark.sql``): published views are kept current by the
+#   write verbs (_sync_published) so a beeline SELECT sees committed
+#   row-level changes.
+#
+# Documented divergences from the reference's reader (each pinned by a
+# test in tests/test_acid_mor.py):
+# - DATABASE-QUALIFIED references (``db.t``) bypass temp views by Spark's
+#   resolution rules and read the raw base; the module's own internals
+#   rely on exactly that (_qualify).
+# - CREATE [TEMPORARY] VIEW / ALTER VIEW AS are excluded: a persistent
+#   view cannot legally reference a temp view, and a temp view would
+#   freeze the merged plan at creation time. Reads THROUGH a pre-existing
+#   catalog view of a MOR table are likewise raw (view resolution uses
+#   the view's own captured context, not session temp views).
+# - A statement that reads AND inserts the same MOR table (INSERT INTO t
+#   ... FROM t) runs entirely against the raw base: the insert target
+#   cannot be shadowed, so the read side is not either.
+# ---------------------------------------------------------------------------
+
+# bare lowercase names pinned by this process (manifest writers register
+# here); unioned with a warehouse directory glob so pins from earlier
+# sessions are seen too. The TEXT screen in mor_statement_scope uses this
+# set to skip the JVM parse for the overwhelmingly common statement that
+# references no MOR table at all.
+_PINNED_NAMES: set[str] = set()
+
+# bare lowercase names whose merged view is PUBLISHED (persistent shadow)
+_PUBLISHED: set[str] = set()
+
+_VIEW_DDL_ROOTS = {"CreateView", "CreateViewCommand", "AlterViewAs"}
+_REL_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
+_INSERT_TARGET_RE = re.compile(
+    r"'InsertIntoStatement 'UnresolvedRelation \[([^\]]+)\]"
+)
+_IDENT_RE = re.compile(r"[a-z_][a-z0-9_]*")
+
+
+def _register_pinned(name: str) -> None:
+    _PINNED_NAMES.add(name.split(".")[-1].lower())
+
+
+def _known_mor_names(spark: SparkSession) -> set[str]:
+    """Names that COULD need merged-read routing: pinned this process,
+    published, or holding a manifest under the session warehouse (pins
+    from earlier sessions; managed-table directory names are the
+    lowercase table names). External tables pinned by an EARLIER
+    process are the one hole — their manifests live outside the
+    warehouse — accepted: the engine is single-process and external
+    MOR tables re-register on first verb."""
+    names = set(_PINNED_NAMES) | set(_PUBLISHED)
+    try:
+        wh = _local_path(spark.conf.get("spark.sql.warehouse.dir"))
+        for d in os.listdir(wh):
+            if os.path.isfile(os.path.join(wh, d, _DELTA_DIR, _MANIFEST)):
+                names.add(d.lower())
+    except Exception:
+        pass
+    return names
+
+
+def _temp_view_exists(spark: SparkSession, bare: str) -> bool:
+    return bool(
+        spark._jsparkSession.sessionState().catalog()
+        .getTempView(bare).isDefined()
+    )
+
+
+def resolve_read(spark: SparkSession, name: str) -> DataFrame:
+    """Row-read resolution for a single table name: the merged
+    merge-on-read view when ``name`` is transactional (either
+    trigger — see mor_keys), the raw table otherwise. This is
+    Engine.table's implementation: the analogue of the reference
+    routing every reader of a transactional table through
+    AcidUtils.getAcidState."""
+    if mor_keys(spark, name) is not None:
+        return read_mor(spark, name)
+    return spark.table(name)
+
+
+def _statement_shadow_plan(
+    spark: SparkSession, text: str
+) -> tuple[list[str], list[str]]:
+    """(shadows_created, published_unshadowed) for one SQL statement.
+
+    Shadows: single-part references to MOR tables with live deltas,
+    excluding insert targets, names already holding a temp view, and
+    view-DDL statements (see module comment). Published unshadows:
+    insert targets whose bare name currently carries a PUBLISHED
+    merged view — the write must reach the catalog table, so the
+    view is dropped for the statement and resynced after."""
+    known = _known_mor_names(spark)
+    if not known:
+        return [], []
+    # cheap text screen before the JVM parse
+    if not (known & set(_IDENT_RE.findall(text.lower()))):
+        return [], []
+    try:
+        jp = spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
+    except Exception:
+        return [], []  # let spark.sql raise the real parse error
+    tree = jp.toString()
+    root = jp.getClass().getSimpleName()
+    targets = {
+        t.strip().lower()
+        for t in _INSERT_TARGET_RE.findall(tree)
+        if "," not in t
+    }
+    created: list[str] = []
+    unshadowed: list[str] = []
+    if root not in _VIEW_DDL_ROOTS:
+        seen: set[str] = set()
+        for r in _REL_RE.findall(tree):
+            if "," in r:  # multi-part reference: cannot be shadowed
+                continue
+            bare = r.strip().strip("`").lower()
+            if bare in seen or bare not in known or bare in targets:
+                continue
+            seen.add(bare)
+            if _temp_view_exists(spark, bare):
+                continue  # user's own view (or a published shadow) wins
+            try:
+                if mor_keys(spark, bare) is None:
+                    continue
+                if not _scan_deltas(_delta_path(spark, bare)):
+                    continue  # merged == base
+                read_mor(spark, bare).createOrReplaceTempView(bare)
+            except Exception:
+                continue
+            created.append(bare)
+    for t in targets:
+        if t in _PUBLISHED and _temp_view_exists(spark, t):
+            spark.catalog.dropTempView(t)
+            unshadowed.append(t)
+    return created, unshadowed
+
+
+class mor_statement_scope:
+    """Context manager installing the per-statement merged-read
+    shadows around one ``spark.sql`` call (Engine.sql uses this).
+    Exit drops the ephemeral shadows and restores any published view
+    it had to lift for an insert target."""
+
+    def __init__(self, spark: SparkSession, text: str):
+        self.spark = spark
+        self.text = text
+
+    def __enter__(self):
+        self.created, self.unshadowed = _statement_shadow_plan(
+            self.spark, self.text
+        )
+        return self
+
+    def __exit__(self, *exc):
+        for bare in self.created:
+            try:
+                self.spark.catalog.dropTempView(bare)
+            except Exception:
+                pass
+        for bare in self.unshadowed:
+            try:
+                _sync_published(self.spark, bare)
+            except Exception:
+                pass
+        return False
+
+
+def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
+    """Register a PERSISTENT merged-read temp view over each named
+    merge-on-read table, for sessions whose statements bypass the
+    Engine — the Thrift/JDBC surface speaks raw ``spark.sql``, where
+    the per-statement scope never runs. Once published, a beeline
+    ``SELECT * FROM t`` sees committed UPDATE/DELETE results, and the
+    write verbs keep the view current (_sync_published after every
+    delta commit and compaction).
+
+    Caveats (the price of a name-shadowing view, each pinned by a
+    test): while published, bare-name metadata/write statements hit
+    the VIEW — ``DESCRIBE t`` describes the merged schema,
+    ``INSERT INTO t`` through raw spark.sql fails (qualify as
+    ``db.t``, or run inserts through Engine.sql, whose statement
+    scope lifts the shadow around the insert) — and ``db.t`` reads
+    stay raw. Returns the names actually published. Raises on a
+    non-MOR name: publishing a no-op shadow would silently lie."""
+    out = []
+    for name in names:
+        bare = name.split(".")[-1].lower()
+        if mor_keys(spark, name) is None:
+            raise ValueError(
+                f"{name} is not merge-on-read (no pinned manifest or "
+                f"transactional tblproperties); nothing to publish"
+            )
+        if bare not in _PUBLISHED and _temp_view_exists(spark, bare):
+            raise ValueError(
+                f"a temp view already holds the name {bare!r}; refusing "
+                f"to clobber it with a published merged view"
+            )
+        _PUBLISHED.add(bare)
+        _sync_published(spark, name)
+        out.append(bare)
+    return out
+
+
+def unpublish_mor_views(spark: SparkSession, names: list[str]) -> None:
+    for name in names:
+        bare = name.split(".")[-1].lower()
+        _PUBLISHED.discard(bare)
+        try:
+            spark.catalog.dropTempView(bare)
+        except Exception:
+            pass
+
+
+def _sync_published(spark: SparkSession, name: str) -> None:
+    """Re-register (or drop) the published merged view after a write.
+    Live deltas -> fresh read_mor plan (the previous view's plan
+    enumerated the OLD delta files); no deltas -> drop the view
+    (merged == base; the name stays in _PUBLISHED so the next delta
+    re-publishes)."""
+    bare = name.split(".")[-1].lower()
+    if bare not in _PUBLISHED:
+        return
+    try:
+        live = bool(_scan_deltas(_delta_path(spark, name)))
+    except Exception:
+        live = False
+    if live:
+        read_mor(spark, name).createOrReplaceTempView(bare)
+    else:
+        try:
+            spark.catalog.dropTempView(bare)
+        except Exception:
+            pass

@@ -58,10 +58,27 @@ class Engine:
         dml = _dml_handle(self.spark, expanded)
         if dml is not None:  # UPDATE/DELETE/MERGE statement forms
             return dml
-        return self.spark.sql(expanded)
+        from amplab_hive_spark.acid import mor_statement_scope
+
+        # merged READ routing for merge-on-read tables: the reference
+        # merges deltas inside the input format for EVERY SQL reader
+        # (ql/io/AcidUtils.java getAcidState + OrcRawRecordMerger), so
+        # a SELECT after an UPDATE must return the updated rows; here
+        # the statement scope shadows each referenced MOR table with
+        # its merged plan for the duration of analysis (Spark analyzes
+        # eagerly at spark.sql, so dropping the shadow right after is
+        # safe — the plan is already inlined)
+        with mor_statement_scope(self.spark, expanded):
+            return self.spark.sql(expanded)
 
     def table(self, name: str) -> DataFrame:
-        return self.spark.table(name)
+        """Row-read of ``name``: merge-on-read tables resolve to their
+        MERGED view (see acid.resolve_read), everything else to the
+        raw catalog table — the reference's rule that only raw
+        file-system tools ever see unmerged base files."""
+        from amplab_hive_spark.acid import resolve_read
+
+        return resolve_read(self.spark, name)
 
     def register_function(self, name: str, fn: Callable[..., Any], return_type: Any) -> None:
         """CREATE TEMPORARY FUNCTION equivalent (reference:

@@ -3,11 +3,13 @@
 -- .. COMPACT 'minor' consolidates them into ONE txnc range unit with
 -- the BASE untouched (CompactorMR's cheap half; tests/test_acid_mor
 -- pins base mtimes + the consolidated layout). A later COMPACT
--- 'major' folds the consolidated unit into the base, where the
--- rendered SELECT below sees the statements' net effect. (A plain
--- SELECT between the two compactions reads the UNMERGED base by
--- design — vanilla readers never see deltas, like non-ACID readers
--- in the reference.)
+-- 'major' folds the consolidated unit into the base. Since round 10
+-- a SELECT at ANY point in the lifecycle returns the merged state —
+-- Engine.sql resolves transactional tables through the merged view,
+-- the reference's own reader rule (AcidUtils.getAcidState +
+-- OrcRawRecordMerger merge for every SQL reader; see
+-- golden/mor_merged_read.q for the pre-compaction read) — so the
+-- rendered SELECT would print the same rows before either compaction.
 DROP TABLE IF EXISTS golden_mor_minor;
 CREATE TABLE golden_mor_minor (id INT, grp STRING, val INT) USING parquet LOCATION '/tmp/golden_mor_minor' TBLPROPERTIES ('transactional'='true','merge_keys'='id');
 INSERT OVERWRITE golden_mor_minor VALUES (1,'a',10),(2,'a',20),(3,'b',30),(4,'b',40);
