@@ -617,15 +617,22 @@ def _live_delta_bytes(delta_dir: str) -> int:
     return _tree_bytes([p for _, _, p in _scan_deltas(delta_dir)])
 
 
-def _initiator_mode(spark: SparkSession, name: str, delta_dir: str) -> str:
+def _initiator_mode(
+    spark: SparkSession, name: str, delta_dir: str,
+    delta_bytes: int | None = None,
+) -> str:
     """The Initiator's minor-vs-major choice
     (ql/txn/compactor/Initiator.java): the txn-count threshold the
     caller already crossed requests SOME compaction; it becomes MAJOR
     only when the accumulated LIVE delta bytes reach
     ``hive.compactor.delta.pct.threshold`` (0.1) of the base —
     otherwise MINOR, the O(delta-bytes) half you can afford often.
-    Byte counts are filesystem-level (no scans)."""
-    delta_bytes = _live_delta_bytes(delta_dir)
+    Byte counts are filesystem-level (no scans). ``delta_bytes``
+    accepts a precomputed live footprint so show_compactions — which
+    already sized the deltas for its own output — never walks them
+    twice (ADVICE r9)."""
+    if delta_bytes is None:
+        delta_bytes = _live_delta_bytes(delta_dir)
     base_root = _local_path(_table_location(spark, name))
     base_bytes = max(_tree_bytes([base_root]) - _tree_bytes([delta_dir]), 0)
     if base_bytes == 0 or delta_bytes / base_bytes >= _MAJOR_DELTA_PCT:
@@ -798,9 +805,14 @@ def show_compactions(spark: SparkSession) -> DataFrame:
             f for f in os.listdir(delta_dir)
             if f != _MANIFEST and not f.startswith(".")
         ] if os.path.isdir(delta_dir) else []
+        # size the live deltas ONCE and share it with the Initiator
+        # decision; with no live deltas there is nothing to size and
+        # no mode to pick — the base tree is never walked (ADVICE r9:
+        # this statement was O(total files in the database))
+        live_bytes = _tree_bytes([p for _, _, p in entries])
         if entries:
             state = "initiated"
-            ctype = _initiator_mode(spark, name, delta_dir)
+            ctype = _initiator_mode(spark, name, delta_dir, live_bytes)
         elif on_disk:
             state = "ready for cleaning"
             ctype = None
@@ -809,7 +821,7 @@ def show_compactions(spark: SparkSession) -> DataFrame:
             ctype = None
         rows.append((
             t.database or db, t.name, None, ctype, state,
-            len(txns), len(entries), _live_delta_bytes(delta_dir),
+            len(txns), len(entries), live_bytes,
         ))
     return spark.createDataFrame(
         rows,

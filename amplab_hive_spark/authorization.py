@@ -107,6 +107,44 @@ def _store_path(spark: SparkSession) -> str:
     return os.path.join(root, "_authz.json")
 
 
+class _store_lock:
+    """Guard for a read-modify-write of ``_authz.json``: the in-process
+    threading lock PLUS an OS-level ``flock`` on a sidecar lockfile, so
+    two engine processes sharing a warehouse (CLI + service is a real
+    shape) cannot interleave _load/_save and silently lose grants
+    (ADVICE r9 — the threading.Lock alone only serialized one
+    process's threads)."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self.fh = None
+
+    def __enter__(self):
+        _LOCK.acquire()
+        try:
+            import fcntl
+
+            self.fh = open(_store_path(self.spark) + ".lock", "a+")
+            fcntl.flock(self.fh, fcntl.LOCK_EX)
+        except ImportError:  # non-POSIX: thread lock only (documented)
+            self.fh = None
+        except Exception:
+            _LOCK.release()
+            raise
+        return self
+
+    def __exit__(self, *exc):
+        try:
+            if self.fh is not None:
+                import fcntl
+
+                fcntl.flock(self.fh, fcntl.LOCK_UN)
+                self.fh.close()
+        finally:
+            _LOCK.release()
+        return False
+
+
 def _load(spark: SparkSession) -> dict:
     path = _store_path(spark)
     if not os.path.exists(path):
@@ -142,13 +180,22 @@ def current_user(spark: SparkSession) -> str:
 
 
 def _user_roles(spark: SparkSession, store: dict, user: str) -> list[str]:
-    """All roles granted (directly) to ``user``, plus the implicit
-    PUBLIC membership every user holds."""
-    direct = sorted({
+    """All roles ``user`` holds — direct grants expanded through
+    role-to-role grants to the TRANSITIVE closure, exactly like the
+    reference (SQLStdHiveAccessController.getRolesFromMS ->
+    getAllRoleAncestors walks membership edges), plus the implicit
+    PUBLIC membership every user holds. Transitivity here keeps SET
+    ROLE / SHOW CURRENT ROLES consistent with grants_for, which
+    already used the closure (ADVICE r9)."""
+    direct = {
         g["role"] for g in store["role_grants"]
         if g["principal_type"] == "USER" and g["principal"] == user
-    })
-    return (["public"] if "public" not in direct else []) + direct
+    }
+    edges = _role_edges(store)
+    held = set(direct)
+    for r in direct:
+        held |= _reachable(edges, r)
+    return (["public"] if "public" not in held else []) + sorted(held)
 
 
 def current_roles(spark: SparkSession) -> list[str]:
@@ -270,7 +317,7 @@ def create_role(spark: SparkSession, name: str) -> None:
             f"Role name cannot be one of the reserved roles: "
             f"{sorted(x.upper() for x in _RESERVED)} (got {name})"
         )
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         if r in _BUILTIN or r in store["roles"]:
             raise ValueError(f"Role {name} already exists")
@@ -286,7 +333,7 @@ def drop_role(spark: SparkSession, name: str) -> None:
         raise ValueError(
             f"Role {name} is a built-in role and cannot be dropped"
         )
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         if r not in store["roles"]:
             raise ValueError(f"Role {name} does not exist")
@@ -309,7 +356,7 @@ def grant_roles(
     spark: SparkSession, roles: list[str],
     principals: list[tuple[str, str]], admin_option: bool = False,
 ) -> None:
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         edges = _role_edges(store)
         for role in roles:
@@ -345,7 +392,7 @@ def revoke_roles(
     spark: SparkSession, roles: list[str],
     principals: list[tuple[str, str]], admin_option_only: bool = False,
 ) -> None:
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         for role in roles:
             r = _require_role(store, role)
@@ -413,7 +460,7 @@ def grant_privs(
     grant_option: bool = False,
 ) -> None:
     db, tbl = _table_exists(spark, table)
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         for ptype, pname in principals:
             if ptype == "ROLE":
@@ -447,7 +494,7 @@ def revoke_privs(
     grant_option_only: bool = False,
 ) -> None:
     db, tbl = _table_exists(spark, table)
-    with _LOCK:
+    with _store_lock(spark):
         store = _load(spark)
         for ptype, pname in principals:
             for priv, col in privs:

@@ -34,6 +34,14 @@ Honest scope notes:
   SQL — the overwhelming share of what a BI client sends — behaves
   identically on both paths; the statement shims remain
   Engine-surface-only (documented, tested).
+- Merge-on-read tables: a beeline SELECT bypasses Engine.sql's
+  per-statement merged-read scope, so by default it reads the raw
+  base. ``acid.publish_mor_views(spark, [...])`` closes that for a
+  serving session (single_session=True): it registers persistent
+  merged views that the engine's write verbs keep current, so JDBC
+  readers see committed UPDATE/DELETE results (pinned in
+  tests/test_thrift.py). The documented price: bare-name writes and
+  DESCRIBE over Thrift hit the view while published.
 - One Thrift server per JVM: HiveServer2's in-process services are
   static, so ``start_thrift_server`` is a process-wide singleton and
   a second call with a different port raises.
@@ -130,9 +138,18 @@ def start_thrift_server(
             except OSError as e:
                 last_err = e
                 time.sleep(0.25)
+        # The JVM server DID start (startWithContext returned) — it is
+        # just not accepting in time. Stop it before raising: leaving
+        # it running untracked (_STARTED None) would make a retry call
+        # startWithContext AGAIN in a once-per-JVM service (ADVICE r9).
+        try:
+            server.stop()
+        except Exception:
+            pass
         raise TimeoutError(
             f"Thrift server did not accept on port {port} within "
-            f"{wait_s}s: {last_err}"
+            f"{wait_s}s (the slow server was stopped; retry is safe): "
+            f"{last_err}"
         )
 
 

@@ -321,3 +321,26 @@ def test_legacy_group_grant_is_revocable(eng, spark, tbl):
     assert eng.sql(f"SHOW GRANT GROUP legacy_g ON TABLE {tbl}").count() == 1
     eng.sql(f"REVOKE SELECT ON TABLE {tbl} FROM GROUP legacy_g")
     assert eng.sql(f"SHOW GRANT GROUP legacy_g ON TABLE {tbl}").count() == 0
+
+
+def test_transitive_role_membership(eng, spark):
+    """ADVICE r10: roles held THROUGH role-to-role grants count as
+    membership — SET ROLE accepts them and SHOW CURRENT ROLES lists
+    them, matching SQLStdHiveAccessController.getRolesFromMS ->
+    getAllRoleAncestors (and grants_for's closure)."""
+    spark.sql("SET user.name=carol")
+    eng.sql("CREATE ROLE t_outer")
+    eng.sql("CREATE ROLE t_mid")
+    eng.sql("CREATE ROLE t_inner")
+    # carol -> t_outer -> t_mid -> t_inner
+    eng.sql("GRANT ROLE t_mid TO ROLE t_outer")
+    eng.sql("GRANT ROLE t_inner TO ROLE t_mid")
+    eng.sql("GRANT t_outer TO USER carol")
+    spark.conf.unset(az._ROLES_CONF)
+    held = [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()]
+    assert held == ["public", "t_inner", "t_mid", "t_outer"]
+    # SET ROLE accepts an INHERITED role, not just a direct grant
+    eng.sql("SET ROLE t_inner")
+    assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
+        == ["t_inner"]
+    spark.conf.unset(az._ROLES_CONF)

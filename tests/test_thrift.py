@@ -91,3 +91,38 @@ def test_occupied_port_refused_not_blessed(spark, monkeypatch):
             thrift.start_thrift_server(spark, port=taken)
     finally:
         lst.close()
+
+
+def test_beeline_sees_published_merged_mor_rows(spark, thrift_port, tmp_path):
+    """Round 10: a beeline SELECT on a merge-on-read table reads raw
+    base by default (Thrift bypasses Engine.sql's statement scope);
+    after acid.publish_mor_views the SAME query over real JDBC wire
+    traffic returns the MERGED rows — the reference's every-reader-
+    merges rule (AcidUtils.getAcidState) extended to the Thrift
+    surface."""
+    from amplab_hive_spark import acid
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.sql("DROP TABLE IF EXISTS thrift_mor_t")
+    spark.sql(
+        f"CREATE TABLE thrift_mor_t (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/thrift_mor_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    try:
+        spark.sql("INSERT INTO thrift_mor_t VALUES (1, 10), (2, 20), (3, 30)")
+        eng.sql("UPDATE thrift_mor_t SET v = 99 WHERE k = 2")
+        eng.sql("DELETE FROM thrift_mor_t WHERE k = 3")
+        acid.publish_mor_views(spark, ["thrift_mor_t"])
+        rc, out, err = thrift.run_beeline(
+            thrift_port,
+            "SELECT k, v FROM thrift_mor_t ORDER BY k",
+        )
+        assert rc == 0, err[-800:]
+        assert "| 99" in out          # the committed UPDATE
+        assert "| 30" not in out      # the committed DELETE
+        assert "2 rows selected" in err
+    finally:
+        acid.unpublish_mor_views(spark, ["thrift_mor_t"])
+        spark.sql("DROP TABLE IF EXISTS thrift_mor_t")
