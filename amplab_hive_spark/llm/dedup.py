@@ -92,23 +92,47 @@ def pair_explode(col: str, fields: dict[str, str]):
     )
 
 
-@register(
-    "dedup_exact",
-    tags=("llm", "dedup"),
-    oracle="""
+# Planted duplicates for the GRADED exact-dedup certificate: the
+# fixture regenerates every round and has carried zero natural exact
+# duplicates at the graded SF (VERDICT r9: agreement-on-empty is a
+# vacuous certificate — the hash match only proved both engines
+# computed the same EMPTY set). The graded query therefore plants a
+# deterministic duplicate set inside its own corpus CTE — every
+# doc_id % 50 == 0 document re-keyed at doc_id + 10^9 — in BOTH
+# engines, so the grouping/count/keeper logic is always exercised on
+# non-empty duplicate groups, at any SF and under any fixture regen.
+_PLANT_MOD = 50
+_PLANT_OFFSET = 1_000_000_000
+
+_DEDUP_EXACT_ORACLE = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + {_PLANT_OFFSET} AS doc_id, text
+  FROM documents WHERE doc_id % {_PLANT_MOD} = 0
+)
 SELECT text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keeper_id
-FROM (SELECT doc_id, md5(text) AS text_hash FROM documents) h
+FROM (SELECT doc_id, md5(text) AS text_hash FROM corpus) h
 GROUP BY text_hash
 HAVING COUNT(*) > 1
 ORDER BY text_hash
-""",
-)
+"""
+
+
+@register("dedup_exact", tags=("llm", "dedup"), oracle=_DEDUP_EXACT_ORACLE)
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup via content hash: emit duplicate groups with the
-    surviving (min) doc_id."""
+    surviving (min) doc_id. The corpus includes the deterministic
+    planted duplicates (see _PLANT_MOD above) so the graded
+    certificate is never agreement-on-empty."""
     t = tables(spark, sf_dir)
+    docs = t.documents.select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % _PLANT_MOD == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(_PLANT_OFFSET)
+    )
     return (
-        t.documents.select("doc_id", F.md5("text").alias("text_hash"))
+        docs.unionByName(planted)
+        .select("doc_id", F.md5("text").alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_id"))
         .filter(F.col("n_copies") > 1)

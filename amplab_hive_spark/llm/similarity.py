@@ -538,10 +538,44 @@ _SIGN_TABLES = 8  # 64 dims → 8 disjoint 8-coordinate sign blocks
 _SIGN_BLOCK = 8
 _SIGN_BUCKET_CAP = 200  # skew guard, mirrored in the oracle
 
+# Planted near-duplicates for the GRADED certificate: the fixture's
+# isotropic embeddings max out around cosine ~0.5 at the graded SFs —
+# below the 0.55 threshold — so since r7 the graded result was EMPTY
+# in both engines (VERDICT r9: a vacuous certificate; the planted-
+# recall tests carried the real signal). Both graded neardup queries
+# now plant deterministic EXACT duplicates inside their own corpus
+# CTE — every vec_id % 50 == 0 vector re-keyed at vec_id + 10^9, the
+# vector bytes unchanged — in BOTH engines: identical vectors share
+# every sign block (caught by construction) and their cosine rounds
+# to 1.0 on both engines, so the bucketing, pair generation, cosine
+# arithmetic and threshold are always exercised on non-empty output.
+_NEARDUP_PLANT_MOD = 50
+_NEARDUP_PLANT_OFFSET = 1_000_000_000
+
+
+def _neardup_corpus(embeddings: DataFrame) -> DataFrame:
+    """The graded neardup corpus: the table plus its planted exact
+    duplicates (vec_id % _NEARDUP_PLANT_MOD re-keyed at +10^9,
+    vectors byte-identical) — mirrored verbatim in the oracles'
+    corpus CTE."""
+    base = embeddings.select("vec_id", "embedding")
+    planted = base.filter(
+        F.col("vec_id") % _NEARDUP_PLANT_MOD == 0
+    ).withColumn("vec_id", F.col("vec_id") + F.lit(_NEARDUP_PLANT_OFFSET))
+    return base.unionByName(planted)
+
+_NEARDUP_CORPUS_CTE = f"""corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_NEARDUP_PLANT_OFFSET} AS vec_id, embedding
+  FROM embeddings WHERE vec_id % {_NEARDUP_PLANT_MOD} = 0
+)"""
+
 _NEARDUP_EXACT_ORACLE = f"""
+WITH {_NEARDUP_CORPUS_CTE}
 SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        round({_o_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
 WHERE round({_o_cos('a.embedding', 'b.embedding')}, 6) >= {_NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
@@ -551,12 +585,13 @@ ORDER BY vec_a, vec_b
 # engines), identical bucket cap, identical pair generation, identical
 # cosine arithmetic (the proven _o_cos fold).
 _NEARDUP_ORACLE = f"""
-WITH pat AS (
+WITH {_NEARDUP_CORPUS_CTE},
+pat AS (
   SELECT vec_id, t.tab,
          array_to_string(list_transform(
            range(t.tab*{_SIGN_BLOCK}+1, t.tab*{_SIGN_BLOCK}+{_SIGN_BLOCK}+1),
            i -> CASE WHEN embedding[i] > 0 THEN '1' ELSE '0' END), '') AS pattern
-  FROM embeddings, (SELECT unnest(range(0,{_SIGN_TABLES})) AS tab) t
+  FROM corpus, (SELECT unnest(range(0,{_SIGN_TABLES})) AS tab) t
 ),
 kept AS (
   SELECT tab, pattern FROM pat GROUP BY tab, pattern
@@ -571,8 +606,8 @@ cand AS (
 SELECT c.vec_a, c.vec_b,
        round({_o_cos('ea.embedding', 'eb.embedding')}, 6) AS cos_sim
 FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
+JOIN corpus ea ON ea.vec_id = c.vec_a
+JOIN corpus eb ON eb.vec_id = c.vec_b
 WHERE round({_o_cos('ea.embedding', 'eb.embedding')}, 6) >= {_NEARDUP_THRESHOLD}
 ORDER BY vec_a, vec_b
 """
@@ -595,10 +630,15 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     isotropic noise are not reliably caught (measured ~3% candidate
     volume at sf0.1) — that's the ANN trade; the exact variant below
     is the recall yardstick. At 100 TB the shuffle carries
-    (tab, 8-char pattern, vec_id) instead of an N² nested loop."""
+    (tab, 8-char pattern, vec_id) instead of an N² nested loop.
+
+    The corpus includes the deterministic planted duplicates (see
+    _NEARDUP_PLANT_MOD above) so the graded certificate is never
+    agreement-on-empty."""
     t = tables(spark, sf_dir)
+    corpus = _neardup_corpus(t.embeddings)
     pats = (
-        t.embeddings.select(
+        corpus.select(
             "vec_id",
             F.explode(
                 F.expr(
@@ -629,8 +669,8 @@ transform(sequence(0, {_SIGN_TABLES - 1}), t -> struct(
         .select("p.vec_a", "p.vec_b")
         .distinct()
     )
-    ea = t.embeddings.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = t.embeddings.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    ea = corpus.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
+    eb = corpus.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
     sim = F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6)
     return (
         cand.join(ea, "vec_a")
@@ -652,10 +692,13 @@ def sim_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join Spark must nested-loop; it lives OUTSIDE the graded
     window and the bench set). tests/test_llm_ops.py asserts the
     bucketed result is a subset of this one with high recall on
-    planted near-identical vectors."""
+    planted near-identical vectors. Shares the bucketed query's
+    planted corpus (_neardup_corpus) so the subset property holds on
+    the graded pair."""
     t = tables(spark, sf_dir)
-    a = t.embeddings.alias("a")
-    b = t.embeddings.alias("b")
+    corpus = _neardup_corpus(t.embeddings)
+    a = corpus.alias("a")
+    b = corpus.alias("b")
     sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
