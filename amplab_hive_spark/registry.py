@@ -61,6 +61,7 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.operators.setops  # noqa: F401
     import amplab_hive_spark.operators.tpch_suite  # noqa: F401
     import amplab_hive_spark.operators.asof  # noqa: F401
+    import amplab_hive_spark.operators.acid_lifecycle  # noqa: F401
     import amplab_hive_spark.functions.scalar_queries  # noqa: F401
     import amplab_hive_spark.functions.hive_compat  # noqa: F401
     import amplab_hive_spark.functions.macros  # noqa: F401
