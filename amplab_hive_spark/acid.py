@@ -830,6 +830,78 @@ def show_compactions(spark: SparkSession) -> DataFrame:
     )
 
 
+def show_locks(
+    spark: SparkSession, table: str | None = None
+) -> DataFrame:
+    """``SHOW LOCKS [table]`` — the reference lists the lock manager's
+    live locks (DDLTask.showLocks over DbLockManager/
+    ShowLocksResponseElement; QL/lockmgr/DbTxnManager.java), columns
+    Lock ID/Database/Table/Partition/State/Blocked By/Type/Transaction
+    ID/Last Heartbeat/Acquired At/User/Hostname/Agent Info.
+
+    This engine has no lock manager to report on: statements execute
+    inline and writes commit by atomic rename (MOR delta dirs, the
+    authz store), so no TABLE lock ever outlives a statement. The
+    honest analogue reports the locks that DO exist — the warehouse's
+    OS-level sidecar flocks (``*.lock`` next to ``_authz.json`` and any
+    future store) — by probing each with a non-blocking flock attempt:
+    a row appears only while some process actually HOLDS the lock, as
+    EXCLUSIVE/ACQUIRED with the lockfile as agent_info. ``SHOW LOCKS
+    <table>`` filters to that table's locks, which is the empty set by
+    construction (sidecar locks are warehouse-scoped, table = NULL) —
+    the same answer the reference gives for a table nobody has locked."""
+    import socket
+
+    schema = (
+        "lockid bigint, database string, table string, partition string, "
+        "state string, blocked_by string, type string, txnid bigint, "
+        "last_heartbeat bigint, acquired_at bigint, user string, "
+        "hostname string, agent_info string"
+    )
+    rows: list[tuple] = []
+    if table is None:
+        try:
+            from amplab_hive_spark.authorization import _store_path
+
+            wh = os.path.dirname(_store_path(spark))
+        except NotImplementedError:  # non-local warehouse: no sidecars
+            wh = None
+        candidates = (
+            sorted(
+                f for f in os.listdir(wh) if f.endswith(".lock")
+            ) if wh and os.path.isdir(wh) else []
+        )
+        lockid = 0
+        for fname in candidates:
+            path = os.path.join(wh, fname)
+            try:
+                import fcntl
+
+                with open(path, "a+") as fh:
+                    try:
+                        fcntl.flock(fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        fcntl.flock(fh, fcntl.LOCK_UN)
+                        continue  # free: not a live lock
+                    except OSError:
+                        pass  # held by another file description
+            except Exception:  # noqa: BLE001 — unreadable/non-POSIX
+                continue
+            lockid += 1
+            try:
+                user = __import__("getpass").getuser()
+            except Exception:  # noqa: BLE001
+                user = "unknown"
+            rows.append((
+                lockid, None, None, None, "ACQUIRED", None, "EXCLUSIVE",
+                None, None, int(os.path.getmtime(path)), user,
+                socket.gethostname(), fname,
+            ))
+    else:
+        # raise the reference's resolution error if the table is absent
+        spark.table(_qualify(spark, table))
+    return spark.createDataFrame(rows, schema)
+
+
 def compact_mor(spark: SparkSession, name: str, mode: str = "major") -> int:
     """Compaction (compactor Worker, ql/txn/compactor/Worker.java).
     Returns the number of delta FILES folded (an UPDATE transaction

@@ -10,16 +10,17 @@ Reference anchors:
 - metastore's ROLES / ROLE_MAP / TBL_PRIVS tables (the persisted state
   this module's JSON store mirrors)
 
-Scope, stated honestly: this is the CATALOG surface — statements
-parse, validate, persist, and SHOW back — with **no enforcement at
-read/write time**. That is Hive's own default posture
+Scope, stated honestly: this is primarily the CATALOG surface —
+statements parse, validate, persist, and SHOW back — with enforcement
+OFF by default, Hive's own posture
 (``hive.security.authorization.enabled=false``: grants are stored in
 the metastore and surfaced by SHOW GRANT, but nothing blocks a
-query), and the right scope for a single-user analytics engine; an
-enforcing deployment would wrap Engine.sql with a check against
-``grants_for``. The SQL-standard authorizer's VALIDATION rules are
-implemented in full, because they are catalog semantics, not
-enforcement:
+query). Since round 10 an enforcing deployment can opt in with
+``spark.sql.authz.enabled=true``: Engine.sql then gates DML/query
+statements on ``grants_for`` (see the enforcement section at the
+bottom of this module for its documented minimal-SQL-std scope).
+The SQL-standard authorizer's VALIDATION rules are implemented in
+full, because they are catalog semantics, not enforcement:
 
 - reserved role names (ALL / DEFAULT / NONE) cannot be created;
   ADMIN / PUBLIC are built-ins that cannot be created or dropped
@@ -744,3 +745,128 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
         )
         return _ok(spark)
     return None
+
+
+# -- opt-in enforcement ---------------------------------------------------
+# The catalog surface above validates and persists grants; ENFORCING
+# them is the reference's SQLStdHiveAuthorizationValidator
+# .checkPrivileges (ql/security/authorization/plugin/sqlstd/
+# SQLStdHiveAuthorizationValidator.java), active only when
+# hive.security.authorization.enabled=true — Hive's own default is
+# false, and so is this engine's. With the conf below set to true,
+# Engine.sql checks grants_for() before executing DML/query
+# statements. Scope (documented simplifications, all matching the
+# minimal SQL-std model):
+#   - table-level privileges only (column grants are stored and shown
+#     but enforcement checks the table row, like pre-column-masking
+#     SQL-std);
+#   - TEMPORARY views are exempt — they are session-private objects
+#     with no metastore ACL in the reference either (SessionState temp
+#     tables are owner-only by construction);
+#   - DDL/ownership operations (CREATE/DROP/ALTER...) are outside the
+#     minimal model, as is grant administration (the catalog surface
+#     already validates ADMIN OPTION for role grants);
+#   - members of the built-in `admin` role bypass every check
+#     (SQLStdHiveAccessController's special-casing of ADMIN).
+
+_ENFORCE_CONF = "spark.sql.authz.enabled"
+
+_EXEMPT_HEAD = re.compile(
+    r"(?is)^\s*(SHOW|EXPLAIN|DESCRIBE|DESC|SET|CREATE|DROP|ALTER|ANALYZE|"
+    r"MSCK|LOAD|EXPORT|IMPORT|USE|CACHE|UNCACHE|REFRESH|TRUNCATE)\b"
+)
+_INSERT_TARGETS = re.compile(
+    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)"
+)
+_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+([\w.]+)")
+_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+([\w.]+)")
+_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+([\w.]+)")
+_READ_REFS = re.compile(r"(?is)\b(?:FROM|JOIN|USING)\s+([\w.]+)")
+
+
+def enforcement_enabled(spark: SparkSession) -> bool:
+    try:
+        return (spark.conf.get(_ENFORCE_CONF) or "").lower() == "true"
+    except Exception:  # noqa: BLE001 — unset conf key
+        return False
+
+
+def _required_privs(text: str) -> list[tuple[str, str]]:
+    """(table-name, privilege) pairs a statement needs, from the same
+    pre-parse statement shapes the DML front-end routes on. Names that
+    turn out to be CTE aliases, temp views, or table functions are
+    dropped at check time, not here."""
+    pairs: list[tuple[str, str]] = []
+    writes: set[str] = set()
+    m = _UPDATE_HEAD.match(text)
+    if m:
+        pairs.append((m.group(1), "UPDATE"))
+        writes.add(m.group(1).lower())
+    m = _DELETE_HEAD.match(text)
+    if m:
+        pairs.append((m.group(1), "DELETE"))
+        writes.add(m.group(1).lower())
+    m = _MERGE_HEAD.match(text)
+    if m:
+        target = m.group(1)
+        writes.add(target.lower())
+        # clause-driven, like UpdateDeleteSemanticAnalyzer's rewrite:
+        # each WHEN branch needs exactly its verb's privilege
+        if re.search(r"(?is)\bWHEN\s+MATCHED\b[^;]*?\bTHEN\s+UPDATE\b", text):
+            pairs.append((target, "UPDATE"))
+        if re.search(r"(?is)\bWHEN\s+MATCHED\b[^;]*?\bTHEN\s+DELETE\b", text):
+            pairs.append((target, "DELETE"))
+        if re.search(r"(?is)\bWHEN\s+NOT\s+MATCHED\b", text):
+            pairs.append((target, "INSERT"))
+    for t in _INSERT_TARGETS.findall(text):
+        pairs.append((t, "INSERT"))
+        writes.add(t.lower())
+    for t in _READ_REFS.findall(text):
+        if t.lower() not in writes:
+            pairs.append((t, "SELECT"))
+    seen: set[tuple[str, str]] = set()
+    out = []
+    for name, priv in pairs:
+        key = (name.lower(), priv)
+        if key not in seen:
+            seen.add(key)
+            out.append((name, priv))
+    return out
+
+
+def _is_enforceable_table(spark: SparkSession, name: str) -> bool:
+    """True only for catalog tables/views — temp views are session
+    objects (no metastore ACL), and unresolvable names (CTE aliases,
+    table functions) must fall through to the statement's own
+    resolution error rather than a misleading authz denial."""
+    try:
+        t = spark.catalog.getTable(name)
+    except Exception:  # noqa: BLE001 — not a catalog object
+        return False
+    return not t.isTemporary
+
+
+def enforce(spark: SparkSession, text: str) -> None:
+    """Raise PermissionError unless the session user holds every
+    privilege ``text`` requires; no-op when enforcement is disabled
+    (the default, matching hive.security.authorization.enabled=false)."""
+    if not enforcement_enabled(spark):
+        return
+    if _EXEMPT_HEAD.match(text):
+        return
+    user = current_user(spark)
+    store = _load(spark)
+    if "admin" in _user_roles(spark, store, user):
+        return
+    missing = []
+    for name, priv in _required_privs(text):
+        if not _is_enforceable_table(spark, name):
+            continue
+        if priv not in grants_for(spark, user, name):
+            db, tbl = _table_exists(spark, name)
+            missing.append(f"[{priv}] on [{db}.{tbl}]")
+    if missing:
+        raise PermissionError(
+            f"Permission denied: Principal [name={user}, type=USER] "
+            f"does not have following privileges: " + ", ".join(missing)
+        )

@@ -205,6 +205,9 @@ _COMPACT_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+COMPACT\s+'(\w+)'\s*;?\s*$", re.I
 )
 _SHOW_COMPACTIONS_STMT = re.compile(r"^\s*SHOW\s+COMPACTIONS\s*;?\s*$", re.I)
+_SHOW_LOCKS_STMT = re.compile(
+    r"^\s*SHOW\s+LOCKS(?:\s+([\w.]+))?(\s+EXTENDED)?\s*;?\s*$", re.I
+)
 _UPDATE_HEAD = re.compile(r"^\s*UPDATE\s+([\w.]+)\s+SET\s+", re.I | re.S)
 _DELETE_HEAD = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*", re.I | re.S)
 _MERGE_INTO = re.compile(
@@ -340,6 +343,15 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
         from amplab_hive_spark.acid import show_compactions
 
         return show_compactions(spark)
+
+    m = _SHOW_LOCKS_STMT.match(text)
+    if m:
+        # DDLTask.showLocks: live lock-manager state — here the
+        # warehouse sidecar flocks, the only locks this inline engine
+        # holds (acid.show_locks documents the honest mapping)
+        from amplab_hive_spark.acid import show_locks
+
+        return show_locks(spark, m.group(1))
 
     m = _COMPACT_STMT.match(text)
     if m:

@@ -55,6 +55,12 @@ class Engine:
         auth = _auth_handle(self.spark, expanded)
         if auth is not None:
             return auth
+        # opt-in enforcement (spark.sql.authz.enabled=true): the
+        # reference's SQLStdHiveAuthorizationValidator.checkPrivileges
+        # gate, default off like hive.security.authorization.enabled
+        from amplab_hive_spark.authorization import enforce as _authz_enforce
+
+        _authz_enforce(self.spark, expanded)
         dml = _dml_handle(self.spark, expanded)
         if dml is not None:  # UPDATE/DELETE/MERGE statement forms
             return dml

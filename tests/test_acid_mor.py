@@ -784,3 +784,60 @@ def test_show_compactions_statement(spark, plain_table):
     acid.unpin_mor_keys(spark, plain_table)
     rows = {r.table: r for r in eng.sql("SHOW COMPACTIONS").collect()}
     assert plain_table not in rows
+
+
+# -- SHOW LOCKS (round 10: the r9 verdict's task 5, implement-minimal) --
+
+
+def test_show_locks_empty_when_nothing_held(spark):
+    """DDLTask.showLocks analogue: this inline engine holds no
+    statement-outliving table locks, so SHOW LOCKS is empty unless a
+    warehouse sidecar flock is live RIGHT NOW."""
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = eng.sql("SHOW LOCKS")
+    assert df.columns == [
+        "lockid", "database", "table", "partition", "state", "blocked_by",
+        "type", "txnid", "last_heartbeat", "acquired_at", "user",
+        "hostname", "agent_info",
+    ]
+    assert df.count() == 0
+
+
+def test_show_locks_reports_live_sidecar_flock(spark):
+    """While a process holds a warehouse sidecar flock (the authz
+    store's), SHOW LOCKS reports it EXCLUSIVE/ACQUIRED; after release
+    the row disappears — probed, never inferred from file existence."""
+    import fcntl
+
+    from amplab_hive_spark import authorization as az
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    lockfile = az._store_path(spark) + ".lock"
+    fh = open(lockfile, "a+")
+    try:
+        fcntl.flock(fh, fcntl.LOCK_EX)
+        rows = eng.sql("SHOW LOCKS").collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r.state, r.type) == ("ACQUIRED", "EXCLUSIVE")
+        assert r.agent_info == "_authz.json.lock"
+        assert r.table is None  # warehouse-scoped, not a table lock
+    finally:
+        fcntl.flock(fh, fcntl.LOCK_UN)
+        fh.close()
+    assert eng.sql("SHOW LOCKS").count() == 0
+
+
+def test_show_locks_table_scoped_and_missing_table(spark, plain_table):
+    """SHOW LOCKS <table>: empty by construction (no table lock ever
+    outlives a statement); a nonexistent table raises the reference's
+    resolution error rather than returning an empty set."""
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    assert eng.sql(f"SHOW LOCKS {plain_table}").count() == 0
+    with pytest.raises(Exception, match="(?i)not found|cannot be found|does not exist|TABLE_OR_VIEW"):
+        eng.sql("SHOW LOCKS definitely_not_a_table_xyz")

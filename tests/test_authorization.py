@@ -344,3 +344,87 @@ def test_transitive_role_membership(eng, spark):
     assert [r.role for r in eng.sql("SHOW CURRENT ROLES").collect()] \
         == ["t_inner"]
     spark.conf.unset(az._ROLES_CONF)
+
+
+# -- opt-in enforcement (round 10: the r9 verdict's task 7) -------------
+# Reference: ql/security/authorization/plugin/sqlstd/
+# SQLStdHiveAuthorizationValidator.java checkPrivileges, active only
+# under hive.security.authorization.enabled=true.
+
+
+@pytest.fixture()
+def enforced(eng, spark):
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    yield eng
+    spark.conf.unset("spark.sql.authz.enabled")
+
+
+def test_enforcement_default_off(eng, spark, tbl):
+    """Default posture unchanged: no grants, no denials."""
+    spark.conf.set("user.name", "nobody_at_all")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+
+
+def test_enforcement_denies_then_grant_allows(enforced, spark, tbl):
+    spark.conf.set("user.name", "admin_user")
+    spark.conf.unset("user.name")
+    spark.conf.set("user.name", "alice")
+    with pytest.raises(PermissionError, match=r"\[SELECT\] on \[default.src_autho_test\]"):
+        enforced.sql(f"SELECT * FROM {tbl}")
+    # grant management stays catalog-surface (documented scope): the
+    # grantor here is whoever runs the statement
+    spark.conf.set("user.name", "bob")
+    enforced.sql(f"GRANT SELECT ON {tbl} TO USER alice")
+    spark.conf.set("user.name", "alice")
+    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+    # SELECT alone does not cover writes
+    with pytest.raises(PermissionError, match=r"\[INSERT\]"):
+        enforced.sql(f"INSERT INTO {tbl} VALUES (9, 'v9')")
+
+
+def test_enforcement_write_verbs_and_role_path(enforced, spark, tbl):
+    """UPDATE/DELETE need their own privileges, grantable via a role
+    (the transitive-closure path grants_for already resolves)."""
+    spark.conf.set("user.name", "carol")
+    with pytest.raises(PermissionError, match=r"\[UPDATE\]"):
+        enforced.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
+    spark.conf.set("user.name", "granter")
+    enforced.sql("CREATE ROLE writers")
+    enforced.sql(f"GRANT UPDATE, DELETE, SELECT ON {tbl} TO ROLE writers")
+    enforced.sql("GRANT ROLE writers TO USER carol")
+    spark.conf.set("user.name", "carol")
+    enforced.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
+    assert (
+        enforced.sql(f"SELECT value FROM {tbl} WHERE key = 1").first().value
+        == "x"
+    )
+    enforced.sql(f"DELETE FROM {tbl} WHERE key = 0")
+    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 4
+
+
+def test_enforcement_admin_bypass_and_temp_views(enforced, spark, tbl):
+    spark.conf.set("user.name", "root_like")
+    enforced.sql("GRANT ROLE admin TO USER root_like")
+    # no object grants at all, but admin bypasses
+    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+    # temp views are session-private: never access-controlled
+    spark.conf.set("user.name", "dave")
+    spark.range(3).createOrReplaceTempView("authz_tmp_v")
+    try:
+        assert enforced.sql("SELECT count(*) AS n FROM authz_tmp_v").first().n == 3
+    finally:
+        spark.catalog.dropTempView("authz_tmp_v")
+
+
+def test_enforcement_exempt_heads_and_cte_aliases(enforced, spark, tbl):
+    spark.conf.set("user.name", "erin")
+    # metadata statements stay open (minimal SQL-std model)
+    enforced.sql(f"SHOW GRANT ON TABLE {tbl}").collect()
+    enforced.sql("SHOW ROLES").collect()
+    # a CTE alias is not a catalog object: only the real table is
+    # checked, and the denial names the table, not the alias
+    spark.conf.set("user.name", "frank")
+    enforced.sql(f"GRANT SELECT ON {tbl} TO USER erin")
+    spark.conf.set("user.name", "erin")
+    q = f"WITH c AS (SELECT key FROM {tbl}) SELECT count(*) AS n FROM c"
+    assert enforced.sql(q).first().n == 5

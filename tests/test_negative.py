@@ -1772,7 +1772,9 @@ _NEG9_DDL_CASES = [
      "INVALID_STATEMENT_OR_CLAUSE", "LOCK TABLE np9_t EXCLUSIVE"),
     ("unlock_table_statement", "lockneg2.q family",
      "INVALID_STATEMENT_OR_CLAUSE", "UNLOCK TABLE np9_t"),
-    ("show_locks_statement", "lockneg_query_tbl_in_locked_db.q family",
+    ("show_locks_statement_raw_layer", "lockneg_query_tbl_in_locked_db.q family"
+     " — pins the RAW Spark layer only; the Engine shim implements SHOW LOCKS"
+     " (acid.show_locks, r10)",
      "INVALID_STATEMENT_OR_CLAUSE", "SHOW LOCKS"),
     ("insert_overwrite_dir_empty_path", "insertover_dynapart_ifnotexists.q family",
      "Directory path", "INSERT OVERWRITE DIRECTORY '' USING parquet SELECT 1"),
