@@ -8151,6 +8151,1595 @@ QSCRIPTS_R62 = [
 ]
 
 
+# Sixty-third tranche (round 10, the r9 verdict's task 3): the
+# windowing_* edge files — windowing_expressions.q (lag/lead
+# identities, windowed sums vs running rewrites), windowing_
+# multipartitioning.q (several unrelated PARTITION BY specs in one
+# select), windowing_rank.q (rank/cume_dist/percent_rank + the
+# PTFPPD::process rank-filter shapes over a self-join), windowing_
+# navfn.q (row_number/lead/lag/first/last over varied partitions;
+# IGNORE NULLS is spelled via aggregate windows, which skip NULLs in
+# both engines — the literal IGNORE NULLS keyword parses differently
+# in Spark vs DuckDB), windowing_ntile.q, windowing_udaf.q,
+# windowing_decimal.q (exact DECIMAL window sums), windowing_
+# streaming.q (rank-filter pushdown shapes) and windowing.q's long
+# tail. All prototyped green on both engines at sf0.01 + sf0.001.
+QSCRIPTS_R63 = [
+    (
+        "wexpr_sum_lag_lastvalue_identity",
+        """SELECT p_brand, p_retailprice, p_size,
+               round(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER w1 AS DOUBLE), 2)
+               = round(CAST(SUM(CAST(lagged AS DECIMAL(18,2))) OVER w1 AS DOUBLE)
+                 + last_value(p_retailprice) OVER w1, 2) AS identity_holds
+        FROM (SELECT p_brand, p_retailprice, p_size, p_partkey,
+                     lag(p_retailprice, 1, 0.0) OVER (
+                       PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS lagged
+              FROM part WHERE p_partkey <= 200) l
+        WINDOW w1 AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        ORDER BY p_brand, p_retailprice, p_size""",
+    ),
+    (
+        "wexpr_minmax_firstlast_identity",
+        """SELECT p_brand, p_partkey,
+               max(p_retailprice) OVER w1 - min(p_retailprice) OVER w1
+               = last_value(p_retailprice) OVER w1 - first_value(p_retailprice) OVER w1
+               AS range_identity
+        FROM part WHERE p_partkey <= 200
+        WINDOW w1 AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "wexpr_rank_runningsum_offset",
+        """SELECT p_brand, p_retailprice,
+               rank() OVER (PARTITION BY p_brand ORDER BY p_retailprice) AS r,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) - 5 AS s1
+        FROM part WHERE p_partkey <= 150 ORDER BY p_brand, p_retailprice, p_partkey""",
+    ),
+    (
+        "wexpr_lead_numeric_diff",
+        """SELECT c_custkey, c_nationkey,
+               c_nationkey - lead(c_nationkey, 3) OVER (
+                 PARTITION BY c_mktsegment ORDER BY c_custkey) AS diff3
+        FROM customer WHERE c_custkey <= 120 ORDER BY c_custkey""",
+    ),
+    (
+        "wexpr_lead_with_default_zero",
+        """SELECT o_orderkey,
+               o_custkey - lead(o_custkey, 3, 0) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey) AS d3
+        FROM orders WHERE o_orderkey <= 300 ORDER BY o_orderkey""",
+    ),
+    (
+        "wexpr_lag_numeric_diff",
+        """SELECT s_suppkey, s_nationkey,
+               s_nationkey - lag(s_nationkey, 3) OVER (
+                 PARTITION BY s_nationkey % 4 ORDER BY s_suppkey) AS lag_diff
+        FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "wexpr_lag_string_default",
+        """SELECT n_nationkey, lag(n_name, 3, 'fred') OVER (
+               PARTITION BY n_regionkey ORDER BY n_nationkey) AS lag_name
+        FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "wexpr_avg_over_partition_only",
+        """SELECT p_brand,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (PARTITION BY p_brand) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY p_brand) AS brand_avg
+        FROM part WHERE p_partkey <= 100 ORDER BY p_brand, brand_avg""",
+    ),
+    (
+        "wexpr_running_avg_rows_frame",
+        """SELECT p_brand, p_partkey,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY p_brand ORDER BY p_type, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / COUNT(*) OVER (
+                 PARTITION BY p_brand ORDER BY p_type, p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_avg
+        FROM part WHERE p_partkey <= 100 ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "wexpr_window_over_multi_insert_source",
+        """WITH tt AS (
+          SELECT CAST(SUM(CAST(value AS DECIMAL(18,3))) OVER (
+                   PARTITION BY event_type ORDER BY event_id) AS DOUBLE) AS s,
+                 event_type
+          FROM events WHERE event_id <= 200)
+        SELECT s, event_type FROM tt ORDER BY event_type, s LIMIT 30""",
+    ),
+    (
+        "wexpr_sum_lag_plus_const_identity",
+        """SELECT p_brand, p_retailprice,
+               round(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) OVER w1 AS DOUBLE), 2) + 50.0
+               = round(CAST(SUM(CAST(lagged50 AS DECIMAL(18,2))) OVER w1 AS DOUBLE)
+                 + last_value(p_retailprice) OVER w1, 2) AS shifted_identity
+        FROM (SELECT p_brand, p_retailprice, p_partkey,
+                     lag(p_retailprice, 1, 50.0) OVER (
+                       PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS lagged50
+              FROM part WHERE p_partkey <= 120) l
+        WINDOW w1 AS (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+        ORDER BY p_brand, p_retailprice LIMIT 11""",
+    ),
+    (
+        "wmulti_rank_and_sum_same_partition",
+        """SELECT c_mktsegment,
+               rank() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS r,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 PARTITION BY c_mktsegment ORDER BY c_custkey) AS DOUBLE) AS s
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_mktsegment, r""",
+    ),
+    (
+        "wmulti_rank_desc_sum_other_order",
+        """SELECT c_custkey,
+               rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS r_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 PARTITION BY c_mktsegment ORDER BY c_custkey DESC) AS DOUBLE) AS s_desc
+        FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_custkey <= 80
+        ORDER BY c_custkey""",
+    ),
+    (
+        "wmulti_two_disjoint_partitions",
+        """SELECT o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderstatus) AS DOUBLE) AS by_status,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderpriority) AS DOUBLE) AS by_prio
+        FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey""",
+    ),
+    (
+        "wmulti_rank_by_two_unrelated_keys",
+        """SELECT s_suppkey,
+               rank() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS r_nat,
+               rank() OVER (PARTITION BY s_suppkey % 3 ORDER BY s_name) AS r_mod
+        FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "wmulti_sum_one_part_rownumber_global",
+        """SELECT c_custkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 PARTITION BY c_nationkey) AS DOUBLE) AS nat_sum,
+               row_number() OVER (ORDER BY c_acctbal, c_custkey) AS rn
+        FROM customer WHERE c_custkey <= 60 ORDER BY c_custkey""",
+    ),
+    (
+        "wmulti_named_windows_two_specs",
+        """SELECT o_orderkey, rank() OVER w1 AS r1, rank() OVER w2 AS r2
+        FROM orders WHERE o_orderkey <= 100
+        WINDOW w1 AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey),
+               w2 AS (PARTITION BY o_orderpriority ORDER BY o_orderdate, o_orderkey)
+        ORDER BY o_orderkey""",
+    ),
+    (
+        "wrank_rank_over_float_partition",
+        """SELECT c_name, rank() OVER (
+               PARTITION BY c_acctbal ORDER BY c_nationkey) AS r
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_name LIMIT 50""",
+    ),
+    (
+        "wrank_dense_rank_desc_second_key",
+        """SELECT o_orderkey, dense_rank() OVER (
+               PARTITION BY o_orderdate ORDER BY o_custkey, o_orderkey DESC) AS dr
+        FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey LIMIT 100""",
+    ),
+    (
+        "wrank_cume_dist_bool_partition",
+        """SELECT c_custkey, cume_dist() OVER (
+               PARTITION BY c_acctbal > 0 ORDER BY c_nationkey, c_custkey) AS cd
+        FROM customer WHERE c_custkey <= 80 ORDER BY c_custkey""",
+    ),
+    (
+        "wrank_percent_rank_numeric_partition",
+        """SELECT p_partkey, percent_rank() OVER (
+               PARTITION BY p_size ORDER BY p_retailprice, p_partkey) AS pr
+        FROM part WHERE p_partkey <= 150 ORDER BY p_partkey""",
+    ),
+    (
+        "wrank_top1_after_selfjoin",
+        """SELECT ts, val, rnk FROM (
+          SELECT ts, val, rank() OVER (PARTITION BY ts ORDER BY val) AS rnk
+          FROM (SELECT other.o_orderdate AS ts, other.o_totalprice AS val
+                FROM orders other JOIN orders o ON other.o_custkey = o.o_custkey
+                WHERE other.o_orderkey <= 60 AND o.o_orderkey <= 60) joined
+        ) ranked WHERE rnk = 1 ORDER BY ts, val LIMIT 10""",
+    ),
+    (
+        "wrank_filter_on_nonrank_column",
+        """SELECT ts, val, rnk FROM (
+          SELECT ts, val, rank() OVER (PARTITION BY ts ORDER BY val) AS rnk
+          FROM (SELECT other.o_orderdate AS ts, other.o_totalprice AS val
+                FROM orders other JOIN orders o ON other.o_custkey = o.o_custkey
+                WHERE other.o_orderkey <= 80 AND o.o_orderkey <= 80) joined
+        ) ranked WHERE val > 100000 ORDER BY ts, val, rnk LIMIT 10""",
+    ),
+    (
+        "wrank_prejoin_filter_then_rank",
+        """SELECT ts, val, rnk FROM (
+          SELECT ts, val, rank() OVER (PARTITION BY ts ORDER BY val) AS rnk
+          FROM (SELECT other.o_orderdate AS ts, other.o_totalprice AS val
+                FROM orders other JOIN orders o ON other.o_custkey = o.o_custkey
+                WHERE other.o_orderstatus = 'F'
+                  AND other.o_orderkey <= 100 AND o.o_orderkey <= 100) joined
+        ) ranked WHERE rnk = 1 ORDER BY ts, val LIMIT 10""",
+    ),
+    (
+        "navfn_rownumber_double_partition",
+        """SELECT c_name, row_number() OVER (
+               PARTITION BY c_acctbal ORDER BY c_custkey) AS rn
+        FROM customer WHERE c_custkey <= 90 ORDER BY c_name""",
+    ),
+    (
+        "navfn_lead_no_default",
+        """SELECT p_partkey, lead(p_name) OVER (
+               PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS next_name
+        FROM part WHERE p_partkey <= 120 ORDER BY p_partkey""",
+    ),
+    (
+        "navfn_lag_decimal_col",
+        """SELECT o_orderkey, lag(o_totalprice) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_orderkey) AS prev_price
+        FROM orders WHERE o_orderkey <= 150 ORDER BY o_orderkey""",
+    ),
+    (
+        "navfn_last_value_running",
+        """SELECT s_suppkey, last_value(s_name) OVER (
+               PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey) AS lv
+        FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "navfn_first_value_bool_partition",
+        """SELECT c_custkey, first_value(c_name) OVER (
+               PARTITION BY c_acctbal < 0 ORDER BY c_name) AS fv
+        FROM customer WHERE c_custkey <= 70 ORDER BY c_custkey""",
+    ),
+    (
+        "navfn_last_value_narrow_filter",
+        """SELECT c_nationkey, c_name, last_value(c_custkey) OVER (
+               PARTITION BY c_nationkey ORDER BY c_name) AS lv
+        FROM customer WHERE c_mktsegment = 'BUILDING' AND c_custkey <= 200
+        ORDER BY c_nationkey, c_name""",
+    ),
+    (
+        "navfn_ignore_nulls_via_aggregate",
+        """SELECT c_custkey,
+               max(CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_name END) OVER (
+                 PARTITION BY c_nationkey ORDER BY c_custkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS last_nonnull_near
+        FROM customer WHERE c_custkey <= 60 ORDER BY c_custkey""",
+    ),
+    (
+        "navfn_first_value_frame_variants",
+        """SELECT p_partkey,
+               first_value(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS fv_near,
+               first_value(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS fv_unb
+        FROM part WHERE p_partkey <= 80 ORDER BY p_partkey""",
+    ),
+    (
+        "navfn_last_value_frame_variants",
+        """SELECT p_partkey,
+               last_value(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey DESC
+                 ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS lv_near,
+               last_value(p_name) OVER (PARTITION BY p_brand ORDER BY p_partkey DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS lv_unb
+        FROM part WHERE p_partkey <= 80 ORDER BY p_partkey""",
+    ),
+    (
+        "ntile_10_within_segment",
+        """SELECT c_custkey, ntile(10) OVER (
+               PARTITION BY c_mktsegment ORDER BY c_custkey) AS decile
+        FROM customer WHERE c_custkey <= 200 ORDER BY c_custkey""",
+    ),
+    (
+        "ntile_100_more_tiles_than_rows",
+        """SELECT n_nationkey, ntile(100) OVER (
+               PARTITION BY n_regionkey ORDER BY n_name) AS t
+        FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "ntile_4_quartiles_by_price",
+        """SELECT o_orderkey, ntile(4) OVER (
+               PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders WHERE o_orderkey <= 160 ORDER BY o_orderkey""",
+    ),
+    (
+        "ntile_1000_sparse",
+        """SELECT s_suppkey, ntile(1000) OVER (ORDER BY s_acctbal, s_suppkey) AS t
+        FROM supplier ORDER BY s_suppkey""",
+    ),
+    (
+        "wudaf_min_partition_only",
+        """SELECT c_custkey, min(c_acctbal) OVER (PARTITION BY c_nationkey) AS nat_min
+        FROM customer WHERE c_custkey <= 100 ORDER BY c_custkey""",
+    ),
+    (
+        "wudaf_max_running_order_by_string",
+        """SELECT p_partkey, max(p_size) OVER (
+               PARTITION BY p_brand ORDER BY p_name) AS run_max
+        FROM part WHERE p_partkey <= 120 ORDER BY p_partkey""",
+    ),
+    (
+        "wudaf_count_star_running",
+        """SELECT o_orderkey, COUNT(*) OVER (
+               PARTITION BY o_orderpriority ORDER BY o_orderkey) AS seen
+        FROM orders WHERE o_orderkey <= 120 ORDER BY o_orderkey""",
+    ),
+    (
+        "wudaf_sum_distinct_free_rewrite",
+        """SELECT l_orderkey,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+                 PARTITION BY l_orderkey) AS DOUBLE) AS order_qty
+        FROM lineitem WHERE l_orderkey <= 50 ORDER BY l_orderkey, order_qty""",
+    ),
+    (
+        "wdec_sum_decimal_partition",
+        """SELECT p_partkey,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(10,2))) OVER (
+                 PARTITION BY p_brand ORDER BY p_partkey) AS DOUBLE) AS dec_sum
+        FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""",
+    ),
+    (
+        "wdec_min_max_decimal_frame",
+        """SELECT o_orderkey,
+               CAST(min(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mn,
+               CAST(max(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS mx
+        FROM orders WHERE o_orderkey <= 100 ORDER BY o_orderkey""",
+    ),
+    (
+        "wstream_rank_filter_lt4",
+        """SELECT * FROM (
+          SELECT p_brand, rank() OVER (PARTITION BY p_brand ORDER BY p_name) AS r
+          FROM part WHERE p_partkey <= 300) a
+        WHERE r < 4 ORDER BY p_brand, r""",
+    ),
+    (
+        "wstream_rank_filter_lt2_top1",
+        """SELECT * FROM (
+          SELECT p_brand, rank() OVER (PARTITION BY p_brand ORDER BY p_name) AS r
+          FROM part WHERE p_partkey <= 300) a
+        WHERE r < 2 ORDER BY p_brand""",
+    ),
+    (
+        "wstream_rank_filter_plus_source_pred",
+        """SELECT * FROM (
+          SELECT c_nationkey, c_acctbal, rank() OVER (
+            PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey) AS r
+          FROM customer WHERE c_custkey <= 500) a
+        WHERE r < 6 AND c_nationkey < 5 ORDER BY c_nationkey, r""",
+    ),
+    (
+        "wstream_rank_null_partition_rows",
+        """SELECT * FROM (
+          SELECT CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_nationkey END AS nk,
+                 c_acctbal, rank() OVER (
+                   PARTITION BY CASE WHEN c_custkey % 9 = 0 THEN NULL ELSE c_nationkey END
+                   ORDER BY c_acctbal, c_custkey) AS r
+          FROM customer WHERE c_custkey <= 120) a
+        WHERE r < 5 AND nk IS NULL ORDER BY c_acctbal""",
+    ),
+    (
+        "wtail_sum_over_sum_expr",
+        """SELECT o_orderstatus, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_orderstatus ORDER BY o_orderkey) AS DOUBLE)
+               - CAST(o_totalprice AS DOUBLE) AS prior_sum
+        FROM orders WHERE o_orderkey <= 90 ORDER BY o_orderkey""",
+    ),
+    (
+        "wtail_count_then_outer_agg",
+        """SELECT o_orderstatus, MAX(cnt_run) AS max_run FROM (
+          SELECT o_orderstatus, COUNT(*) OVER (
+            PARTITION BY o_orderstatus ORDER BY o_orderkey) AS cnt_run
+          FROM orders WHERE o_orderkey <= 200) x
+        GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "wtail_window_past_join",
+        """SELECT n_name, s_suppkey, rank() OVER (
+               PARTITION BY n_name ORDER BY s_acctbal, s_suppkey) AS r
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_name, r LIMIT 60""",
+    ),
+    (
+        "wtail_rows_between_preceding_and_preceding",
+        """SELECT c_custkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 ORDER BY c_custkey ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS DOUBLE) AS window_sum
+        FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey""",
+    ),
+    (
+        "wtail_rows_between_following_and_following",
+        """SELECT c_custkey,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (
+                 ORDER BY c_custkey ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS DOUBLE) AS ahead_sum
+        FROM customer WHERE c_custkey <= 40 ORDER BY c_custkey""",
+    ),
+    (
+        "wtail_range_current_to_unbounded",
+        """SELECT p_size, p_partkey,
+               COUNT(*) OVER (ORDER BY p_size RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+               AS n_ge
+        FROM part WHERE p_partkey <= 60 ORDER BY p_partkey""",
+    ),
+]
+
+# Sixty-fourth tranche: the join-condition corpus — join_filters.q
+# (one-sided predicates INSIDE the ON clause of every join type,
+# filter-only ON with no equi condition, chained LEFT-then-RIGHT
+# outer joins with overlapping filters), join_nulls.q (NULL keys
+# through every join type), join_nullsafe.q (<=> spelled as the
+# portable IS NOT DISTINCT FROM) and join_filters_overlap.q
+# (constant value predicates on both sides of repeated self outer
+# joins — the merged-join-tree dedup shapes). myinput1(key, value)
+# with NULLs is re-created as a deterministic CTE over nation (25
+# rows at every SF), spelled inline in each entry so one SQL string
+# serves both engines.
+QSCRIPTS_R64 = [
+    (
+        "jf_inner_filter_only_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, a.key, a.value, b.id AS bid FROM mi a JOIN mi b
+        ON a.key > 1 AND a.value > 2 AND b.key > 1 AND b.value > 2
+        ORDER BY a.id, bid LIMIT 60""",
+    ),
+    (
+        "jf_left_filter_only_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid, b.key AS bkey FROM mi a LEFT OUTER JOIN mi b
+        ON a.key > 1 AND a.value > 2 AND b.key > 1 AND b.value > 2
+        ORDER BY a.id, bid LIMIT 80""",
+    ),
+    (
+        "jf_right_filter_only_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, a.key AS akey, b.id FROM mi a RIGHT OUTER JOIN mi b
+        ON a.key > 1 AND a.value > 2 AND b.key > 1 AND b.value > 2
+        ORDER BY b.id, aid LIMIT 80""",
+    ),
+    (
+        "jf_inner_key_eq_value_with_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.key = b.value AND a.key > 0 AND b.value > 0
+        ORDER BY a.id, bid LIMIT 100""",
+    ),
+    (
+        "jf_inner_key_eq_key_with_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.key = b.key AND a.value > 1 AND b.value > 1
+        ORDER BY a.id, bid LIMIT 100""",
+    ),
+    (
+        "jf_inner_value_eq_value_with_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.value = b.value AND a.key > 0 AND b.key > 0
+        ORDER BY a.id, bid LIMIT 100""",
+    ),
+    (
+        "jf_inner_both_eq_with_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.value = b.value AND a.key = b.key AND a.key > 0 AND b.value > 0
+        ORDER BY a.id, bid LIMIT 100""",
+    ),
+    (
+        "jf_left_key_eq_value_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.key = b.value AND a.key > 1 AND b.value > 1
+        ORDER BY a.id, bid""",
+    ),
+    (
+        "jf_left_value_eq_value_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.value = b.value AND a.value > 2 AND b.key > 1
+        ORDER BY a.id, bid""",
+    ),
+    (
+        "jf_left_key_eq_key_leftpred_in_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.key = b.key AND a.id > 10
+        ORDER BY a.id, bid""",
+    ),
+    (
+        "jf_left_both_eq_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.key = b.key AND a.value = b.value AND a.key > 1 AND b.value > 2
+        ORDER BY a.id, bid""",
+    ),
+    (
+        "jf_right_key_eq_value_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id FROM mi a RIGHT OUTER JOIN mi b
+        ON a.key = b.value AND a.key > 1 AND b.value > 1
+        ORDER BY b.id, aid""",
+    ),
+    (
+        "jf_right_key_eq_key_rightpred_in_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id FROM mi a RIGHT OUTER JOIN mi b
+        ON a.key = b.key AND b.id > 10
+        ORDER BY b.id, aid""",
+    ),
+    (
+        "jf_right_both_eq_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id FROM mi a RIGHT OUTER JOIN mi b
+        ON a.key = b.key AND a.value = b.value AND a.key > 1 AND b.value > 2
+        ORDER BY b.id, aid""",
+    ),
+    (
+        "jf_full_key_eq_value_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.key = b.value AND a.key > 1 AND b.value > 1
+        ORDER BY aid, bid""",
+    ),
+    (
+        "jf_full_key_eq_key_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.key = b.key AND a.value > 2 AND b.value > 2
+        ORDER BY aid, bid""",
+    ),
+    (
+        "jf_full_value_eq_value_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.value = b.value AND a.key > 1 AND b.key > 1
+        ORDER BY aid, bid""",
+    ),
+    (
+        "jf_full_both_eq_filters_on",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.value = b.value AND a.key = b.key AND a.key > 0 AND b.value > 1
+        ORDER BY aid, bid""",
+    ),
+    (
+        "jf_left_then_right_chain_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        LEFT OUTER JOIN mi b ON (a.value = b.value AND a.key > 1 AND b.key > 1)
+        RIGHT OUTER JOIN mi c ON (b.value = c.value AND c.key > 1 AND b.key > 1)
+        ORDER BY cid, aid, bid LIMIT 100""",
+    ),
+    (
+        "jf_right_then_left_chain_filters",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        RIGHT OUTER JOIN mi b ON (a.value = b.value AND a.key > 1 AND b.key > 1)
+        LEFT OUTER JOIN mi c ON (b.value = c.value AND c.key > 1 AND b.key > 1)
+        ORDER BY bid, aid, cid LIMIT 100""",
+    ),
+    (
+        "jf_left_then_right_second_on_key",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        LEFT OUTER JOIN mi b ON (a.value = b.value AND a.key > 1 AND b.key > 1)
+        RIGHT OUTER JOIN mi c ON (b.key = c.key AND c.value > 2 AND b.value > 2)
+        ORDER BY cid, aid, bid LIMIT 100""",
+    ),
+    (
+        "jn_cross_join_null_rows_survive",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT COUNT(*) AS n FROM mi a CROSS JOIN mi b""",
+    ),
+    (
+        "jn_inner_key_eq_value_nulls_drop",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b ON a.key = b.value
+        ORDER BY a.id, bid LIMIT 100""",
+    ),
+    (
+        "jn_inner_key_eq_key_nulls_drop",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT COUNT(*) AS n,
+               COUNT(a.key) AS nonnull_keys
+        FROM mi a JOIN mi b ON a.key = b.key""",
+    ),
+    (
+        "jn_inner_value_eq_value_nulls_drop",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b ON a.value = b.value
+        ORDER BY a.id, bid LIMIT 120""",
+    ),
+    (
+        "jn_left_key_eq_value_null_left_kept",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, a.key, b.id AS bid FROM mi a LEFT OUTER JOIN mi b ON a.key = b.value
+        ORDER BY a.id, bid LIMIT 120""",
+    ),
+    (
+        "jn_left_both_eq_null_left_kept",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.key = b.key AND a.value = b.value
+        ORDER BY a.id, bid""",
+    ),
+    (
+        "jn_right_key_eq_key_null_right_kept",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id, b.key FROM mi a RIGHT OUTER JOIN mi b ON a.key = b.key
+        ORDER BY b.id, aid LIMIT 120""",
+    ),
+    (
+        "jn_full_key_eq_value_nulls_both_sides",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b ON a.key = b.value
+        ORDER BY aid, bid LIMIT 150""",
+    ),
+    (
+        "jn_full_both_eq_nulls_both_sides",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.value = b.value AND a.key = b.key
+        ORDER BY aid, bid LIMIT 150""",
+    ),
+    (
+        "jn_left_then_right_null_chain",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a LEFT OUTER JOIN mi b ON a.value = b.value
+        RIGHT OUTER JOIN mi c ON b.value = c.value
+        ORDER BY cid, aid, bid LIMIT 150""",
+    ),
+    (
+        "jn_right_then_left_null_chain",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a RIGHT OUTER JOIN mi b ON a.value = b.value
+        LEFT OUTER JOIN mi c ON b.value = c.value
+        ORDER BY bid, aid, cid LIMIT 150""",
+    ),
+    (
+        "jns_inner_nullsafe_key_value",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.value
+        ORDER BY a.id, bid LIMIT 150""",
+    ),
+    (
+        "jns_nullsafe_then_plain_eq_threeway",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid, c.id AS cid FROM mi a
+        JOIN mi b ON a.key IS NOT DISTINCT FROM b.value
+        JOIN mi c ON a.key = c.key
+        ORDER BY a.id, bid, cid LIMIT 150""",
+    ),
+    (
+        "jns_nullsafe_both_joins_threeway",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid, c.id AS cid FROM mi a
+        JOIN mi b ON a.key IS NOT DISTINCT FROM b.value
+        JOIN mi c ON a.key IS NOT DISTINCT FROM c.key
+        ORDER BY a.id, bid, cid LIMIT 150""",
+    ),
+    (
+        "jns_mixed_nullsafe_and_eq_conjunct",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid, c.id AS cid FROM mi a
+        JOIN mi b ON a.key IS NOT DISTINCT FROM b.value AND a.value = b.key
+        JOIN mi c ON a.key IS NOT DISTINCT FROM c.key AND a.value = c.value
+        ORDER BY a.id, bid, cid LIMIT 150""",
+    ),
+    (
+        "jns_double_nullsafe_conjunct",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid, c.id AS cid FROM mi a
+        JOIN mi b ON a.key IS NOT DISTINCT FROM b.value
+                 AND a.value IS NOT DISTINCT FROM b.key
+        JOIN mi c ON a.key IS NOT DISTINCT FROM c.key
+                 AND a.value IS NOT DISTINCT FROM c.value
+        ORDER BY a.id, bid, cid LIMIT 150""",
+    ),
+    (
+        "jns_left_outer_nullsafe",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.value
+        ORDER BY a.id, bid LIMIT 150""",
+    ),
+    (
+        "jns_right_outer_nullsafe",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id FROM mi a RIGHT OUTER JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.value
+        ORDER BY b.id, aid LIMIT 150""",
+    ),
+    (
+        "jns_full_outer_nullsafe",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.value
+        ORDER BY aid, bid LIMIT 150""",
+    ),
+    (
+        "jns_nullsafe_with_is_null_conjunct",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.value AND a.key IS NULL
+        ORDER BY a.id, bid LIMIT 150""",
+    ),
+    (
+        "jns_nullsafe_on_both_null_literal",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT COUNT(*) AS null_pairs FROM mi a JOIN mi b
+        ON a.key IS NOT DISTINCT FROM b.key
+        WHERE a.key IS NULL""",
+    ),
+    (
+        "jfo_left_left_const_overlap",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        LEFT OUTER JOIN mi b ON (a.key = b.key AND a.value = 5 AND b.value = 5)
+        LEFT OUTER JOIN mi c ON (a.key = c.key AND a.value = 6 AND c.value = 6)
+        ORDER BY aid, bid, cid""",
+    ),
+    (
+        "jfo_right_then_left_const_overlap",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        RIGHT OUTER JOIN mi b ON (a.key = b.key AND a.value = 5 AND b.value = 5)
+        LEFT OUTER JOIN mi c ON (b.key = c.key AND b.value = 6 AND c.value = 6)
+        ORDER BY bid, aid, cid""",
+    ),
+    (
+        "jfo_right_left_extra_range_preds",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid
+        FROM mi a
+        RIGHT OUTER JOIN mi b ON (a.key = b.key AND a.value = 5 AND b.value = 5 AND b.value > 1)
+        LEFT OUTER JOIN mi c ON (b.key = c.key AND b.value = 6 AND b.value > 2 AND c.value = 6)
+        ORDER BY bid, aid, cid""",
+    ),
+    (
+        "jfo_full_then_left_then_left",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid, d.id AS did
+        FROM mi a
+        FULL OUTER JOIN mi b ON (a.key = b.key AND a.value = 5 AND b.value = 5)
+        LEFT OUTER JOIN mi c ON (b.key = c.key AND b.value = 6 AND c.value = 6)
+        LEFT OUTER JOIN mi d ON (a.key = d.key AND a.value = 4 AND d.value = 4)
+        ORDER BY aid, bid, cid, did""",
+    ),
+    (
+        "jfo_left_left_left_const_overlap",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid, c.id AS cid, d.id AS did
+        FROM mi a
+        LEFT OUTER JOIN mi b ON (a.key = b.key AND a.value = 5 AND b.value = 5)
+        LEFT OUTER JOIN mi c ON (a.key = c.key AND a.value = 6 AND c.value = 6)
+        LEFT OUTER JOIN mi d ON (a.key = d.key AND a.value = 4 AND d.value = 4)
+        ORDER BY aid, bid, cid, did""",
+    ),
+]
+
+# Sixty-fifth tranche: predicate pushdown (ppd_*.q) and sorted/
+# bucketed group-by (groupby_sort_*.q) families — filters split
+# around GROUP BY and joins (ppd1/ppd2/ppd_gby/ppd_gby_join),
+# outer-join WHERE vs ON placement (ppd_outer_join1-5, including the
+# null-filtering predicate that legally converts LEFT OUTER to
+# inner), derived-column pushdown barriers (ppd_udf_col with the
+# nondeterministic rand() replaced by deterministic derived columns
+# — the PUSHDOWN BARRIER is the shape, not the randomness),
+# constant folding (ppd_constant_where/expr), repeated aliases,
+# union pushdown (ppd_union), and groupby_sort_1-9's grouped-by-
+# sorted-key shapes (constants in GROUP BY, key+key expressions,
+# grouped subquery joins, union of group-bys).
+QSCRIPTS_R65 = [
+    (
+        "ppd_filter_below_gby_then_above",
+        """SELECT c1 FROM (
+          SELECT o_orderpriority AS c1, COUNT(o_orderkey) AS c2
+          FROM orders WHERE o_orderpriority > '1' GROUP BY o_orderpriority) src1
+        WHERE c1 > '2' AND (c2 > 30 OR c1 < '4') ORDER BY c1""",
+    ),
+    (
+        "ppd_gby_regrouped_above",
+        """SELECT MAX(c1) AS mx, c2 FROM (
+          SELECT o_orderpriority AS c1, COUNT(o_orderkey) AS c2
+          FROM orders WHERE o_orderpriority > '1' GROUP BY o_orderpriority) src1
+        WHERE c1 > '2' AND (c2 > 30 OR c1 < '5')
+        GROUP BY c2 ORDER BY c2, mx""",
+    ),
+    (
+        "ppd_distribute_sort_inner",
+        """SELECT b.o_custkey, b.cc FROM (
+          SELECT a.o_custkey, COUNT(a.o_orderkey) AS cc
+          FROM orders a WHERE a.o_custkey < 200
+          GROUP BY a.o_custkey
+          ORDER BY a.o_custkey, cc DESC) b
+        WHERE b.cc > 1 ORDER BY b.o_custkey, b.cc""",
+    ),
+    (
+        "ppd_join_mixed_residual_preds",
+        """SELECT src1.c1, COUNT(*) AS n FROM
+          (SELECT o_custkey AS c1, o_orderpriority AS c2 FROM orders WHERE o_custkey > 1) src1
+        JOIN
+          (SELECT o_custkey AS c3, o_orderstatus AS c4 FROM orders WHERE o_custkey > 2) src2
+        ON src1.c1 = src2.c3 AND src1.c1 < 400
+        WHERE src1.c1 > 20 AND (src1.c2 < '4' OR src1.c1 > 2)
+          AND (src2.c3 > 50 OR src1.c1 < 50) AND (src2.c3 <> 4)
+        GROUP BY src1.c1 ORDER BY src1.c1 LIMIT 40""",
+    ),
+    (
+        "ppd_join_string_range_preds",
+        """SELECT a.n_name, a.n_nationkey, b.n_name AS bn
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        WHERE a.n_name > 'NATION_1' AND a.n_name < 'NATION_4'
+          AND b.n_name > 'NATION_2' AND b.n_name < 'NATION_8'
+        ORDER BY a.n_name, bn""",
+    ),
+    (
+        "ppd_join_subquery_only_one_filtered",
+        """SELECT src1.c1, src2.c4 FROM
+          (SELECT c_custkey AS c1, c_mktsegment AS c2 FROM customer) src1
+        JOIN
+          (SELECT c_custkey AS c3, c_nationkey AS c4 FROM customer WHERE c_custkey > 2) src2
+        ON src1.c1 = src2.c3
+        WHERE src1.c1 < 120 ORDER BY src1.c1""",
+    ),
+    (
+        "ppd_left_outer_where_both_sides",
+        """SELECT a.c_custkey, a.c_name, b.c_custkey AS bk, b.c_name AS bn
+        FROM customer a LEFT OUTER JOIN customer b ON a.c_custkey = b.c_custkey
+        WHERE a.c_custkey > 10 AND a.c_custkey < 60 AND b.c_custkey > 30 AND b.c_custkey < 80
+        ORDER BY a.c_custkey""",
+    ),
+    (
+        "ppd_right_outer_where_both_sides",
+        """SELECT a.c_custkey, b.c_custkey AS bk
+        FROM customer a RIGHT OUTER JOIN customer b ON a.c_custkey = b.c_custkey
+        WHERE a.c_custkey > 10 AND a.c_custkey < 60 AND b.c_custkey > 30 AND b.c_custkey < 80
+        ORDER BY a.c_custkey""",
+    ),
+    (
+        "ppd_full_outer_where_both_sides",
+        """SELECT a.c_custkey, b.c_custkey AS bk
+        FROM customer a FULL OUTER JOIN customer b ON a.c_custkey = b.c_custkey
+        WHERE a.c_custkey > 10 AND a.c_custkey < 60 AND b.c_custkey > 30 AND b.c_custkey < 80
+        ORDER BY a.c_custkey""",
+    ),
+    (
+        "ppd_outer_join_becomes_inner",
+        """SELECT a.c_custkey, b.c_name
+        FROM customer a LEFT OUTER JOIN customer b ON a.c_custkey = b.c_custkey
+        WHERE b.c_acctbal > 0 AND a.c_custkey <= 100
+        ORDER BY a.c_custkey""",
+    ),
+    (
+        "ppd_udf_col_const_expr_alias",
+        """SELECT o_orderkey, h4 FROM (
+          SELECT *, CAST(o_orderkey * 0 + 4 AS INT) AS h4 FROM orders WHERE o_orderkey = 100) a
+        WHERE h4 = 4""",
+    ),
+    (
+        "ppd_udf_col_derived_value",
+        """SELECT o_orderkey, v10 FROM (
+          SELECT *, o_custkey * 10 AS v10 FROM orders WHERE o_orderkey < 50) a
+        WHERE v10 >= 0 ORDER BY o_orderkey""",
+    ),
+    (
+        "ppd_constant_where_true",
+        """SELECT COUNT(*) AS n FROM nation WHERE 'a' = 'a'""",
+    ),
+    (
+        "ppd_constant_expr_null_arith",
+        """SELECT 4 + CAST(NULL AS INT) AS plus_null,
+               n_nationkey - CAST(NULL AS INT) AS minus_null,
+               CAST(NULL AS INT) + CAST(NULL AS INT) AS both_null
+        FROM nation WHERE n_nationkey < 3 ORDER BY n_nationkey""",
+    ),
+    (
+        "ppd_repeated_alias_nested",
+        """SELECT sub.key1, sub.cnt FROM (
+          SELECT key1, COUNT(*) AS cnt FROM (
+            SELECT n_regionkey AS key1 FROM nation WHERE n_regionkey > 0) t
+          GROUP BY key1) sub
+        WHERE sub.key1 > 1 ORDER BY sub.key1""",
+    ),
+    (
+        "ppd_same_alias_two_levels",
+        """SELECT a.k, a.n FROM (
+          SELECT k, COUNT(*) AS n FROM (
+            SELECT o_orderstatus AS k FROM orders WHERE o_orderkey < 500) a
+          GROUP BY k) a
+        WHERE a.n > 1 ORDER BY a.k""",
+    ),
+    (
+        "ppd_union_pushdown_both_branches",
+        """SELECT key, v FROM (
+          SELECT c_custkey AS key, c_acctbal AS v FROM customer
+          UNION ALL
+          SELECT s_suppkey AS key, s_acctbal AS v FROM supplier) u
+        WHERE key < 15 AND v > 0 ORDER BY key, v""",
+    ),
+    (
+        "ppd_union_one_branch_filtered",
+        """SELECT key, src FROM (
+          SELECT n_nationkey AS key, 'n' AS src FROM nation WHERE n_regionkey = 1
+          UNION ALL
+          SELECT r_regionkey AS key, 'r' AS src FROM region) u
+        WHERE key < 10 ORDER BY src, key""",
+    ),
+    (
+        "ppd_union_then_join",
+        """SELECT u.key, r_name FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION ALL
+          SELECT r_regionkey AS key FROM region) u
+        JOIN region ON u.key = r_regionkey
+        WHERE u.key < 3 ORDER BY u.key, r_name""",
+    ),
+    (
+        "ppd_derived_field_garbage",
+        """SELECT id, field_a FROM (
+          SELECT n_nationkey AS id, upper(n_name) AS field_a,
+                 n_regionkey * 2 AS field_b
+          FROM nation) t
+        WHERE field_b > 4 AND id < 20 ORDER BY id""",
+    ),
+    (
+        "ppd_shared_source_two_sinks_union",
+        """WITH src AS (SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey < 60)
+        SELECT 'low' AS sink, c_custkey FROM src WHERE c_nationkey < 10
+        UNION ALL
+        SELECT 'high' AS sink, c_custkey FROM src WHERE c_nationkey >= 10
+        ORDER BY sink, c_custkey""",
+    ),
+    (
+        "ppd_join_chain_after_filtered_cte",
+        """WITH t AS (SELECT r_regionkey AS id FROM region WHERE r_name <> 'ASIA')
+        SELECT t1.id, t2.id AS id2, t3.id AS id3
+        FROM t t1 JOIN t t2 ON t1.id = t2.id
+        LEFT OUTER JOIN t t3 ON t2.id = t3.id AND t3.id > 1
+        ORDER BY t1.id""",
+    ),
+    (
+        "ppd_join_on_expr_vs_where_expr",
+        """SELECT a.p_partkey, b.p_partkey AS bk
+        FROM part a JOIN part b ON a.p_partkey + 1 = b.p_partkey
+        WHERE a.p_size > 30 AND b.p_size < 20 AND a.p_partkey < 300
+        ORDER BY a.p_partkey""",
+    ),
+    (
+        "ppd_cluster_like_two_key_sort",
+        """SELECT o_custkey, COUNT(*) AS cc FROM orders
+        WHERE o_custkey BETWEEN 10 AND 80 GROUP BY o_custkey
+        ORDER BY o_custkey, cc DESC""",
+    ),
+    (
+        "gbs_count_by_key",
+        """SELECT o_orderstatus AS key, COUNT(1) AS cnt FROM orders
+        GROUP BY o_orderstatus ORDER BY key""",
+    ),
+    (
+        "gbs_count_by_key_and_val",
+        """SELECT o_orderstatus AS key, o_orderpriority AS val, COUNT(1) AS cnt
+        FROM orders GROUP BY o_orderstatus, o_orderpriority ORDER BY key, val""",
+    ),
+    (
+        "gbs_group_by_key_plus_key",
+        """SELECT n_regionkey + n_regionkey AS kk, COUNT(1) AS cnt
+        FROM nation GROUP BY n_regionkey + n_regionkey ORDER BY kk""",
+    ),
+    (
+        "gbs_group_via_projection_subquery",
+        """SELECT k, COUNT(1) AS cnt FROM (
+          SELECT n_regionkey AS k, n_name AS v FROM nation) subq1
+        GROUP BY k ORDER BY k""",
+    ),
+    (
+        "gbs_constant_in_group_by_position",
+        """SELECT 1 AS one, n_regionkey, COUNT(1) AS cnt
+        FROM nation GROUP BY 1, n_regionkey ORDER BY n_regionkey""",
+    ),
+    (
+        "gbs_key_const_val_group",
+        """SELECT n_regionkey AS key, 1 AS c1, n_name AS val, COUNT(1) AS cnt
+        FROM nation GROUP BY n_regionkey, 1, n_name ORDER BY key, val""",
+    ),
+    (
+        "gbs_two_consts_interleaved",
+        """SELECT n_regionkey AS key, 1 AS c1, n_name AS val, 2 AS c2, COUNT(1) AS cnt
+        FROM nation GROUP BY n_regionkey, 1, n_name, 2 ORDER BY key, val""",
+    ),
+    (
+        "gbs_key_and_key_plus_one",
+        """SELECT n_regionkey AS key, n_regionkey + 1 AS key1, COUNT(1) AS cnt
+        FROM nation GROUP BY n_regionkey, n_regionkey + 1 ORDER BY key""",
+    ),
+    (
+        "gbs_outer_sum_over_two_group_bys",
+        """SELECT kk, SUM(cnt) AS total FROM (
+          SELECT o_custkey + o_custkey AS kk, COUNT(1) AS cnt
+          FROM orders WHERE o_custkey < 100 GROUP BY o_custkey + o_custkey
+        ) x GROUP BY kk ORDER BY kk""",
+    ),
+    (
+        "gbs_join_two_grouped_subqueries",
+        """SELECT subq1.key, subq1.cnt + subq2.cnt AS total FROM
+          (SELECT o_orderstatus AS key, COUNT(1) AS cnt FROM orders GROUP BY o_orderstatus) subq1
+        JOIN
+          (SELECT o_orderstatus AS key, COUNT(1) AS cnt FROM orders GROUP BY o_orderstatus) subq2
+        ON subq1.key = subq2.key ORDER BY subq1.key""",
+    ),
+    (
+        "gbs_join_grouped_with_detail",
+        """SELECT subq2.key, subq2.cnt, x.o_orderkey FROM
+          (SELECT o_orderstatus AS key, COUNT(1) AS cnt FROM orders GROUP BY o_orderstatus) subq2
+        JOIN (SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey <= 8) x
+        ON subq2.key = x.o_orderstatus ORDER BY x.o_orderkey""",
+    ),
+    (
+        "gbs_group_by_val_not_sort_key",
+        """SELECT o_orderpriority AS val, COUNT(1) AS cnt FROM orders
+        GROUP BY o_orderpriority ORDER BY val""",
+    ),
+    (
+        "gbs_union_of_two_group_bys",
+        """SELECT key, cnt FROM (
+          SELECT n_regionkey AS key, COUNT(1) AS cnt FROM nation GROUP BY n_regionkey
+          UNION ALL
+          SELECT r_regionkey AS key, COUNT(1) AS cnt FROM region GROUP BY r_regionkey) u
+        ORDER BY key, cnt""",
+    ),
+    (
+        "gbs_filtered_partition_style_pred",
+        """SELECT o_orderstatus AS key, COUNT(1) AS cnt FROM orders
+        WHERE o_orderdate < TIMESTAMP '2023-07-01 00:00:00'
+        GROUP BY o_orderstatus ORDER BY key""",
+    ),
+    (
+        "gbs_distinct_vs_group_identity",
+        """SELECT DISTINCT n_regionkey FROM nation ORDER BY n_regionkey""",
+    ),
+    (
+        "gbs_count_distinct_by_group",
+        """SELECT o_orderstatus, COUNT(DISTINCT o_orderpriority) AS n_prio
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "gbs_max_of_count_subquery",
+        """SELECT MAX(cnt) AS max_cnt FROM (
+          SELECT COUNT(1) AS cnt FROM orders GROUP BY o_custkey) x""",
+    ),
+    (
+        "wprune_only_window_col_projected",
+        """SELECT r FROM (
+          SELECT rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS r
+          FROM customer WHERE c_custkey <= 50) t
+        WHERE r <= 3 ORDER BY r""",
+    ),
+    (
+        "wprune_partition_col_dropped",
+        """SELECT c_custkey, r FROM (
+          SELECT c_custkey, c_mktsegment,
+                 rank() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS r
+          FROM customer WHERE c_custkey <= 60) t
+        ORDER BY c_custkey""",
+    ),
+    (
+        "wadjust_large_partition_running_count",
+        """SELECT l_orderkey, l_linenumber,
+               COUNT(*) OVER (ORDER BY l_orderkey, l_linenumber
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn
+        FROM lineitem WHERE l_orderkey <= 40 ORDER BY l_orderkey, l_linenumber""",
+    ),
+]
+
+# Sixty-sixth tranche: long-tail completions — windowing.q shapes not
+# yet covered (aggregate-of-aggregate windows, mixed ROWS/RANGE
+# frames in one select, windows over join/group-by results),
+# join_nulls.q's unmatched-row and COUNT(col)-vs-COUNT(*) semantics,
+# groupby_sort_10/11's distinct-over-sorted shapes, ppd_gby2's
+# OR-heavy residuals, ppd through LIMIT/UNION DISTINCT boundaries,
+# and windowing over NULL-bearing keys (rank with NULLS FIRST, lag
+# edges, SUM skipping NULLs). The null-bearing mi CTE matches the
+# R64 tranche's.
+QSCRIPTS_R66 = [
+    (
+        "wlong_three_functions_one_window",
+        """SELECT p_brand, p_partkey,
+               rank() OVER w AS r, dense_rank() OVER w AS dr,
+               row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey) AS rn
+        FROM part WHERE p_partkey <= 100
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice)
+        ORDER BY p_brand, p_partkey""",
+    ),
+    (
+        "wlong_mixed_rows_and_range_frames",
+        """SELECT o_orderkey,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS near_n,
+               COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS upto_n
+        FROM orders WHERE o_orderkey <= 80 ORDER BY o_orderkey""",
+    ),
+    (
+        "wlong_window_after_group_by",
+        """SELECT o_orderstatus, n,
+               rank() OVER (ORDER BY n DESC, o_orderstatus) AS size_rank
+        FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) g
+        ORDER BY size_rank""",
+    ),
+    (
+        "wlong_window_arg_is_aggregate",
+        """SELECT o_orderstatus,
+               CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER (
+                 ORDER BY o_orderstatus) AS DOUBLE) AS running_total
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "wlong_lead_over_join_result",
+        """SELECT n_name, s_suppkey,
+               lead(s_suppkey) OVER (PARTITION BY n_name ORDER BY s_suppkey) AS next_supp
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY n_name, s_suppkey""",
+    ),
+    (
+        "wlong_rank_on_expression_key",
+        """SELECT c_custkey, rank() OVER (
+               PARTITION BY c_nationkey % 3 ORDER BY c_acctbal * 2, c_custkey) AS r
+        FROM customer WHERE c_custkey <= 90 ORDER BY c_custkey""",
+    ),
+    (
+        "wlong_ntile_after_where_on_rank",
+        """SELECT * FROM (
+          SELECT c_custkey,
+                 rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS r,
+                 ntile(3) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS t
+          FROM customer WHERE c_custkey <= 100) x
+        WHERE r <= 5 ORDER BY c_custkey""",
+    ),
+    (
+        "wlong_count_distinct_free_over_group",
+        """SELECT l_returnflag, l_linestatus, n_lines,
+               CAST(SUM(n_lines) OVER (PARTITION BY l_returnflag) AS BIGINT) AS flag_lines
+        FROM (SELECT l_returnflag, l_linestatus, COUNT(*) AS n_lines
+              FROM lineitem GROUP BY l_returnflag, l_linestatus) g
+        ORDER BY l_returnflag, l_linestatus""",
+    ),
+    (
+        "wlong_first_last_same_window",
+        """SELECT p_partkey,
+               first_value(p_retailprice) OVER w AS fv,
+               last_value(p_retailprice) OVER w AS lv
+        FROM part WHERE p_partkey <= 60
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_partkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY p_partkey""",
+    ),
+    (
+        "wlong_window_in_having_subquery",
+        """SELECT o_orderstatus, total FROM (
+          SELECT o_orderstatus,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          FROM orders GROUP BY o_orderstatus) g
+        WHERE total > (SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / 10
+                       FROM orders)
+        ORDER BY o_orderstatus""",
+    ),
+    (
+        "jn_left_where_right_key_null",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id, b.id AS bid FROM mi a LEFT OUTER JOIN mi b ON a.key = b.key
+        WHERE b.id IS NULL ORDER BY a.id""",
+    ),
+    (
+        "jn_right_where_left_key_null",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id FROM mi a RIGHT OUTER JOIN mi b ON a.key = b.key
+        WHERE a.id IS NULL ORDER BY b.id""",
+    ),
+    (
+        "jn_full_only_unmatched_rows",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.id AS aid, b.id AS bid FROM mi a FULL OUTER JOIN mi b ON a.key = b.value
+        WHERE a.id IS NULL OR b.id IS NULL ORDER BY aid, bid""",
+    ),
+    (
+        "jn_count_cols_vs_rows_outer",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT COUNT(*) AS rows_n, COUNT(b.id) AS matched_n,
+               COUNT(a.key) AS left_keys, COUNT(b.key) AS right_keys
+        FROM mi a LEFT OUTER JOIN mi b ON a.key = b.key""",
+    ),
+    (
+        "jn_groupby_over_outer_join",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT a.key, COUNT(b.id) AS matches FROM mi a LEFT OUTER JOIN mi b
+        ON a.key = b.key GROUP BY a.key ORDER BY a.key NULLS FIRST""",
+    ),
+    (
+        "jn_null_key_never_self_matches",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT COUNT(*) AS self_pairs FROM mi a JOIN mi b
+        ON a.key = b.key AND a.id = b.id""",
+    ),
+    (
+        "gbs10_distinct_projection",
+        """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        WHERE o_orderkey <= 200 ORDER BY o_orderstatus, o_orderpriority""",
+    ),
+    (
+        "gbs11_count_distinct_no_group",
+        """SELECT COUNT(DISTINCT o_orderstatus) AS n FROM orders""",
+    ),
+    (
+        "gbs11_count_and_count_distinct",
+        """SELECT COUNT(1) AS n, COUNT(DISTINCT o_orderstatus) AS nd FROM orders""",
+    ),
+    (
+        "gbs11_sum_distinct_ints",
+        """SELECT CAST(SUM(DISTINCT n_regionkey) AS BIGINT) AS sd FROM nation""",
+    ),
+    (
+        "gbs11_group_on_constant",
+        """SELECT 'x' AS k, COUNT(1) AS n FROM nation GROUP BY 'x'""",
+    ),
+    (
+        "ppd_gby2_max_with_or_preds",
+        """SELECT MAX(c1) AS mx, c2 FROM (
+          SELECT o_orderpriority AS c1, COUNT(o_orderkey) AS c2
+          FROM orders WHERE o_orderpriority > '1' GROUP BY o_orderpriority) src1
+        WHERE c1 > '2' AND (c2 > 250 OR c1 < '3')
+        GROUP BY c2 ORDER BY mx, c2""",
+    ),
+    (
+        "ppd_having_or_with_count",
+        """SELECT o_custkey, COUNT(*) AS n FROM orders
+        WHERE o_custkey < 120 GROUP BY o_custkey
+        HAVING COUNT(*) > 3 OR o_custkey < 10
+        ORDER BY o_custkey""",
+    ),
+    (
+        "ppd_above_limit_not_pushed",
+        """SELECT * FROM (
+          SELECT o_orderkey, o_totalprice FROM orders
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 50) top50
+        WHERE o_orderkey % 2 = 0 ORDER BY o_orderkey""",
+    ),
+    (
+        "ppd_below_union_distinct",
+        """SELECT key FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION
+          SELECT r_regionkey AS key FROM region) u
+        WHERE key >= 2 ORDER BY key""",
+    ),
+    (
+        "ppd_threeway_residual_or",
+        """SELECT a.n_nationkey, b.n_nationkey AS bk, c.n_nationkey AS ck
+        FROM nation a JOIN nation b ON a.n_regionkey = b.n_regionkey
+        JOIN nation c ON b.n_nationkey = c.n_nationkey
+        WHERE (a.n_nationkey < 5 OR b.n_nationkey < 5) AND c.n_regionkey > 1
+        ORDER BY a.n_nationkey, bk, ck LIMIT 60""",
+    ),
+    (
+        "ppd_join_pred_on_both_inputs_or",
+        """SELECT o.o_orderkey, c.c_custkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE (o.o_totalprice > 300000 OR c.c_acctbal < 0) AND o.o_orderkey <= 400
+        ORDER BY o.o_orderkey""",
+    ),
+    (
+        "gbs_two_aggs_same_source_union",
+        """WITH src AS (SELECT o_orderstatus AS key, o_orderpriority AS val
+                     FROM orders WHERE o_orderkey <= 300)
+        SELECT key, CAST(NULL AS STRING) AS val, COUNT(1) AS cnt FROM src GROUP BY key
+        UNION ALL
+        SELECT key, val, COUNT(1) AS cnt FROM src GROUP BY key, val
+        ORDER BY key, val NULLS FIRST, cnt""",
+    ),
+    (
+        "gbs_agg_of_key_expr_twice",
+        """SELECT kk, SUM(cnt) AS total FROM (
+          SELECT n_regionkey + n_regionkey AS kk, COUNT(1) AS cnt
+          FROM nation GROUP BY n_regionkey + n_regionkey) x
+        GROUP BY kk ORDER BY kk""",
+    ),
+    (
+        "gbs_nested_subquery_rename_chain",
+        """SELECT k2, COUNT(1) AS n FROM (
+          SELECT k1 AS k2 FROM (
+            SELECT n_regionkey AS k1 FROM nation) a) b
+        GROUP BY k2 ORDER BY k2""",
+    ),
+    (
+        "wnull_rank_null_order_key",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT id, rank() OVER (ORDER BY key NULLS FIRST, id) AS r
+        FROM mi ORDER BY id""",
+    ),
+    (
+        "wnull_lag_returns_null_at_edges",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT id, lag(key) OVER (ORDER BY id) AS prev_key,
+               lead(key) OVER (ORDER BY id) AS next_key
+        FROM mi ORDER BY id""",
+    ),
+    (
+        "wnull_sum_skips_null_values",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT id, CAST(SUM(value) OVER (ORDER BY id
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS s3
+        FROM mi ORDER BY id""",
+    ),
+    (
+        "wnull_count_col_vs_star_window",
+        """WITH mi AS (
+  SELECT n_nationkey AS id,
+         CASE WHEN n_nationkey % 4 = 0 THEN NULL ELSE n_regionkey END AS key,
+         CASE WHEN n_nationkey % 5 = 0 THEN NULL ELSE n_nationkey % 7 END AS value
+  FROM nation)
+        SELECT id, COUNT(key) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS nonnull_upto,
+               COUNT(*) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rows_upto
+        FROM mi ORDER BY id""",
+    ),
+    (
+        "ppd_between_in_mixed_pushdown",
+        """SELECT p_partkey, p_brand FROM (
+          SELECT * FROM part WHERE p_size BETWEEN 10 AND 40) t
+        WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') AND p_partkey < 250
+        ORDER BY p_partkey""",
+    ),
+    (
+        "ppd_not_between_negation",
+        """SELECT COUNT(*) AS n FROM part
+        WHERE p_size NOT BETWEEN 10 AND 40 AND p_partkey < 300""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
