@@ -937,8 +937,14 @@ def import_table(spark: SparkSession, name: str, export_dir: str, path: str) -> 
             f"IMPORT source {export_dir} has no _schema.json — not an "
             f"export produced by export_table (exim_00 class)"
         )
-    with open(meta_path) as fh:
-        meta = json.load(fh)
+    try:
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+    except (json.JSONDecodeError, UnicodeDecodeError) as ex:
+        raise ValueError(
+            f"IMPORT source {export_dir} has corrupt export metadata "
+            f"(exim_00_unsupported_schema class): {ex}"
+        ) from ex
     schema = StructType.fromJson(meta["schema"])
     pcols = list(meta.get("partition_columns", ()))
     df = spark.read.schema(schema).parquet(os.path.join(export_dir, "data"))

@@ -36,7 +36,9 @@ _CREATE_RE = re.compile(
     r"^\s*CREATE\s+TEMPORARY\s+MACRO\s+(\w+)\s*\(",
     re.IGNORECASE | re.DOTALL,
 )
-_DROP_RE = re.compile(r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE)
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TEMPORARY\s+MACRO\s+(IF\s+EXISTS\s+)?(\w+)\s*$", re.IGNORECASE
+)
 
 
 @dataclass
@@ -84,11 +86,28 @@ class MacroRegistry:
                 params.append(p.split()[0])
             if len(set(params)) != len(params):
                 raise MacroError(f"duplicate macro parameter in {name}")
+            # every declared parameter must appear in the body — the
+            # reference rejects unused parameters up front
+            # (ql/parse/MacroSemanticAnalyzer.java, clientnegative/
+            # macro_unused_parameter.q)
+            unused = [
+                p for p in params
+                if not re.search(rf"\b{re.escape(p)}\b", body, re.IGNORECASE)
+            ]
+            if unused:
+                raise MacroError(
+                    f"macro {name} declares unused parameter(s) "
+                    f"{', '.join(unused)} (macro_unused_parameter.q)"
+                )
             self._macros[name.lower()] = Macro(name.lower(), tuple(params), body.strip())
             return True
         m = _DROP_RE.match(sql.strip().rstrip(";"))
         if m:
-            self._macros.pop(m.group(1).lower(), None)
+            dropped = self._macros.pop(m.group(2).lower(), None)
+            # DROP without IF EXISTS on a missing macro is an error,
+            # like the reference's FunctionTask drop path
+            if dropped is None and not m.group(1):
+                raise MacroError(f"macro {m.group(2)} does not exist")
             return True
         return False
 

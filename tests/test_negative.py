@@ -1296,7 +1296,7 @@ def test_negative_corpus_size():
     n_param = len(_re.findall(r'^    \("', src, _re.M))
     n_standalone = len(_re.findall(r"^def test_", src, _re.M))
     total = n_param + n_standalone
-    assert total >= 400, f"negative corpus shrank: {total} classes"
+    assert total >= 450, f"negative corpus shrank: {total} classes"
 
 
 # r8 tranche 2: the row-level-DML error surface — Hive's acid/update/
@@ -1913,3 +1913,332 @@ def test_rename_table_across_databases_rejected(spark):
 def test_comment_on_missing_table_rejected(spark):
     with pytest.raises(AnalysisException, match="TABLE_OR_VIEW_NOT_FOUND"):
         spark.sql("COMMENT ON TABLE neg9_no_such_tbl IS 'x'")
+
+# r10 tranche 1: the ptf/windowing clientnegative family
+# (ptf_negative_*.q, ptf_window_boundaries*.q, windowing_ll_*.q,
+# windowing_invalid_udaf.q). Probed first; classes already pinned by
+# earlier tranches (REPETITIVE_WINDOW_DEFINITION, frame-comparison,
+# WINDOW_FUNCTION_WITHOUT_OVER_CLAUSE, window-inside-aggregate,
+# RANGE_FRAME_MULTI_ORDER/WITHOUT_ORDER, ntile nonpositive,
+# requires-ordered for ranking fns, frame-on-lead) were SKIPPED as
+# duplicates; NO_ERROR drops documented at the tranche end.
+
+_R10_WINDOW_CASES = [
+    ("window_alias_self_reference", "ptf_negative_AmbiguousWindowDefn.q (w3 as w3)",
+     "INVALID_WINDOW_REFERENCE",
+     "SELECT p_partkey, sum(p_size) OVER w3 AS s3 FROM part WINDOW w3 AS (w3)"),
+    ("lead_in_having_no_windowing", "ptf_negative_HavingLeadWithNoGBYNoWindowing.q",
+     "requires window to be ordered",
+     "SELECT p_brand, p_size FROM part HAVING lead(p_size, 1) OVER () <= p_size"),
+    ("where_on_window_alias", "ptf_negative_WhereWithRankCond.q",
+     "UNRESOLVED_COLUMN",
+     """SELECT p_brand, rank() OVER (PARTITION BY p_brand ORDER BY p_name) AS r
+        FROM part WHERE r < 4"""),
+    ("rows_unbounded_following_start", "ptf_window_boundaries.q",
+     "SPECIFIED_WINDOW_FRAME_INVALID_BOUND",
+     "SELECT sum(p_retailprice) OVER (ORDER BY p_name ROWS UNBOUNDED FOLLOWING) AS s1 FROM part"),
+    ("nonexistent_function_over", "windowing_invalid_udaf.q",
+     "UNRESOLVED_ROUTINE",
+     "SELECT nonexistfunc(p_size) OVER () FROM part LIMIT 1"),
+    ("rank_with_explicit_frame", "windowing frame-on-rank class",
+     "must match the required frame",
+     "SELECT rank() OVER (ORDER BY p_partkey ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM part"),
+    ("ntile_nonliteral_buckets", "windowing_ntile error class (non-foldable)",
+     "NON_FOLDABLE_INPUT",
+     "SELECT ntile(p_size) OVER (ORDER BY p_partkey) FROM part"),
+    ("lead_nonliteral_offset", "windowing_ll offset class",
+     "NON_FOLDABLE_INPUT",
+     "SELECT lead(p_name, p_size) OVER (ORDER BY p_partkey) FROM part"),
+    ("window_function_in_where", "ptf_negative_WhereWithRankCond.q (direct form)",
+     "window functions inside WHERE",
+     "SELECT p_name FROM part WHERE rank() OVER (ORDER BY p_name) < 4"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _R10_WINDOW_CASES, ids=[c[0] for c in _R10_WINDOW_CASES],
+)
+def test_neg10_window(spark, name, script, match, stmt):
+    with pytest.raises(Exception, match=match):
+        spark.sql(stmt).collect()
+
+
+# NO_ERROR drops from the r10 window probe (Spark legally accepts what
+# Hive rejects; each probed this round): DISTRIBUTE BY/SORT BY inside
+# an OVER clause parse as PARTITION BY/ORDER BY synonyms;
+# `rank() OVER (ORDER BY sum(..) OVER (..))` is rewritten by the
+# analyzer instead of rejected; lag with a negative offset is legal
+# lead semantics (documented r9).
+
+
+# r10 tranche 2: the subquery_*.q clientnegative restriction family.
+# Spark's subquery support is a strict superset of Hive's, so only
+# the classes Spark itself enforces are error cases; the rest are
+# NO_ERROR drops documented below.
+
+_R10_SUBQ_CASES = [
+    ("subq_multi_col_in", "subquery_multiple_cols_in_select.q",
+     "IN_SUBQUERY_LENGTH_MISMATCH",
+     "SELECT * FROM orders WHERE o_orderkey IN (SELECT * FROM orders o1 WHERE o1.o_orderkey > 9)"),
+    ("subq_missing_from", "subquery_missing_from.q",
+     "UNRESOLVED_COLUMN",
+     "SELECT * FROM orders WHERE o_orderkey IN (SELECT o_orderkeyzz)"),
+    ("subq_chained_in_in", "subquery_subquery_chain.q",
+     "PARSE_SYNTAX_ERROR",
+     "SELECT * FROM orders WHERE o_orderkey IN (SELECT o_orderkey FROM orders) IN (SELECT o_orderkey FROM orders)"),
+    ("subq_nested_corr_two_levels", "subquery_nested_subquery.q",
+     "UNRESOLVED_COLUMN",
+     """SELECT * FROM part x WHERE x.p_name IN
+        (SELECT y.p_name FROM part y WHERE EXISTS
+          (SELECT z.p_name FROM part z WHERE y.p_name = z.p_name AND x.p_size = z.p_size))"""),
+    ("subq_scalar_multiple_cols", "invalid_select_column_with_subquery.q (scalar class)",
+     "SCALAR_SUBQUERY_RETURN_MORE_THAN_ONE_OUTPUT_COLUMN",
+     "SELECT (SELECT o_orderkey, o_custkey FROM orders LIMIT 1) FROM orders"),
+    ("cte_inside_subquery_forward_ref", "cte_with_in_subquery.q",
+     "TABLE_OR_VIEW_NOT_FOUND",
+     "SELECT * FROM (WITH q1 AS (SELECT o_orderkey FROM q2 WHERE o_orderkey = 5) SELECT * FROM q1) a"),
+    ("where_on_table_alias_itself", "invalid_select_column_with_subquery.q",
+     "UNRESOLVED_COLUMN",
+     "SELECT * FROM (SELECT * FROM orders) subq WHERE subq = 123"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _R10_SUBQ_CASES, ids=[c[0] for c in _R10_SUBQ_CASES],
+)
+def test_neg10_subquery(spark, name, script, match, stmt):
+    with pytest.raises(Exception, match=match):
+        spark.sql(stmt).collect()
+
+
+# NO_ERROR drops from the r10 subquery probe (all probed; Spark
+# SUPPORTS these Hive restrictions, returning correct results):
+# subquery_in_groupby.q (IN-subquery as a grouping expression),
+# subquery_in_select.q / subquery_windowing_corr.q (correlated and
+# windowed subqueries in the SELECT list), subquery_exists_implicit_
+# gby.q / subquery_notexists_implicit_gby.q (EXISTS over an implicit
+# aggregate), subquery_with_or_cond.q (IN-subquery under OR),
+# subquery_shared_alias.q (subquery reusing the outer table name),
+# correlated-EXISTS-with-LIMIT, and NOT IN with a non-equality
+# correlated predicate. The multi-row correlated scalar subquery
+# (SCALAR_SUBQUERY_TOO_MANY_ROWS) is already pinned by an earlier
+# tranche.
+
+
+# r10 tranche 3: expression/aggregate stragglers — udf_* arity/type
+# classes not reached by earlier tranches, LIMIT expression
+# validation, grouping() placement, type-system edges. Duplicates of
+# classes pinned earlier (ordinal positions, union shape errors,
+# set-op on map, tablesample bounds, insert arity, percentile range,
+# instr/named_struct/greatest/histogram variants) were pruned after
+# a cross-tranche sweep.
+
+_R10_EXPR_CASES = [
+    ("elt_zero_args", "udf_elt_wrong_args_len.q",
+     "WRONG_NUM_ARGS", "SELECT elt() FROM nation"),
+    ("coalesce_zero_args", "udf_coalesce arity class",
+     "WRONG_NUM_ARGS", "SELECT coalesce() FROM nation"),
+    ("nvl_wrong_arity", "udf_nvl arity class",
+     "WRONG_NUM_ARGS", "SELECT nvl(n_name) FROM nation"),
+    ("split_wrong_arity", "udf_split arity class",
+     "WRONG_NUM_ARGS", "SELECT split() FROM nation"),
+    ("collect_set_wrong_arity", "udaf_collect_set arity class",
+     "WRONG_NUM_ARGS", "SELECT collect_set(n_name, n_nationkey) FROM nation"),
+    ("json_tuple_zero_paths", "udtf json_tuple arity class",
+     "WRONG_NUM_ARGS", "SELECT json_tuple(n_name) FROM nation"),
+    ("limit_non_integer", "limit error class (type)",
+     "INVALID_LIMIT_LIKE_EXPRESSION", "SELECT n_name FROM nation LIMIT 2.5"),
+    ("limit_nonfoldable_expression", "limit error class (column)",
+     "UNRESOLVED_COLUMN", "SELECT n_name FROM nation LIMIT n_nationkey"),
+    ("having_nongrouped_column", "having1.q",
+     "UNRESOLVED_COLUMN",
+     "SELECT n_regionkey, count(*) FROM nation GROUP BY n_regionkey HAVING n_name > 'A'"),
+    ("grouping_col_not_in_groupby", "groupby_grouping_id2.q error class",
+     "GROUPING_COLUMN_MISMATCH",
+     "SELECT n_regionkey, grouping(n_name) FROM nation GROUP BY ROLLUP(n_regionkey)"),
+    ("exists_in_select_arith", "subquery_in_select.q (EXISTS-expression class)",
+     "PARSE_SYNTAX_ERROR",
+     "SELECT EXISTS (SELECT 1 FROM region) + 1 FROM nation"),
+    ("array_index_wrong_type", "invalid_arithmetic_type.q (index class)",
+     "UNEXPECTED_INPUT_TYPE", "SELECT array(1,2,3)[n_name] FROM nation"),
+    ("add_date_and_date", "invalid_arithmetic_type.q (date class)",
+     "UNEXPECTED_INPUT_TYPE", "SELECT DATE '2020-01-01' + DATE '2020-01-02'"),
+    ("interval_multiply_interval", "invalid_arithmetic_type.q (interval class)",
+     "UNEXPECTED_INPUT_TYPE", "SELECT INTERVAL '1' DAY * INTERVAL '2' DAY"),
+    ("date_minus_string_type", "invalid_arithmetic_type.q (coercion boundary)",
+     "UNEXPECTED_INPUT_TYPE", "SELECT DATE '2020-01-01' - 'abc'"),
+    ("char_length_of_map", "udf_length wrong-type class",
+     "UNEXPECTED_INPUT_TYPE", "SELECT char_length(map('a',1)) FROM nation"),
+    ("repeat_count_wrong_type", "udf_repeat wrong-type class",
+     "UNEXPECTED_INPUT_TYPE", "SELECT repeat(n_name, map('a',1)) FROM nation"),
+    ("stack_nonfoldable_rows", "udtf_stack arity class",
+     "NON_FOLDABLE_INPUT", "SELECT stack(n_nationkey, n_name) FROM nation"),
+    ("posexplode_on_scalar", "udtf_explode_not_supported (posexplode class)",
+     "UNEXPECTED_INPUT_TYPE", "SELECT posexplode(n_nationkey) FROM nation"),
+    ("percentile_approx_bad_accuracy", "udaf percentile_approx accuracy class",
+     "VALUE_OUT_OF_RANGE",
+     "SELECT percentile_approx(n_nationkey, 0.5, -1) FROM nation"),
+    ("approx_count_distinct_bad_rsd", "udaf approx rsd class",
+     "FAILED_FUNCTION_CALL",
+     "SELECT approx_count_distinct(n_name, 0.9) FROM nation"),
+    ("join_on_map_type_key", "join map-key class (MapJoinKey restriction)",
+     "INVALID_ORDERING_TYPE",
+     "SELECT * FROM (SELECT map('a',1) AS m FROM nation) a JOIN (SELECT map('a',1) AS m FROM nation) b ON a.m = b.m"),
+    ("order_by_map_column", "sort-on-map class",
+     "INVALID_ORDERING_TYPE",
+     "SELECT map('a', n_nationkey) AS m FROM nation ORDER BY m"),
+    ("case_branches_incompatible", "case_with_wrong_type.q",
+     "DATA_DIFF_TYPES",
+     "SELECT CASE WHEN n_nationkey > 1 THEN map('a',1) ELSE array(1) END FROM nation"),
+    ("pivot_nonliteral_values", "pivot value class",
+     "NON_LITERAL_PIVOT_VALUES",
+     "SELECT * FROM nation PIVOT (count(*) FOR n_regionkey IN (n_nationkey))"),
+    ("lateral_view_nonudtf", "lateral_view_join (non-UDTF class)",
+     "UNSUPPORTED_GENERATOR.NOT_GENERATOR",
+     "SELECT x FROM nation LATERAL VIEW upper(n_name) t AS x"),
+    ("join_using_missing_column", "join USING resolution class",
+     "UNRESOLVED_USING_COLUMN_FOR_JOIN",
+     "SELECT * FROM nation a JOIN region b USING (zzz)"),
+]
+
+
+@pytest.mark.parametrize(
+    ("name", "script", "match", "stmt"),
+    _R10_EXPR_CASES, ids=[c[0] for c in _R10_EXPR_CASES],
+)
+def test_neg10_expr(spark, name, script, match, stmt):
+    with pytest.raises(Exception, match=match):
+        spark.sql(stmt).collect()
+
+
+# NO_ERROR drops from the r10 expression probe: locate/printf with
+# swapped argument types, next_day with a bad day name, and 1 IN
+# with a GROUP BY map() expression all coerce, NULL out, or execute
+# (Hive-compatible non-ANSI coercions, §1.3); format_number with a
+# negative scale clamps; DISTINCT over a window function,
+# CAST(interval AS int) and NATURAL JOIN with no common columns
+# (degenerates to cross) are legal in Spark.
+
+
+# r10 tranche 4: macro argument errors (macro_*.q clientnegative
+# family) through the Engine's macro layer.
+
+
+@pytest.fixture()
+def _macro_eng(spark):
+    from amplab_hive_spark.engine import Engine
+
+    return Engine(spark)
+
+
+def test_macro_unused_parameter(spark, _macro_eng):
+    """macro_unused_parameter.q: every declared parameter must appear
+    in the body (MacroSemanticAnalyzer's check, implemented r10)."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    with pytest.raises(MacroError, match="unused parameter.*y"):
+        _macro_eng.sql("CREATE TEMPORARY MACRO BAD_MACRO (x INT, y INT) x")
+
+
+def test_macro_empty_body(spark, _macro_eng):
+    """macro definition with no body expression."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    with pytest.raises(MacroError, match="empty body"):
+        _macro_eng.sql("CREATE TEMPORARY MACRO EMPTY_M (x INT)")
+
+
+def test_macro_wrong_call_arity(spark, _macro_eng):
+    """macro invocation arity is validated at expansion time."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    _macro_eng.sql("CREATE TEMPORARY MACRO sq_neg10 (x INT) x * x")
+    with pytest.raises(MacroError, match="expects 1 args, got 2"):
+        _macro_eng.sql("SELECT sq_neg10(1, 2)")
+
+
+def test_macro_unbalanced_call(spark, _macro_eng):
+    """unterminated macro call argument list."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    _macro_eng.sql("CREATE TEMPORARY MACRO sq2_neg10 (x INT) x * x")
+    with pytest.raises(MacroError, match="unbalanced parentheses"):
+        _macro_eng.sql("SELECT sq2_neg10(1")
+
+
+def test_macro_drop_missing_without_if_exists(spark, _macro_eng):
+    """DROP TEMPORARY MACRO on a missing macro errors; IF EXISTS is
+    silent (FunctionTask's drop contract, implemented r10)."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    with pytest.raises(MacroError, match="does not exist"):
+        _macro_eng.sql("DROP TEMPORARY MACRO definitely_no_such_macro_neg10")
+    _macro_eng.sql("DROP TEMPORARY MACRO IF EXISTS definitely_no_such_macro_neg10")
+
+
+def test_macro_create_nontemporary_rejected(spark, _macro_eng):
+    """CREATE MACRO without TEMPORARY is not in the grammar
+    (HiveParser.g only defines TEMPORARY macros)."""
+    with pytest.raises(Exception, match="PARSE_SYNTAX_ERROR"):
+        _macro_eng.sql("CREATE MACRO not_temp_neg10 (x INT) x")
+
+
+# r10 tranche 5: remaining exim clientnegative classes.
+
+
+@pytest.fixture()
+def _exim10(spark, tmp_path):
+    from amplab_hive_spark import ddl
+
+    names = ("exim10_psrc", "exim10_nptgt", "exim10_renamed")
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.sql(
+        f"CREATE TABLE exim10_psrc (id INT, v STRING) USING parquet "
+        f"PARTITIONED BY (ds STRING) LOCATION '{tmp_path}/psrc'"
+    )
+    spark.sql("INSERT INTO exim10_psrc PARTITION (ds='d1') VALUES (1, 'a')")
+    ddl.export_table(spark, "exim10_psrc", f"{tmp_path}/exp_part")
+    yield ddl, str(tmp_path)
+    for t in names:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_exim_part_export_into_nonpart_target(spark, _exim10, tmp_path):
+    """exim_14_nonpart_part.q twin: a partitioned export cannot land
+    in an existing non-partitioned table (the partition column shows
+    up as a schema difference)."""
+    ddl, base = _exim10
+    spark.sql(
+        f"CREATE TABLE exim10_nptgt (id INT, v STRING) USING parquet "
+        f"LOCATION '{base}/nptgt'"
+    )
+    with pytest.raises(ValueError, match="incompatible schema|partitioning differs"):
+        ddl.import_table(spark, "exim10_nptgt", f"{base}/exp_part", f"{base}/nptgt2")
+
+
+def test_exim_import_column_names_differ(spark, _exim10):
+    """exim_03_nonpart_noncompat_colschema.q: same arity and types but
+    different column NAMES is still incompatible."""
+    ddl, base = _exim10
+    spark.sql(
+        f"CREATE TABLE exim10_renamed (idx INT, v STRING) USING parquet "
+        f"LOCATION '{base}/renamed'"
+    )
+    with pytest.raises(ValueError, match="incompatible schema"):
+        ddl.import_table(spark, "exim10_renamed", f"{base}/exp_part", f"{base}/renamed2")
+
+
+def test_exim_import_corrupt_metadata(spark, _exim10):
+    """exim_00_unsupported_schema.q: unparseable export metadata is a
+    structured error, not a raw JSONDecodeError (wrapped r10)."""
+    import os
+
+    ddl, base = _exim10
+    os.makedirs(f"{base}/corrupt", exist_ok=True)
+    with open(f"{base}/corrupt/_schema.json", "w") as fh:
+        fh.write("{not json")
+    with pytest.raises(ValueError, match="corrupt export metadata"):
+        ddl.import_table(spark, "exim10_whatever", f"{base}/corrupt", f"{base}/t5")
