@@ -887,13 +887,15 @@ def show_locks(
             except Exception:  # noqa: BLE001 — unreadable/non-POSIX
                 continue
             lockid += 1
-            try:
-                user = __import__("getpass").getuser()
-            except Exception:  # noqa: BLE001
-                user = "unknown"
+            from amplab_hive_spark.authorization import current_user
+
+            # acquired_at is NULL: a flock probe proves the lock is
+            # held NOW but carries no acquisition timestamp (the
+            # file's mtime would be the warehouse's creation time, a
+            # misleading stand-in — review r10)
             rows.append((
                 lockid, None, None, None, "ACQUIRED", None, "EXCLUSIVE",
-                None, None, int(os.path.getmtime(path)), user,
+                None, None, None, current_user(spark),
                 socket.gethostname(), fname,
             ))
     else:

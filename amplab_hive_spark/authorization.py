@@ -320,6 +320,7 @@ def create_role(spark: SparkSession, name: str) -> None:
         )
     with _store_lock(spark):
         store = _load(spark)
+        _require_role_admin(spark, store, [])  # admin-only verb
         if r in _BUILTIN or r in store["roles"]:
             raise ValueError(f"Role {name} already exists")
         store["roles"][r] = {
@@ -336,6 +337,7 @@ def drop_role(spark: SparkSession, name: str) -> None:
         )
     with _store_lock(spark):
         store = _load(spark)
+        _require_role_admin(spark, store, [])  # admin-only verb
         if r not in store["roles"]:
             raise ValueError(f"Role {name} does not exist")
         del store["roles"][r]
@@ -359,6 +361,7 @@ def grant_roles(
 ) -> None:
     with _store_lock(spark):
         store = _load(spark)
+        _require_role_admin(spark, store, roles)
         edges = _role_edges(store)
         for role in roles:
             r = _require_role(store, role)
@@ -395,6 +398,7 @@ def revoke_roles(
 ) -> None:
     with _store_lock(spark):
         store = _load(spark)
+        _require_role_admin(spark, store, roles)
         for role in roles:
             r = _require_role(store, role)
             for ptype, pname in principals:
@@ -463,6 +467,8 @@ def grant_privs(
     db, tbl = _table_exists(spark, table)
     with _store_lock(spark):
         store = _load(spark)
+        _require_grant_authority(spark, store, db, tbl,
+                                 sorted({p for p, _ in privs}))
         for ptype, pname in principals:
             if ptype == "ROLE":
                 _require_role(store, pname)
@@ -497,6 +503,8 @@ def revoke_privs(
     db, tbl = _table_exists(spark, table)
     with _store_lock(spark):
         store = _load(spark)
+        _require_grant_authority(spark, store, db, tbl,
+                                 sorted({p for p, _ in privs}))
         for ptype, pname in principals:
             for priv, col in privs:
                 hit = [
@@ -753,21 +761,40 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 # .checkPrivileges (ql/security/authorization/plugin/sqlstd/
 # SQLStdHiveAuthorizationValidator.java), active only when
 # hive.security.authorization.enabled=true — Hive's own default is
-# false, and so is this engine's. With the conf below set to true,
-# Engine.sql checks grants_for() before executing DML/query
-# statements. Scope (documented simplifications, all matching the
-# minimal SQL-std model):
+# false, and so is this engine's. With the conf below set to true:
+#
+#   - Engine.sql checks grants_for-style privileges before executing
+#     DML/query statements — resolved against the session's ACTIVE
+#     role set (SET ROLE state, expanded transitively), matching
+#     HiveAuthzSessionContext, not the full granted closure;
+#   - grant ADMINISTRATION is gated too (SQLStdHiveAccessController
+#     .grantRole/grantPrivileges): CREATE/DROP ROLE and GRANT/REVOKE
+#     ROLE require the admin role (or ADMIN OPTION on each role);
+#     GRANT/REVOKE object privileges require admin or GRANT OPTION
+#     on each privilege. Without this, any user could grant
+#     themselves admin and the read/write gate would be advisory
+#     (review r10);
+#   - CREATE ... AS SELECT / CREATE VIEW ... AS SELECT still check
+#     SELECT on the tables the query part reads — otherwise a temp
+#     view would launder protected reads through the exempt CREATE
+#     head (review r10).
+#
+# Documented simplifications (the minimal SQL-std model):
 #   - table-level privileges only (column grants are stored and shown
-#     but enforcement checks the table row, like pre-column-masking
-#     SQL-std);
-#   - TEMPORARY views are exempt — they are session-private objects
-#     with no metastore ACL in the reference either (SessionState temp
-#     tables are owner-only by construction);
-#   - DDL/ownership operations (CREATE/DROP/ALTER...) are outside the
-#     minimal model, as is grant administration (the catalog surface
-#     already validates ADMIN OPTION for role grants);
-#   - members of the built-in `admin` role bypass every check
-#     (SQLStdHiveAccessController's special-casing of ADMIN).
+#     but enforcement checks the table row);
+#   - TEMPORARY views are exempt as READ TARGETS — they are
+#     session-private objects (their DEFINITION was checked at
+#     CREATE time by the CTAS rule above);
+#   - non-CTAS DDL/metadata statements are exempt;
+#   - the statement scan is the same pre-parse text discipline as
+#     dml_text (string literals and comments are masked first; CTE
+#     aliases are excluded; backticks and comma-separated FROM lists
+#     are handled) — not a full parse.
+#
+# Bootstrap: grants written while enforcement is DISABLED (the
+# default) are unrestricted — an operator seeds the admin role and
+# object grants first, then flips the conf, like Hive's
+# hive.users.in.admin.role seeding.
 
 _ENFORCE_CONF = "spark.sql.authz.enabled"
 
@@ -775,13 +802,30 @@ _EXEMPT_HEAD = re.compile(
     r"(?is)^\s*(SHOW|EXPLAIN|DESCRIBE|DESC|SET|CREATE|DROP|ALTER|ANALYZE|"
     r"MSCK|LOAD|EXPORT|IMPORT|USE|CACHE|UNCACHE|REFRESH|TRUNCATE)\b"
 )
+_CREATE_AS_SELECT = re.compile(r"(?is)^\s*CREATE\b.*\bAS\b\s*(\(|WITH\b|SELECT\b)")
 _INSERT_TARGETS = re.compile(
-    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)"
+    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?"
 )
-_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+([\w.]+)")
-_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+([\w.]+)")
-_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+([\w.]+)")
-_READ_REFS = re.compile(r"(?is)\b(?:FROM|JOIN|USING)\s+([\w.]+)")
+_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+`?([\w.]+)`?")
+_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+`?([\w.]+)`?")
+_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+`?([\w.]+)`?")
+_TABLE_HEAD = re.compile(r"(?is)^\s*TABLE\s+`?([\w.]+)`?")
+# FROM/JOIN/USING followed by one name or a comma-separated list
+# (backticks and `t alias` / `t AS alias` forms allowed); list members
+# split after the match, first token per member. The alias slot
+# refuses clause keywords so `FROM a JOIN b` leaves JOIN for its own
+# keyword match.
+_REF_KEYWORDS = r"(?:JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|INNER|CROSS|LATERAL|UNION|LIMIT|HAVING|WINDOW|USING|NATURAL|TABLESAMPLE|SEMI|ANTI|SELECT|INSERT|EXCEPT|INTERSECT|MINUS|SET|VALUES|AS)\b"
+_READ_REFS = re.compile(
+    r"(?is)\b(?:FROM|JOIN|USING)\s+("
+    r"`?[\w.]+`?(?:\s+(?!" + _REF_KEYWORDS + r")(?:\w+))?"
+    r"(?:\s*,\s*`?[\w.]+`?(?:\s+(?!" + _REF_KEYWORDS + r")(?:\w+))?)*"
+    r")"
+)
+_CTE_ALIAS = re.compile(r"(?is)\b(\w+)\s+AS\s*\(")
+_LITERAL_OR_COMMENT = re.compile(
+    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|--[^\n]*", re.S
+)
 
 
 def enforcement_enabled(spark: SparkSession) -> bool:
@@ -791,11 +835,44 @@ def enforcement_enabled(spark: SparkSession) -> bool:
         return False
 
 
+def _mask_literals(text: str) -> str:
+    """Blank out string literals and -- comments so the ref scan can
+    never read a table name out of quoted data (review r10)."""
+    return _LITERAL_OR_COMMENT.sub(lambda m: " " * len(m.group(0)), text)
+
+
+def _active_roles(spark: SparkSession, store: dict) -> set[str]:
+    """The session's ACTIVE role set (SET ROLE state) expanded through
+    role-to-role grants — what checkPrivileges resolves against. SET
+    ROLE NONE therefore really drops role-derived privileges, unlike
+    the full granted closure."""
+    roles = set(current_roles(spark))
+    edges = _role_edges(store)
+    for r in list(roles):
+        roles |= _reachable(edges, r)
+    roles.add("public")
+    return roles
+
+
+def _held_privs(
+    store: dict, user: str, roles: set[str], db: str, tbl: str
+) -> set[str]:
+    out = set()
+    for p in store["privs"]:
+        if p["database"] != db or p["table"] != tbl:
+            continue
+        if (p["principal_type"] == "USER" and p["principal"] == user) or (
+            p["principal_type"] == "ROLE" and p["principal"] in roles
+        ):
+            out.add(p["privilege"])
+    return out
+
+
 def _required_privs(text: str) -> list[tuple[str, str]]:
     """(table-name, privilege) pairs a statement needs, from the same
-    pre-parse statement shapes the DML front-end routes on. Names that
-    turn out to be CTE aliases, temp views, or table functions are
-    dropped at check time, not here."""
+    pre-parse statement shapes the DML front-end routes on. ``text``
+    must already be literal-masked; CTE aliases, temp views, and
+    table functions are dropped at check time, not here."""
     pairs: list[tuple[str, str]] = []
     writes: set[str] = set()
     m = _UPDATE_HEAD.match(text)
@@ -821,29 +898,40 @@ def _required_privs(text: str) -> list[tuple[str, str]]:
     for t in _INSERT_TARGETS.findall(text):
         pairs.append((t, "INSERT"))
         writes.add(t.lower())
-    for t in _READ_REFS.findall(text):
-        if t.lower() not in writes:
-            pairs.append((t, "SELECT"))
+    m = _TABLE_HEAD.match(text)
+    if m:
+        pairs.append((m.group(1), "SELECT"))
+    for group in _READ_REFS.findall(text):
+        for raw in group.split(","):
+            toks = raw.strip().split()
+            t = toks[0].strip("`") if toks else ""
+            if t and t.lower() not in writes:
+                pairs.append((t, "SELECT"))
+    ctes = {c.lower() for c in _CTE_ALIAS.findall(text)}
     seen: set[tuple[str, str]] = set()
     out = []
     for name, priv in pairs:
         key = (name.lower(), priv)
-        if key not in seen:
-            seen.add(key)
-            out.append((name, priv))
+        if name.lower() in ctes or key in seen:
+            continue
+        seen.add(key)
+        out.append((name, priv))
     return out
 
 
-def _is_enforceable_table(spark: SparkSession, name: str) -> bool:
-    """True only for catalog tables/views — temp views are session
-    objects (no metastore ACL), and unresolvable names (CTE aliases,
-    table functions) must fall through to the statement's own
-    resolution error rather than a misleading authz denial."""
+def _resolve_enforceable(spark: SparkSession, name: str):
+    """The catalog (db, tbl) for ``name``, or None for temp views and
+    unresolvable names (CTE leftovers, table functions) — those fall
+    through to the statement's own resolution error rather than a
+    misleading authz denial."""
     try:
         t = spark.catalog.getTable(name)
     except Exception:  # noqa: BLE001 — not a catalog object
-        return False
-    return not t.isTemporary
+        return None
+    if t.isTemporary:
+        return None
+    db = (t.database or spark.catalog.currentDatabase()).lower()
+    return db, t.name.lower()
 
 
 def enforce(spark: SparkSession, text: str) -> None:
@@ -852,21 +940,95 @@ def enforce(spark: SparkSession, text: str) -> None:
     (the default, matching hive.security.authorization.enabled=false)."""
     if not enforcement_enabled(spark):
         return
-    if _EXEMPT_HEAD.match(text):
-        return
+    masked = _mask_literals(text)
+    read_only_check = False
+    if _EXEMPT_HEAD.match(masked):
+        # CTAS / CREATE VIEW AS SELECT still READS its sources — the
+        # only exempt-head form with a query part (review r10)
+        if not _CREATE_AS_SELECT.match(masked):
+            return
+        read_only_check = True
     user = current_user(spark)
     store = _load(spark)
-    if "admin" in _user_roles(spark, store, user):
+    roles = _active_roles(spark, store)
+    if "admin" in roles:
         return
     missing = []
-    for name, priv in _required_privs(text):
-        if not _is_enforceable_table(spark, name):
+    for name, priv in _required_privs(masked):
+        if read_only_check and priv != "SELECT":
             continue
-        if priv not in grants_for(spark, user, name):
-            db, tbl = _table_exists(spark, name)
+        resolved = _resolve_enforceable(spark, name)
+        if resolved is None:
+            continue
+        db, tbl = resolved
+        if priv not in _held_privs(store, user, roles, db, tbl):
             missing.append(f"[{priv}] on [{db}.{tbl}]")
     if missing:
         raise PermissionError(
             f"Permission denied: Principal [name={user}, type=USER] "
             f"does not have following privileges: " + ", ".join(missing)
+        )
+
+
+def _require_role_admin(
+    spark: SparkSession, store: dict, roles: list[str]
+) -> None:
+    """Gate for role administration under enforcement: the admin role,
+    or ADMIN OPTION on every role being granted/revoked
+    (SQLStdHiveAccessController.grantRole's check)."""
+    if not enforcement_enabled(spark):
+        return
+    user = current_user(spark)
+    active = _active_roles(spark, store)
+    if "admin" in active:
+        return
+    if not roles:
+        # CREATE/DROP ROLE have no per-role ADMIN OPTION escape hatch:
+        # they are admin-only verbs in the reference
+        raise PermissionError(
+            f"Permission denied: Principal [name={user}, type=USER] "
+            f"is not an admin; role DDL requires the admin role"
+        )
+    for role in roles:
+        r = _norm_role(role)
+        ok = any(
+            g["role"] == r and g["principal_type"] == "USER"
+            and g["principal"] == user and g["admin_option"]
+            for g in store["role_grants"]
+        )
+        if not ok:
+            raise PermissionError(
+                f"Permission denied: Principal [name={user}, type=USER] "
+                f"is not an admin and has no ADMIN OPTION on role {r}"
+            )
+
+
+def _require_grant_authority(
+    spark: SparkSession, store: dict, db: str, tbl: str,
+    privs: list[str],
+) -> None:
+    """Gate for object-privilege administration under enforcement: the
+    admin role, or GRANT OPTION on each privilege being granted/
+    revoked (SQLStdHiveAccessController.grantPrivileges)."""
+    if not enforcement_enabled(spark):
+        return
+    user = current_user(spark)
+    active = _active_roles(spark, store)
+    if "admin" in active:
+        return
+    holds = {
+        p["privilege"]
+        for p in store["privs"]
+        if p["database"] == db and p["table"] == tbl and p["grant_option"]
+        and (
+            (p["principal_type"] == "USER" and p["principal"] == user)
+            or (p["principal_type"] == "ROLE" and p["principal"] in active)
+        )
+    }
+    lacking = [p for p in privs if p not in holds]
+    if lacking:
+        raise PermissionError(
+            f"Permission denied: Principal [name={user}, type=USER] "
+            f"is not an admin and has no GRANT OPTION for "
+            f"{', '.join(lacking)} on [{db}.{tbl}]"
         )

@@ -206,7 +206,8 @@ _COMPACT_STMT = re.compile(
 )
 _SHOW_COMPACTIONS_STMT = re.compile(r"^\s*SHOW\s+COMPACTIONS\s*;?\s*$", re.I)
 _SHOW_LOCKS_STMT = re.compile(
-    r"^\s*SHOW\s+LOCKS(?:\s+([\w.]+))?(\s+EXTENDED)?\s*;?\s*$", re.I
+    r"^\s*SHOW\s+LOCKS(?:\s+(?!EXTENDED\b)([\w.]+))?(\s+EXTENDED)?\s*;?\s*$",
+    re.I,
 )
 _UPDATE_HEAD = re.compile(r"^\s*UPDATE\s+([\w.]+)\s+SET\s+", re.I | re.S)
 _DELETE_HEAD = re.compile(r"^\s*DELETE\s+FROM\s+([\w.]+)\s*", re.I | re.S)

@@ -89,10 +89,15 @@ class MacroRegistry:
             # every declared parameter must appear in the body — the
             # reference rejects unused parameters up front
             # (ql/parse/MacroSemanticAnalyzer.java, clientnegative/
-            # macro_unused_parameter.q)
+            # macro_unused_parameter.q). String literals are masked
+            # first so a parameter named inside quoted text does not
+            # count as used (review r10).
+            masked_body = re.sub(
+                r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", " ", body
+            )
             unused = [
                 p for p in params
-                if not re.search(rf"\b{re.escape(p)}\b", body, re.IGNORECASE)
+                if not re.search(rf"\b{re.escape(p)}\b", masked_body, re.IGNORECASE)
             ]
             if unused:
                 raise MacroError(

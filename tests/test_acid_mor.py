@@ -839,5 +839,8 @@ def test_show_locks_table_scoped_and_missing_table(spark, plain_table):
 
     eng = Engine(spark)
     assert eng.sql(f"SHOW LOCKS {plain_table}").count() == 0
+    # bare EXTENDED is part of the statement grammar, not a table name
+    # (review r10: the greedy optional table group used to eat it)
+    assert eng.sql("SHOW LOCKS EXTENDED").count() == 0
     with pytest.raises(Exception, match="(?i)not found|cannot be found|does not exist|TABLE_OR_VIEW"):
         eng.sql("SHOW LOCKS definitely_not_a_table_xyz")

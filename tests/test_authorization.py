@@ -345,17 +345,29 @@ def test_transitive_role_membership(eng, spark):
         == ["t_inner"]
     spark.conf.unset(az._ROLES_CONF)
 
-
 # -- opt-in enforcement (round 10: the r9 verdict's task 7) -------------
 # Reference: ql/security/authorization/plugin/sqlstd/
-# SQLStdHiveAuthorizationValidator.java checkPrivileges, active only
-# under hive.security.authorization.enabled=true.
+# SQLStdHiveAuthorizationValidator.java checkPrivileges +
+# SQLStdHiveAccessController.grantRole/grantPrivileges, active only
+# under hive.security.authorization.enabled=true. Bootstrap follows
+# Hive's hive.users.in.admin.role pattern: seed grants while
+# enforcement is DISABLED (the default), then flip the conf.
 
 
 @pytest.fixture()
 def enforced(eng, spark):
+    def _as(user):
+        spark.conf.set("user.name", user)
+
+    def _seed(*statements):
+        """Run grant DDL with enforcement OFF (the operator bootstrap)."""
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        for s in statements:
+            eng.sql(s)
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
     spark.conf.set("spark.sql.authz.enabled", "true")
-    yield eng
+    yield eng, _as, _seed
     spark.conf.unset("spark.sql.authz.enabled")
 
 
@@ -366,65 +378,132 @@ def test_enforcement_default_off(eng, spark, tbl):
 
 
 def test_enforcement_denies_then_grant_allows(enforced, spark, tbl):
-    spark.conf.set("user.name", "admin_user")
-    spark.conf.unset("user.name")
-    spark.conf.set("user.name", "alice")
+    eng, _as, _seed = enforced
+    _as("alice")
     with pytest.raises(PermissionError, match=r"\[SELECT\] on \[default.src_autho_test\]"):
-        enforced.sql(f"SELECT * FROM {tbl}")
-    # grant management stays catalog-surface (documented scope): the
-    # grantor here is whoever runs the statement
-    spark.conf.set("user.name", "bob")
-    enforced.sql(f"GRANT SELECT ON {tbl} TO USER alice")
-    spark.conf.set("user.name", "alice")
-    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+        eng.sql(f"SELECT * FROM {tbl}")
+    _seed(f"GRANT SELECT ON {tbl} TO USER alice")
+    _as("alice")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
     # SELECT alone does not cover writes
     with pytest.raises(PermissionError, match=r"\[INSERT\]"):
-        enforced.sql(f"INSERT INTO {tbl} VALUES (9, 'v9')")
+        eng.sql(f"INSERT INTO {tbl} VALUES (9, 'v9')")
 
 
 def test_enforcement_write_verbs_and_role_path(enforced, spark, tbl):
     """UPDATE/DELETE need their own privileges, grantable via a role
-    (the transitive-closure path grants_for already resolves)."""
-    spark.conf.set("user.name", "carol")
+    (resolved through the ACTIVE role set)."""
+    eng, _as, _seed = enforced
+    _as("carol")
     with pytest.raises(PermissionError, match=r"\[UPDATE\]"):
-        enforced.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
-    spark.conf.set("user.name", "granter")
-    enforced.sql("CREATE ROLE writers")
-    enforced.sql(f"GRANT UPDATE, DELETE, SELECT ON {tbl} TO ROLE writers")
-    enforced.sql("GRANT ROLE writers TO USER carol")
-    spark.conf.set("user.name", "carol")
-    enforced.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
-    assert (
-        enforced.sql(f"SELECT value FROM {tbl} WHERE key = 1").first().value
-        == "x"
+        eng.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
+    _seed(
+        "CREATE ROLE writers",
+        f"GRANT UPDATE, DELETE, SELECT ON {tbl} TO ROLE writers",
+        "GRANT ROLE writers TO USER carol",
     )
-    enforced.sql(f"DELETE FROM {tbl} WHERE key = 0")
-    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 4
+    _as("carol")
+    eng.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
+    assert eng.sql(f"SELECT value FROM {tbl} WHERE key = 1").first().value == "x"
+    eng.sql(f"DELETE FROM {tbl} WHERE key = 0")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 4
 
 
-def test_enforcement_admin_bypass_and_temp_views(enforced, spark, tbl):
-    spark.conf.set("user.name", "root_like")
-    enforced.sql("GRANT ROLE admin TO USER root_like")
-    # no object grants at all, but admin bypasses
-    assert enforced.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
-    # temp views are session-private: never access-controlled
-    spark.conf.set("user.name", "dave")
+def test_enforcement_set_role_none_drops_privileges(enforced, spark, tbl):
+    """SET ROLE state constrains checks (checkPrivileges resolves the
+    CURRENT role set, not the full granted closure — review r10)."""
+    eng, _as, _seed = enforced
+    _seed(
+        "CREATE ROLE readers10",
+        f"GRANT SELECT ON {tbl} TO ROLE readers10",
+        "GRANT ROLE readers10 TO USER erin10",
+    )
+    _as("erin10")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+    eng.sql("SET ROLE NONE")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT count(*) AS n FROM {tbl}")
+    eng.sql("SET ROLE readers10")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+
+
+def test_enforcement_admin_bypass_and_self_grant_blocked(enforced, spark, tbl):
+    eng, _as, _seed = enforced
+    # an unprivileged user cannot grant themselves admin (review r10:
+    # grant administration is gated under enforcement)
+    _as("mallory")
+    with pytest.raises(PermissionError, match="not an admin"):
+        eng.sql("GRANT ROLE admin TO USER mallory")
+    with pytest.raises(PermissionError, match="not an admin"):
+        eng.sql(f"GRANT SELECT ON {tbl} TO USER mallory")
+    with pytest.raises(PermissionError, match="not an admin"):
+        eng.sql("CREATE ROLE sneaky")
+    # a seeded admin bypasses object checks AND may administer grants
+    _seed("GRANT ROLE admin TO USER root_like")
+    _as("root_like")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+    eng.sql("CREATE ROLE ops10")
+    eng.sql(f"GRANT SELECT ON {tbl} TO ROLE ops10")
+    eng.sql("DROP ROLE ops10")
+
+
+def test_enforcement_grant_option_authority(enforced, spark, tbl):
+    """GRANT OPTION lets a non-admin re-grant exactly the privileges
+    it covers (SQLStdHiveAccessController.grantPrivileges)."""
+    eng, _as, _seed = enforced
+    _seed(f"GRANT SELECT ON {tbl} TO USER delegator WITH GRANT OPTION")
+    _as("delegator")
+    eng.sql(f"GRANT SELECT ON {tbl} TO USER delegatee")
+    with pytest.raises(PermissionError, match="no GRANT OPTION for UPDATE"):
+        eng.sql(f"GRANT UPDATE ON {tbl} TO USER delegatee")
+    _as("delegatee")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+
+
+def test_enforcement_temp_view_laundering_blocked(enforced, spark, tbl):
+    """CREATE TEMPORARY VIEW ... AS SELECT on a protected table is
+    checked at definition time — the exempt CREATE head must not
+    launder reads (review r10); reading an ALREADY-legal temp view
+    stays exempt (session-private object)."""
+    eng, _as, _seed = enforced
+    _as("dave")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"CREATE TEMPORARY VIEW launder_v AS SELECT * FROM {tbl}")
+    # a temp view over session-local data is unrestricted
     spark.range(3).createOrReplaceTempView("authz_tmp_v")
     try:
-        assert enforced.sql("SELECT count(*) AS n FROM authz_tmp_v").first().n == 3
+        assert eng.sql("SELECT count(*) AS n FROM authz_tmp_v").first().n == 3
     finally:
         spark.catalog.dropTempView("authz_tmp_v")
 
 
-def test_enforcement_exempt_heads_and_cte_aliases(enforced, spark, tbl):
-    spark.conf.set("user.name", "erin")
-    # metadata statements stay open (minimal SQL-std model)
-    enforced.sql(f"SHOW GRANT ON TABLE {tbl}").collect()
-    enforced.sql("SHOW ROLES").collect()
-    # a CTE alias is not a catalog object: only the real table is
-    # checked, and the denial names the table, not the alias
-    spark.conf.set("user.name", "frank")
-    enforced.sql(f"GRANT SELECT ON {tbl} TO USER erin")
-    spark.conf.set("user.name", "erin")
+def test_enforcement_ref_scanner_edges(enforced, spark, tbl):
+    """The pre-parse ref scan handles backticks, comma-separated FROM
+    lists, the TABLE form, string literals, and CTE aliases
+    (review r10)."""
+    eng, _as, _seed = enforced
+    _as("frank10")
+    # backtick-quoted protected table is still checked
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM `{tbl}`")
+    # comma-joined second table is checked (with and without aliases)
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT 1 FROM region, {tbl}")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT 1 FROM region r, {tbl} s")
+    # bare TABLE form is checked
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"TABLE {tbl}")
+    _seed(f"GRANT SELECT ON {tbl} TO USER frank10")
+    _as("frank10")
+    # a protected NAME inside a string literal is NOT a read
+    df = eng.sql(
+        f"SELECT count(*) AS n FROM {tbl} WHERE value <> 'ignore src_autho_test'"
+    )
+    assert df.first().n == 5
+    # a CTE alias shadowing nothing is not demanded as a table
     q = f"WITH c AS (SELECT key FROM {tbl}) SELECT count(*) AS n FROM c"
-    assert enforced.sql(q).first().n == 5
+    assert eng.sql(q).first().n == 5
+    # metadata statements stay open
+    eng.sql(f"SHOW GRANT ON TABLE {tbl}").collect()
+    eng.sql("SHOW ROLES").collect()

@@ -2142,6 +2142,16 @@ def test_macro_unused_parameter(spark, _macro_eng):
         _macro_eng.sql("CREATE TEMPORARY MACRO BAD_MACRO (x INT, y INT) x")
 
 
+def test_macro_param_used_only_in_string_literal(spark, _macro_eng):
+    """macro_unused_parameter.q (literal class): a parameter named
+    only inside a quoted string is NOT used (the check masks string
+    literals first — review r10)."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    with pytest.raises(MacroError, match="unused parameter.*x"):
+        _macro_eng.sql("CREATE TEMPORARY MACRO LIT_M (x INT) 'x marks the spot'")
+
+
 def test_macro_empty_body(spark, _macro_eng):
     """macro definition with no body expression."""
     from amplab_hive_spark.functions.macros import MacroError
