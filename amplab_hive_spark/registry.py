@@ -126,10 +126,14 @@ _PRIORITY: tuple[str, ...] = (
     # 50 stays stable — embedding_quantize_int8 holds the
     # similarity-family slot and ann recall is tested in-repo)
     "sim_bruteforce_topk", "embedding_quantize_int8", "sim_embedding_neardup",
-    # LLM: text analysis (r9 rotation: text_fingerprint out for the
-    # r8 flagship text_keyword_extraction — fingerprint keeps its
-    # oracle in the suite; the family still holds three slots)
-    "text_token_stats", "text_quality_score", "text_keyword_extraction",
+    # ACID merge-on-read lifecycle (r10 rotation: text_token_stats out
+    # — its oracle stays in the suite and the text family keeps two
+    # slots — so the round's headline feature, write -> merged read ->
+    # minor compact -> read -> major compact -> read through the SQL
+    # statement surface, gets a driver-graded slot)
+    "acid_mor_lifecycle",
+    # LLM: text analysis
+    "text_quality_score", "text_keyword_extraction",
     # LLM: multimodal plumbing
     "multimodal_binary_stats", "multimodal_decode_features",
     # event windows
