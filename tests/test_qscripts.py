@@ -9740,6 +9740,257 @@ QSCRIPTS_R66 = [
     ),
 ]
 
+# Sixty-seventh tranche: the correlation-optimizer corpus
+# (correlationoptimizer1-15.q) — aggregation directly above a join
+# per join type, joins of two grouped subqueries, regroup above a
+# grouped join, unions of grouped branches re-grouped, shared-scan
+# multi-output shapes — plus the auto_join long tail (expression
+# keys, OR-of-equi conditions, scalar-subquery join) and the
+# remaining groupby_N.q / multi_insert shapes. The scripts checksum
+# with SUM(HASH(..)), which is engine-specific; the portable
+# certificate here sums the key/count columns directly. LEFT SEMI
+# JOIN is spelled as EXISTS (DuckDB has no SEMI keyword; Catalyst
+# plans both as LeftSemi). All prototyped green on both engines at
+# sf0.01 + sf0.001.
+QSCRIPTS_R67 = [
+    (
+        "corr_agg_over_inner_join",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT x.c_custkey AS key, COUNT(1) AS cnt
+              FROM customer x JOIN orders y ON x.c_custkey = y.o_custkey
+              GROUP BY x.c_custkey) tmp""",
+    ),
+    (
+        "corr_agg_over_semi_join",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT x.c_custkey AS key, COUNT(1) AS cnt
+              FROM customer x
+              WHERE EXISTS (SELECT 1 FROM orders y WHERE x.c_custkey = y.o_custkey)
+              GROUP BY x.c_custkey) tmp""",
+    ),
+    (
+        "corr_agg_over_left_join_left_key",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT x.c_custkey AS key, COUNT(1) AS cnt
+              FROM customer x LEFT OUTER JOIN orders y ON x.c_custkey = y.o_custkey
+              GROUP BY x.c_custkey) tmp""",
+    ),
+    (
+        "corr_agg_over_left_join_right_key",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT y.o_custkey AS key, COUNT(1) AS cnt
+              FROM customer x LEFT OUTER JOIN orders y ON x.c_custkey = y.o_custkey
+              GROUP BY y.o_custkey) tmp""",
+    ),
+    (
+        "corr_agg_over_right_join_right_key",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT y.o_custkey AS key, COUNT(1) AS cnt
+              FROM customer x RIGHT OUTER JOIN orders y ON x.c_custkey = y.o_custkey
+              GROUP BY y.o_custkey) tmp""",
+    ),
+    (
+        "corr_agg_over_full_join",
+        """SELECT SUM(tmp.key) AS sum_key, SUM(tmp.cnt) AS sum_cnt
+        FROM (SELECT x.s_suppkey AS key, COUNT(1) AS cnt
+              FROM supplier x FULL OUTER JOIN customer y ON x.s_suppkey = y.c_custkey
+              GROUP BY x.s_suppkey) tmp""",
+    ),
+    (
+        "corr_join_two_grouped_subqueries",
+        """SELECT SUM(xx.key) AS s1, SUM(xx.cnt) AS s2, SUM(yy.cnt) AS s3
+        FROM (SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) xx
+        JOIN (SELECT c_custkey AS key, COUNT(*) AS cnt FROM customer GROUP BY c_custkey) yy
+        ON xx.key = yy.key""",
+    ),
+    (
+        "corr_grouped_join_then_group_again",
+        """SELECT tmp.key AS key, SUM(tmp.sum1) AS total1, SUM(tmp.sum2) AS total2 FROM
+          (SELECT xx.key AS key, SUM(xx.cnt) AS sum1, SUM(yy.cnt) AS sum2
+           FROM (SELECT s_nationkey AS key, COUNT(*) AS cnt FROM supplier GROUP BY s_nationkey) xx
+           JOIN (SELECT c_nationkey AS key, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) yy
+           ON xx.key = yy.key GROUP BY xx.key) tmp
+        GROUP BY tmp.key ORDER BY key""",
+    ),
+    (
+        "corr_join_grouped_with_raw_then_agg",
+        """SELECT SUM(yy.key) AS s_key, SUM(yy.cnt) AS s_cnt FROM
+          (SELECT x.n_regionkey AS key, COUNT(1) AS cnt
+           FROM nation x JOIN nation y ON x.n_nationkey = y.n_nationkey
+           GROUP BY x.n_regionkey) yy""",
+    ),
+    (
+        "corr_union_of_grouped_then_group",
+        """SELECT key, SUM(cnt) AS total FROM (
+          SELECT o_custkey AS key, COUNT(1) AS cnt FROM orders WHERE o_custkey > 100 GROUP BY o_custkey
+          UNION ALL
+          SELECT c_custkey AS key, COUNT(1) AS cnt FROM customer WHERE c_custkey > 100 GROUP BY c_custkey
+        ) subq1 GROUP BY key ORDER BY key LIMIT 40""",
+    ),
+    (
+        "corr_union_grouped_cast_branches",
+        """SELECT key, SUM(value) AS total FROM (
+          SELECT CAST(c_nationkey AS INT) AS key, COUNT(1) AS value
+          FROM customer WHERE c_custkey < 20 GROUP BY c_nationkey
+          UNION ALL
+          SELECT COUNT(1) AS key, CAST(c_nationkey AS INT) AS value
+          FROM customer WHERE c_custkey > 100 GROUP BY c_nationkey
+        ) u GROUP BY key ORDER BY key""",
+    ),
+    (
+        "corr_join_keys_cross_sides_agg",
+        """SELECT SUM(tmp.key1) AS s1, SUM(tmp.cnt) AS s2
+        FROM (SELECT x.l_orderkey AS key1, COUNT(1) AS cnt
+              FROM lineitem x JOIN orders y ON x.l_orderkey = y.o_orderkey
+              WHERE x.l_orderkey < 200 AND y.o_orderkey < 200
+              GROUP BY x.l_orderkey, x.l_linenumber) tmp""",
+    ),
+    (
+        "corr_three_way_join_then_group_mid_key",
+        """SELECT SUM(tmp.key) AS s_key, SUM(tmp.cnt) AS s_cnt
+        FROM (SELECT y.n_nationkey AS key, COUNT(1) AS cnt
+              FROM region x JOIN nation y ON x.r_regionkey = y.n_regionkey
+              JOIN customer z ON y.n_nationkey = z.c_nationkey
+              GROUP BY y.n_nationkey) tmp""",
+    ),
+    (
+        "corr_three_way_left_chain_group_last",
+        """SELECT SUM(tmp.key) AS s_key, SUM(tmp.cnt) AS s_cnt
+        FROM (SELECT z.c_nationkey AS key, COUNT(1) AS cnt
+              FROM region x LEFT OUTER JOIN nation y ON x.r_regionkey = y.n_regionkey
+              LEFT OUTER JOIN customer z ON y.n_nationkey = z.c_nationkey
+              GROUP BY z.c_nationkey) tmp""",
+    ),
+    (
+        "corr_filtered_groupings_joined",
+        """SELECT xx.key, yy.key AS ykey, xx.cnt, yy.cnt AS ycnt
+        FROM (SELECT c_custkey AS key, COUNT(1) AS cnt FROM customer
+              WHERE c_custkey < 120 GROUP BY c_custkey) xx
+        JOIN (SELECT o_custkey AS key, COUNT(1) AS cnt FROM orders
+              WHERE o_custkey < 200 AND o_custkey > 80 GROUP BY o_custkey) yy
+        ON xx.key = yy.key ORDER BY xx.key""",
+    ),
+    (
+        "corr_two_key_groupings_joined_on_both",
+        """SELECT xx.key1, xx.key2, yy.cnt AS ycnt, xx.cnt
+        FROM (SELECT l_returnflag AS key1, l_linestatus AS key2, COUNT(1) AS cnt
+              FROM lineitem WHERE l_orderkey < 120 GROUP BY l_returnflag, l_linestatus) xx
+        JOIN (SELECT l_returnflag AS key1, l_linestatus AS key2, COUNT(1) AS cnt
+              FROM lineitem WHERE l_orderkey > 80 GROUP BY l_returnflag, l_linestatus) yy
+        ON xx.key1 = yy.key1 AND xx.key2 = yy.key2
+        ORDER BY xx.key1, xx.key2""",
+    ),
+    (
+        "aj_join_then_group_on_joined_value",
+        """SELECT v, COUNT(*) AS n FROM (
+          SELECT y.o_orderstatus AS v FROM customer x JOIN orders y
+          ON x.c_custkey = y.o_custkey WHERE x.c_custkey < 60) j
+        GROUP BY v ORDER BY v""",
+    ),
+    (
+        "aj_self_join_offset_key_chain",
+        """SELECT a.n_nationkey, b.n_nationkey AS bk, c.n_nationkey AS ck
+        FROM nation a JOIN nation b ON a.n_nationkey + 1 = b.n_nationkey
+        JOIN nation c ON b.n_nationkey + 1 = c.n_nationkey
+        ORDER BY a.n_nationkey""",
+    ),
+    (
+        "aj_join_condition_or_of_equis",
+        """SELECT a.n_nationkey, b.n_nationkey AS bk FROM nation a JOIN nation b
+        ON a.n_nationkey = b.n_nationkey OR a.n_nationkey = b.n_regionkey
+        WHERE a.n_nationkey < 6 ORDER BY a.n_nationkey, bk""",
+    ),
+    (
+        "aj_join_max_subquery_vs_table",
+        """SELECT o_orderkey, o_totalprice FROM orders
+        JOIN (SELECT MAX(o_totalprice) AS mx FROM orders) m
+        ON o_totalprice = m.mx""",
+    ),
+    (
+        "aj_join_on_substring_expr",
+        """SELECT a.n_name, b.n_name AS bn FROM nation a JOIN nation b
+        ON substring(a.n_name, 1, 8) = substring(b.n_name, 1, 8)
+        WHERE a.n_nationkey < b.n_nationkey ORDER BY a.n_name, bn""",
+    ),
+    (
+        "gbn_two_aggs_different_keys_union",
+        """SELECT 'bykey' AS tag, CAST(o_custkey AS STRING) AS k, COUNT(1) AS cnt
+        FROM orders WHERE o_custkey < 30 GROUP BY o_custkey
+        UNION ALL
+        SELECT 'bystatus' AS tag, o_orderstatus AS k, COUNT(1) AS cnt
+        FROM orders WHERE o_custkey < 30 GROUP BY o_orderstatus
+        ORDER BY tag, k""",
+    ),
+    (
+        "gbn_agg_distinct_plus_plain",
+        """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS nd,
+               COUNT(o_custkey) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "gbn_group_by_substr_expr",
+        """SELECT substring(c_name, 1, 11) AS pfx, COUNT(1) AS cnt
+        FROM customer GROUP BY substring(c_name, 1, 11)
+        ORDER BY pfx LIMIT 30""",
+    ),
+    (
+        "gbn_group_by_cast_key",
+        """SELECT CAST(o_custkey AS STRING) AS k, COUNT(1) AS cnt
+        FROM orders WHERE o_custkey < 25 GROUP BY CAST(o_custkey AS STRING)
+        ORDER BY k""",
+    ),
+    (
+        "gbn_having_on_distinct_count",
+        """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS np
+        FROM orders WHERE o_custkey < 150 GROUP BY o_custkey
+        HAVING COUNT(DISTINCT o_orderpriority) >= 3 ORDER BY o_custkey""",
+    ),
+    (
+        "gbn_min_max_same_col_group",
+        """SELECT l_linenumber, MIN(l_quantity) AS mn, MAX(l_quantity) AS mx,
+               COUNT(1) AS n
+        FROM lineitem GROUP BY l_linenumber ORDER BY l_linenumber""",
+    ),
+    (
+        "mi_shared_scan_three_aggregates",
+        """WITH src AS (SELECT * FROM orders WHERE o_orderkey <= 400)
+        SELECT 'cnt' AS metric, CAST(COUNT(*) AS DOUBLE) AS v FROM src
+        UNION ALL
+        SELECT 'sum' AS metric,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v FROM src
+        UNION ALL
+        SELECT 'keys' AS metric, CAST(COUNT(DISTINCT o_custkey) AS DOUBLE) AS v FROM src
+        ORDER BY metric""",
+    ),
+    (
+        "mi_shared_scan_partitioned_outputs",
+        """WITH src AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer
+                     WHERE c_custkey <= 120)
+        SELECT c_mktsegment AS bucket, COUNT(*) AS n FROM src
+        WHERE c_nationkey < 12 GROUP BY c_mktsegment
+        UNION ALL
+        SELECT concat('hi_', c_mktsegment) AS bucket, COUNT(*) AS n FROM src
+        WHERE c_nationkey >= 12 GROUP BY c_mktsegment
+        ORDER BY bucket""",
+    ),
+    (
+        "corr_ordered_subqueries_joined",
+        """SELECT xx.c_custkey, yy.o_orderkey FROM
+          (SELECT c_custkey FROM customer ORDER BY c_custkey) xx
+        JOIN (SELECT o_orderkey, o_custkey FROM orders ORDER BY o_orderkey) yy
+        ON xx.c_custkey = yy.o_custkey
+        WHERE xx.c_custkey < 12 ORDER BY xx.c_custkey, yy.o_orderkey""",
+    ),
+    (
+        "corr_limit_subquery_joined",
+        """SELECT xx.k, yy.c_name FROM
+          (SELECT c_custkey AS k FROM customer ORDER BY c_custkey LIMIT 20) xx
+        JOIN customer yy ON xx.k = yy.c_custkey
+        ORDER BY xx.k""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
