@@ -9991,6 +9991,253 @@ QSCRIPTS_R67 = [
     ),
 ]
 
+# Sixty-eighth tranche: the union corpus (union1-34.q distinct
+# shapes — constant branches from limited scans, aggregate branches
+# regrouped above the union, mixed aggregate + raw branches, the
+# union22 delta-merge shape, join-branch + row-multiplying branch
+# (union26; the LATERAL VIEW branch is spelled as a CROSS JOIN over
+# an inline values subquery — one SQL string for both engines),
+# type-widening branches, nested unions, a WHERE FALSE branch) plus
+# union24's repeated-column selects, semijoin.q's EXISTS/IN variants,
+# and the limit family (limit after group-by/join/union, LIMIT 0,
+# OFFSET pagination, scalar-subquery LIMIT). All prototyped green on
+# both engines at sf0.01 + sf0.001.
+QSCRIPTS_R68 = [
+    (
+        "union3_constants_from_limited_scans",
+        """SELECT * FROM (
+          SELECT 1 AS id FROM (SELECT * FROM nation LIMIT 1) s1
+          UNION ALL
+          SELECT 2 AS id FROM (SELECT * FROM nation LIMIT 1) s1
+          UNION ALL
+          SELECT 3 AS id FROM (SELECT * FROM region LIMIT 1) s2
+          UNION ALL
+          SELECT 4 AS id FROM (SELECT * FROM region LIMIT 1) s2
+        ) a ORDER BY id""",
+    ),
+    (
+        "union5_two_agg_branches_regrouped",
+        """SELECT unionsrc.key, COUNT(1) AS cnt FROM (
+          SELECT 'tst1' AS key, COUNT(1) AS value FROM orders s1
+          UNION ALL
+          SELECT 'tst2' AS key, COUNT(1) AS value FROM orders s2
+        ) unionsrc GROUP BY unionsrc.key ORDER BY key""",
+    ),
+    (
+        "union7_agg_branch_with_raw_branch",
+        """SELECT unionsrc.key, COUNT(1) AS cnt FROM (
+          SELECT 'tst1' AS key, CAST(COUNT(1) AS STRING) AS value FROM orders s1
+          UNION ALL
+          SELECT s2.n_name AS key, CAST(s2.n_nationkey AS STRING) AS value FROM nation s2
+        ) unionsrc GROUP BY unionsrc.key ORDER BY key""",
+    ),
+    (
+        "union9_three_agg_branches",
+        """SELECT unionsrc.key, COUNT(1) AS cnt FROM (
+          SELECT 'tst1' AS key, COUNT(1) AS value FROM customer s1
+          UNION ALL
+          SELECT 'tst2' AS key, COUNT(1) AS value FROM customer s2
+          UNION ALL
+          SELECT 'tst3' AS key, COUNT(1) AS value FROM customer s3
+        ) unionsrc GROUP BY unionsrc.key ORDER BY key""",
+    ),
+    (
+        "union_mixed_agg_and_two_raw",
+        """SELECT unionsrc.key, COUNT(1) AS cnt FROM (
+          SELECT 'tst1' AS key, CAST(COUNT(1) AS STRING) AS value FROM region s1
+          UNION ALL
+          SELECT s2.r_name AS key, CAST(s2.r_regionkey AS STRING) AS value FROM region s2
+          UNION ALL
+          SELECT s3.r_name AS key, CAST(s3.r_regionkey AS STRING) AS value FROM region s3
+        ) unionsrc GROUP BY unionsrc.key ORDER BY key""",
+    ),
+    (
+        "union22_delta_merge_shape",
+        """SELECT * FROM (
+          SELECT c_custkey AS k1, c_nationkey AS k2 FROM customer
+          WHERE c_custkey <= 50
+          UNION ALL
+          SELECT a.c_custkey AS k1, b.c_nationkey AS k2
+          FROM customer a LEFT OUTER JOIN
+            (SELECT * FROM customer WHERE c_custkey > 50) b
+          ON a.c_custkey = b.c_custkey
+          WHERE a.c_custkey > 20 AND a.c_custkey <= 90
+        ) subq ORDER BY k1, k2 NULLS FIRST""",
+    ),
+    (
+        "union26_join_branch_lateral_branch",
+        """SELECT COUNT(1) AS counts, key FROM (
+          SELECT a.n_nationkey AS key
+          FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+          UNION ALL
+          SELECT n_nationkey AS key
+          FROM nation CROSS JOIN
+            (SELECT 1 AS c UNION ALL SELECT 2 UNION ALL SELECT 3) t
+        ) a GROUP BY key ORDER BY key""",
+    ),
+    (
+        "union32_bigint_double_widening",
+        """SELECT key, CAST(v AS DOUBLE) AS v FROM (
+          SELECT n_nationkey AS key, CAST(n_regionkey AS BIGINT) AS v FROM nation
+          UNION ALL
+          SELECT r_regionkey AS key, CAST(r_regionkey AS DOUBLE) + 0.5 AS v FROM region
+        ) u ORDER BY key, v""",
+    ),
+    (
+        "union34_nested_unions_three_deep",
+        """SELECT key, COUNT(*) AS n FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION ALL
+          SELECT * FROM (
+            SELECT r_regionkey AS key FROM region
+            UNION ALL
+            SELECT n_regionkey AS key FROM nation WHERE n_nationkey < 10
+          ) inner_u
+        ) outer_u GROUP BY key ORDER BY key""",
+    ),
+    (
+        "union_distinct_of_overlapping_branches",
+        """SELECT key FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION
+          SELECT r_regionkey AS key FROM region
+        ) u ORDER BY key""",
+    ),
+    (
+        "union_all_then_distinct_count",
+        """SELECT COUNT(DISTINCT key) AS nd, COUNT(key) AS n FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION ALL
+          SELECT r_regionkey AS key FROM region
+        ) u""",
+    ),
+    (
+        "union_branch_with_where_false",
+        """SELECT key, COUNT(*) AS n FROM (
+          SELECT n_regionkey AS key FROM nation
+          UNION ALL
+          SELECT r_regionkey AS key FROM region WHERE 1 = 0
+        ) u GROUP BY key ORDER BY key""",
+    ),
+    (
+        "select_repeated_columns",
+        """SELECT n_name, n_regionkey, n_name AS n_name2, n_regionkey AS rk2
+        FROM nation ORDER BY n_name""",
+    ),
+    (
+        "select_sextuple_repeats",
+        """SELECT r_regionkey AS a, r_regionkey AS b, r_name AS c,
+               r_regionkey AS d, r_name AS e, r_name AS f
+        FROM region ORDER BY a""",
+    ),
+    (
+        "semijoin_in_with_branch_filter",
+        """SELECT n_name FROM nation
+        WHERE n_regionkey IN (SELECT r_regionkey FROM region WHERE r_name <> 'ASIA')
+        ORDER BY n_name""",
+    ),
+    (
+        "semijoin_exists_two_conditions",
+        """SELECT c_custkey FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+          AND c.c_custkey < 80
+        ORDER BY c_custkey""",
+    ),
+    (
+        "antijoin_not_exists_with_filter",
+        """SELECT c_custkey FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 420000)
+          AND c.c_custkey < 120
+        ORDER BY c_custkey""",
+    ),
+    (
+        "semijoin_on_expression_key",
+        """SELECT n_nationkey FROM nation
+        WHERE n_nationkey * 2 IN (SELECT c_nationkey + c_nationkey FROM customer)
+        ORDER BY n_nationkey""",
+    ),
+    (
+        "semijoin_then_outer_aggregate",
+        """SELECT COUNT(*) AS n, CAST(SUM(c_custkey) AS BIGINT) AS s FROM customer
+        WHERE c_nationkey IN (SELECT n_nationkey FROM nation WHERE n_regionkey = 2)""",
+    ),
+    (
+        "limit_after_group_by",
+        """SELECT o_custkey, COUNT(*) AS n FROM orders GROUP BY o_custkey
+        ORDER BY o_custkey LIMIT 12""",
+    ),
+    (
+        "limit_after_join",
+        """SELECT n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey
+        ORDER BY n_name LIMIT 7""",
+    ),
+    (
+        "limit_after_union",
+        """SELECT key FROM (
+          SELECT n_nationkey AS key FROM nation
+          UNION ALL
+          SELECT r_regionkey AS key FROM region
+        ) u ORDER BY key LIMIT 9""",
+    ),
+    (
+        "limit_zero_rows",
+        """SELECT COUNT(*) AS n FROM (
+          SELECT n_name FROM nation LIMIT 0) t""",
+    ),
+    (
+        "limit_larger_than_input",
+        """SELECT r_name FROM region ORDER BY r_name LIMIT 500""",
+    ),
+    (
+        "limit_in_scalar_subquery",
+        """SELECT n_name,
+               (SELECT r_name FROM region ORDER BY r_regionkey LIMIT 1) AS first_region
+        FROM nation WHERE n_nationkey < 5 ORDER BY n_name""",
+    ),
+    (
+        "offset_pagination",
+        """SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 5 OFFSET 10""",
+    ),
+    (
+        "cluster_constant_union_ids",
+        """SELECT id FROM (
+          SELECT 1 AS id FROM region
+          UNION ALL
+          SELECT 2 AS id FROM region
+        ) a ORDER BY id LIMIT 8""",
+    ),
+    (
+        "groupby_position_and_name_mixed",
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+        FROM orders GROUP BY 1, o_orderpriority
+        ORDER BY o_orderstatus, o_orderpriority""",
+    ),
+    (
+        "orderby_alias_of_expression",
+        """SELECT n_nationkey + 100 AS shifted FROM nation ORDER BY shifted DESC LIMIT 6""",
+    ),
+    (
+        "orderby_hidden_column_not_projected",
+        """SELECT n_name FROM nation ORDER BY n_nationkey DESC LIMIT 5""",
+    ),
+    (
+        "where_in_value_list_literals",
+        """SELECT n_name FROM nation WHERE n_regionkey IN (0, 2, 4) ORDER BY n_name""",
+    ),
+    (
+        "nested_case_in_group_key",
+        """SELECT CASE WHEN o_totalprice > 300000 THEN 'high'
+                    WHEN o_totalprice > 100000 THEN 'mid'
+                    ELSE 'low' END AS band, COUNT(*) AS n
+        FROM orders GROUP BY CASE WHEN o_totalprice > 300000 THEN 'high'
+                                  WHEN o_totalprice > 100000 THEN 'mid'
+                                  ELSE 'low' END
+        ORDER BY band""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
