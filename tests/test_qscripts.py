@@ -10238,6 +10238,232 @@ QSCRIPTS_R68 = [
     ),
 ]
 
+# Sixty-ninth tranche: grouping-sets edges (groupby_grouping_sets1-6.q
+# — explicit set lists incl. the empty set, duplicate sets, singleton
+# sets over three keys, expression keys, cube above a grouped
+# subquery, join of two cubes on null-safe keys, filter above
+# grouping sets, GROUPING() in HAVING; Hive's trailing `GROUP BY a,b
+# GROUPING SETS(..)` / `WITH CUBE` respelled as the standard
+# GROUP BY GROUPING SETS / CUBE() both engines parse), exact
+# decimal arithmetic (division-free: add/multiply/negate/round at
+# several scales, wide-precision sums — division rounding diverges
+# HALF_UP vs HALF_EVEN and stays out, per operators/_util.py), the
+# timestamp/date function remainder (INTERVAL arithmetic — date_sub/
+# datediff argument shapes differ across engines), cast boundaries
+# (floor-to-bigint since raw double->int truncates in Spark but
+# rounds in DuckDB — the divergence is documented here, not papered
+# over), and skew/mapjoin result shapes in hint-free spellings.
+QSCRIPTS_R69 = [
+    (
+        "gsets_explicit_list_with_empty",
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem WHERE l_orderkey <= 200
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""",
+    ),
+    (
+        "gsets_partial_list_no_empty",
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem WHERE l_orderkey <= 200
+        GROUP BY GROUPING SETS ((l_returnflag), (l_returnflag, l_linestatus))
+        ORDER BY l_returnflag, l_linestatus NULLS FIRST, n""",
+    ),
+    (
+        "gsets_duplicate_set_listed_twice",
+        """SELECT o_orderstatus, COUNT(*) AS n FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderstatus))
+        ORDER BY o_orderstatus, n""",
+    ),
+    (
+        "gsets_singleton_sets_three_keys",
+        """SELECT o_orderstatus, o_orderpriority, l_shipstatus, COUNT(*) AS n FROM
+          (SELECT o_orderstatus, o_orderpriority,
+                  CASE WHEN o_totalprice > 200000 THEN 'big' ELSE 'small' END AS l_shipstatus
+           FROM orders WHERE o_orderkey <= 300) t
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), (l_shipstatus))
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST,
+                 l_shipstatus NULLS FIRST, n""",
+    ),
+    (
+        "gsets_on_expression_key",
+        """SELECT n_nationkey + n_regionkey AS ab, COUNT(*) AS n
+        FROM nation GROUP BY GROUPING SETS ((n_nationkey + n_regionkey))
+        ORDER BY ab""",
+    ),
+    (
+        "gsets_cube_over_grouped_subquery",
+        """SELECT a, b, COUNT(*) AS n FROM
+          (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(1) AS c
+           FROM orders GROUP BY o_orderstatus, o_orderpriority) subq1
+        GROUP BY CUBE(a, b)
+        ORDER BY a NULLS FIRST, b NULLS FIRST, n""",
+    ),
+    (
+        "gsets_join_of_two_cubes",
+        """SELECT subq1.a, subq1.n AS n1, subq2.n AS n2 FROM
+          (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n
+           FROM orders WHERE o_orderkey < 300 GROUP BY CUBE(o_orderstatus, o_orderpriority)) subq1
+        JOIN
+          (SELECT o_orderstatus AS a, o_orderpriority AS b, COUNT(*) AS n
+           FROM orders WHERE o_orderkey < 300 GROUP BY CUBE(o_orderstatus, o_orderpriority)) subq2
+        ON subq1.a = subq2.a AND subq1.b IS NOT DISTINCT FROM subq2.b
+        WHERE subq1.a IS NOT NULL
+        ORDER BY subq1.a, subq1.b NULLS FIRST, n1, n2""",
+    ),
+    (
+        "gsets_filter_above_grouping_sets",
+        """SELECT a, b FROM
+          (SELECT o_custkey AS a, o_orderstatus AS b FROM orders
+           WHERE o_custkey < 30
+           GROUP BY GROUPING SETS ((o_custkey, o_orderstatus), (o_custkey))) res
+        WHERE res.a = 5 ORDER BY a, b NULLS FIRST""",
+    ),
+    (
+        "gsets_cube_sum_of_expression",
+        """SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity + l_linenumber AS DECIMAL(18,2))) AS DOUBLE) AS s
+        FROM lineitem WHERE l_orderkey <= 150
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, s""",
+    ),
+    (
+        "gsets_rollup_three_levels",
+        """SELECT r_name, n_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, n""",
+    ),
+    (
+        "gsets_grouping_id_filter",
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        WHERE l_orderkey <= 200
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        HAVING GROUPING(l_linestatus) = 1
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""",
+    ),
+    (
+        "dec_add_mul_exact_scale",
+        """SELECT l_orderkey,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) + CAST(0.25 AS DECIMAL(12,2)) AS DOUBLE) AS q_plus,
+               CAST(CAST(l_quantity AS DECIMAL(12,2)) * CAST(3 AS DECIMAL(4,0)) AS DOUBLE) AS q_times
+        FROM lineitem WHERE l_orderkey <= 20 ORDER BY l_orderkey, q_plus""",
+    ),
+    (
+        "dec_sum_wide_precision",
+        """SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,2))) AS DOUBLE) AS total
+        FROM orders""",
+    ),
+    (
+        "dec_negative_and_abs",
+        """SELECT o_orderkey,
+               CAST(-CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS neg,
+               CAST(abs(-CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS back
+        FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey""",
+    ),
+    (
+        "dec_round_and_truncate_scales",
+        """SELECT o_orderkey,
+               round(CAST(o_totalprice AS DECIMAL(18,2)), 1) AS r1,
+               round(CAST(o_totalprice AS DECIMAL(18,2)), 0) AS r0,
+               round(CAST(o_totalprice AS DECIMAL(18,2)), -2) AS rneg
+        FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey""",
+    ),
+    (
+        "dec_comparison_across_scales",
+        """SELECT COUNT(*) AS n FROM orders
+        WHERE CAST(o_totalprice AS DECIMAL(18,2)) > CAST(100000.50 AS DECIMAL(10,2))""",
+    ),
+    (
+        "dec_min_max_group",
+        """SELECT o_orderstatus,
+               CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mn,
+               CAST(MAX(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS mx
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    ),
+    (
+        "ts_extract_epoch_parts_roundtrip",
+        """SELECT event_id,
+               year(ts) AS y, month(ts) AS m, day(ts) AS d,
+               hour(ts) AS h, minute(ts) AS mi, second(ts) AS s
+        FROM events WHERE event_id <= 20 ORDER BY event_id""",
+    ),
+    (
+        "ts_date_add_sub_chain",
+        """SELECT o_orderkey,
+               CAST(CAST(o_orderdate AS DATE) + INTERVAL '30' DAY AS DATE) AS plus30,
+               CAST(CAST(o_orderdate AS DATE) - INTERVAL '30' DAY AS DATE) AS minus30
+        FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey""",
+    ),
+    (
+        "ts_interval_window_filter",
+        """SELECT COUNT(*) AS n_old, COUNT(CASE WHEN late THEN 1 END) AS n_late FROM (
+          SELECT o_orderdate + INTERVAL '90' DAY < TIMESTAMP '2023-06-01 00:00:00' AS late
+          FROM orders WHERE o_orderkey <= 400) t""",
+    ),
+    (
+        "ts_last_day_and_trunc",
+        """SELECT DISTINCT CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS eom,
+               CAST(date_trunc('month', o_orderdate) AS DATE) AS som
+        FROM orders WHERE o_orderkey <= 100 ORDER BY eom""",
+    ),
+    (
+        "ts_dayofweek_consistency",
+        """SELECT dayofmonth(CAST(o_orderdate AS DATE)) AS dom, COUNT(*) AS n
+        FROM orders WHERE o_orderkey <= 300
+        GROUP BY dayofmonth(CAST(o_orderdate AS DATE)) ORDER BY dom""",
+    ),
+    (
+        "ts_make_date_roundtrip",
+        """SELECT make_date(2024, n_nationkey % 12 + 1, n_nationkey + 1) AS d
+        FROM nation WHERE n_nationkey < 12 ORDER BY d""",
+    ),
+    (
+        "cast_floor_double_to_bigint",
+        """SELECT o_orderkey, CAST(floor(o_totalprice) AS BIGINT) AS floored
+        FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey""",
+    ),
+    (
+        "cast_string_roundtrip_double",
+        """SELECT o_orderkey,
+               CAST(CAST(o_totalprice AS STRING) AS DOUBLE) AS roundtrip
+        FROM orders WHERE o_orderkey <= 15 ORDER BY o_orderkey""",
+    ),
+    (
+        "cast_bool_int_string_chain",
+        """SELECT n_nationkey,
+               CAST(CAST(n_nationkey > 10 AS INT) AS STRING) AS b_str
+        FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "cast_string_date_literal_compare",
+        """SELECT COUNT(*) AS n FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= CAST('2023-03-01' AS DATE)
+          AND o_orderkey <= 500""",
+    ),
+    (
+        "skew_heavy_key_join_counts",
+        """SELECT k, COUNT(*) AS n FROM (
+          SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0 ELSE l_orderkey END AS k
+          FROM lineitem WHERE l_orderkey <= 300) a
+        JOIN (SELECT 0 AS k UNION ALL SELECT 5 UNION ALL SELECT 11) keys
+        USING (k) GROUP BY k ORDER BY k""",
+    ),
+    (
+        "mapjoin_small_dim_projected_only",
+        """SELECT r_name, COUNT(*) AS n
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE') GROUP BY r_name ORDER BY r_name""",
+    ),
+    (
+        "join_same_dim_twice_different_roles",
+        """SELECT a.r_name AS src_region, b.r_name AS dst_region, COUNT(*) AS n
+        FROM nation n1 JOIN region a ON n1.n_regionkey = a.r_regionkey
+        JOIN nation n2 ON n1.n_nationkey = (n2.n_nationkey + 5) % 25
+        JOIN region b ON n2.n_regionkey = b.r_regionkey
+        GROUP BY a.r_name, b.r_name ORDER BY src_region, dst_region LIMIT 20""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
