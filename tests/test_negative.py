@@ -2252,3 +2252,51 @@ def test_exim_import_corrupt_metadata(spark, _exim10):
         fh.write("{not json")
     with pytest.raises(ValueError, match="corrupt export metadata"):
         ddl.import_table(spark, "exim10_whatever", f"{base}/corrupt", f"{base}/t5")
+
+
+# r10 tranche 6: DDL stragglers — the final probe batch of 20
+# candidate classes returned 17 DUPLICATES of already-pinned classes
+# (TABLE_OR_VIEW_ALREADY_EXISTS/NOT_FOUND, EXPECT_TABLE_NOT_VIEW,
+# COLUMN_ALREADY_EXISTS/NOT_FOUND, ANALYZE_VIEW, PARTITION_SCHEMA_IS_
+# EMPTY...), a dryness signal: the remaining clientnegative scripts
+# collapse onto Spark error classes this suite already asserts. The
+# three genuinely new ones:
+
+
+def test_add_partition_on_unpartitioned_datasource(spark, tmp_path):
+    """alter_table_add_partition.q error class: ADD PARTITION on an
+    unpartitioned datasource table is rejected at the command level
+    (distinct from SHOW PARTITIONS' PARTITION_SCHEMA_IS_EMPTY)."""
+    spark.sql("DROP TABLE IF EXISTS np10_addp")
+    spark.sql(
+        f"CREATE TABLE np10_addp (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/addp'"
+    )
+    try:
+        with pytest.raises(Exception, match="ADD PARTITION is not allowed|PARTITION"):
+            spark.sql("ALTER TABLE np10_addp ADD PARTITION (p=1)")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS np10_addp")
+
+
+def test_set_reserved_table_property(spark, tmp_path):
+    """alter_table_props error class: `provider` is a reserved table
+    property — SET TBLPROPERTIES refuses it with a structured
+    UNSUPPORTED_FEATURE.SET_TABLE_PROPERTY."""
+    spark.sql("DROP TABLE IF EXISTS np10_props")
+    spark.sql(
+        f"CREATE TABLE np10_props (a INT) USING parquet "
+        f"LOCATION '{tmp_path}/props'"
+    )
+    try:
+        with pytest.raises(Exception, match="SET_TABLE_PROPERTY"):
+            spark.sql("ALTER TABLE np10_props SET TBLPROPERTIES ('provider'='orc')")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS np10_props")
+
+
+def test_describe_missing_function(spark):
+    """udf_nonexistent (describe class): DESCRIBE FUNCTION on an
+    unknown name is the routine-resolution error, not an empty row."""
+    with pytest.raises(AnalysisException, match="UNRESOLVED_ROUTINE"):
+        spark.sql("DESCRIBE FUNCTION definitely_no_fn_np10").collect()
