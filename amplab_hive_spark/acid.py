@@ -858,6 +858,8 @@ def show_locks(
         "last_heartbeat bigint, acquired_at bigint, user string, "
         "hostname string, agent_info string"
     )
+    from amplab_hive_spark.authorization import current_user
+
     rows: list[tuple] = []
     if table is None:
         try:
@@ -887,8 +889,6 @@ def show_locks(
             except Exception:  # noqa: BLE001 — unreadable/non-POSIX
                 continue
             lockid += 1
-            from amplab_hive_spark.authorization import current_user
-
             # acquired_at is NULL: a flock probe proves the lock is
             # held NOW but carries no acquisition timestamp (the
             # file's mtime would be the warehouse's creation time, a

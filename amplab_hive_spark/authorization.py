@@ -774,22 +774,27 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 #     on each privilege. Without this, any user could grant
 #     themselves admin and the read/write gate would be advisory
 #     (review r10);
-#   - CREATE ... AS SELECT / CREATE VIEW ... AS SELECT still check
-#     SELECT on the tables the query part reads — otherwise a temp
-#     view would launder protected reads through the exempt CREATE
-#     head (review r10).
+#   - exempt-headed statements with a QUERY PART — CREATE ... AS
+#     SELECT, CREATE/ALTER VIEW AS, CACHE TABLE AS — still check
+#     SELECT on the tables the query reads (otherwise a temp view or
+#     cache would launder protected reads through the exempt head),
+#     and the two exempt-headed statements that mutate table DATA —
+#     TRUNCATE (needs DELETE) and LOAD DATA (needs INSERT) — are
+#     gated (review r10, both passes).
 #
 # Documented simplifications (the minimal SQL-std model):
-#   - table-level privileges only (column grants are stored and shown
-#     but enforcement checks the table row);
+#   - table-level privileges only: column grants are catalog/SHOW
+#     state — they neither open the whole table nor confer table-wide
+#     GRANT OPTION (review r10 pass 2);
 #   - TEMPORARY views are exempt as READ TARGETS — they are
 #     session-private objects (their DEFINITION was checked at
-#     CREATE time by the CTAS rule above);
-#   - non-CTAS DDL/metadata statements are exempt;
-#   - the statement scan is the same pre-parse text discipline as
-#     dml_text (string literals and comments are masked first; CTE
-#     aliases are excluded; backticks and comma-separated FROM lists
-#     are handled) — not a full parse.
+#     CREATE time by the query-part rule above);
+#   - other DDL/metadata statements are exempt;
+#   - the statement scan is a pre-parse text discipline like
+#     dml_text's (string literals, -- and /* */ comments masked;
+#     WITH-anchored CTE aliases excluded; backticks, qualified names,
+#     AS aliases and comma-separated FROM lists handled) — not a
+#     full parse.
 #
 # Bootstrap: grants written while enforcement is DISABLED (the
 # default) are unrestricted — an operator seeds the admin role and
@@ -798,33 +803,58 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 
 _ENFORCE_CONF = "spark.sql.authz.enabled"
 
+# A (possibly backtick-quoted, possibly qualified) object name:
+# `db`.`tbl`, db.tbl, `tbl`, tbl — normalized by _norm_name.
+_NAME = r"(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+
 _EXEMPT_HEAD = re.compile(
     r"(?is)^\s*(SHOW|EXPLAIN|DESCRIBE|DESC|SET|CREATE|DROP|ALTER|ANALYZE|"
     r"MSCK|LOAD|EXPORT|IMPORT|USE|CACHE|UNCACHE|REFRESH|TRUNCATE)\b"
 )
-_CREATE_AS_SELECT = re.compile(r"(?is)^\s*CREATE\b.*\bAS\b\s*(\(|WITH\b|SELECT\b)")
-_INSERT_TARGETS = re.compile(
-    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?`?([\w.]+)`?"
+# exempt-headed statements that still carry a QUERY PART reading
+# tables: CTAS / CREATE VIEW AS / CACHE TABLE AS / ALTER VIEW AS
+# (review r10 pass 2 — CACHE and ALTER VIEW were laundering reads the
+# CREATE rule already blocked)
+_EXEMPT_QUERY_PART = re.compile(
+    r"(?is)^\s*(?:CREATE|CACHE|ALTER)\b.*\bAS\b\s*(\(|WITH\b|SELECT\b)"
 )
-_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+`?([\w.]+)`?")
-_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+`?([\w.]+)`?")
-_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+`?([\w.]+)`?")
-_TABLE_HEAD = re.compile(r"(?is)^\s*TABLE\s+`?([\w.]+)`?")
-# FROM/JOIN/USING followed by one name or a comma-separated list
-# (backticks and `t alias` / `t AS alias` forms allowed); list members
-# split after the match, first token per member. The alias slot
-# refuses clause keywords so `FROM a JOIN b` leaves JOIN for its own
-# keyword match.
-_REF_KEYWORDS = r"(?:JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|INNER|CROSS|LATERAL|UNION|LIMIT|HAVING|WINDOW|USING|NATURAL|TABLESAMPLE|SEMI|ANTI|SELECT|INSERT|EXCEPT|INTERSECT|MINUS|SET|VALUES|AS)\b"
+# exempt-headed statements that mutate table DATA, not metadata
+# (review r10 pass 2 — TRUNCATE/LOAD made the write gate advisory)
+_TRUNCATE_HEAD = re.compile(
+    r"(?is)^\s*TRUNCATE\s+TABLE\s+(" + _NAME + r")"
+)
+_LOAD_HEAD = re.compile(
+    r"(?is)^\s*LOAD\s+DATA\b.*?\bINTO\s+TABLE\s+(" + _NAME + r")"
+)
+_INSERT_TARGETS = re.compile(
+    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(" + _NAME + r")"
+)
+_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+(" + _NAME + r")")
+_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(" + _NAME + r")")
+_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+(" + _NAME + r")")
+_TABLE_HEAD = re.compile(r"(?is)^\s*TABLE\s+(" + _NAME + r")")
+# FROM/JOIN/USING followed by one name or a comma-separated list;
+# each member may carry `alias` or `AS alias` (AS consumed before the
+# keyword lookahead — review r10 pass 2: an explicit AS alias used to
+# terminate the comma scan, dropping every table after it). The alias
+# slot refuses clause keywords so `FROM a JOIN b` leaves JOIN for its
+# own keyword match.
+_REF_KEYWORDS = (
+    r"(?:JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|INNER|CROSS|LATERAL|"
+    r"UNION|LIMIT|HAVING|WINDOW|USING|NATURAL|TABLESAMPLE|SEMI|ANTI|"
+    r"SELECT|INSERT|EXCEPT|INTERSECT|MINUS|SET|VALUES|AS)\b"
+)
+_REF_MEMBER = (
+    _NAME + r"(?:\s+(?:AS\s+)?(?!" + _REF_KEYWORDS + r")\w+)?"
+)
 _READ_REFS = re.compile(
     r"(?is)\b(?:FROM|JOIN|USING)\s+("
-    r"`?[\w.]+`?(?:\s+(?!" + _REF_KEYWORDS + r")(?:\w+))?"
-    r"(?:\s*,\s*`?[\w.]+`?(?:\s+(?!" + _REF_KEYWORDS + r")(?:\w+))?)*"
+    + _REF_MEMBER + r"(?:\s*,\s*" + _REF_MEMBER + r")*"
     r")"
 )
-_CTE_ALIAS = re.compile(r"(?is)\b(\w+)\s+AS\s*\(")
+_NAME_PREFIX = re.compile(_NAME)
 _LITERAL_OR_COMMENT = re.compile(
-    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|--[^\n]*", re.S
+    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|--[^\n]*|/\*.*?\*/", re.S
 )
 
 
@@ -836,17 +866,65 @@ def enforcement_enabled(spark: SparkSession) -> bool:
 
 
 def _mask_literals(text: str) -> str:
-    """Blank out string literals and -- comments so the ref scan can
-    never read a table name out of quoted data (review r10)."""
+    """Blank out string literals, ``--`` comments, and ``/* */``
+    bracketed comments so the ref scan can never read a table name
+    out of quoted data or have one hidden/forged by a comment
+    (review r10, both passes)."""
     return _LITERAL_OR_COMMENT.sub(lambda m: " " * len(m.group(0)), text)
+
+
+def _norm_name(raw: str) -> str:
+    """``federated . `quoted` `` → ``federated.quoted``."""
+    return re.sub(r"\s*\.\s*", ".", raw).replace("`", "").strip()
+
+
+def _cte_names(masked: str) -> set[str]:
+    """CTE alias names, WITH-anchored: only ``name AS (`` sequences
+    that follow a WITH keyword (continuing across balanced-paren
+    bodies and commas) count — a named WINDOW clause's ``w AS (...)``
+    must NOT forge a CTE that suppresses a table's check
+    (review r10 pass 2)."""
+    names: set[str] = set()
+    for m in re.finditer(r"(?is)\bWITH\s+(?:RECURSIVE\s+)?", masked):
+        i = m.end()
+        while True:
+            mm = re.match(r"(?s)\s*(\w+)\s+AS\s*\(", masked[i:], re.I)
+            if not mm:
+                break
+            names.add(mm.group(1).lower())
+            j = i + mm.end() - 1  # at the opening paren
+            depth = 0
+            while j < len(masked):
+                if masked[j] == "(":
+                    depth += 1
+                elif masked[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            i = j + 1
+            mm2 = re.match(r"\s*,", masked[i:])
+            if not mm2:
+                break
+            i += mm2.end()
+    return names
 
 
 def _active_roles(spark: SparkSession, store: dict) -> set[str]:
     """The session's ACTIVE role set (SET ROLE state) expanded through
     role-to-role grants — what checkPrivileges resolves against. SET
     ROLE NONE therefore really drops role-derived privileges, unlike
-    the full granted closure."""
-    roles = set(current_roles(spark))
+    the full granted closure. Resolves from the PASSED store (no
+    second _authz.json load on the gated paths — review r10 pass 2)."""
+    try:
+        raw = spark.conf.get(_ROLES_CONF)
+    except Exception:  # noqa: BLE001
+        raw = None
+    if raw is not None and raw != _ALL_SENTINEL:
+        base = [r for r in raw.split(",") if r]
+    else:
+        base = _user_roles(spark, store, current_user(spark))
+    roles = set(base)
     edges = _role_edges(store)
     for r in list(roles):
         roles |= _reachable(edges, r)
@@ -857,9 +935,13 @@ def _active_roles(spark: SparkSession, store: dict) -> set[str]:
 def _held_privs(
     store: dict, user: str, roles: set[str], db: str, tbl: str
 ) -> set[str]:
+    """TABLE-LEVEL privileges held on (db, tbl). Column-scoped grant
+    rows are deliberately excluded: a column grant must not widen to
+    the whole table (review r10 pass 2) — enforcement is table-level,
+    so column grants are catalog/SHOW state only."""
     out = set()
     for p in store["privs"]:
-        if p["database"] != db or p["table"] != tbl:
+        if p["database"] != db or p["table"] != tbl or p.get("column"):
             continue
         if (p["principal_type"] == "USER" and p["principal"] == user) or (
             p["principal_type"] == "ROLE" and p["principal"] in roles
@@ -871,21 +953,22 @@ def _held_privs(
 def _required_privs(text: str) -> list[tuple[str, str]]:
     """(table-name, privilege) pairs a statement needs, from the same
     pre-parse statement shapes the DML front-end routes on. ``text``
-    must already be literal-masked; CTE aliases, temp views, and
-    table functions are dropped at check time, not here."""
+    must already be literal-masked; names are backtick-normalized;
+    CTE aliases are excluded here, temp views and table functions are
+    dropped at check time."""
     pairs: list[tuple[str, str]] = []
     writes: set[str] = set()
     m = _UPDATE_HEAD.match(text)
     if m:
-        pairs.append((m.group(1), "UPDATE"))
-        writes.add(m.group(1).lower())
+        pairs.append((_norm_name(m.group(1)), "UPDATE"))
+        writes.add(_norm_name(m.group(1)).lower())
     m = _DELETE_HEAD.match(text)
     if m:
-        pairs.append((m.group(1), "DELETE"))
-        writes.add(m.group(1).lower())
+        pairs.append((_norm_name(m.group(1)), "DELETE"))
+        writes.add(_norm_name(m.group(1)).lower())
     m = _MERGE_HEAD.match(text)
     if m:
-        target = m.group(1)
+        target = _norm_name(m.group(1))
         writes.add(target.lower())
         # clause-driven, like UpdateDeleteSemanticAnalyzer's rewrite:
         # each WHEN branch needs exactly its verb's privilege
@@ -896,18 +979,19 @@ def _required_privs(text: str) -> list[tuple[str, str]]:
         if re.search(r"(?is)\bWHEN\s+NOT\s+MATCHED\b", text):
             pairs.append((target, "INSERT"))
     for t in _INSERT_TARGETS.findall(text):
+        t = _norm_name(t)
         pairs.append((t, "INSERT"))
         writes.add(t.lower())
     m = _TABLE_HEAD.match(text)
     if m:
-        pairs.append((m.group(1), "SELECT"))
+        pairs.append((_norm_name(m.group(1)), "SELECT"))
     for group in _READ_REFS.findall(text):
         for raw in group.split(","):
-            toks = raw.strip().split()
-            t = toks[0].strip("`") if toks else ""
+            nm = _NAME_PREFIX.match(raw.strip())
+            t = _norm_name(nm.group(0)) if nm else ""
             if t and t.lower() not in writes:
                 pairs.append((t, "SELECT"))
-    ctes = {c.lower() for c in _CTE_ALIAS.findall(text)}
+    ctes = _cte_names(text)
     seen: set[tuple[str, str]] = set()
     out = []
     for name, priv in pairs:
@@ -941,22 +1025,32 @@ def enforce(spark: SparkSession, text: str) -> None:
     if not enforcement_enabled(spark):
         return
     masked = _mask_literals(text)
-    read_only_check = False
     if _EXEMPT_HEAD.match(masked):
-        # CTAS / CREATE VIEW AS SELECT still READS its sources — the
-        # only exempt-head form with a query part (review r10)
-        if not _CREATE_AS_SELECT.match(masked):
+        tm = _TRUNCATE_HEAD.match(masked)
+        lm = _LOAD_HEAD.match(masked)
+        if tm:  # exempt-headed but mutates DATA: needs DELETE
+            pairs = [(_norm_name(tm.group(1)), "DELETE")]
+        elif lm:  # ditto: needs INSERT
+            pairs = [(_norm_name(lm.group(1)), "INSERT")]
+        elif _EXEMPT_QUERY_PART.match(masked):
+            # CTAS / CREATE|ALTER VIEW AS / CACHE TABLE AS read their
+            # sources: check the SELECT side only
+            pairs = [
+                (n, p) for n, p in _required_privs(masked) if p == "SELECT"
+            ]
+        else:
             return
-        read_only_check = True
+    else:
+        pairs = _required_privs(masked)
+    if not pairs:
+        return
     user = current_user(spark)
     store = _load(spark)
     roles = _active_roles(spark, store)
     if "admin" in roles:
         return
     missing = []
-    for name, priv in _required_privs(masked):
-        if read_only_check and priv != "SELECT":
-            continue
+    for name, priv in pairs:
         resolved = _resolve_enforceable(spark, name)
         if resolved is None:
             continue
@@ -975,7 +1069,9 @@ def _require_role_admin(
 ) -> None:
     """Gate for role administration under enforcement: the admin role,
     or ADMIN OPTION on every role being granted/revoked
-    (SQLStdHiveAccessController.grantRole's check)."""
+    (SQLStdHiveAccessController.grantRole's check). ADMIN OPTION
+    counts whether held directly or through an ACTIVE role
+    (review r10 pass 2)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -992,8 +1088,11 @@ def _require_role_admin(
     for role in roles:
         r = _norm_role(role)
         ok = any(
-            g["role"] == r and g["principal_type"] == "USER"
-            and g["principal"] == user and g["admin_option"]
+            g["role"] == r and g["admin_option"]
+            and (
+                (g["principal_type"] == "USER" and g["principal"] == user)
+                or (g["principal_type"] == "ROLE" and g["principal"] in active)
+            )
             for g in store["role_grants"]
         )
         if not ok:
@@ -1008,8 +1107,10 @@ def _require_grant_authority(
     privs: list[str],
 ) -> None:
     """Gate for object-privilege administration under enforcement: the
-    admin role, or GRANT OPTION on each privilege being granted/
-    revoked (SQLStdHiveAccessController.grantPrivileges)."""
+    admin role, or TABLE-LEVEL GRANT OPTION on each privilege being
+    granted/revoked (SQLStdHiveAccessController.grantPrivileges) —
+    a column-scoped GRANT OPTION must not confer table-wide re-grant
+    authority (review r10 pass 2)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1020,6 +1121,7 @@ def _require_grant_authority(
         p["privilege"]
         for p in store["privs"]
         if p["database"] == db and p["table"] == tbl and p["grant_option"]
+        and not p.get("column")
         and (
             (p["principal_type"] == "USER" and p["principal"] == user)
             or (p["principal_type"] == "ROLE" and p["principal"] in active)

@@ -507,3 +507,93 @@ def test_enforcement_ref_scanner_edges(enforced, spark, tbl):
     # metadata statements stay open
     eng.sql(f"SHOW GRANT ON TABLE {tbl}").collect()
     eng.sql("SHOW ROLES").collect()
+
+
+def test_enforcement_scanner_bypass_fixes(enforced, spark, tbl):
+    """Review r10 pass 2: AS-alias comma lists, block comments, the
+    WINDOW clause, and fully backtick-qualified names must not hide a
+    protected table from the scan."""
+    eng, _as, _seed = enforced
+    spark.range(2).createOrReplaceTempView("authz_free_v")  # unrestricted
+    _as("gina")
+    # AS alias in a comma FROM list: the protected table after it is checked
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT 1 FROM authz_free_v AS g, {tbl}")
+    # block comment cannot hide the ref...
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM /* hop */ {tbl}")
+    # ...nor forge a CTE alias that suppresses the check
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM {tbl} /* {tbl} AS ( */")
+    # a named WINDOW clause is not a CTE
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(
+            f"SELECT key, count(*) OVER {tbl} FROM {tbl} "
+            f"WINDOW {tbl} AS (ORDER BY key)"
+        )
+    # fully backtick-qualified name resolves and is checked
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM `default`.`{tbl}`")
+
+
+def test_enforcement_exempt_head_data_mutations_gated(enforced, spark, tbl, tmp_path):
+    """Review r10 pass 2: TRUNCATE needs DELETE and LOAD DATA needs
+    INSERT even though both are exempt-headed; CACHE TABLE AS and
+    ALTER VIEW AS check their query part's reads."""
+    eng, _as, _seed = enforced
+    _as("harry")
+    with pytest.raises(PermissionError, match=r"\[DELETE\]"):
+        eng.sql(f"TRUNCATE TABLE {tbl}")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"CACHE TABLE exfil10 AS SELECT * FROM {tbl}")
+    # ALTER VIEW AS over a protected table is a read of that table
+    _seed(f"GRANT SELECT ON {tbl} TO USER view_owner10")
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("CREATE OR REPLACE VIEW authz_v10 AS SELECT 1 AS one")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        _as("harry")
+        with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+            eng.sql(f"ALTER VIEW authz_v10 AS SELECT * FROM {tbl}")
+        # TRUNCATE works once DELETE is granted
+        _seed(f"GRANT DELETE ON {tbl} TO USER harry")
+        _as("harry")
+        eng.sql(f"TRUNCATE TABLE {tbl}")
+        _seed(f"GRANT SELECT ON {tbl} TO USER harry")
+        _as("harry")
+        assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 0
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP VIEW IF EXISTS authz_v10")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_column_grants_do_not_widen(enforced, spark, tbl):
+    """Review r10 pass 2: a column-scoped grant is catalog/SHOW state
+    only — it neither opens the whole table nor confers table-wide
+    re-grant authority."""
+    eng, _as, _seed = enforced
+    _seed(f"GRANT SELECT(key) ON {tbl} TO USER colleen",
+          f"GRANT SELECT(key) ON {tbl} TO USER colleen_opt WITH GRANT OPTION")
+    _as("colleen")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT key FROM {tbl}")
+    _as("colleen_opt")
+    with pytest.raises(PermissionError, match="no GRANT OPTION"):
+        eng.sql(f"GRANT SELECT ON {tbl} TO USER someone_else")
+
+
+def test_enforcement_admin_option_via_role(enforced, spark, tbl):
+    """Review r10 pass 2: ADMIN OPTION held through an active role
+    authorizes re-granting that role (no false denial)."""
+    eng, _as, _seed = enforced
+    _seed(
+        "CREATE ROLE project10",
+        "CREATE ROLE leads10",
+        "GRANT ROLE project10 TO ROLE leads10 WITH ADMIN OPTION",
+        "GRANT ROLE leads10 TO USER amy",
+    )
+    _as("amy")
+    eng.sql("GRANT ROLE project10 TO USER bob10")
+    got = [r.role for r in eng.sql("SHOW ROLE GRANT USER bob10").collect()]
+    assert "project10" in got
