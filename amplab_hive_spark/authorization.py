@@ -167,13 +167,15 @@ def _save(spark: SparkSession, store: dict) -> None:
 # -- session state -----------------------------------------------------
 def current_user(spark: SparkSession) -> str:
     """The session user — ``SET user.name=alice`` (the reference's
-    SessionStateConfigUserAuthenticator idiom) or the OS user."""
-    try:
-        u = spark.conf.get(_USER_CONF)
-        if u:
-            return u
-    except Exception:  # noqa: BLE001 — unset conf key
-        pass
+    SessionStateConfigUserAuthenticator idiom) or the OS user.
+
+    Conf reads pass an explicit default: an UNSET key read via the
+    raising form costs a full py4j exception round-trip (~20 ms
+    measured — 150x the defaulted read), and this function is on
+    every enforced statement's path (review r10 pass 2)."""
+    u = spark.conf.get(_USER_CONF, None)
+    if u:
+        return u
     try:
         return getpass.getuser()
     except Exception:  # noqa: BLE001 — no passwd entry (containers)
@@ -205,10 +207,7 @@ def current_roles(spark: SparkSession) -> list[str]:
     ALL stores a sentinel, not a snapshot — the granted set is
     re-resolved on every read so roles granted AFTER the statement
     become active immediately, like the reference (review r9)."""
-    try:
-        raw = spark.conf.get(_ROLES_CONF)
-    except Exception:  # noqa: BLE001
-        raw = None
+    raw = spark.conf.get(_ROLES_CONF, None)
     if raw is not None and raw != _ALL_SENTINEL:
         return [r for r in raw.split(",") if r]
     store = _load(spark)
@@ -859,10 +858,10 @@ _LITERAL_OR_COMMENT = re.compile(
 
 
 def enforcement_enabled(spark: SparkSession) -> bool:
-    try:
-        return (spark.conf.get(_ENFORCE_CONF) or "").lower() == "true"
-    except Exception:  # noqa: BLE001 — unset conf key
-        return False
+    # defaulted read: the raising form on an unset key costs a ~20 ms
+    # py4j exception round-trip, and this runs on EVERY Engine.sql
+    # statement (review r10 pass 2)
+    return (spark.conf.get(_ENFORCE_CONF, "") or "").lower() == "true"
 
 
 def _mask_literals(text: str) -> str:
@@ -916,10 +915,7 @@ def _active_roles(spark: SparkSession, store: dict) -> set[str]:
     ROLE NONE therefore really drops role-derived privileges, unlike
     the full granted closure. Resolves from the PASSED store (no
     second _authz.json load on the gated paths — review r10 pass 2)."""
-    try:
-        raw = spark.conf.get(_ROLES_CONF)
-    except Exception:  # noqa: BLE001
-        raw = None
+    raw = spark.conf.get(_ROLES_CONF, None)
     if raw is not None and raw != _ALL_SENTINEL:
         base = [r for r in raw.split(",") if r]
     else:
