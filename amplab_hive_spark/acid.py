@@ -1368,6 +1368,31 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
     return out
 
 
+def auto_publish_mor_views(spark: SparkSession) -> list[str]:
+    """Publish the merged view for EVERY currently-known merge-on-read
+    table — the serving-session bootstrap (thrift.start_thrift_server
+    calls this so a JDBC reader sees merged rows by default, the
+    reference reader's rule, without naming tables one by one).
+    Unlike publish_mor_views this skips rather than raises: a name
+    that stopped being MOR, resolves nowhere, or is already held by a
+    USER temp view is left alone — an auto pass must not turn a
+    server start into an error over an unrelated name. Returns the
+    names actually published (idempotent)."""
+    out = []
+    for bare in sorted(_known_mor_names(spark)):
+        try:
+            if mor_keys(spark, bare) is None:
+                continue
+        except Exception:  # noqa: BLE001 — unresolvable/non-local
+            continue
+        if bare not in _PUBLISHED and _temp_view_exists(spark, bare):
+            continue  # a user temp view owns the name; leave it
+        _PUBLISHED.add(bare)
+        _sync_published(spark, bare)
+        out.append(bare)
+    return out
+
+
 def unpublish_mor_views(spark: SparkSession, names: list[str]) -> None:
     for name in names:
         bare = name.split(".")[-1].lower()

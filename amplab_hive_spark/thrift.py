@@ -35,13 +35,14 @@ Honest scope notes:
   identically on both paths; the statement shims remain
   Engine-surface-only (documented, tested).
 - Merge-on-read tables: a beeline SELECT bypasses Engine.sql's
-  per-statement merged-read scope, so by default it reads the raw
-  base. ``acid.publish_mor_views(spark, [...])`` closes that for a
-  serving session (single_session=True): it registers persistent
-  merged views that the engine's write verbs keep current, so JDBC
-  readers see committed UPDATE/DELETE results (pinned in
-  tests/test_thrift.py). The documented price: bare-name writes and
-  DESCRIBE over Thrift hit the view while published.
+  per-statement merged-read scope. ``start_thrift_server`` therefore
+  AUTO-publishes the merged view of every known MOR table before
+  serving (publish_mor=True default, single-session; r10), so JDBC
+  readers see committed UPDATE/DELETE results by default — the
+  reference reader's rule. Per-name control stays available
+  (acid.publish_mor_views / unpublish_mor_views). The documented
+  price: bare-name writes and DESCRIBE over Thrift hit the view
+  while published.
 - One Thrift server per JVM: HiveServer2's in-process services are
   static, so ``start_thrift_server`` is a process-wide singleton and
   a second call with a different port raises.
@@ -76,6 +77,7 @@ def start_thrift_server(
     host: str = "127.0.0.1",
     single_session: bool = True,
     wait_s: float = 30.0,
+    publish_mor: bool = True,
 ) -> int:
     """Start the HS2-compatible Thrift server over ``spark``; returns
     the bound port once it accepts connections. Process-wide
@@ -83,7 +85,13 @@ def start_thrift_server(
     port is a no-op returning it. Refuses a port something else is
     already listening on — otherwise the readiness probe would bless
     the FOREIGN listener and hand the caller a JDBC URL that talks to
-    the wrong service (review r9)."""
+    the wrong service (review r9).
+
+    ``publish_mor`` (default True, single-session only): publish the
+    merged view of every known merge-on-read table before serving, so
+    a JDBC SELECT sees committed UPDATE/DELETE results by default —
+    the reference reader's rule — instead of the raw base (r10; the
+    per-name form is acid.publish_mor_views, caveats there)."""
     global _STARTED
     probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
     with _LOCK:
@@ -122,6 +130,10 @@ def start_thrift_server(
                     "pass single_session=False to serve per-connection "
                     "sessions instead"
                 )
+        if publish_mor and single_session:
+            from amplab_hive_spark.acid import auto_publish_mor_views
+
+            auto_publish_mor_views(spark)
         jvm = spark._jvm
         server = (
             jvm.org.apache.spark.sql.hive.thriftserver.HiveThriftServer2

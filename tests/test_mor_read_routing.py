@@ -297,3 +297,41 @@ def test_unpin_unpublishes(engine, spark, mor_table):
     acid.unpin_mor_keys(spark, mor_table)
     assert mor_table not in acid._PUBLISHED
     assert not acid._temp_view_exists(spark, mor_table)
+
+
+def test_auto_publish_mor_views(spark, engine, mor_table):
+    """Serving-session bootstrap (r10): auto_publish_mor_views
+    publishes every known MOR table's merged view, skips names held
+    by user temp views, and is idempotent — the thrift entry point
+    calls it so JDBC readers see merged rows by default."""
+    engine.sql(f"UPDATE {mor_table} SET v = v + 1 WHERE k = 1")
+    # a user temp view occupying an unrelated name is never touched
+    spark.range(1).createOrReplaceTempView("user_owned_v")
+    try:
+        published = acid.auto_publish_mor_views(spark)
+        assert mor_table in published
+        assert "user_owned_v" not in published
+        # raw spark.sql (the thrift path) now reads MERGED rows
+        assert spark.sql(
+            f"SELECT v FROM {mor_table} WHERE k = 1"
+        ).first().v == 11
+        # idempotent: second call re-lists, still merged
+        again = acid.auto_publish_mor_views(spark)
+        assert mor_table in again
+    finally:
+        spark.catalog.dropTempView("user_owned_v")
+        acid.unpublish_mor_views(spark, [mor_table])
+
+
+def test_auto_publish_skips_user_temp_view_on_mor_name(spark, engine, mor_table):
+    """If the USER already holds a temp view on a MOR table's bare
+    name, auto-publish leaves it alone (never clobbers)."""
+    engine.sql(f"UPDATE {mor_table} SET v = 0 WHERE k = 2")
+    spark.range(3).selectExpr("id AS z").createOrReplaceTempView(mor_table)
+    try:
+        published = acid.auto_publish_mor_views(spark)
+        assert mor_table not in published
+        # the user's view still answers
+        assert spark.table(mor_table).columns == ["z"]
+    finally:
+        spark.catalog.dropTempView(mor_table)
