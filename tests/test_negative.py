@@ -1205,7 +1205,7 @@ _R8_NEGATIVE_CASES = [
     ("offset_negative", "(ErrorMsg family; no .q twin)",
      "IS_NEGATIVE", "SELECT a FROM nv LIMIT 5 OFFSET -2"),
     ("tablesample_bad_percent", "split_sample_wrong_format.q",
-     "Sampling\ fraction\ \(1\.5\)\ must", "SELECT a FROM nv TABLESAMPLE (150 PERCENT)"),
+     r"Sampling fraction \(1\.5\) must", "SELECT a FROM nv TABLESAMPLE (150 PERCENT)"),
     ("tablesample_bad_unit", "split_sample_wrong_format2.q",
      "PARSE_SYNTAX_ERROR", "SELECT a FROM nv TABLESAMPLE (10 FOO)"),
     ("pivot_unresolved", "(ErrorMsg family; no .q twin)",
