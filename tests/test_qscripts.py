@@ -10464,6 +10464,159 @@ QSCRIPTS_R69 = [
     ),
 ]
 
+# Seventieth tranche: grammar/optimizer stragglers — select_as_
+# omitted.q (alias without AS), parenthesis_star_by.q, constant
+# folding (constprog*/fold_case), having2.q's multi-aggregate and
+# unprojected-aggregate HAVING, mergejoins.q equi-chains, router
+# outer-join shapes, subquery_views.q as CTE chains (a persistent
+# view cannot be created identically on both engines mid-test; the
+# CTE spelling exercises the same nested-view resolution), nonmr_
+# fetch.q fetch-task shapes, and conditional/string udf positives
+# (split_part instead of split()[i] — array indexing is 0-based in
+# Spark, 1-based in DuckDB). quote1/quote2.q's quoted identifiers
+# are a documented drop here: Spark backticks vs DuckDB double
+# quotes cannot share one SQL string (the engine-side backtick
+# behavior is covered by the suite's own tests).
+QSCRIPTS_R70 = [
+    (
+        "alias_without_as_keyword",
+        """SELECT n_name the_name, n_regionkey rk FROM nation
+        ORDER BY the_name LIMIT 10""",
+    ),
+    (
+        "parenthesized_order_by_list",
+        """SELECT c_custkey, c_nationkey FROM customer
+        WHERE c_custkey <= 30 ORDER BY (c_nationkey), (c_custkey)""",
+    ),
+    (
+        "constprog_arith_folds_in_filter",
+        """SELECT n_nationkey FROM nation
+        WHERE n_nationkey = 10 + 5 - 5 + 2 ORDER BY n_nationkey""",
+    ),
+    (
+        "fold_case_constant_condition",
+        """SELECT n_name,
+               CASE WHEN 1 = 1 THEN 'always' ELSE 'never' END AS tag
+        FROM nation ORDER BY n_name LIMIT 8""",
+    ),
+    (
+        "fold_between_constants",
+        """SELECT COUNT(*) AS n FROM orders
+        WHERE 5 BETWEEN 1 AND 10 AND o_orderkey <= 100""",
+    ),
+    (
+        "constprog_string_concat_fold",
+        """SELECT n_nationkey FROM nation
+        WHERE n_name = concat('NATION', '_', '3')""",
+    ),
+    (
+        "having_over_two_aggregates",
+        """SELECT o_custkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+               COUNT(*) AS n
+        FROM orders WHERE o_custkey < 200 GROUP BY o_custkey
+        HAVING SUM(CAST(o_totalprice AS DECIMAL(18,2))) > 1000000 AND COUNT(*) >= 8
+        ORDER BY o_custkey""",
+    ),
+    (
+        "having_references_unprojected_agg",
+        """SELECT o_orderstatus FROM orders GROUP BY o_orderstatus
+        HAVING MIN(o_orderkey) > 0 AND MAX(o_orderkey) > 100
+        ORDER BY o_orderstatus""",
+    ),
+    (
+        "mergejoin_four_way_same_key",
+        """SELECT COUNT(*) AS n FROM
+          nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+          JOIN nation c ON b.n_nationkey = c.n_nationkey
+          JOIN nation d ON c.n_nationkey = d.n_nationkey""",
+    ),
+    (
+        "mergejoin_mixed_inner_then_outer_chain",
+        """SELECT a.n_nationkey, d.r_name
+        FROM nation a JOIN nation b ON a.n_nationkey = b.n_nationkey
+        LEFT OUTER JOIN nation c ON b.n_nationkey = c.n_nationkey + 30
+        JOIN region d ON a.n_regionkey = d.r_regionkey
+        ORDER BY a.n_nationkey""",
+    ),
+    (
+        "router_right_join_small_left",
+        """SELECT r_name, n_name FROM region
+        RIGHT OUTER JOIN nation ON r_regionkey = n_regionkey AND r_regionkey > 1
+        ORDER BY n_name""",
+    ),
+    (
+        "view_shaped_cte_chain",
+        """WITH v1 AS (SELECT n_nationkey, n_name, n_regionkey FROM nation
+                    WHERE n_regionkey > 0),
+             v2 AS (SELECT v1.n_name, r_name FROM v1
+                    JOIN region ON v1.n_regionkey = r_regionkey
+                    WHERE v1.n_nationkey > 3)
+        SELECT r_name, COUNT(*) AS n FROM v2 GROUP BY r_name ORDER BY r_name""",
+    ),
+    (
+        "cte_referenced_twice_in_join",
+        """WITH base AS (SELECT o_custkey, COUNT(*) AS n FROM orders
+                      WHERE o_custkey < 100 GROUP BY o_custkey)
+        SELECT a.o_custkey, a.n + b.n AS doubled FROM base a
+        JOIN base b ON a.o_custkey = b.o_custkey ORDER BY a.o_custkey""",
+    ),
+    (
+        "multigroupby_join_two_aggregations",
+        """SELECT s.o_orderstatus, s.n AS by_status, p.n AS by_prio
+        FROM (SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus) s
+        JOIN (SELECT o_orderpriority, COUNT(*) AS n FROM orders GROUP BY o_orderpriority) p
+        ON s.n > p.n
+        ORDER BY s.o_orderstatus, p.n LIMIT 20""",
+    ),
+    (
+        "fetch_only_projection_no_filter",
+        """SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey""",
+    ),
+    (
+        "fetch_limit_without_order",
+        """SELECT COUNT(*) AS n FROM (SELECT n_name FROM nation LIMIT 100) t""",
+    ),
+    (
+        "nested_if_else_chain",
+        """SELECT n_nationkey,
+               IF(n_regionkey = 0, 'africa',
+                  IF(n_regionkey = 1, 'america',
+                     IF(n_regionkey = 2, 'asia', 'other'))) AS region_tag
+        FROM nation ORDER BY n_nationkey""",
+    ),
+    (
+        "coalesce_cascade_with_nullif",
+        """SELECT n_nationkey,
+               coalesce(nullif(n_name, 'NATION_0'), 'ZERO') AS resolved
+        FROM nation ORDER BY n_nationkey LIMIT 12""",
+    ),
+    (
+        "concat_ws_skips_nulls",
+        """SELECT concat_ws('-', n_name,
+                         CASE WHEN n_nationkey % 2 = 0 THEN NULL ELSE 'odd' END,
+                         CAST(n_regionkey AS STRING)) AS joined
+        FROM nation ORDER BY joined""",
+    ),
+    (
+        "split_and_index_string",
+        """SELECT n_name, split_part(n_name, '_', 2) AS suffix
+        FROM nation ORDER BY n_name LIMIT 10""",
+    ),
+    (
+        "lpad_rpad_fixed_width",
+        """SELECT lpad(CAST(n_nationkey AS STRING), 4, '0') AS padded,
+               rpad(n_name, 12, '.') AS dotted
+        FROM nation ORDER BY padded""",
+    ),
+    (
+        "ascii_and_chr_roundtrip",
+        """SELECT n_nationkey, ascii(substring(n_name, 1, 1)) AS first_code,
+               chr(65 + n_nationkey % 26) AS letter
+        FROM nation ORDER BY n_nationkey""",
+    ),
+]
+
 ALL_QSCRIPTS = [
     (n, s)
     for tranche in sorted(
