@@ -1387,8 +1387,12 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
             continue
         if bare not in _PUBLISHED and _temp_view_exists(spark, bare):
             continue  # a user temp view owns the name; leave it
-        _PUBLISHED.add(bare)
-        _sync_published(spark, bare)
+        try:
+            _PUBLISHED.add(bare)
+            _sync_published(spark, bare)
+        except Exception:  # noqa: BLE001 — one bad table (corrupt
+            _PUBLISHED.discard(bare)  # delta, drifted schema) must not
+            continue                  # abort the server start (r10 p3)
         out.append(bare)
     return out
 

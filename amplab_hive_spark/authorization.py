@@ -201,16 +201,20 @@ def _user_roles(spark: SparkSession, store: dict, user: str) -> list[str]:
     return (["public"] if "public" not in held else []) + sorted(held)
 
 
-def current_roles(spark: SparkSession) -> list[str]:
+def current_roles(spark: SparkSession, store: dict | None = None) -> list[str]:
     """The session's active role set: SET ROLE's choice, defaulting to
     every granted role (Hive's default before any SET ROLE). SET ROLE
     ALL stores a sentinel, not a snapshot — the granted set is
     re-resolved on every read so roles granted AFTER the statement
-    become active immediately, like the reference (review r9)."""
+    become active immediately, like the reference (review r9). Pass
+    ``store`` to reuse an already-loaded store (the enforcement gates
+    do — review r10 pass 3: the inlined copy and this function had
+    already drifted once)."""
     raw = spark.conf.get(_ROLES_CONF, None)
     if raw is not None and raw != _ALL_SENTINEL:
         return [r for r in raw.split(",") if r]
-    store = _load(spark)
+    if store is None:
+        store = _load(spark)
     return _user_roles(spark, store, current_user(spark))
 
 
@@ -633,9 +637,13 @@ def grants_for(
     edges = _role_edges(store)
     for r in list(roles):
         roles |= _reachable(edges, r)
+    # TABLE-LEVEL rows only, consistent with the enforcement gate:
+    # a column-scoped grant is visible via SHOW GRANT but does not
+    # confer (or report) the table privilege (review r10 pass 3 —
+    # grants_for and _held_privs must agree, this is the public hook)
     out = set()
     for p in store["privs"]:
-        if p["database"] != db or p["table"] != tbl:
+        if p["database"] != db or p["table"] != tbl or p.get("column"):
             continue
         if (p["principal_type"] == "USER" and p["principal"] == user) or (
             p["principal_type"] == "ROLE" and p["principal"] in roles
@@ -773,27 +781,30 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 #     on each privilege. Without this, any user could grant
 #     themselves admin and the read/write gate would be advisory
 #     (review r10);
-#   - exempt-headed statements with a QUERY PART — CREATE ... AS
-#     SELECT, CREATE/ALTER VIEW AS, CACHE TABLE AS — still check
-#     SELECT on the tables the query reads (otherwise a temp view or
-#     cache would launder protected reads through the exempt head),
-#     and the two exempt-headed statements that mutate table DATA —
-#     TRUNCATE (needs DELETE) and LOAD DATA (needs INSERT) — are
-#     gated (review r10, both passes).
+#   - privilege requirements are extracted from the PARSED plan
+#     (Spark's own parser — see the extraction section below), so
+#     every statement form that reads or writes a table is seen
+#     exactly as the engine will execute it: CTAS / CREATE/ALTER VIEW
+#     AS / CACHE TABLE AS check their query part's reads, TRUNCATE
+#     needs DELETE, LOAD DATA needs INSERT, UPDATE/DELETE/MERGE and
+#     INSERT targets carry the parser's own
+#     __required_write_privileges__ annotations (review r10, three
+#     passes — two rounds of text-regex scanning kept yielding
+#     bypasses; the parse tree ended them).
 #
 # Documented simplifications (the minimal SQL-std model):
 #   - table-level privileges only: column grants are catalog/SHOW
-#     state — they neither open the whole table nor confer table-wide
-#     GRANT OPTION (review r10 pass 2);
+#     state — they neither open the whole table, nor confer
+#     table-wide GRANT OPTION, nor appear in grants_for (review r10);
 #   - TEMPORARY views are exempt as READ TARGETS — they are
 #     session-private objects (their DEFINITION was checked at
-#     CREATE time by the query-part rule above);
-#   - other DDL/metadata statements are exempt;
-#   - the statement scan is a pre-parse text discipline like
-#     dml_text's (string literals, -- and /* */ comments masked;
-#     WITH-anchored CTE aliases excluded; backticks, qualified names,
-#     AS aliases and comma-separated FROM lists handled) — not a
-#     full parse.
+#     CREATE time by the query-part extraction);
+#   - metadata statements (DESCRIBE/ANALYZE/SHOW/DDL) and statements
+#     outside Spark's grammar (the Engine's COMPACT/SHOW LOCKS shims)
+#     carry no data privilege — maintenance stays open;
+#   - a CTE alias colliding with a PROTECTED catalog table name fails
+#     CLOSED (denial) — per-subquery CTE scope is not recoverable
+#     from the flat plan string, and open-on-ambiguity was a bypass.
 #
 # Bootstrap: grants written while enforcement is DISABLED (the
 # default) are unrestricted — an operator seeds the admin role and
@@ -802,59 +813,41 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
 
 _ENFORCE_CONF = "spark.sql.authz.enabled"
 
-# A (possibly backtick-quoted, possibly qualified) object name:
-# `db`.`tbl`, db.tbl, `tbl`, tbl — normalized by _norm_name.
-_NAME = r"(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))*"
+# ---- statement privilege extraction: the PARSED plan, not text ----
+# The first two cuts of this gate scanned statement TEXT with regexes;
+# two adversarial review passes kept finding bypasses (comment forms,
+# alias forms, quoting forms, CTE scoping). The scan now walks the
+# plan Spark's OWN parser produces — the same discipline acid.py's
+# merged-read routing already trusts — so every reference the engine
+# will execute is exactly a reference the gate sees:
+#   - 'UnresolvedRelation [name], [attrs]: a table reference; Spark
+#     annotates write targets with __required_write_privileges__=
+#     UPDATE/DELETE/INSERT (UpdateTable/DeleteFromTable/MergeIntoTable/
+#     InsertIntoStatement), everything else is a read (SELECT);
+#   - 'UnresolvedTable [name], TRUNCATE TABLE|LOAD DATA: the two
+#     exempt-looking commands that mutate table DATA → DELETE/INSERT;
+#   - UnresolvedTableOrView/UnresolvedView/UnresolvedIdentifier nodes
+#     (DESCRIBE/ANALYZE/SHOW/DDL) carry no data privilege — the
+#     minimal SQL-std model leaves metadata open;
+#   - statements Spark's parser rejects (ALTER TABLE .. COMPACT, the
+#     SHOW COMPACTIONS/LOCKS shims) fall through unchecked to their
+#     Engine handlers — they are metadata/maintenance verbs.
+# CTE aliases are NOT suppressed: per-subquery CTE scoping cannot be
+# recovered from the flat tree string, and a name collision between a
+# CTE and a protected catalog table must fail CLOSED (a rare false
+# denial — rename the CTE or hold SELECT) rather than open (the
+# pass-2 scanner suppressed statement-globally and a subquery-scoped
+# CTE could forge an exemption for the outer table — review r10
+# pass 3). Tree-string grammar is Spark-version-specific, like
+# acid.py's _REL_RE (pinned by the same test suite).
 
-_EXEMPT_HEAD = re.compile(
-    r"(?is)^\s*(SHOW|EXPLAIN|DESCRIBE|DESC|SET|CREATE|DROP|ALTER|ANALYZE|"
-    r"MSCK|LOAD|EXPORT|IMPORT|USE|CACHE|UNCACHE|REFRESH|TRUNCATE)\b"
+_REL_ATTR_RE = re.compile(
+    r"'UnresolvedRelation \[([^\]]+)\](?:, \[([^\]]*)\])?"
 )
-# exempt-headed statements that still carry a QUERY PART reading
-# tables: CTAS / CREATE VIEW AS / CACHE TABLE AS / ALTER VIEW AS
-# (review r10 pass 2 — CACHE and ALTER VIEW were laundering reads the
-# CREATE rule already blocked)
-_EXEMPT_QUERY_PART = re.compile(
-    r"(?is)^\s*(?:CREATE|CACHE|ALTER)\b.*\bAS\b\s*(\(|WITH\b|SELECT\b)"
+_UNRESOLVED_TABLE_RE = re.compile(
+    r"'UnresolvedTable \[([^\]]+)\], (TRUNCATE TABLE|LOAD DATA)"
 )
-# exempt-headed statements that mutate table DATA, not metadata
-# (review r10 pass 2 — TRUNCATE/LOAD made the write gate advisory)
-_TRUNCATE_HEAD = re.compile(
-    r"(?is)^\s*TRUNCATE\s+TABLE\s+(" + _NAME + r")"
-)
-_LOAD_HEAD = re.compile(
-    r"(?is)^\s*LOAD\s+DATA\b.*?\bINTO\s+TABLE\s+(" + _NAME + r")"
-)
-_INSERT_TARGETS = re.compile(
-    r"(?is)\bINSERT\s+(?:INTO|OVERWRITE)\s+(?:TABLE\s+)?(" + _NAME + r")"
-)
-_UPDATE_HEAD = re.compile(r"(?is)^\s*UPDATE\s+(" + _NAME + r")")
-_DELETE_HEAD = re.compile(r"(?is)^\s*DELETE\s+FROM\s+(" + _NAME + r")")
-_MERGE_HEAD = re.compile(r"(?is)^\s*MERGE\s+INTO\s+(" + _NAME + r")")
-_TABLE_HEAD = re.compile(r"(?is)^\s*TABLE\s+(" + _NAME + r")")
-# FROM/JOIN/USING followed by one name or a comma-separated list;
-# each member may carry `alias` or `AS alias` (AS consumed before the
-# keyword lookahead — review r10 pass 2: an explicit AS alias used to
-# terminate the comma scan, dropping every table after it). The alias
-# slot refuses clause keywords so `FROM a JOIN b` leaves JOIN for its
-# own keyword match.
-_REF_KEYWORDS = (
-    r"(?:JOIN|ON|WHERE|GROUP|ORDER|LEFT|RIGHT|FULL|INNER|CROSS|LATERAL|"
-    r"UNION|LIMIT|HAVING|WINDOW|USING|NATURAL|TABLESAMPLE|SEMI|ANTI|"
-    r"SELECT|INSERT|EXCEPT|INTERSECT|MINUS|SET|VALUES|AS)\b"
-)
-_REF_MEMBER = (
-    _NAME + r"(?:\s+(?:AS\s+)?(?!" + _REF_KEYWORDS + r")\w+)?"
-)
-_READ_REFS = re.compile(
-    r"(?is)\b(?:FROM|JOIN|USING)\s+("
-    + _REF_MEMBER + r"(?:\s*,\s*" + _REF_MEMBER + r")*"
-    r")"
-)
-_NAME_PREFIX = re.compile(_NAME)
-_LITERAL_OR_COMMENT = re.compile(
-    r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"|--[^\n]*|/\*.*?\*/", re.S
-)
+_WRITE_PRIVS_RE = re.compile(r"__required_write_privileges__=([A-Z,]+)")
 
 
 def enforcement_enabled(spark: SparkSession) -> bool:
@@ -864,63 +857,58 @@ def enforcement_enabled(spark: SparkSession) -> bool:
     return (spark.conf.get(_ENFORCE_CONF, "") or "").lower() == "true"
 
 
-def _mask_literals(text: str) -> str:
-    """Blank out string literals, ``--`` comments, and ``/* */``
-    bracketed comments so the ref scan can never read a table name
-    out of quoted data or have one hidden/forged by a comment
-    (review r10, both passes)."""
-    return _LITERAL_OR_COMMENT.sub(lambda m: " " * len(m.group(0)), text)
+def _quoted_multipart(inner: str) -> str:
+    """An UnresolvedRelation's bracket content — ``prot`` or
+    ``db, tbl`` — as a lookup string, each part backtick-quoted so
+    names needing quoting (``weird-table``) resolve instead of being
+    silently exempt (review r10 pass 3)."""
+    parts = [p.strip() for p in inner.split(",") if p.strip()]
+    return ".".join(f"`{p}`" for p in parts)
 
 
-def _norm_name(raw: str) -> str:
-    """``federated . `quoted` `` → ``federated.quoted``."""
-    return re.sub(r"\s*\.\s*", ".", raw).replace("`", "").strip()
+def _required_privs(spark: SparkSession, text: str) -> list[tuple[str, str]]:
+    """(lookup-name, privilege) pairs the statement needs, extracted
+    from the parsed plan. Unparseable text → empty (the statement's
+    own surface raises or handles it)."""
+    try:
+        jp = (
+            spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
+        )
+    except Exception:  # noqa: BLE001 — not Spark grammar
+        return []
+    tree = jp.toString()
+    pairs: list[tuple[str, str]] = []
+    seen: set[tuple[str, str]] = set()
 
+    def add(name: str, priv: str) -> None:
+        key = (name.lower(), priv)
+        if key not in seen:
+            seen.add(key)
+            pairs.append((name, priv))
 
-def _cte_names(masked: str) -> set[str]:
-    """CTE alias names, WITH-anchored: only ``name AS (`` sequences
-    that follow a WITH keyword (continuing across balanced-paren
-    bodies and commas) count — a named WINDOW clause's ``w AS (...)``
-    must NOT forge a CTE that suppresses a table's check
-    (review r10 pass 2)."""
-    names: set[str] = set()
-    for m in re.finditer(r"(?is)\bWITH\s+(?:RECURSIVE\s+)?", masked):
-        i = m.end()
-        while True:
-            mm = re.match(r"(?s)\s*(\w+)\s+AS\s*\(", masked[i:], re.I)
-            if not mm:
-                break
-            names.add(mm.group(1).lower())
-            j = i + mm.end() - 1  # at the opening paren
-            depth = 0
-            while j < len(masked):
-                if masked[j] == "(":
-                    depth += 1
-                elif masked[j] == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            i = j + 1
-            mm2 = re.match(r"\s*,", masked[i:])
-            if not mm2:
-                break
-            i += mm2.end()
-    return names
+    for inner, attrs in _REL_ATTR_RE.findall(tree):
+        name = _quoted_multipart(inner)
+        m = _WRITE_PRIVS_RE.search(attrs or "")
+        if m:
+            for priv in m.group(1).split(","):
+                if priv in _PRIVS:
+                    add(name, priv)
+        else:
+            add(name, "SELECT")
+    for inner, verb in _UNRESOLVED_TABLE_RE.findall(tree):
+        add(
+            _quoted_multipart(inner),
+            "DELETE" if verb == "TRUNCATE TABLE" else "INSERT",
+        )
+    return pairs
 
 
 def _active_roles(spark: SparkSession, store: dict) -> set[str]:
     """The session's ACTIVE role set (SET ROLE state) expanded through
     role-to-role grants — what checkPrivileges resolves against. SET
     ROLE NONE therefore really drops role-derived privileges, unlike
-    the full granted closure. Resolves from the PASSED store (no
-    second _authz.json load on the gated paths — review r10 pass 2)."""
-    raw = spark.conf.get(_ROLES_CONF, None)
-    if raw is not None and raw != _ALL_SENTINEL:
-        base = [r for r in raw.split(",") if r]
-    else:
-        base = _user_roles(spark, store, current_user(spark))
-    roles = set(base)
+    the full granted closure."""
+    roles = set(current_roles(spark, store))
     edges = _role_edges(store)
     for r in list(roles):
         roles |= _reachable(edges, r)
@@ -946,64 +934,11 @@ def _held_privs(
     return out
 
 
-def _required_privs(text: str) -> list[tuple[str, str]]:
-    """(table-name, privilege) pairs a statement needs, from the same
-    pre-parse statement shapes the DML front-end routes on. ``text``
-    must already be literal-masked; names are backtick-normalized;
-    CTE aliases are excluded here, temp views and table functions are
-    dropped at check time."""
-    pairs: list[tuple[str, str]] = []
-    writes: set[str] = set()
-    m = _UPDATE_HEAD.match(text)
-    if m:
-        pairs.append((_norm_name(m.group(1)), "UPDATE"))
-        writes.add(_norm_name(m.group(1)).lower())
-    m = _DELETE_HEAD.match(text)
-    if m:
-        pairs.append((_norm_name(m.group(1)), "DELETE"))
-        writes.add(_norm_name(m.group(1)).lower())
-    m = _MERGE_HEAD.match(text)
-    if m:
-        target = _norm_name(m.group(1))
-        writes.add(target.lower())
-        # clause-driven, like UpdateDeleteSemanticAnalyzer's rewrite:
-        # each WHEN branch needs exactly its verb's privilege
-        if re.search(r"(?is)\bWHEN\s+MATCHED\b[^;]*?\bTHEN\s+UPDATE\b", text):
-            pairs.append((target, "UPDATE"))
-        if re.search(r"(?is)\bWHEN\s+MATCHED\b[^;]*?\bTHEN\s+DELETE\b", text):
-            pairs.append((target, "DELETE"))
-        if re.search(r"(?is)\bWHEN\s+NOT\s+MATCHED\b", text):
-            pairs.append((target, "INSERT"))
-    for t in _INSERT_TARGETS.findall(text):
-        t = _norm_name(t)
-        pairs.append((t, "INSERT"))
-        writes.add(t.lower())
-    m = _TABLE_HEAD.match(text)
-    if m:
-        pairs.append((_norm_name(m.group(1)), "SELECT"))
-    for group in _READ_REFS.findall(text):
-        for raw in group.split(","):
-            nm = _NAME_PREFIX.match(raw.strip())
-            t = _norm_name(nm.group(0)) if nm else ""
-            if t and t.lower() not in writes:
-                pairs.append((t, "SELECT"))
-    ctes = _cte_names(text)
-    seen: set[tuple[str, str]] = set()
-    out = []
-    for name, priv in pairs:
-        key = (name.lower(), priv)
-        if name.lower() in ctes or key in seen:
-            continue
-        seen.add(key)
-        out.append((name, priv))
-    return out
-
-
 def _resolve_enforceable(spark: SparkSession, name: str):
     """The catalog (db, tbl) for ``name``, or None for temp views and
-    unresolvable names (CTE leftovers, table functions) — those fall
-    through to the statement's own resolution error rather than a
-    misleading authz denial."""
+    unresolvable names (table functions, genuinely absent tables) —
+    those fall through to the statement's own resolution error rather
+    than a misleading authz denial."""
     try:
         t = spark.catalog.getTable(name)
     except Exception:  # noqa: BLE001 — not a catalog object
@@ -1020,24 +955,7 @@ def enforce(spark: SparkSession, text: str) -> None:
     (the default, matching hive.security.authorization.enabled=false)."""
     if not enforcement_enabled(spark):
         return
-    masked = _mask_literals(text)
-    if _EXEMPT_HEAD.match(masked):
-        tm = _TRUNCATE_HEAD.match(masked)
-        lm = _LOAD_HEAD.match(masked)
-        if tm:  # exempt-headed but mutates DATA: needs DELETE
-            pairs = [(_norm_name(tm.group(1)), "DELETE")]
-        elif lm:  # ditto: needs INSERT
-            pairs = [(_norm_name(lm.group(1)), "INSERT")]
-        elif _EXEMPT_QUERY_PART.match(masked):
-            # CTAS / CREATE|ALTER VIEW AS / CACHE TABLE AS read their
-            # sources: check the SELECT side only
-            pairs = [
-                (n, p) for n, p in _required_privs(masked) if p == "SELECT"
-            ]
-        else:
-            return
-    else:
-        pairs = _required_privs(masked)
+    pairs = _required_privs(spark, text)
     if not pairs:
         return
     user = current_user(spark)

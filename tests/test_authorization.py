@@ -597,3 +597,74 @@ def test_enforcement_admin_option_via_role(enforced, spark, tbl):
     eng.sql("GRANT ROLE project10 TO USER bob10")
     got = [r.role for r in eng.sql("SHOW ROLE GRANT USER bob10").collect()]
     assert "project10" in got
+
+
+def test_enforcement_plan_based_extraction(enforced, spark, tbl):
+    """Review r10 pass 3: privilege requirements come from the PARSED
+    plan, so the text-scanner bypass classes are structurally gone —
+    'AS TABLE t' laundering, a subquery as the first comma-FROM
+    member, and an inner-scoped CTE forging an exemption for an
+    outer read of the same-named table."""
+    eng, _as, _seed = enforced
+    _as("iris")
+    # CREATE ... AS TABLE form reads the table
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"CREATE TEMPORARY VIEW launder2_v AS TABLE {tbl}")
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"CACHE TABLE launder2_c AS TABLE {tbl}")
+    # subquery first, protected table after the comma
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM (SELECT 1) x, {tbl}")
+    # an inner CTE named like the table does NOT exempt the outer read
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(
+            f"SELECT * FROM {tbl} UNION ALL "
+            f"(WITH {tbl} AS (SELECT 1 AS key, 'v' AS value) "
+            f"SELECT key, value FROM {tbl})"
+        )
+    # LOAD DATA is gated on INSERT before any execution
+    with pytest.raises(PermissionError, match=r"\[INSERT\]"):
+        eng.sql(f"LOAD DATA INPATH '/nonexistent' INTO TABLE {tbl}")
+    # fail-closed CTE collision: even WITH a top-level CTE shadowing
+    # the protected name, the gate denies (documented conservative
+    # posture — rename the CTE or hold SELECT)
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(
+            f"WITH {tbl} AS (SELECT 1 AS key) SELECT * FROM {tbl}"
+        )
+    # ...and once granted, all of those forms run
+    _seed(f"GRANT SELECT ON {tbl} TO USER iris")
+    _as("iris")
+    assert eng.sql(
+        f"WITH {tbl} AS (SELECT 1 AS key) SELECT * FROM {tbl}"
+    ).first().key == 1
+
+
+def test_enforcement_fully_qualified_references(enforced, spark, tbl):
+    """Review r10 pass 3: two- and three-part (catalog-qualified)
+    references, quoted or not, resolve and are checked — the plan
+    extractor quotes each bracket part at lookup. (A name that would
+    REQUIRE quoting, like 'weird-table', cannot exist in this catalog
+    at all: INVALID_SCHEMA_OR_RELATION_NAME at CREATE — so the
+    silently-exempt scenario has no instance here.)"""
+    eng, _as, _seed = enforced
+    _as("kara")
+    for ref in (f"default.{tbl}", f"spark_catalog.default.{tbl}",
+                f"`spark_catalog`.`default`.`{tbl}`"):
+        with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+            eng.sql(f"SELECT * FROM {ref}")
+    _seed(f"GRANT SELECT ON {tbl} TO USER kara")
+    _as("kara")
+    assert eng.sql(
+        f"SELECT count(*) AS n FROM spark_catalog.default.{tbl}"
+    ).first().n == 5
+
+
+def test_grants_for_is_table_level(eng, spark, tbl):
+    """Review r10 pass 3: grants_for (the public enforcement hook)
+    agrees with the gate — a column-scoped grant does not report the
+    table privilege; the table-level grant does."""
+    eng.sql(f"GRANT SELECT(key) ON {tbl} TO USER colgrant_user")
+    assert az.grants_for(spark, "colgrant_user", tbl) == []
+    eng.sql(f"GRANT SELECT ON {tbl} TO USER colgrant_user")
+    assert az.grants_for(spark, "colgrant_user", tbl) == ["SELECT"]

@@ -335,3 +335,36 @@ def test_auto_publish_skips_user_temp_view_on_mor_name(spark, engine, mor_table)
         assert spark.table(mor_table).columns == ["z"]
     finally:
         spark.catalog.dropTempView(mor_table)
+
+
+def test_auto_publish_skips_corrupt_table(spark, engine, mor_table, tmp_path):
+    """Review r10 pass 3: one table whose merged plan fails to build
+    (corrupt delta file) is skipped — auto-publish must not abort the
+    thrift server start over a table the session may never query."""
+    import os
+
+    engine.sql(f"UPDATE {mor_table} SET v = v + 1 WHERE k = 1")
+    bad = "mor_corrupt_t"
+    spark.sql(f"DROP TABLE IF EXISTS {bad}")
+    spark.sql(
+        f"CREATE TABLE {bad} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/{bad}' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {bad} VALUES (1, 10)")
+    engine.sql(f"UPDATE {bad} SET v = 11 WHERE k = 1")
+    # corrupt the live delta files so read_mor cannot build its plan
+    delta_dir = acid._delta_path(spark, bad)
+    for root, _, files in os.walk(delta_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                with open(os.path.join(root, f), "wb") as fh:
+                    fh.write(b"not a parquet file")
+    try:
+        published = acid.auto_publish_mor_views(spark)
+        assert mor_table in published       # the good table published
+        assert bad not in published          # the corrupt one skipped
+        assert bad not in acid._PUBLISHED    # and not left half-tracked
+    finally:
+        acid.unpublish_mor_views(spark, [mor_table])
+        spark.sql(f"DROP TABLE IF EXISTS {bad}")
