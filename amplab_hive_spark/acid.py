@@ -1246,7 +1246,7 @@ def resolve_read(spark: SparkSession, name: str) -> DataFrame:
 
 
 def _statement_shadow_plan(
-    spark: SparkSession, text: str
+    spark: SparkSession, text: str, parsed: tuple[str, str] | None = None
 ) -> tuple[list[str], list[str]]:
     """(shadows_created, published_unshadowed) for one SQL statement.
 
@@ -1255,19 +1255,26 @@ def _statement_shadow_plan(
     view-DDL statements (see module comment). Published unshadows:
     insert targets whose bare name currently carries a PUBLISHED
     merged view — the write must reach the catalog table, so the
-    view is dropped for the statement and resynced after."""
+    view is dropped for the statement and resynced after.
+
+    ``parsed``: an already-available ``(root, tree)`` from
+    authorization.parse_tree — Engine.sql reuses the enforcement
+    gate's parse so an enforced statement is parsed by py4j once, not
+    twice (VERDICT r10 task 5). None → parse here (behind the text
+    screen, so the common no-MOR statement never pays the JVM trip)."""
     known = _known_mor_names(spark)
     if not known:
         return [], []
     # cheap text screen before the JVM parse
     if not (known & set(_IDENT_RE.findall(text.lower()))):
         return [], []
-    try:
-        jp = spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
-    except Exception:
-        return [], []  # let spark.sql raise the real parse error
-    tree = jp.toString()
-    root = jp.getClass().getSimpleName()
+    if parsed is None:
+        try:
+            jp = spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
+        except Exception:
+            return [], []  # let spark.sql raise the real parse error
+        parsed = jp.getClass().getSimpleName(), jp.toString()
+    root, tree = parsed
     targets = {
         t.strip().lower()
         for t in _INSERT_TARGET_RE.findall(tree)
@@ -1308,13 +1315,17 @@ class mor_statement_scope:
     Exit drops the ephemeral shadows and restores any published view
     it had to lift for an insert target."""
 
-    def __init__(self, spark: SparkSession, text: str):
+    def __init__(
+        self, spark: SparkSession, text: str,
+        parsed: tuple[str, str] | None = None,
+    ):
         self.spark = spark
         self.text = text
+        self.parsed = parsed
 
     def __enter__(self):
         self.created, self.unshadowed = _statement_shadow_plan(
-            self.spark, self.text
+            self.spark, self.text, parsed=self.parsed
         )
         return self
 
@@ -1385,14 +1396,21 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
                 continue
         except Exception:  # noqa: BLE001 — unresolvable/non-local
             continue
-        if bare not in _PUBLISHED and _temp_view_exists(spark, bare):
+        newly = bare not in _PUBLISHED
+        if newly and _temp_view_exists(spark, bare):
             continue  # a user temp view owns the name; leave it
         try:
             _PUBLISHED.add(bare)
             _sync_published(spark, bare)
-        except Exception:  # noqa: BLE001 — one bad table (corrupt
-            _PUBLISHED.discard(bare)  # delta, drifted schema) must not
-            continue                  # abort the server start (r10 p3)
+        except Exception:  # noqa: BLE001
+            # one bad table (corrupt delta, drifted schema) must not
+            # abort the server start (r10 p3) — but only a NEWLY-added
+            # name is rolled back: a previously-published name stays
+            # registered so write-sync keeps covering it after one
+            # transient _sync_published error (ADVICE r10)
+            if newly:
+                _PUBLISHED.discard(bare)
+            continue
         out.append(bare)
     return out
 

@@ -212,7 +212,20 @@ def current_roles(spark: SparkSession, store: dict | None = None) -> list[str]:
     already drifted once)."""
     raw = spark.conf.get(_ROLES_CONF, None)
     if raw is not None and raw != _ALL_SENTINEL:
-        return [r for r in raw.split(",") if r]
+        claimed = [r for r in raw.split(",") if r]
+        if not claimed:
+            return []  # SET ROLE NONE — no store read needed
+        if store is None:
+            store = _load(spark)
+        granted = set(_user_roles(spark, store, current_user(spark)))
+        # membership is re-validated at READ time, not only in
+        # set_role: a raw conf write (`SET spark.sql.authz.
+        # currentRoles=admin`) bypasses set_role's check, and a role
+        # revoked after SET ROLE must fall out of the active set — the
+        # reference resolves active roles against the metastore on
+        # every check (ADVICE r10; SQLStdHiveAccessController
+        # getCurrentRoles ∩ metastore membership).
+        return [r for r in claimed if _norm_role(r) in granted]
     if store is None:
         store = _load(spark)
     return _user_roles(spark, store, current_user(spark))
@@ -866,17 +879,25 @@ def _quoted_multipart(inner: str) -> str:
     return ".".join(f"`{p}`" for p in parts)
 
 
-def _required_privs(spark: SparkSession, text: str) -> list[tuple[str, str]]:
-    """(lookup-name, privilege) pairs the statement needs, extracted
-    from the parsed plan. Unparseable text → empty (the statement's
-    own surface raises or handles it)."""
+def parse_tree(spark: SparkSession, text: str):
+    """``(root_class_name, tree_string)`` from Spark's OWN parser, or
+    None for text Spark's grammar rejects (the Engine shims own those
+    statements). The one py4j parse both consumers share: ``enforce``
+    returns it so Engine.sql can hand it to ``acid.mor_statement_scope``
+    instead of parsing the statement a second time (VERDICT r10
+    task 5)."""
     try:
         jp = (
             spark._jsparkSession.sessionState().sqlParser().parsePlan(text)
         )
     except Exception:  # noqa: BLE001 — not Spark grammar
-        return []
-    tree = jp.toString()
+        return None
+    return jp.getClass().getSimpleName(), jp.toString()
+
+
+def _required_privs(tree: str) -> list[tuple[str, str]]:
+    """(lookup-name, privilege) pairs the statement needs, extracted
+    from the parsed plan's tree string."""
     pairs: list[tuple[str, str]] = []
     seen: set[tuple[str, str]] = set()
 
@@ -934,38 +955,181 @@ def _held_privs(
     return out
 
 
-def _resolve_enforceable(spark: SparkSession, name: str):
-    """The catalog (db, tbl) for ``name``, or None for temp views and
-    unresolvable names (table functions, genuinely absent tables) —
-    those fall through to the statement's own resolution error rather
-    than a misleading authz denial."""
+_EXEMPT = object()  # _candidate_enforceable: provably exempt, skip
+
+
+def _temp_view_holds(spark: SparkSession, bare: str) -> bool:
+    return bool(
+        spark._jsparkSession.sessionState().catalog()
+        .getTempView(bare).isDefined()
+    )
+
+
+def _candidate_enforceable(
+    spark: SparkSession, name: str, for_write: bool = False
+):
+    """Metastore-free guess of the (db, tbl) ``name`` resolves to —
+    the GRANTED fast path. ``spark.catalog.getTable`` costs ~6 ms of
+    py4j+metastore per name (measured, experiments/authz_enforce_
+    bench.py), so the gate first derives the candidate from the name
+    shape alone (temp-view probe 0.3 ms + current-db 0.15 ms) and only
+    falls back to the definitive ``_resolve_enforceable`` when the
+    privilege is MISSING — opening on a held privilege for a candidate
+    is sound (if no catalog table stands behind the name, the
+    statement fails on its own; if one does, the candidate IS what the
+    slow path resolves), while DENYING always re-confirms against the
+    catalog so an absent table still falls through to its own
+    resolution error. Returns (db, tbl), _EXEMPT (provably exempt:
+    a session-private unpublished temp-view read), or None (unknown
+    shape — caller must resolve definitively)."""
+    parts = [p.strip("`") for p in name.split("`.`")]
+    if len(parts) == 1:
+        bare = parts[0].lower()
+        if _temp_view_holds(spark, bare):
+            if not for_write:
+                from amplab_hive_spark.acid import _PUBLISHED
+
+                if bare not in _PUBLISHED:
+                    return _EXEMPT
+        db = (
+            spark._jsparkSession.sessionState().catalog()
+            .getCurrentDatabase().lower()
+        )
+        return db, bare
+    if len(parts) == 2:
+        return parts[0].lower(), parts[1].lower()
+    if len(parts) == 3 and parts[0].lower() == "spark_catalog":
+        return parts[1].lower(), parts[2].lower()
+    return None
+
+
+def _resolve_enforceable(spark: SparkSession, name: str, for_write: bool = False):
+    """The catalog (db, tbl) ``name`` resolves to for privilege
+    checking, or None when nothing enforceable stands behind it
+    (table functions, genuinely absent tables — those fall through to
+    the statement's own resolution error rather than a misleading
+    authz denial).
+
+    Temp views are exempt ONLY when they are genuinely session-private
+    reads. Two shadowing holes closed here (ADVICE/VERDICT r10):
+    (a) a WRITE pierces any shadowing temp view to the catalog table
+    of the same bare name, because the engine's write verbs (dml_text
+    UPDATE/DELETE/MERGE resolve the CATALOG object by name; the
+    reference's UpdateDeleteSemanticAnalyzer likewise binds the
+    metastore table) mutate the real table regardless of the shadow;
+    (b) an engine-PUBLISHED merged MOR view (acid.publish_mor_views)
+    sits on the bare catalog name of a real transactional table, so a
+    SELECT through it reads that table and requires SELECT on it. A
+    user temp view with no published backing stays exempt for reads —
+    its definition was privilege-checked at CREATE time
+    (test_enforcement_temp_view_laundering_blocked)."""
     try:
         t = spark.catalog.getTable(name)
     except Exception:  # noqa: BLE001 — not a catalog object
         return None
-    if t.isTemporary:
+    if not t.isTemporary:
+        db = (t.database or spark.catalog.currentDatabase()).lower()
+        return db, t.name.lower()
+    # a temp view holds the name; only a BARE single-part name can
+    # shadow a catalog table (_quoted_multipart joins parts with `.`,
+    # so multi-part lookups contain the literal backtick-dot-backtick)
+    if "`.`" in name:
         return None
-    db = (t.database or spark.catalog.currentDatabase()).lower()
-    return db, t.name.lower()
+    bare = name.strip("`").lower()
+    if not for_write:
+        from amplab_hive_spark.acid import _PUBLISHED
+
+        if bare not in _PUBLISHED:
+            return None  # session-private read — checked at CREATE
+    # db-qualified lookup: temp-view resolution cannot intercept it
+    try:
+        db = spark.catalog.currentDatabase()
+        t2 = spark.catalog.getTable(f"`{db}`.`{bare}`")
+    except Exception:  # noqa: BLE001 — no catalog object behind it
+        return None
+    if t2.isTemporary:
+        return None
+    return (t2.database or db).lower(), t2.name.lower()
 
 
-def enforce(spark: SparkSession, text: str) -> None:
+# SET/RESET of these keys rewrites the enforcement session state
+# itself (identity, active roles, the enable flag) — admin-only while
+# enforcement is on, mirroring the reference's
+# SQLStdHiveAccessController.applyAuthorizationConfigPolicy +
+# hive.security.authorization.sqlstd.confwhitelist (ADVICE r10: a
+# plain `SET spark.sql.authz.enabled=false` made the gate advisory).
+# `SET key` (read) and `SET`/`SET -v` (listing) stay open; a bare
+# RESET clears every conf including the enable flag, so it is gated
+# too. (spark.sql.warehouse.dir, the store root, is a STATIC conf —
+# Spark itself rejects SET on it.)
+_SET_MUTATION_RE = re.compile(r"^SetCommand \(([^,]+),Some\(")
+_RESET_KEY_RE = re.compile(r"^ResetCommand(?:\s+(\S+))?\s*$")
+
+
+def _restricted_conf(key: str) -> bool:
+    k = key.strip().strip("`").lower()
+    return k == _USER_CONF or k.startswith("spark.sql.authz.")
+
+
+def _guard_conf_mutation(spark: SparkSession, root: str, tree: str) -> None:
+    key = None
+    first = tree.splitlines()[0].strip() if tree else ""
+    if root == "SetCommand":
+        m = _SET_MUTATION_RE.match(first)
+        if m:
+            key = m.group(1)
+    elif root == "ResetCommand":
+        m = _RESET_KEY_RE.match(first)
+        key = (m.group(1) if m and m.group(1) else "*")
+    if key is None or (key != "*" and not _restricted_conf(key)):
+        return
+    store = _load(spark)
+    if "admin" in _active_roles(spark, store):
+        return
+    user = current_user(spark)
+    what = "all configuration (RESET)" if key == "*" else key.strip()
+    raise PermissionError(
+        f"Permission denied: Principal [name={user}, type=USER] may "
+        f"not modify restricted configuration [{what}] while "
+        f"authorization enforcement is enabled (admin only)"
+    )
+
+
+def enforce(spark: SparkSession, text: str):
     """Raise PermissionError unless the session user holds every
     privilege ``text`` requires; no-op when enforcement is disabled
-    (the default, matching hive.security.authorization.enabled=false)."""
+    (the default, matching hive.security.authorization.enabled=false).
+
+    Returns the ``parse_tree`` result — ``(root, tree)`` or None —
+    when enforcement is enabled, so the caller can reuse the one py4j
+    parse (Engine.sql hands it to acid.mor_statement_scope); always
+    None when disabled (the default path stays zero-parse)."""
     if not enforcement_enabled(spark):
-        return
-    pairs = _required_privs(spark, text)
+        return None
+    parsed = parse_tree(spark, text)
+    if parsed is None:
+        return None
+    root, tree = parsed
+    if root in ("SetCommand", "ResetCommand"):
+        _guard_conf_mutation(spark, root, tree)
+        return parsed  # conf verbs carry no table privileges
+    pairs = _required_privs(tree)
     if not pairs:
-        return
+        return parsed
     user = current_user(spark)
     store = _load(spark)
     roles = _active_roles(spark, store)
     if "admin" in roles:
-        return
+        return parsed
     missing = []
     for name, priv in pairs:
-        resolved = _resolve_enforceable(spark, name)
+        for_write = priv != "SELECT"
+        cand = _candidate_enforceable(spark, name, for_write=for_write)
+        if cand is _EXEMPT:
+            continue
+        if cand is not None and priv in _held_privs(store, user, roles, *cand):
+            continue  # granted — no metastore round-trip needed
+        resolved = _resolve_enforceable(spark, name, for_write=for_write)
         if resolved is None:
             continue
         db, tbl = resolved
@@ -976,6 +1140,7 @@ def enforce(spark: SparkSession, text: str) -> None:
             f"Permission denied: Principal [name={user}, type=USER] "
             f"does not have following privileges: " + ", ".join(missing)
         )
+    return parsed
 
 
 def _require_role_admin(

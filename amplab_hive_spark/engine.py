@@ -60,7 +60,9 @@ class Engine:
         # gate, default off like hive.security.authorization.enabled
         from amplab_hive_spark.authorization import enforce as _authz_enforce
 
-        _authz_enforce(self.spark, expanded)
+        # enforce returns its (root, tree) parse when enabled — reused
+        # below so an enforced statement is py4j-parsed once, not twice
+        parsed = _authz_enforce(self.spark, expanded)
         dml = _dml_handle(self.spark, expanded)
         if dml is not None:  # UPDATE/DELETE/MERGE statement forms
             return dml
@@ -74,7 +76,7 @@ class Engine:
         # its merged plan for the duration of analysis (Spark analyzes
         # eagerly at spark.sql, so dropping the shadow right after is
         # safe — the plan is already inlined)
-        with mor_statement_scope(self.spark, expanded):
+        with mor_statement_scope(self.spark, expanded, parsed=parsed):
             return self.spark.sql(expanded)
 
     def table(self, name: str) -> DataFrame:

@@ -95,6 +95,12 @@ class MacroRegistry:
             masked_body = re.sub(
                 r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", " ", body
             )
+            # comments are masked too: a parameter mentioned only in
+            # `--` or `/* */` commentary is not used (ADVICE r10).
+            # Strings go FIRST so a '--' inside a literal does not
+            # swallow the rest of the line.
+            masked_body = re.sub(r"--[^\n]*", " ", masked_body)
+            masked_body = re.sub(r"/\*.*?\*/", " ", masked_body, flags=re.S)
             unused = [
                 p for p in params
                 if not re.search(rf"\b{re.escape(p)}\b", masked_body, re.IGNORECASE)

@@ -78,6 +78,7 @@ def start_thrift_server(
     single_session: bool = True,
     wait_s: float = 30.0,
     publish_mor: bool = True,
+    allow_unenforced: bool = False,
 ) -> int:
     """Start the HS2-compatible Thrift server over ``spark``; returns
     the bound port once it accepts connections. Process-wide
@@ -91,9 +92,32 @@ def start_thrift_server(
     merged view of every known merge-on-read table before serving, so
     a JDBC SELECT sees committed UPDATE/DELETE results by default —
     the reference reader's rule — instead of the raw base (r10; the
-    per-name form is acid.publish_mor_views, caveats there)."""
+    per-name form is acid.publish_mor_views, caveats there).
+
+    Authorization posture: statements arriving over Thrift run through
+    Spark's JVM server, NOT through Engine.sql, so the opt-in
+    enforcement gate (spark.sql.authz.enabled=true) cannot check them
+    — whereas the reference's JDBC path IS privilege-checked
+    (service/.../operation/SQLOperation.java -> Driver.compile ->
+    checkPrivileges). Serving with enforcement on would therefore
+    open an unguarded door, so this refuses to start (VERDICT r10
+    task 1b). ``allow_unenforced=True`` overrides for a deployment
+    that accepts unchecked JDBC statements — the override is the
+    caller's explicit, logged decision, never a default."""
     global _STARTED
     probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
+    from amplab_hive_spark.authorization import enforcement_enabled
+
+    if enforcement_enabled(spark) and not allow_unenforced:
+        raise PermissionError(
+            "spark.sql.authz.enabled=true, but Thrift statements "
+            "bypass Engine.sql's enforcement gate (the reference "
+            "privilege-checks its JDBC path in SQLOperation.java); "
+            "refusing to serve an unenforced door. Disable "
+            "enforcement for the serving session, or pass "
+            "allow_unenforced=True to accept unchecked JDBC "
+            "statements explicitly."
+        )
     with _LOCK:
         if _STARTED is not None:
             if _STARTED["port"] != port or _STARTED.get("host") != host:

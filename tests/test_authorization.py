@@ -668,3 +668,141 @@ def test_grants_for_is_table_level(eng, spark, tbl):
     assert az.grants_for(spark, "colgrant_user", tbl) == []
     eng.sql(f"GRANT SELECT ON {tbl} TO USER colgrant_user")
     assert az.grants_for(spark, "colgrant_user", tbl) == ["SELECT"]
+
+
+# -- round 11: enforcement seams (VERDICT r10 task 1, ADVICE r10) -------
+# Reference: SQLStdHiveAccessController.applyAuthorizationConfigPolicy
+# + hive.security.authorization.sqlstd.confwhitelist (a session under
+# SQL-std authorization may not rewrite the authorization confs), and
+# HiveServer2's SQLOperation.java privilege-checking its JDBC path.
+
+
+def test_enforcement_restricted_conf_set_blocked(enforced, spark, tbl):
+    """ADVICE r10 (high): `SET spark.sql.authz.enabled=false` and
+    friends made the gate self-disabling. Non-admin SET/RESET of
+    user.name / spark.sql.authz.* is denied; reads and unrelated keys
+    stay open; admin may still flip."""
+    eng, _as, _seed = enforced
+    _as("mallory")
+    for stmt in (
+        "SET spark.sql.authz.enabled=false",
+        "SET spark.sql.authz.enabled = false",
+        "SET user.name=somebody_else",
+        "SET spark.sql.authz.currentRoles=admin",
+        "RESET spark.sql.authz.enabled",
+        "RESET user.name",
+        "RESET",  # clears every conf, enable flag included
+    ):
+        with pytest.raises(PermissionError, match="restricted configuration"):
+            eng.sql(stmt)
+    # enforcement is still on and the identity unchanged
+    assert spark.conf.get("spark.sql.authz.enabled") == "true"
+    assert az.current_user(spark) == "mallory"
+    # reads of the same keys, and writes of unrelated keys, are open
+    assert eng.sql("SET spark.sql.authz.enabled").count() == 1
+    eng.sql("SET spark.sql.shuffle.partitions=32")
+    # an admin session may administer the gate
+    _seed("GRANT ROLE admin TO USER root_op")
+    _as("root_op")
+    eng.sql("SET ROLE admin")
+    eng.sql("SET spark.sql.authz.enabled=true")  # no-op flip, allowed
+    spark.conf.unset(az._ROLES_CONF)
+
+
+def test_enforcement_raw_currentroles_injection_ignored(enforced, spark, tbl):
+    """ADVICE r10 (high): current_roles validates membership at READ
+    time — a raw conf write claiming admin (bypassing set_role) confers
+    nothing, and a role revoked after SET ROLE falls out."""
+    eng, _as, _seed = enforced
+    _as("mallory")
+    spark.conf.set(az._ROLES_CONF, "admin")  # direct injection
+    assert az.current_roles(spark) == []     # not a member -> filtered
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM {tbl}")
+    spark.conf.unset(az._ROLES_CONF)
+    # revocation after SET ROLE drops the active role too
+    _seed(
+        "CREATE ROLE ephemeral_r",
+        f"GRANT SELECT ON {tbl} TO ROLE ephemeral_r",
+        "GRANT ROLE ephemeral_r TO USER mallory",
+    )
+    _as("mallory")
+    eng.sql("SET ROLE ephemeral_r")
+    assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 5
+    _seed("REVOKE ROLE ephemeral_r FROM USER mallory")
+    _as("mallory")
+    assert az.current_roles(spark) == []
+    with pytest.raises(PermissionError, match=r"\[SELECT\]"):
+        eng.sql(f"SELECT * FROM {tbl}")
+    spark.conf.unset(az._ROLES_CONF)
+
+
+def test_enforcement_write_pierces_temp_view_shadow(enforced, spark, tbl):
+    """ADVICE r10 (high): dml_text's UPDATE/DELETE and
+    InsertIntoStatement mutate the CATALOG table even when a temp view
+    shadows its name, so the write check resolves past the shadow —
+    shadowing a protected table no longer launders writes."""
+    eng, _as, _seed = enforced
+    _as("mallory")
+    spark.range(3).selectExpr(
+        "cast(id AS int) AS key", "concat('s', id) AS value"
+    ).createOrReplaceTempView(tbl)
+    try:
+        with pytest.raises(PermissionError, match=r"\[UPDATE\]"):
+            eng.sql(f"UPDATE {tbl} SET value = 'x' WHERE key = 1")
+        with pytest.raises(PermissionError, match=r"\[DELETE\]"):
+            eng.sql(f"DELETE FROM {tbl} WHERE key = 1")
+        with pytest.raises(PermissionError, match=r"\[INSERT\]"):
+            eng.sql(f"INSERT INTO {tbl} VALUES (9, 'v9')")
+        # the shadowed READ stays exempt: SELECT through the user's own
+        # temp view reads the view, not the table
+        assert eng.sql(f"SELECT count(*) AS n FROM {tbl}").first().n == 3
+    finally:
+        spark.catalog.dropTempView(tbl)
+
+
+def test_enforcement_published_mor_view_requires_select(
+    enforced, spark, tbl, tmp_path
+):
+    """VERDICT r10 finding #1: an engine-published merged MOR view
+    sits on the bare catalog name of a real table — SELECT through it
+    is a read of that table and requires SELECT on it."""
+    from amplab_hive_spark import acid
+
+    eng, _as, _seed = enforced
+    name = "authz_mor_pub_t"
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/authz_mor_pub_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1, 10), (2, 20)")
+    eng.sql(f"UPDATE {name} SET v = 11 WHERE k = 1")  # live delta
+    acid.publish_mor_views(spark, [name])
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        _as("mallory")
+        with pytest.raises(PermissionError, match=r"\[SELECT\].*authz_mor_pub_t"):
+            eng.sql(f"SELECT * FROM {name}")
+        _seed(f"GRANT SELECT ON {name} TO USER mallory")
+        _as("mallory")
+        rows = {r.k: r.v for r in eng.sql(f"SELECT k, v FROM {name}").collect()}
+        assert rows == {1: 11, 2: 20}  # merged view, privilege held
+    finally:
+        acid.unpublish_mor_views(spark, [name])
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_thrift_refuses_enforced_session(enforced, spark):
+    """VERDICT r10 task 1b: the reference privilege-checks its JDBC
+    path (SQLOperation.java), this engine cannot — so an
+    enforcement-enabled session refuses to serve Thrift unless the
+    caller explicitly accepts the unenforced door."""
+    from amplab_hive_spark.thrift import start_thrift_server
+
+    with pytest.raises(PermissionError, match="unenforced"):
+        start_thrift_server(spark, port=10137)

@@ -368,3 +368,27 @@ def test_auto_publish_skips_corrupt_table(spark, engine, mor_table, tmp_path):
     finally:
         acid.unpublish_mor_views(spark, [mor_table])
         spark.sql(f"DROP TABLE IF EXISTS {bad}")
+
+
+def test_auto_publish_keeps_prior_registration_on_sync_error(
+    engine, spark, mor_table, monkeypatch
+):
+    """ADVICE r10 (low): auto_publish_mor_views must not unregister an
+    ALREADY-published name after one transient _sync_published error —
+    only a newly-added name is rolled back, so write-sync keeps
+    covering the view."""
+    engine.sql(f"UPDATE {mor_table} SET v = 1 WHERE k = 1")
+    acid.publish_mor_views(spark, [mor_table])
+    assert mor_table in acid._PUBLISHED
+
+    def _boom(spark_, name):
+        raise RuntimeError("transient sync failure")
+
+    monkeypatch.setattr(acid, "_sync_published", _boom)
+    out = acid.auto_publish_mor_views(spark)
+    monkeypatch.undo()
+    assert mor_table not in out            # this pass did fail...
+    assert mor_table in acid._PUBLISHED    # ...but the name stays
+    # registered: the next write resyncs the merged view as usual
+    engine.sql(f"UPDATE {mor_table} SET v = 2 WHERE k = 1")
+    assert spark.sql(f"SELECT v FROM {mor_table} WHERE k = 1").first().v == 2

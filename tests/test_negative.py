@@ -2152,6 +2152,27 @@ def test_macro_param_used_only_in_string_literal(spark, _macro_eng):
         _macro_eng.sql("CREATE TEMPORARY MACRO LIT_M (x INT) 'x marks the spot'")
 
 
+def test_macro_param_used_only_in_comment(spark, _macro_eng):
+    """macro_unused_parameter.q (comment class): a parameter named
+    only inside `--` or `/* */` commentary is NOT used — comments are
+    masked after string literals (ADVICE r10)."""
+    from amplab_hive_spark.functions.macros import MacroError
+
+    with pytest.raises(MacroError, match="unused parameter.*y"):
+        _macro_eng.sql(
+            "CREATE TEMPORARY MACRO CMT_M (x INT, y INT) x -- uses y?"
+        )
+    with pytest.raises(MacroError, match="unused parameter.*y"):
+        _macro_eng.sql(
+            "CREATE TEMPORARY MACRO CMT_M2 (x INT, y INT) x /* y */ + 1"
+        )
+    # a '--' INSIDE a string literal is not a comment: y after it is used
+    _macro_eng.sql(
+        "CREATE TEMPORARY MACRO CMT_M3 (x INT, y INT) concat('--', x) || y"
+    )
+    _macro_eng.sql("DROP TEMPORARY MACRO CMT_M3")
+
+
 def test_macro_empty_body(spark, _macro_eng):
     """macro definition with no body expression."""
     from amplab_hive_spark.functions.macros import MacroError
