@@ -1285,17 +1285,58 @@ def test_negative_r8_skewed_by_unsupported(spark, _neg8, tmp_path):
         )
 
 
+def negative_class_count() -> tuple[int, int, int]:
+    """(total, parametrized, standalone) — THE negative-class count,
+    derived from this file's AST exactly the way the r10 judge counted
+    it (r10 verdict: the old indentation-regex claimed 477 against a
+    judge AST-count of 468). Parametrized = tuple entries of each
+    module-level ``*_CASES`` list actually referenced by a
+    ``@pytest.mark.parametrize`` decorator; standalone = ``test_``
+    functions without one, the bookkeeping test itself excluded.
+    COVERAGE.md quotes this function's output — claim = count by
+    construction (reproduce:
+    ``python -c "import tests.test_negative as t;
+    print(t.negative_class_count())"``)."""
+    import ast as _ast
+
+    tree = _ast.parse(open(__file__).read())
+    list_sizes = {
+        t.id: sum(isinstance(e, _ast.Tuple) for e in node.value.elts)
+        for node in tree.body
+        if isinstance(node, _ast.Assign) and isinstance(node.value, _ast.List)
+        for t in node.targets
+        if isinstance(t, _ast.Name)
+    }
+    n_param, n_standalone, used = 0, 0, set()
+    for node in tree.body:
+        if not (isinstance(node, _ast.FunctionDef)
+                and node.name.startswith("test_")):
+            continue
+        lists = [
+            a.id
+            for d in node.decorator_list
+            if isinstance(d, _ast.Call)
+            and isinstance(d.func, _ast.Attribute)
+            and d.func.attr == "parametrize"
+            for a in d.args
+            if isinstance(a, _ast.Name) and a.id in list_sizes
+        ]
+        if lists:
+            for nm in lists:
+                if nm not in used:
+                    used.add(nm)
+                    n_param += list_sizes[nm]
+        elif node.name != "test_negative_corpus_size":
+            n_standalone += 1
+    return n_param + n_standalone, n_param, n_standalone
+
+
 def test_negative_corpus_size():
     """The r7 verdict asked for ~300 distinct error classes (r4-r7
-    grew 118 -> 193). Count = parametrized entries across all tranches
-    plus standalone tests in this file; asserted so a refactor that
-    silently drops a tranche fails loudly."""
-    import re as _re
-
-    src = open(__file__).read()
-    n_param = len(_re.findall(r'^    \("', src, _re.M))
-    n_standalone = len(_re.findall(r"^def test_", src, _re.M))
-    total = n_param + n_standalone
+    grew 118 -> 193); asserted so a refactor that silently drops a
+    tranche fails loudly. The count is negative_class_count() — one
+    mechanical number shared with COVERAGE.md (r10 verdict task 3)."""
+    total, n_param, n_standalone = negative_class_count()
     assert total >= 450, f"negative corpus shrank: {total} classes"
 
 
