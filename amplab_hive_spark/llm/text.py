@@ -107,11 +107,17 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     tags=("llm", "text", "dedup"),
     oracle="""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000000, upper(text) || '!!!'
+  FROM documents WHERE doc_id % 97 = 0
+)
 SELECT fingerprint, COUNT(*) AS n_docs, MIN(doc_id) AS keeper_id
 FROM (
   SELECT doc_id,
          md5(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g')) AS fingerprint
-  FROM documents
+  FROM corpus
 ) f
 GROUP BY fingerprint
 HAVING COUNT(*) > 1
@@ -121,11 +127,24 @@ ORDER BY fingerprint
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Normalized-content fingerprint (lowercase, strip non-alnum,
     md5) — catches formatting-only duplicates. One groupBy on the
-    16-byte fingerprint; the shuffle carries (hash, id), not text."""
+    16-byte fingerprint; the shuffle carries (hash, id), not text.
+
+    The corpus unions a deterministic planted variant (every 97th doc
+    re-cased + punctuated, id-offset) built inside the query's own
+    relational construction and mirrored in the oracle, so the
+    formatting-only-duplicate groups EXIST at every SF — the raw
+    documents table has none and the unplanted form certified on zero
+    rows (the r9/r11 vacuity lesson, same fix as dedup_exact r10)."""
     t = tables(spark, sf_dir)
+    base = t.documents.select("doc_id", "text")
+    variants = base.filter("doc_id % 97 = 0").select(
+        (F.col("doc_id") + F.lit(1000000000)).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit("!!!")).alias("text"),
+    )
+    corpus = base.unionByName(variants)
     fp = F.md5(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""))
     return (
-        t.documents.select(F.col("doc_id"), fp.alias("fingerprint"))
+        corpus.select(F.col("doc_id"), fp.alias("fingerprint"))
         .groupBy("fingerprint")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_id"))
         .filter(F.col("n_docs") > 1)

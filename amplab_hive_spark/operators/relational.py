@@ -371,15 +371,24 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT c_custkey, c_name
 FROM customer
-WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_custkey % 3 = 0
+)
 """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LEFT ANTI JOIN = NOT EXISTS (reference: NOT IN/NOT EXISTS
-    rewrite, QBSubQuery.java:44,46)."""
+    rewrite, QBSubQuery.java:44,46). The right side is restricted to
+    ``o_custkey % 3 = 0`` so unmatched customers EXIST by construction
+    at every SF — the unrestricted form certified on zero rows
+    (every customer has orders in this testdata; the r9/r11 vacuity
+    lesson: an agreement on empty proves nothing about the anti
+    semantics)."""
     t = tables(spark, sf_dir)
+    orders_sub = t.orders.filter("o_custkey % 3 = 0")
     return t.customer.join(
-        t.orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        orders_sub, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
     ).select("c_custkey", "c_name")
 
 

@@ -75,6 +75,7 @@ def _load_all_modules() -> None:
     import amplab_hive_spark.llm.contamination  # noqa: F401
     import amplab_hive_spark.llm.multimodal  # noqa: F401
     import amplab_hive_spark.streaming.event_windows  # noqa: F401
+    import amplab_hive_spark.streaming.upsert_lifecycle  # noqa: F401
 
 
 # Curated ordering for the driver's grading window: the harness grades
@@ -115,17 +116,21 @@ _PRIORITY: tuple[str, ...] = (
     # Hive compat pack + macros + semantics deltas
     "ngrams_top_bigrams", "field_function_priority",
     "macro_disc_price_revenue", "hive_semantics_arithmetic",
-    # LLM: dedup family
+    # LLM: dedup family (r11 rotation: dedup_simhash out — its oracle
+    # stays in the suite and the family keeps four slots — so the
+    # SEMANTIC near-dup path, previously only suite-green, gets a
+    # driver-graded slot)
     "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_simhash", "dedup_cluster_resolution",
+    "dedup_semantic", "dedup_cluster_resolution",
     # LLM: pipeline
     "pipeline_train_split", "pipeline_mixture_sample",
     "pipeline_pack_sequences",
-    # LLM: similarity (sim_ann_lsh sits past the window: it has since
-    # gained a full oracle via sign-block bucketing, but the curated
-    # 50 stays stable — embedding_quantize_int8 holds the
-    # similarity-family slot and ann recall is tested in-repo)
-    "sim_bruteforce_topk", "embedding_quantize_int8", "sim_embedding_neardup",
+    # LLM: similarity (r11 rotation: sim_ann_lsh IN — its sign-block
+    # bucketing carries a full oracle and the in-suite recall floor
+    # (≥0.88) certifies the approximation; text_keyword_extraction
+    # gave up its slot, the text family keeps text_quality_score)
+    "sim_bruteforce_topk", "sim_ann_lsh",
+    "embedding_quantize_int8", "sim_embedding_neardup",
     # ACID merge-on-read lifecycle (r10 rotation: text_token_stats out
     # — its oracle stays in the suite and the text family keeps two
     # slots — so the round's headline feature, write -> merged read ->
@@ -133,11 +138,17 @@ _PRIORITY: tuple[str, ...] = (
     # statement surface, gets a driver-graded slot)
     "acid_mor_lifecycle",
     # LLM: text analysis
-    "text_quality_score", "text_keyword_extraction",
+    "text_quality_score",
     # LLM: multimodal plumbing
     "multimodal_binary_stats", "multimodal_decode_features",
+    # streaming ingest lifecycle (r11 rotation: events_tumbling_window
+    # out — the events family keeps sessionization and the as-of join
+    # — so the upsert + CDC-tombstone + compaction composition,
+    # previously only suite-green per piece, gets one driver-graded
+    # end-to-end certificate)
+    "streaming_upsert_cdc_lifecycle",
     # event windows
-    "events_tumbling_window", "events_sessionization",
+    "events_sessionization",
 )
 
 

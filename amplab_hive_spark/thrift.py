@@ -103,7 +103,11 @@ def start_thrift_server(
     open an unguarded door, so this refuses to start (VERDICT r10
     task 1b). ``allow_unenforced=True`` overrides for a deployment
     that accepts unchecked JDBC statements — the override is the
-    caller's explicit, logged decision, never a default."""
+    caller's explicit, logged decision, never a default. The check
+    runs at START time (HS2 likewise applies its authorization config
+    policy when the session opens): enabling enforcement AFTER the
+    server is up does not retro-guard a running server — decide the
+    posture before serving."""
     global _STARTED
     probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
     from amplab_hive_spark.authorization import enforcement_enabled

@@ -1,11 +1,12 @@
 """Authorization DDL (SURVEY §2.9's role/grant surface; reference:
 ql/parse/DDLSemanticAnalyzer.java role/grant analyzers +
-SQLStdHiveAccessController). Catalog semantics only — storage,
-validation, SHOW — with enforcement documented out of scope (Hive's
-own hive.security.authorization.enabled=false default). Flows mirror
-clientpositive/authorization_1.q and authorization_role_grant1.q;
-error classes mirror the clientnegative authorization_* family (also
-exercised in tests/test_negative.py)."""
+SQLStdHiveAccessController). Catalog semantics — storage, validation,
+SHOW — plus the opt-in ENFORCEMENT gate (spark.sql.authz.enabled,
+r10; default off like hive.security.authorization.enabled=false) and
+its r11 seam closures (conf-mutation guard, shadow piercing, Thrift
+posture). Flows mirror clientpositive/authorization_1.q and
+authorization_role_grant1.q; error classes mirror the clientnegative
+authorization_* family (also exercised in tests/test_negative.py)."""
 
 import os
 
