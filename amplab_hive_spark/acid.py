@@ -1192,8 +1192,12 @@ def _purge_delta_dir(delta_dir: str, manifest: list[str] | None = None) -> None:
 # references no MOR table at all.
 _PINNED_NAMES: set[str] = set()
 
-# bare lowercase names whose merged view is PUBLISHED (persistent shadow)
-_PUBLISHED: set[str] = set()
+# bare lowercase name -> the qualified name it was published UNDER
+# (persistent merged-view shadow). The VALUE matters to the
+# authorization gate: a published view shadows the BARE name, but its
+# backing catalog table may live outside the current database — the
+# gate resolves SELECT checks through this mapping (review r11).
+_PUBLISHED: dict[str, str] = {}
 
 _VIEW_DDL_ROOTS = {"CreateView", "CreateViewCommand", "AlterViewAs"}
 _REL_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
@@ -1373,7 +1377,7 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
                 f"a temp view already holds the name {bare!r}; refusing "
                 f"to clobber it with a published merged view"
             )
-        _PUBLISHED.add(bare)
+        _PUBLISHED[bare] = name
         _sync_published(spark, name)
         out.append(bare)
     return out
@@ -1400,7 +1404,7 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
         if newly and _temp_view_exists(spark, bare):
             continue  # a user temp view owns the name; leave it
         try:
-            _PUBLISHED.add(bare)
+            _PUBLISHED.setdefault(bare, bare)
             _sync_published(spark, bare)
         except Exception:  # noqa: BLE001
             # one bad table (corrupt delta, drifted schema) must not
@@ -1409,7 +1413,7 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
             # registered so write-sync keeps covering it after one
             # transient _sync_published error (ADVICE r10)
             if newly:
-                _PUBLISHED.discard(bare)
+                _PUBLISHED.pop(bare, None)
             continue
         out.append(bare)
     return out
@@ -1418,7 +1422,7 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
 def unpublish_mor_views(spark: SparkSession, names: list[str]) -> None:
     for name in names:
         bare = name.split(".")[-1].lower()
-        _PUBLISHED.discard(bare)
+        _PUBLISHED.pop(bare, None)
         try:
             spark.catalog.dropTempView(bare)
         except Exception:

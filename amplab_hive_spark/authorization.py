@@ -959,10 +959,9 @@ _EXEMPT = object()  # _candidate_enforceable: provably exempt, skip
 
 
 def _temp_view_holds(spark: SparkSession, bare: str) -> bool:
-    return bool(
-        spark._jsparkSession.sessionState().catalog()
-        .getTempView(bare).isDefined()
-    )
+    from amplab_hive_spark.acid import _temp_view_exists
+
+    return _temp_view_exists(spark, bare)
 
 
 def _candidate_enforceable(
@@ -991,6 +990,12 @@ def _candidate_enforceable(
 
                 if bare not in _PUBLISHED:
                     return _EXEMPT
+                # published merged view: the backing table may live
+                # OUTSIDE the current database (published under a
+                # qualified name) — never guess here, force the
+                # definitive resolver (review r11: a current-db guess
+                # could open on a grant for a DIFFERENT table)
+                return None
         db = (
             spark._jsparkSession.sessionState().catalog()
             .getCurrentDatabase().lower()
@@ -1039,8 +1044,28 @@ def _resolve_enforceable(spark: SparkSession, name: str, for_write: bool = False
     if not for_write:
         from amplab_hive_spark.acid import _PUBLISHED
 
-        if bare not in _PUBLISHED:
+        pub = _PUBLISHED.get(bare)
+        if pub is None:
             return None  # session-private read — checked at CREATE
+        # published merged view: resolve through the name it was
+        # published UNDER — the backing catalog table may live outside
+        # the current database (review r11). If the backing is itself
+        # unresolvable (dropped behind the view, shadowed bare name),
+        # fail CLOSED on the published name's parts rather than exempt.
+        try:
+            t2 = spark.catalog.getTable(pub)
+            if not t2.isTemporary:
+                return (
+                    (t2.database or spark.catalog.currentDatabase()).lower(),
+                    t2.name.lower(),
+                )
+        except Exception:  # noqa: BLE001 — fall to the closed default
+            pass
+        pparts = [p.strip().strip("`") for p in pub.split(".")]
+        db = (
+            pparts[-2] if len(pparts) > 1 else spark.catalog.currentDatabase()
+        ).lower()
+        return db, pparts[-1].lower()
     # db-qualified lookup: temp-view resolution cannot intercept it
     try:
         db = spark.catalog.currentDatabase()
@@ -1121,6 +1146,13 @@ def enforce(spark: SparkSession, text: str):
     roles = _active_roles(spark, store)
     if "admin" in roles:
         return parsed
+    _deny_missing(spark, store, user, roles, pairs)
+    return parsed
+
+
+def _deny_missing(spark, store, user, roles, pairs) -> None:
+    """Raise unless every (name, priv) pair is held — the shared core
+    of enforce() and enforce_maintenance()."""
     missing = []
     for name, priv in pairs:
         for_write = priv != "SELECT"
@@ -1140,7 +1172,31 @@ def enforce(spark: SparkSession, text: str):
             f"Permission denied: Principal [name={user}, type=USER] "
             f"does not have following privileges: " + ", ".join(missing)
         )
-    return parsed
+
+
+def enforce_maintenance(spark: SparkSession, name: str) -> None:
+    """Gate for the engine's parse-rejected MAINTENANCE mutation shim,
+    ``ALTER TABLE .. COMPACT`` (HiveQL the Spark parser rejects, so
+    enforce()'s tree extractor never sees it — review r11 found the
+    unguarded door). Compaction preserves visible rows but rewrites
+    the base and DELETES delta files, so it requires the privileges
+    whose deltas it folds: UPDATE and DELETE on the target (the
+    reference gates ALTER TABLE COMPACT behind SQL-std ownership /
+    admin — this minimal model has no ownership, UPDATE+DELETE is the
+    closest faithful bar). dml_text's COMPACT handler calls this
+    before touching any file."""
+    if not enforcement_enabled(spark):
+        return
+    user = current_user(spark)
+    store = _load(spark)
+    roles = _active_roles(spark, store)
+    if "admin" in roles:
+        return
+    quoted = ".".join(f"`{p}`" for p in name.split("."))
+    _deny_missing(
+        spark, store, user, roles,
+        [(quoted, "UPDATE"), (quoted, "DELETE")],
+    )
 
 
 def _require_role_admin(

@@ -365,6 +365,12 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
             raise ValueError(
                 f"COMPACT expects 'major' or 'minor' (got {m.group(2)!r})"
             )
+        # COMPACT is not Spark grammar, so the parse-tree enforcement
+        # gate never sees it — gate the file-rewriting verb here
+        # (authorization.enforce_maintenance; no-op when disabled)
+        from amplab_hive_spark.authorization import enforce_maintenance
+
+        enforce_maintenance(spark, m.group(1))
         n = _compact_mor(spark, m.group(1), mode=mode)
         return spark.createDataFrame([(n,)], "compacted_deltas bigint")
 

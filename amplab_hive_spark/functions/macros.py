@@ -98,9 +98,12 @@ class MacroRegistry:
             # comments are masked too: a parameter mentioned only in
             # `--` or `/* */` commentary is not used (ADVICE r10).
             # Strings go FIRST so a '--' inside a literal does not
-            # swallow the rest of the line.
-            masked_body = re.sub(r"--[^\n]*", " ", masked_body)
+            # swallow the rest of the line; BLOCK comments before LINE
+            # comments so a '--' inside /* */ does not eat the comment
+            # terminator and everything after it (review r11:
+            # `x + /* note -- see */ y` must count y as used).
             masked_body = re.sub(r"/\*.*?\*/", " ", masked_body, flags=re.S)
+            masked_body = re.sub(r"--[^\n]*", " ", masked_body)
             unused = [
                 p for p in params
                 if not re.search(rf"\b{re.escape(p)}\b", masked_body, re.IGNORECASE)

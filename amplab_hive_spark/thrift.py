@@ -112,18 +112,13 @@ def start_thrift_server(
     probe_host = "127.0.0.1" if host in ("0.0.0.0", "::") else host
     from amplab_hive_spark.authorization import enforcement_enabled
 
-    if enforcement_enabled(spark) and not allow_unenforced:
-        raise PermissionError(
-            "spark.sql.authz.enabled=true, but Thrift statements "
-            "bypass Engine.sql's enforcement gate (the reference "
-            "privilege-checks its JDBC path in SQLOperation.java); "
-            "refusing to serve an unenforced door. Disable "
-            "enforcement for the serving session, or pass "
-            "allow_unenforced=True to accept unchecked JDBC "
-            "statements explicitly."
-        )
     with _LOCK:
         if _STARTED is not None:
+            # the idempotent-accessor path stays an accessor even if
+            # enforcement was enabled AFTER the server came up (review
+            # r11): refusing here would break the documented contract
+            # without stopping the already-running server — the
+            # start-time check below is the posture gate
             if _STARTED["port"] != port or _STARTED.get("host") != host:
                 raise RuntimeError(
                     f"Thrift server already running on "
@@ -132,6 +127,16 @@ def start_thrift_server(
                     f"another on {host}:{port}"
                 )
             return port
+        if enforcement_enabled(spark) and not allow_unenforced:
+            raise PermissionError(
+                "spark.sql.authz.enabled=true, but Thrift statements "
+                "bypass Engine.sql's enforcement gate (the reference "
+                "privilege-checks its JDBC path in SQLOperation.java); "
+                "refusing to serve an unenforced door. Disable "
+                "enforcement for the serving session, or pass "
+                "allow_unenforced=True to accept unchecked JDBC "
+                "statements explicitly."
+            )
         try:
             pre = socket.create_connection((probe_host, port), 0.5)
             pre.close()

@@ -90,10 +90,11 @@ def main() -> None:
     out = "/tmp/amplab_sfx1"
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
-    if not os.path.exists(f"{out}/lineitem.parquet"):
-        generate(out)
-    else:
+    tables = list(KEYED) + DIMS
+    if all(os.path.exists(f"{out}/{t}.parquet") for t in tables):
         print(f"reusing {out}")
+    else:
+        generate(out)
     env = dict(
         os.environ, SPARK_GRAFT_SF_DIR=out, SPARK_GRAFT_BENCH_REPS="1"
     )
@@ -102,8 +103,13 @@ def main() -> None:
         [sys.executable, os.path.join(repo, "bench.py")],
         capture_output=True, text=True, env=env,
     )
-    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
-    big = json.loads(line)
+    json_lines = [l for l in res.stdout.splitlines() if l.startswith("{")]
+    if res.returncode != 0 or not json_lines:
+        sys.stderr.write(res.stderr[-4000:])
+        raise SystemExit(
+            f"bench.py failed (exit {res.returncode}); stderr above"
+        )
+    big = json.loads(json_lines[-1])
     # committed quiet-host sf0.1 record for the side-by-side
     with open(os.path.join(repo, "experiments", "bench_quiet_r11.json")) as fh:
         small = json.loads(

@@ -701,7 +701,11 @@ def test_enforcement_restricted_conf_set_blocked(enforced, spark, tbl):
     assert az.current_user(spark) == "mallory"
     # reads of the same keys, and writes of unrelated keys, are open
     assert eng.sql("SET spark.sql.authz.enabled").count() == 1
-    eng.sql("SET spark.sql.shuffle.partitions=32")
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        eng.sql(f"SET spark.sql.shuffle.partitions={before}")  # no-op write
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     # an admin session may administer the gate
     _seed("GRANT ROLE admin TO USER root_op")
     _as("root_op")
@@ -807,3 +811,75 @@ def test_thrift_refuses_enforced_session(enforced, spark):
 
     with pytest.raises(PermissionError, match="unenforced"):
         start_thrift_server(spark, port=10137)
+
+
+def test_enforcement_compact_shim_gated(enforced, spark, tmp_path):
+    """Review r11: ALTER TABLE .. COMPACT is not Spark grammar, so the
+    parse-tree gate never sees it — the dml_text shim must gate the
+    file-rewriting verb itself (UPDATE + DELETE on the target; the
+    privileges whose delta files compaction folds)."""
+    eng, _as, _seed = enforced
+    name = "authz_compact_t"
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/authz_compact_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1, 10), (2, 20)")
+    eng.sql(f"UPDATE {name} SET v = 11 WHERE k = 1")  # a delta to fold
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        _as("mallory")
+        with pytest.raises(PermissionError, match=r"\[(UPDATE|DELETE)\]"):
+            eng.sql(f"ALTER TABLE {name} COMPACT 'major'")
+        _seed(f"GRANT UPDATE, DELETE ON {name} TO USER mallory")
+        _as("mallory")
+        n = eng.sql(f"ALTER TABLE {name} COMPACT 'major'").first()
+        assert n.compacted_deltas >= 1
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_published_view_foreign_db_checked(
+    enforced, spark, tmp_path
+):
+    """Review r11: a merged view published under a QUALIFIED name
+    backs a table outside the current database — the SELECT check must
+    resolve through the published mapping, not guess the current db."""
+    from amplab_hive_spark import acid
+
+    eng, _as, _seed = enforced
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("CREATE DATABASE IF NOT EXISTS authz_fdb")
+    name = "authz_fdb.fdb_secret"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/fdb_secret' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1, 10)")
+    eng.update_mor(name, "k = 1", {"v": "11"}, ["k"])  # live delta
+    acid.publish_mor_views(spark, [name])
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        _as("mallory")
+        # bare-name read through the published view: the check lands
+        # on authz_fdb.fdb_secret, never on default.fdb_secret
+        with pytest.raises(
+            PermissionError, match=r"\[SELECT\] on \[authz_fdb.fdb_secret\]"
+        ):
+            eng.sql("SELECT * FROM fdb_secret")
+        _seed("GRANT SELECT ON authz_fdb.fdb_secret TO USER mallory")
+        _as("mallory")
+        assert eng.sql("SELECT v FROM fdb_secret WHERE k = 1").first().v == 11
+    finally:
+        acid.unpublish_mor_views(spark, [name])
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        spark.sql("DROP DATABASE IF EXISTS authz_fdb")
+        spark.conf.set("spark.sql.authz.enabled", "true")

@@ -2212,6 +2212,12 @@ def test_macro_param_used_only_in_comment(spark, _macro_eng):
         "CREATE TEMPORARY MACRO CMT_M3 (x INT, y INT) concat('--', x) || y"
     )
     _macro_eng.sql("DROP TEMPORARY MACRO CMT_M3")
+    # ...and a '--' INSIDE a /* */ block must not eat the terminator:
+    # y after the block is used (review r11 — block comments mask first)
+    _macro_eng.sql(
+        "CREATE TEMPORARY MACRO CMT_M4 (x INT, y INT) x + /* note -- see */ y"
+    )
+    _macro_eng.sql("DROP TEMPORARY MACRO CMT_M4")
 
 
 def test_macro_empty_body(spark, _macro_eng):
