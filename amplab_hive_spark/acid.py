@@ -830,6 +830,27 @@ def show_compactions(spark: SparkSession) -> DataFrame:
     )
 
 
+def show_transactions(spark: SparkSession) -> DataFrame:
+    """``SHOW TRANSACTIONS`` — the reference lists the metastore's
+    OPEN (and aborted-but-uncleaned) transactions
+    (DDLTask.java:2610 showTxns over GetOpenTxnsInfoResponse, columns
+    Transaction ID / Transaction State / User / Hostname).
+
+    This engine commits every statement INLINE — writes become visible
+    by atomic rename (MOR delta dirs, base overwrites, the authz
+    store) and no transaction state outlives the statement that
+    created it — so the open-transaction set is empty BY DESIGN at
+    every instant a reader can observe. The honest answer is the
+    schema-faithful empty listing, exactly what the reference returns
+    on an idle warehouse (r11; supersedes the r10 documented drop the
+    same way SHOW LOCKS's minimal row did — SHOW COMPACTIONS already
+    reports the pending inline-compaction work the queue side would
+    show)."""
+    return spark.createDataFrame(
+        [], "txnid bigint, state string, user string, hostname string"
+    )
+
+
 def show_locks(
     spark: SparkSession, table: str | None = None
 ) -> DataFrame:

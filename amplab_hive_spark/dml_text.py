@@ -205,6 +205,7 @@ _COMPACT_STMT = re.compile(
     r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+COMPACT\s+'(\w+)'\s*;?\s*$", re.I
 )
 _SHOW_COMPACTIONS_STMT = re.compile(r"^\s*SHOW\s+COMPACTIONS\s*;?\s*$", re.I)
+_SHOW_TXNS_STMT = re.compile(r"^\s*SHOW\s+TRANSACTIONS\s*;?\s*$", re.I)
 _SHOW_LOCKS_STMT = re.compile(
     r"^\s*SHOW\s+LOCKS(?:\s+(?!EXTENDED\b)([\w.]+))?(\s+EXTENDED)?\s*;?\s*$",
     re.I,
@@ -344,6 +345,14 @@ def handle(spark: SparkSession, text: str) -> DataFrame | None:
         from amplab_hive_spark.acid import show_compactions
 
         return show_compactions(spark)
+
+    if _SHOW_TXNS_STMT.match(text):
+        # DDLTask.showTxns: the open-transaction listing — empty by
+        # design in an inline-commit engine (acid.show_transactions
+        # documents the honest mapping)
+        from amplab_hive_spark.acid import show_transactions
+
+        return show_transactions(spark)
 
     m = _SHOW_LOCKS_STMT.match(text)
     if m:

@@ -11,7 +11,7 @@ fixed, like TPC-H itself). Document text gets a per-copy suffix so
 the minhash near-dup rate stays natural instead of every doc gaining
 9 exact clones.
 
-Run:  python experiments/scale10x_bench.py [--out /tmp/amplab_sfx1]
+Run:  python experiments/scale10x_bench.py [--out /tmp/amplab_10x/sf1]
 Then the script re-execs bench.py at the generated dir with
 SPARK_GRAFT_BENCH_REPS=1 and prints (a) the per-query wall-times next
 to the committed sf0.1 quiet-host record and (b) a plan-fingerprint
@@ -87,7 +87,7 @@ def generate(out: str) -> None:
 
 
 def main() -> None:
-    out = "/tmp/amplab_sfx1"
+    out = "/tmp/amplab_10x/sf1"  # basename must be sf<N>: bench.py parses the SF from it
     if "--out" in sys.argv:
         out = sys.argv[sys.argv.index("--out") + 1]
     tables = list(KEYED) + DIMS

@@ -844,3 +844,39 @@ def test_show_locks_table_scoped_and_missing_table(spark, plain_table):
     assert eng.sql("SHOW LOCKS EXTENDED").count() == 0
     with pytest.raises(Exception, match="(?i)not found|cannot be found|does not exist|TABLE_OR_VIEW"):
         eng.sql("SHOW LOCKS definitely_not_a_table_xyz")
+
+
+# -- SHOW TRANSACTIONS (round 11: implement-minimal, like SHOW LOCKS) --
+
+
+def test_show_transactions_schema_and_inline_emptiness(spark, tmp_path):
+    """DDLTask.showTxns analogue (reference columns Transaction ID /
+    State / User / Hostname): an inline-commit engine's open-txn set
+    is empty BY DESIGN at every observable instant — including in the
+    middle of a merge-on-read lifecycle, where the reference WOULD
+    show an open transaction between BEGIN and COMMIT but this engine
+    has already atomically committed each statement."""
+    from amplab_hive_spark import acid
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    df = eng.sql("SHOW TRANSACTIONS")
+    assert df.columns == ["txnid", "state", "user", "hostname"]
+    assert df.count() == 0
+
+    name = "show_txns_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/show_txns_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    try:
+        spark.sql(f"INSERT INTO {name} VALUES (1, 10)")
+        eng.sql(f"UPDATE {name} SET v = 11 WHERE k = 1")  # live delta
+        assert eng.sql("SHOW TRANSACTIONS").count() == 0
+        assert eng.sql(f"SELECT v FROM {name}").first().v == 11
+    finally:
+        acid.compact_mor(spark, name, mode="major")
+        acid.unpin_mor_keys(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
