@@ -1398,7 +1398,18 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
                 f"a temp view already holds the name {bare!r}; refusing "
                 f"to clobber it with a published merged view"
             )
-        _PUBLISHED[bare] = name
+        # the stored value is ALWAYS db-qualified: a bare name is
+        # resolved in the publish-time current database, and every
+        # later consumer (write resync, the authz gate) goes through
+        # the mapping rather than re-resolving in whatever database is
+        # current THEN (review r11 pass 2 — a bare value re-resolved
+        # at check/sync time could land on a same-named foreign table)
+        qual = (
+            name
+            if "." in name
+            else f"{spark.catalog.currentDatabase()}.{name}"
+        )
+        _PUBLISHED[bare] = qual
         _sync_published(spark, name)
         out.append(bare)
     return out
@@ -1425,7 +1436,11 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
         if newly and _temp_view_exists(spark, bare):
             continue  # a user temp view owns the name; leave it
         try:
-            _PUBLISHED.setdefault(bare, bare)
+            # same qualified-value rule as publish_mor_views: the bare
+            # name just resolved (mor_keys above) in the CURRENT db
+            _PUBLISHED.setdefault(
+                bare, f"{spark.catalog.currentDatabase()}.{bare}"
+            )
             _sync_published(spark, bare)
         except Exception:  # noqa: BLE001
             # one bad table (corrupt delta, drifted schema) must not
@@ -1455,16 +1470,21 @@ def _sync_published(spark: SparkSession, name: str) -> None:
     Live deltas -> fresh read_mor plan (the previous view's plan
     enumerated the OLD delta files); no deltas -> drop the view
     (merged == base; the name stays in _PUBLISHED so the next delta
-    re-publishes)."""
+    re-publishes). The view is always rebuilt against the QUALIFIED
+    name it was published for (the _PUBLISHED mapping value) — a
+    bare-name caller running in another database must neither lose
+    the view nor re-point it at a same-named local table (review r11
+    pass 2)."""
     bare = name.split(".")[-1].lower()
-    if bare not in _PUBLISHED:
+    target = _PUBLISHED.get(bare)
+    if target is None:
         return
     try:
-        live = bool(_scan_deltas(_delta_path(spark, name)))
+        live = bool(_scan_deltas(_delta_path(spark, target)))
     except Exception:
         live = False
     if live:
-        read_mor(spark, name).createOrReplaceTempView(bare)
+        read_mor(spark, target).createOrReplaceTempView(bare)
     else:
         try:
             spark.catalog.dropTempView(bare)

@@ -988,13 +988,18 @@ def _candidate_enforceable(
             if not for_write:
                 from amplab_hive_spark.acid import _PUBLISHED
 
-                if bare not in _PUBLISHED:
+                pub = _PUBLISHED.get(bare)
+                if pub is None:
                     return _EXEMPT
-                # published merged view: the backing table may live
-                # OUTSIDE the current database (published under a
-                # qualified name) — never guess here, force the
-                # definitive resolver (review r11: a current-db guess
-                # could open on a grant for a DIFFERENT table)
+                # published merged view: the mapping value is the
+                # db-QUALIFIED name it was published for (acid stores
+                # it qualified since review r11 pass 2), which IS what
+                # the definitive path resolves — a sound metastore-free
+                # candidate. A legacy bare value forces the definitive
+                # resolver instead of guessing the current database.
+                pparts = [p.strip().strip("`") for p in pub.split(".")]
+                if len(pparts) > 1:
+                    return pparts[-2].lower(), pparts[-1].lower()
                 return None
         db = (
             spark._jsparkSession.sessionState().catalog()

@@ -118,7 +118,20 @@ def start_thrift_server(
             # enforcement was enabled AFTER the server came up (review
             # r11): refusing here would break the documented contract
             # without stopping the already-running server — the
-            # start-time check below is the posture gate
+            # start-time check below is the posture gate. But the
+            # caller must not mistake the returned port for an
+            # enforced posture: warn loudly (review r11 pass 2).
+            if enforcement_enabled(spark) and not allow_unenforced:
+                import warnings
+
+                warnings.warn(
+                    "spark.sql.authz.enabled=true but the already-"
+                    "running Thrift server predates enforcement and "
+                    "serves UNCHECKED statements; stop_thrift_server() "
+                    "to close the door",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             if _STARTED["port"] != port or _STARTED.get("host") != host:
                 raise RuntimeError(
                     f"Thrift server already running on "
