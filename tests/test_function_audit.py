@@ -39,7 +39,12 @@ greatest least assert_true when""".split()
 COMPLEX_FNS = """array map struct named_struct sort_array array_contains
 map_keys map_values inline""".split()
 
-MISC_FNS = """current_database current_user hash""".split()
+MISC_FNS = """current_database current_user hash
+reflect java_method""".split()
+# reflect/java_method left DROPPED in r11: Spark ships the reflective
+# call natively (CallMethodViaReflection — the same static-method
+# semantics as Hive's GenericUDFReflect, udf_reflect.q /
+# udf_java_method.q), exercised in test_reflect_java_method below.
 
 UDAF_FNS = """max min sum count avg std stddev stddev_pop stddev_samp variance
 var_pop var_samp covar_pop covar_samp corr histogram_numeric percentile
@@ -62,9 +67,12 @@ COMPAT_PACK = {
     "ewah_bitmap", "ewah_bitmap_and", "ewah_bitmap_or", "ewah_bitmap_empty",
 }
 
-# Documented drops (README "Deliberately dropped"):
+# Documented drops (README "Deliberately dropped"): reflect2 only —
+# it invokes a method ON the value's own boxed class
+# (GenericUDFReflect2), which Spark's static-call reflection cannot
+# express; reflect/java_method moved to MISC_FNS in r11 (native).
 DROPPED = {
-    "reflect", "reflect2", "java_method",
+    "reflect2",
     "compute_stats",  # internal; maps to ANALYZE TABLE (ddl.analyze)
     "matchpath",  # provided as operators/matchpath.py PTF, not a SQL fn
     "windowingtablefunction", "noop", "noopwithmap",  # PTF plumbing
@@ -134,3 +142,35 @@ def test_dropped_set_documented_in_readme():
         assert name in readme
     # ewah_* left the dropped set in round 7 (functions/bitmaps.py)
     assert "EWAH bitmap index UDAFs" not in readme
+
+
+def test_reflect_java_method(engine):
+    """udf_reflect.q / udf_java_method.q (reference:
+    ql/udf/generic/GenericUDFReflect.java): static-method reflection
+    is NATIVE in Spark (CallMethodViaReflection), so the r1-r10
+    'dropped' classification was wrong — the reference's own test
+    shapes run verbatim. reflect2 (instance methods on the value's
+    boxed class, GenericUDFReflect2) remains the documented drop.
+    One spelling delta: Hive coerces DECIMAL literals to double for
+    the reflective call; Spark requires an explicit CAST(.. AS
+    DOUBLE) (DATATYPE_MISMATCH otherwise) — same class as the §7.3
+    literal-typing deltas."""
+    row = engine.sql(
+        """SELECT reflect('java.lang.String', 'valueOf', 1) AS a,
+                  reflect('java.lang.Math', 'max', 2, 3) AS b,
+                  reflect('java.lang.Math', 'min', 2, 3) AS c,
+                  round(CAST(reflect('java.lang.Math', 'exp',
+                             CAST(1.0 AS DOUBLE)) AS DOUBLE), 6) AS d,
+                  reflect('java.lang.Integer', 'valueOf', 'ff', 16) AS e,
+                  java_method('java.lang.Math', 'floor',
+                              CAST(1.9 AS DOUBLE)) AS f,
+                  java_method('org.apache.commons.codec.digest.DigestUtils',
+                              'sha1Hex', 'ABC') AS g
+        """
+    ).collect()[0]
+    assert (row.a, row.b, row.c) == ("1", "3", "2")
+    assert row.d == 2.718282
+    assert row.e == "255"
+    assert row.f == "1.0"
+    # udf_java_method.q's DigestUtils shape: known sha1 of 'ABC'
+    assert row.g == "3c01bdbb26f358bab27f267924aa2c9a03fcfdb8"
