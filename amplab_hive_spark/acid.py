@@ -1220,6 +1220,23 @@ _PINNED_NAMES: set[str] = set()
 # gate resolves SELECT checks through this mapping (review r11).
 _PUBLISHED: dict[str, str] = {}
 
+
+def published_backing(bare: str) -> tuple[str | None, str] | None:
+    """The (db, tbl) the published view over ``bare`` was created for,
+    parsed from the _PUBLISHED mapping value — the ONE parser both the
+    authorization gate's fast path and its definitive resolver share,
+    so they cannot drift (review r11 pass 3). Returns None when the
+    name is not published; (None, tbl) for a legacy bare value (the
+    caller must then resolve definitively rather than guess the
+    current database)."""
+    pub = _PUBLISHED.get(bare)
+    if pub is None:
+        return None
+    parts = [p.strip().strip("`") for p in pub.split(".")]
+    if len(parts) > 1:
+        return parts[-2].lower(), parts[-1].lower()
+    return None, parts[-1].lower()
+
 _VIEW_DDL_ROOTS = {"CreateView", "CreateViewCommand", "AlterViewAs"}
 _REL_RE = re.compile(r"'UnresolvedRelation \[([^\]]+)\]")
 _INSERT_TARGET_RE = re.compile(
@@ -1404,11 +1421,17 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
         # the mapping rather than re-resolving in whatever database is
         # current THEN (review r11 pass 2 — a bare value re-resolved
         # at check/sync time could land on a same-named foreign table)
-        qual = (
-            name
-            if "." in name
-            else f"{spark.catalog.currentDatabase()}.{name}"
-        )
+        qual = _qualify(spark, name)
+        prior = _PUBLISHED.get(bare)
+        if prior is not None and prior.lower() != qual.lower():
+            # an explicit re-publish must not silently RE-POINT the
+            # bare name at a different backing table (review r11
+            # pass 3 — the same hazard the mapping closes for
+            # implicit consumers); unpublish first to move it
+            raise ValueError(
+                f"{bare!r} is already published for {prior}; refusing "
+                f"to re-point it at {qual} — unpublish_mor_views first"
+            )
         _PUBLISHED[bare] = qual
         _sync_published(spark, name)
         out.append(bare)
@@ -1438,9 +1461,7 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
         try:
             # same qualified-value rule as publish_mor_views: the bare
             # name just resolved (mor_keys above) in the CURRENT db
-            _PUBLISHED.setdefault(
-                bare, f"{spark.catalog.currentDatabase()}.{bare}"
-            )
+            _PUBLISHED.setdefault(bare, _qualify(spark, bare))
             _sync_published(spark, bare)
         except Exception:  # noqa: BLE001
             # one bad table (corrupt delta, drifted schema) must not

@@ -986,20 +986,21 @@ def _candidate_enforceable(
         bare = parts[0].lower()
         if _temp_view_holds(spark, bare):
             if not for_write:
-                from amplab_hive_spark.acid import _PUBLISHED
+                from amplab_hive_spark.acid import published_backing
 
-                pub = _PUBLISHED.get(bare)
-                if pub is None:
+                backing = published_backing(bare)
+                if backing is None:
                     return _EXEMPT
                 # published merged view: the mapping value is the
                 # db-QUALIFIED name it was published for (acid stores
                 # it qualified since review r11 pass 2), which IS what
                 # the definitive path resolves — a sound metastore-free
-                # candidate. A legacy bare value forces the definitive
-                # resolver instead of guessing the current database.
-                pparts = [p.strip().strip("`") for p in pub.split(".")]
-                if len(pparts) > 1:
-                    return pparts[-2].lower(), pparts[-1].lower()
+                # candidate. A legacy bare value (db None) forces the
+                # definitive resolver instead of guessing the current
+                # database.
+                db, tbl = backing
+                if db is not None:
+                    return db, tbl
                 return None
         db = (
             spark._jsparkSession.sessionState().catalog()
@@ -1047,10 +1048,10 @@ def _resolve_enforceable(spark: SparkSession, name: str, for_write: bool = False
         return None
     bare = name.strip("`").lower()
     if not for_write:
-        from amplab_hive_spark.acid import _PUBLISHED
+        from amplab_hive_spark.acid import _PUBLISHED, published_backing
 
-        pub = _PUBLISHED.get(bare)
-        if pub is None:
+        backing = published_backing(bare)
+        if backing is None:
             return None  # session-private read — checked at CREATE
         # published merged view: resolve through the name it was
         # published UNDER — the backing catalog table may live outside
@@ -1058,7 +1059,7 @@ def _resolve_enforceable(spark: SparkSession, name: str, for_write: bool = False
         # unresolvable (dropped behind the view, shadowed bare name),
         # fail CLOSED on the published name's parts rather than exempt.
         try:
-            t2 = spark.catalog.getTable(pub)
+            t2 = spark.catalog.getTable(_PUBLISHED[bare])
             if not t2.isTemporary:
                 return (
                     (t2.database or spark.catalog.currentDatabase()).lower(),
@@ -1066,11 +1067,8 @@ def _resolve_enforceable(spark: SparkSession, name: str, for_write: bool = False
                 )
         except Exception:  # noqa: BLE001 — fall to the closed default
             pass
-        pparts = [p.strip().strip("`") for p in pub.split(".")]
-        db = (
-            pparts[-2] if len(pparts) > 1 else spark.catalog.currentDatabase()
-        ).lower()
-        return db, pparts[-1].lower()
+        db, tbl = backing
+        return (db or spark.catalog.currentDatabase().lower()), tbl
     # db-qualified lookup: temp-view resolution cannot intercept it
     try:
         db = spark.catalog.currentDatabase()

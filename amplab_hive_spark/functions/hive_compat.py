@@ -17,8 +17,10 @@ Gap inventory (SURVEY.md §2.6/§7.2):
   tagged-struct encoding: create_union() / union_tag() / union_field().
 - in_file(str, filename) (GenericUDFInFile) → in_file() helper:
   driver reads the file once, broadcasts as a literal array.
-- reflect/reflect2/java_method — deliberately dropped (JVM
-  reflection has no PySpark equivalent; documented in README).
+- reflect/java_method — NOT part of this pack: Spark ships static
+  JVM reflection natively (CallMethodViaReflection; re-audited r11,
+  pinned in tests/test_function_audit.py). Only reflect2 (instance
+  methods on the value's boxed class) stays dropped (README).
 """
 
 from __future__ import annotations

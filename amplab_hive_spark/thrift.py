@@ -120,8 +120,15 @@ def start_thrift_server(
             # without stopping the already-running server — the
             # start-time check below is the posture gate. But the
             # caller must not mistake the returned port for an
-            # enforced posture: warn loudly (review r11 pass 2).
-            if enforcement_enabled(spark) and not allow_unenforced:
+            # enforced posture: warn loudly — unless the unenforced
+            # posture was EXPLICITLY accepted, at start time or now
+            # (review r11 pass 3: a falsely-alarming warning under
+            # -W error would break the accessor contract it protects).
+            if (
+                enforcement_enabled(spark)
+                and not allow_unenforced
+                and not _STARTED.get("allow_unenforced")
+            ):
                 import warnings
 
                 warnings.warn(
@@ -191,7 +198,10 @@ def start_thrift_server(
             try:
                 probe = socket.create_connection((probe_host, port), 1.0)
                 probe.close()
-                _STARTED = {"port": port, "host": host, "server": server}
+                _STARTED = {
+                    "port": port, "host": host, "server": server,
+                    "allow_unenforced": allow_unenforced,
+                }
                 return port
             except OSError as e:
                 last_err = e

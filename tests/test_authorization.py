@@ -883,3 +883,38 @@ def test_enforcement_published_view_foreign_db_checked(
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         spark.sql("DROP DATABASE IF EXISTS authz_fdb")
         spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_thrift_accessor_warns_when_enforcement_postdates_server(
+    enforced, spark, monkeypatch
+):
+    """Review r11 pass 3: the idempotent accessor warns (never raises)
+    when enforcement was enabled AFTER an unaccepted server start; an
+    explicitly-accepted posture (allow_unenforced at start or now)
+    stays silent."""
+    import warnings as _w
+
+    from amplab_hive_spark import thrift as th
+
+    monkeypatch.setattr(
+        th, "_STARTED",
+        {"port": 10991, "host": "127.0.0.1", "server": None,
+         "allow_unenforced": False},
+    )
+    with pytest.warns(RuntimeWarning, match="UNCHECKED"):
+        assert th.start_thrift_server(spark, port=10991) == 10991
+    # explicit acceptance NOW silences it
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert th.start_thrift_server(
+            spark, port=10991, allow_unenforced=True
+        ) == 10991
+    # ...and so does acceptance recorded at START time
+    monkeypatch.setattr(
+        th, "_STARTED",
+        {"port": 10991, "host": "127.0.0.1", "server": None,
+         "allow_unenforced": True},
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert th.start_thrift_server(spark, port=10991) == 10991

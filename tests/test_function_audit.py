@@ -41,7 +41,7 @@ map_keys map_values inline""".split()
 
 MISC_FNS = """current_database current_user hash
 reflect java_method""".split()
-# reflect/java_method left DROPPED in r11: Spark ships the reflective
+# reflect/java_method left the DROPPED set in r11: Spark ships the reflective
 # call natively (CallMethodViaReflection — the same static-method
 # semantics as Hive's GenericUDFReflect, udf_reflect.q /
 # udf_java_method.q), exercised in test_reflect_java_method below.

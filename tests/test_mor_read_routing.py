@@ -392,3 +392,29 @@ def test_auto_publish_keeps_prior_registration_on_sync_error(
     # registered: the next write resyncs the merged view as usual
     engine.sql(f"UPDATE {mor_table} SET v = 2 WHERE k = 1")
     assert spark.sql(f"SELECT v FROM {mor_table} WHERE k = 1").first().v == 2
+
+
+def test_publish_refuses_silent_repoint(engine, spark, mor_table, tmp_path):
+    """Review r11 pass 3: re-publishing an already-published bare name
+    for a DIFFERENT backing table is refused (unpublish first); the
+    same-backing re-publish stays idempotent."""
+    engine.sql(f"UPDATE {mor_table} SET v = 1 WHERE k = 1")
+    acid.publish_mor_views(spark, [mor_table])
+    # idempotent: same backing (bare resolves to the same current-db
+    # qualified name)
+    acid.publish_mor_views(spark, [mor_table])
+    assert acid._PUBLISHED[mor_table] == f"default.{mor_table}"
+    spark.sql("CREATE DATABASE IF NOT EXISTS repoint_db")
+    other = f"repoint_db.{mor_table}"
+    spark.sql(
+        f"CREATE TABLE {other} (k INT, grp STRING, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/repoint_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    try:
+        with pytest.raises(ValueError, match="refusing to re-point"):
+            acid.publish_mor_views(spark, [other])
+        assert acid._PUBLISHED[mor_table] == f"default.{mor_table}"
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {other}")
+        spark.sql("DROP DATABASE IF EXISTS repoint_db")
