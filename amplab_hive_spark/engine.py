@@ -251,6 +251,25 @@ class Engine:
 
         return read_avro_split(self.spark, path, split_bytes=split_bytes)
 
+    def read_kvstore(self, path: str, columns: str, mapping: str) -> DataFrame:
+        """External key-value table -> DataFrame via the kvstore
+        Python Data Source (sources/kvstore.py) — the storage-handler
+        extension point (reference: hbase-handler/.../
+        HBaseStorageHandler.java:80 + HBaseSerDe's
+        hbase.columns.mapping). ``columns`` pairs positionally with
+        ``mapping`` (``:key,fam:qual,...``); region-per-partition
+        scan, row-key predicates pushed down as scan ranges."""
+        from amplab_hive_spark.sources import kvstore
+
+        kvstore.register(self.spark)
+        return (
+            self.spark.read.format("kvstore")
+            .option("path", path)
+            .option("columns", columns)
+            .option("columns.mapping", mapping)
+            .load()
+        )
+
     def read_sequencefile(self, path: str) -> DataFrame:
         """Hadoop SequenceFiles -> key/value DataFrame (native
         distributed reader, sources/seqfile.py; reference format

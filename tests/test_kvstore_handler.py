@@ -1,0 +1,164 @@
+"""Storage-handler extension point (sources/kvstore.py, round 11):
+the HBase/Accumulo handler CAPABILITY — external table bound by a
+columns mapping, region-split parallelism, row-key predicates pushed
+down as scan ranges — re-expressed on Spark's Python Data Source API
+(reference: hbase-handler/.../HBaseStorageHandler.java:80,
+HBaseSerDe's hbase.columns.mapping,
+HiveHBaseTableInputFormat's key-range conversion). The on-disk
+sorted-region store is the deterministic simulation boundary (no
+HBase server in this environment — same honesty rule as the
+multimodal decoder stub); everything Spark-side is real and
+asserted here, including that region PRUNING actually prevents
+executors from opening out-of-range regions (the poison-region
+proof)."""
+
+import json
+import os
+
+import pytest
+
+from amplab_hive_spark.engine import Engine
+from amplab_hive_spark.sources import kvstore
+
+COLUMNS = "row_key,name,qty"
+MAPPING = ":key,f:name,f:qty"
+
+
+def _write_region(path: str, idx: int, keys: list[str]) -> str:
+    fp = os.path.join(path, f"{kvstore.REGION_PREFIX}{idx:05d}.jsonl")
+    with open(fp, "w") as fh:
+        for k in keys:
+            fh.write(json.dumps(
+                {"key": f"k{k}", "cells": {"f:name": f"n_{k}", "f:qty": str(ord(k))}}
+            ) + "\n")
+    return fp
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    d = str(tmp_path / "kv_table")
+    os.makedirs(d)
+    _write_region(d, 0, ["a", "b", "c"])
+    _write_region(d, 1, ["d", "e", "f"])
+    _write_region(d, 2, ["g", "h", "k"])
+    kvstore.register(spark)
+    return d
+
+
+def _load(spark, d):
+    return (
+        spark.read.format("kvstore").option("path", d)
+        .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+        .load()
+    )
+
+
+def test_mapping_parse_contract():
+    """HBaseSerDe's pairing rules: arity must match, exactly one :key,
+    family:qualifier shape."""
+    with pytest.raises(ValueError, match="must pair"):
+        kvstore.parse_mapping({"columns": "a,b", "columns.mapping": ":key"})
+    with pytest.raises(ValueError, match="exactly one :key"):
+        kvstore.parse_mapping({"columns": "a,b", "columns.mapping": "f:x,f:y"})
+    with pytest.raises(ValueError, match="family:qualifier"):
+        kvstore.parse_mapping({"columns": "a,b", "columns.mapping": ":key,noq"})
+    cols, mapped = kvstore.parse_mapping(
+        {"columns": COLUMNS, "columns.mapping": MAPPING}
+    )
+    assert cols == ["row_key", "name", "qty"]
+    assert mapped == [("", ":key"), ("f", "name"), ("f", "qty")]
+
+
+def test_full_scan_and_column_family_mapping(spark, store):
+    rows = {r.row_key: (r.name, r.qty) for r in _load(spark, store).collect()}
+    assert len(rows) == 9
+    assert rows["ka"] == ("n_a", "97")
+    assert rows["kk"] == ("n_k", "107")
+    # one partition per region
+    assert _load(spark, store).rdd.getNumPartitions() == 3
+
+
+def test_key_range_pushdown_rows(spark, store):
+    got = sorted(
+        r.row_key
+        for r in _load(spark, store)
+        .filter("row_key >= 'kd' AND row_key < 'kg'").collect()
+    )
+    assert got == ["kd", "ke", "kf"]
+    assert _load(spark, store).filter("row_key = 'kh'").count() == 1
+    assert _load(spark, store).filter("row_key > 'zz'").count() == 0
+
+
+def test_nonkey_predicates_stay_with_spark(spark, store):
+    """Non-key filters are returned from pushFilters for Spark to
+    evaluate post-scan — results must still be exact."""
+    assert _load(spark, store).filter("name = 'n_e'").count() == 1
+    assert _load(spark, store).filter("qty = '103'").first().row_key == "kg"
+
+
+def test_poison_region_proves_pruning(spark, store):
+    """The scan-range proof: a region whose key span lies outside the
+    pushed range has CORRUPT middle rows — the range query succeeds
+    (the region is pruned at plan time, no executor opens its body),
+    while an unfiltered scan of the same store fails. File existence
+    alone can't fake this."""
+    poison = os.path.join(store, f"{kvstore.REGION_PREFIX}00009.jsonl")
+    with open(poison, "w") as fh:
+        fh.write(json.dumps({"key": "kx", "cells": {"f:name": "ok"}}) + "\n")
+        fh.write("THIS IS NOT JSON\n")
+        fh.write(json.dumps({"key": "kz", "cells": {"f:name": "ok"}}) + "\n")
+    got = sorted(
+        r.row_key
+        for r in _load(spark, store)
+        .filter("row_key >= 'kb' AND row_key <= 'ke'").collect()
+    )
+    assert got == ["kb", "kc", "kd", "ke"]  # pruned: poison never read
+    with pytest.raises(Exception):  # noqa: B017 — worker-side JSON error
+        _load(spark, store).count()
+    os.remove(poison)
+
+
+def test_write_roundtrip_and_sorted_regions(spark, store):
+    src = spark.createDataFrame(
+        [("kz2", "w2", "9"), ("kz1", "w1", "8")],
+        "row_key string, name string, qty string",
+    )
+    (
+        src.write.format("kvstore").option("path", store)
+        .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+        .mode("append").save()
+    )
+    got = {r.row_key: r.name for r in
+           _load(spark, store).filter("row_key >= 'kz'").collect()}
+    assert got == {"kz1": "w1", "kz2": "w2"}
+    # new region files are key-sorted (the store invariant the span
+    # metadata depends on)
+    for fp in kvstore._region_files(store):
+        keys = [json.loads(line)["key"] for line in open(fp)]
+        assert keys == sorted(keys)
+    # overwrite is refused (HBase semantics: puts only)
+    with pytest.raises(Exception, match="append only"):
+        (
+            src.write.format("kvstore").option("path", store)
+            .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+            .mode("overwrite").save()
+        )
+
+
+def test_sql_join_against_parquet(spark, store, sf_dir):
+    """The storage-handler story: the external kv table is a first-
+    class SQL relation — joinable with warehouse tables through the
+    Engine surface."""
+    eng = Engine(spark)
+    eng.read_kvstore(store, COLUMNS, MAPPING).createOrReplaceTempView("kv_ext")
+    from amplab_hive_spark.catalog import tables
+
+    tables(spark, sf_dir)
+    try:
+        row = eng.sql(
+            "SELECT COUNT(*) AS n FROM kv_ext k JOIN nation n "
+            "ON CAST(k.qty AS INT) - 90 = n.n_nationkey"
+        ).first()
+        assert row.n > 0
+    finally:
+        spark.catalog.dropTempView("kv_ext")
