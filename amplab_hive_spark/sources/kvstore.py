@@ -109,14 +109,21 @@ def _region_files(path: str) -> list[str]:
 def _region_span(fp: str) -> tuple[str, str]:
     """(min_key, max_key) of a sorted region file — first and last
     line only, never the body (plan-time metadata, like a region
-    server's key range)."""
+    server's key range). The tail read grows until it provably holds
+    one complete line — a fixed window would silently truncate a last
+    line longer than it (long cell values), making the span garbage."""
     with open(fp, "rb") as fh:
         first = fh.readline()
         fh.seek(0, os.SEEK_END)
         size = fh.tell()
-        back = min(size, 8192)
-        fh.seek(size - back)
-        last = fh.read().splitlines()[-1]
+        back = 8192
+        while True:
+            fh.seek(max(0, size - back))
+            lines = fh.read().splitlines()
+            if len(lines) > 1 or back >= size:
+                last = lines[-1]
+                break
+            back *= 2
     return json.loads(first)["key"], json.loads(last)["key"]
 
 

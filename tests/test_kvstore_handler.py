@@ -162,3 +162,26 @@ def test_sql_join_against_parquet(spark, store, sf_dir):
         assert row.n > 0
     finally:
         spark.catalog.dropTempView("kv_ext")
+
+
+def test_region_span_long_last_line(spark, tmp_path):
+    """Review r11: the span's tail read must not truncate a last line
+    longer than its initial window — a 100 KB cell in the final row is
+    legal and its key must still bound the region."""
+    d = str(tmp_path / "kv_long")
+    os.makedirs(d)
+    fp = os.path.join(d, f"{kvstore.REGION_PREFIX}00000.jsonl")
+    with open(fp, "w") as fh:
+        fh.write(json.dumps({"key": "ka", "cells": {"f:name": "a"}}) + "\n")
+        fh.write(json.dumps(
+            {"key": "kb", "cells": {"f:name": "x" * 100_000}}
+        ) + "\n")
+    assert kvstore._region_span(fp) == ("ka", "kb")
+    kvstore.register(spark)
+    got = (
+        spark.read.format("kvstore").option("path", d)
+        .option("columns", "row_key,name")
+        .option("columns.mapping", ":key,f:name").load()
+        .filter("row_key = 'kb'").count()
+    )
+    assert got == 1
