@@ -1402,7 +1402,10 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
     scope lifts the shadow around the insert) — and ``db.t`` reads
     stay raw. Returns the names actually published. Raises on a
     non-MOR name: publishing a no-op shadow would silently lie."""
-    out = []
+    # validate EVERY name before mutating anything: a mid-list error
+    # must not leave earlier names silently published while the caller
+    # sees only the exception (review r11 — all-or-nothing)
+    plan: list[tuple[str, str, str]] = []
     for name in names:
         bare = name.split(".")[-1].lower()
         if mor_keys(spark, name) is None:
@@ -1432,6 +1435,9 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
                 f"{bare!r} is already published for {prior}; refusing "
                 f"to re-point it at {qual} — unpublish_mor_views first"
             )
+        plan.append((name, bare, qual))
+    out = []
+    for name, bare, qual in plan:
         _PUBLISHED[bare] = qual
         _sync_published(spark, name)
         out.append(bare)

@@ -134,7 +134,6 @@ class _RegionPartition(InputPartition):
 
 class KVStoreReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
-        self.options = dict(options)
         self.path = options["path"]
         self.cols, self.mapping = parse_mapping(options)
         self.key_col = self.cols[self.mapping.index(("", ":key"))]
@@ -187,8 +186,15 @@ class KVStoreReader(DataSourceReader):
         """One partition per region file, PRUNED by the pushed key
         range against each region's sorted (min, max) span — a pruned
         region is never opened by any executor."""
+        files = _region_files(self.path)
+        if self.lo is None and self.hi is None:
+            # nothing pushed: no span metadata needed — don't pay
+            # plan-time driver I/O per region for nothing (review r11)
+            return [_RegionPartition(fp) for fp in files] or [
+                _RegionPartition("")
+            ]
         parts = []
-        for fp in _region_files(self.path):
+        for fp in files:
             mn, mx = _region_span(fp)
             if self.lo is not None and (mx < self.lo or (mx == self.lo and self.lo_strict)):
                 continue
@@ -218,8 +224,8 @@ class KVStoreReader(DataSourceReader):
 
 
 class _RegionCommit(WriterCommitMessage):
-    def __init__(self, fp: str):
-        self.fp = fp
+    def __init__(self, tmp: str):
+        self.tmp = tmp
 
 
 class KVStoreWriter(DataSourceWriter):
@@ -228,6 +234,15 @@ class KVStoreWriter(DataSourceWriter):
         self.cols, self.mapping = parse_mapping(options)
 
     def write(self, iterator) -> _RegionCommit:
+        """One HIDDEN .tmp file per task attempt; publish happens in
+        commit(), never here — a task-time rename would make a lost or
+        speculative attempt's region visible forever and duplicate its
+        rows (review r11). Keys and cells are stringified on write:
+        the store's declared schema (and the span ordering
+        partitions() depends on) is all-string — the HBaseSerDe
+        bytes-as-string default — and a raw int key would poison every
+        later filtered scan with a str-vs-int comparison at plan time
+        (review r11)."""
         os.makedirs(self.path, exist_ok=True)
         recs = []
         for row in iterator:
@@ -236,11 +251,11 @@ class KVStoreWriter(DataSourceWriter):
             for col, (fam, qual) in zip(self.cols, self.mapping):
                 v = row[col]
                 if qual == ":key":
-                    key = v
+                    if v is None:
+                        raise ValueError("kvstore write: NULL row key")
+                    key = str(v)
                 elif v is not None:
-                    cells[f"{fam}:{qual}"] = v
-            if key is None:
-                raise ValueError("kvstore write: NULL row key")
+                    cells[f"{fam}:{qual}"] = str(v)
             recs.append({"key": key, "cells": cells})
         if not recs:
             return _RegionCommit("")
@@ -249,20 +264,31 @@ class KVStoreWriter(DataSourceWriter):
         with open(tmp, "w") as fh:
             for r in recs:
                 fh.write(json.dumps(r) + "\n")
-        final = os.path.join(
-            self.path, f"{REGION_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
-        )
-        os.rename(tmp, final)  # atomic publish, the engine's idiom
-        return _RegionCommit(final)
+        return _RegionCommit(tmp)
 
     def commit(self, messages):
+        # job-level publish: only attempts whose commit message reached
+        # the driver are renamed into visibility (rename is atomic per
+        # file; driver and executors share the store filesystem — the
+        # simulation boundary). Readers never see an uncommitted or
+        # duplicated attempt; a lost attempt's .tmp-* stays hidden
+        # (REGION_PREFIX-filtered) rather than becoming a region.
+        for m in messages:
+            tmp = getattr(m, "tmp", "")
+            if tmp and os.path.exists(tmp):
+                final = os.path.join(
+                    self.path,
+                    f"{REGION_PREFIX}{uuid.uuid4().hex[:12]}.jsonl",
+                )
+                os.rename(tmp, final)
         return None
 
     def abort(self, messages):
         for m in messages:
-            if m and getattr(m, "fp", ""):
+            tmp = getattr(m, "tmp", "")
+            if tmp:
                 try:
-                    os.remove(m.fp)
+                    os.remove(tmp)
                 except OSError:
                     pass
 
@@ -279,8 +305,10 @@ class KVStoreDataSource(DataSource):
     def schema(self) -> str:
         cols, mapped = parse_mapping(self.options)
         # HBase stores untyped bytes; the serde's default mapping is
-        # string per cell — same here (CAST in SQL for other types)
-        return ", ".join(f"{c} string" for c in cols)
+        # string per cell — same here (CAST in SQL for other types).
+        # Names are backtick-quoted: a qualifier mapped straight to a
+        # reserved-word column ('order') must still parse (review r11)
+        return ", ".join(f"`{c}` string" for c in cols)
 
     def reader(self, schema: StructType) -> KVStoreReader:
         return KVStoreReader(schema, self.options)
@@ -300,5 +328,13 @@ def register(spark) -> None:
     planning a kvstore scan with pushdown disabled is an ERROR by API
     contract once the reader implements pushFilters, and the key-range
     pushdown IS this connector's point."""
-    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    if spark.conf.get(
+        "spark.sql.python.filterPushdown.enabled", "false"
+    ) != "true":
+        # session-wide planner switch, flipped once and documented:
+        # sources that do NOT implement pushFilters keep the no-op
+        # base behavior either way, so enabling it only activates
+        # pushdown for sources that opted in by implementing the hook
+        # (review r11 — don't re-set on every read)
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(KVStoreDataSource)
