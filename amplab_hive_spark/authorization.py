@@ -1188,6 +1188,23 @@ def enforce_maintenance(spark: SparkSession, name: str) -> None:
     admin — this minimal model has no ownership, UPDATE+DELETE is the
     closest faithful bar). dml_text's COMPACT handler calls this
     before touching any file."""
+    enforce_verb(spark, name, ("UPDATE", "DELETE"))
+
+
+def enforce_verb(
+    spark: SparkSession, name: str, privs: "tuple[str, ...] | list[str]"
+) -> None:
+    """Gate for the PROGRAMMATIC Engine write verbs (VERDICT r11
+    task 1): ``Engine.update/delete/merge/insert_into/multi_insert/
+    compact_mor/...`` mutate catalog tables without going through
+    ``Engine.sql``, so ``enforce()``'s plan-tree extractor never sees
+    them. The reference's only programmatic entry point IS checked
+    (ql/Driver.java:1041 run → Driver.compile →
+    SQLStdHiveAuthorizationValidator.checkPrivileges) — one facade,
+    one posture. Each verb knows its target table and the privileges
+    its mutation implies; this routes them through the same
+    ``_deny_missing`` core as the SQL gate. No-op when enforcement is
+    disabled (the default)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1198,8 +1215,65 @@ def enforce_maintenance(spark: SparkSession, name: str) -> None:
     quoted = ".".join(f"`{p}`" for p in name.split("."))
     _deny_missing(
         spark, store, user, roles,
-        [(quoted, "UPDATE"), (quoted, "DELETE")],
+        [(quoted, p) for p in privs],
     )
+
+
+def enforce_path_write(spark: SparkSession, path: str) -> None:
+    """Gate for PATH-addressed programmatic writes
+    (``Engine.append_batch``): when ``path`` is the storage location
+    of a catalog table, the append is an INSERT into that table and
+    requires INSERT on it — the reference resolves a streaming
+    endpoint to its metastore table and privilege-checks that
+    (hcatalog/streaming HiveEndPoint.newConnection → checkAuth). A
+    path backing NO catalog table is plain filesystem I/O outside the
+    privilege model (Hive's URI privileges are filesystem-ownership
+    checks this minimal model does not carry — documented in README);
+    nothing stops raw ``df.write`` either, so gating it here would be
+    theater. Catalog-location resolution walks DESCRIBE FORMATTED
+    only under enforcement for a non-admin caller."""
+    if not enforcement_enabled(spark):
+        return
+    user = current_user(spark)
+    store = _load(spark)
+    roles = _active_roles(spark, store)
+    if "admin" in roles:
+        return
+    import os as _os
+
+    want = _os.path.realpath(path)
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.isTemporary:
+                continue
+            loc = _table_location(spark, db.name, t.name)
+            if loc is not None and _os.path.realpath(loc) == want:
+                _deny_missing(
+                    spark, store, user, roles,
+                    [(f"`{db.name}`.`{t.name}`", "INSERT")],
+                )
+                return
+
+
+def _table_location(spark: SparkSession, db: str, tbl: str):
+    """Local-filesystem location of a catalog table, or None (non-file
+    scheme, or metadata without a location)."""
+    try:
+        rows = (
+            spark.sql(f"DESCRIBE FORMATTED `{db}`.`{tbl}`")
+            .where("col_name = 'Location'")
+            .collect()
+        )
+    except Exception:  # noqa: BLE001 — concurrently dropped, etc.
+        return None
+    if not rows:
+        return None
+    loc = rows[0].data_type or ""
+    if loc.startswith("file:"):
+        loc = loc[len("file:"):]
+    elif "://" in loc:
+        return None  # non-local scheme — realpath comparison is moot
+    return loc or None
 
 
 def _require_role_admin(

@@ -98,8 +98,10 @@ class Engine:
         hcatalog/streaming TransactionBatch). Delegates to
         streaming.ingest — atomic visibility via the Parquet
         file-commit protocol."""
+        from amplab_hive_spark.authorization import enforce_path_write
         from amplab_hive_spark.streaming.ingest import append_batch
 
+        enforce_path_write(self.spark, table_path)
         append_batch(self.spark, rows, table_path, schema=schema)
 
     def explain(self, df_or_sql: DataFrame | str, mode: str = "formatted") -> str:
@@ -114,24 +116,46 @@ class Engine:
 
         create_table_as(self.spark, name, df, path, **kwargs)
 
+    # Every write verb below is privilege-gated when enforcement is
+    # on (spark.sql.authz.enabled=true) — the reference checks its
+    # only programmatic path (ql/Driver.java:1041 run →
+    # checkPrivileges), so Engine's python verbs hit the same gate as
+    # their SQL spellings (VERDICT r11 task 1). INSERT OVERWRITE
+    # needs INSERT + DELETE, Hive's SQL-std rule
+    # (Operation2Privilege.java: INSERT_OVERWRITE → INS_NOGRANT +
+    # DEL_NOGRANT).
+
     def insert_into(self, name: str, df: DataFrame, overwrite: bool = False) -> None:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import insert_into
 
+        enforce_verb(self.spark, name,
+                     ("INSERT", "DELETE") if overwrite else ("INSERT",))
         insert_into(self.spark, name, df, overwrite=overwrite)
 
     def multi_insert(self, source: DataFrame, sinks) -> None:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import multi_insert
 
+        # check every sink BEFORE the first write: a multi-insert is
+        # one statement, a mid-statement denial must not leave a
+        # half-written sink list
+        for _, table in sinks:
+            enforce_verb(self.spark, table, ("INSERT", "DELETE"))
         multi_insert(self.spark, source, sinks)
 
     def update(self, name: str, condition: str, assignments: dict[str, str]) -> int:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import update_table
 
+        enforce_verb(self.spark, name, ("UPDATE",))
         return update_table(self.spark, name, condition, assignments)
 
     def delete(self, name: str, condition: str) -> int:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import delete_from
 
+        enforce_verb(self.spark, name, ("DELETE",))
         return delete_from(self.spark, name, condition)
 
     # -- merge-on-read twins (acid.py: delta-file deletes, the
@@ -139,13 +163,17 @@ class Engine:
 
     def delete_mor(self, name: str, condition: str, key_cols: list[str]) -> int:
         from amplab_hive_spark.acid import delete_mor
+        from amplab_hive_spark.authorization import enforce_verb
 
+        enforce_verb(self.spark, name, ("DELETE",))
         return delete_mor(self.spark, name, condition, key_cols)
 
     def update_mor(self, name: str, condition: str,
                    assignments: dict[str, str], key_cols: list[str]) -> int:
         from amplab_hive_spark.acid import update_mor
+        from amplab_hive_spark.authorization import enforce_verb
 
+        enforce_verb(self.spark, name, ("UPDATE",))
         return update_mor(self.spark, name, condition, assignments, key_cols)
 
     def pin_mor_keys(self, name: str, key_cols: list[str]) -> None:
@@ -163,7 +191,9 @@ class Engine:
 
     def compact_mor(self, name: str, mode: str = "major") -> int:
         from amplab_hive_spark.acid import compact_mor
+        from amplab_hive_spark.authorization import enforce_maintenance
 
+        enforce_maintenance(self.spark, name)
         return compact_mor(self.spark, name, mode=mode)
 
     def unpin_mor_keys(self, name: str) -> None:
@@ -185,8 +215,21 @@ class Engine:
         not_matched_insert: dict[str, str] | None = None,
         not_matched_cond: str | None = None,
     ) -> dict[str, int]:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import merge_into
 
+        # clause-scoped privileges (Hive MergeSemanticAnalyzer emits
+        # one privilege per rewritten branch): only the clauses this
+        # MERGE actually carries are required
+        privs = []
+        if matched_update:
+            privs.append("UPDATE")
+        if matched_delete:
+            privs.append("DELETE")
+        if not_matched_insert:
+            privs.append("INSERT")
+        enforce_verb(self.spark, name, privs)  # clauseless MERGE is
+        # merge_into's own ValueError — no privileges to demand
         return merge_into(
             self.spark, name, source, on,
             matched_update=matched_update,
@@ -204,8 +247,11 @@ class Engine:
         tracked_cols: list[str],
         batch_date: str,
     ) -> dict[str, int]:
+        from amplab_hive_spark.authorization import enforce_verb
         from amplab_hive_spark.ddl import scd2_apply
 
+        # SCD2 = MERGE(update the closing rows) + append(new versions)
+        enforce_verb(self.spark, name, ("UPDATE", "INSERT"))
         return scd2_apply(self.spark, name, source, key_cols, tracked_cols, batch_date)
 
     def analyze(self, name: str, columns=()) -> None:

@@ -918,3 +918,215 @@ def test_thrift_accessor_warns_when_enforcement_postdates_server(
     with _w.catch_warnings():
         _w.simplefilter("error")
         assert th.start_thrift_server(spark, port=10991) == 10991
+
+
+# -- round 12: programmatic Engine write verbs gated (VERDICT r11
+#    task 1). The reference privilege-checks its only programmatic
+#    entry (ql/Driver.java:1041 run -> Driver.compile ->
+#    SQLStdHiveAuthorizationValidator.checkPrivileges); Engine's
+#    python verbs must hit the same gate as their SQL spellings. One
+#    denial + one granted-success per verb. ----------------------------
+
+
+def test_enforcement_programmatic_update_delete(enforced, spark, tbl):
+    eng, _as, _seed = enforced
+    _as("prog_upd")
+    with pytest.raises(PermissionError, match=r"\[UPDATE\] on \[default.src_autho_test\]"):
+        eng.update(tbl, "key = 1", {"value": "'xx'"})
+    with pytest.raises(PermissionError, match=r"\[DELETE\] on \[default.src_autho_test\]"):
+        eng.delete(tbl, "key = 0")
+    _seed(f"GRANT UPDATE, DELETE ON {tbl} TO USER prog_upd")
+    _as("prog_upd")
+    assert eng.update(tbl, "key = 1", {"value": "'xx'"}) == 1
+    assert eng.delete(tbl, "key = 0") == 1
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    assert spark.table(tbl).where("value = 'xx'").count() == 1
+    assert spark.table(tbl).count() == 4
+    spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_programmatic_insert_and_overwrite(enforced, spark, tbl):
+    """INSERT needs INSERT; INSERT OVERWRITE needs INSERT + DELETE
+    (Hive Operation2Privilege: INSERT_OVERWRITE -> INS + DEL)."""
+    eng, _as, _seed = enforced
+    batch = spark.createDataFrame([(7, "v7")], "key bigint, value string")
+    _as("prog_ins")
+    with pytest.raises(PermissionError, match=r"\[INSERT\]"):
+        eng.insert_into(tbl, batch)
+    _seed(f"GRANT INSERT ON {tbl} TO USER prog_ins")
+    _as("prog_ins")
+    eng.insert_into(tbl, batch)
+    # overwrite: INSERT alone is not enough
+    with pytest.raises(PermissionError, match=r"\[DELETE\]"):
+        eng.insert_into(tbl, batch, overwrite=True)
+    _seed(f"GRANT DELETE ON {tbl} TO USER prog_ins")
+    _as("prog_ins")
+    eng.insert_into(tbl, batch, overwrite=True)
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    assert spark.table(tbl).count() == 1  # overwrite landed
+    spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_programmatic_multi_insert_all_sinks_checked_first(
+    enforced, spark, tbl
+):
+    """A multi-insert denied on ANY sink writes to NO sink — the
+    privilege sweep runs before the first write."""
+    eng, _as, _seed = enforced
+    for t in ("authz_mi_a", "authz_mi_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.createDataFrame([(99, "seed")], "key bigint, value string") \
+            .write.saveAsTable(t)
+    try:
+        _seed(
+            "GRANT INSERT, DELETE ON authz_mi_a TO USER prog_multi",
+            f"GRANT SELECT ON {tbl} TO USER prog_multi",
+        )
+        _as("prog_multi")
+        src = spark.table(tbl)
+        sinks = [
+            (lambda d: d.limit(1), "authz_mi_a"),
+            (lambda d: d.limit(1), "authz_mi_b"),  # not granted
+        ]
+        with pytest.raises(PermissionError, match=r"authz_mi_b"):
+            eng.multi_insert(src, sinks)
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        # the GRANTED first sink was not half-written either
+        assert spark.table("authz_mi_a").collect()[0].value == "seed"
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        _seed("GRANT INSERT, DELETE ON authz_mi_b TO USER prog_multi")
+        _as("prog_multi")
+        eng.multi_insert(src, sinks)
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        assert spark.table("authz_mi_a").count() == 1
+        assert spark.table("authz_mi_b").count() == 1
+        spark.conf.set("spark.sql.authz.enabled", "true")
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        for t in ("authz_mi_a", "authz_mi_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_programmatic_merge_clause_scoped(enforced, spark, tbl):
+    """MERGE demands only the privileges its clauses imply (Hive
+    MergeSemanticAnalyzer: one rewritten branch per clause)."""
+    eng, _as, _seed = enforced
+    src = spark.createDataFrame([(100, "new")], "k bigint, v string")
+    _as("prog_merge")
+    with pytest.raises(PermissionError, match=r"\[INSERT\]"):
+        eng.merge(tbl, src, on="t.key = s.k",
+                  not_matched_insert={"key": "s.k", "value": "s.v"})
+    _seed(f"GRANT INSERT ON {tbl} TO USER prog_merge")
+    _as("prog_merge")
+    # insert-only MERGE now runs WITHOUT UPDATE or DELETE
+    counts = eng.merge(tbl, src, on="t.key = s.k",
+                       not_matched_insert={"key": "s.k", "value": "s.v"})
+    assert counts["inserted"] == 1
+    # an update clause raises the bar to UPDATE
+    with pytest.raises(PermissionError, match=r"\[UPDATE\]"):
+        eng.merge(tbl, src, on="t.key = s.k",
+                  matched_update={"value": "s.v"})
+    with pytest.raises(PermissionError, match=r"\[DELETE\]"):
+        eng.merge(tbl, src, on="t.key = s.k",
+                  matched_delete="s.v = 'new'")
+
+
+def test_enforcement_programmatic_mor_verbs(enforced, spark, tbl):
+    """update_mor/delete_mor/compact_mor gate like their SQL routes
+    (compact = UPDATE + DELETE, the enforce_maintenance bar)."""
+    from amplab_hive_spark import acid
+
+    eng, _as, _seed = enforced
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    acid.pin_mor_keys(spark, tbl, ["key"])
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        _as("prog_mor")
+        with pytest.raises(PermissionError, match=r"\[UPDATE\]"):
+            eng.update_mor(tbl, "key = 1", {"value": "'mm'"}, ["key"])
+        with pytest.raises(PermissionError, match=r"\[DELETE\]"):
+            eng.delete_mor(tbl, "key = 2", ["key"])
+        with pytest.raises(PermissionError, match=r"\[UPDATE\].*\[DELETE\]|\[DELETE\].*\[UPDATE\]"):
+            eng.compact_mor(tbl)
+        _seed(f"GRANT UPDATE, DELETE ON {tbl} TO USER prog_mor")
+        _as("prog_mor")
+        assert eng.update_mor(tbl, "key = 1", {"value": "'mm'"}, ["key"]) == 1
+        assert eng.delete_mor(tbl, "key = 2", ["key"]) == 1
+        assert eng.compact_mor(tbl) >= 1
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        got = {r.key: r.value for r in eng.table(tbl).collect()}
+        assert got[1] == "mm" and 2 not in got
+        spark.conf.set("spark.sql.authz.enabled", "true")
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        acid.unpin_mor_keys(spark, tbl)
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_programmatic_scd2(enforced, spark, tmp_path):
+    """scd2_apply = MERGE(close) + append(open): UPDATE + INSERT."""
+    from pyspark.sql import functions as F
+
+    from amplab_hive_spark import ddl
+
+    eng, _as, _seed = enforced
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS authz_scd2")
+    dim0 = spark.createDataFrame(
+        [(1, "NY")], "cust_id INT, city STRING"
+    ).select(
+        "*",
+        F.lit("2024-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    ddl.create_table_as(spark, "authz_scd2", dim0, str(tmp_path / "authz_scd2"))
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        batch = spark.createDataFrame([(1, "BOS")], "cust_id INT, city STRING")
+        _as("prog_scd2")
+        with pytest.raises(PermissionError, match=r"\[UPDATE\]|\[INSERT\]"):
+            eng.scd2_apply("authz_scd2", batch, ["cust_id"], ["city"], "2024-02-01")
+        _seed("GRANT UPDATE, INSERT, DELETE ON authz_scd2 TO USER prog_scd2")
+        _as("prog_scd2")
+        counts = eng.scd2_apply(
+            "authz_scd2", batch, ["cust_id"], ["city"], "2024-02-01"
+        )
+        assert counts == {"closed": 1, "inserted": 1}
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS authz_scd2")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_programmatic_append_batch_path(enforced, spark, tmp_path):
+    """append_batch to a path BACKING a catalog table is an INSERT
+    into that table; a path backing no table is filesystem I/O
+    outside the privilege model (raw df.write is ungateable anyway —
+    documented posture, README)."""
+    eng, _as, _seed = enforced
+    loc = str(tmp_path / "authz_append_tbl")
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS authz_append_tbl")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", loc).saveAsTable("authz_append_tbl")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        batch = spark.createDataFrame([(2,)], "id bigint")
+        _as("prog_append")
+        with pytest.raises(PermissionError, match=r"\[INSERT\] on \[default.authz_append_tbl\]"):
+            eng.append_batch(batch, loc)
+        _seed("GRANT INSERT ON authz_append_tbl TO USER prog_append")
+        _as("prog_append")
+        eng.append_batch(batch, loc)
+        # uncataloged path: exempt (no catalog object to protect)
+        eng.append_batch(batch, str(tmp_path / "plain_dir"))
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.catalog.refreshTable("authz_append_tbl")
+        assert spark.table("authz_append_tbl").count() == 2
+        spark.conf.set("spark.sql.authz.enabled", "true")
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS authz_append_tbl")
+        spark.conf.set("spark.sql.authz.enabled", "true")
