@@ -1436,11 +1436,30 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
                 f"to re-point it at {qual} — unpublish_mor_views first"
             )
         plan.append((name, bare, qual))
-    out = []
-    for name, bare, qual in plan:
-        _PUBLISHED[bare] = qual
-        _sync_published(spark, name)
-        out.append(bare)
+    # mutate under a rollback guard: _sync_published can still throw
+    # AFTER validation (corrupt delta, schema drift discovered only at
+    # view-build time — VERDICT r11 finding 1), and that must not
+    # leave earlier names published nor the failing name mapped with
+    # no live view behind it. Entries this call ADDED are unwound and
+    # their views dropped; a pre-existing idempotent re-publish keeps
+    # its prior mapping (its qual is unchanged by validation).
+    out: list[str] = []
+    added: list[str] = []
+    try:
+        for name, bare, qual in plan:
+            if bare not in _PUBLISHED:
+                added.append(bare)
+            _PUBLISHED[bare] = qual
+            _sync_published(spark, name)
+            out.append(bare)
+    except Exception:
+        for bare in added:
+            _PUBLISHED.pop(bare, None)
+            try:
+                spark.catalog.dropTempView(bare)
+            except Exception:  # noqa: BLE001 — view never built
+                pass
+        raise
     return out
 
 

@@ -418,3 +418,53 @@ def test_publish_refuses_silent_repoint(engine, spark, mor_table, tmp_path):
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {other}")
         spark.sql("DROP DATABASE IF EXISTS repoint_db")
+
+
+def test_publish_all_or_nothing_on_sync_failure(
+    spark, mor_table, tmp_path, monkeypatch
+):
+    """VERDICT r11 finding 1: _sync_published can throw AFTER
+    validation (view-build-time failure); a mid-list failure must
+    unwind THIS call's publishes — no earlier name left published, no
+    mapping entry with a dead view behind it."""
+    name2 = "mor_route_t2"
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    spark.sql(
+        f"CREATE TABLE {name2} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/mor_route_t2' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name2} VALUES (1, 10)")
+    real_sync = acid._sync_published
+
+    def failing_sync(spark_, name):
+        if name.split(".")[-1].lower() == name2:
+            raise RuntimeError("injected view-build failure")
+        return real_sync(spark_, name)
+
+    monkeypatch.setattr(acid, "_sync_published", failing_sync)
+    try:
+        with pytest.raises(RuntimeError, match="injected view-build"):
+            acid.publish_mor_views(spark, [mor_table, name2])
+        # nothing from the failing call survives
+        assert mor_table not in acid._PUBLISHED
+        assert name2 not in acid._PUBLISHED
+        assert not acid._temp_view_exists(spark, mor_table)
+        assert not acid._temp_view_exists(spark, name2)
+        # and a PRE-EXISTING publish keeps its mapping across a failed
+        # idempotent re-publish of the same name
+        monkeypatch.setattr(acid, "_sync_published", real_sync)
+        acid.publish_mor_views(spark, [mor_table])
+        monkeypatch.setattr(acid, "_sync_published", failing_sync)
+
+        def fail_all(spark_, name):
+            raise RuntimeError("injected re-sync failure")
+
+        monkeypatch.setattr(acid, "_sync_published", fail_all)
+        with pytest.raises(RuntimeError, match="re-sync"):
+            acid.publish_mor_views(spark, [mor_table])
+        assert mor_table in acid._PUBLISHED  # prior publish survives
+    finally:
+        monkeypatch.setattr(acid, "_sync_published", real_sync)
+        acid.unpublish_mor_views(spark, [name2])
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")
