@@ -297,23 +297,48 @@ class Engine:
 
         return read_avro_split(self.spark, path, split_bytes=split_bytes)
 
-    def read_kvstore(self, path: str, columns: str, mapping: str) -> DataFrame:
+    def read_kvstore(
+        self, path: str, columns: str, mapping: str, latest: bool = False
+    ) -> DataFrame:
         """External key-value table -> DataFrame via the kvstore
         Python Data Source (sources/kvstore.py) — the storage-handler
         extension point (reference: hbase-handler/.../
         HBaseStorageHandler.java:80 + HBaseSerDe's
         hbase.columns.mapping). ``columns`` pairs positionally with
         ``mapping`` (``:key,fam:qual,...``); region-per-partition
-        scan, row-key predicates pushed down as scan ranges."""
+        scan, row-key predicates pruned down to scan ranges.
+
+        Default read returns EVERY committed version of a key (the
+        store is append-only — an HBase raw scan over all VERSIONS);
+        ``latest=True`` resolves each key to its newest committed put
+        (HBase's default read semantics) via the connector's
+        commit-order sequence column and one window shuffle on the
+        key. Always returns a FRESH load — one query per load is the
+        connector's reuse contract (sources/kvstore.py docstring)."""
+        from pyspark.sql import Window, functions as F
+
         from amplab_hive_spark.sources import kvstore
 
         kvstore.register(self.spark)
-        return (
+        reader = (
             self.spark.read.format("kvstore")
             .option("path", path)
             .option("columns", columns)
             .option("columns.mapping", mapping)
-            .load()
+        )
+        if not latest:
+            return reader.load()
+        seq = "_kv_seq"
+        df = reader.option("seq.column", seq).load()
+        key_col = [
+            c.strip() for c, m in zip(columns.split(","), mapping.split(","))
+            if m.strip() == ":key"
+        ][0]
+        w = Window.partitionBy(key_col).orderBy(F.col(seq).desc())
+        return (
+            df.withColumn("_kv_rn", F.row_number().over(w))
+            .where(F.col("_kv_rn") == 1)
+            .drop("_kv_rn", seq)
         )
 
     def read_sequencefile(self, path: str) -> DataFrame:

