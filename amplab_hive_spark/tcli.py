@@ -1,0 +1,604 @@
+"""Python TCLIService front — HiveServer2's wire protocol routed
+through Engine.sql (round 12, VERDICT r11 task 2).
+
+The JVM Thrift server (thrift.py: Spark's own HiveThriftServer2)
+speaks the full TCLIService protocol but executes raw ``spark.sql``:
+no SQL macros, no UPDATE/DELETE/MERGE/COMPACT statement forms, no
+authorization DDL, and no enforcement — so it REFUSES to serve under
+enforcement. The reference has no such split: HiveServer2 compiles
+every JDBC statement through the same Driver as the CLI
+(service/src/java/org/apache/hive/service/cli/operation/
+SQLOperation.java:71 -> Driver.compile -> checkPrivileges). This
+module closes that gap the Python-engine way: a from-scratch
+TCLIService server (Apache Hive's public TCLIService.thrift IDL over
+the standard Thrift binary protocol — no thrift library in the
+environment, so the codec is ~150 lines below) whose ExecuteStatement
+runs ``Engine.sql``. Beeline / any Hive JDBC client connects with
+``jdbc:hive2://host:port/;auth=noSasl`` and gets the WHOLE engine
+dialect: macros, MOR UPDATE/DELETE/MERGE, COMPACT, GRANT/REVOKE —
+and the enforcement gate, because Engine.sql IS the gate.
+
+Session model (HS2's one-conf-per-session, same as service.py): each
+OpenSession gets its own ``spark.newSession()`` + Engine — private
+temp views, SQLConf, and macro registry — sharing the catalog and
+executors. The OpenSession username becomes the session's
+``user.name`` (HS2's trusted-auth posture: NOSASL/PLAIN usernames are
+client-asserted, like the reference without Kerberos), and the
+parent session's ``spark.sql.authz.enabled`` is inherited so an
+enforcing deployment stays enforcing per connection.
+
+Protocol subset (everything beeline's -e path uses): OpenSession,
+ExecuteStatement (sync execution; async callers see FINISHED/ERROR
+at the first GetOperationStatus), GetOperationStatus,
+GetResultSetMetadata, FetchResults (FETCH_NEXT paging over
+toLocalIterator; fetchType=1 log requests answered empty),
+CancelOperation, CloseOperation, CloseSession, GetInfo. The
+column-based TRowSet (protocol >= V6) carries bool/tinyint/smallint/
+int/bigint/float/double natively and renders everything else —
+decimal, date, timestamp, arrays, maps, structs — as strings with
+the accurate TTypeId in metadata, exactly HS2's own serialization
+rule for those types.
+
+Trust posture: loopback dev server, NOSASL (same as service.py). Not
+Kerberos, not TLS — the reference's unsecured HS2 mode.
+"""
+
+from __future__ import annotations
+
+import io
+import itertools
+import socket
+import socketserver
+import struct
+import threading
+import uuid
+from typing import Any, Iterator, Optional
+
+from pyspark.sql import SparkSession
+
+# -- Thrift binary protocol (public Apache Thrift spec) ------------------
+
+T_STOP, T_BOOL, T_BYTE, T_DOUBLE = 0, 2, 3, 4
+T_I16, T_I32, T_I64, T_STRING = 6, 8, 10, 11
+T_STRUCT, T_MAP, T_SET, T_LIST = 12, 13, 14, 15
+
+MSG_CALL, MSG_REPLY, MSG_EXCEPTION = 1, 2, 3
+_VERSION_1 = 0x80010000
+
+
+class _Reader:
+    def __init__(self, sock: socket.socket):
+        self._sock = sock
+        self._buf = b""
+
+    def _fill(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("client closed")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def i8(self) -> int:
+        return struct.unpack("!b", self._fill(1))[0]
+
+    def i16(self) -> int:
+        return struct.unpack("!h", self._fill(2))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("!i", self._fill(4))[0]
+
+    def i64(self) -> int:
+        return struct.unpack("!q", self._fill(8))[0]
+
+    def double(self) -> float:
+        return struct.unpack("!d", self._fill(8))[0]
+
+    def binary(self) -> bytes:
+        return self._fill(self.i32())
+
+    def message_begin(self) -> tuple[str, int, int]:
+        head = self.i32()
+        if head & 0x80000000:  # strict encoding (Hive JDBC uses it)
+            mtype = head & 0xFF
+            name = self.binary().decode("utf-8")
+            seqid = self.i32()
+        else:  # old encoding: i32 name-len already read
+            name = self._fill(head).decode("utf-8")
+            mtype = self.i8()
+            seqid = self.i32()
+        return name, mtype, seqid
+
+    def value(self, ttype: int) -> Any:
+        if ttype == T_BOOL:
+            return self.i8() != 0
+        if ttype == T_BYTE:
+            return self.i8()
+        if ttype == T_DOUBLE:
+            return self.double()
+        if ttype == T_I16:
+            return self.i16()
+        if ttype == T_I32:
+            return self.i32()
+        if ttype == T_I64:
+            return self.i64()
+        if ttype == T_STRING:
+            return self.binary()
+        if ttype == T_STRUCT:
+            return self.struct()
+        if ttype in (T_LIST, T_SET):
+            etype = self.i8()
+            return [self.value(etype) for _ in range(self.i32())]
+        if ttype == T_MAP:
+            ktype, vtype = self.i8(), self.i8()
+            n = self.i32()
+            return {self.value(ktype): self.value(vtype) for _ in range(n)}
+        raise ValueError(f"unsupported thrift type {ttype}")
+
+    def struct(self) -> dict[int, Any]:
+        out: dict[int, Any] = {}
+        while True:
+            ftype = self.i8()
+            if ftype == T_STOP:
+                return out
+            fid = self.i16()
+            out[fid] = self.value(ftype)
+
+
+class _Writer:
+    def __init__(self) -> None:
+        self._out = io.BytesIO()
+
+    def bytes(self) -> bytes:
+        return self._out.getvalue()
+
+    def raw(self, b: bytes) -> None:
+        self._out.write(b)
+
+    def i8(self, v: int) -> None:
+        self.raw(struct.pack("!b", v))
+
+    def i16(self, v: int) -> None:
+        self.raw(struct.pack("!h", v))
+
+    def i32(self, v: int) -> None:
+        self.raw(struct.pack("!i", v))
+
+    def i64(self, v: int) -> None:
+        self.raw(struct.pack("!q", v))
+
+    def double(self, v: float) -> None:
+        self.raw(struct.pack("!d", v))
+
+    def binary(self, v: "bytes | str") -> None:
+        b = v.encode("utf-8") if isinstance(v, str) else v
+        self.i32(len(b))
+        self.raw(b)
+
+    def message_begin(self, name: str, mtype: int, seqid: int) -> None:
+        self.i32(-(0x100000000 - (_VERSION_1 | mtype)))  # signed i32
+        self.binary(name)
+        self.i32(seqid)
+
+    def value(self, ttype: int, v: Any) -> None:
+        if ttype == T_BOOL:
+            self.i8(1 if v else 0)
+        elif ttype == T_BYTE:
+            self.i8(v)
+        elif ttype == T_DOUBLE:
+            self.double(v)
+        elif ttype == T_I16:
+            self.i16(v)
+        elif ttype == T_I32:
+            self.i32(v)
+        elif ttype == T_I64:
+            self.i64(v)
+        elif ttype == T_STRING:
+            self.binary(v)
+        elif ttype == T_STRUCT:
+            self.fields(v)
+        elif ttype in (T_LIST, T_SET):
+            etype, items = v
+            self.i8(etype)
+            self.i32(len(items))
+            for item in items:
+                self.value(etype, item)
+        elif ttype == T_MAP:
+            ktype, vtype, mapping = v
+            self.i8(ktype)
+            self.i8(vtype)
+            self.i32(len(mapping))
+            for k, val in mapping.items():
+                self.value(ktype, k)
+                self.value(vtype, val)
+        else:
+            raise ValueError(f"unsupported thrift type {ttype}")
+
+    def fields(self, fields: list[tuple[int, int, Any]]) -> None:
+        """A struct as [(field_id, ttype, value), ...] + STOP."""
+        for fid, ftype, v in fields:
+            self.i8(ftype)
+            self.i16(fid)
+            self.value(ftype, v)
+        self.i8(T_STOP)
+
+
+# -- TCLIService constants (public IDL: service-rpc/if/TCLIService.thrift)
+
+PROTOCOL_V10 = 9  # HIVE_CLI_SERVICE_PROTOCOL_V10 (0-based enum)
+
+STATUS_SUCCESS, STATUS_ERROR = 0, 3
+OP_INITIALIZED, OP_RUNNING, OP_FINISHED = 0, 1, 2
+OP_CANCELED, OP_CLOSED, OP_ERROR = 3, 4, 5
+OPTYPE_EXECUTE_STATEMENT = 0
+
+# TTypeId values (TCLIService.thrift TTypeId enum)
+_TTYPE_ID = {
+    "boolean": 0, "tinyint": 1, "smallint": 2, "int": 3, "bigint": 4,
+    "float": 5, "double": 6, "string": 7, "timestamp": 8, "binary": 9,
+    "array": 10, "map": 11, "struct": 12, "decimal": 15, "void": 16,
+    "null": 16, "date": 17, "varchar": 18, "char": 19,
+    "timestamp_ntz": 8, "interval": 7,
+}
+
+# TColumn union field ids by wire kind
+_COL_FIELD = {"bool": 1, "byte": 2, "i16": 3, "i32": 4, "i64": 5,
+              "double": 6, "string": 7}
+_COL_TTYPE = {"bool": T_BOOL, "byte": T_BYTE, "i16": T_I16, "i32": T_I32,
+              "i64": T_I64, "double": T_DOUBLE, "string": T_STRING}
+_WIRE_KIND = {"boolean": "bool", "tinyint": "byte", "smallint": "i16",
+              "int": "i32", "bigint": "i64", "float": "double",
+              "double": "double"}
+_WIRE_DEFAULT = {"bool": False, "byte": 0, "i16": 0, "i32": 0, "i64": 0,
+                 "double": 0.0, "string": ""}
+
+
+def _base_dtype(dtype: str) -> str:
+    return dtype.split("(")[0].split("<")[0].strip().lower()
+
+
+def _status_ok() -> list:
+    return [(1, T_I32, STATUS_SUCCESS)]
+
+
+def _status_error(msg: str, sqlstate: str = "42000") -> list:
+    return [
+        (1, T_I32, STATUS_ERROR),
+        (2, T_LIST, (T_STRING, [msg])),  # infoMessages — beeline prints
+        (3, T_STRING, sqlstate),
+        (4, T_I32, 1),
+        (5, T_STRING, msg),
+    ]
+
+
+def _handle_fields(guid: bytes, secret: bytes) -> list:
+    return [(1, T_STRUCT, [(1, T_STRING, guid), (2, T_STRING, secret)])]
+
+
+def _op_handle_fields(guid: bytes, secret: bytes, has_result: bool) -> list:
+    return [
+        (1, T_STRUCT, [(1, T_STRING, guid), (2, T_STRING, secret)]),
+        (2, T_I32, OPTYPE_EXECUTE_STATEMENT),
+        (3, T_BOOL, has_result),
+    ]
+
+
+class _Operation:
+    def __init__(self, df) -> None:
+        self.df = df
+        self.columns: list[tuple[str, str]] = [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ] or [("result", "string")]
+        self.rows: Optional[Iterator] = None
+        self.state = OP_FINISHED
+        self.error: Optional[str] = None
+        self.lock = threading.Lock()
+
+    def iterator(self) -> Iterator:
+        if self.rows is None:
+            self.rows = iter(self.df.toLocalIterator())
+        return self.rows
+
+
+class _Session:
+    def __init__(self, spark: SparkSession, username: str) -> None:
+        from amplab_hive_spark.catalog import ensure_session_confs
+        from amplab_hive_spark.engine import Engine
+
+        sub = spark.newSession()
+        ensure_session_confs(sub)
+        # inherit the serving session's enforcement posture — a new
+        # SQLConf does NOT copy runtime confs, and an enforcing front
+        # must stay enforcing per connection
+        flag = spark.conf.get("spark.sql.authz.enabled", "")
+        if flag:
+            sub.conf.set("spark.sql.authz.enabled", flag)
+        if username:
+            # HS2's trusted-auth identity: the client-asserted username
+            # becomes the session principal (NOSASL — dev posture)
+            sub.conf.set("user.name", username)
+        self.engine = Engine(sub)
+        self.operations: dict[bytes, _Operation] = {}
+
+
+class TCLIFront:
+    """The server object: ``start()`` binds and serves on a daemon
+    thread, ``stop()`` shuts down. Use as a context manager in tests."""
+
+    def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
+                 port: int = 0, fetch_default: int = 1000):
+        self.spark = spark
+        self.host = host
+        self.requested_port = port
+        self.fetch_default = fetch_default
+        self.sessions: dict[bytes, _Session] = {}
+        self._lock = threading.Lock()
+        self._server: Optional[socketserver.ThreadingTCPServer] = None
+        self.port: Optional[int] = None
+
+    # -- lifecycle -----------------------------------------------------
+
+    def start(self) -> int:
+        front = self
+
+        class Handler(socketserver.BaseRequestHandler):
+            def handle(self) -> None:
+                reader = _Reader(self.request)
+                while True:
+                    try:
+                        name, mtype, seqid = reader.message_begin()
+                        args = reader.struct()
+                    except (ConnectionError, struct.error):
+                        return
+                    try:
+                        resp_fields = front._dispatch(name, args)
+                    except Exception as e:  # noqa: BLE001 — wire error
+                        resp_fields = [(1, T_STRUCT,
+                                        _status_error(f"{type(e).__name__}: {e}"))]
+                    w = _Writer()
+                    w.message_begin(name, MSG_REPLY, seqid)
+                    # service-method result struct: field 0 = success
+                    w.fields([(0, T_STRUCT, resp_fields)])
+                    try:
+                        self.request.sendall(w.bytes())
+                    except OSError:
+                        return
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((self.host, self.requested_port), Handler)
+        self.port = self._server.server_address[1]
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return self.port
+
+    def stop(self) -> None:
+        if self._server is not None:
+            self._server.shutdown()
+            self._server.server_close()
+            self._server = None
+
+    def __enter__(self) -> "TCLIFront":
+        self.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+    # -- dispatch ------------------------------------------------------
+
+    def _dispatch(self, name: str, args: dict) -> list:
+        method = getattr(self, f"_rpc_{name}", None)
+        if method is None:
+            return [(1, T_STRUCT,
+                     _status_error(f"unsupported TCLIService call {name}"))]
+        # every req wraps its fields in arg field 1
+        return method(args.get(1, {}))
+
+    @staticmethod
+    def _guid_of(handle_struct: dict) -> bytes:
+        # TSessionHandle/TOperationHandle field 1 = THandleIdentifier,
+        # whose field 1 = guid
+        return handle_struct.get(1, {}).get(1, b"")
+
+    def _session_of(self, req: dict, field: int = 1) -> _Session:
+        guid = self._guid_of(req.get(field, {}))
+        sess = self.sessions.get(guid)
+        if sess is None:
+            raise KeyError("invalid session handle")
+        return sess
+
+    def _operation_of(self, req: dict) -> tuple[_Session, _Operation, bytes]:
+        guid = self._guid_of(req.get(1, {}))
+        for sess in list(self.sessions.values()):
+            op = sess.operations.get(guid)
+            if op is not None:
+                return sess, op, guid
+        raise KeyError("invalid operation handle")
+
+    # -- RPCs ------------------------------------------------------------
+
+    def _rpc_OpenSession(self, req: dict) -> list:  # noqa: N802
+        username = (req.get(2) or b"").decode("utf-8", "replace") \
+            if isinstance(req.get(2), bytes) else (req.get(2) or "")
+        client_proto = req.get(1, PROTOCOL_V10)
+        proto = min(int(client_proto), PROTOCOL_V10)
+        guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
+        with self._lock:
+            self.sessions[guid] = _Session(self.spark, username)
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_I32, proto),
+            (3, T_STRUCT, _handle_fields(guid, secret)),
+            (4, T_MAP, (T_STRING, T_STRING, {})),
+        ]
+
+    def _rpc_CloseSession(self, req: dict) -> list:  # noqa: N802
+        guid = self._guid_of(req.get(1, {}))
+        with self._lock:
+            self.sessions.pop(guid, None)
+        return [(1, T_STRUCT, _status_ok())]
+
+    def _rpc_ExecuteStatement(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        stmt = req.get(2, b"")
+        stmt = stmt.decode("utf-8") if isinstance(stmt, bytes) else stmt
+        guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
+        try:
+            df = sess.engine.sql(stmt)
+            op = _Operation(df)
+        except Exception as e:  # noqa: BLE001 — per-statement error
+            msg = f"{type(e).__name__}: {e}"
+            return [(1, T_STRUCT, _status_error(msg))]
+        with self._lock:
+            sess.operations[guid] = op
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_STRUCT, _op_handle_fields(guid, secret, True)),
+        ]
+
+    def _rpc_GetOperationStatus(self, req: dict) -> list:  # noqa: N802
+        try:
+            _, op, _ = self._operation_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        out = [(1, T_STRUCT, _status_ok()), (2, T_I32, op.state)]
+        if op.error:
+            out += [(3, T_STRING, "42000"), (4, T_I32, 1),
+                    (5, T_STRING, op.error)]
+        return out
+
+    def _rpc_CancelOperation(self, req: dict) -> list:  # noqa: N802
+        # execution is synchronous inside ExecuteStatement: by the time
+        # a handle exists the statement has finished — mark CANCELED so
+        # further fetches stop, matching HS2's post-finish cancel no-op
+        try:
+            _, op, _ = self._operation_of(req)
+            with op.lock:
+                op.state = OP_CANCELED
+        except KeyError:
+            pass
+        return [(1, T_STRUCT, _status_ok())]
+
+    def _rpc_CloseOperation(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess, _, guid = self._operation_of(req)
+            with self._lock:
+                sess.operations.pop(guid, None)
+        except KeyError:
+            pass
+        return [(1, T_STRUCT, _status_ok())]
+
+    def _rpc_GetResultSetMetadata(self, req: dict) -> list:  # noqa: N802
+        try:
+            _, op, _ = self._operation_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        descs = []
+        for pos, (cname, dtype) in enumerate(op.columns, start=1):
+            base = _base_dtype(dtype)
+            type_id = _TTYPE_ID.get(base, 7)
+            prim: list = [(1, T_I32, type_id)]
+            if base == "decimal" and "(" in dtype:
+                p, s = dtype.split("(")[1].rstrip(")").split(",")
+                prim.append((2, T_STRUCT, [(1, T_MAP, (T_STRING, T_STRUCT, {
+                    "precision": [(1, T_I32, int(p))],
+                    "scale": [(1, T_I32, int(s))],
+                }))]))
+            descs.append([
+                (1, T_STRING, cname),
+                (2, T_STRUCT, [(1, T_LIST, (T_STRUCT, [[(1, T_STRUCT, prim)]]))]),
+                (3, T_I32, pos),
+            ])
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_STRUCT, [(1, T_LIST, (T_STRUCT, descs))]),
+        ]
+
+    def _rpc_FetchResults(self, req: dict) -> list:  # noqa: N802
+        fetch_type = req.get(4, 0)
+        try:
+            _, op, _ = self._operation_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        if fetch_type == 1:  # log request — no server logs to stream
+            return [
+                (1, T_STRUCT, _status_ok()),
+                (2, T_BOOL, False),
+                (3, T_STRUCT, self._rowset([("log", "string")], [])),
+            ]
+        n = int(req.get(3, self.fetch_default) or self.fetch_default)
+        with op.lock:
+            if op.state == OP_CANCELED:
+                batch: list = []
+            else:
+                batch = list(itertools.islice(op.iterator(), n))
+        has_more = len(batch) == n and n > 0
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_BOOL, has_more),
+            (3, T_STRUCT, self._rowset(op.columns, batch)),
+        ]
+
+    def _rpc_GetInfo(self, req: dict) -> list:  # noqa: N802
+        info_type = req.get(2, 0)
+        # CLI_SERVER_NAME=13, CLI_DBMS_NAME=17, CLI_DBMS_VER=18
+        value = {13: "amplab_hive_spark",
+                 17: "Apache Hive (amplab_hive_spark engine)",
+                 18: "4.1"}.get(info_type, "")
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_STRUCT, [(1, T_STRING, value)]),
+        ]
+
+    # -- TRowSet encoding (columns form, protocol >= V6) ---------------
+
+    @staticmethod
+    def _rowset(columns: list[tuple[str, str]], rows: list) -> list:
+        cols = []
+        for idx, (_, dtype) in enumerate(columns):
+            kind = _WIRE_KIND.get(_base_dtype(dtype), "string")
+            values, nulls = [], bytearray((len(rows) + 7) // 8 or 1)
+            for rno, row in enumerate(rows):
+                v = row[idx]
+                if v is None:
+                    nulls[rno // 8] |= 1 << (rno % 8)
+                    values.append(_WIRE_DEFAULT[kind])
+                elif kind == "string" and not isinstance(v, str):
+                    values.append(str(v))
+                elif kind == "double":
+                    values.append(float(v))
+                elif kind == "bool":
+                    values.append(bool(v))
+                elif kind == "string":
+                    values.append(v)
+                else:
+                    values.append(int(v))
+            col_struct = [
+                (1, T_LIST, (_COL_TTYPE[kind], values)),
+                (2, T_STRING, bytes(nulls)),
+            ]
+            cols.append([(_COL_FIELD[kind], T_STRUCT, col_struct)])
+        return [
+            (1, T_I64, 0),
+            (2, T_LIST, (T_STRUCT, [])),  # row-based form: empty
+            (3, T_LIST, (T_STRUCT, cols)),
+        ]
+
+
+def start_tcli_front(spark: SparkSession, host: str = "127.0.0.1",
+                     port: int = 0) -> TCLIFront:
+    """Start the Engine-routed TCLIService front; returns the running
+    ``TCLIFront`` (``.port`` is the bound port). Unlike
+    ``thrift.start_thrift_server`` this SERVES under enforcement —
+    every statement passes Engine.sql's gate with the OpenSession
+    username as principal."""
+    front = TCLIFront(spark, host=host, port=port)
+    front.start()
+    return front

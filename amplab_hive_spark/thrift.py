@@ -152,10 +152,12 @@ def start_thrift_server(
                 "spark.sql.authz.enabled=true, but Thrift statements "
                 "bypass Engine.sql's enforcement gate (the reference "
                 "privilege-checks its JDBC path in SQLOperation.java); "
-                "refusing to serve an unenforced door. Disable "
-                "enforcement for the serving session, or pass "
-                "allow_unenforced=True to accept unchecked JDBC "
-                "statements explicitly."
+                "refusing to serve an unenforced door. Serve JDBC "
+                "under enforcement with tcli.start_tcli_front (the "
+                "Engine-routed TCLIService front — full dialect, "
+                "privilege-checked), disable enforcement for the "
+                "serving session, or pass allow_unenforced=True to "
+                "accept unchecked JDBC statements explicitly."
             )
         try:
             pre = socket.create_connection((probe_host, port), 0.5)
@@ -244,9 +246,14 @@ def beeline_path() -> str:
     return os.path.join(os.path.dirname(pyspark.__file__), "bin", "beeline")
 
 
-def run_beeline(port: int, sql: str, timeout: float = 180.0):
+def run_beeline(port: int, sql: "str | list[str]", timeout: float = 180.0,
+                url_suffix: str = "", user: "str | None" = None):
     """One-shot beeline execution against the running server — the
     reference's own client binary over real Thrift wire traffic.
+    ``sql`` may be a list (one -e per statement, one connection).
+    ``url_suffix`` appends to the JDBC URL (e.g. ``/;auth=noSasl`` for
+    the python TCLIService front, tcli.py); ``user`` sets -n, the
+    client-asserted principal the front maps to ``user.name``.
     Returns (returncode, stdout, stderr)."""
     import os
     import subprocess
@@ -255,9 +262,13 @@ def run_beeline(port: int, sql: str, timeout: float = 180.0):
 
     spark_home = os.path.dirname(pyspark.__file__)
     env = dict(os.environ, SPARK_HOME=spark_home)
+    cmd = [beeline_path(), "-u",
+           f"jdbc:hive2://localhost:{port}{url_suffix}", "--silent=false"]
+    if user:
+        cmd += ["-n", user]
+    for stmt in ([sql] if isinstance(sql, str) else sql):
+        cmd += ["-e", stmt]
     p = subprocess.run(
-        [beeline_path(), "-u", f"jdbc:hive2://localhost:{port}",
-         "--silent=false", "-e", sql],
-        capture_output=True, text=True, timeout=timeout, env=env,
+        cmd, capture_output=True, text=True, timeout=timeout, env=env,
     )
     return p.returncode, p.stdout, p.stderr

@@ -1,0 +1,341 @@
+"""Python TCLIService front (tcli.py, round 12 — VERDICT r11 task 2):
+HiveServer2's wire protocol with ExecuteStatement routed through
+Engine.sql, so JDBC clients get the engine's FULL dialect (macros,
+MOR UPDATE/DELETE/MERGE, authorization DDL) AND the enforcement gate
+— the reference privilege-checks its JDBC path in SQLOperation.java;
+after round 12 so do we. Unit tests drive the wire format with the
+module's own codec (both directions exercised against a real socket);
+the interop tests run the stock beeline binary bundled with pyspark —
+genuine Hive JDBC TCLIService traffic against the python server."""
+
+import socket
+
+import pytest
+
+from amplab_hive_spark import tcli
+from amplab_hive_spark.tcli import (
+    MSG_CALL,
+    T_BOOL,
+    T_I32,
+    T_I64,
+    T_STRING,
+    T_STRUCT,
+    TCLIFront,
+    _Reader,
+    _Writer,
+)
+
+
+class _Client:
+    """Minimal TCLIService client over the module's own codec."""
+
+    def __init__(self, port: int):
+        self.sock = socket.create_connection(("127.0.0.1", port), 10)
+        self.reader = _Reader(self.sock)
+        self.seq = 0
+
+    def call(self, name: str, fields: list) -> dict:
+        self.seq += 1
+        w = _Writer()
+        w.message_begin(name, MSG_CALL, self.seq)
+        w.fields([(1, T_STRUCT, fields)])
+        self.sock.sendall(w.bytes())
+        rname, mtype, rseq = self.reader.message_begin()
+        assert rname == name and rseq == self.seq
+        result = self.reader.struct()
+        return result[0]  # field 0 = method success struct
+
+    def open_session(self, user: str = "tester") -> dict:
+        resp = self.call("OpenSession", [(1, T_I32, 9), (2, T_STRING, user)])
+        assert resp[1][1] == 0, resp  # TStatus SUCCESS
+        return resp[3]  # session handle struct
+
+    def execute(self, handle: dict, sql: str) -> dict:
+        return self.call("ExecuteStatement", [
+            (1, T_STRUCT, _handle_fields(handle)),
+            (2, T_STRING, sql),
+        ])
+
+    def close(self) -> None:
+        self.sock.close()
+
+
+def _handle_fields(handle_struct: dict) -> list:
+    ident = handle_struct[1]
+    return [(1, T_STRUCT, [(1, T_STRING, ident[1]), (2, T_STRING, ident[2])])]
+
+
+def _op_fields(op_struct: dict) -> list:
+    ident = op_struct[1]
+    return [
+        (1, T_STRUCT, [(1, T_STRING, ident[1]), (2, T_STRING, ident[2])]),
+        (2, T_I32, op_struct.get(2, 0)),
+        (3, T_BOOL, op_struct.get(3, True)),
+    ]
+
+
+@pytest.fixture()
+def front(spark):
+    f = TCLIFront(spark)
+    f.start()
+    yield f
+    f.stop()
+
+
+def test_select_roundtrip_types_and_nulls(spark, front):
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        resp = c.execute(sess, """
+            SELECT 1 AS i, CAST(2 AS BIGINT) AS l, CAST(1.5 AS DOUBLE) AS d,
+                   'txt' AS s, true AS b, CAST(NULL AS STRING) AS n,
+                   CAST(3.14 AS DECIMAL(4,2)) AS dec,
+                   DATE '2024-01-02' AS dt
+        """)
+        assert resp[1][1] == 0
+        op = resp[2]
+        # metadata: names + TTypeIds (decimal carries precision/scale)
+        md = c.call("GetResultSetMetadata", [(1, T_STRUCT, _op_fields(op))])
+        cols = md[2][1]
+        names = [cd[1].decode() for cd in cols]
+        assert names == ["i", "l", "d", "s", "b", "n", "dec", "dt"]
+        type_ids = [cd[2][1][0][1][1] for cd in cols]
+        assert type_ids == [3, 4, 6, 7, 0, 7, 15, 17]  # INT..DATE
+        # fetch: columns-form rowset
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(op)), (2, T_I32, 0), (3, T_I64, 100),
+        ])
+        assert fr[1][1] == 0
+        rowset = fr[3]
+        colvals = rowset[3]
+        assert colvals[0][4][1] == [1]          # i32 column
+        assert colvals[1][5][1] == [2]          # i64 column
+        assert colvals[2][6][1] == [1.5]        # double
+        assert colvals[3][7][1] == [b"txt"]
+        assert colvals[4][1][1] == [True]
+        # the NULL string column: null bit set for row 0
+        assert colvals[5][7][2][0] & 1
+        assert colvals[6][7][1] == [b"3.14"]    # decimal as string
+        assert colvals[7][7][1] == [b"2024-01-02"]  # date as string
+        assert fr[2] is False  # no more rows
+    finally:
+        c.close()
+
+
+def test_engine_dialect_over_the_wire(spark, front, tmp_path):
+    """The point of the front: statements the JVM Thrift server cannot
+    run (macros, MOR UPDATE) work over TCLIService because they go
+    through Engine.sql."""
+    from amplab_hive_spark import acid
+
+    name = "tcli_mor_t"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/tcli_mor_t' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1, 10), (2, 20)")
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        # a macro created on THIS session is usable in a later statement
+        assert c.execute(
+            sess, "CREATE TEMPORARY MACRO twice(x INT) x * 2"
+        )[1][1] == 0
+        resp = c.execute(sess, "SELECT twice(21) AS a")
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(resp[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[3][3][0][4][1] == [42]
+        # MOR UPDATE statement form — the JVM server has no such verb
+        assert c.execute(sess, f"UPDATE {name} SET v = v + 5 WHERE k = 1")[1][1] == 0
+        resp = c.execute(sess, f"SELECT v FROM {name} WHERE k = 1")
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(resp[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[3][3][0][4][1] == [15]
+    finally:
+        c.close()
+        acid.compact_mor(spark, name)
+        acid.unpin_mor_keys(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_enforcement_applies_per_connection(spark, front):
+    """Unlike the JVM server (which refuses to serve under
+    enforcement), the front ENFORCES: the OpenSession username is the
+    principal, statements pass Engine.sql's gate."""
+    from amplab_hive_spark import authorization as az
+    from amplab_hive_spark.engine import Engine
+
+    spark.sql("DROP TABLE IF EXISTS tcli_guarded")
+    spark.range(3).write.saveAsTable("tcli_guarded")
+    eng = Engine(spark)
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        c = _Client(front.port)
+        sess = c.open_session(user="tcli_alice")
+        resp = c.execute(sess, "SELECT * FROM tcli_guarded")
+        assert resp[1][1] == 3  # TStatus ERROR
+        assert b"Permission denied" in resp[1][5]
+        c.close()
+        # grant (enforcement off for the bootstrap), retry
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        eng.sql("GRANT SELECT ON tcli_guarded TO USER tcli_alice")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        c = _Client(front.port)
+        sess = c.open_session(user="tcli_alice")
+        resp = c.execute(sess, "SELECT count(*) AS n FROM tcli_guarded")
+        assert resp[1][1] == 0
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(resp[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[3][3][0][5][1] == [3]
+        c.close()
+    finally:
+        spark.conf.unset("spark.sql.authz.enabled")
+        import os
+
+        spark.sql("DROP TABLE IF EXISTS tcli_guarded")
+        p = az._store_path(spark)
+        if os.path.exists(p):
+            os.remove(p)
+
+
+def test_fetch_paging_and_session_close(spark, front):
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        resp = c.execute(sess, "SELECT id FROM range(25) ORDER BY id")
+        op = resp[2]
+        got, pages = [], 0
+        while True:
+            fr = c.call("FetchResults", [
+                (1, T_STRUCT, _op_fields(op)), (2, T_I32, 0), (3, T_I64, 10),
+            ])
+            vals = fr[3][3][0][5][1]
+            got.extend(vals)
+            pages += 1
+            if not fr[2]:
+                break
+        assert got == list(range(25))
+        assert pages >= 3
+        assert c.call("CloseOperation", [(1, T_STRUCT, _op_fields(op))])[1][1] == 0
+        assert c.call("CloseSession", [(1, T_STRUCT, _handle_fields(sess))])[1][1] == 0
+        # the handle is dead now
+        resp = c.execute(sess, "SELECT 1")
+        assert resp[1][1] == 3
+    finally:
+        c.close()
+
+
+def test_statement_error_surfaces(spark, front):
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        resp = c.execute(sess, "SELECT * FROM definitely_not_a_table_xyz")
+        assert resp[1][1] == 3
+        assert b"definitely_not_a_table_xyz" in resp[1][5]
+    finally:
+        c.close()
+
+
+def test_unsupported_rpc_is_graceful(spark, front):
+    c = _Client(front.port)
+    try:
+        c.open_session()
+        resp = c.call("GetCrossReference", [(1, T_I32, 0)])
+        assert resp[1][1] == 3
+        assert b"unsupported" in resp[1][5]
+    finally:
+        c.close()
+
+
+# -- interop: the stock beeline binary (Hive JDBC 2.3) against the
+#    python front — genuine TCLIService wire traffic. Each beeline
+#    invocation costs a JVM start (~15s), so the three scenarios that
+#    matter are packed tightly: plain SQL, the Engine dialect
+#    (macro + MOR UPDATE, statements the JVM Thrift server cannot
+#    run), and enforcement (denial then grant). ------------------------
+
+
+def test_beeline_select_roundtrip(spark, front):
+    from amplab_hive_spark.thrift import run_beeline
+
+    rc, out, err = run_beeline(
+        front.port, "SELECT 1 AS one, 'hi' AS greeting",
+        url_suffix="/;auth=noSasl",
+    )
+    assert rc == 0, err
+    assert "one" in out and "hi" in out
+
+
+def test_beeline_engine_dialect_mor_update_and_macro(spark, front, tmp_path):
+    """VERDICT r11 task 2's 'Done' bar: beeline UPDATE-on-MOR green
+    through an Engine-routed front."""
+    from amplab_hive_spark import acid
+    from amplab_hive_spark.thrift import run_beeline
+
+    name = "tcli_bee_mor"
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    spark.sql(
+        f"CREATE TABLE {name} (k INT, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/tcli_bee_mor' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name} VALUES (1, 10), (2, 20)")
+    try:
+        rc, out, err = run_beeline(
+            front.port,
+            [
+                "CREATE TEMPORARY MACRO bee_twice(x INT) x * 2",
+                f"UPDATE {name} SET v = v + 5 WHERE k = 1",
+                f"SELECT k, v, bee_twice(v) AS twice FROM {name} "
+                f"WHERE k = 1",
+            ],
+            url_suffix="/;auth=noSasl",
+        )
+        assert rc == 0, err
+        assert "15" in out and "30" in out  # merged read + macro call
+    finally:
+        acid.compact_mor(spark, name)
+        acid.unpin_mor_keys(spark, name)
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_beeline_enforcement_denial_then_grant(spark, front):
+    """The reference privilege-checks JDBC (SQLOperation.java:71);
+    through the front, so do we: beeline -n without a grant is denied,
+    with a grant it reads."""
+    import os
+
+    from amplab_hive_spark import authorization as az
+    from amplab_hive_spark.engine import Engine
+    from amplab_hive_spark.thrift import run_beeline
+
+    spark.sql("DROP TABLE IF EXISTS tcli_bee_guarded")
+    spark.range(4).write.saveAsTable("tcli_bee_guarded")
+    eng = Engine(spark)
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        rc, out, err = run_beeline(
+            front.port, "SELECT count(*) AS n FROM tcli_bee_guarded",
+            url_suffix="/;auth=noSasl", user="bee_bob",
+        )
+        assert "Permission denied" in out + err
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        eng.sql("GRANT SELECT ON tcli_bee_guarded TO USER bee_bob")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        rc, out, err = run_beeline(
+            front.port, "SELECT count(*) AS n FROM tcli_bee_guarded",
+            url_suffix="/;auth=noSasl", user="bee_bob",
+        )
+        assert rc == 0, err
+        assert "4" in out
+    finally:
+        spark.conf.unset("spark.sql.authz.enabled")
+        spark.sql("DROP TABLE IF EXISTS tcli_bee_guarded")
+        p = az._store_path(spark)
+        if os.path.exists(p):
+            os.remove(p)
