@@ -109,8 +109,12 @@ _PRIORITY: tuple[str, ...] = (
     "q18_large_order_customers",
     # bitmap UDAF family (r8 rotation) / grouping id
     "ewah_bitmap_ops", "grouping_id_virtual_column",
-    # TPC-H deep cuts
+    # TPC-H deep cuts (r12 rotation: q9_product_type_profit IN — the
+    # multi-join profit rollup had never been driver-graded; its slot
+    # comes from pipeline_pack_sequences, whose family keeps
+    # train_split + mixture_sample + decontaminate in the window)
     "q21_suppliers_kept_waiting", "q8_market_share",
+    "q9_product_type_profit",
     # scalar function suites + decontamination flagship
     "fn_string_suite", "pipeline_decontaminate",
     # Hive compat pack + macros + semantics deltas
@@ -120,17 +124,23 @@ _PRIORITY: tuple[str, ...] = (
     # stays in the suite and the family keeps four slots — so the
     # SEMANTIC near-dup path, previously only suite-green, gets a
     # driver-graded slot)
-    "dedup_exact", "dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_semantic", "dedup_cluster_resolution",
-    # LLM: pipeline
+    # (r12 rotation: dedup_exact out — dedup_exact_substring keeps the
+    # exact family green above — so the INCREMENTAL dedup path
+    # (persisted minhash signatures joined against the new batch),
+    # never driver-graded, gets a slot)
+    "dedup_incremental_minhash", "dedup_ngram_jaccard",
+    "dedup_minhash_lsh", "dedup_semantic", "dedup_cluster_resolution",
+    # LLM: pipeline (r12: pack_sequences rotates out for q9 above)
     "pipeline_train_split", "pipeline_mixture_sample",
-    "pipeline_pack_sequences",
     # LLM: similarity (r11 rotation: sim_ann_lsh IN — its sign-block
     # bucketing carries a full oracle and the in-suite recall floor
     # (≥0.88) certifies the approximation; text_keyword_extraction
     # gave up its slot, the text family keeps text_quality_score)
+    # (r12 rotation: embedding_quantize_int8 out — the audits family
+    # keeps sim_embedding_neardup — so the IVF+PQ compressed-ANN path
+    # with its in-suite recall floor, never driver-graded, gets a slot)
     "sim_bruteforce_topk", "sim_ann_lsh",
-    "embedding_quantize_int8", "sim_embedding_neardup",
+    "sim_ann_ivfpq", "sim_embedding_neardup",
     # ACID merge-on-read lifecycle (r10 rotation: text_token_stats out
     # — its oracle stays in the suite and the text family keeps two
     # slots — so the round's headline feature, write -> merged read ->
@@ -139,16 +149,18 @@ _PRIORITY: tuple[str, ...] = (
     "acid_mor_lifecycle",
     # LLM: text analysis
     "text_quality_score",
-    # LLM: multimodal plumbing
-    "multimodal_binary_stats", "multimodal_decode_features",
+    # LLM: multimodal plumbing (r12 rotation: decode_features out —
+    # binary_stats keeps the family green — so events_retention_cohorts
+    # below gets the events family a third, never-graded certificate)
+    "multimodal_binary_stats",
     # streaming ingest lifecycle (r11 rotation: events_tumbling_window
     # out — the events family keeps sessionization and the as-of join
     # — so the upsert + CDC-tombstone + compaction composition,
     # previously only suite-green per piece, gets one driver-graded
     # end-to-end certificate)
     "streaming_upsert_cdc_lifecycle",
-    # event windows
-    "events_sessionization",
+    # event windows + cohort retention (r12: never driver-graded)
+    "events_sessionization", "events_retention_cohorts",
 )
 
 
