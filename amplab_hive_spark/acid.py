@@ -1425,7 +1425,16 @@ def publish_mor_views(spark: SparkSession, names: list[str]) -> list[str]:
         # current THEN (review r11 pass 2 — a bare value re-resolved
         # at check/sync time could land on a same-named foreign table)
         qual = _qualify(spark, name)
+        # a prior publish can come from an EARLIER call (_PUBLISHED) or
+        # from an earlier entry of THIS call's plan (review r12: two
+        # same-bare names in one list silently re-pointed the view —
+        # validation never saw the first, the mapping is only mutated
+        # after validation)
         prior = _PUBLISHED.get(bare)
+        for _, pbare, pqual in plan:
+            if pbare == bare:
+                prior = pqual
+                break
         if prior is not None and prior.lower() != qual.lower():
             # an explicit re-publish must not silently RE-POINT the
             # bare name at a different backing table (review r11

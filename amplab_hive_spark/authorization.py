@@ -1219,19 +1219,35 @@ def enforce_verb(
     )
 
 
+# location map cache for enforce_path_write: {(db, tbl): realpath}.
+# Keyed by the CURRENT table set (fingerprint) so creating/dropping/
+# renaming a table rebuilds it; a positive match is always re-confirmed
+# with a fresh DESCRIBE before enforcing, so a stale cached location
+# can never deny against the wrong table. Residual (documented): a
+# bare ALTER TABLE .. SET LOCATION onto a governed path between table-
+# set changes could be missed until the set next changes.
+_LOC_CACHE: dict = {"fingerprint": None, "locations": {}}
+
+
 def enforce_path_write(spark: SparkSession, path: str) -> None:
     """Gate for PATH-addressed programmatic writes
     (``Engine.append_batch``): when ``path`` is the storage location
-    of a catalog table, the append is an INSERT into that table and
-    requires INSERT on it — the reference resolves a streaming
-    endpoint to its metastore table and privilege-checks that
-    (hcatalog/streaming HiveEndPoint.newConnection → checkAuth). A
-    path backing NO catalog table is plain filesystem I/O outside the
-    privilege model (Hive's URI privileges are filesystem-ownership
-    checks this minimal model does not carry — documented in README);
-    nothing stops raw ``df.write`` either, so gating it here would be
-    theater. Catalog-location resolution walks DESCRIBE FORMATTED
-    only under enforcement for a non-admin caller."""
+    of a catalog table — or a directory UNDER one, e.g. a partition
+    directory (review r12: appending into ``loc/dt=2024-01-01`` is an
+    insert into the table exactly like appending into ``loc``) — the
+    append is an INSERT into that table and requires INSERT on it.
+    The reference resolves a streaming endpoint to its metastore
+    table+partition and privilege-checks that (hcatalog/streaming
+    HiveEndPoint.newConnection → checkAuth). A path backing NO catalog
+    table is plain filesystem I/O outside the privilege model (Hive's
+    URI privileges are filesystem-ownership checks this minimal model
+    does not carry — documented in README); nothing stops raw
+    ``df.write`` either, so gating it here would be theater.
+
+    Cost: the catalog walk runs only under enforcement for a
+    non-admin caller, and the per-table DESCRIBE round-trips are paid
+    once per CHANGE of the table set (location map cached by table-set
+    fingerprint; matches re-confirmed fresh — review r12)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1239,20 +1255,38 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
     roles = _active_roles(spark, store)
     if "admin" in roles:
         return
-    import os as _os
+    want = os.path.realpath(path)
 
-    want = _os.path.realpath(path)
-    for db in spark.catalog.listDatabases():
-        for t in spark.catalog.listTables(db.name):
-            if t.isTemporary:
-                continue
-            loc = _table_location(spark, db.name, t.name)
-            if loc is not None and _os.path.realpath(loc) == want:
-                _deny_missing(
-                    spark, store, user, roles,
-                    [(f"`{db.name}`.`{t.name}`", "INSERT")],
-                )
-                return
+    def _covers(loc: str) -> bool:
+        root = os.path.realpath(loc)
+        return want == root or want.startswith(root + os.sep)
+
+    tables = [
+        (db.name, t.name)
+        for db in spark.catalog.listDatabases()
+        for t in spark.catalog.listTables(db.name)
+        if not t.isTemporary
+    ]
+    fingerprint = frozenset(tables)
+    if _LOC_CACHE["fingerprint"] != fingerprint:
+        _LOC_CACHE["locations"] = {
+            (db, tbl): _table_location(spark, db, tbl)
+            for db, tbl in tables
+        }
+        _LOC_CACHE["fingerprint"] = fingerprint
+    for (db, tbl), loc in _LOC_CACHE["locations"].items():
+        if loc is None or not _covers(loc):
+            continue
+        # confirm against live metadata: the cache may predate an
+        # ALTER .. SET LOCATION away from this path
+        fresh = _table_location(spark, db, tbl)
+        _LOC_CACHE["locations"][(db, tbl)] = fresh
+        if fresh is not None and _covers(fresh):
+            _deny_missing(
+                spark, store, user, roles,
+                [(f"`{db}`.`{tbl}`", "INSERT")],
+            )
+            return
 
 
 def _table_location(spark: SparkSession, db: str, tbl: str):

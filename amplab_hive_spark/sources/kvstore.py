@@ -395,24 +395,37 @@ class KVStoreWriter(DataSourceWriter):
         stamp: listing order = commit order, which is the versioning
         order newest-wins reads resolve (concurrent jobs order by
         commit clock — the store's documented tiebreak)."""
-        segs = []
-        for m in messages:
-            tmp = getattr(m, "tmp", "")
-            if tmp and os.path.exists(tmp):
-                seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
-                os.rename(tmp, os.path.join(self.path, seg))
-                segs.append(seg)
-        if not segs:
-            return None
-        mtmp = os.path.join(self.path, f".manifest-{uuid.uuid4().hex}")
-        with open(mtmp, "w") as fh:
-            json.dump({"segments": sorted(segs)}, fh)
-        final = os.path.join(
-            self.path,
-            f"{MANIFEST_PREFIX}{time.time_ns():020d}-"
-            f"{uuid.uuid4().hex[:8]}.json",
-        )
-        os.rename(mtmp, final)
+        segs: list[str] = []
+        try:
+            for m in messages:
+                tmp = getattr(m, "tmp", "")
+                if tmp and os.path.exists(tmp):
+                    seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
+                    os.rename(tmp, os.path.join(self.path, seg))
+                    segs.append(seg)
+            if not segs:
+                return None
+            mtmp = os.path.join(self.path, f".manifest-{uuid.uuid4().hex}")
+            with open(mtmp, "w") as fh:
+                json.dump({"segments": sorted(segs)}, fh)
+            final = os.path.join(
+                self.path,
+                f"{MANIFEST_PREFIX}{time.time_ns():020d}-"
+                f"{uuid.uuid4().hex[:8]}.json",
+            )
+            os.rename(mtmp, final)
+        except Exception:
+            # a commit that dies between renaming segments and
+            # publishing the manifest must not strand unreferenced
+            # seg-* files forever — abort() only knows .tmp paths
+            # (review r12). Invisible-to-readers either way; this is
+            # directory hygiene, best-effort by design.
+            for seg in segs:
+                try:
+                    os.remove(os.path.join(self.path, seg))
+                except OSError:
+                    pass
+            raise
         return None
 
     def abort(self, messages):

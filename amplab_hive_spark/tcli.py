@@ -302,7 +302,8 @@ class _Operation:
 
 
 class _Session:
-    def __init__(self, spark: SparkSession, username: str) -> None:
+    def __init__(self, spark: SparkSession, username: str,
+                 configuration: "dict[str, str] | None" = None) -> None:
         from amplab_hive_spark.catalog import ensure_session_confs
         from amplab_hive_spark.engine import Engine
 
@@ -318,6 +319,13 @@ class _Session:
             # HS2's trusted-auth identity: the client-asserted username
             # becomes the session principal (NOSASL — dev posture)
             sub.conf.set("user.name", username)
+        # TOpenSessionReq.configuration: Hive JDBC sends the URL's
+        # database as 'use:database' (review r12 — dropping it ran
+        # every statement in 'default'); other keys (set:hiveconf:*)
+        # are ignored like HS2 ignores unknown ones
+        db = (configuration or {}).get("use:database")
+        if db and db != "default":
+            sub.catalog.setCurrentDatabase(db)
         self.engine = Engine(sub)
         self.operations: dict[bytes, _Operation] = {}
 
@@ -345,25 +353,37 @@ class TCLIFront:
         class Handler(socketserver.BaseRequestHandler):
             def handle(self) -> None:
                 reader = _Reader(self.request)
-                while True:
-                    try:
-                        name, mtype, seqid = reader.message_begin()
-                        args = reader.struct()
-                    except (ConnectionError, struct.error):
-                        return
-                    try:
-                        resp_fields = front._dispatch(name, args)
-                    except Exception as e:  # noqa: BLE001 — wire error
-                        resp_fields = [(1, T_STRUCT,
-                                        _status_error(f"{type(e).__name__}: {e}"))]
-                    w = _Writer()
-                    w.message_begin(name, MSG_REPLY, seqid)
-                    # service-method result struct: field 0 = success
-                    w.fields([(0, T_STRUCT, resp_fields)])
-                    try:
-                        self.request.sendall(w.bytes())
-                    except OSError:
-                        return
+                # sessions this CONNECTION opened: reaped when the
+                # socket drops without CloseSession (review r12 — a
+                # flaky client would otherwise leak a spark.newSession
+                # per connect for the server's lifetime; HS2 bounds
+                # this with its idle-session timeout, a one-socket-one-
+                # session reap is the same bound for the -e flow)
+                owned: set[bytes] = set()
+                try:
+                    while True:
+                        try:
+                            name, mtype, seqid = reader.message_begin()
+                            args = reader.struct()
+                        except (ConnectionError, struct.error):
+                            return
+                        try:
+                            resp_fields = front._dispatch(name, args, owned)
+                        except Exception as e:  # noqa: BLE001 — wire error
+                            resp_fields = [(1, T_STRUCT,
+                                            _status_error(f"{type(e).__name__}: {e}"))]
+                        w = _Writer()
+                        w.message_begin(name, MSG_REPLY, seqid)
+                        # service-method result struct: field 0 = success
+                        w.fields([(0, T_STRUCT, resp_fields)])
+                        try:
+                            self.request.sendall(w.bytes())
+                        except OSError:
+                            return
+                finally:
+                    with front._lock:
+                        for guid in owned:
+                            front.sessions.pop(guid, None)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -390,12 +410,17 @@ class TCLIFront:
 
     # -- dispatch ------------------------------------------------------
 
-    def _dispatch(self, name: str, args: dict) -> list:
+    def _dispatch(self, name: str, args: dict,
+                  owned: "set[bytes] | None" = None) -> list:
         method = getattr(self, f"_rpc_{name}", None)
         if method is None:
             return [(1, T_STRUCT,
                      _status_error(f"unsupported TCLIService call {name}"))]
         # every req wraps its fields in arg field 1
+        if name == "OpenSession":
+            return method(args.get(1, {}), owned)
+        if name == "CloseSession" and owned is not None:
+            owned.discard(self._guid_of(args.get(1, {}).get(1, {})))
         return method(args.get(1, {}))
 
     @staticmethod
@@ -421,14 +446,23 @@ class TCLIFront:
 
     # -- RPCs ------------------------------------------------------------
 
-    def _rpc_OpenSession(self, req: dict) -> list:  # noqa: N802
+    def _rpc_OpenSession(self, req: dict,
+                         owned: "set[bytes] | None" = None) -> list:  # noqa: N802
         username = (req.get(2) or b"").decode("utf-8", "replace") \
             if isinstance(req.get(2), bytes) else (req.get(2) or "")
         client_proto = req.get(1, PROTOCOL_V10)
         proto = min(int(client_proto), PROTOCOL_V10)
+        conf = {
+            (k.decode("utf-8", "replace") if isinstance(k, bytes) else k):
+            (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)
+            for k, v in (req.get(4) or {}).items()
+        }
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
+        sess = _Session(self.spark, username, conf)
         with self._lock:
-            self.sessions[guid] = _Session(self.spark, username)
+            self.sessions[guid] = sess
+        if owned is not None:
+            owned.add(guid)
         return [
             (1, T_STRUCT, _status_ok()),
             (2, T_I32, proto),

@@ -1130,3 +1130,31 @@ def test_enforcement_programmatic_append_batch_path(enforced, spark, tmp_path):
         spark.conf.set("spark.sql.authz.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS authz_append_tbl")
         spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_append_batch_partition_subdir_gated(
+    enforced, spark, tmp_path
+):
+    """Review r12: appending into a PARTITION directory under a
+    governed table's location is an insert into that table — the gate
+    must match path prefixes, not only the table root."""
+    eng, _as, _seed = enforced
+    loc = str(tmp_path / "authz_part_tbl")
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS authz_part_tbl")
+    spark.createDataFrame([(1, "2024-01-01")], "id bigint, dt string") \
+        .write.partitionBy("dt").option("path", loc) \
+        .saveAsTable("authz_part_tbl")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    try:
+        batch = spark.createDataFrame([(2,)], "id bigint")
+        _as("prog_part")
+        with pytest.raises(PermissionError, match=r"\[INSERT\] on \[default.authz_part_tbl\]"):
+            eng.append_batch(batch, f"{loc}/dt=2024-01-01")
+        _seed("GRANT INSERT ON authz_part_tbl TO USER prog_part")
+        _as("prog_part")
+        eng.append_batch(batch, f"{loc}/dt=2024-01-01")
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS authz_part_tbl")
+        spark.conf.set("spark.sql.authz.enabled", "true")

@@ -348,3 +348,33 @@ def test_duplicate_key_versions_and_latest_read(spark, tmp_path):
     got = {r.row_key: r.name for r in latest.collect()}
     assert got == {"ka": "second", "kb": "only"}
     assert latest.columns == ["row_key", "name", "qty"]  # seq dropped
+
+
+def test_failed_commit_leaves_no_orphan_segments(spark, tmp_path, monkeypatch):
+    """Review r12: a commit dying between segment renames and the
+    manifest publish must clean its renamed segments up — abort()
+    only knows .tmp paths."""
+    d = str(tmp_path / "kv_failcommit")
+    opts = {"path": d, "columns": COLUMNS, "columns.mapping": MAPPING}
+    w = kvstore.KVStoreWriter(None, opts)
+    m1 = w.write(iter([{"row_key": "ka", "name": "n", "qty": "1"}]))
+    m2 = w.write(iter([{"row_key": "kb", "name": "n", "qty": "2"}]))
+    real_rename = os.rename
+
+    def failing_rename(src, dst):
+        if "manifest-" in os.path.basename(dst):
+            raise OSError("injected manifest publish failure")
+        return real_rename(src, dst)
+
+    monkeypatch.setattr(kvstore.os, "rename", failing_rename)
+    with pytest.raises(OSError, match="injected"):
+        w.commit([m1, m2])
+    monkeypatch.setattr(kvstore.os, "rename", real_rename)
+    leftovers = [f for f in os.listdir(d)
+                 if f.startswith(kvstore.SEG_PREFIX)]
+    assert leftovers == []  # renamed segments unwound
+    assert kvstore._region_files(d) == []  # nothing visible
+    # a retried job commits cleanly afterwards
+    m3 = w.write(iter([{"row_key": "kc", "name": "n", "qty": "3"}]))
+    w.commit([m3])
+    assert len(kvstore._region_files(d)) == 1

@@ -468,3 +468,30 @@ def test_publish_all_or_nothing_on_sync_failure(
         monkeypatch.setattr(acid, "_sync_published", real_sync)
         acid.unpublish_mor_views(spark, [name2])
         spark.sql(f"DROP TABLE IF EXISTS {name2}")
+
+
+def test_publish_same_bare_name_in_one_call_refuses(spark, mor_table, tmp_path):
+    """Review r12: two same-bare names in ONE publish list must hit
+    the re-point refusal (validation previously only checked the
+    mapping, which is mutated after validation)."""
+    db = "morpub_db2"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    name2 = f"{db}.{mor_table}"
+    spark.sql(f"DROP TABLE IF EXISTS {name2}")
+    spark.sql(
+        f"CREATE TABLE {name2} (k INT, grp STRING, v INT) USING parquet "
+        f"LOCATION '{tmp_path}/morpub2' "
+        f"TBLPROPERTIES ('transactional'='true', 'merge_keys'='k')"
+    )
+    spark.sql(f"INSERT INTO {name2} VALUES (9,'z',90)")
+    try:
+        with pytest.raises(ValueError, match="refusing\\s+to re-point|re-point"):
+            acid.publish_mor_views(spark, [mor_table, name2])
+        assert mor_table not in acid._PUBLISHED  # nothing half-published
+        # duplicate SAME qualified name is idempotent, not an error
+        got = acid.publish_mor_views(spark, [mor_table, mor_table])
+        assert got == [mor_table, mor_table]
+    finally:
+        acid.unpublish_mor_views(spark, [mor_table])
+        spark.sql(f"DROP TABLE IF EXISTS {name2}")
+        spark.sql(f"DROP DATABASE IF EXISTS {db}")

@@ -339,3 +339,56 @@ def test_beeline_enforcement_denial_then_grant(spark, front):
         p = az._store_path(spark)
         if os.path.exists(p):
             os.remove(p)
+
+
+def test_open_session_use_database(spark, front):
+    """Review r12: the JDBC URL's database arrives as
+    configuration['use:database'] — dropping it ran every statement
+    in 'default'."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS tcli_db12")
+    spark.sql("DROP TABLE IF EXISTS tcli_db12.in_db")
+    spark.range(7).write.saveAsTable("tcli_db12.in_db")
+    c = _Client(front.port)
+    try:
+        from amplab_hive_spark.tcli import T_MAP
+
+        resp = c.call("OpenSession", [
+            (1, T_I32, 9), (2, T_STRING, "tester"),
+            (4, T_MAP, (T_STRING, T_STRING, {"use:database": "tcli_db12"})),
+        ])
+        assert resp[1][1] == 0
+        sess = resp[3]
+        r2 = c.execute(sess, "SELECT count(*) AS n FROM in_db")  # unqualified
+        assert r2[1][1] == 0
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(r2[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[3][3][0][5][1] == [7]
+    finally:
+        c.close()
+        spark.sql("DROP TABLE IF EXISTS tcli_db12.in_db")
+        spark.sql("DROP DATABASE IF EXISTS tcli_db12")
+
+
+def test_dropped_connection_reaps_sessions(spark, front):
+    """Review r12: a client that drops the socket without CloseSession
+    must not leak its spark sub-session for the server's lifetime."""
+    import time as _time
+
+    c = _Client(front.port)
+    c.open_session()
+    c.open_session()
+    assert len(front.sessions) >= 2
+    before = len(front.sessions)
+    c.close()
+    for _ in range(50):  # handler reaps on its read loop exit
+        if len(front.sessions) <= before - 2:
+            break
+        _time.sleep(0.1)
+    assert len(front.sessions) <= before - 2
+    # ...and a session closed PROPERLY is reaped exactly once (no
+    # double-free of a foreign guid)
+    c2 = _Client(front.port)
+    sess = c2.open_session()
+    assert c2.call("CloseSession", [(1, T_STRUCT, _handle_fields(sess))])[1][1] == 0
+    c2.close()
