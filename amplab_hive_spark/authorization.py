@@ -1219,14 +1219,13 @@ def enforce_verb(
     )
 
 
-# location map cache for enforce_path_write: {(db, tbl): realpath}.
-# Keyed by the CURRENT table set (fingerprint) so creating/dropping/
-# renaming a table rebuilds it; a positive match is always re-confirmed
-# with a fresh DESCRIBE before enforcing, so a stale cached location
-# can never deny against the wrong table. Residual (documented): a
-# bare ALTER TABLE .. SET LOCATION onto a governed path between table-
-# set changes could be missed until the set next changes.
-_LOC_CACHE: dict = {"fingerprint": None, "locations": {}}
+# enforce_path_write fast path: last table known to GOVERN each exact
+# path, confirmed against live metadata on every use — a pure ordering
+# hint, never a source of truth, so it cannot go stale the way a
+# location-map cache can (review r12 pass 2: a table-set fingerprint
+# misses DROP + CREATE of the same name at a new location).
+_PATH_HINTS: dict[str, tuple[str, str]] = {}
+_PATH_HINTS_LOCK = threading.Lock()
 
 
 def enforce_path_write(spark: SparkSession, path: str) -> None:
@@ -1244,10 +1243,14 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
     does not carry — documented in README); nothing stops raw
     ``df.write`` either, so gating it here would be theater.
 
-    Cost: the catalog walk runs only under enforcement for a
-    non-admin caller, and the per-table DESCRIBE round-trips are paid
-    once per CHANGE of the table set (location map cached by table-set
-    fingerprint; matches re-confirmed fresh — review r12)."""
+    Soundness over speed (review r12 pass 2 reverted a location-map
+    cache that a DROP+CREATE at a new location could silently evade):
+    every decision rests on LIVE metadata — the repeated-append hot
+    path costs ONE fresh DESCRIBE via the per-path hint; an unmatched
+    path pays a fresh catalog sweep per call, only under enforcement
+    for a non-admin caller. When several table locations nest, the
+    DEEPEST (longest) root wins — the path belongs to the most
+    specific table."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1257,36 +1260,40 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
         return
     want = os.path.realpath(path)
 
-    def _covers(loc: str) -> bool:
+    def _root_if_covers(loc: "str | None") -> "str | None":
+        if loc is None:
+            return None
         root = os.path.realpath(loc)
-        return want == root or want.startswith(root + os.sep)
+        if want == root or want.startswith(root + os.sep):
+            return root
+        return None
 
-    tables = [
-        (db.name, t.name)
-        for db in spark.catalog.listDatabases()
-        for t in spark.catalog.listTables(db.name)
-        if not t.isTemporary
-    ]
-    fingerprint = frozenset(tables)
-    if _LOC_CACHE["fingerprint"] != fingerprint:
-        _LOC_CACHE["locations"] = {
-            (db, tbl): _table_location(spark, db, tbl)
-            for db, tbl in tables
-        }
-        _LOC_CACHE["fingerprint"] = fingerprint
-    for (db, tbl), loc in _LOC_CACHE["locations"].items():
-        if loc is None or not _covers(loc):
-            continue
-        # confirm against live metadata: the cache may predate an
-        # ALTER .. SET LOCATION away from this path
-        fresh = _table_location(spark, db, tbl)
-        _LOC_CACHE["locations"][(db, tbl)] = fresh
-        if fresh is not None and _covers(fresh):
-            _deny_missing(
-                spark, store, user, roles,
-                [(f"`{db}`.`{tbl}`", "INSERT")],
-            )
+    def _deny(db: str, tbl: str) -> None:
+        with _PATH_HINTS_LOCK:
+            _PATH_HINTS[want] = (db, tbl)
+        _deny_missing(
+            spark, store, user, roles, [(f"`{db}`.`{tbl}`", "INSERT")],
+        )
+
+    with _PATH_HINTS_LOCK:
+        hint = _PATH_HINTS.get(want)
+    if hint is not None:
+        db, tbl = hint
+        if _root_if_covers(_table_location(spark, db, tbl)) is not None:
+            _deny(db, tbl)
             return
+        with _PATH_HINTS_LOCK:  # table moved/dropped — full sweep below
+            _PATH_HINTS.pop(want, None)
+    best: "tuple[int, str, str] | None" = None
+    for db in spark.catalog.listDatabases():
+        for t in spark.catalog.listTables(db.name):
+            if t.isTemporary:
+                continue
+            root = _root_if_covers(_table_location(spark, db.name, t.name))
+            if root is not None and (best is None or len(root) > best[0]):
+                best = (len(root), db.name, t.name)
+    if best is not None:
+        _deny(best[1], best[2])
 
 
 def _table_location(spark: SparkSession, db: str, tbl: str):

@@ -396,6 +396,7 @@ class KVStoreWriter(DataSourceWriter):
         order newest-wins reads resolve (concurrent jobs order by
         commit clock — the store's documented tiebreak)."""
         segs: list[str] = []
+        mtmp = None
         try:
             for m in messages:
                 tmp = getattr(m, "tmp", "")
@@ -417,12 +418,13 @@ class KVStoreWriter(DataSourceWriter):
         except Exception:
             # a commit that dies between renaming segments and
             # publishing the manifest must not strand unreferenced
-            # seg-* files forever — abort() only knows .tmp paths
-            # (review r12). Invisible-to-readers either way; this is
+            # seg-* files — or the written-but-unrenamed .manifest-*
+            # temp (review r12 pass 2) — forever; abort() only knows
+            # .tmp paths. Invisible-to-readers either way; this is
             # directory hygiene, best-effort by design.
-            for seg in segs:
+            for leftover in segs + ([os.path.basename(mtmp)] if mtmp else []):
                 try:
-                    os.remove(os.path.join(self.path, seg))
+                    os.remove(os.path.join(self.path, leftover))
                 except OSError:
                     pass
             raise

@@ -419,9 +419,13 @@ class TCLIFront:
         # every req wraps its fields in arg field 1
         if name == "OpenSession":
             return method(args.get(1, {}), owned)
+        resp = method(args.get(1, {}))
         if name == "CloseSession" and owned is not None:
+            # un-track only AFTER the close ran: discarding first would
+            # orphan the session from the socket-drop reaper if the
+            # close body ever fails (review r12 pass 2)
             owned.discard(self._guid_of(args.get(1, {}).get(1, {})))
-        return method(args.get(1, {}))
+        return resp
 
     @staticmethod
     def _guid_of(handle_struct: dict) -> bytes:

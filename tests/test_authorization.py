@@ -1158,3 +1158,71 @@ def test_enforcement_append_batch_partition_subdir_gated(
         spark.conf.set("spark.sql.authz.enabled", "false")
         spark.sql("DROP TABLE IF EXISTS authz_part_tbl")
         spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_append_batch_recreated_table_still_gated(
+    enforced, spark, tmp_path
+):
+    """Review r12 pass 2: DROP + CREATE of the same table name at a
+    NEW location must still be gated — every path decision rests on
+    live metadata (the reverted location cache keyed on the table-name
+    set would have missed this)."""
+    eng, _as, _seed = enforced
+    loc_a = str(tmp_path / "authz_move_a")
+    loc_b = str(tmp_path / "authz_move_b")
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS authz_move_tbl")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", loc_a).saveAsTable("authz_move_tbl")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    batch = spark.createDataFrame([(2,)], "id bigint")
+    try:
+        _as("prog_move")
+        with pytest.raises(PermissionError):
+            eng.append_batch(batch, loc_a)  # primes the path hint too
+        # recreate the SAME name at a NEW location
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE authz_move_tbl")
+        spark.createDataFrame([(1,)], "id bigint") \
+            .write.option("path", loc_b).saveAsTable("authz_move_tbl")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        _as("prog_move")
+        with pytest.raises(PermissionError, match=r"authz_move_tbl"):
+            eng.append_batch(batch, loc_b)  # the new location is live
+        # ...and the OLD location is now ungoverned filesystem space
+        eng.append_batch(batch, loc_a)
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS authz_move_tbl")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_append_batch_nested_locations_deepest_wins(
+    enforced, spark, tmp_path
+):
+    """Review r12 pass 2: with nested table locations the DEEPEST root
+    governs the path — INSERT on the inner table must suffice and the
+    outer table's privileges must not be consulted."""
+    eng, _as, _seed = enforced
+    outer = str(tmp_path / "outer")
+    inner = f"{outer}/inner"
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    for t in ("authz_outer_t", "authz_inner_t"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", outer).saveAsTable("authz_outer_t")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", inner).saveAsTable("authz_inner_t")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    batch = spark.createDataFrame([(2,)], "id bigint")
+    try:
+        _seed("GRANT INSERT ON authz_inner_t TO USER prog_nest")
+        _as("prog_nest")
+        eng.append_batch(batch, inner)  # inner grant suffices
+        with pytest.raises(PermissionError, match=r"authz_outer_t"):
+            eng.append_batch(batch, outer)  # outer still gated
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        for t in ("authz_outer_t", "authz_inner_t"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        spark.conf.set("spark.sql.authz.enabled", "true")

@@ -371,8 +371,9 @@ def test_failed_commit_leaves_no_orphan_segments(spark, tmp_path, monkeypatch):
         w.commit([m1, m2])
     monkeypatch.setattr(kvstore.os, "rename", real_rename)
     leftovers = [f for f in os.listdir(d)
-                 if f.startswith(kvstore.SEG_PREFIX)]
-    assert leftovers == []  # renamed segments unwound
+                 if f.startswith(kvstore.SEG_PREFIX)
+                 or f.startswith(".manifest-")]
+    assert leftovers == []  # renamed segments AND the manifest tmp unwound
     assert kvstore._region_files(d) == []  # nothing visible
     # a retried job commits cleanly afterwards
     m3 = w.write(iter([{"row_key": "kc", "name": "n", "qty": "3"}]))
