@@ -1219,15 +1219,6 @@ def enforce_verb(
     )
 
 
-# enforce_path_write fast path: last table known to GOVERN each exact
-# path, confirmed against live metadata on every use — a pure ordering
-# hint, never a source of truth, so it cannot go stale the way a
-# location-map cache can (review r12 pass 2: a table-set fingerprint
-# misses DROP + CREATE of the same name at a new location).
-_PATH_HINTS: dict[str, tuple[str, str]] = {}
-_PATH_HINTS_LOCK = threading.Lock()
-
-
 def enforce_path_write(spark: SparkSession, path: str) -> None:
     """Gate for PATH-addressed programmatic writes
     (``Engine.append_batch``): when ``path`` is the storage location
@@ -1243,14 +1234,20 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
     does not carry — documented in README); nothing stops raw
     ``df.write`` either, so gating it here would be theater.
 
-    Soundness over speed (review r12 pass 2 reverted a location-map
-    cache that a DROP+CREATE at a new location could silently evade):
-    every decision rests on LIVE metadata — the repeated-append hot
-    path costs ONE fresh DESCRIBE via the per-path hint; an unmatched
-    path pays a fresh catalog sweep per call, only under enforcement
-    for a non-admin caller. When several table locations nest, the
-    DEEPEST (longest) root wins — the path belongs to the most
-    specific table."""
+    Soundness over speed — a deliberate, twice-reviewed decision
+    (review r12): pass 1 added a table-set-fingerprint location cache
+    (a DROP+CREATE at a new location evaded it), pass 2 replaced it
+    with a confirmed per-path hint (a table created LATER at a deeper
+    nested location was permanently shadowed by the hinted shallow
+    one). Both failed the same way — any memory of catalog layout can
+    go stale under it — so this gate keeps NO state: every call is a
+    fresh, complete catalog sweep and the DEEPEST (longest) covering
+    root wins, the path's most specific table. The cost — one
+    DESCRIBE per catalog table — is paid only under enforcement by a
+    non-admin caller on a path-addressed append, which also runs a
+    full Spark write job; the reference's streaming endpoint likewise
+    resolves its table against the live metastore per connection
+    (HiveEndPoint.newConnection)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1268,22 +1265,6 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
             return root
         return None
 
-    def _deny(db: str, tbl: str) -> None:
-        with _PATH_HINTS_LOCK:
-            _PATH_HINTS[want] = (db, tbl)
-        _deny_missing(
-            spark, store, user, roles, [(f"`{db}`.`{tbl}`", "INSERT")],
-        )
-
-    with _PATH_HINTS_LOCK:
-        hint = _PATH_HINTS.get(want)
-    if hint is not None:
-        db, tbl = hint
-        if _root_if_covers(_table_location(spark, db, tbl)) is not None:
-            _deny(db, tbl)
-            return
-        with _PATH_HINTS_LOCK:  # table moved/dropped — full sweep below
-            _PATH_HINTS.pop(want, None)
     best: "tuple[int, str, str] | None" = None
     for db in spark.catalog.listDatabases():
         for t in spark.catalog.listTables(db.name):
@@ -1293,7 +1274,10 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
             if root is not None and (best is None or len(root) > best[0]):
                 best = (len(root), db.name, t.name)
     if best is not None:
-        _deny(best[1], best[2])
+        _deny_missing(
+            spark, store, user, roles,
+            [(f"`{best[1]}`.`{best[2]}`", "INSERT")],
+        )
 
 
 def _table_location(spark: SparkSession, db: str, tbl: str):

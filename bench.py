@@ -123,26 +123,28 @@ def main() -> None:
     # and r11 driver numbers both whipsawed double-digit percentages on
     # byte-identical plans purely from host load; the note makes the
     # record self-adjudicating so a reader cannot misread noise as
-    # regression. Classified off ALL SIX ambient components (1/5/15-min
-    # at start AND end — review r12: the r12-open capture sat at 1-min
-    # 0.2 but a draining 15-min 2.6 and ran ~25% hot, so endpoint
-    # 1-min samples alone under-label). Mid-run 1-min samples live in
-    # the verbose record (run_load1) but are NOT thresholded: the
-    # bench's own 32-thread bursts land in them, so they would
-    # misclassify self-load as contention. Threshold basis: every
-    # observed whipsaw had an ambient component >= 5; every clean
-    # quiet capture had all six < 2.
-    peak = max(load["start"] + load["end"])
+    # regression. Classified off the START samples only, all three
+    # 1/5/15-min components: they are taken BEFORE the warmup, so the
+    # bench's own 32-thread bursts cannot contaminate them (review r12
+    # pass 3 — end/mid-run samples include self-load and would label a
+    # clean quiet run loaded at higher reps/SF), and the 5/15-min
+    # components catch the draining-load case the r12-open capture hit
+    # (1-min 0.2, 15-min 2.6, ~25% hot). End and mid-run samples stay
+    # in the record for the reader; contention ARRIVING mid-run shows
+    # up in the spread/value_max dispersion fields instead. Threshold
+    # basis: every observed whipsaw had a start component >= 5 or a
+    # hot 15-min; every clean quiet capture had all three < 2.
+    peak = max(load["start"])
     if peak < 2:
         load["note"] = "quiet host"
     elif peak < 5:
         load["note"] = (
-            f"moderate host load (ambient peak {peak}): small uniform "
+            f"moderate host load (start-load peak {peak}): small uniform "
             f"inflation possible; plans are the invariant"
         )
     else:
         load["note"] = (
-            f"LOADED host (ambient peak {peak}): timings reflect "
+            f"LOADED host (start-load peak {peak}): timings reflect "
             f"contention, not the engine — judge by plan fingerprints "
             f"and the round's quiet-host captures (PERF.md convention)"
         )

@@ -1226,3 +1226,42 @@ def test_enforcement_append_batch_nested_locations_deepest_wins(
         for t in ("authz_outer_t", "authz_inner_t"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_enforcement_append_batch_later_inner_table_governs(
+    enforced, spark, tmp_path
+):
+    """Review r12 pass 3: a table created LATER at a deeper location
+    must govern subsequent appends into its path — the gate keeps no
+    memory of earlier resolutions (the reverted per-path hint
+    permanently shadowed a later inner table with the outer one)."""
+    eng, _as, _seed = enforced
+    outer = str(tmp_path / "late_outer")
+    inner = f"{outer}/late_inner"
+    spark.conf.set("spark.sql.authz.enabled", "false")
+    spark.sql("DROP TABLE IF EXISTS authz_late_outer")
+    spark.sql("DROP TABLE IF EXISTS authz_late_inner")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", outer).saveAsTable("authz_late_outer")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    batch = spark.createDataFrame([(2,)], "id bigint")
+    try:
+        _seed("GRANT INSERT ON authz_late_outer TO USER prog_late")
+        _as("prog_late")
+        eng.append_batch(batch, inner)  # resolves to outer today
+        # NOW an inner table appears at that very path (plain CREATE:
+        # the directory is non-empty from the append above)
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql(
+            f"CREATE TABLE authz_late_inner (id BIGINT) USING parquet "
+            f"LOCATION '{inner}'"
+        )
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        _as("prog_late")
+        with pytest.raises(PermissionError, match=r"authz_late_inner"):
+            eng.append_batch(batch, inner)  # outer INSERT no longer enough
+    finally:
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        spark.sql("DROP TABLE IF EXISTS authz_late_outer")
+        spark.sql("DROP TABLE IF EXISTS authz_late_inner")
+        spark.conf.set("spark.sql.authz.enabled", "true")
