@@ -1270,7 +1270,20 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
         for t in spark.catalog.listTables(db.name):
             if t.isTemporary:
                 continue
-            root = _root_if_covers(_table_location(spark, db.name, t.name))
+            try:
+                loc = _table_location(spark, db.name, t.name,
+                                      strict=True)
+            except Exception as e:  # noqa: BLE001 — gate fails CLOSED
+                # a DESCRIBE failure (metastore contention, concurrent
+                # DDL) must not silently convert into "ungoverned
+                # path, allow" (review r12 pass 4) — the caller can
+                # retry; an unauthorized write cannot be unwritten
+                raise RuntimeError(
+                    f"authorization gate could not verify table "
+                    f"`{db.name}`.`{t.name}` while resolving a path "
+                    f"write; failing closed ({e})"
+                ) from e
+            root = _root_if_covers(loc)
             if root is not None and (best is None or len(root) > best[0]):
                 best = (len(root), db.name, t.name)
     if best is not None:
@@ -1280,9 +1293,13 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
         )
 
 
-def _table_location(spark: SparkSession, db: str, tbl: str):
+def _table_location(spark: SparkSession, db: str, tbl: str,
+                    strict: bool = False):
     """Local-filesystem location of a catalog table, or None (non-file
-    scheme, or metadata without a location)."""
+    scheme, or metadata without a location). ``strict=True`` re-raises
+    DESCRIBE failures instead of treating them as location-less — the
+    path-write gate must fail CLOSED on a metadata error, not allow
+    (review r12 pass 4)."""
     try:
         rows = (
             spark.sql(f"DESCRIBE FORMATTED `{db}`.`{tbl}`")
@@ -1290,6 +1307,8 @@ def _table_location(spark: SparkSession, db: str, tbl: str):
             .collect()
         )
     except Exception:  # noqa: BLE001 — concurrently dropped, etc.
+        if strict:
+            raise
         return None
     if not rows:
         return None

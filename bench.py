@@ -134,20 +134,31 @@ def main() -> None:
     # up in the spread/value_max dispersion fields instead. Threshold
     # basis: every observed whipsaw had a start component >= 5 or a
     # hot 15-min; every clean quiet capture had all three < 2.
-    peak = max(load["start"])
-    if peak < 2:
-        load["note"] = "quiet host"
-    elif peak < 5:
+    live = load["start"][0]
+    residual = max(load["start"][1:])  # 5/15-min: may be RECENT load
+    if max(live, residual) >= 5:
         load["note"] = (
-            f"moderate host load (start-load peak {peak}): small uniform "
-            f"inflation possible; plans are the invariant"
+            f"LOADED host at start (1m {live}, 5/15m peak {residual}): "
+            f"timings reflect contention, not the engine — judge by "
+            f"plan fingerprints and the round's quiet-host captures "
+            f"(PERF.md convention)"
+        )
+    elif max(live, residual) >= 2:
+        # distinct from LOADED and from quiet: a high 5/15-min with a
+        # low 1-min usually means load is DRAINING (or a prior bench
+        # run just finished — review r12 pass 4: back-to-back captures
+        # self-contaminate these components); inflation is possible
+        # but not certain
+        load["note"] = (
+            f"recent/moderate load at start (1m {live}, 5/15m peak "
+            f"{residual}): small uniform inflation possible; plans are "
+            f"the invariant"
         )
     else:
-        load["note"] = (
-            f"LOADED host (start-load peak {peak}): timings reflect "
-            f"contention, not the engine — judge by plan fingerprints "
-            f"and the round's quiet-host captures (PERF.md convention)"
-        )
+        # start-sampled: contention ARRIVING mid-run is not detected
+        # here — cross-check run_load1 in the verbose record and the
+        # spread/value_max dispersion before trusting a hot number
+        load["note"] = "quiet host at start (mid-run: see run_load1)"
     # Verbose record first (humans / archive), compact record LAST:
     # the driver keeps only the last ~2000 bytes of stdout, and r2's
     # single verbose line blew past that, clipping the timings out of

@@ -1179,7 +1179,7 @@ def test_enforcement_append_batch_recreated_table_still_gated(
     try:
         _as("prog_move")
         with pytest.raises(PermissionError):
-            eng.append_batch(batch, loc_a)  # primes the path hint too
+            eng.append_batch(batch, loc_a)
         # recreate the SAME name at a NEW location
         spark.conf.set("spark.sql.authz.enabled", "false")
         spark.sql("DROP TABLE authz_move_tbl")
