@@ -32,7 +32,12 @@ ExecuteStatement (sync execution; async callers see FINISHED/ERROR
 at the first GetOperationStatus), GetOperationStatus,
 GetResultSetMetadata, FetchResults (FETCH_NEXT paging over
 toLocalIterator; fetchType=1 log requests answered empty),
-CancelOperation, CloseOperation, CloseSession, GetInfo. The
+CancelOperation, CloseOperation, CloseSession, GetInfo — plus the
+JDBC METADATA operations (DatabaseMetaData / beeline ``!tables``,
+``!columns``; the reference's Get*Operation.java family):
+GetCatalogs, GetSchemas, GetTables, GetColumns, GetFunctions,
+GetTypeInfo, each serving the fixed JDBC result-set shape over the
+live session catalog with %/_ search patterns. The
 column-based TRowSet (protocol >= V6) carries bool/tinyint/smallint/
 int/bigint/float/double natively and renders everything else —
 decimal, date, timestamp, arrays, maps, structs — as strings with
@@ -47,6 +52,7 @@ from __future__ import annotations
 
 import io
 import itertools
+import re
 import socket
 import socketserver
 import struct
@@ -285,12 +291,20 @@ def _op_handle_fields(guid: bytes, secret: bytes, has_result: bool) -> list:
 
 
 class _Operation:
-    def __init__(self, df) -> None:
+    def __init__(self, df=None, columns=None, rows=None) -> None:
+        """Either a DataFrame-backed statement result (rows paged via
+        toLocalIterator) or a STATIC metadata result (columns +
+        materialized row list — the Get* operations, whose row counts
+        are catalog-bounded)."""
         self.df = df
-        self.columns: list[tuple[str, str]] = [
-            (f.name, f.dataType.simpleString()) for f in df.schema.fields
-        ] or [("result", "string")]
-        self.rows: Optional[Iterator] = None
+        if df is not None:
+            self.columns: list[tuple[str, str]] = [
+                (f.name, f.dataType.simpleString()) for f in df.schema.fields
+            ] or [("result", "string")]
+            self.rows: Optional[Iterator] = None
+        else:
+            self.columns = columns or [("result", "string")]
+            self.rows = iter(rows or [])
         self.state = OP_FINISHED
         self.error: Optional[str] = None
         self.lock = threading.Lock()
@@ -583,6 +597,204 @@ class TCLIFront:
             (2, T_BOOL, has_more),
             (3, T_STRUCT, self._rowset(op.columns, batch)),
         ]
+
+    # -- JDBC metadata operations (the reference's service/cli/
+    #    operation/Get*Operation.java family; result-set schemas are
+    #    the fixed JDBC DatabaseMetaData shapes Hive serves). Listing
+    #    is not privilege-filtered, matching Hive's default posture —
+    #    SQL-std metadata filtering is a separate metastore hook the
+    #    minimal model does not carry (statements stay gated). --------
+
+    @staticmethod
+    def _jdbc_pattern(raw) -> "re.Pattern":
+        """A JDBC search pattern ('%' any run, '_' any char; None/''
+        means match-all) as a compiled regex."""
+        s = raw.decode("utf-8", "replace") if isinstance(raw, bytes) else raw
+        if not s:
+            s = "%"
+        out = []
+        for ch in s:
+            if ch == "%":
+                out.append(".*")
+            elif ch == "_":
+                out.append(".")
+            else:
+                out.append(re.escape(ch))
+        return re.compile("^" + "".join(out) + "$", re.IGNORECASE)
+
+    def _static_op(self, sess: _Session, columns, rows) -> list:
+        guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
+        with self._lock:
+            sess.operations[guid] = _Operation(columns=columns, rows=rows)
+        return [
+            (1, T_STRUCT, _status_ok()),
+            (2, T_STRUCT, _op_handle_fields(guid, secret, True)),
+        ]
+
+    def _rpc_GetCatalogs(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        return self._static_op(
+            sess, [("TABLE_CAT", "string")], [("spark_catalog",)]
+        )
+
+    def _rpc_GetSchemas(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        pat = self._jdbc_pattern(req.get(3))
+        rows = [
+            (db.name, "spark_catalog")
+            for db in sess.engine.spark.catalog.listDatabases()
+            if pat.match(db.name)
+        ]
+        return self._static_op(
+            sess,
+            [("TABLE_SCHEM", "string"), ("TABLE_CATALOG", "string")],
+            sorted(rows),
+        )
+
+    def _matching_tables(self, sess: _Session, req: dict):
+        """(db, Table) pairs for the req's schema (3) and table (4)
+        patterns — the shared walk of GetTables/GetColumns."""
+        spat = self._jdbc_pattern(req.get(3))
+        tpat = self._jdbc_pattern(req.get(4))
+        cat = sess.engine.spark.catalog
+        for db in cat.listDatabases():
+            if not spat.match(db.name):
+                continue
+            for t in cat.listTables(db.name):
+                if tpat.match(t.name):
+                    yield db.name, t
+
+    def _rpc_GetTables(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        want_types = {
+            (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)
+            for v in (req.get(5) or [])
+        }
+        rows = []
+        for dbname, t in self._matching_tables(sess, req):
+            jdbc_type = "VIEW" if (t.tableType or "").upper() in (
+                "VIEW", "TEMPORARY", "TEMP_VIEW",
+            ) else "TABLE"
+            if want_types and jdbc_type not in want_types:
+                continue
+            rows.append(("spark_catalog", dbname if not t.isTemporary else "",
+                         t.name, jdbc_type, t.description or ""))
+        cols = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
+                ("TABLE_NAME", "string"), ("TABLE_TYPE", "string"),
+                ("REMARKS", "string")]
+        return self._static_op(sess, cols, sorted(rows))
+
+    # java.sql.Types codes for GetColumns.DATA_TYPE (public JDBC spec)
+    _JDBC_TYPE = {
+        "boolean": 16, "tinyint": -6, "smallint": 5, "int": 4,
+        "bigint": -5, "float": 6, "double": 8, "string": 12,
+        "varchar": 12, "char": 1, "decimal": 3, "date": 91,
+        "timestamp": 93, "timestamp_ntz": 93, "binary": -2,
+        "array": 2003, "struct": 2002, "map": 2000,
+    }
+
+    def _rpc_GetColumns(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        cpat = self._jdbc_pattern(req.get(5))
+        cat = sess.engine.spark.catalog
+        rows = []
+        for dbname, t in self._matching_tables(sess, req):
+            qual = t.name if t.isTemporary else f"{dbname}.{t.name}"
+            try:
+                cols = cat.listColumns(qual)
+            except Exception:  # noqa: BLE001 — dropped concurrently
+                continue
+            for pos, c in enumerate(cols, start=1):
+                if not cpat.match(c.name):
+                    continue
+                base = _base_dtype(c.dataType)
+                rows.append((
+                    "spark_catalog", dbname, t.name, c.name,
+                    self._JDBC_TYPE.get(base, 12), c.dataType.upper(),
+                    None, None, None, None,
+                    1 if c.nullable else 0, c.description or "",
+                    None, None, None, None, pos,
+                    "YES" if c.nullable else "NO",
+                    None, None, None, None, "NO",
+                ))
+        cols23 = [
+            ("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
+            ("TABLE_NAME", "string"), ("COLUMN_NAME", "string"),
+            ("DATA_TYPE", "int"), ("TYPE_NAME", "string"),
+            ("COLUMN_SIZE", "int"), ("BUFFER_LENGTH", "int"),
+            ("DECIMAL_DIGITS", "int"), ("NUM_PREC_RADIX", "int"),
+            ("NULLABLE", "int"), ("REMARKS", "string"),
+            ("COLUMN_DEF", "string"), ("SQL_DATA_TYPE", "int"),
+            ("SQL_DATETIME_SUB", "int"), ("CHAR_OCTET_LENGTH", "int"),
+            ("ORDINAL_POSITION", "int"), ("IS_NULLABLE", "string"),
+            ("SCOPE_CATALOG", "string"), ("SCOPE_SCHEMA", "string"),
+            ("SCOPE_TABLE", "string"), ("SOURCE_DATA_TYPE", "smallint"),
+            ("IS_AUTO_INCREMENT", "string"),
+        ]
+        # sort on string/int keys only — the padding fields are None
+        rows.sort(key=lambda r: (r[1], r[2], r[16]))
+        return self._static_op(sess, cols23, rows)
+
+    def _rpc_GetFunctions(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        fpat = self._jdbc_pattern(req.get(4))
+        rows = [
+            ("", "", f.name, f.description or "", 1, f.className or "")
+            for f in sess.engine.spark.catalog.listFunctions()
+            if fpat.match(f.name)
+        ]
+        cols = [("FUNCTION_CAT", "string"), ("FUNCTION_SCHEM", "string"),
+                ("FUNCTION_NAME", "string"), ("REMARKS", "string"),
+                ("FUNCTION_TYPE", "int"), ("SPECIFIC_NAME", "string")]
+        rows.sort(key=lambda r: r[2])
+        return self._static_op(sess, cols, rows)
+
+    def _rpc_GetTypeInfo(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        cols = [
+            ("TYPE_NAME", "string"), ("DATA_TYPE", "int"),
+            ("PRECISION", "int"), ("LITERAL_PREFIX", "string"),
+            ("LITERAL_SUFFIX", "string"), ("CREATE_PARAMS", "string"),
+            ("NULLABLE", "smallint"), ("CASE_SENSITIVE", "boolean"),
+            ("SEARCHABLE", "smallint"), ("UNSIGNED_ATTRIBUTE", "boolean"),
+            ("FIXED_PREC_SCALE", "boolean"), ("AUTO_INCREMENT", "boolean"),
+            ("LOCAL_TYPE_NAME", "string"), ("MINIMUM_SCALE", "smallint"),
+            ("MAXIMUM_SCALE", "smallint"), ("SQL_DATA_TYPE", "int"),
+            ("SQL_DATETIME_SUB", "int"), ("NUM_PREC_RADIX", "int"),
+        ]
+        rows = [
+            (name.upper(), code, prec, None, None, None, 1, False, 3,
+             False, False, False, name.upper(), 0, 0, None, None, radix)
+            for name, code, prec, radix in (
+                ("boolean", 16, None, None), ("tinyint", -6, 3, 10),
+                ("smallint", 5, 5, 10), ("int", 4, 10, 10),
+                ("bigint", -5, 19, 10), ("float", 6, 7, 10),
+                ("double", 8, 15, 10), ("string", 12, None, None),
+                ("decimal", 3, 38, 10), ("date", 91, None, None),
+                ("timestamp", 93, None, None), ("binary", -2, None, None),
+                ("array", 2003, None, None), ("map", 2000, None, None),
+                ("struct", 2002, None, None),
+            )
+        ]
+        return self._static_op(sess, cols, rows)
 
     def _rpc_GetInfo(self, req: dict) -> list:  # noqa: N802
         info_type = req.get(2, 0)

@@ -392,3 +392,108 @@ def test_dropped_connection_reaps_sessions(spark, front):
     sess = c2.open_session()
     assert c2.call("CloseSession", [(1, T_STRUCT, _handle_fields(sess))])[1][1] == 0
     c2.close()
+
+
+def test_jdbc_metadata_operations(spark, front):
+    """The DatabaseMetaData family (reference: service/cli/operation/
+    Get*Operation.java): catalogs, schemas, tables, columns, functions
+    and type info served as the fixed JDBC result-set shapes, with
+    %/_ search patterns."""
+    from amplab_hive_spark.tcli import T_LIST
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS tcli_meta_db")
+    spark.sql("DROP TABLE IF EXISTS tcli_meta_db.meta_t")
+    spark.createDataFrame([(1, "x")], "id bigint, name string") \
+        .write.saveAsTable("tcli_meta_db.meta_t")
+    spark.sql("CREATE OR REPLACE VIEW tcli_meta_db.meta_v AS "
+              "SELECT id FROM tcli_meta_db.meta_t")
+    c = _Client(front.port)
+
+    def fetch_all(op):
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(op)), (2, T_I32, 0), (3, T_I64, 1000),
+        ])
+        assert fr[1][1] == 0
+        return fr[3][3]  # TColumn list
+
+    def strcol(cols, i):
+        return [v.decode() for v in cols[i][7][1]]
+
+    try:
+        sess = c.open_session()
+        # catalogs
+        r = c.call("GetCatalogs", [(1, T_STRUCT, _handle_fields(sess))])
+        assert strcol(fetch_all(r[2]), 0) == ["spark_catalog"]
+        # schemas with a pattern
+        r = c.call("GetSchemas", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "tcli_meta%"),
+        ])
+        assert strcol(fetch_all(r[2]), 0) == ["tcli_meta_db"]
+        # tables: view typed VIEW, table typed TABLE
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "tcli_meta_db"), (4, T_STRING, "meta__"),
+        ])
+        cols = fetch_all(r[2])
+        names = strcol(cols, 2)
+        types = strcol(cols, 3)
+        assert dict(zip(names, types)) == {"meta_t": "TABLE", "meta_v": "VIEW"}
+        # tables filtered to VIEW only (field 5: tableTypes list)
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "tcli_meta_db"), (4, T_STRING, "%"),
+            (5, T_LIST, (T_STRING, ["VIEW"])),
+        ])
+        assert strcol(fetch_all(r[2]), 2) == ["meta_v"]
+        # columns: JDBC 23-column shape, java.sql.Types codes
+        r = c.call("GetColumns", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "tcli_meta_db"), (4, T_STRING, "meta_t"),
+            (5, T_STRING, "%"),
+        ])
+        md = c.call("GetResultSetMetadata", [(1, T_STRUCT, _op_fields(r[2]))])
+        colnames = [cd[1].decode() for cd in md[2][1]]
+        assert colnames[:6] == ["TABLE_CAT", "TABLE_SCHEM", "TABLE_NAME",
+                                "COLUMN_NAME", "DATA_TYPE", "TYPE_NAME"]
+        assert len(colnames) == 23
+        cols = fetch_all(r[2])
+        assert strcol(cols, 3) == ["id", "name"]
+        assert cols[4][4][1] == [-5, 12]  # BIGINT, VARCHAR type codes
+        # functions pattern
+        r = c.call("GetFunctions", [
+            (1, T_STRUCT, _handle_fields(sess)), (4, T_STRING, "substr%"),
+        ])
+        fns = strcol(fetch_all(r[2]), 2)
+        assert "substring" in fns
+        # type info is non-empty and carries DATA_TYPE codes
+        r = c.call("GetTypeInfo", [(1, T_STRUCT, _handle_fields(sess))])
+        cols = fetch_all(r[2])
+        assert "BIGINT" in strcol(cols, 0)
+    finally:
+        c.close()
+        spark.sql("DROP VIEW IF EXISTS tcli_meta_db.meta_v")
+        spark.sql("DROP TABLE IF EXISTS tcli_meta_db.meta_t")
+        spark.sql("DROP DATABASE IF EXISTS tcli_meta_db")
+
+
+def test_beeline_metadata_commands(spark, front):
+    """beeline !tables / !columns drive HiveDatabaseMetaData.getTables
+    / getColumns — the genuine JDBC metadata round-trip against the
+    python front."""
+    from amplab_hive_spark.thrift import run_beeline
+
+    spark.sql("DROP TABLE IF EXISTS bee_meta_tbl")
+    spark.createDataFrame([(1, "x")], "id bigint, label string") \
+        .write.saveAsTable("bee_meta_tbl")
+    try:
+        rc, out, err = run_beeline(
+            front.port, ["!tables", "!columns bee_meta_tbl"],
+            url_suffix="/;auth=noSasl",
+        )
+        assert rc == 0, err
+        assert "bee_meta_tbl" in out
+        assert "BIGINT" in out and "label" in out  # !columns shape
+        assert "IS_AUTO_INCREMENT" in out  # the 23-column JDBC header
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bee_meta_tbl")
