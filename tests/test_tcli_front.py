@@ -497,3 +497,47 @@ def test_beeline_metadata_commands(spark, front):
         assert "IS_AUTO_INCREMENT" in out  # the 23-column JDBC header
     finally:
         spark.sql("DROP TABLE IF EXISTS bee_meta_tbl")
+
+
+def test_concurrent_sessions_isolated(spark, front):
+    """HS2's session model under concurrency: two connections run
+    statements in parallel on their own sub-sessions — macros and
+    temp views do not leak across, results interleave correctly."""
+    import threading
+
+    results = {}
+
+    def worker(tag, n):
+        c = _Client(front.port)
+        try:
+            sess = c.open_session(user=f"conc_{tag}")
+            c.execute(sess, f"CREATE TEMPORARY MACRO m_{tag}(x INT) x + {n}")
+            c.execute(
+                sess,
+                f"CREATE OR REPLACE TEMPORARY VIEW conc_v AS "
+                f"SELECT {n} AS v",  # same NAME in both sessions
+            )
+            out = []
+            for _ in range(5):
+                resp = c.execute(
+                    sess, f"SELECT m_{tag}(10) AS a, (SELECT v FROM conc_v) AS b"
+                )
+                assert resp[1][1] == 0, resp
+                fr = c.call("FetchResults", [
+                    (1, T_STRUCT, _op_fields(resp[2])),
+                    (2, T_I32, 0), (3, T_I64, 10),
+                ])
+                out.append((fr[3][3][0][4][1][0], fr[3][3][1][4][1][0]))
+            # the OTHER session's macro must not resolve here
+            other = "b" if tag == "a" else "a"
+            resp = c.execute(sess, f"SELECT m_{other}(1) AS x")
+            results[tag] = (out, resp[1][1])
+        finally:
+            c.close()
+
+    ta = threading.Thread(target=worker, args=("a", 100))
+    tb = threading.Thread(target=worker, args=("b", 200))
+    ta.start(); tb.start(); ta.join(120); tb.join(120)
+    assert results["a"][0] == [(110, 100)] * 5
+    assert results["b"][0] == [(210, 200)] * 5
+    assert results["a"][1] == 3 and results["b"][1] == 3  # foreign macro: error
