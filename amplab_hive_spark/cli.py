@@ -169,7 +169,39 @@ def main(argv: list[str] | None = None) -> int:
              "(thrift.py) until interrupted; real beeline/JDBC/ODBC "
              "clients connect with jdbc:hive2://host:port",
     )
+    ap.add_argument(
+        "--serve-tcli", action="store_true",
+        help="run the ENGINE-ROUTED TCLIService front (tcli.py) until "
+             "interrupted: JDBC clients connect with "
+             "jdbc:hive2://host:port/;auth=noSasl and get the full "
+             "engine dialect (macros, MOR UPDATE/DELETE/MERGE, "
+             "authorization DDL) plus enforcement",
+    )
     args = ap.parse_args(argv)
+
+    if args.serve_tcli:
+        if args.e is not None or args.f is not None or args.serve \
+                or args.connect or args.serve_thrift:
+            ap.error("--serve-tcli is a standalone role")
+        from amplab_hive_spark.session import get_spark
+        from amplab_hive_spark.tcli import TCLIFront
+
+        spark = get_spark("tcli-service")
+        # temp views are session-scoped and every connection gets its
+        # own sub-session, so the front re-attaches the catalog there
+        front = TCLIFront(spark, host=args.host, port=args.port,
+                          sf_dir=args.sf_dir)
+        front.start()
+        print(f"TCLIService front on "
+              f"jdbc:hive2://{args.host}:{front.port}/;auth=noSasl",
+              flush=True)
+        try:
+            import threading
+
+            threading.Event().wait()
+        except KeyboardInterrupt:
+            front.stop()
+        return 0
 
     if args.serve_thrift:
         if args.e is not None or args.f is not None or args.serve or args.connect:

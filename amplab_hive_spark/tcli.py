@@ -317,12 +317,20 @@ class _Operation:
 
 class _Session:
     def __init__(self, spark: SparkSession, username: str,
-                 configuration: "dict[str, str] | None" = None) -> None:
+                 configuration: "dict[str, str] | None" = None,
+                 sf_dir: "str | None" = None) -> None:
         from amplab_hive_spark.catalog import ensure_session_confs
         from amplab_hive_spark.engine import Engine
 
         sub = spark.newSession()
         ensure_session_confs(sub)
+        if sf_dir:
+            # temp views are SESSION-scoped: a front serving the
+            # testdata catalog re-registers it on each sub-session
+            # (--serve-tcli; lazy, footer-read cost only)
+            from amplab_hive_spark.catalog import load_tables
+
+            load_tables(sub, sf_dir)
         # inherit the serving session's enforcement posture — a new
         # SQLConf does NOT copy runtime confs, and an enforcing front
         # must stay enforcing per connection
@@ -349,11 +357,13 @@ class TCLIFront:
     thread, ``stop()`` shuts down. Use as a context manager in tests."""
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
-                 port: int = 0, fetch_default: int = 1000):
+                 port: int = 0, fetch_default: int = 1000,
+                 sf_dir: "str | None" = None):
         self.spark = spark
         self.host = host
         self.requested_port = port
         self.fetch_default = fetch_default
+        self.sf_dir = sf_dir  # testdata catalog attached per session
         self.sessions: dict[bytes, _Session] = {}
         self._lock = threading.Lock()
         self._server: Optional[socketserver.ThreadingTCPServer] = None
@@ -476,7 +486,7 @@ class TCLIFront:
             for k, v in (req.get(4) or {}).items()
         }
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
-        sess = _Session(self.spark, username, conf)
+        sess = _Session(self.spark, username, conf, sf_dir=self.sf_dir)
         with self._lock:
             self.sessions[guid] = sess
         if owned is not None:
