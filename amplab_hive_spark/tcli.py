@@ -13,10 +13,14 @@ module closes that gap the Python-engine way: a from-scratch
 TCLIService server (Apache Hive's public TCLIService.thrift IDL over
 the standard Thrift binary protocol — no thrift library in the
 environment, so the codec is ~150 lines below) whose ExecuteStatement
-runs ``Engine.sql``. Beeline / any Hive JDBC client connects with
-``jdbc:hive2://host:port/;auth=noSasl`` and gets the WHOLE engine
-dialect: macros, MOR UPDATE/DELETE/MERGE, COMPACT, GRANT/REVOKE —
-and the enforcement gate, because Engine.sql IS the gate.
+runs ``Engine.sql``. Beeline / any Hive JDBC client connects with the DEFAULT
+URL ``jdbc:hive2://host:port`` (the transport is sniffed: SASL PLAIN
+— TSaslTransport negotiation + 4-byte length frames, the asserted
+authcid becoming the session principal, HS2's authentication=NONE
+posture — or raw binary via ``;auth=noSasl``) and gets the WHOLE
+engine dialect: macros, MOR UPDATE/DELETE/MERGE, COMPACT,
+GRANT/REVOKE — and the enforcement gate, because Engine.sql IS the
+gate.
 
 Session model (HS2's one-conf-per-session, same as service.py): each
 OpenSession gets its own ``spark.newSession()`` + Engine — private
@@ -71,13 +75,61 @@ T_STRUCT, T_MAP, T_SET, T_LIST = 12, 13, 14, 15
 MSG_CALL, MSG_REPLY, MSG_EXCEPTION = 1, 2, 3
 _VERSION_1 = 0x80010000
 
+# TSaslTransport negotiation status bytes (public Apache Thrift spec)
+SASL_START, SASL_OK, SASL_BAD, SASL_ERROR, SASL_COMPLETE = 1, 2, 3, 4, 5
+
+
+def _sasl_negotiate(sock: socket.socket, reader: _Reader) -> str:
+    """Server side of TSaslTransport's PLAIN handshake: the client
+    sends START(mechanism) then OK(initial response); PLAIN's initial
+    response is ``authzid NUL authcid NUL password`` (RFC 4616). On
+    success both sides switch to 4-byte-length data frames and the
+    asserted authcid becomes the session principal (HS2's
+    hive.server2.authentication=NONE posture: a PasswdAuthentication-
+    Provider that accepts any credential — auth happens, identity is
+    client-asserted). Returns the username."""
+
+    def read_msg() -> tuple[int, bytes]:
+        head = reader._recv_raw(5)
+        status, ln = head[0], struct.unpack("!i", head[1:5])[0]
+        if ln < 0 or ln > (1 << 20):
+            raise ConnectionError(f"bad SASL negotiation length {ln}")
+        return status, reader._recv_raw(ln)
+
+    def send_msg(status: int, payload: bytes = b"") -> None:
+        sock.sendall(bytes([status]) + struct.pack("!i", len(payload)) + payload)
+
+    status, mech = read_msg()
+    if status != SASL_START:
+        raise ConnectionError(f"expected SASL START, got status {status}")
+    if mech.decode("utf-8", "replace") != "PLAIN":
+        send_msg(SASL_BAD, b"only PLAIN is supported")
+        raise ConnectionError(f"unsupported SASL mechanism {mech!r}")
+    status, initial = read_msg()
+    if status not in (SASL_OK, SASL_COMPLETE):
+        raise ConnectionError(f"expected SASL response, got status {status}")
+    parts = initial.split(b"\x00")
+    user = parts[1].decode("utf-8", "replace") if len(parts) >= 2 else ""
+    send_msg(SASL_COMPLETE)
+    reader.framed = True
+    return user
+
+
+def _send_payload(sock: socket.socket, data: bytes, framed: bool) -> None:
+    if framed:
+        sock.sendall(struct.pack("!i", len(data)) + data)
+    else:
+        sock.sendall(data)
+
 
 class _Reader:
     def __init__(self, sock: socket.socket):
         self._sock = sock
         self._buf = b""
+        self.framed = False  # SASL data mode: 4-byte length frames
+        self._frame = b""
 
-    def _fill(self, n: int) -> bytes:
+    def _recv_raw(self, n: int) -> bytes:
         while len(self._buf) < n:
             chunk = self._sock.recv(65536)
             if not chunk:
@@ -85,6 +137,29 @@ class _Reader:
             self._buf += chunk
         out, self._buf = self._buf[:n], self._buf[n:]
         return out
+
+    def _fill(self, n: int) -> bytes:
+        if not self.framed:
+            return self._recv_raw(n)
+        # TSaslTransport data mode: payload arrives in 4-byte
+        # big-endian length frames; thrift values may span frames
+        while len(self._frame) < n:
+            (flen,) = struct.unpack("!i", self._recv_raw(4))
+            if flen < 0 or flen > (64 << 20):
+                raise ConnectionError(f"bad SASL frame length {flen}")
+            self._frame += self._recv_raw(flen)
+        out, self._frame = self._frame[:n], self._frame[n:]
+        return out
+
+    def peek_byte(self) -> int:
+        """First byte of the next message WITHOUT consuming it — the
+        transport sniff (0x80 = raw strict thrift, 0x01 = SASL START)."""
+        if not self._buf:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise ConnectionError("client closed")
+            self._buf = chunk
+        return self._buf[0]
 
     def i8(self) -> int:
         return struct.unpack("!b", self._fill(1))[0]
@@ -384,7 +459,17 @@ class TCLIFront:
                 # this with its idle-session timeout, a one-socket-one-
                 # session reap is the same bound for the -e flow)
                 owned: set[bytes] = set()
+                sasl_user: Optional[str] = None
                 try:
+                    # transport sniff: beeline's DEFAULT URL speaks
+                    # SASL (first byte = negotiation status START);
+                    # ;auth=noSasl sends a raw strict-thrift message
+                    # (first byte 0x80). Serve both.
+                    try:
+                        if reader.peek_byte() == SASL_START:
+                            sasl_user = _sasl_negotiate(self.request, reader)
+                    except ConnectionError:
+                        return
                     while True:
                         try:
                             name, mtype, seqid = reader.message_begin()
@@ -392,7 +477,9 @@ class TCLIFront:
                         except (ConnectionError, struct.error):
                             return
                         try:
-                            resp_fields = front._dispatch(name, args, owned)
+                            resp_fields = front._dispatch(
+                                name, args, owned, sasl_user
+                            )
                         except Exception as e:  # noqa: BLE001 — wire error
                             resp_fields = [(1, T_STRUCT,
                                             _status_error(f"{type(e).__name__}: {e}"))]
@@ -401,7 +488,8 @@ class TCLIFront:
                         # service-method result struct: field 0 = success
                         w.fields([(0, T_STRUCT, resp_fields)])
                         try:
-                            self.request.sendall(w.bytes())
+                            _send_payload(self.request, w.bytes(),
+                                          reader.framed)
                         except OSError:
                             return
                 finally:
@@ -435,14 +523,15 @@ class TCLIFront:
     # -- dispatch ------------------------------------------------------
 
     def _dispatch(self, name: str, args: dict,
-                  owned: "set[bytes] | None" = None) -> list:
+                  owned: "set[bytes] | None" = None,
+                  sasl_user: "str | None" = None) -> list:
         method = getattr(self, f"_rpc_{name}", None)
         if method is None:
             return [(1, T_STRUCT,
                      _status_error(f"unsupported TCLIService call {name}"))]
         # every req wraps its fields in arg field 1
         if name == "OpenSession":
-            return method(args.get(1, {}), owned)
+            return method(args.get(1, {}), owned, sasl_user)
         resp = method(args.get(1, {}))
         if name == "CloseSession" and owned is not None:
             # un-track only AFTER the close ran: discarding first would
@@ -475,9 +564,16 @@ class TCLIFront:
     # -- RPCs ------------------------------------------------------------
 
     def _rpc_OpenSession(self, req: dict,
-                         owned: "set[bytes] | None" = None) -> list:  # noqa: N802
+                         owned: "set[bytes] | None" = None,
+                         sasl_user: "str | None" = None) -> list:  # noqa: N802
         username = (req.get(2) or b"").decode("utf-8", "replace") \
             if isinstance(req.get(2), bytes) else (req.get(2) or "")
+        if sasl_user:
+            # the transport-authenticated identity outranks the
+            # request-body field (HS2: SessionManager takes the
+            # SASL/HTTP principal, TOpenSessionReq.username is
+            # advisory)
+            username = sasl_user
         client_proto = req.get(1, PROTOCOL_V10)
         proto = min(int(client_proto), PROTOCOL_V10)
         conf = {

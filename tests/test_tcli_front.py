@@ -541,3 +541,70 @@ def test_concurrent_sessions_isolated(spark, front):
     assert results["a"][0] == [(110, 100)] * 5
     assert results["b"][0] == [(210, 200)] * 5
     assert results["a"][1] == 3 and results["b"][1] == 3  # foreign macro: error
+
+
+class _SaslClient(_Client):
+    """Wire client speaking TSaslTransport PLAIN + framed data mode."""
+
+    def __init__(self, port: int, user: str = "sasl_user"):
+        super().__init__(port)
+        import struct as _s
+
+        def send_msg(status, payload=b""):
+            self.sock.sendall(bytes([status]) + _s.pack("!i", len(payload)) + payload)
+
+        def read_msg():
+            head = self.reader._recv_raw(5)
+            ln = _s.unpack("!i", head[1:5])[0]
+            return head[0], self.reader._recv_raw(ln)
+
+        send_msg(1, b"PLAIN")                      # START
+        send_msg(2, b"\x00" + user.encode() + b"\x00pw")  # OK + initial resp
+        status, _ = read_msg()
+        assert status == 5  # COMPLETE
+        self.reader.framed = True
+
+    def call(self, name, fields):
+        import struct as _s
+
+        from amplab_hive_spark.tcli import MSG_CALL, T_STRUCT, _Writer
+
+        self.seq += 1
+        w = _Writer()
+        w.message_begin(name, MSG_CALL, self.seq)
+        w.fields([(1, T_STRUCT, fields)])
+        data = w.bytes()
+        self.sock.sendall(_s.pack("!i", len(data)) + data)  # framed
+        rname, mtype, rseq = self.reader.message_begin()
+        assert rname == name and rseq == self.seq
+        return self.reader.struct()[0]
+
+
+def test_sasl_plain_negotiation_and_identity(spark, front):
+    """TSaslTransport PLAIN (beeline's DEFAULT transport): negotiation
+    + framed data mode work, and the SASL-asserted identity outranks
+    TOpenSessionReq.username (HS2's rule)."""
+    c = _SaslClient(front.port, user="sasl_alice")
+    try:
+        # OpenSession claims a DIFFERENT name in the request body
+        resp = c.call("OpenSession", [(1, T_I32, 9), (2, T_STRING, "impostor")])
+        assert resp[1][1] == 0
+        sess = resp[3]
+        r2 = c.execute(sess, "SET user.name")
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(r2[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        key, value = fr[3][3][0][7][1][0], fr[3][3][1][7][1][0]
+        assert key == b"user.name" and value == b"sasl_alice"
+    finally:
+        c.close()
+
+
+def test_beeline_default_url_sasl(spark, front):
+    """Stock beeline with the DEFAULT JDBC URL (no ;auth=noSasl) —
+    SASL PLAIN over genuine wire traffic."""
+    from amplab_hive_spark.thrift import run_beeline
+
+    rc, out, err = run_beeline(front.port, "SELECT 41+1 AS answer")
+    assert rc == 0, err
+    assert "42" in out
