@@ -48,8 +48,9 @@ decimal, date, timestamp, arrays, maps, structs — as strings with
 the accurate TTypeId in metadata, exactly HS2's own serialization
 rule for those types.
 
-Trust posture: loopback dev server, NOSASL (same as service.py). Not
-Kerberos, not TLS — the reference's unsecured HS2 mode.
+Trust posture: loopback dev server; SASL PLAIN accepts any
+credential (identity client-asserted) and raw NOSASL is also served.
+Not Kerberos, not TLS — the reference's unsecured HS2 mode.
 """
 
 from __future__ import annotations
