@@ -172,10 +172,10 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument(
         "--serve-tcli", action="store_true",
         help="run the ENGINE-ROUTED TCLIService front (tcli.py) until "
-             "interrupted: JDBC clients connect with "
-             "jdbc:hive2://host:port/;auth=noSasl and get the full "
-             "engine dialect (macros, MOR UPDATE/DELETE/MERGE, "
-             "authorization DDL) plus enforcement",
+             "interrupted: JDBC clients connect with the default "
+             "jdbc:hive2://host:port (SASL PLAIN; ;auth=noSasl also "
+             "served) and get the full engine dialect (macros, MOR "
+             "UPDATE/DELETE/MERGE, authorization DDL) plus enforcement",
     )
     args = ap.parse_args(argv)
 
@@ -192,8 +192,7 @@ def main(argv: list[str] | None = None) -> int:
         front = TCLIFront(spark, host=args.host, port=args.port,
                           sf_dir=args.sf_dir)
         front.start()
-        print(f"TCLIService front on "
-              f"jdbc:hive2://{args.host}:{front.port}/;auth=noSasl",
+        print(f"TCLIService front on jdbc:hive2://{args.host}:{front.port}",
               flush=True)
         try:
             import threading

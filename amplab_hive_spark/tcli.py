@@ -400,13 +400,6 @@ class _Session:
 
         sub = spark.newSession()
         ensure_session_confs(sub)
-        if sf_dir:
-            # temp views are SESSION-scoped: a front serving the
-            # testdata catalog re-registers it on each sub-session
-            # (--serve-tcli; lazy, footer-read cost only)
-            from amplab_hive_spark.catalog import load_tables
-
-            load_tables(sub, sf_dir)
         # inherit the serving session's enforcement posture — a new
         # SQLConf does NOT copy runtime confs, and an enforcing front
         # must stay enforcing per connection
@@ -424,7 +417,10 @@ class _Session:
         db = (configuration or {}).get("use:database")
         if db and db != "default":
             sub.catalog.setCurrentDatabase(db)
-        self.engine = Engine(sub)
+        # temp views are SESSION-scoped: a front serving the testdata
+        # catalog re-attaches it per sub-session — Engine.attach owns
+        # that (lazy, footer-read cost only; --serve-tcli)
+        self.engine = Engine(sub, sf_dir=sf_dir)
         self.operations: dict[bytes, _Operation] = {}
 
 
@@ -714,19 +710,29 @@ class TCLIFront:
 
     @staticmethod
     def _jdbc_pattern(raw) -> "re.Pattern":
-        """A JDBC search pattern ('%' any run, '_' any char; None/''
-        means match-all) as a compiled regex."""
+        """A JDBC search pattern ('%' any run, '_' any char, '\\' the
+        escape char — DatabaseMetaData.getSearchStringEscape, which
+        clients use to match literal underscores; None/'' means
+        match-all) as a compiled regex."""
         s = raw.decode("utf-8", "replace") if isinstance(raw, bytes) else raw
         if not s:
             s = "%"
         out = []
+        escaped = False
         for ch in s:
-            if ch == "%":
+            if escaped:
+                out.append(re.escape(ch))
+                escaped = False
+            elif ch == "\\":
+                escaped = True
+            elif ch == "%":
                 out.append(".*")
             elif ch == "_":
                 out.append(".")
             else:
                 out.append(re.escape(ch))
+        if escaped:  # trailing backslash: literal
+            out.append(re.escape("\\"))
         return re.compile("^" + "".join(out) + "$", re.IGNORECASE)
 
     def _static_op(self, sess: _Session, columns, rows) -> list:
@@ -766,16 +772,28 @@ class TCLIFront:
 
     def _matching_tables(self, sess: _Session, req: dict):
         """(db, Table) pairs for the req's schema (3) and table (4)
-        patterns — the shared walk of GetTables/GetColumns."""
+        patterns — the shared walk of GetTables/GetColumns.
+        ``listTables(db)`` returns session TEMP views for EVERY db
+        argument (review r12 pass 5: they showed up once per database
+        with a foreign TABLE_SCHEM); they are schema-less objects, so
+        they are yielded ONCE, under the empty schema, and only when
+        the schema pattern admits the empty name."""
         spat = self._jdbc_pattern(req.get(3))
         tpat = self._jdbc_pattern(req.get(4))
         cat = sess.engine.spark.catalog
+        temps_done = False
         for db in cat.listDatabases():
-            if not spat.match(db.name):
+            in_schema = bool(spat.match(db.name))
+            if not in_schema and temps_done:
                 continue
             for t in cat.listTables(db.name):
-                if tpat.match(t.name):
+                if t.isTemporary:
+                    if not temps_done and spat.match("") and tpat.match(t.name):
+                        yield "", t
+                    continue
+                if in_schema and tpat.match(t.name):
                     yield db.name, t
+            temps_done = True
 
     def _rpc_GetTables(self, req: dict) -> list:  # noqa: N802
         try:
@@ -793,8 +811,8 @@ class TCLIFront:
             ) else "TABLE"
             if want_types and jdbc_type not in want_types:
                 continue
-            rows.append(("spark_catalog", dbname if not t.isTemporary else "",
-                         t.name, jdbc_type, t.description or ""))
+            rows.append(("spark_catalog", dbname, t.name, jdbc_type,
+                         t.description or ""))
         cols = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
                 ("TABLE_NAME", "string"), ("TABLE_TYPE", "string"),
                 ("REMARKS", "string")]

@@ -86,15 +86,29 @@ def generate(out: str) -> None:
     spark.stop()
 
 
-def main() -> None:
-    out = "/tmp/amplab_10x/sf1"  # basename must be sf<N>: bench.py parses the SF from it
+def out_arg(default: str = "/tmp/amplab_10x/sf1") -> str:
+    """--out <path> from argv; basename must be sf<N> (bench.py
+    parses the SF from it)."""
     if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
-    tables = list(KEYED) + DIMS
-    if all(os.path.exists(f"{out}/{t}.parquet") for t in tables):
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            raise SystemExit("--out requires a path argument")
+        return sys.argv[i + 1]
+    return default
+
+
+def ensure_dataset(out: str) -> None:
+    """Generate the tiled sf1-equivalent dataset unless every table
+    already exists at ``out`` (shared with scale10x_window_r12.py)."""
+    if all(os.path.exists(f"{out}/{t}.parquet") for t in list(KEYED) + DIMS):
         print(f"reusing {out}")
     else:
         generate(out)
+
+
+def main() -> None:
+    out = out_arg()
+    ensure_dataset(out)
     env = dict(
         os.environ, SPARK_GRAFT_SF_DIR=out, SPARK_GRAFT_BENCH_REPS="1"
     )

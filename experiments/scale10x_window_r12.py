@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from bench import plan_fingerprint  # noqa: E402
-from experiments.scale10x_bench import DIMS, KEYED, generate  # noqa: E402
+from experiments.scale10x_bench import ensure_dataset, out_arg  # noqa: E402
 
 QUERIES = (
     "q9_product_type_profit",
@@ -38,13 +38,8 @@ def main() -> None:
     from amplab_hive_spark.registry import all_queries
     from amplab_hive_spark.session import get_spark
 
-    out = "/tmp/amplab_10x/sf1"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
-    if all(os.path.exists(f"{out}/{t}.parquet") for t in list(KEYED) + DIMS):
-        print(f"reusing {out}")
-    else:
-        generate(out)
+    out = out_arg()
+    ensure_dataset(out)
     spark = get_spark("scale10x_window_r12")
     specs = {n: all_queries()[n] for n in QUERIES}
     rec: dict = {"queries": {}}

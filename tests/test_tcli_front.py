@@ -608,3 +608,53 @@ def test_beeline_default_url_sasl(spark, front):
     rc, out, err = run_beeline(front.port, "SELECT 41+1 AS answer")
     assert rc == 0, err
     assert "42" in out
+
+
+def test_metadata_temp_views_once_and_escape_patterns(spark, front):
+    """Review r12 pass 5: session temp views are schema-less — listed
+    ONCE under the empty schema, never duplicated per database; and
+    the JDBC escape character matches literal underscores."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS tcli_dup_db")
+    spark.sql("DROP TABLE IF EXISTS esc_meta_tbl")
+    spark.range(1).write.saveAsTable("esc_meta_tbl")
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        c.execute(sess, "CREATE OR REPLACE TEMPORARY VIEW tcli_tmpv AS SELECT 1 AS x")
+
+        def fetch(op):
+            fr = c.call("FetchResults", [
+                (1, T_STRUCT, _op_fields(op)), (2, T_I32, 0), (3, T_I64, 1000),
+            ])
+            return fr[3][3]
+
+        # match-all: the temp view appears exactly once, schema ""
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)), (4, T_STRING, "tcli_tmpv"),
+        ])
+        cols = fetch(r[2])
+        names = [v.decode() for v in cols[2][7][1]]
+        schems = [v.decode() for v in cols[1][7][1]]
+        assert names == ["tcli_tmpv"] and schems == [""]
+        # a concrete schema pattern excludes schema-less temp views
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "tcli_dup_db"), (4, T_STRING, "tcli_tmpv"),
+        ])
+        assert fetch(r[2])[2][7][1] == []
+        # escaped underscores (the getSearchStringEscape contract)
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "default"), (4, T_STRING, "esc\\_meta\\_tbl"),
+        ])
+        assert [v.decode() for v in fetch(r[2])[2][7][1]] == ["esc_meta_tbl"]
+        # unescaped _ stays a single-char wildcard
+        r = c.call("GetTables", [
+            (1, T_STRUCT, _handle_fields(sess)),
+            (3, T_STRING, "default"), (4, T_STRING, "esc_meta_tb_"),
+        ])
+        assert [v.decode() for v in fetch(r[2])[2][7][1]] == ["esc_meta_tbl"]
+    finally:
+        c.close()
+        spark.sql("DROP TABLE IF EXISTS esc_meta_tbl")
+        spark.sql("DROP DATABASE IF EXISTS tcli_dup_db")
