@@ -71,6 +71,28 @@ def plan_fingerprint(df) -> dict[str, int]:
     }
 
 
+def cpu_calibration() -> float:
+    """Seconds for a FIXED single-core workload (sha256 over 192 MB in
+    64 KiB blocks) — a load-, code- and data-independent yardstick for
+    the host's effective per-core speed (frequency scaling, hypervisor
+    steal, thermal state). Round 12: both quiet captures ran ~30%
+    above r11's close on byte-identical plans and unchanged code — a
+    cross-round environment shift loadavg cannot see; dividing query
+    time by this number makes rounds comparable."""
+    import hashlib
+
+    block = b"\x5a" * 65536
+    best = float("inf")
+    for _ in range(5):  # min-of-5: the noise-robust floor
+        t0 = time.perf_counter()
+        h = hashlib.sha256()
+        for _ in range(3072):  # 3072 * 64 KiB = 192 MiB
+            h.update(block)
+        h.digest()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -118,6 +140,10 @@ def main() -> None:
         "start": load_start,
         "end": [round(x, 2) for x in os.getloadavg()],
         "cpus": os.cpu_count(),
+        # fixed-work single-core yardstick (see cpu_calibration):
+        # compare across rounds to separate engine changes from host
+        # speed changes that loadavg cannot see
+        "cpu_calib_sec": cpu_calibration(),
     }
     # Machine-readable host-state verdict (VERDICT r11 task 6): the r9
     # and r11 driver numbers both whipsawed double-digit percentages on
