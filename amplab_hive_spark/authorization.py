@@ -1242,12 +1242,17 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
     one). Both failed the same way — any memory of catalog layout can
     go stale under it — so this gate keeps NO state: every call is a
     fresh, complete catalog sweep and the DEEPEST (longest) covering
-    root wins, the path's most specific table. The cost — one
-    DESCRIBE per catalog table — is paid only under enforcement by a
-    non-admin caller on a path-addressed append, which also runs a
-    full Spark write job; the reference's streaming endpoint likewise
-    resolves its table against the live metastore per connection
-    (HiveEndPoint.newConnection)."""
+    root wins, the path's most specific table. The sweep is made
+    affordable without state via BULK metadata (one externalCatalog
+    getTablesByName round-trip per database — measured ~6 ms/sweep vs
+    ~30 ms PER TABLE for the DESCRIBE form,
+    experiments/authz_pathwrite_bench.py), paid only under
+    enforcement by a non-admin caller on a path-addressed append; the
+    reference's streaming endpoint likewise resolves its table
+    against the live metastore per connection
+    (HiveEndPoint.newConnection). Fails CLOSED on a metadata error —
+    the caller can retry, an unauthorized write cannot be unwritten
+    (review r12 pass 4)."""
     if not enforcement_enabled(spark):
         return
     user = current_user(spark)
@@ -1266,26 +1271,17 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
         return None
 
     best: "tuple[int, str, str] | None" = None
-    for db in spark.catalog.listDatabases():
-        for t in spark.catalog.listTables(db.name):
-            if t.isTemporary:
-                continue
-            try:
-                loc = _table_location(spark, db.name, t.name,
-                                      strict=True)
-            except Exception as e:  # noqa: BLE001 — gate fails CLOSED
-                # a DESCRIBE failure (metastore contention, concurrent
-                # DDL) must not silently convert into "ungoverned
-                # path, allow" (review r12 pass 4) — the caller can
-                # retry; an unauthorized write cannot be unwritten
-                raise RuntimeError(
-                    f"authorization gate could not verify table "
-                    f"`{db.name}`.`{t.name}` while resolving a path "
-                    f"write; failing closed ({e})"
-                ) from e
+    try:
+        for db, tbl, loc in _catalog_locations(spark):
             root = _root_if_covers(loc)
             if root is not None and (best is None or len(root) > best[0]):
-                best = (len(root), db.name, t.name)
+                best = (len(root), db, tbl)
+    except Exception as e:  # noqa: BLE001 — gate fails CLOSED
+        raise RuntimeError(
+            f"authorization gate could not enumerate catalog table "
+            f"locations while resolving a path write; failing closed "
+            f"({e})"
+        ) from e
     if best is not None:
         _deny_missing(
             spark, store, user, roles,
@@ -1293,13 +1289,39 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
         )
 
 
-def _table_location(spark: SparkSession, db: str, tbl: str,
-                    strict: bool = False):
+def _catalog_locations(spark: SparkSession):
+    """Fresh (db, table, local-filesystem-location-or-None) triples
+    for every PERSISTENT catalog table — one bulk
+    ``externalCatalog().getTablesByName`` py4j round-trip per
+    database (temp views live only in the session catalog and are not
+    path-write subjects). Views and non-file schemes yield None."""
+    ext = spark._jsparkSession.sessionState().catalog().externalCatalog()
+    to_seq = spark._jvm.org.apache.spark.api.python.PythonUtils.toSeq
+    dbs = ext.listDatabases()
+    for i in range(dbs.size()):
+        db = dbs.apply(i)
+        names = ext.listTables(db)
+        tables = ext.getTablesByName(
+            db, to_seq([names.apply(j) for j in range(names.size())])
+        )
+        for k in range(tables.size()):
+            ct = tables.apply(k)
+            loc = None
+            uri = ct.storage().locationUri()
+            if ct.tableType().name() != "VIEW" and uri.isDefined():
+                raw = uri.get().toString()
+                if raw.startswith("file:"):
+                    loc = raw[len("file:"):] or None
+                elif "://" not in raw:
+                    loc = raw or None
+            yield db, ct.identifier().table(), loc
+
+
+def _table_location(spark: SparkSession, db: str, tbl: str):
     """Local-filesystem location of a catalog table, or None (non-file
-    scheme, or metadata without a location). ``strict=True`` re-raises
-    DESCRIBE failures instead of treating them as location-less — the
-    path-write gate must fail CLOSED on a metadata error, not allow
-    (review r12 pass 4)."""
+    scheme, or metadata without a location). Single-table DESCRIBE
+    form; the path-write gate sweeps in bulk via _catalog_locations
+    instead (measured 25x cheaper at 100 tables)."""
     try:
         rows = (
             spark.sql(f"DESCRIBE FORMATTED `{db}`.`{tbl}`")
@@ -1307,8 +1329,6 @@ def _table_location(spark: SparkSession, db: str, tbl: str,
             .collect()
         )
     except Exception:  # noqa: BLE001 — concurrently dropped, etc.
-        if strict:
-            raise
         return None
     if not rows:
         return None
