@@ -341,6 +341,17 @@ class Engine:
             .drop("_kv_rn", seq)
         )
 
+    def compact_kvstore(self, path: str, mode: str = "minor") -> dict:
+        """Fold a kvstore table's regions (HBase compaction analogue;
+        sources/kvstore.py compact_store — checkpoint-published,
+        concurrent-writer safe). ``minor`` keeps every version,
+        ``major`` keeps the newest per key. Store maintenance is
+        filesystem-level, outside the table privilege model (kvstore
+        paths back no catalog table)."""
+        from amplab_hive_spark.sources.kvstore import compact_store
+
+        return compact_store(path, mode=mode)
+
     def read_sequencefile(self, path: str) -> DataFrame:
         """Hadoop SequenceFiles -> key/value DataFrame (native
         distributed reader, sources/seqfile.py; reference format

@@ -39,7 +39,12 @@ segment; the job's commit() renames them to ``seg-*.jsonl`` and then
 publishes ONE ``manifest-*.json`` naming all of them (tmp+rename, so
 the manifest — and with it every region of the job — appears
 atomically). A reader planned mid-commit sees ALL of a job's regions
-or NONE; segments without a manifest are invisible. Manifest names
+or NONE; segments without a manifest are invisible. ``compact_store``
+folds accumulated micro-regions into few large sorted ones behind an
+atomic CHECKPOINT (minor keeps every version, major keeps the newest
+per key — HBase compaction semantics), concurrent-writer safe by
+stamp partition; ``vacuum_store`` reclaims superseded files under a
+Delta-VACUUM-style retention contract. Manifest names
 carry a zero-padded commit timestamp, so listing order IS commit
 order — that ordering is what ``latest``-mode reads (newest put wins
 per key, the HBase read semantics) resolve against via the
@@ -102,6 +107,7 @@ from pyspark.sql.types import StructType
 REGION_PREFIX = "region-"
 SEG_PREFIX = "seg-"
 MANIFEST_PREFIX = "manifest-"
+CHECKPOINT_PREFIX = "checkpoint-"
 
 
 def _require_path(options: dict) -> str:
@@ -144,25 +150,48 @@ def parse_mapping(options: dict) -> tuple[list[str], list[tuple[str, str]]]:
     return cols, mapped
 
 
+def _stamp_of(fname: str, prefix: str) -> str:
+    """The zero-padded time_ns stamp embedded in a manifest /
+    checkpoint name (lexicographic order = commit order)."""
+    return fname[len(prefix):].split("-")[0]
+
+
 def _region_files(path: str) -> list[str]:
-    """Committed region files in COMMIT ORDER: pre-manifest
-    ``region-*.jsonl`` files first (filename order), then each
-    manifest's segments in manifest order (manifest names embed a
+    """Committed region files in COMMIT ORDER. Without a checkpoint:
+    pre-manifest ``region-*.jsonl`` files first (filename order), then
+    each manifest's segments in manifest order (manifest names embed a
     zero-padded commit timestamp, so filename order is commit order).
-    A store directory that does not exist yet is the HBase
-    empty-table case — zero regions, not a planning error
-    (VERDICT r11 finding 2)."""
+    With a checkpoint (compact_store): the LATEST checkpoint's
+    segments — the fold of everything committed at or before its
+    stamp — followed by the segments of manifests committed AFTER it;
+    superseded files may still sit in the directory until
+    vacuum_store, and are ignored. A store directory that does not
+    exist yet is the HBase empty-table case — zero regions, not a
+    planning error (VERDICT r11 finding 2)."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
         return []
-    out = sorted(
-        os.path.join(path, f)
-        for f in names
-        if f.startswith(REGION_PREFIX) and f.endswith(".jsonl")
-    )
-    for mf in sorted(f for f in names
-                     if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")):
+    manifests = sorted(f for f in names
+                       if f.startswith(MANIFEST_PREFIX) and f.endswith(".json"))
+    cps = sorted(f for f in names
+                 if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
+    out: list[str] = []
+    if cps:
+        latest = cps[-1]
+        cp_stamp = _stamp_of(latest, CHECKPOINT_PREFIX)
+        with open(os.path.join(path, latest)) as fh:
+            out.extend(os.path.join(path, s)
+                       for s in json.load(fh)["segments"])
+        manifests = [m for m in manifests
+                     if _stamp_of(m, MANIFEST_PREFIX) > cp_stamp]
+    else:
+        out.extend(sorted(
+            os.path.join(path, f)
+            for f in names
+            if f.startswith(REGION_PREFIX) and f.endswith(".jsonl")
+        ))
+    for mf in manifests:
         with open(os.path.join(path, mf)) as fh:
             segs = json.load(fh)["segments"]
         out.extend(os.path.join(path, s) for s in segs)
@@ -471,6 +500,162 @@ class KVStoreDataSource(DataSource):
                 "never table truncation through the handler)"
             )
         return KVStoreWriter(schema, self.options)
+
+
+def compact_store(path: str, mode: str = "minor",
+                  rows_per_region: int = 100_000,
+                  as_of_ns: "int | None" = None) -> dict:
+    """Fold the store's committed regions into few large sorted ones —
+    the HBase compaction analogue, and the cure for the micro-append
+    scale failure (one tiny region per commit makes listing, span
+    reads, and task scheduling O(commits), not O(data)).
+
+    - ``minor``: every VERSION of every key is preserved, re-emitted
+      in (key, commit-order) order — a pure layout change;
+    - ``major``: newest version per key wins, older puts dropped
+      (HBase major compaction's version GC).
+
+    Publication is a CHECKPOINT: the merged segments land hidden, then
+    one ``checkpoint-<stamp>-*.json`` rename makes them live; readers
+    take the latest checkpoint's segments plus manifests committed
+    AFTER its stamp. Concurrent-writer safety: the fold covers ONLY
+    manifests stamped at or before ``as_of_ns`` (captured BEFORE
+    listing), so a job committing mid-compaction is stamped later,
+    stays out of the fold, and stays visible after the checkpoint —
+    exactly-once, no loss, no double-read (pinned by test with an
+    explicit as_of_ns between two commits). Superseded files stay on
+    disk for in-flight readers until ``vacuum_store``. Memory: a
+    streaming heap-merge over key-sorted segments — never the store
+    in memory. Pre-checkpoint ``region-*`` files are folded too;
+    writing new legacy-named files after a checkpoint exists is
+    outside the commit protocol and unsupported.
+
+    Returns {"regions_in": N, "regions_out": M, "rows": R}."""
+    if mode not in ("minor", "major"):
+        raise ValueError(f"compact mode must be minor|major, not {mode!r}")
+    import heapq
+
+    as_of = time.time_ns() if as_of_ns is None else as_of_ns
+    stamp = f"{as_of:020d}"
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return {"regions_in": 0, "regions_out": 0, "rows": 0}
+    # the fold set: everything _region_files would return, MINUS
+    # manifests stamped after as_of (concurrent commits stay out)
+    late: set[str] = set()
+    for m in names:
+        if (m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
+                and _stamp_of(m, MANIFEST_PREFIX) > stamp):
+            with open(os.path.join(path, m)) as fh:
+                late.update(os.path.join(path, s)
+                            for s in json.load(fh)["segments"])
+    files = [fp for fp in _region_files(path) if fp not in late]
+    if not files:
+        return {"regions_in": 0, "regions_out": 0, "rows": 0}
+
+    def stream(ordinal_fp):
+        ordinal, fp = ordinal_fp
+        with open(fp) as fh:
+            for line_no, line in enumerate(fh):
+                rec = json.loads(line)
+                yield rec["key"], ordinal, line_no, line
+
+    merged = heapq.merge(*(stream(x) for x in enumerate(files)))
+    if mode == "major":
+        def newest_only(it):
+            prev = None
+            for item in it:
+                if prev is not None and item[0] != prev[0]:
+                    yield prev
+                prev = item
+            if prev is not None:
+                yield prev
+        merged = newest_only(merged)
+
+    segs: list[str] = []
+    rows = 0
+    out_fh = None
+    out_rows = 0
+    tmp_names: list[str] = []
+    try:
+        for key, _, _, line in merged:
+            if out_fh is None or out_rows >= rows_per_region:
+                if out_fh is not None:
+                    out_fh.close()
+                tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+                tmp_names.append(tmp)
+                out_fh = open(tmp, "w")
+                out_rows = 0
+            out_fh.write(line if line.endswith("\n") else line + "\n")
+            out_rows += 1
+            rows += 1
+        if out_fh is not None:
+            out_fh.close()
+        for tmp in tmp_names:
+            seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
+            os.rename(tmp, os.path.join(path, seg))
+            segs.append(seg)
+        cp_tmp = os.path.join(path, f".checkpoint-{uuid.uuid4().hex}")
+        with open(cp_tmp, "w") as fh:
+            json.dump({"segments": segs, "mode": mode}, fh)
+        os.rename(cp_tmp, os.path.join(
+            path, f"{CHECKPOINT_PREFIX}{stamp}-{uuid.uuid4().hex[:8]}.json"
+        ))
+    except Exception:
+        for tmp in tmp_names:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+        for seg in segs:
+            try:
+                os.remove(os.path.join(path, seg))
+            except OSError:
+                pass
+        raise
+    return {"regions_in": len(files), "regions_out": len(segs),
+            "rows": rows}
+
+
+def vacuum_store(path: str) -> int:
+    """Delete files the LATEST checkpoint superseded: pre-checkpoint
+    region-* files, manifests stamped at or before it, older
+    checkpoints, and segments referenced by none of the live
+    metadata. UNSAFE against readers whose scan was planned before
+    the vacuum (they hold the old file list) — run it when no query
+    spans the call, the Delta-VACUUM retention contract. Returns the
+    number of files removed; a store without a checkpoint is left
+    untouched."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return 0
+    cps = sorted(f for f in names
+                 if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
+    if not cps:
+        return 0
+    live = {os.path.basename(fp) for fp in _region_files(path)}
+    live.add(cps[-1])
+    live.update(
+        m for m in names
+        if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
+        and _stamp_of(m, MANIFEST_PREFIX) > _stamp_of(cps[-1],
+                                                      CHECKPOINT_PREFIX)
+    )
+    removed = 0
+    for f in names:
+        if f.startswith(".") or f in live:
+            continue
+        if (f.startswith(REGION_PREFIX) or f.startswith(SEG_PREFIX)
+                or f.startswith(MANIFEST_PREFIX)
+                or f.startswith(CHECKPOINT_PREFIX)):
+            try:
+                os.remove(os.path.join(path, f))
+                removed += 1
+            except OSError:
+                pass
+    return removed
 
 
 def register(spark) -> None:

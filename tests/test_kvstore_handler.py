@@ -379,3 +379,125 @@ def test_failed_commit_leaves_no_orphan_segments(spark, tmp_path, monkeypatch):
     m3 = w.write(iter([{"row_key": "kc", "name": "n", "qty": "3"}]))
     w.commit([m3])
     assert len(kvstore._region_files(d)) == 1
+
+
+# -- round 12: store compaction + vacuum (HBase compaction analogue;
+#    checkpoint-published, concurrent-writer safe). ---------------------
+
+
+def _put(spark, d, key, name):
+    (
+        spark.createDataFrame([(key, name, "0")],
+                              "row_key string, name string, qty string")
+        .coalesce(1).write.format("kvstore").option("path", d)
+        .option("columns", COLUMNS).option("columns.mapping", MAPPING)
+        .mode("append").save()
+    )
+
+
+def test_compact_minor_preserves_versions(spark, tmp_path):
+    """Minor compaction is a pure LAYOUT change: fewer regions, every
+    version of every key preserved, newest-wins still correct."""
+    d = str(tmp_path / "kv_cmin")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    for key, name in (("ka", "a1"), ("kb", "b1"), ("ka", "a2"), ("kc", "c1")):
+        _put(spark, d, key, name)
+    assert len(kvstore._region_files(d)) == 4
+    stats = eng.compact_kvstore(d, mode="minor")
+    assert stats == {"regions_in": 4, "regions_out": 1, "rows": 4}
+    assert len(kvstore._region_files(d)) == 1
+    raw = eng.read_kvstore(d, COLUMNS, MAPPING)
+    assert raw.count() == 4  # all versions survive
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING, latest=True).collect()}
+    assert got == {"ka": "a2", "kb": "b1", "kc": "c1"}
+    # the merged region is key-sorted (the span invariant)
+    keys = [json.loads(line)["key"]
+            for line in open(kvstore._region_files(d)[0])]
+    assert keys == sorted(keys)
+
+
+def test_compact_major_folds_versions_and_vacuum(spark, tmp_path):
+    """Major compaction keeps the newest put per key (HBase version
+    GC); vacuum removes everything the checkpoint superseded without
+    changing what readers see."""
+    d = str(tmp_path / "kv_cmaj")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    for key, name in (("ka", "a1"), ("ka", "a2"), ("kb", "b1"),
+                      ("ka", "a3"), ("kb", "b2")):
+        _put(spark, d, key, name)
+    stats = eng.compact_kvstore(d, mode="major")
+    assert stats["regions_in"] == 5 and stats["rows"] == 2
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
+    assert got == {"ka": "a3", "kb": "b2"}
+    # a post-compaction write layers on top
+    _put(spark, d, "ka", "a4")
+    latest = {r.row_key: r.name
+              for r in eng.read_kvstore(d, COLUMNS, MAPPING, latest=True).collect()}
+    assert latest["ka"] == "a4"
+    before = set(os.listdir(d))
+    removed = kvstore.vacuum_store(d)
+    assert removed > 0
+    assert eng.read_kvstore(d, COLUMNS, MAPPING).count() == 3  # unchanged
+    # superseded manifests/segments gone, live files kept
+    after = set(os.listdir(d))
+    assert after < before
+
+
+def test_compact_excludes_concurrent_commits(spark, tmp_path):
+    """The exactly-once partition: a job committing mid-compaction
+    (manifest stamped AFTER the compaction's as_of) stays OUT of the
+    fold and VISIBLE after the checkpoint — no loss, no double-read.
+    Driven deterministically via an explicit as_of_ns between two
+    commits."""
+    import time as _t
+
+    d = str(tmp_path / "kv_conc")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    _t.sleep(0.01)
+    boundary = _t.time_ns()
+    _t.sleep(0.01)
+    _put(spark, d, "kb", "b1")  # "concurrent": stamped after boundary
+    stats = kvstore.compact_store(d, mode="minor", as_of_ns=boundary)
+    assert stats["regions_in"] == 1 and stats["rows"] == 1  # only ka folded
+    got = sorted(r.row_key
+                 for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
+    assert got == ["ka", "kb"]  # exactly once each
+    # and vacuum keeps the late manifest's segment
+    kvstore.vacuum_store(d)
+    got = sorted(r.row_key
+                 for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
+    assert got == ["ka", "kb"]
+
+
+def test_compact_pruning_and_split_regions(spark, tmp_path):
+    """Post-compaction regions keep the span invariant: pruning still
+    skips a poison region outside the pushed range, and a small
+    rows_per_region splits the fold into multiple sorted regions."""
+    d = str(tmp_path / "kv_csplit")
+    kvstore.register(spark)
+    for key in ("ka", "kb", "kc", "kd"):
+        _put(spark, d, key, f"n_{key}")
+    stats = kvstore.compact_store(d, rows_per_region=2)
+    assert stats["regions_out"] == 2
+    kvstore.vacuum_store(d)
+    # poison the SECOND region's span area via a fresh put far away,
+    # then corrupt it on disk — a ranged read below kb never opens it
+    _put(spark, d, "zz", "poison_host")
+    target = kvstore._region_files(d)[-1]
+    with open(target, "w") as fh:
+        fh.write(json.dumps({"key": "zx", "cells": {}}) + "\n")
+        fh.write("NOT JSON\n")
+        fh.write(json.dumps({"key": "zz", "cells": {}}) + "\n")
+    got = sorted(
+        r.row_key for r in _load(spark, d)
+        .filter("row_key <= 'kb'").collect()
+    )
+    assert got == ["ka", "kb"]
+    with pytest.raises(Exception):  # noqa: B017 — unfiltered hits poison
+        _load(spark, d).count()
