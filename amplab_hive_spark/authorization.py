@@ -1219,7 +1219,10 @@ def enforce_verb(
     )
 
 
-def enforce_path_write(spark: SparkSession, path: str) -> None:
+def enforce_path_write(
+    spark: SparkSession, path: str,
+    privs: "tuple[str, ...]" = ("INSERT",),
+) -> None:
     """Gate for PATH-addressed programmatic writes
     (``Engine.append_batch``): when ``path`` is the storage location
     of a catalog table — or a directory UNDER one, e.g. a partition
@@ -1285,16 +1288,23 @@ def enforce_path_write(spark: SparkSession, path: str) -> None:
     if best is not None:
         _deny_missing(
             spark, store, user, roles,
-            [(f"`{best[1]}`.`{best[2]}`", "INSERT")],
+            [(f"`{best[1]}`.`{best[2]}`", p) for p in privs],
         )
 
 
 def _catalog_locations(spark: SparkSession):
     """Fresh (db, table, local-filesystem-location-or-None) triples
-    for every PERSISTENT catalog table — one bulk
-    ``externalCatalog().getTablesByName`` py4j round-trip per
-    database (temp views live only in the session catalog and are not
-    path-write subjects). Views and non-file schemes yield None."""
+    for every PERSISTENT catalog table — the metastore fetch is one
+    bulk ``externalCatalog().getTablesByName`` call per database
+    (temp views live only in the session catalog and are not
+    path-write subjects); the per-table ATTRIBUTE reads remain
+    individual py4j calls, which is where the measured 114 ms at 100
+    tables goes (experiments/authz_pathwrite_r12.json — still 25x
+    under the per-table DESCRIBE form). Views and non-file schemes
+    yield None. Locations come from ``URI.getPath()`` — the DECODED
+    path — because ``toString()`` is percent-encoded and a location
+    with a space would silently stop matching its own directory
+    (review r12 pass 6: fail-open)."""
     ext = spark._jsparkSession.sessionState().catalog().externalCatalog()
     to_seq = spark._jvm.org.apache.spark.api.python.PythonUtils.toSeq
     dbs = ext.listDatabases()
@@ -1309,11 +1319,9 @@ def _catalog_locations(spark: SparkSession):
             loc = None
             uri = ct.storage().locationUri()
             if ct.tableType().name() != "VIEW" and uri.isDefined():
-                raw = uri.get().toString()
-                if raw.startswith("file:"):
-                    loc = raw[len("file:"):] or None
-                elif "://" not in raw:
-                    loc = raw or None
+                u = uri.get()
+                if u.getScheme() in (None, "file"):
+                    loc = u.getPath() or None
             yield db, ct.identifier().table(), loc
 
 

@@ -345,12 +345,28 @@ class Engine:
         """Fold a kvstore table's regions (HBase compaction analogue;
         sources/kvstore.py compact_store — checkpoint-published,
         concurrent-writer safe). ``minor`` keeps every version,
-        ``major`` keeps the newest per key. Store maintenance is
-        filesystem-level, outside the table privilege model (kvstore
-        paths back no catalog table)."""
+        ``major`` keeps the newest per key. A kvstore dir usually
+        backs no catalog table (then the path is plain filesystem
+        space, ungated like raw df.write) — but if it sits UNDER a
+        governed table's location, enforcement demands the
+        UPDATE+DELETE maintenance bar, same as compact_mor
+        (review r12 pass 6)."""
+        from amplab_hive_spark.authorization import enforce_path_write
         from amplab_hive_spark.sources.kvstore import compact_store
 
+        enforce_path_write(self.spark, path, privs=("UPDATE", "DELETE"))
         return compact_store(path, mode=mode)
+
+    def vacuum_kvstore(self, path: str, min_age_s: float = 600.0) -> int:
+        """Reclaim a kvstore table's superseded files (sources/
+        kvstore.py vacuum_store; age-floor retention for in-flight
+        jobs). Gated like compact_kvstore — vacuum after a major
+        compaction destroys old versions."""
+        from amplab_hive_spark.authorization import enforce_path_write
+        from amplab_hive_spark.sources.kvstore import vacuum_store
+
+        enforce_path_write(self.spark, path, privs=("UPDATE", "DELETE"))
+        return vacuum_store(path, min_age_s=min_age_s)
 
     def read_sequencefile(self, path: str) -> DataFrame:
         """Hadoop SequenceFiles -> key/value DataFrame (native

@@ -43,8 +43,9 @@ or NONE; segments without a manifest are invisible. ``compact_store``
 folds accumulated micro-regions into few large sorted ones behind an
 atomic CHECKPOINT (minor keeps every version, major keeps the newest
 per key — HBase compaction semantics), concurrent-writer safe by
-stamp partition; ``vacuum_store`` reclaims superseded files under a
-Delta-VACUUM-style retention contract. Manifest names
+exact-name-set supersession (never stamp comparison);
+``vacuum_store`` reclaims superseded files under a Delta-VACUUM-style
+age-floor retention contract. Manifest names
 carry a zero-padded commit timestamp, so listing order IS commit
 order — that ordering is what ``latest``-mode reads (newest put wins
 per key, the HBase read semantics) resolve against via the
@@ -162,12 +163,15 @@ def _region_files(path: str) -> list[str]:
     each manifest's segments in manifest order (manifest names embed a
     zero-padded commit timestamp, so filename order is commit order).
     With a checkpoint (compact_store): the LATEST checkpoint's
-    segments — the fold of everything committed at or before its
-    stamp — followed by the segments of manifests committed AFTER it;
-    superseded files may still sit in the directory until
-    vacuum_store, and are ignored. A store directory that does not
-    exist yet is the HBase empty-table case — zero regions, not a
-    planning error (VERDICT r11 finding 2)."""
+    segments — the fold of the manifests NAMED in its ``folded`` set —
+    followed by the segments of every listed manifest NOT in that set.
+    Supersession is by exact name set, not stamp comparison (review
+    r12 pass 6: a manifest stamped before the fold but renamed into
+    the directory after the compactor's listing must stay VISIBLE —
+    with stamps it silently vanished). Superseded files may still sit
+    in the directory until vacuum_store, and are ignored. A store
+    directory that does not exist yet is the HBase empty-table case —
+    zero regions, not a planning error (VERDICT r11 finding 2)."""
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -179,12 +183,11 @@ def _region_files(path: str) -> list[str]:
     out: list[str] = []
     if cps:
         latest = cps[-1]
-        cp_stamp = _stamp_of(latest, CHECKPOINT_PREFIX)
         with open(os.path.join(path, latest)) as fh:
-            out.extend(os.path.join(path, s)
-                       for s in json.load(fh)["segments"])
-        manifests = [m for m in manifests
-                     if _stamp_of(m, MANIFEST_PREFIX) > cp_stamp]
+            cp = json.load(fh)
+        out.extend(os.path.join(path, s) for s in cp["segments"])
+        folded = set(cp.get("folded", ()))
+        manifests = [m for m in manifests if m not in folded]
     else:
         out.extend(sorted(
             os.path.join(path, f)
@@ -504,7 +507,7 @@ class KVStoreDataSource(DataSource):
 
 def compact_store(path: str, mode: str = "minor",
                   rows_per_region: int = 100_000,
-                  as_of_ns: "int | None" = None) -> dict:
+                  max_open_files: int = 200) -> dict:
     """Fold the store's committed regions into few large sorted ones —
     the HBase compaction analogue, and the cure for the micro-append
     scale failure (one tiny region per commit makes listing, span
@@ -516,43 +519,54 @@ def compact_store(path: str, mode: str = "minor",
       (HBase major compaction's version GC).
 
     Publication is a CHECKPOINT: the merged segments land hidden, then
-    one ``checkpoint-<stamp>-*.json`` rename makes them live; readers
-    take the latest checkpoint's segments plus manifests committed
-    AFTER its stamp. Concurrent-writer safety: the fold covers ONLY
-    manifests stamped at or before ``as_of_ns`` (captured BEFORE
-    listing), so a job committing mid-compaction is stamped later,
-    stays out of the fold, and stays visible after the checkpoint —
-    exactly-once, no loss, no double-read (pinned by test with an
-    explicit as_of_ns between two commits). Superseded files stay on
-    disk for in-flight readers until ``vacuum_store``. Memory: a
-    streaming heap-merge over key-sorted segments — never the store
-    in memory. Pre-checkpoint ``region-*`` files are folded too;
-    writing new legacy-named files after a checkpoint exists is
-    outside the commit protocol and unsupported.
+    one ``checkpoint-<stamp>-*.json`` rename makes them live. The
+    checkpoint records the EXACT SET of manifest names it folded
+    (plus any names the previous checkpoint had folded that are still
+    on disk); readers serve its segments plus every manifest NOT in
+    that set. Concurrent-writer safety therefore needs no clock
+    agreement (review r12 pass 6 killed the stamp-partition design —
+    a manifest stamped early but renamed late vanished): a job
+    committing mid-compaction is simply not in the listing, so it is
+    not folded and not superseded — exactly-once, no loss, no
+    double-read (pinned by a stale-listing injection test). Folded
+    sets stay bounded: names vacuumed away are pruned at the next
+    compaction. Superseded files stay on disk for in-flight readers
+    until ``vacuum_store``. Memory: a streaming heap-merge over
+    key-sorted regions, STAGED in passes of ``max_open_files`` so a
+    badly fragmented store (thousands of micro-regions) never exceeds
+    the fd limit. One compactor at a time per store (the HBase
+    one-compactor-per-region rule); two racing compactions can
+    supersede each other's work but never lose a manifest.
 
     Returns {"regions_in": N, "regions_out": M, "rows": R}."""
     if mode not in ("minor", "major"):
         raise ValueError(f"compact mode must be minor|major, not {mode!r}")
     import heapq
 
-    as_of = time.time_ns() if as_of_ns is None else as_of_ns
-    stamp = f"{as_of:020d}"
     try:
         names = os.listdir(path)
     except FileNotFoundError:
         return {"regions_in": 0, "regions_out": 0, "rows": 0}
-    # the fold set: everything _region_files would return, MINUS
-    # manifests stamped after as_of (concurrent commits stay out)
-    late: set[str] = set()
-    for m in names:
-        if (m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
-                and _stamp_of(m, MANIFEST_PREFIX) > stamp):
-            with open(os.path.join(path, m)) as fh:
-                late.update(os.path.join(path, s)
-                            for s in json.load(fh)["segments"])
-    files = [fp for fp in _region_files(path) if fp not in late]
+    listed_manifests = sorted(
+        f for f in names
+        if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")
+    )
+    # the fold covers exactly what the listing shows: the latest
+    # checkpoint's segments + listed non-folded manifests (+ legacy
+    # region files when no checkpoint exists)
+    files = _region_files(path)
     if not files:
         return {"regions_in": 0, "regions_out": 0, "rows": 0}
+    cps = sorted(f for f in names
+                 if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
+    prior_folded: set[str] = set()
+    if cps:
+        with open(os.path.join(path, cps[-1])) as fh:
+            prior_folded = set(json.load(fh).get("folded", ()))
+    # prune folded names whose files are gone (vacuumed) — a name can
+    # never reappear (uuid suffix), so dropping it is safe and keeps
+    # the set bounded by files-on-disk between vacuums
+    folded = {m for m in prior_folded if m in names} | set(listed_manifests)
 
     def stream(ordinal_fp):
         ordinal, fp = ordinal_fp
@@ -561,71 +575,121 @@ def compact_store(path: str, mode: str = "minor",
                 rec = json.loads(line)
                 yield rec["key"], ordinal, line_no, line
 
-    merged = heapq.merge(*(stream(x) for x in enumerate(files)))
-    if mode == "major":
-        def newest_only(it):
-            prev = None
-            for item in it:
-                if prev is not None and item[0] != prev[0]:
+    def merge_into_tmps(inputs: list[str], fold_versions: bool,
+                        cap: int) -> tuple[list[str], int]:
+        """One merge pass over ``inputs`` (consecutive in commit
+        order) → hidden tmp files of <= cap rows; per-key version
+        order is preserved because inputs are consecutive."""
+        merged = heapq.merge(*(stream(x) for x in enumerate(inputs)))
+        if fold_versions:
+            def newest_only(it):
+                prev = None
+                for item in it:
+                    if prev is not None and item[0] != prev[0]:
+                        yield prev
+                    prev = item
+                if prev is not None:
                     yield prev
-                prev = item
-            if prev is not None:
-                yield prev
-        merged = newest_only(merged)
+            merged = newest_only(merged)
+        tmps: list[str] = []
+        fh_out = None
+        out_rows = 0
+        total = 0
+        try:
+            for _, _, _, line in merged:
+                if fh_out is None or out_rows >= cap:
+                    if fh_out is not None:
+                        fh_out.close()
+                    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
+                    tmps.append(tmp)
+                    fh_out = open(tmp, "w")
+                    out_rows = 0
+                fh_out.write(line if line.endswith("\n") else line + "\n")
+                out_rows += 1
+                total += 1
+            if fh_out is not None:
+                fh_out.close()
+        except Exception:
+            if fh_out is not None:
+                fh_out.close()
+            for t in tmps:
+                try:
+                    os.remove(t)
+                except OSError:
+                    pass
+            raise
+        return tmps, total
 
+    n_in = len(files)
+    intermediates: list[str] = []
     segs: list[str] = []
-    rows = 0
-    out_fh = None
-    out_rows = 0
-    tmp_names: list[str] = []
+    cp_tmp = None
     try:
-        for key, _, _, line in merged:
-            if out_fh is None or out_rows >= rows_per_region:
-                if out_fh is not None:
-                    out_fh.close()
-                tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}")
-                tmp_names.append(tmp)
-                out_fh = open(tmp, "w")
-                out_rows = 0
-            out_fh.write(line if line.endswith("\n") else line + "\n")
-            out_rows += 1
-            rows += 1
-        if out_fh is not None:
-            out_fh.close()
+        # staged pre-passes: fold consecutive chunks so no single
+        # merge opens more than max_open_files streams
+        inputs = files
+        while len(inputs) > max_open_files:
+            next_inputs: list[str] = []
+            for i in range(0, len(inputs), max_open_files):
+                chunk = inputs[i:i + max_open_files]
+                # intermediate passes NEVER fold versions — only the
+                # final pass may (major), so GC sees the global order
+                tmps, _ = merge_into_tmps(chunk, False, 1 << 62)
+                next_inputs.extend(tmps)
+            intermediates.extend(
+                t for t in next_inputs if t not in inputs
+            )
+            inputs = next_inputs
+        tmp_names, rows = merge_into_tmps(
+            inputs, mode == "major", rows_per_region
+        )
         for tmp in tmp_names:
             seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
             os.rename(tmp, os.path.join(path, seg))
             segs.append(seg)
         cp_tmp = os.path.join(path, f".checkpoint-{uuid.uuid4().hex}")
         with open(cp_tmp, "w") as fh:
-            json.dump({"segments": segs, "mode": mode}, fh)
+            json.dump({"segments": segs, "folded": sorted(folded),
+                       "mode": mode}, fh)
         os.rename(cp_tmp, os.path.join(
-            path, f"{CHECKPOINT_PREFIX}{stamp}-{uuid.uuid4().hex[:8]}.json"
+            path,
+            f"{CHECKPOINT_PREFIX}{time.time_ns():020d}-"
+            f"{uuid.uuid4().hex[:8]}.json",
         ))
+        cp_tmp = None
     except Exception:
-        for tmp in tmp_names:
+        for leftover in segs:
             try:
-                os.remove(tmp)
+                os.remove(os.path.join(path, leftover))
             except OSError:
                 pass
-        for seg in segs:
+        if cp_tmp is not None:
             try:
-                os.remove(os.path.join(path, seg))
+                os.remove(cp_tmp)
             except OSError:
                 pass
         raise
-    return {"regions_in": len(files), "regions_out": len(segs),
-            "rows": rows}
+    finally:
+        for t in intermediates:
+            try:
+                os.remove(t)
+            except OSError:
+                pass
+    return {"regions_in": n_in, "regions_out": len(segs), "rows": rows}
 
 
-def vacuum_store(path: str) -> int:
+def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
     """Delete files the LATEST checkpoint superseded: pre-checkpoint
-    region-* files, manifests stamped at or before it, older
-    checkpoints, and segments referenced by none of the live
-    metadata. UNSAFE against readers whose scan was planned before
-    the vacuum (they hold the old file list) — run it when no query
-    spans the call, the Delta-VACUUM retention contract. Returns the
-    number of files removed; a store without a checkpoint is left
+    region-* files, manifests in its folded set, older checkpoints,
+    and segments referenced by no live metadata — EXCEPT anything
+    younger than ``min_age_s`` (review r12 pass 6: an in-flight
+    commit's segments are renamed BEFORE their manifest lands, and an
+    in-flight compaction's before its checkpoint; the age floor keeps
+    a concurrent job's unreferenced-yet files alive, the Delta-VACUUM
+    retention idea). Also unsafe against READERS whose scan was
+    planned before the vacuum (they hold the old file list) — size
+    ``min_age_s`` above the longest query + commit window. Returns
+    the number of files removed; a store without a checkpoint is left
     untouched."""
     try:
         names = os.listdir(path)
@@ -637,12 +701,12 @@ def vacuum_store(path: str) -> int:
         return 0
     live = {os.path.basename(fp) for fp in _region_files(path)}
     live.add(cps[-1])
-    live.update(
-        m for m in names
-        if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
-        and _stamp_of(m, MANIFEST_PREFIX) > _stamp_of(cps[-1],
-                                                      CHECKPOINT_PREFIX)
-    )
+    with open(os.path.join(path, cps[-1])) as fh:
+        folded = set(json.load(fh).get("folded", ()))
+    live.update(m for m in names
+                if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
+                and m not in folded)
+    cutoff = time.time() - min_age_s
     removed = 0
     for f in names:
         if f.startswith(".") or f in live:
@@ -650,8 +714,11 @@ def vacuum_store(path: str) -> int:
         if (f.startswith(REGION_PREFIX) or f.startswith(SEG_PREFIX)
                 or f.startswith(MANIFEST_PREFIX)
                 or f.startswith(CHECKPOINT_PREFIX)):
+            fp = os.path.join(path, f)
             try:
-                os.remove(os.path.join(path, f))
+                if os.path.getmtime(fp) > cutoff:
+                    continue  # young: possibly an in-flight job's file
+                os.remove(fp)
                 removed += 1
             except OSError:
                 pass

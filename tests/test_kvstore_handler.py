@@ -439,7 +439,10 @@ def test_compact_major_folds_versions_and_vacuum(spark, tmp_path):
               for r in eng.read_kvstore(d, COLUMNS, MAPPING, latest=True).collect()}
     assert latest["ka"] == "a4"
     before = set(os.listdir(d))
-    removed = kvstore.vacuum_store(d)
+    # the age floor protects young files (in-flight commits) ...
+    assert kvstore.vacuum_store(d) == 0
+    # ... and an aged-out store reclaims
+    removed = kvstore.vacuum_store(d, min_age_s=0)
     assert removed > 0
     assert eng.read_kvstore(d, COLUMNS, MAPPING).count() == 3  # unchanged
     # superseded manifests/segments gone, live files kept
@@ -447,29 +450,43 @@ def test_compact_major_folds_versions_and_vacuum(spark, tmp_path):
     assert after < before
 
 
-def test_compact_excludes_concurrent_commits(spark, tmp_path):
-    """The exactly-once partition: a job committing mid-compaction
-    (manifest stamped AFTER the compaction's as_of) stays OUT of the
-    fold and VISIBLE after the checkpoint — no loss, no double-read.
-    Driven deterministically via an explicit as_of_ns between two
-    commits."""
-    import time as _t
-
+def test_compact_excludes_concurrent_commits(spark, tmp_path, monkeypatch):
+    """The exactly-once rule: a job whose manifest lands AFTER the
+    compactor's directory listing stays OUT of the fold and VISIBLE
+    after the checkpoint — supersession is by the exact set of folded
+    manifest NAMES, never stamp comparison, so even a manifest STAMPED
+    before the fold but renamed late survives (review r12 pass 6
+    killed the stamp design). Driven deterministically by injecting a
+    STALE listing: kb's manifest exists on disk with an early stamp,
+    but the compactor does not see it."""
     d = str(tmp_path / "kv_conc")
     kvstore.register(spark)
     eng = Engine(spark)
     _put(spark, d, "ka", "a1")
-    _t.sleep(0.01)
-    boundary = _t.time_ns()
-    _t.sleep(0.01)
-    _put(spark, d, "kb", "b1")  # "concurrent": stamped after boundary
-    stats = kvstore.compact_store(d, mode="minor", as_of_ns=boundary)
+    _put(spark, d, "kb", "b1")
+    # kb's manifest is the LAST commit; hide it from the compactor's
+    # listing — the worst case, since its stamp is in the folded past
+    # by the time the checkpoint lands
+    kb_manifest = sorted(
+        f for f in os.listdir(d) if f.startswith(kvstore.MANIFEST_PREFIX)
+    )[-1]
+    real_listdir = os.listdir
+
+    def stale_listdir(p):
+        names = real_listdir(p)
+        if os.path.abspath(p) == os.path.abspath(d):
+            names = [n for n in names if n != kb_manifest]
+        return names
+
+    monkeypatch.setattr(kvstore.os, "listdir", stale_listdir)
+    stats = kvstore.compact_store(d, mode="minor")
+    monkeypatch.setattr(kvstore.os, "listdir", real_listdir)
     assert stats["regions_in"] == 1 and stats["rows"] == 1  # only ka folded
     got = sorted(r.row_key
                  for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
-    assert got == ["ka", "kb"]  # exactly once each
-    # and vacuum keeps the late manifest's segment
-    kvstore.vacuum_store(d)
+    assert got == ["ka", "kb"]  # exactly once each — kb survived
+    # and vacuum keeps the unfolded manifest's segment
+    kvstore.vacuum_store(d, min_age_s=0)
     got = sorted(r.row_key
                  for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
     assert got == ["ka", "kb"]
@@ -485,7 +502,7 @@ def test_compact_pruning_and_split_regions(spark, tmp_path):
         _put(spark, d, key, f"n_{key}")
     stats = kvstore.compact_store(d, rows_per_region=2)
     assert stats["regions_out"] == 2
-    kvstore.vacuum_store(d)
+    kvstore.vacuum_store(d, min_age_s=0)
     # poison the SECOND region's span area via a fresh put far away,
     # then corrupt it on disk — a ranged read below kb never opens it
     _put(spark, d, "zz", "poison_host")
@@ -501,3 +518,99 @@ def test_compact_pruning_and_split_regions(spark, tmp_path):
     assert got == ["ka", "kb"]
     with pytest.raises(Exception):  # noqa: B017 — unfiltered hits poison
         _load(spark, d).count()
+
+
+def test_compact_staged_merge_respects_fd_limit(spark, tmp_path, monkeypatch):
+    """A badly fragmented store (many micro-regions) compacts in
+    staged passes of max_open_files streams — the motivating scenario
+    must not die on the fd limit (review r12 pass 6). Verified by
+    capping concurrently open region files at the stage size."""
+    d = str(tmp_path / "kv_frag")
+    os.makedirs(d)
+    # 23 legacy micro-regions with interleaved + duplicate keys
+    for i in range(23):
+        fp = os.path.join(d, f"{kvstore.REGION_PREFIX}{i:05d}.jsonl")
+        with open(fp, "w") as fh:
+            fh.write(json.dumps(
+                {"key": f"k{i % 7:02d}", "cells": {"f:name": f"v{i}"}}
+            ) + "\n")
+    open_files = set()
+    peak = [0]
+    real_open = kvstore.open if hasattr(kvstore, "open") else open
+    import builtins
+    real_builtin_open = builtins.open
+
+    def counting_open(fp, *a, **kw):
+        fh = real_builtin_open(fp, *a, **kw)
+        if isinstance(fp, str) and "/kv_frag/" in fp and "region-" in fp:
+            open_files.add(id(fh))
+            peak[0] = max(peak[0], len(open_files))
+            real_close = fh.close
+
+            def close():
+                open_files.discard(id(fh))
+                real_close()
+            fh.close = close
+        return fh
+
+    monkeypatch.setattr(builtins, "open", counting_open)
+    stats = kvstore.compact_store(d, mode="minor", max_open_files=5)
+    monkeypatch.setattr(builtins, "open", real_builtin_open)
+    assert stats["regions_in"] == 23 and stats["rows"] == 23
+    assert peak[0] <= 6  # never more than one stage's streams open
+    kvstore.register(spark)
+    eng = Engine(spark)
+    raw = eng.read_kvstore(d, "row_key,name", ":key,f:name")
+    assert raw.count() == 23  # minor: every version survives
+    # newest-wins after the staged fold: key k01 was written by
+    # i=1,8,15,22 -> v22 is newest
+    latest = {r.row_key: r.name for r in
+              eng.read_kvstore(d, "row_key,name", ":key,f:name",
+                               latest=True).collect()}
+    assert latest["k01"] == "v22"
+    assert len(latest) == 7
+
+
+def test_compact_and_vacuum_gated_under_governed_path(
+    spark, tmp_path
+):
+    """Engine.compact_kvstore / vacuum_kvstore under enforcement: a
+    store directory UNDER a governed table's location takes the
+    UPDATE+DELETE maintenance bar (major compaction + vacuum destroy
+    history); a store backing no catalog table stays plain filesystem
+    space."""
+    from amplab_hive_spark import authorization as az
+
+    eng = Engine(spark)
+    loc = str(tmp_path / "gov_tbl")
+    spark.sql("DROP TABLE IF EXISTS kv_gov_tbl")
+    spark.createDataFrame([(1,)], "id bigint") \
+        .write.option("path", loc).saveAsTable("kv_gov_tbl")
+    inside = f"{loc}/kv_side_store"
+    outside = str(tmp_path / "free_store")
+    kvstore.register(spark)
+    _put(spark, inside, "ka", "a1")
+    _put(spark, outside, "ka", "a1")
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    spark.conf.set("user.name", "kv_maint_user")
+    try:
+        with pytest.raises(PermissionError, match=r"kv_gov_tbl"):
+            eng.compact_kvstore(inside, mode="major")
+        with pytest.raises(PermissionError, match=r"kv_gov_tbl"):
+            eng.vacuum_kvstore(inside)
+        # ungoverned store: plain filesystem space
+        assert eng.compact_kvstore(outside)["rows"] == 1
+        spark.conf.set("spark.sql.authz.enabled", "false")
+        eng.sql("GRANT UPDATE, DELETE ON kv_gov_tbl TO USER kv_maint_user")
+        spark.conf.set("spark.sql.authz.enabled", "true")
+        assert eng.compact_kvstore(inside, mode="major")["rows"] == 1
+    finally:
+        spark.conf.unset("spark.sql.authz.enabled")
+        try:
+            spark.conf.unset("user.name")
+        except Exception:
+            pass
+        spark.sql("DROP TABLE IF EXISTS kv_gov_tbl")
+        p = az._store_path(spark)
+        if os.path.exists(p):
+            os.remove(p)
