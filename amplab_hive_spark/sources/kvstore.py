@@ -176,17 +176,44 @@ def _region_files(path: str) -> list[str]:
         names = os.listdir(path)
     except FileNotFoundError:
         return []
+    files, _ = _resolve_listing(path, names)
+    return files
+
+
+def _folded_of(path: str, cp_name: str, cp: dict, names: list[str]) -> set:
+    """The checkpoint's superseded-manifest name set. A checkpoint
+    written before the exact-set design (no ``folded`` key) falls back
+    to its original stamp rule — every manifest stamped at or before
+    it (review r12 pass 7: treating a legacy checkpoint as having
+    superseded NOTHING resurrects every pre-checkpoint manifest as
+    duplicate rows)."""
+    if "folded" in cp:
+        return set(cp["folded"])
+    cp_stamp = _stamp_of(cp_name, CHECKPOINT_PREFIX)
+    return {m for m in names
+            if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
+            and _stamp_of(m, MANIFEST_PREFIX) <= cp_stamp}
+
+
+def _resolve_listing(path: str, names: list[str]) -> tuple[list[str], set]:
+    """(committed region files in commit order, superseded manifest
+    names) for ONE directory snapshot ``names`` — _region_files and
+    compact_store must resolve from the SAME listing (review r12
+    pass 7: compact_store re-listing inside the fold let a manifest
+    committed between the two listings be folded but not recorded as
+    folded — served twice forever)."""
     manifests = sorted(f for f in names
                        if f.startswith(MANIFEST_PREFIX) and f.endswith(".json"))
     cps = sorted(f for f in names
                  if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
     out: list[str] = []
+    folded: set = set()
     if cps:
         latest = cps[-1]
         with open(os.path.join(path, latest)) as fh:
             cp = json.load(fh)
         out.extend(os.path.join(path, s) for s in cp["segments"])
-        folded = set(cp.get("folded", ()))
+        folded = _folded_of(path, latest, cp, names)
         manifests = [m for m in manifests if m not in folded]
     else:
         out.extend(sorted(
@@ -198,7 +225,7 @@ def _region_files(path: str) -> list[str]:
         with open(os.path.join(path, mf)) as fh:
             segs = json.load(fh)["segments"]
         out.extend(os.path.join(path, s) for s in segs)
-    return out
+    return out, folded
 
 
 def _region_span(fp: str) -> tuple[str, str]:
@@ -541,32 +568,32 @@ def compact_store(path: str, mode: str = "minor",
     Returns {"regions_in": N, "regions_out": M, "rows": R}."""
     if mode not in ("minor", "major"):
         raise ValueError(f"compact mode must be minor|major, not {mode!r}")
+    if max_open_files < 2:
+        # a 1-file stage produces as many outputs as inputs — the
+        # staged loop would never terminate (review r12 pass 7)
+        raise ValueError("max_open_files must be >= 2")
     import heapq
 
     try:
         names = os.listdir(path)
     except FileNotFoundError:
         return {"regions_in": 0, "regions_out": 0, "rows": 0}
-    listed_manifests = sorted(
-        f for f in names
-        if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")
-    )
-    # the fold covers exactly what the listing shows: the latest
-    # checkpoint's segments + listed non-folded manifests (+ legacy
-    # region files when no checkpoint exists)
-    files = _region_files(path)
+    # fold inputs AND the superseded-set bookkeeping come from the
+    # SAME directory snapshot: re-listing inside the fold would let a
+    # manifest committed between the listings be folded into the new
+    # segments yet left out of the folded set — its rows served twice
+    # forever (review r12 pass 7)
+    files, prior_folded = _resolve_listing(path, names)
     if not files:
         return {"regions_in": 0, "regions_out": 0, "rows": 0}
-    cps = sorted(f for f in names
-                 if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
-    prior_folded: set[str] = set()
-    if cps:
-        with open(os.path.join(path, cps[-1])) as fh:
-            prior_folded = set(json.load(fh).get("folded", ()))
+    listed_manifests = {
+        f for f in names
+        if f.startswith(MANIFEST_PREFIX) and f.endswith(".json")
+    }
     # prune folded names whose files are gone (vacuumed) — a name can
     # never reappear (uuid suffix), so dropping it is safe and keeps
     # the set bounded by files-on-disk between vacuums
-    folded = {m for m in prior_folded if m in names} | set(listed_manifests)
+    folded = {m for m in prior_folded if m in names} | listed_manifests
 
     def stream(ordinal_fp):
         ordinal, fp = ordinal_fp
@@ -626,7 +653,10 @@ def compact_store(path: str, mode: str = "minor",
     cp_tmp = None
     try:
         # staged pre-passes: fold consecutive chunks so no single
-        # merge opens more than max_open_files streams
+        # merge opens more than max_open_files streams. A pass's input
+        # tmps are deleted as soon as the pass consumed them — peak
+        # extra disk is ONE working copy, not one per pass level
+        # (review r12 pass 7)
         inputs = files
         while len(inputs) > max_open_files:
             next_inputs: list[str] = []
@@ -636,9 +666,13 @@ def compact_store(path: str, mode: str = "minor",
                 # final pass may (major), so GC sees the global order
                 tmps, _ = merge_into_tmps(chunk, False, 1 << 62)
                 next_inputs.extend(tmps)
-            intermediates.extend(
-                t for t in next_inputs if t not in inputs
-            )
+            if inputs is not files:  # prior pass's tmps: consumed
+                for t in inputs:
+                    try:
+                        os.remove(t)
+                    except OSError:
+                        pass
+            intermediates = next_inputs  # only LIVE tmps tracked
             inputs = next_inputs
         tmp_names, rows = merge_into_tmps(
             inputs, mode == "major", rows_per_region
@@ -699,10 +733,11 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
                  if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
     if not cps:
         return 0
-    live = {os.path.basename(fp) for fp in _region_files(path)}
+    # live files and the superseded set from ONE listing snapshot,
+    # legacy stamp-format checkpoints included (_folded_of)
+    region_paths, folded = _resolve_listing(path, names)
+    live = {os.path.basename(fp) for fp in region_paths}
     live.add(cps[-1])
-    with open(os.path.join(path, cps[-1])) as fh:
-        folded = set(json.load(fh).get("folded", ()))
     live.update(m for m in names
                 if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
                 and m not in folded)

@@ -536,7 +536,6 @@ def test_compact_staged_merge_respects_fd_limit(spark, tmp_path, monkeypatch):
             ) + "\n")
     open_files = set()
     peak = [0]
-    real_open = kvstore.open if hasattr(kvstore, "open") else open
     import builtins
     real_builtin_open = builtins.open
 
@@ -614,3 +613,44 @@ def test_compact_and_vacuum_gated_under_governed_path(
         p = az._store_path(spark)
         if os.path.exists(p):
             os.remove(p)
+
+
+def test_legacy_stamp_checkpoint_fallback(spark, tmp_path):
+    """Review r12 pass 7: a checkpoint written by the stamp-era format
+    (no 'folded' key) must still supersede the manifests stamped at or
+    before it — treating it as having folded NOTHING resurrects every
+    pre-checkpoint manifest as duplicate rows."""
+    d = str(tmp_path / "kv_legacy_cp")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    # fold by the CURRENT code, then strip the checkpoint back to the
+    # legacy shape (segments+mode only)
+    kvstore.compact_store(d, mode="minor")
+    cp_name = [f for f in os.listdir(d)
+               if f.startswith(kvstore.CHECKPOINT_PREFIX)][0]
+    cp_path = os.path.join(d, cp_name)
+    cp = json.load(open(cp_path))
+    assert "folded" in cp
+    legacy = {"segments": cp["segments"], "mode": cp["mode"]}
+    with open(cp_path, "w") as fh:
+        json.dump(legacy, fh)
+    # the folded manifest is still on disk (no vacuum): the legacy
+    # fallback must keep it superseded
+    assert eng.read_kvstore(d, COLUMNS, MAPPING).count() == 1
+    # a commit AFTER the legacy checkpoint stays visible (its stamp is
+    # later than the checkpoint's)
+    _put(spark, d, "kb", "b1")
+    got = sorted(r.row_key
+                 for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
+    assert got == ["ka", "kb"]
+    # vacuum under the fallback reclaims the folded manifest only
+    kvstore.vacuum_store(d, min_age_s=0)
+    got = sorted(r.row_key
+                 for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect())
+    assert got == ["ka", "kb"]
+
+
+def test_compact_rejects_bad_max_open_files(tmp_path):
+    with pytest.raises(ValueError, match="max_open_files"):
+        kvstore.compact_store(str(tmp_path), max_open_files=1)
