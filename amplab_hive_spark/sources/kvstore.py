@@ -648,7 +648,7 @@ def compact_store(path: str, mode: str = "minor",
         return tmps, total
 
     n_in = len(files)
-    intermediates: list[str] = []
+    live_tmps: set[str] = set()  # every undeleted tmp, for the sweep
     segs: list[str] = []
     cp_tmp = None
     try:
@@ -666,20 +666,23 @@ def compact_store(path: str, mode: str = "minor",
                 # final pass may (major), so GC sees the global order
                 tmps, _ = merge_into_tmps(chunk, False, 1 << 62)
                 next_inputs.extend(tmps)
+                live_tmps.update(tmps)
             if inputs is not files:  # prior pass's tmps: consumed
                 for t in inputs:
+                    live_tmps.discard(t)
                     try:
                         os.remove(t)
                     except OSError:
                         pass
-            intermediates = next_inputs  # only LIVE tmps tracked
             inputs = next_inputs
         tmp_names, rows = merge_into_tmps(
             inputs, mode == "major", rows_per_region
         )
+        live_tmps.update(tmp_names)
         for tmp in tmp_names:
             seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
             os.rename(tmp, os.path.join(path, seg))
+            live_tmps.discard(tmp)
             segs.append(seg)
         cp_tmp = os.path.join(path, f".checkpoint-{uuid.uuid4().hex}")
         with open(cp_tmp, "w") as fh:
@@ -704,7 +707,10 @@ def compact_store(path: str, mode: str = "minor",
                 pass
         raise
     finally:
-        for t in intermediates:
+        # sweep EVERY undeleted tmp — including completed chunks of a
+        # pass that later failed (review r12: same orphan class as the
+        # manifest/checkpoint tmps)
+        for t in live_tmps:
             try:
                 os.remove(t)
             except OSError:
