@@ -889,6 +889,43 @@ class TCLIFront:
         rows.sort(key=lambda r: r[2])
         return self._static_op(sess, cols, rows)
 
+    def _rpc_GetTableTypes(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        return self._static_op(
+            sess, [("TABLE_TYPE", "string")], [("TABLE",), ("VIEW",)]
+        )
+
+    def _rpc_GetPrimaryKeys(self, req: dict) -> list:  # noqa: N802
+        # the catalog carries no PK metadata (Hive's PK/FK DDL is
+        # RELY/NOVALIDATE bookkeeping; Spark's catalog drops it) —
+        # an EMPTY result set, the shape JDBC clients expect, not an
+        # unsupported-call error that aborts their metadata probe
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        cols = [("TABLE_CAT", "string"), ("TABLE_SCHEM", "string"),
+                ("TABLE_NAME", "string"), ("COLUMN_NAME", "string"),
+                ("KEY_SEQ", "int"), ("PK_NAME", "string")]
+        return self._static_op(sess, cols, [])
+
+    def _rpc_GetCrossReference(self, req: dict) -> list:  # noqa: N802
+        try:
+            sess = self._session_of(req)
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
+        cols = [("PKTABLE_CAT", "string"), ("PKTABLE_SCHEM", "string"),
+                ("PKTABLE_NAME", "string"), ("PKCOLUMN_NAME", "string"),
+                ("FKTABLE_CAT", "string"), ("FKTABLE_SCHEM", "string"),
+                ("FKTABLE_NAME", "string"), ("FKCOLUMN_NAME", "string"),
+                ("KEY_SEQ", "int"), ("UPDATE_RULE", "int"),
+                ("DELETE_RULE", "int"), ("FK_NAME", "string"),
+                ("PK_NAME", "string"), ("DEFERRABILITY", "int")]
+        return self._static_op(sess, cols, [])
+
     def _rpc_GetTypeInfo(self, req: dict) -> list:  # noqa: N802
         try:
             sess = self._session_of(req)

@@ -245,7 +245,7 @@ def test_unsupported_rpc_is_graceful(spark, front):
     c = _Client(front.port)
     try:
         c.open_session()
-        resp = c.call("GetCrossReference", [(1, T_I32, 0)])
+        resp = c.call("RenewDelegationToken", [(1, T_I32, 0)])
         assert resp[1][1] == 3
         assert b"unsupported" in resp[1][5]
     finally:
@@ -658,3 +658,27 @@ def test_metadata_temp_views_once_and_escape_patterns(spark, front):
         c.close()
         spark.sql("DROP TABLE IF EXISTS esc_meta_tbl")
         spark.sql("DROP DATABASE IF EXISTS tcli_dup_db")
+
+
+def test_metadata_table_types_and_empty_key_sets(spark, front):
+    """GetTableTypes lists TABLE/VIEW; GetPrimaryKeys/GetCrossReference
+    answer with EMPTY result sets in the JDBC shapes (the catalog has
+    no PK/FK metadata) rather than errors that abort a BI client's
+    metadata probe."""
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        r = c.call("GetTableTypes", [(1, T_STRUCT, _handle_fields(sess))])
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(r[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert [v.decode() for v in fr[3][3][0][7][1]] == ["TABLE", "VIEW"]
+        for rpc in ("GetPrimaryKeys", "GetCrossReference"):
+            r = c.call(rpc, [(1, T_STRUCT, _handle_fields(sess))])
+            assert r[1][1] == 0
+            fr = c.call("FetchResults", [
+                (1, T_STRUCT, _op_fields(r[2])), (2, T_I32, 0), (3, T_I64, 10),
+            ])
+            assert fr[2] is False  # empty, no more rows
+    finally:
+        c.close()
