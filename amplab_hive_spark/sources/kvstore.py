@@ -669,11 +669,11 @@ def compact_store(path: str, mode: str = "minor",
                 live_tmps.update(tmps)
             if inputs is not files:  # prior pass's tmps: consumed
                 for t in inputs:
-                    live_tmps.discard(t)
                     try:
                         os.remove(t)
                     except OSError:
-                        pass
+                        continue  # stays in live_tmps for the sweep
+                    live_tmps.discard(t)
             inputs = next_inputs
         tmp_names, rows = merge_into_tmps(
             inputs, mode == "major", rows_per_region
