@@ -91,17 +91,29 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary", "scan_filter_project", "join_inner",
     "join_full_outer", "dedup_exact_substring", "union_all_counts",
     "topk_orders",
-    # grouping / aggregates
+    # grouping / aggregates (r13 rotation: agg_percentile_exact out —
+    # its oracle stays in the suite and the grouping family keeps
+    # three slots — so fn_date_suite, the first never-driver-graded
+    # fn_* scalar suite, gets a slot)
     "agg_basic_suite", "rollup_pricing", "count_distinct_multi",
-    "agg_percentile_exact",
+    "fn_date_suite",
     # windows (r9 rotation: window_range_frame out — the frame suite
     # keeps full oracle coverage in tests — so the TEMPORAL AS-OF join
     # family, previously only suite-green, gets a driver-graded slot)
     "window_rank_suite", "events_asof_join",
-    # subqueries / CTEs
-    "subquery_exists_correlated", "subquery_not_in", "cte_multilevel",
-    # lateral views / UDTFs / complex types
-    "explode_word_counts", "json_extraction",
+    # subqueries / CTEs (r13 rotation: subquery_not_in out — the
+    # family keeps the correlated-EXISTS and CTE slots — so
+    # q7_nation_volume_shipping, a never-graded mid-pack TPC-H
+    # multi-join with a disjunctive nation pair predicate, gets a
+    # driver-graded slot)
+    "subquery_exists_correlated", "q7_nation_volume_shipping",
+    "cte_multilevel",
+    # lateral views / UDTFs / complex types (r13 rotation:
+    # json_extraction out — the lateral/UDTF family keeps
+    # explode_word_counts and the json oracle stays in the suite — so
+    # events_range_join, the never-graded interval-overlap temporal
+    # join, gets a slot)
+    "explode_word_counts", "events_range_join",
     # PTF matchpath
     "matchpath_price_runs",
     # SQL surface
@@ -128,7 +140,10 @@ _PRIORITY: tuple[str, ...] = (
     # exact family green above — so the INCREMENTAL dedup path
     # (persisted minhash signatures joined against the new batch),
     # never driver-graded, gets a slot)
-    "dedup_incremental_minhash", "dedup_ngram_jaccard",
+    # (r13 rotation: dedup_ngram_jaccard out — the family keeps four
+    # slots incl. the minhash flagship — so events_funnel, the
+    # never-graded ordered-step conversion funnel, gets a slot)
+    "dedup_incremental_minhash", "events_funnel",
     "dedup_minhash_lsh", "dedup_semantic", "dedup_cluster_resolution",
     # LLM: pipeline (r12: pack_sequences rotates out for q9 above)
     "pipeline_train_split", "pipeline_mixture_sample",
@@ -139,7 +154,11 @@ _PRIORITY: tuple[str, ...] = (
     # (r12 rotation: embedding_quantize_int8 out — the audits family
     # keeps sim_embedding_neardup — so the IVF+PQ compressed-ANN path
     # with its in-suite recall floor, never driver-graded, gets a slot)
-    "sim_bruteforce_topk", "sim_ann_lsh",
+    # (r13 rotation: sim_ann_lsh out, sim_ann_ivf IN — the ANN family
+    # swaps one graded approximate path for the never-graded IVF
+    # routing path; lsh keeps its oracle + recall floor in the suite
+    # and the family keeps bruteforce/ivfpq/neardup green)
+    "sim_bruteforce_topk", "sim_ann_ivf",
     "sim_ann_ivfpq", "sim_embedding_neardup",
     # ACID merge-on-read lifecycle (r10 rotation: text_token_stats out
     # — its oracle stays in the suite and the text family keeps two
