@@ -149,6 +149,21 @@ def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="amplab-hive-spark")
     ap.add_argument("-e", metavar="SQL", help="run a SQL string and exit")
     ap.add_argument("-f", metavar="FILE", help="run a SQL script file and exit")
+    ap.add_argument("-i", metavar="FILE",
+                    help="initialization SQL file, run before -e/-f/REPL "
+                         "(reference: cli/OptionsProcessor.java -i)")
+    # variable-substitution flags (cli/OptionsProcessor.java:86-101:
+    # --define and --hivevar fill the same map; --hiveconf sets conf)
+    ap.add_argument("-d", "--define", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="define a hivevar (same map as --hivevar)")
+    ap.add_argument("--hivevar", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="define a hivevar for ${hivevar:KEY}/${KEY} "
+                         "substitution")
+    ap.add_argument("--hiveconf", action="append", default=[],
+                    metavar="KEY=VALUE",
+                    help="set a session conf before any statement runs")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="testdata dir to attach")
     ap.add_argument("--max-rows", type=int, default=100)
     ap.add_argument(
@@ -179,6 +194,24 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    if args.serve or args.serve_tcli or args.serve_thrift:
+        # hivevars are per-connection session state (each connection
+        # gets its own Engine + VariableRegistry): a server-wide
+        # hivevar flag would be a silent no-op, so refuse it loudly.
+        # --hiveconf IS meaningful server-wide (the shared session
+        # conf) and is applied inside each serve branch's session.
+        if args.define or args.hivevar or args.i is not None:
+            ap.error("-d/--hivevar/-i are client-session flags; in a "
+                     "serve role, set variables per connection with "
+                     "'SET hivevar:k=v'")
+
+    def _apply_hiveconf(spark):
+        from amplab_hive_spark.variables import parse_kv_flags
+
+        for k, v in parse_kv_flags(args.hiveconf, "--hiveconf").items():
+            spark.conf.set(k, v)
+        return spark
+
     if args.serve_tcli:
         if args.e is not None or args.f is not None or args.serve \
                 or args.connect or args.serve_thrift:
@@ -186,11 +219,15 @@ def main(argv: list[str] | None = None) -> int:
         from amplab_hive_spark.session import get_spark
         from amplab_hive_spark.tcli import TCLIFront
 
-        spark = get_spark("tcli-service")
+        spark = _apply_hiveconf(get_spark("tcli-service"))
         # temp views are session-scoped and every connection gets its
         # own sub-session, so the front re-attaches the catalog there
+        from amplab_hive_spark.variables import parse_kv_flags
+
         front = TCLIFront(spark, host=args.host, port=args.port,
-                          sf_dir=args.sf_dir)
+                          sf_dir=args.sf_dir,
+                          server_confs=parse_kv_flags(args.hiveconf,
+                                                      "--hiveconf"))
         front.start()
         print(f"TCLIService front on jdbc:hive2://{args.host}:{front.port}",
               flush=True)
@@ -209,7 +246,7 @@ def main(argv: list[str] | None = None) -> int:
         from amplab_hive_spark.session import get_spark
         from amplab_hive_spark.thrift import start_thrift_server
 
-        spark = get_spark("thrift-service")
+        spark = _apply_hiveconf(get_spark("thrift-service"))
         tables(spark, args.sf_dir)  # single_session: views answer via JDBC
         port = start_thrift_server(spark, port=args.port, host=args.host)
         print(f"Thrift/JDBC server on jdbc:hive2://{args.host}:{port}",
@@ -235,7 +272,8 @@ def main(argv: list[str] | None = None) -> int:
         from amplab_hive_spark.session import get_spark
 
         svc = SqlService(
-            get_spark("sql-service"), host=args.host, port=args.port,
+            _apply_hiveconf(get_spark("sql-service")),
+            host=args.host, port=args.port,
             sf_dir=args.sf_dir, max_rows=args.max_rows,
         )
         port = svc.start()
@@ -251,8 +289,21 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from amplab_hive_spark.engine import Engine
+    from amplab_hive_spark.variables import parse_kv_flags
+
+    # parse the k=v flags BEFORE building the engine so a malformed
+    # flag fails fast without paying Spark startup
+    hivevars = parse_kv_flags(args.define, "-d/--define")
+    hivevars.update(parse_kv_flags(args.hivevar, "--hivevar"))
+    hiveconfs = parse_kv_flags(args.hiveconf, "--hiveconf")
 
     engine = Engine(sf_dir=args.sf_dir)
+    engine.variables.hivevars.update(hivevars)
+    for k, v in hiveconfs.items():
+        engine.spark.conf.set(k, v)
+    if args.i is not None:
+        with open(args.i) as fh:
+            _run_statements(engine, fh.read(), args.max_rows)
     # `is not None`: an explicitly-passed empty string (-e "$UNSET")
     # must be a no-op one-shot run, not a silent fall-through into a
     # REPL that blocks the calling pipeline on stdin.

@@ -24,10 +24,22 @@ class Engine:
 
     def __init__(self, spark: Optional[SparkSession] = None, sf_dir: Optional[str] = None):
         from amplab_hive_spark.functions.macros import MacroRegistry
+        from amplab_hive_spark.variables import VariableRegistry
 
         self.spark = spark or get_spark()
         self.sf_dir = sf_dir
         self.macros = MacroRegistry()
+        # session variable state (hivevar/system maps) — per-Engine,
+        # so each service/tcli connection is isolated like a Hive
+        # SessionState (ql/session/SessionState.java hiveVariables)
+        self.variables = VariableRegistry()
+        # Spark ships its OWN ${...} pass (spark.sql.variable.
+        # substitute, on by default) that rewrites UNDEFINED
+        # variables to the empty string — the opposite of the
+        # reference's append-as-is rule (SystemVariables.java:139).
+        # The engine's pre-parse pass is the dialect authority, so
+        # the competing JVM pass is disabled on this session.
+        self.spark.conf.set("spark.sql.variable.substitute", "false")
         if sf_dir:
             self.attach(sf_dir)
 
@@ -44,6 +56,17 @@ class Engine:
         reference: ql/parse/MacroSemanticAnalyzer.java); macro calls
         in any other statement are inlined before Catalyst sees the
         text."""
+        # variable substitution FIRST — the reference substitutes
+        # every Driver/CLI statement before compilation
+        # (ql/Driver.java compile -> VariableSubstitution.java:49;
+        # honors hive.variable.substitute[.depth]); then the
+        # PREFIXED SET forms (hivevar:/system:/hiveconf:/env:) that
+        # Spark's native conf-only SET cannot serve
+        # (ql/processors/SetProcessor.java:115)
+        text = self.variables.substitute(self.spark, text)
+        set_df = self.variables.handle_set(self.spark, text)
+        if set_df is not None:
+            return set_df
         if self.macros.handle_statement(text):
             return self.spark.range(0).select()  # empty result, DDL-style
         expanded = self.macros.expand(text)

@@ -394,7 +394,8 @@ class _Operation:
 class _Session:
     def __init__(self, spark: SparkSession, username: str,
                  configuration: "dict[str, str] | None" = None,
-                 sf_dir: "str | None" = None) -> None:
+                 sf_dir: "str | None" = None,
+                 server_confs: "dict[str, str] | None" = None) -> None:
         from amplab_hive_spark.catalog import ensure_session_confs
         from amplab_hive_spark.engine import Engine
 
@@ -406,6 +407,12 @@ class _Session:
         flag = spark.conf.get("spark.sql.authz.enabled", "")
         if flag:
             sub.conf.set("spark.sql.authz.enabled", flag)
+        # server-wide --hiveconf defaults: applied per sub-session
+        # because runtime conf.set on the root session does NOT
+        # propagate to newSession() SQLConfs (HS2 analogue: server
+        # hiveconf becoming each session's starting conf)
+        for k, v in (server_confs or {}).items():
+            sub.conf.set(k, v)
         if username:
             # HS2's trusted-auth identity: the client-asserted username
             # becomes the session principal (NOSASL — dev posture)
@@ -430,12 +437,14 @@ class TCLIFront:
 
     def __init__(self, spark: SparkSession, host: str = "127.0.0.1",
                  port: int = 0, fetch_default: int = 1000,
-                 sf_dir: "str | None" = None):
+                 sf_dir: "str | None" = None,
+                 server_confs: "dict[str, str] | None" = None):
         self.spark = spark
         self.host = host
         self.requested_port = port
         self.fetch_default = fetch_default
         self.sf_dir = sf_dir  # testdata catalog attached per session
+        self.server_confs = dict(server_confs or {})  # per-session conf seeds
         self.sessions: dict[bytes, _Session] = {}
         self._lock = threading.Lock()
         self._server: Optional[socketserver.ThreadingTCPServer] = None
@@ -579,7 +588,8 @@ class TCLIFront:
             for k, v in (req.get(4) or {}).items()
         }
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
-        sess = _Session(self.spark, username, conf, sf_dir=self.sf_dir)
+        sess = _Session(self.spark, username, conf, sf_dir=self.sf_dir,
+                        server_confs=self.server_confs)
         with self._lock:
             self.sessions[guid] = sess
         if owned is not None:
