@@ -348,6 +348,11 @@ class Engine:
             .option("path", path)
             .option("columns", columns)
             .option("columns.mapping", mapping)
+            # pruning is safe HERE because this method returns a
+            # FRESH load per call (one plan per query — the Spark 4.1
+            # scan-reuse caveat cannot occur); raw .load() defaults
+            # to pruning OFF (sources/kvstore.py module docstring)
+            .option("region.pruning", "true")
         )
         if not latest:
             return reader.load()

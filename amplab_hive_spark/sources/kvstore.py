@@ -23,7 +23,8 @@ llm/multimodal.py's decoder stub):
 - **region parallelism**: one InputPartition per region file, so the
   scan scales with region count, never through the driver;
 - **key-predicate pushdown as ADVISORY region pruning** (``pushFilters``,
-  Spark 4.1): =, <, <=, >, >=, IN, and LIKE-prefix
+  Spark 4.1; OPT-IN via ``region.pruning=true`` — see the caveat
+  below): =, <, <=, >, >=, IN, and LIKE-prefix
   (``StringStartsWith``) on the row-key column become a scan range /
   point set; regions whose (min, max) key span — read from the sorted
   file's first/last line at plan time — cannot intersect it are PRUNED
@@ -65,11 +66,17 @@ re-run a previously planned scan whose region PRUNING belonged to the
 earlier query. Because this connector consumes no filters and never
 drops rows inside read(), the reused scan is row-complete for every
 region it opens — the residual exposure is an entire region pruned by
-the stale range (multi-region stores only). Two remedies, both
-pinned: ONE ``.load()`` per query (``engine.read_kvstore`` always
-returns a fresh load — the Engine-surface contract), or
-``.option("region.pruning", "false")`` to trade plan-time pruning for
-reuse-proof full region lists on a long-lived DataFrame.
+the stale range (multi-region stores only). Consequently (VERDICT
+r12 finding 1) region pruning is OPT-IN: a raw ``.load()`` defaults
+to ``region.pruning=false`` — every planned scan carries the full
+region list, so scan reuse can never lose rows no matter how the
+DataFrame is held. ``engine.read_kvstore`` opts IN with
+``region.pruning=true`` because it constructs a FRESH load per call
+(one plan per query — reuse cannot occur), keeping full pruning
+performance on the governed path. Raw users who guarantee
+one-load-per-query can opt in the same way; until the JVM-side
+scan-reuse is fixed upstream, the default that can silently drop
+rows is the wrong default.
 
 Usage::
 
@@ -261,13 +268,15 @@ class KVStoreReader(DataSourceReader):
         self.cols, self.mapping = parse_mapping(options)
         self.key_col = self.cols[self.mapping.index(("", ":key"))]
         self.seq_col = options.get("seq.column") or None
-        # region.pruning=false disables plan-time region skipping —
-        # the opt-out for callers that hold ONE load() across mixed
-        # filtered/unfiltered actions (the Spark 4.1 scan-reuse
-        # caveat, module docstring): with pruning off, every planned
-        # scan is the full region list and reuse cannot lose data
+        # region.pruning is OPT-IN (default false, VERDICT r12
+        # finding 1): with pruning off every planned scan is the full
+        # region list, so the Spark 4.1 scan-reuse caveat (module
+        # docstring) cannot lose a region no matter how the load() is
+        # held. engine.read_kvstore opts in (fresh load per query —
+        # reuse-free by construction); raw one-load-per-query callers
+        # may do the same.
         self.pruning = (
-            str(options.get("region.pruning", "true")).lower() != "false"
+            str(options.get("region.pruning", "false")).lower() == "true"
         )
         # ADVISORY scan range [lo, hi] (None = unbounded; *_strict =
         # exclusive) + point set from IN/=: recomputed from scratch at
@@ -461,7 +470,15 @@ class KVStoreWriter(DataSourceWriter):
                 tmp = getattr(m, "tmp", "")
                 if tmp and os.path.exists(tmp):
                     seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
-                    os.rename(tmp, os.path.join(self.path, seg))
+                    dst = os.path.join(self.path, seg)
+                    os.rename(tmp, dst)
+                    # rename PRESERVES the task-time mtime: touch so
+                    # vacuum_store's age floor measures time since the
+                    # segment became publishable, not since a possibly
+                    # much earlier task wrote it (ADVICE r12 — a slow
+                    # write->rename window must not age a live
+                    # segment past the vacuum cutoff)
+                    os.utime(dst)
                     segs.append(seg)
             if not segs:
                 return None
@@ -681,7 +698,9 @@ def compact_store(path: str, mode: str = "minor",
         live_tmps.update(tmp_names)
         for tmp in tmp_names:
             seg = f"{SEG_PREFIX}{uuid.uuid4().hex[:12]}.jsonl"
-            os.rename(tmp, os.path.join(path, seg))
+            dst = os.path.join(path, seg)
+            os.rename(tmp, dst)
+            os.utime(dst)  # age floor counts from publishability
             live_tmps.discard(tmp)
             segs.append(seg)
         cp_tmp = os.path.join(path, f".checkpoint-{uuid.uuid4().hex}")
@@ -726,11 +745,25 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
     commit's segments are renamed BEFORE their manifest lands, and an
     in-flight compaction's before its checkpoint; the age floor keeps
     a concurrent job's unreferenced-yet files alive, the Delta-VACUUM
-    retention idea). Also unsafe against READERS whose scan was
+    retention idea). Two guards make the floor sound (ADVICE r12):
+    segment mtimes are TOUCHED at rename (rename preserves the write
+    mtime, so a slow write->publish window would otherwise age a live
+    segment past any cutoff), and unreferenced seg-* candidates are
+    re-checked against a FRESH listing immediately before removal —
+    a manifest/checkpoint published mid-vacuum rescues its segments,
+    so the race window is the microseconds between that re-listing
+    and the unlink, not the whole rename->publish span min_age_s was
+    carrying alone. Still unsafe against READERS whose scan was
     planned before the vacuum (they hold the old file list) — size
-    ``min_age_s`` above the longest query + commit window. Returns
-    the number of files removed; a store without a checkpoint is left
-    untouched."""
+    ``min_age_s`` above the longest query window. Returns the number
+    of files removed; a store without a checkpoint is left untouched.
+
+    Repair path: should a store ever serve FileNotFoundError because
+    metadata references deleted segments (an aggressive manual vacuum
+    plus a torn commit), ``repair_store`` drops exactly the manifests
+    whose segments are gone — the affected commits' rows are lost
+    (they were unreadable already); every other commit serves again.
+    """
     try:
         names = os.listdir(path)
     except FileNotFoundError:
@@ -747,8 +780,9 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
     live.update(m for m in names
                 if m.startswith(MANIFEST_PREFIX) and m.endswith(".json")
                 and m not in folded)
-    cutoff = time.time() - min_age_s
+    cutoff = time.time() - max(min_age_s, 0.0)
     removed = 0
+    seg_candidates: list[str] = []
     for f in names:
         if f.startswith(".") or f in live:
             continue
@@ -759,11 +793,86 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
             try:
                 if os.path.getmtime(fp) > cutoff:
                     continue  # young: possibly an in-flight job's file
+            except OSError:
+                continue
+            if f.startswith(SEG_PREFIX):
+                # only seg-* can become referenced AFTER the snapshot
+                # (an in-flight commit/compaction publishing its
+                # metadata); region-*/manifest-*/checkpoint-*
+                # supersession is monotonic — defer and re-check
+                seg_candidates.append(f)
+                continue
+            try:
                 os.remove(fp)
                 removed += 1
             except OSError:
                 pass
+    if seg_candidates:
+        # fresh listing: any segment a manifest or checkpoint now
+        # references is live, no matter what the first snapshot said
+        try:
+            fresh = os.listdir(path)
+        except FileNotFoundError:
+            return removed
+        fresh_live = {
+            os.path.basename(fp) for fp in _resolve_listing(path, fresh)[0]
+        }
+        for f in seg_candidates:
+            if f in fresh_live:
+                continue
+            try:
+                os.remove(os.path.join(path, f))
+                removed += 1
+            except OSError:
+                pass
     return removed
+
+
+def repair_store(path: str) -> list[str]:
+    """The documented repair path (ADVICE r12): drop manifests whose
+    segment files are gone (each such manifest makes EVERY read of
+    the store fail with FileNotFoundError — one torn commit holds the
+    whole table hostage). Returns the dropped manifest names. Rows of
+    the dropped commits are lost — they were already unreadable; all
+    other commits serve again. Checkpoints are never dropped here: a
+    checkpoint with missing segments means the store's history itself
+    was damaged below the retention contract, which no metadata edit
+    can undo — that case raises instead of guessing."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return []
+    present = set(names)
+    cps = sorted(f for f in names
+                 if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
+    if cps:
+        with open(os.path.join(path, cps[-1])) as fh:
+            cp = json.load(fh)
+        missing = [s for s in cp.get("segments", []) if s not in present]
+        if missing:
+            raise RuntimeError(
+                f"kvstore repair: latest checkpoint {cps[-1]} references "
+                f"missing segments {missing}; the fold itself is damaged "
+                f"— restore from backup, no manifest edit can repair it"
+            )
+    _, folded = _resolve_listing(path, names)
+    dropped: list[str] = []
+    for m in sorted(names):
+        if (not m.startswith(MANIFEST_PREFIX) or not m.endswith(".json")
+                or m in folded):
+            continue  # folded manifests are not read — leave them
+        try:
+            with open(os.path.join(path, m)) as fh:
+                segs = json.load(fh).get("segments", [])
+        except (OSError, ValueError):
+            segs = None  # unreadable manifest: drop it too
+        if segs is None or any(s not in present for s in segs):
+            try:
+                os.remove(os.path.join(path, m))
+                dropped.append(m)
+            except OSError:
+                pass
+    return dropped
 
 
 def register(spark) -> None:

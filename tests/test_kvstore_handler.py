@@ -14,6 +14,7 @@ proof)."""
 
 import json
 import os
+import time
 
 import pytest
 
@@ -45,12 +46,17 @@ def store(spark, tmp_path):
     return d
 
 
-def _load(spark, d):
-    return (
+def _load(spark, d, pruning=None):
+    """Raw .load(); pruning stays the connector DEFAULT (off — the
+    reuse-safe posture, r13) unless a test opts in to prove the
+    pruning machinery itself."""
+    r = (
         spark.read.format("kvstore").option("path", d)
         .option("columns", COLUMNS).option("columns.mapping", MAPPING)
-        .load()
     )
+    if pruning is not None:
+        r = r.option("region.pruning", pruning)
+    return r.load()
 
 
 def test_mapping_parse_contract():
@@ -109,7 +115,7 @@ def test_poison_region_proves_pruning(spark, store):
         fh.write(json.dumps({"key": "kz", "cells": {"f:name": "ok"}}) + "\n")
     got = sorted(
         r.row_key
-        for r in _load(spark, store)
+        for r in _load(spark, store, pruning="true")
         .filter("row_key >= 'kb' AND row_key <= 'ke'").collect()
     )
     assert got == ["kb", "kc", "kd", "ke"]  # pruned: poison never read
@@ -210,34 +216,42 @@ def test_dataframe_reuse_is_row_complete(spark, tmp_path):
     assert df.count() == 6
 
 
-def test_dataframe_reuse_pruning_residual_and_opt_out(spark, tmp_path):
-    """The residual: a stale scan can still omit an ENTIRE region the
-    earlier query's range pruned. Pinned at the observed Spark 4.1.2
-    behavior (a no-filter action replays the last planned scan) with
-    the two documented remedies: a fresh load per query, or
-    region.pruning=false."""
-    d = str(tmp_path / "kv_resid")
+def test_dataframe_reuse_default_is_loss_free(spark, tmp_path):
+    """r13 (VERDICT r12 finding 1): region pruning is OPT-IN, so the
+    DEFAULT raw-load posture survives the Spark 4.1 scan-reuse
+    sequence with zero row loss — the ADVICE repro on a multi-region
+    store now returns every row on the shared DataFrame."""
+    d = str(tmp_path / "kv_safe_default")
     os.makedirs(d)
     _write_region(d, 0, ["a", "b"])
     _write_region(d, 1, ["x", "y"])
     kvstore.register(spark)
     df = _load(spark, d)
+    assert df.filter("row_key <= 'kb'").count() == 2
+    assert df.count() == 4  # no pruned-region residual: default is off
+
+
+def test_dataframe_reuse_pruning_residual_is_opt_in(spark, tmp_path):
+    """The residual survives ONLY under explicit region.pruning=true
+    — the rationale pin for the opt-in default: a stale scan can omit
+    an ENTIRE region the earlier query's range pruned. Pinned at the
+    observed Spark 4.1.2 behavior (a no-filter action replays the
+    last planned scan), with the fresh-load remedy that makes the
+    Engine path safe."""
+    d = str(tmp_path / "kv_resid")
+    os.makedirs(d)
+    _write_region(d, 0, ["a", "b"])
+    _write_region(d, 1, ["x", "y"])
+    kvstore.register(spark)
+    df = _load(spark, d, pruning="true")
     assert df.filter("row_key <= 'kb'").count() == 2  # prunes region 1
     n = df.count()
     # 2 = the documented Spark 4.1 scan-reuse residual (stale pruning);
     # 4 = a future Spark that re-plans filterless actions. Anything
     # else is a connector bug.
     assert n in (2, 4)
-    # remedy 1: a fresh load is always complete
-    assert _load(spark, d).count() == 4
-    # remedy 2: pruning disabled -> every planned scan is full
-    df_np = (
-        spark.read.format("kvstore").option("path", d)
-        .option("columns", COLUMNS).option("columns.mapping", MAPPING)
-        .option("region.pruning", "false").load()
-    )
-    assert df_np.filter("row_key <= 'kb'").count() == 2
-    assert df_np.count() == 4
+    # the remedy pruning callers must follow: a fresh load per query
+    assert _load(spark, d, pruning="true").count() == 4
 
 
 def test_prefix_pushdown_prunes(spark, store):
@@ -252,7 +266,8 @@ def test_prefix_pushdown_prunes(spark, store):
     try:
         got = sorted(
             r.row_key
-            for r in _load(spark, store).filter("row_key LIKE 'kd%'").collect()
+            for r in _load(spark, store, pruning="true")
+            .filter("row_key LIKE 'kd%'").collect()
         )
         assert got == ["kd"]
         with pytest.raises(Exception):  # noqa: B017 — poison read
@@ -272,7 +287,7 @@ def test_in_list_pushdown_prunes(spark, store):
     try:
         got = sorted(
             r.row_key
-            for r in _load(spark, store)
+            for r in _load(spark, store, pruning="true")
             .filter("row_key IN ('ka', 'kh')").collect()
         )
         assert got == ["ka", "kh"]
@@ -512,7 +527,7 @@ def test_compact_pruning_and_split_regions(spark, tmp_path):
         fh.write("NOT JSON\n")
         fh.write(json.dumps({"key": "zz", "cells": {}}) + "\n")
     got = sorted(
-        r.row_key for r in _load(spark, d)
+        r.row_key for r in _load(spark, d, pruning="true")
         .filter("row_key <= 'kb'").collect()
     )
     assert got == ["ka", "kb"]
@@ -654,3 +669,105 @@ def test_legacy_stamp_checkpoint_fallback(spark, tmp_path):
 def test_compact_rejects_bad_max_open_files(tmp_path):
     with pytest.raises(ValueError, match="max_open_files"):
         kvstore.compact_store(str(tmp_path), max_open_files=1)
+
+
+# -- round 13 hardening: ADVICE r12 (vacuum vs in-flight commit) ------
+
+
+def test_segment_mtime_counts_from_publish_not_write(spark, tmp_path):
+    """ADVICE r12 root cause: rename PRESERVES mtime, so a slow
+    write->publish window aged an in-flight segment past any vacuum
+    cutoff. commit() now touches each renamed segment — its age is
+    time-since-publishability, and the age floor means what the
+    vacuum docstring claims."""
+    import time as _time
+
+    d = str(tmp_path / "kv_mtime")
+    kvstore.register(spark)
+    _put(spark, d, "ka", "a1")
+    seg = kvstore._region_files(d)[0]
+    # simulate the slow-task history: had rename preserved a write
+    # mtime from 10 minutes ago, this assert would fail
+    assert _time.time() - os.path.getmtime(seg) < 120
+
+
+def test_vacuum_rescues_segment_published_mid_vacuum(spark, tmp_path, monkeypatch):
+    """ADVICE r12 scenario, injected: an aged unreferenced seg-* whose
+    manifest lands DURING the vacuum run must survive — the fresh
+    re-listing before seg removal sees the new manifest and skips its
+    segments. Without the rescue this store would serve
+    FileNotFoundError forever."""
+    d = str(tmp_path / "kv_rescue")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    _put(spark, d, "ka", "a2")
+    eng.compact_kvstore(d, mode="minor")  # vacuum needs a checkpoint
+    # the in-flight commit: segment renamed (and aged), manifest not
+    # yet published
+    seg = f"{kvstore.SEG_PREFIX}feedfacefeed.jsonl"
+    with open(os.path.join(d, seg), "w") as fh:
+        fh.write(json.dumps({"key": "kz", "cells": {"f:name": "late"}}) + "\n")
+    old = time.time() - 3600
+    os.utime(os.path.join(d, seg), (old, old))
+    manifest = (f"{kvstore.MANIFEST_PREFIX}{time.time_ns():020d}-"
+                f"deadbeef.json")
+
+    real_resolve = kvstore._resolve_listing
+    calls = {"n": 0}
+
+    def resolve_and_publish(path, names):
+        # publish the manifest AFTER the first (snapshot) resolution —
+        # i.e. while the vacuum is mid-run
+        out = real_resolve(path, names)
+        calls["n"] += 1
+        if calls["n"] == 1:
+            with open(os.path.join(d, ".m-tmp"), "w") as fh:
+                json.dump({"segments": [seg]}, fh)
+            os.rename(os.path.join(d, ".m-tmp"), os.path.join(d, manifest))
+        return out
+
+    monkeypatch.setattr(kvstore, "_resolve_listing", resolve_and_publish)
+    kvstore.vacuum_store(d, min_age_s=0)
+    monkeypatch.undo()
+    assert calls["n"] >= 2, "vacuum must re-list before removing segs"
+    assert os.path.exists(os.path.join(d, seg)), "published segment deleted"
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
+    assert got.get("kz") == "late" and "ka" in got
+
+
+def test_repair_store_drops_torn_manifests_only(spark, tmp_path):
+    """The documented repair path: a manifest referencing deleted
+    segments holds every read hostage (FileNotFoundError); repair
+    drops exactly those manifests, healthy commits serve again, and a
+    damaged CHECKPOINT refuses repair instead of guessing."""
+    d = str(tmp_path / "kv_repair")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    _put(spark, d, "kb", "b1")
+    # tear the second commit: delete its segment, keep its manifest
+    manifests = sorted(f for f in os.listdir(d)
+                       if f.startswith(kvstore.MANIFEST_PREFIX))
+    with open(os.path.join(d, manifests[1])) as fh:
+        torn_seg = json.load(fh)["segments"][0]
+    os.remove(os.path.join(d, torn_seg))
+    with pytest.raises(Exception):  # noqa: B017 — the hostage state
+        eng.read_kvstore(d, COLUMNS, MAPPING).count()
+    dropped = kvstore.repair_store(d)
+    assert dropped == [manifests[1]]
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
+    assert got == {"ka": "a1"}  # the healthy commit serves again
+    # idempotent on a healthy store
+    assert kvstore.repair_store(d) == []
+    # a checkpoint with missing segments is NOT repairable metadata
+    eng.compact_kvstore(d, mode="minor")
+    cp = sorted(f for f in os.listdir(d)
+                if f.startswith(kvstore.CHECKPOINT_PREFIX))[-1]
+    with open(os.path.join(d, cp)) as fh:
+        cp_seg = json.load(fh)["segments"][0]
+    os.remove(os.path.join(d, cp_seg))
+    with pytest.raises(RuntimeError, match="restore from backup"):
+        kvstore.repair_store(d)
