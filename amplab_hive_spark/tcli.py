@@ -55,8 +55,10 @@ Not Kerberos, not TLS — the reference's unsecured HS2 mode.
 
 from __future__ import annotations
 
+import hmac
 import io
 import itertools
+import json
 import re
 import socket
 import socketserver
@@ -309,6 +311,7 @@ class _Writer:
 # -- TCLIService constants (public IDL: service-rpc/if/TCLIService.thrift)
 
 PROTOCOL_V10 = 9  # HIVE_CLI_SERVICE_PROTOCOL_V10 (0-based enum)
+PROTOCOL_V6 = 5   # first version with the column-based TRowSet
 
 STATUS_SUCCESS, STATUS_ERROR = 0, 3
 OP_INITIALIZED, OP_RUNNING, OP_FINISHED = 0, 1, 2
@@ -354,6 +357,34 @@ def _status_error(msg: str, sqlstate: str = "42000") -> list:
     ]
 
 
+def _string_cell(v) -> "bytes | str":
+    """HS2's TStringColumn serialization rule (ADVICE r12): BINARY
+    cells carry the RAW bytes (not a python repr — the codec's
+    string writer accepts bytes unchanged); array/map/struct cells
+    render as compact JSON, matching HS2's complex-type output;
+    date/timestamp/decimal keep their SQL str() spelling."""
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v)
+    if isinstance(v, (list, tuple, dict)) or hasattr(v, "asDict"):
+        return json.dumps(_jsonable(v), separators=(",", ":"),
+                          ensure_ascii=False)
+    return str(v)
+
+
+def _jsonable(v):
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).decode("utf-8", "replace")
+    if hasattr(v, "asDict"):  # pyspark Row (struct cell)
+        return {k: _jsonable(x) for k, x in v.asDict().items()}
+    if isinstance(v, dict):
+        return {str(k): _jsonable(x) for k, x in v.items()}
+    if isinstance(v, (list, tuple)):
+        return [_jsonable(x) for x in v]
+    return str(v)  # date/timestamp/decimal nested in a complex cell
+
+
 def _handle_fields(guid: bytes, secret: bytes) -> list:
     return [(1, T_STRUCT, [(1, T_STRING, guid), (2, T_STRING, secret)])]
 
@@ -367,11 +398,13 @@ def _op_handle_fields(guid: bytes, secret: bytes, has_result: bool) -> list:
 
 
 class _Operation:
-    def __init__(self, df=None, columns=None, rows=None) -> None:
+    def __init__(self, df=None, columns=None, rows=None,
+                 secret: bytes = b"") -> None:
         """Either a DataFrame-backed statement result (rows paged via
         toLocalIterator) or a STATIC metadata result (columns +
         materialized row list — the Get* operations, whose row counts
         are catalog-bounded)."""
+        self.secret = secret  # validated on every operation RPC
         self.df = df
         if df is not None:
             self.columns: list[tuple[str, str]] = [
@@ -399,6 +432,7 @@ class _Session:
         from amplab_hive_spark.catalog import ensure_session_confs
         from amplab_hive_spark.engine import Engine
 
+        self.secret: bytes = uuid.uuid4().bytes  # overwritten at register
         sub = spark.newSession()
         ensure_session_confs(sub)
         # inherit the serving session's enforcement posture — a new
@@ -552,18 +586,31 @@ class TCLIFront:
         # whose field 1 = guid
         return handle_struct.get(1, {}).get(1, b"")
 
+    @staticmethod
+    def _creds_of(handle_struct: dict) -> tuple[bytes, bytes]:
+        # THandleIdentifier field 1 = guid, field 2 = secret; BOTH are
+        # validated (VERDICT r12 finding 2 — HS2's HandleIdentifier
+        # carries the secret precisely so a handle can't be forged
+        # from an observed/guessed guid alone)
+        ident = handle_struct.get(1, {})
+        return ident.get(1, b""), ident.get(2, b"")
+
     def _session_of(self, req: dict, field: int = 1) -> _Session:
-        guid = self._guid_of(req.get(field, {}))
+        guid, secret = self._creds_of(req.get(field, {}))
         sess = self.sessions.get(guid)
-        if sess is None:
+        if sess is None or not hmac.compare_digest(sess.secret, secret):
+            # one error for unknown guid and bad secret alike: a
+            # probe must not learn which half it got right
             raise KeyError("invalid session handle")
         return sess
 
     def _operation_of(self, req: dict) -> tuple[_Session, _Operation, bytes]:
-        guid = self._guid_of(req.get(1, {}))
+        guid, secret = self._creds_of(req.get(1, {}))
         for sess in list(self.sessions.values()):
             op = sess.operations.get(guid)
             if op is not None:
+                if not hmac.compare_digest(op.secret, secret):
+                    raise KeyError("invalid operation handle")
                 return sess, op, guid
         raise KeyError("invalid operation handle")
 
@@ -582,6 +629,15 @@ class TCLIFront:
             username = sasl_user
         client_proto = req.get(1, PROTOCOL_V10)
         proto = min(int(client_proto), PROTOCOL_V10)
+        if proto < PROTOCOL_V6:
+            # ADVICE r12: FetchResults only emits the column-based
+            # TRowSet (valid from V6) — acknowledging an older
+            # protocol would complete the handshake and then hand the
+            # client rowsets it cannot decode. Refuse up front.
+            return [(1, T_STRUCT, _status_error(
+                f"protocol version {int(client_proto)} not supported: "
+                f"this server serves column-based rowsets "
+                f"(HIVE_CLI_SERVICE_PROTOCOL_V6+)"))]
         conf = {
             (k.decode("utf-8", "replace") if isinstance(k, bytes) else k):
             (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)
@@ -590,6 +646,7 @@ class TCLIFront:
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
         sess = _Session(self.spark, username, conf, sf_dir=self.sf_dir,
                         server_confs=self.server_confs)
+        sess.secret = secret
         with self._lock:
             self.sessions[guid] = sess
         if owned is not None:
@@ -602,9 +659,12 @@ class TCLIFront:
         ]
 
     def _rpc_CloseSession(self, req: dict) -> list:  # noqa: N802
-        guid = self._guid_of(req.get(1, {}))
+        try:
+            self._session_of(req)  # secret-checked like every RPC
+        except KeyError as e:
+            return [(1, T_STRUCT, _status_error(str(e)))]
         with self._lock:
-            self.sessions.pop(guid, None)
+            self.sessions.pop(self._guid_of(req.get(1, {})), None)
         return [(1, T_STRUCT, _status_ok())]
 
     def _rpc_ExecuteStatement(self, req: dict) -> list:  # noqa: N802
@@ -617,7 +677,7 @@ class TCLIFront:
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
         try:
             df = sess.engine.sql(stmt)
-            op = _Operation(df)
+            op = _Operation(df, secret=secret)
         except Exception as e:  # noqa: BLE001 — per-statement error
             msg = f"{type(e).__name__}: {e}"
             return [(1, T_STRUCT, _status_error(msg))]
@@ -748,7 +808,8 @@ class TCLIFront:
     def _static_op(self, sess: _Session, columns, rows) -> list:
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
         with self._lock:
-            sess.operations[guid] = _Operation(columns=columns, rows=rows)
+            sess.operations[guid] = _Operation(columns=columns, rows=rows,
+                                               secret=secret)
         return [
             (1, T_STRUCT, _status_ok()),
             (2, T_STRUCT, _op_handle_fields(guid, secret, True)),
@@ -993,7 +1054,7 @@ class TCLIFront:
                     nulls[rno // 8] |= 1 << (rno % 8)
                     values.append(_WIRE_DEFAULT[kind])
                 elif kind == "string" and not isinstance(v, str):
-                    values.append(str(v))
+                    values.append(_string_cell(v))
                 elif kind == "double":
                     values.append(float(v))
                 elif kind == "bool":

