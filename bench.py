@@ -167,7 +167,8 @@ def main() -> None:
             f"LOADED host at start (1m {live}, 5/15m peak {residual}): "
             f"timings reflect contention, not the engine — judge by "
             f"plan fingerprints and the round's quiet-host captures "
-            f"(PERF.md convention)"
+            f"(PERF.md convention); cross-round: value_min/cpu_calib_sec "
+            f"(PERF.md calibrated read)"
         )
     elif max(live, residual) >= 2:
         # distinct from LOADED and from quiet: a high 5/15-min with a
@@ -184,7 +185,9 @@ def main() -> None:
         # start-sampled: contention ARRIVING mid-run is not detected
         # here — cross-check run_load1 in the verbose record and the
         # spread/value_max dispersion before trusting a hot number
-        load["note"] = "quiet host at start (mid-run: see run_load1)"
+        load["note"] = ("quiet host at start (mid-run: see run_load1); "
+                        "cross-round: value_min/cpu_calib_sec (PERF.md "
+                        "calibrated read)")
     # Verbose record first (humans / archive), compact record LAST:
     # the driver keeps only the last ~2000 bytes of stdout, and r2's
     # single verbose line blew past that, clipping the timings out of
