@@ -194,21 +194,35 @@ def main(argv: list[str] | None = None) -> int:
     )
     args = ap.parse_args(argv)
 
+    # parse the k=v flags ONCE, before any role branches — a
+    # malformed flag fails fast without paying Spark startup
+    from amplab_hive_spark.variables import parse_kv_flags
+
+    hivevars = parse_kv_flags(args.define, "-d/--define")
+    hivevars.update(parse_kv_flags(args.hivevar, "--hivevar"))
+    hiveconfs = parse_kv_flags(args.hiveconf, "--hiveconf")
+
     if args.serve or args.serve_tcli or args.serve_thrift:
         # hivevars are per-connection session state (each connection
         # gets its own Engine + VariableRegistry): a server-wide
         # hivevar flag would be a silent no-op, so refuse it loudly.
-        # --hiveconf IS meaningful server-wide (the shared session
-        # conf) and is applied inside each serve branch's session.
-        if args.define or args.hivevar or args.i is not None:
+        # --hiveconf IS meaningful server-wide and is seeded into each
+        # connection's session inside the serve branches.
+        if hivevars or args.i is not None:
             ap.error("-d/--hivevar/-i are client-session flags; in a "
                      "serve role, set variables per connection with "
                      "'SET hivevar:k=v'")
+    if args.connect:
+        # the thin client holds no Engine: variables live server-side
+        # per connection — refuse rather than silently ignore
+        # (review r13); use SET statements over the wire instead
+        if hivevars or hiveconfs or args.i is not None:
+            ap.error("-d/--hivevar/--hiveconf/-i need a local engine; "
+                     "over --connect, send 'SET hivevar:k=v' / "
+                     "'SET k=v' statements instead")
 
     def _apply_hiveconf(spark):
-        from amplab_hive_spark.variables import parse_kv_flags
-
-        for k, v in parse_kv_flags(args.hiveconf, "--hiveconf").items():
+        for k, v in hiveconfs.items():
             spark.conf.set(k, v)
         return spark
 
@@ -222,12 +236,8 @@ def main(argv: list[str] | None = None) -> int:
         spark = _apply_hiveconf(get_spark("tcli-service"))
         # temp views are session-scoped and every connection gets its
         # own sub-session, so the front re-attaches the catalog there
-        from amplab_hive_spark.variables import parse_kv_flags
-
         front = TCLIFront(spark, host=args.host, port=args.port,
-                          sf_dir=args.sf_dir,
-                          server_confs=parse_kv_flags(args.hiveconf,
-                                                      "--hiveconf"))
+                          sf_dir=args.sf_dir, server_confs=hiveconfs)
         front.start()
         print(f"TCLIService front on jdbc:hive2://{args.host}:{front.port}",
               flush=True)
@@ -275,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
             _apply_hiveconf(get_spark("sql-service")),
             host=args.host, port=args.port,
             sf_dir=args.sf_dir, max_rows=args.max_rows,
+            server_confs=hiveconfs,
         )
         port = svc.start()
         print(f"SQL service listening on {args.host}:{port}", flush=True)
@@ -289,13 +300,6 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     from amplab_hive_spark.engine import Engine
-    from amplab_hive_spark.variables import parse_kv_flags
-
-    # parse the k=v flags BEFORE building the engine so a malformed
-    # flag fails fast without paying Spark startup
-    hivevars = parse_kv_flags(args.define, "-d/--define")
-    hivevars.update(parse_kv_flags(args.hivevar, "--hivevar"))
-    hiveconfs = parse_kv_flags(args.hiveconf, "--hiveconf")
 
     engine = Engine(sf_dir=args.sf_dir)
     engine.variables.hivevars.update(hivevars)

@@ -348,10 +348,13 @@ class Engine:
             .option("path", path)
             .option("columns", columns)
             .option("columns.mapping", mapping)
-            # pruning is safe HERE because this method returns a
-            # FRESH load per call (one plan per query — the Spark 4.1
-            # scan-reuse caveat cannot occur); raw .load() defaults
-            # to pruning OFF (sources/kvstore.py module docstring)
+            # pruning is safe under the documented one-query-per-load
+            # contract (this method returns a FRESH load per call, so
+            # callers who take one load per query never replan-reuse);
+            # a caller who HOLDS this DataFrame across mixed
+            # filtered/unfiltered actions re-enters the Spark 4.1
+            # scan-reuse residual — call read_kvstore once per query.
+            # Raw .load() defaults to pruning OFF (sources/kvstore.py)
             .option("region.pruning", "true")
         )
         if not latest:

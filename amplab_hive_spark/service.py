@@ -177,11 +177,18 @@ class SqlService:
         sf_dir: Optional[str] = None,
         max_rows: int = 10_000,
         cursor_idle_s: float = 300.0,
+        server_confs: "Optional[dict[str, str]]" = None,
     ):
         self._spark = spark
         self._host, self._port = host, port
         self._sf_dir = sf_dir
         self._max_rows = max_rows
+        # server-wide conf seeds (cli --hiveconf): applied to each
+        # connection's newSession() — runtime conf.set on the root
+        # session does NOT propagate into a newSession's SQLConf, so
+        # without this the flag would be a silent no-op in --serve
+        # (review r13; tcli grew the same plumbing the same round)
+        self._server_confs = dict(server_confs or {})
         # cursor hygiene (VERDICT r8 "What's wrong" #2): an abandoned
         # cursor is evicted after this many idle seconds (swept on the
         # connection's next request — cursors are connection-scoped
@@ -215,9 +222,10 @@ class SqlService:
                 cursors: dict[str, _Cursor] = {}
                 try:
                     try:
-                        eng = Engine(
-                            spark=svc._spark.newSession(), sf_dir=svc._sf_dir
-                        )
+                        sub = svc._spark.newSession()
+                        for k, v in svc._server_confs.items():
+                            sub.conf.set(k, v)
+                        eng = Engine(spark=sub, sf_dir=svc._sf_dir)
                     except Exception as e:  # session setup failed: say
                         # so in-band (one ok:false line), never a bare
                         # connection drop the client can't diagnose

@@ -773,8 +773,14 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
     if not cps:
         return 0
     # live files and the superseded set from ONE listing snapshot,
-    # legacy stamp-format checkpoints included (_folded_of)
-    region_paths, folded = _resolve_listing(path, names)
+    # legacy stamp-format checkpoints included (_folded_of). An
+    # unreadable metadata file (torn concurrent state, manual damage)
+    # means the live set cannot be established — vacuum nothing
+    # rather than guess (review r13)
+    try:
+        region_paths, folded = _resolve_listing(path, names)
+    except (OSError, ValueError, KeyError):
+        return 0
     live = {os.path.basename(fp) for fp in region_paths}
     live.add(cps[-1])
     live.update(m for m in names
@@ -812,11 +818,17 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
         # references is live, no matter what the first snapshot said
         try:
             fresh = os.listdir(path)
-        except FileNotFoundError:
+            fresh_live = {
+                os.path.basename(fp)
+                for fp in _resolve_listing(path, fresh)[0]
+            }
+        except (OSError, ValueError, KeyError):
+            # a concurrent vacuum/compaction removed or replaced
+            # metadata between the listing and the opens: the fresh
+            # live set is unknowable — keep every candidate (review
+            # r13; deleting on stale knowledge is the bug this
+            # re-listing exists to prevent)
             return removed
-        fresh_live = {
-            os.path.basename(fp) for fp in _resolve_listing(path, fresh)[0]
-        }
         for f in seg_candidates:
             if f in fresh_live:
                 continue
@@ -845,9 +857,20 @@ def repair_store(path: str) -> list[str]:
     present = set(names)
     cps = sorted(f for f in names
                  if f.startswith(CHECKPOINT_PREFIX) and f.endswith(".json"))
+    # folded set computed WITHOUT _resolve_listing: that helper
+    # json-loads every non-folded manifest, so it would crash on the
+    # corrupt-manifest state this function exists to heal (review r13)
+    folded: set = set()
     if cps:
-        with open(os.path.join(path, cps[-1])) as fh:
-            cp = json.load(fh)
+        try:
+            with open(os.path.join(path, cps[-1])) as fh:
+                cp = json.load(fh)
+        except (OSError, ValueError) as e:
+            raise RuntimeError(
+                f"kvstore repair: latest checkpoint {cps[-1]} is "
+                f"unreadable ({e}); the fold itself is damaged — "
+                f"restore from backup, no manifest edit can repair it"
+            ) from e
         missing = [s for s in cp.get("segments", []) if s not in present]
         if missing:
             raise RuntimeError(
@@ -855,7 +878,7 @@ def repair_store(path: str) -> list[str]:
                 f"missing segments {missing}; the fold itself is damaged "
                 f"— restore from backup, no manifest edit can repair it"
             )
-    _, folded = _resolve_listing(path, names)
+        folded = _folded_of(path, cps[-1], cp, names)
     dropped: list[str] = []
     for m in sorted(names):
         if (not m.startswith(MANIFEST_PREFIX) or not m.endswith(".json")

@@ -574,10 +574,14 @@ class TCLIFront:
             return method(args.get(1, {}), owned, sasl_user)
         resp = method(args.get(1, {}))
         if name == "CloseSession" and owned is not None:
-            # un-track only AFTER the close ran: discarding first would
-            # orphan the session from the socket-drop reaper if the
-            # close body ever fails (review r12 pass 2)
-            owned.discard(self._guid_of(args.get(1, {}).get(1, {})))
+            # un-track only after a SUCCESSFUL close: a refused close
+            # (secret mismatch — reachable since r13's handle checks)
+            # leaves the session alive, and discarding its guid would
+            # orphan it from the socket-drop reaper (review r12 pass 2
+            # comment made real by review r13 pass 1)
+            status = resp[0][2][0][2] if resp else None
+            if status == STATUS_SUCCESS:
+                owned.discard(self._guid_of(args.get(1, {}).get(1, {})))
         return resp
 
     @staticmethod
@@ -634,10 +638,16 @@ class TCLIFront:
             # TRowSet (valid from V6) — acknowledging an older
             # protocol would complete the handshake and then hand the
             # client rowsets it cannot decode. Refuse up front.
-            return [(1, T_STRUCT, _status_error(
-                f"protocol version {int(client_proto)} not supported: "
-                f"this server serves column-based rowsets "
-                f"(HIVE_CLI_SERVICE_PROTOCOL_V6+)"))]
+            # serverProtocolVersion is a REQUIRED response field:
+            # generated Thrift clients validate() it even on an error
+            # status, so the refusal must still carry it (review r13)
+            return [
+                (1, T_STRUCT, _status_error(
+                    f"protocol version {int(client_proto)} not "
+                    f"supported: this server serves column-based "
+                    f"rowsets (HIVE_CLI_SERVICE_PROTOCOL_V6+)")),
+                (2, T_I32, PROTOCOL_V10),
+            ]
         conf = {
             (k.decode("utf-8", "replace") if isinstance(k, bytes) else k):
             (v.decode("utf-8", "replace") if isinstance(v, bytes) else v)

@@ -63,6 +63,20 @@ DEFAULT_DEPTH = 40
 # CommandProcessorFactory/SetProcessor part[0]/part[1]).
 _SET_STMT = re.compile(r"^\s*set\s+(?P<body>\S.*)$", re.IGNORECASE | re.DOTALL)
 
+# leading comments must not defeat the SET interception (review r13 —
+# Spark's own SET parser strips them, so '/* tool banner */ SET
+# hivevar:k=v' would otherwise silently become a conf named
+# 'hivevar:k'): -- line comments and /* */ block comments, repeated
+_LEADING_COMMENT = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
+
+
+def _strip_leading_comments(text: str) -> str:
+    while True:
+        m = _LEADING_COMMENT.match(text)
+        if not m:
+            return text
+        text = text[m.end():]
+
 
 class VariableRegistry:
     """Per-Engine session variable state: the hivevar map and the
@@ -127,15 +141,22 @@ class VariableRegistry:
         else (incl. bare SET — Spark's native conf SET serves it).
         Returns Spark's native SET result shape (key, value strings)
         so CLI/JDBC clients render all forms identically."""
-        m = _SET_STMT.match(text.strip().rstrip(";"))
+        m = _SET_STMT.match(
+            _strip_leading_comments(text).strip().rstrip(";"))
         if not m:
             return None
         body = m.group("body").strip()
         name, eq, value = body.partition("=")
         name = name.strip()
-        lowered = name.lower()
+        # prefix matching is CASE-SENSITIVE like the reference
+        # (SetProcessor.java startsWith against lowercase constants):
+        # 'SET HIVEVAR:x=1' falls through to the bare branch — Spark's
+        # conf SET — and stores a conf literally named 'HIVEVAR:x',
+        # the reference's exact behavior (review r13: a lowered match
+        # here with case-sensitive resolution made the same spelling
+        # set-able but never readable)
         prefixed = any(
-            lowered.startswith(p)
+            name.startswith(p)
             for p in (ENV_PREFIX, SYSTEM_PREFIX, HIVEVAR_PREFIX,
                       HIVECONF_PREFIX)
         )
@@ -148,16 +169,16 @@ class VariableRegistry:
             shown = val if val is not None else "<undefined>"
             return _kv_result(spark, name, shown)
         value = value.strip()
-        if lowered.startswith(ENV_PREFIX):
+        if name.startswith(ENV_PREFIX):
             # SetProcessor.java:122: env:* variables can not be set
             raise ValueError("env:* variables can not be set.")
         # SetProcessor substitutes the VALUE before storing
         # (SetProcessor.java:127,133: new VariableSubstitution()
         # .substitute(conf, varvalue))
         value = self.substitute(spark, value)
-        if lowered.startswith(SYSTEM_PREFIX):
+        if name.startswith(SYSTEM_PREFIX):
             self.sysprops[name[len(SYSTEM_PREFIX):]] = value
-        elif lowered.startswith(HIVEVAR_PREFIX):
+        elif name.startswith(HIVEVAR_PREFIX):
             self.hivevars[name[len(HIVEVAR_PREFIX):]] = value
         else:  # hiveconf: strip the prefix, set the session conf
             spark.conf.set(name[len(HIVECONF_PREFIX):], value)

@@ -771,3 +771,29 @@ def test_repair_store_drops_torn_manifests_only(spark, tmp_path):
     os.remove(os.path.join(d, cp_seg))
     with pytest.raises(RuntimeError, match="restore from backup"):
         kvstore.repair_store(d)
+
+
+def test_repair_drops_corrupt_manifest_and_vacuum_stays_calm(spark, tmp_path):
+    """review r13: repair_store must heal an UNPARSEABLE manifest (the
+    exact damaged state it exists for) instead of crashing inside the
+    listing resolver; vacuum_store on such a store removes nothing
+    rather than guessing at a live set it cannot establish."""
+    d = str(tmp_path / "kv_corrupt_manifest")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    eng.compact_kvstore(d, mode="minor")  # checkpoint, so vacuum engages
+    _put(spark, d, "kb", "b1")
+    # corrupt the post-checkpoint commit's manifest body
+    m = sorted(f for f in os.listdir(d)
+               if f.startswith(kvstore.MANIFEST_PREFIX))[-1]
+    with open(os.path.join(d, m), "w") as fh:
+        fh.write("{TRUNCATED GARBAGE")
+    with pytest.raises(Exception):  # noqa: B017 — reads are hostage
+        eng.read_kvstore(d, COLUMNS, MAPPING).count()
+    assert kvstore.vacuum_store(d, min_age_s=0) == 0  # no live set: no-op
+    dropped = kvstore.repair_store(d)
+    assert dropped == [m]
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
+    assert got == {"ka": "a1"}

@@ -379,3 +379,16 @@ def test_cursor_spam_bounded_active_cursors_protected(spark, sf_dir,
             assert r2["ok"] and r2["has_more"]
             dead = c.fetch(handles[1])  # handles[0] was re-touched above
             assert not dead["ok"] and dead["error_class"] == "KeyError"
+
+
+def test_server_confs_seed_each_connection(spark, sf_dir):
+    """review r13: cli --serve --hiveconf was a silent no-op — runtime
+    conf.set on the ROOT session never propagates into the
+    per-connection newSession() SQLConfs. server_confs seeds each
+    connection's session explicitly (same plumbing tcli grew)."""
+    with SqlService(spark, sf_dir=sf_dir,
+                    server_confs={"ahs.served.conf": "on"}) as svc:
+        with SqlClient("127.0.0.1", svc.port) as c:
+            r = c.sql("SET ahs.served.conf")
+            assert r["ok"], r
+            assert r["rows"] == [["ahs.served.conf", "on"]]

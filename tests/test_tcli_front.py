@@ -755,6 +755,10 @@ def test_pre_v6_protocol_refused_at_open(spark, front):
         resp = c.call("OpenSession", [(1, T_I32, 4), (2, T_STRING, "old")])
         assert resp[1][1] != 0
         assert b"V6" in resp[1].get(5, b"") or "V6" in str(resp[1].get(5, ""))
+        # serverProtocolVersion is a REQUIRED TOpenSessionResp field:
+        # generated clients validate() it even on error, so the
+        # refusal must carry it (review r13)
+        assert resp.get(2) == 9
     finally:
         c.close()
 
@@ -804,3 +808,27 @@ def test_binary_and_complex_cells_serialize_like_hs2(spark, front):
         assert colvals[4][7][1] == [b'["2024-01-02"]']  # nested date
     finally:
         c.close()
+
+
+def test_failed_close_keeps_session_reapable(spark, front):
+    """review r13: a CloseSession REFUSED for a secret mismatch leaves
+    the session alive — the connection's owned set must keep tracking
+    it, so the socket-drop reaper still frees it (discarding on the
+    failed close would leak the Engine + sub-session forever)."""
+    import time as _time
+
+    c = _Client(front.port)
+    sess = c.open_session()
+    ident = sess[1]
+    forged = [(1, T_STRUCT, [(1, T_STRING, ident[1]),
+                             (2, T_STRING, b"\x00" * 16)])]
+    r = c.call("CloseSession", [(1, T_STRUCT, forged)])
+    assert r[1][1] != 0  # refused
+    guid = bytes(ident[1])
+    assert guid in front.sessions  # still alive
+    c.close()  # drop the socket without a proper close
+    for _ in range(50):
+        if guid not in front.sessions:
+            break
+        _time.sleep(0.1)
+    assert guid not in front.sessions, "refused close orphaned the session"

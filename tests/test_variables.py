@@ -254,3 +254,50 @@ def test_tcli_set_hivevar_per_connection(spark):
         c1.close()
         c2.close()
         front.stop()
+
+
+# -- review r13 pins ----------------------------------------------------
+
+
+def test_set_interception_survives_leading_comments(spark):
+    """review r13 (parse-tree-over-regex class): Spark's native SET
+    strips leading comments, so the interception must too — otherwise
+    '/* banner */ SET hivevar:k=v' silently becomes a CONF named
+    'hivevar:k' and ${k} never resolves."""
+    eng = Engine(spark)
+    eng.sql("/* tool banner */ SET hivevar:cmt=yes")
+    assert eng.variables.hivevars["cmt"] == "yes"
+    eng.sql("-- line comment\nSET hivevar:cmt2=also")
+    assert eng.variables.hivevars["cmt2"] == "also"
+    eng.sql("/* a */ -- b\n /* c */ SET hivevar:cmt3=chained")
+    assert eng.variables.hivevars["cmt3"] == "chained"
+    with pytest.raises(ValueError, match="env:.* can not be set"):
+        eng.sql("/* hidden */ SET env:HOME=/tmp")
+
+
+def test_set_prefix_matching_is_case_sensitive(spark):
+    """review r13: the reference's SetProcessor startsWith checks are
+    case-sensitive, so 'SET HIVEVAR:x=1' is the BARE branch — a conf
+    literally named 'HIVEVAR:x' — and the hivevar map is untouched
+    (previously the lowered match stored a hivevar that the
+    case-sensitive resolution could never read back)."""
+    eng = Engine(spark)
+    try:
+        eng.sql("SET HIVEVAR:cased=1")
+        assert "cased" not in eng.variables.hivevars
+        assert spark.conf.get("HIVEVAR:cased") == "1"
+        # and the reference-faithful non-resolution: ${HIVEVAR:cased}
+        # matches no prefix and no hivevar -> passthrough
+        assert eng.sql("SELECT '${HIVEVAR:cased}' AS c").collect()[0].c \
+            == "${HIVEVAR:cased}"
+    finally:
+        spark.conf.unset("HIVEVAR:cased")
+
+
+def test_cli_connect_rejects_local_engine_flags(spark):
+    from amplab_hive_spark.cli import main
+
+    for flags in (["--hivevar", "a=b"], ["--hiveconf", "a=b"],
+                  ["-i", "/dev/null"]):
+        with pytest.raises(SystemExit):
+            main(["--connect", "127.0.0.1:1", *flags, "-e", "SELECT 1"])
