@@ -779,7 +779,9 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
     # rather than guess (review r13)
     try:
         region_paths, folded = _resolve_listing(path, names)
-    except (OSError, ValueError, KeyError):
+    except (OSError, ValueError, KeyError, TypeError, AttributeError):
+        # TypeError/AttributeError: valid JSON of the wrong SHAPE
+        # (review r13 pass 2 — [1] where {"segments": [...]} belongs)
         return 0
     live = {os.path.basename(fp) for fp in region_paths}
     live.add(cps[-1])
@@ -822,12 +824,13 @@ def vacuum_store(path: str, min_age_s: float = 600.0) -> int:
                 os.path.basename(fp)
                 for fp in _resolve_listing(path, fresh)[0]
             }
-        except (OSError, ValueError, KeyError):
+        except (OSError, ValueError, KeyError, TypeError, AttributeError):
             # a concurrent vacuum/compaction removed or replaced
-            # metadata between the listing and the opens: the fresh
-            # live set is unknowable — keep every candidate (review
-            # r13; deleting on stale knowledge is the bug this
-            # re-listing exists to prevent)
+            # metadata between the listing and the opens (or a
+            # wrong-shape JSON landed): the fresh live set is
+            # unknowable — keep every candidate (review r13; deleting
+            # on stale knowledge is the bug this re-listing exists to
+            # prevent)
             return removed
         for f in seg_candidates:
             if f in fresh_live:
@@ -863,22 +866,28 @@ def repair_store(path: str) -> list[str]:
     folded: set = set()
     if cps:
         try:
+            # parse AND shape-check inside the guard: valid JSON of
+            # the wrong shape ({"segments": 123}, a bare list) raises
+            # TypeError/AttributeError, the same damage class as
+            # unparseable bytes (review r13 pass 2)
             with open(os.path.join(path, cps[-1])) as fh:
                 cp = json.load(fh)
-        except (OSError, ValueError) as e:
+            segments = [str(s) for s in cp["segments"]]
+            folded = _folded_of(path, cps[-1], cp, names)
+        except (OSError, ValueError, KeyError, TypeError,
+                AttributeError) as e:
             raise RuntimeError(
                 f"kvstore repair: latest checkpoint {cps[-1]} is "
                 f"unreadable ({e}); the fold itself is damaged — "
                 f"restore from backup, no manifest edit can repair it"
             ) from e
-        missing = [s for s in cp.get("segments", []) if s not in present]
+        missing = [s for s in segments if s not in present]
         if missing:
             raise RuntimeError(
                 f"kvstore repair: latest checkpoint {cps[-1]} references "
                 f"missing segments {missing}; the fold itself is damaged "
                 f"— restore from backup, no manifest edit can repair it"
             )
-        folded = _folded_of(path, cps[-1], cp, names)
     dropped: list[str] = []
     for m in sorted(names):
         if (not m.startswith(MANIFEST_PREFIX) or not m.endswith(".json")
@@ -886,10 +895,12 @@ def repair_store(path: str) -> list[str]:
             continue  # folded manifests are not read — leave them
         try:
             with open(os.path.join(path, m)) as fh:
-                segs = json.load(fh).get("segments", [])
-        except (OSError, ValueError):
-            segs = None  # unreadable manifest: drop it too
-        if segs is None or any(s not in present for s in segs):
+                segs = list(json.load(fh)["segments"])
+            broken = any(not isinstance(s, str) or s not in present
+                         for s in segs)
+        except (OSError, ValueError, KeyError, TypeError):
+            broken = True  # unreadable or wrong-shape manifest
+        if broken:
             try:
                 os.remove(os.path.join(path, m))
                 dropped.append(m)

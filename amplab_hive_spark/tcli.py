@@ -640,13 +640,18 @@ class TCLIFront:
             # client rowsets it cannot decode. Refuse up front.
             # serverProtocolVersion is a REQUIRED response field:
             # generated Thrift clients validate() it even on an error
-            # status, so the refusal must still carry it (review r13)
+            # status, so the refusal must still carry it — and carry
+            # the NEGOTIATED value (= the old client's own version):
+            # an enum the client's TProtocolVersion cannot map (review
+            # r13 pass 2: V10 here decodes to null on the very clients
+            # this path serves, re-raising the validate() error the
+            # field was added to avoid)
             return [
                 (1, T_STRUCT, _status_error(
                     f"protocol version {int(client_proto)} not "
                     f"supported: this server serves column-based "
                     f"rowsets (HIVE_CLI_SERVICE_PROTOCOL_V6+)")),
-                (2, T_I32, PROTOCOL_V10),
+                (2, T_I32, proto),
             ]
         conf = {
             (k.decode("utf-8", "replace") if isinstance(k, bytes) else k):

@@ -63,19 +63,37 @@ DEFAULT_DEPTH = 40
 # CommandProcessorFactory/SetProcessor part[0]/part[1]).
 _SET_STMT = re.compile(r"^\s*set\s+(?P<body>\S.*)$", re.IGNORECASE | re.DOTALL)
 
-# leading comments must not defeat the SET interception (review r13 —
-# Spark's own SET parser strips them, so '/* tool banner */ SET
-# hivevar:k=v' would otherwise silently become a conf named
-# 'hivevar:k'): -- line comments and /* */ block comments, repeated
-_LEADING_COMMENT = re.compile(r"^\s*(?:--[^\n]*\n|/\*.*?\*/)", re.DOTALL)
-
-
 def _strip_leading_comments(text: str) -> str:
+    """Leading comments must not defeat the SET interception (review
+    r13 — Spark's own SET parser strips them, so '/* banner */ SET
+    hivevar:k=v' would otherwise silently become a conf named
+    'hivevar:k'): -- line comments and /* */ block comments, the
+    latter NESTED like Spark's lexer (SPARK-28880 — a non-greedy
+    regex stops at the first */ and leaves a bypassing remnant,
+    review r13 pass 2)."""
+    i, n = 0, len(text)
     while True:
-        m = _LEADING_COMMENT.match(text)
-        if not m:
-            return text
-        text = text[m.end():]
+        while i < n and text[i].isspace():
+            i += 1
+        if text.startswith("--", i):
+            j = text.find("\n", i)
+            if j == -1:
+                return ""  # statement is all comment
+            i = j + 1
+        elif text.startswith("/*", i):
+            depth, j = 1, i + 2
+            while j < n and depth:
+                if text.startswith("/*", j):
+                    depth, j = depth + 1, j + 2
+                elif text.startswith("*/", j):
+                    depth, j = depth - 1, j + 2
+                else:
+                    j += 1
+            if depth:  # unterminated: not a comment we can strip
+                return text[i:]
+            i = j
+        else:
+            return text[i:]
 
 
 class VariableRegistry:

@@ -797,3 +797,32 @@ def test_repair_drops_corrupt_manifest_and_vacuum_stays_calm(spark, tmp_path):
     got = {r.row_key: r.name
            for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
     assert got == {"ka": "a1"}
+
+
+def test_repair_and_vacuum_handle_wrong_shape_metadata(spark, tmp_path):
+    """review r13 pass 2: valid JSON of the wrong SHAPE (a bare list
+    where {"segments": [...]} belongs) is the same damage class as
+    unparseable bytes — repair drops such a manifest, vacuum no-ops,
+    and a wrong-shape CHECKPOINT refuses repair."""
+    d = str(tmp_path / "kv_shape")
+    kvstore.register(spark)
+    eng = Engine(spark)
+    _put(spark, d, "ka", "a1")
+    eng.compact_kvstore(d, mode="minor")
+    _put(spark, d, "kb", "b1")
+    m = sorted(f for f in os.listdir(d)
+               if f.startswith(kvstore.MANIFEST_PREFIX))[-1]
+    with open(os.path.join(d, m), "w") as fh:
+        fh.write("[1]")  # parses, but is not a manifest object
+    assert kvstore.vacuum_store(d, min_age_s=0) == 0
+    assert kvstore.repair_store(d) == [m]
+    got = {r.row_key: r.name
+           for r in eng.read_kvstore(d, COLUMNS, MAPPING).collect()}
+    assert got == {"ka": "a1"}
+    # wrong-shape checkpoint: fold damage, not repairable metadata
+    cp = sorted(f for f in os.listdir(d)
+                if f.startswith(kvstore.CHECKPOINT_PREFIX))[-1]
+    with open(os.path.join(d, cp), "w") as fh:
+        fh.write('{"segments": 123}')
+    with pytest.raises(RuntimeError, match="restore from backup"):
+        kvstore.repair_store(d)

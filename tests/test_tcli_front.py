@@ -757,8 +757,10 @@ def test_pre_v6_protocol_refused_at_open(spark, front):
         assert b"V6" in resp[1].get(5, b"") or "V6" in str(resp[1].get(5, ""))
         # serverProtocolVersion is a REQUIRED TOpenSessionResp field:
         # generated clients validate() it even on error, so the
-        # refusal must carry it (review r13)
-        assert resp.get(2) == 9
+        # refusal must carry it — at the CLIENT's own version, the
+        # only enum value an old client's generated code can map
+        # (review r13 pass 2)
+        assert resp.get(2) == 4
     finally:
         c.close()
 

@@ -294,10 +294,21 @@ def test_set_prefix_matching_is_case_sensitive(spark):
         spark.conf.unset("HIVEVAR:cased")
 
 
-def test_cli_connect_rejects_local_engine_flags(spark):
+def test_cli_connect_rejects_local_engine_flags():
+    # no spark fixture: pure argparse validation, errors before any
+    # Spark object is touched (review r13 pass 2)
     from amplab_hive_spark.cli import main
 
     for flags in (["--hivevar", "a=b"], ["--hiveconf", "a=b"],
                   ["-i", "/dev/null"]):
         with pytest.raises(SystemExit):
             main(["--connect", "127.0.0.1:1", *flags, "-e", "SELECT 1"])
+
+
+def test_set_interception_handles_nested_block_comments(spark):
+    """review r13 pass 2: Spark's lexer nests bracketed comments
+    (SPARK-28880), so the stripper must too — a non-greedy regex left
+    ' */ SET ...' behind and the bypass survived."""
+    eng = Engine(spark)
+    eng.sql("/* outer /* inner */ still outer */ SET hivevar:nest=deep")
+    assert eng.variables.hivevars["nest"] == "deep"
