@@ -64,6 +64,7 @@ import socket
 import socketserver
 import struct
 import threading
+import time
 import uuid
 from typing import Any, Iterator, Optional
 
@@ -399,29 +400,56 @@ def _op_handle_fields(guid: bytes, secret: bytes, has_result: bool) -> list:
 
 class _Operation:
     def __init__(self, df=None, columns=None, rows=None,
-                 secret: bytes = b"") -> None:
-        """Either a DataFrame-backed statement result (rows paged via
-        toLocalIterator) or a STATIC metadata result (columns +
+                 secret: bytes = b"", running: bool = False) -> None:
+        """A DataFrame-backed statement result (rows paged via
+        toLocalIterator), a STATIC metadata result (columns +
         materialized row list — the Get* operations, whose row counts
-        are catalog-bounded)."""
+        are catalog-bounded), or — with ``running=True`` — an ASYNC
+        statement still executing on its worker thread (HS2's
+        SQLOperation pool model, service/cli/operation/
+        SQLOperation.java:71): the handle is born RUNNING, the worker
+        calls finish_with/fail, and clients poll GetOperationStatus."""
         self.secret = secret  # validated on every operation RPC
         self.df = df
-        if df is not None:
-            self.columns: list[tuple[str, str]] = [
+        if running:
+            self.columns: list[tuple[str, str]] = [("result", "string")]
+            self.rows: Optional[Iterator] = None
+            self.state = OP_RUNNING
+        elif df is not None:
+            self.columns = [
                 (f.name, f.dataType.simpleString()) for f in df.schema.fields
             ] or [("result", "string")]
-            self.rows: Optional[Iterator] = None
+            self.rows = None
+            self.state = OP_FINISHED
         else:
             self.columns = columns or [("result", "string")]
             self.rows = iter(rows or [])
-        self.state = OP_FINISHED
+            self.state = OP_FINISHED
         self.error: Optional[str] = None
         self.lock = threading.Lock()
+        # operation log (HS2's OperationLog, served by FetchResults
+        # fetch_type=1): appended lock-free (list.append is atomic),
+        # read incrementally under the lock via log_read
+        self.log_lines: list[str] = []
+        self.log_read = 0
 
     def iterator(self) -> Iterator:
         if self.rows is None:
             self.rows = iter(self.df.toLocalIterator())
         return self.rows
+
+    def finish_with(self, df) -> None:
+        """Async worker completion — caller holds self.lock."""
+        self.df = df
+        self.columns = [
+            (f.name, f.dataType.simpleString()) for f in df.schema.fields
+        ] or [("result", "string")]
+        self.rows = None
+        self.state = OP_FINISHED
+
+    def log_line(self, msg: str) -> None:
+        self.log_lines.append(
+            time.strftime("%Y-%m-%d %H:%M:%S") + " " + msg)
 
 
 class _Session:
@@ -682,6 +710,10 @@ class TCLIFront:
             self.sessions.pop(self._guid_of(req.get(1, {})), None)
         return [(1, T_STRUCT, _status_ok())]
 
+    @staticmethod
+    def _job_group(guid: bytes) -> str:
+        return f"tcli-op-{guid.hex()}"
+
     def _rpc_ExecuteStatement(self, req: dict) -> list:  # noqa: N802
         try:
             sess = self._session_of(req)
@@ -690,14 +722,64 @@ class TCLIFront:
         stmt = req.get(2, b"")
         stmt = stmt.decode("utf-8") if isinstance(stmt, bytes) else stmt
         guid, secret = uuid.uuid4().bytes, uuid.uuid4().bytes
-        try:
-            df = sess.engine.sql(stmt)
-            op = _Operation(df, secret=secret)
-        except Exception as e:  # noqa: BLE001 — per-statement error
-            msg = f"{type(e).__name__}: {e}"
-            return [(1, T_STRUCT, _status_error(msg))]
+        run_async = bool(req.get(4, False))
+        if not run_async:
+            # sync path (runAsync=false / absent): statement runs
+            # inline, the handle is born FINISHED — the posture pinned
+            # by test_operations_born_finished_sync_contract
+            try:
+                df = sess.engine.sql(stmt)
+                op = _Operation(df, secret=secret)
+            except Exception as e:  # noqa: BLE001 — per-statement error
+                msg = f"{type(e).__name__}: {e}"
+                return [(1, T_STRUCT, _status_error(msg))]
+            op.log_line(f"Completed executing statement; Statement: "
+                        f"{stmt.strip()[:200]!r}")
+            with self._lock:
+                sess.operations[guid] = op
+            return [
+                (1, T_STRUCT, _status_ok()),
+                (2, T_STRUCT, _op_handle_fields(guid, secret, True)),
+            ]
+        # async path (TExecuteStatementReq.runAsync — what beeline
+        # sends by default): the handle is born RUNNING, the statement
+        # runs on a daemon worker like HS2's SQLOperation background
+        # pool (SQLOperation.java:71 runInternal -> async prepare),
+        # clients poll GetOperationStatus to a terminal state and
+        # stream the operation log via FetchResults fetch_type=1
+        op = _Operation(secret=secret, running=True)
+        op.log_line(f"Executing statement on session of "
+                    f"{sess.engine.spark.conf.get('user.name', 'anonymous')}"
+                    f"; Statement: {stmt.strip()[:200]!r}")
         with self._lock:
             sess.operations[guid] = op
+
+        def work() -> None:
+            try:
+                # job group is thread-local: tagging it here lets
+                # CancelOperation abort the statement's Spark jobs
+                sess.engine.spark.sparkContext.setJobGroup(
+                    self._job_group(guid), stmt.strip()[:128], True)
+            except Exception:  # noqa: BLE001 — tagging is best-effort
+                pass
+            try:
+                df = sess.engine.sql(stmt)
+                with op.lock:
+                    if op.state == OP_CANCELED:
+                        op.log_line("Statement was canceled before "
+                                    "completion")
+                        return
+                    op.finish_with(df)
+                op.log_line("Statement FINISHED")
+            except Exception as e:  # noqa: BLE001 — surfaced via status
+                with op.lock:
+                    if op.state != OP_CANCELED:
+                        op.error = f"{type(e).__name__}: {e}"
+                        op.state = OP_ERROR
+                op.log_line(f"Statement ERROR: {op.error or 'canceled'}")
+
+        threading.Thread(target=work, daemon=True,
+                         name=f"tcli-async-{guid.hex()[:8]}").start()
         return [
             (1, T_STRUCT, _status_ok()),
             (2, T_STRUCT, _op_handle_fields(guid, secret, True)),
@@ -715,13 +797,22 @@ class TCLIFront:
         return out
 
     def _rpc_CancelOperation(self, req: dict) -> list:  # noqa: N802
-        # execution is synchronous inside ExecuteStatement: by the time
-        # a handle exists the statement has finished — mark CANCELED so
-        # further fetches stop, matching HS2's post-finish cancel no-op
+        # sync handles are already terminal (post-finish cancel is
+        # HS2's no-op); an ASYNC statement still RUNNING additionally
+        # gets its Spark job group canceled so in-flight jobs abort
+        # (the worker observes CANCELED and never publishes a result)
         try:
-            _, op, _ = self._operation_of(req)
+            sess, op, guid = self._operation_of(req)
             with op.lock:
+                was_running = op.state == OP_RUNNING
                 op.state = OP_CANCELED
+            if was_running:
+                op.log_line("Cancel requested")
+                try:
+                    sess.engine.spark.sparkContext.cancelJobGroup(
+                        self._job_group(guid))
+                except Exception:  # noqa: BLE001 — best-effort abort
+                    pass
         except KeyError:
             pass
         return [(1, T_STRUCT, _status_ok())]
@@ -740,6 +831,13 @@ class TCLIFront:
             _, op, _ = self._operation_of(req)
         except KeyError as e:
             return [(1, T_STRUCT, _status_error(str(e)))]
+        with op.lock:
+            if op.state == OP_RUNNING:
+                # an async statement's schema is unknown until the
+                # worker finishes — the placeholder columns must not
+                # masquerade as a result-set shape
+                return [(1, T_STRUCT, _status_error(
+                    "operation is still running"))]
         descs = []
         for pos, (cname, dtype) in enumerate(op.columns, start=1):
             base = _base_dtype(dtype)
@@ -767,14 +865,31 @@ class TCLIFront:
             _, op, _ = self._operation_of(req)
         except KeyError as e:
             return [(1, T_STRUCT, _status_error(str(e)))]
-        if fetch_type == 1:  # log request — no server logs to stream
+        if fetch_type == 1:
+            # operation log (HS2's OperationLog / getQueryLog):
+            # incremental — each fetch returns the lines appended
+            # since the last one, like HS2's FetchOrientation FETCH_NEXT
+            # over the log file
+            with op.lock:
+                snapshot = op.log_lines[op.log_read:]
+                op.log_read += len(snapshot)
             return [
                 (1, T_STRUCT, _status_ok()),
                 (2, T_BOOL, False),
-                (3, T_STRUCT, self._rowset([("log", "string")], [])),
+                (3, T_STRUCT, self._rowset([("log", "string")],
+                                           [(ln,) for ln in snapshot])),
             ]
         n = int(req.get(3, self.fetch_default) or self.fetch_default)
         with op.lock:
+            if op.state == OP_RUNNING:
+                # an async statement still executing has no rows to
+                # serve; well-behaved clients poll GetOperationStatus
+                # first (beeline's waitForOperationToComplete)
+                return [(1, T_STRUCT, _status_error(
+                    "operation is still running"))]
+            if op.state == OP_ERROR:
+                return [(1, T_STRUCT, _status_error(
+                    op.error or "operation failed"))]
             if op.state == OP_CANCELED:
                 batch: list = []
             else:
