@@ -714,6 +714,30 @@ class TCLIFront:
     def _job_group(guid: bytes) -> str:
         return f"tcli-op-{guid.hex()}"
 
+    @staticmethod
+    def _tag_job_group(spark, guid: bytes, desc: str) -> None:
+        try:
+            spark.sparkContext.setJobGroup(
+                TCLIFront._job_group(guid), desc[:128], True)
+        except Exception:  # noqa: BLE001 — tagging is best-effort
+            pass
+
+    @staticmethod
+    def _clear_job_group(spark) -> None:
+        # job-group properties are JVM-THREAD-local and py4j pools its
+        # JVM threads (review r13 pass 3): a stale tag would ride
+        # whatever unrelated work the pooled thread serves next —
+        # misattributed in the UI and cancellable as a unit it never
+        # belonged to. pyspark has no clearJobGroup; null the three
+        # local properties it sets.
+        try:
+            sc = spark.sparkContext
+            for prop in ("spark.jobGroup.id", "spark.job.description",
+                         "spark.job.interruptOnCancel"):
+                sc.setLocalProperty(prop, None)
+        except Exception:  # noqa: BLE001
+            pass
+
     def _rpc_ExecuteStatement(self, req: dict) -> list:  # noqa: N802
         try:
             sess = self._session_of(req)
@@ -755,13 +779,10 @@ class TCLIFront:
             sess.operations[guid] = op
 
         def work() -> None:
-            try:
-                # job group is thread-local: tagging it here lets
-                # CancelOperation abort the statement's Spark jobs
-                sess.engine.spark.sparkContext.setJobGroup(
-                    self._job_group(guid), stmt.strip()[:128], True)
-            except Exception:  # noqa: BLE001 — tagging is best-effort
-                pass
+            # job group is thread-local: tagging lets CancelOperation
+            # abort the statement's Spark jobs; cleared on exit so the
+            # pooled JVM thread does not carry the tag into later work
+            self._tag_job_group(sess.engine.spark, guid, stmt.strip())
             try:
                 df = sess.engine.sql(stmt)
                 with op.lock:
@@ -777,6 +798,8 @@ class TCLIFront:
                         op.error = f"{type(e).__name__}: {e}"
                         op.state = OP_ERROR
                 op.log_line(f"Statement ERROR: {op.error or 'canceled'}")
+            finally:
+                self._clear_job_group(sess.engine.spark)
 
         threading.Thread(target=work, daemon=True,
                          name=f"tcli-async-{guid.hex()[:8]}").start()
@@ -797,29 +820,48 @@ class TCLIFront:
         return out
 
     def _rpc_CancelOperation(self, req: dict) -> list:  # noqa: N802
-        # sync handles are already terminal (post-finish cancel is
-        # HS2's no-op); an ASYNC statement still RUNNING additionally
-        # gets its Spark job group canceled so in-flight jobs abort
-        # (the worker observes CANCELED and never publishes a result)
         try:
             sess, op, guid = self._operation_of(req)
-            with op.lock:
-                was_running = op.state == OP_RUNNING
-                op.state = OP_CANCELED
-            if was_running:
-                op.log_line("Cancel requested")
-                try:
-                    sess.engine.spark.sparkContext.cancelJobGroup(
-                        self._job_group(guid))
-                except Exception:  # noqa: BLE001 — best-effort abort
-                    pass
         except KeyError:
-            pass
+            return [(1, T_STRUCT, _status_ok())]
+        self._cancel_op(sess, op, guid)
         return [(1, T_STRUCT, _status_ok())]
+
+    def _cancel_op(self, sess: _Session, op: _Operation,
+                   guid: bytes) -> None:
+        """Flip to CANCELED and abort the op's Spark job group.
+        Deliberately does NOT take op.lock (review r13 pass 3): a
+        row fetch holds the lock for the duration of its Spark jobs,
+        and a cancel that queued behind it would abort nothing until
+        the whole batch finished — the state write is a GIL-atomic
+        attribute store the worker re-checks under ITS lock before
+        publishing. ERROR is never overwritten (a cancel racing a
+        failure must not mask it as a clean empty result); FINISHED
+        flips so further fetches stop (the pinned post-finish
+        behavior)."""
+        was_running = op.state == OP_RUNNING
+        if op.state != OP_ERROR:
+            op.state = OP_CANCELED
+        if was_running:
+            op.log_line("Cancel requested")
+        # cancel the group either way: a lazy statement's jobs run at
+        # FETCH time under this same group tag (the fetch thread tags
+        # itself), so post-FINISHED cancels abort an in-flight fetch
+        try:
+            sess.engine.spark.sparkContext.cancelJobGroup(
+                self._job_group(guid))
+        except Exception:  # noqa: BLE001 — best-effort abort
+            pass
 
     def _rpc_CloseOperation(self, req: dict) -> list:  # noqa: N802
         try:
-            sess, _, guid = self._operation_of(req)
+            sess, op, guid = self._operation_of(req)
+            if op.state == OP_RUNNING:
+                # closing a RUNNING async op must stop it first (HS2's
+                # close cancels the background run) — popping alone
+                # would orphan an unstoppable in-flight statement
+                # (review r13 pass 3)
+                self._cancel_op(sess, op, guid)
             with self._lock:
                 sess.operations.pop(guid, None)
         except KeyError:
@@ -838,6 +880,16 @@ class TCLIFront:
                 # masquerade as a result-set shape
                 return [(1, T_STRUCT, _status_error(
                     "operation is still running"))]
+            if op.state == OP_ERROR:
+                # same masquerade for a FAILED async statement: serve
+                # the failure, not the placeholder (review r13 pass 3)
+                return [(1, T_STRUCT, _status_error(
+                    op.error or "operation failed"))]
+            if op.state == OP_CANCELED and op.df is None and \
+                    op.rows is None:
+                # canceled while RUNNING: no schema ever existed
+                return [(1, T_STRUCT, _status_error(
+                    "operation was canceled"))]
         descs = []
         for pos, (cname, dtype) in enumerate(op.columns, start=1):
             base = _base_dtype(dtype)
@@ -862,7 +914,7 @@ class TCLIFront:
     def _rpc_FetchResults(self, req: dict) -> list:  # noqa: N802
         fetch_type = req.get(4, 0)
         try:
-            _, op, _ = self._operation_of(req)
+            sess, op, guid = self._operation_of(req)
         except KeyError as e:
             return [(1, T_STRUCT, _status_error(str(e)))]
         if fetch_type == 1:
@@ -893,7 +945,17 @@ class TCLIFront:
             if op.state == OP_CANCELED:
                 batch: list = []
             else:
-                batch = list(itertools.islice(op.iterator(), n))
+                # a lazy statement's Spark jobs run HERE, on the
+                # handler thread: tag them with the op's job group so
+                # CancelOperation can abort an in-flight fetch, and
+                # clear the tag after (pooled JVM threads, review r13
+                # pass 3)
+                self._tag_job_group(sess.engine.spark, guid,
+                                    f"fetch {n} rows")
+                try:
+                    batch = list(itertools.islice(op.iterator(), n))
+                finally:
+                    self._clear_job_group(sess.engine.spark)
         has_more = len(batch) == n and n > 0
         return [
             (1, T_STRUCT, _status_ok()),

@@ -954,3 +954,62 @@ def test_running_operation_guards_and_cancel(spark, front):
         assert fr[1][1] == 0 and fr[3][3][0][7][1] == []  # canceled: empty
     finally:
         c.close()
+
+
+def test_error_operation_metadata_refuses_and_cancel_never_masks(spark, front):
+    """review r13 pass 3: GetResultSetMetadata on a FAILED async op
+    serves the failure, not the placeholder schema; a cancel racing in
+    AFTER the failure must not flip ERROR to CANCELED (that would turn
+    an errored statement into a clean empty result)."""
+    from amplab_hive_spark.tcli import _Operation
+
+    c = _Client(front.port)
+    try:
+        sess_h = c.open_session()
+        sess = front.sessions[bytes(sess_h[1][1])]
+        op_guid, op_secret = b"E" * 16, b"F" * 16
+        op = _Operation(secret=op_secret, running=True)
+        with op.lock:
+            op.error = "AnalysisException: boom"
+            op.state = 5  # OP_ERROR
+        sess.operations[op_guid] = op
+        op_fields = [
+            (1, T_STRUCT, [(1, T_STRING, op_guid), (2, T_STRING, op_secret)]),
+            (2, T_I32, 0), (3, T_BOOL, True),
+        ]
+        md = c.call("GetResultSetMetadata", [(1, T_STRUCT, op_fields)])
+        assert md[1][1] != 0 and b"boom" in md[1][5]
+        # cancel AFTER the failure: state must stay ERROR
+        assert c.call("CancelOperation", [(1, T_STRUCT, op_fields)])[1][1] == 0
+        st = c.call("GetOperationStatus", [(1, T_STRUCT, op_fields)])
+        assert st[2] == 5  # still ERROR, not CANCELED
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, op_fields), (2, T_I32, 0), (3, T_I64, 10),
+        ])
+        assert fr[1][1] != 0 and b"boom" in fr[1][5]
+    finally:
+        c.close()
+
+
+def test_close_operation_cancels_running_async(spark, front):
+    """review r13 pass 3: CloseOperation on a still-RUNNING async op
+    cancels it first (HS2's close path) — popping alone would orphan
+    an unstoppable in-flight statement."""
+    from amplab_hive_spark.tcli import OP_CANCELED, _Operation
+
+    c = _Client(front.port)
+    try:
+        sess_h = c.open_session()
+        sess = front.sessions[bytes(sess_h[1][1])]
+        op_guid, op_secret = b"C" * 16, b"D" * 16
+        op = _Operation(secret=op_secret, running=True)
+        sess.operations[op_guid] = op
+        op_fields = [
+            (1, T_STRUCT, [(1, T_STRING, op_guid), (2, T_STRING, op_secret)]),
+            (2, T_I32, 0), (3, T_BOOL, True),
+        ]
+        assert c.call("CloseOperation", [(1, T_STRUCT, op_fields)])[1][1] == 0
+        assert op_guid not in sess.operations
+        assert op.state == OP_CANCELED  # the worker's result is discarded
+    finally:
+        c.close()
