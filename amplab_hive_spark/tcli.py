@@ -508,6 +508,10 @@ class TCLIFront:
         self.sf_dir = sf_dir  # testdata catalog attached per session
         self.server_confs = dict(server_confs or {})  # per-session conf seeds
         self.sessions: dict[bytes, _Session] = {}
+        # observability: statements served through the ASYNC path
+        # (runAsync=true — what stock beeline sends), so interop tests
+        # can pin that real JDBC traffic exercises the worker lifecycle
+        self.async_statements = 0
         self._lock = threading.Lock()
         self._server: Optional[socketserver.ThreadingTCPServer] = None
         self.port: Optional[int] = None
@@ -777,6 +781,7 @@ class TCLIFront:
                     f"; Statement: {stmt.strip()[:200]!r}")
         with self._lock:
             sess.operations[guid] = op
+            self.async_statements += 1
 
         def work() -> None:
             # job group is thread-local: tagging lets CancelOperation

@@ -1013,3 +1013,20 @@ def test_close_operation_cancels_running_async(spark, front):
         assert op.state == OP_CANCELED  # the worker's result is discarded
     finally:
         c.close()
+
+
+def test_beeline_drives_the_async_lifecycle(spark, front):
+    """Stock beeline sends runAsync=true (HiveStatement's default), so
+    genuine JDBC traffic exercises the r13 worker lifecycle — handle
+    born RUNNING, beeline's waitForOperationToComplete poll loop, then
+    the fetch. Pinned via the front's async counter so a future change
+    that silently downgrades beeline to the sync path is caught."""
+    from amplab_hive_spark.thrift import run_beeline
+
+    before = front.async_statements
+    rc, out, err = run_beeline(
+        front.port, "SELECT 40 + 2 AS answer", url_suffix="/;auth=noSasl",
+    )
+    assert rc == 0, err
+    assert "42" in out
+    assert front.async_statements > before
