@@ -17,6 +17,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 
 
@@ -52,13 +53,33 @@ def _iter_statements(stream):
                 yield s
 
 
-def _run_statements(engine, text: str, max_rows: int) -> None:
+def _run_statements(engine, text: str, max_rows: int,
+                    _depth: int = 0) -> None:
     # quote- and comment-aware split (shared with the golden harness)
     # — a ';' inside a string literal or a -- comment is not a
     # statement boundary.
     from amplab_hive_spark.testing_golden import split_statements
 
     for stmt in split_statements(text):
+        # SOURCE <file>: a CLI-layer command like the reference's
+        # CliDriver.processCmd (cli/CliDriver.java "source" branch) —
+        # the file's statements run inline on the SAME session, with
+        # variable substitution applied to the path so
+        # 'source ${hivevar:dir}/x.sql' works like hive's. Depth-capped
+        # against a file sourcing itself.
+        head = stmt.strip()
+        if head.lower().startswith("source ") or head.lower() == "source":
+            if _depth >= 10:
+                raise ValueError("source nesting deeper than 10 "
+                                 f"(a file sourcing itself?): {stmt!r}")
+            path = engine.variables.substitute(
+                engine.spark, head[len("source"):].strip())
+            if not path:
+                raise ValueError("source: missing file path")
+            with open(os.path.expanduser(path)) as fh:
+                _run_statements(engine, fh.read(), max_rows,
+                                _depth=_depth + 1)
+            continue
         df = engine.sql(stmt)
         df.show(max_rows, truncate=False)
 

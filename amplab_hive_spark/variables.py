@@ -159,8 +159,24 @@ class VariableRegistry:
         else (incl. bare SET — Spark's native conf SET serves it).
         Returns Spark's native SET result shape (key, value strings)
         so CLI/JDBC clients render all forms identically."""
-        m = _SET_STMT.match(
-            _strip_leading_comments(text).strip().rstrip(";"))
+        stripped = _strip_leading_comments(text).strip().rstrip(";").strip()
+        if stripped.lower() in ("set", "set -v"):
+            # the dump forms: Spark's conf dump PLUS the session's
+            # hivevar:/system: entries, like SetProcessor.dumpOptions
+            # (which prints hivevar-prefixed lines into the same list)
+            base = spark.sql(stripped)
+            pad = [""] * (len(base.columns) - 2)  # SET -v adds 'meaning'
+            extras = (
+                [(HIVEVAR_PREFIX + k, v, *pad)
+                 for k, v in sorted(self.hivevars.items())]
+                + [(SYSTEM_PREFIX + k, v, *pad)
+                   for k, v in sorted(self.sysprops.items())]
+            )
+            if not extras:
+                return base
+            return base.union(
+                spark.createDataFrame(extras, base.schema))
+        m = _SET_STMT.match(stripped)
         if not m:
             return None
         body = m.group("body").strip()

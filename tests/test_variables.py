@@ -312,3 +312,39 @@ def test_set_interception_handles_nested_block_comments(spark):
     eng = Engine(spark)
     eng.sql("/* outer /* inner */ still outer */ SET hivevar:nest=deep")
     assert eng.variables.hivevars["nest"] == "deep"
+
+
+def test_bare_set_dump_includes_hivevars(spark):
+    """SetProcessor.dumpOptions prints hivevar:/system: entries into
+    the same listing as conf — the bare SET dump must carry them."""
+    eng = Engine(spark)
+    eng.sql("SET hivevar:dumped=v1")
+    eng.sql("SET system:sysd=v2")
+    rows = {r.key: r.value for r in eng.sql("SET").collect()}
+    assert rows.get("hivevar:dumped") == "v1"
+    assert rows.get("system:sysd") == "v2"
+    # SET -v (3-column form) unions cleanly too
+    rows = {r[0]: r[1] for r in eng.sql("SET -v").collect()}
+    assert rows.get("hivevar:dumped") == "v1"
+
+
+def test_cli_source_command(spark, sf_dir, tmp_path, capsys):
+    """CliDriver's 'source <file>' command: the file's statements run
+    inline on the same session, the path itself is substituted, and
+    a self-sourcing file errors at the depth cap instead of spinning."""
+    from amplab_hive_spark.cli import main
+
+    inner = tmp_path / "inner.sql"
+    inner.write_text("SELECT 'from_inner' AS tag;\n")
+    outer = tmp_path / "outer.sql"
+    outer.write_text(
+        "SET hivevar:dir=%s;\nsource ${dir}/inner.sql;\n" % tmp_path)
+    assert main(["-f", str(outer), "--sf-dir", sf_dir]) == 0
+    assert "from_inner" in capsys.readouterr().out
+    loop = tmp_path / "loop.sql"
+    loop.write_text(f"source {loop};\n")
+    from amplab_hive_spark.engine import Engine as _E
+    from amplab_hive_spark.cli import _run_statements
+
+    with pytest.raises(ValueError, match="nesting deeper"):
+        _run_statements(_E(spark), f"source {loop};", 10)
