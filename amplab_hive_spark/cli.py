@@ -66,14 +66,20 @@ def _run_statements(engine, text: str, max_rows: int,
         # the file's statements run inline on the SAME session, with
         # variable substitution applied to the path so
         # 'source ${hivevar:dir}/x.sql' works like hive's. Depth-capped
-        # against a file sourcing itself.
-        head = stmt.strip()
-        if head.lower().startswith("source ") or head.lower() == "source":
+        # against a file sourcing itself. Leading comments are stripped
+        # and the keyword split on ANY whitespace (review r13 pass 4:
+        # split_statements keeps /* */ comments and CliDriver tokenizes
+        # on tabs too — same interception-bypass class as SET's).
+        from amplab_hive_spark.variables import _strip_leading_comments
+
+        head = _strip_leading_comments(stmt).strip()
+        tokens = head.split(None, 1)
+        if tokens and tokens[0].lower() == "source":
             if _depth >= 10:
                 raise ValueError("source nesting deeper than 10 "
                                  f"(a file sourcing itself?): {stmt!r}")
             path = engine.variables.substitute(
-                engine.spark, head[len("source"):].strip())
+                engine.spark, tokens[1].strip() if len(tokens) > 1 else "")
             if not path:
                 raise ValueError("source: missing file path")
             with open(os.path.expanduser(path)) as fh:

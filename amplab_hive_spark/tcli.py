@@ -835,38 +835,44 @@ class TCLIFront:
     def _cancel_op(self, sess: _Session, op: _Operation,
                    guid: bytes) -> None:
         """Flip to CANCELED and abort the op's Spark job group.
-        Deliberately does NOT take op.lock (review r13 pass 3): a
-        row fetch holds the lock for the duration of its Spark jobs,
-        and a cancel that queued behind it would abort nothing until
-        the whole batch finished — the state write is a GIL-atomic
-        attribute store the worker re-checks under ITS lock before
-        publishing. ERROR is never overwritten (a cancel racing a
-        failure must not mask it as a clean empty result); FINISHED
-        flips so further fetches stop (the pinned post-finish
-        behavior)."""
-        was_running = op.state == OP_RUNNING
-        if op.state != OP_ERROR:
-            op.state = OP_CANCELED
-        if was_running:
-            op.log_line("Cancel requested")
-        # cancel the group either way: a lazy statement's jobs run at
-        # FETCH time under this same group tag (the fetch thread tags
-        # itself), so post-FINISHED cancels abort an in-flight fetch
+        The JOB-GROUP cancel fires first and LOCK-FREE (review r13
+        pass 3): a row fetch holds op.lock for the duration of its
+        Spark jobs, and a cancel queued behind it would abort nothing
+        until the whole batch finished — aborting the group is what
+        unblocks that fetch. The STATE flip then happens under
+        op.lock (review r13 pass 4: a lock-free check-then-set raced
+        the worker's failure publish and could still overwrite ERROR
+        with CANCELED, masking the failure as a clean empty result —
+        the exact bug the lock-free version claimed to fix). ERROR is
+        never overwritten; FINISHED flips so further fetches stop
+        (the pinned post-finish behavior)."""
+        # a lazy statement's jobs run at FETCH time under this group
+        # tag (the fetch thread tags itself), so post-FINISHED
+        # cancels abort an in-flight fetch
         try:
             sess.engine.spark.sparkContext.cancelJobGroup(
                 self._job_group(guid))
         except Exception:  # noqa: BLE001 — best-effort abort
             pass
+        with op.lock:
+            was_running = op.state == OP_RUNNING
+            if op.state != OP_ERROR:
+                op.state = OP_CANCELED
+        if was_running:
+            op.log_line("Cancel requested")
 
     def _rpc_CloseOperation(self, req: dict) -> list:  # noqa: N802
         try:
             sess, op, guid = self._operation_of(req)
-            if op.state == OP_RUNNING:
-                # closing a RUNNING async op must stop it first (HS2's
-                # close cancels the background run) — popping alone
-                # would orphan an unstoppable in-flight statement
-                # (review r13 pass 3)
-                self._cancel_op(sess, op, guid)
+            # cancel unconditionally before popping: a RUNNING async
+            # op must stop (HS2's close cancels the background run —
+            # review r13 pass 3), and a FINISHED lazy op may have an
+            # in-flight FETCH whose Spark jobs run under the op's
+            # group tag — closing discards the result, so those jobs
+            # must not burn on (review r13 pass 4). On terminal ops
+            # the group cancel is a no-op and the state flip is moot
+            # (the handle is gone).
+            self._cancel_op(sess, op, guid)
             with self._lock:
                 sess.operations.pop(guid, None)
         except KeyError:

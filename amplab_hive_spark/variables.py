@@ -160,7 +160,14 @@ class VariableRegistry:
         Returns Spark's native SET result shape (key, value strings)
         so CLI/JDBC clients render all forms identically."""
         stripped = _strip_leading_comments(text).strip().rstrip(";").strip()
-        if stripped.lower() in ("set", "set -v"):
+        # dump forms, whitespace-tolerant ('SET   -v' is the same
+        # statement to Spark's parser) but with '-v' CASE-SENSITIVE:
+        # Spark treats 'SET -V' as a key lookup of '-V', and appending
+        # the hivevar rows to a single-key lookup would be wrong
+        # (review r13 pass 4)
+        parts = stripped.split()
+        if parts and parts[0].lower() == "set" and (
+                len(parts) == 1 or (len(parts) == 2 and parts[1] == "-v")):
             # the dump forms: Spark's conf dump PLUS the session's
             # hivevar:/system: entries, like SetProcessor.dumpOptions
             # (which prints hivevar-prefixed lines into the same list)

@@ -348,3 +348,31 @@ def test_cli_source_command(spark, sf_dir, tmp_path, capsys):
 
     with pytest.raises(ValueError, match="nesting deeper"):
         _run_statements(_E(spark), f"source {loop};", 10)
+
+
+def test_set_dump_whitespace_and_case_edges(spark):
+    """review r13 pass 4: 'SET   -v' (any whitespace) is the dump
+    form and carries hivevars; 'SET -V' (uppercase) is NOT the dump
+    form — Spark 4 rejects it with INVALID_SET_SYNTAX, and the
+    interception must fall through to that error rather than
+    swallow it into a dump."""
+    eng = Engine(spark)
+    eng.sql("SET hivevar:edge=1")
+    rows = {r[0]: r[1] for r in eng.sql("SET \t -v").collect()}
+    assert rows.get("hivevar:edge") == "1"
+    with pytest.raises(Exception, match="INVALID_SET_SYNTAX"):
+        eng.sql("SET -V")
+
+
+def test_cli_source_with_comment_and_tab(spark, sf_dir, tmp_path, capsys):
+    """review r13 pass 4: a /* */ comment before 'source' (which
+    split_statements preserves) or a tab after the keyword must not
+    bypass the interception into Spark's parser."""
+    from amplab_hive_spark.cli import main
+
+    inner = tmp_path / "in2.sql"
+    inner.write_text("SELECT 'sourced_edge' AS tag;\n")
+    outer = tmp_path / "out2.sql"
+    outer.write_text(f"/* init */ source\t{inner};\n")
+    assert main(["-f", str(outer), "--sf-dir", sf_dir]) == 0
+    assert "sourced_edge" in capsys.readouterr().out
