@@ -59,6 +59,7 @@ def _run_statements(engine, text: str, max_rows: int,
     # — a ';' inside a string literal or a -- comment is not a
     # statement boundary.
     from amplab_hive_spark.testing_golden import split_statements
+    from amplab_hive_spark.variables import strip_leading_comments
 
     for stmt in split_statements(text):
         # SOURCE <file>: a CLI-layer command like the reference's
@@ -70,9 +71,7 @@ def _run_statements(engine, text: str, max_rows: int,
         # and the keyword split on ANY whitespace (review r13 pass 4:
         # split_statements keeps /* */ comments and CliDriver tokenizes
         # on tabs too — same interception-bypass class as SET's).
-        from amplab_hive_spark.variables import _strip_leading_comments
-
-        head = _strip_leading_comments(stmt).strip()
+        head = strip_leading_comments(stmt).strip()
         tokens = head.split(None, 1)
         if tokens and tokens[0].lower() == "source":
             if _depth >= 10:

@@ -427,6 +427,12 @@ class _Operation:
             self.state = OP_FINISHED
         self.error: Optional[str] = None
         self.lock = threading.Lock()
+        # set lock-free BEFORE cancelJobGroup fires (review r13 pass
+        # 5): the group cancel makes the worker's own Spark job raise,
+        # and without this flag that cancellation exception would
+        # publish as ERROR — the user who asked for the cancel would
+        # be told the statement failed
+        self.cancel_requested = False
         # operation log (HS2's OperationLog, served by FetchResults
         # fetch_type=1): appended lock-free (list.append is atomic),
         # read incrementally under the lock via log_read
@@ -791,7 +797,8 @@ class TCLIFront:
             try:
                 df = sess.engine.sql(stmt)
                 with op.lock:
-                    if op.state == OP_CANCELED:
+                    if op.state == OP_CANCELED or op.cancel_requested:
+                        op.state = OP_CANCELED
                         op.log_line("Statement was canceled before "
                                     "completion")
                         return
@@ -799,7 +806,11 @@ class TCLIFront:
                 op.log_line("Statement FINISHED")
             except Exception as e:  # noqa: BLE001 — surfaced via status
                 with op.lock:
-                    if op.state != OP_CANCELED:
+                    if op.state == OP_CANCELED or op.cancel_requested:
+                        # our own cancelJobGroup made the job raise:
+                        # that is a successful cancel, not a failure
+                        op.state = OP_CANCELED
+                    else:
                         op.error = f"{type(e).__name__}: {e}"
                         op.state = OP_ERROR
                 op.log_line(f"Statement ERROR: {op.error or 'canceled'}")
@@ -846,14 +857,22 @@ class TCLIFront:
         the exact bug the lock-free version claimed to fix). ERROR is
         never overwritten; FINISHED flips so further fetches stop
         (the pinned post-finish behavior)."""
+        # the flag first (lock-free): the group cancel below will make
+        # an in-flight worker job raise, and the worker's except
+        # handler reads this flag to classify that as CANCELED rather
+        # than ERROR (review r13 pass 5)
+        op.cancel_requested = True
         # a lazy statement's jobs run at FETCH time under this group
-        # tag (the fetch thread tags itself), so post-FINISHED
-        # cancels abort an in-flight fetch
-        try:
-            sess.engine.spark.sparkContext.cancelJobGroup(
-                self._job_group(guid))
-        except Exception:  # noqa: BLE001 — best-effort abort
-            pass
+        # tag (the fetch thread tags itself BEFORE taking op.lock),
+        # so post-FINISHED cancels abort an in-flight fetch. Static
+        # metadata ops never run group-tagged Spark jobs — skip the
+        # py4j round trip for them (every Get* close lands here).
+        if op.df is not None or op.state == OP_RUNNING:
+            try:
+                sess.engine.spark.sparkContext.cancelJobGroup(
+                    self._job_group(guid))
+            except Exception:  # noqa: BLE001 — best-effort abort
+                pass
         with op.lock:
             was_running = op.state == OP_RUNNING
             if op.state != OP_ERROR:
@@ -943,30 +962,32 @@ class TCLIFront:
                                            [(ln,) for ln in snapshot])),
             ]
         n = int(req.get(3, self.fetch_default) or self.fetch_default)
-        with op.lock:
-            if op.state == OP_RUNNING:
-                # an async statement still executing has no rows to
-                # serve; well-behaved clients poll GetOperationStatus
-                # first (beeline's waitForOperationToComplete)
-                return [(1, T_STRUCT, _status_error(
-                    "operation is still running"))]
-            if op.state == OP_ERROR:
-                return [(1, T_STRUCT, _status_error(
-                    op.error or "operation failed"))]
-            if op.state == OP_CANCELED:
-                batch: list = []
-            else:
-                # a lazy statement's Spark jobs run HERE, on the
-                # handler thread: tag them with the op's job group so
-                # CancelOperation can abort an in-flight fetch, and
-                # clear the tag after (pooled JVM threads, review r13
-                # pass 3)
-                self._tag_job_group(sess.engine.spark, guid,
-                                    f"fetch {n} rows")
-                try:
+        # a lazy statement's Spark jobs run HERE, on the handler
+        # thread: tag them with the op's job group so CancelOperation
+        # can abort an in-flight fetch. Tagged BEFORE taking op.lock
+        # (review r13 pass 5: a cancel landing between the lock
+        # acquisition and a later tag would cancel an empty group and
+        # then block behind this fetch for the whole batch), cleared
+        # after (pooled JVM threads, review r13 pass 3).
+        self._tag_job_group(sess.engine.spark, guid, f"fetch {n} rows")
+        try:
+            with op.lock:
+                if op.state == OP_RUNNING:
+                    # an async statement still executing has no rows
+                    # to serve; well-behaved clients poll
+                    # GetOperationStatus first (beeline's
+                    # waitForOperationToComplete)
+                    return [(1, T_STRUCT, _status_error(
+                        "operation is still running"))]
+                if op.state == OP_ERROR:
+                    return [(1, T_STRUCT, _status_error(
+                        op.error or "operation failed"))]
+                if op.state == OP_CANCELED:
+                    batch: list = []
+                else:
                     batch = list(itertools.islice(op.iterator(), n))
-                finally:
-                    self._clear_job_group(sess.engine.spark)
+        finally:
+            self._clear_job_group(sess.engine.spark)
         has_more = len(batch) == n and n > 0
         return [
             (1, T_STRUCT, _status_ok()),

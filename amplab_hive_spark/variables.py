@@ -63,7 +63,7 @@ DEFAULT_DEPTH = 40
 # CommandProcessorFactory/SetProcessor part[0]/part[1]).
 _SET_STMT = re.compile(r"^\s*set\s+(?P<body>\S.*)$", re.IGNORECASE | re.DOTALL)
 
-def _strip_leading_comments(text: str) -> str:
+def strip_leading_comments(text: str) -> str:
     """Leading comments must not defeat the SET interception (review
     r13 — Spark's own SET parser strips them, so '/* banner */ SET
     hivevar:k=v' would otherwise silently become a conf named
@@ -159,13 +159,13 @@ class VariableRegistry:
         else (incl. bare SET — Spark's native conf SET serves it).
         Returns Spark's native SET result shape (key, value strings)
         so CLI/JDBC clients render all forms identically."""
-        stripped = _strip_leading_comments(text).strip().rstrip(";").strip()
+        stripped = strip_leading_comments(text).strip().rstrip(";").strip()
         # dump forms, whitespace-tolerant ('SET   -v' is the same
         # statement to Spark's parser) but with '-v' CASE-SENSITIVE:
-        # Spark treats 'SET -V' as a key lookup of '-V', and appending
-        # the hivevar rows to a single-key lookup would be wrong
-        # (review r13 pass 4)
-        parts = stripped.split()
+        # Spark 4 rejects 'SET -V' with INVALID_SET_SYNTAX, and the
+        # interception must fall through to that error rather than
+        # swallow it into a dump (review r13 pass 4)
+        parts = stripped.split(None, 2)  # bounded: first two tokens decide
         if parts and parts[0].lower() == "set" and (
                 len(parts) == 1 or (len(parts) == 2 and parts[1] == "-v")):
             # the dump forms: Spark's conf dump PLUS the session's
