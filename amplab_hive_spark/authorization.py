@@ -1111,6 +1111,10 @@ def _guard_conf_mutation(spark: SparkSession, root: str, tree: str) -> None:
         key = (m.group(1) if m and m.group(1) else "*")
     if key is None or (key != "*" and not _restricted_conf(key)):
         return
+    _deny_restricted_unless_admin(spark, key)
+
+
+def _deny_restricted_unless_admin(spark: SparkSession, key: str) -> None:
     store = _load(spark)
     if "admin" in _active_roles(spark, store):
         return
@@ -1121,6 +1125,19 @@ def _guard_conf_mutation(spark: SparkSession, root: str, tree: str) -> None:
         f"not modify restricted configuration [{what}] while "
         f"authorization enforcement is enabled (admin only)"
     )
+
+
+def guard_prefixed_conf_set(spark: SparkSession, key: str) -> None:
+    """The restricted-conf gate for the PRE-PARSE ``SET hiveconf:k=v``
+    spelling (variables.handle_set), which returns from Engine.sql
+    BEFORE the SetCommand tree guard above ever runs — without this,
+    the prefixed spelling silently reopened the ADVICE-r10 hole
+    ('SET spark.sql.authz.enabled=false' making the gate advisory)
+    that _guard_conf_mutation closed (review r13 pass 6). No-op when
+    enforcement is off, like every other gate."""
+    if not enforcement_enabled(spark) or not _restricted_conf(key):
+        return
+    _deny_restricted_unless_admin(spark, key)
 
 
 def enforce(spark: SparkSession, text: str):

@@ -332,7 +332,10 @@ def main(argv: list[str] | None = None) -> int:
     for k, v in hiveconfs.items():
         engine.spark.conf.set(k, v)
     if args.i is not None:
-        with open(args.i) as fh:
+        # expanduser like the sibling SOURCE command (review r13
+        # pass 6: '-i ~/init.sql' from a wrapper that quotes the
+        # tilde must behave like 'source ~/init.sql;')
+        with open(os.path.expanduser(args.i)) as fh:
             _run_statements(engine, fh.read(), args.max_rows)
     # `is not None`: an explicitly-passed empty string (-e "$UNSET")
     # must be a no-op one-shot run, not a silent fall-through into a

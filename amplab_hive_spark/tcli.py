@@ -571,9 +571,8 @@ class TCLIFront:
                         except OSError:
                             return
                 finally:
-                    with front._lock:
-                        for guid in owned:
-                            front.sessions.pop(guid, None)
+                    for guid in list(owned):
+                        front._drop_session(guid)
 
         class Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
@@ -716,9 +715,22 @@ class TCLIFront:
             self._session_of(req)  # secret-checked like every RPC
         except KeyError as e:
             return [(1, T_STRUCT, _status_error(str(e)))]
-        with self._lock:
-            self.sessions.pop(self._guid_of(req.get(1, {})), None)
+        self._drop_session(self._guid_of(req.get(1, {})))
         return [(1, T_STRUCT, _status_ok())]
+
+    def _drop_session(self, guid: bytes) -> None:
+        """Remove a session, canceling its RUNNING async operations
+        first — HS2 closes a session's operations on session close;
+        without this, CloseSession (and the socket-drop reaper) left
+        orphaned worker threads driving Spark jobs nobody can ever
+        fetch (review r13 pass 6)."""
+        with self._lock:
+            sess = self.sessions.pop(guid, None)
+        if sess is None:
+            return
+        for op_guid, op in list(sess.operations.items()):
+            if op.state == OP_RUNNING:
+                self._cancel_op(sess, op, op_guid)
 
     @staticmethod
     def _job_group(guid: bytes) -> str:
@@ -795,6 +807,18 @@ class TCLIFront:
             # pooled JVM thread does not carry the tag into later work
             self._tag_job_group(sess.engine.spark, guid, stmt.strip())
             try:
+                if op.cancel_requested:
+                    # a cancel that landed before any Spark job exists
+                    # has no group to abort — honor it before side
+                    # effects begin (review r13 pass 6). A cancel
+                    # landing DURING analyze/execute of an eager DML
+                    # remains best-effort, like HS2's compile-phase
+                    # window.
+                    with op.lock:
+                        op.state = OP_CANCELED
+                    op.log_line("Statement was canceled before "
+                                "execution began")
+                    return
                 df = sess.engine.sql(stmt)
                 with op.lock:
                     if op.state == OP_CANCELED or op.cancel_requested:
@@ -813,7 +837,12 @@ class TCLIFront:
                     else:
                         op.error = f"{type(e).__name__}: {e}"
                         op.state = OP_ERROR
-                op.log_line(f"Statement ERROR: {op.error or 'canceled'}")
+                if op.error:
+                    op.log_line(f"Statement ERROR: {op.error}")
+                else:
+                    # a clean user cancel must not read ERROR in the
+                    # client-streamed log (review r13 pass 6)
+                    op.log_line("Statement CANCELED")
             finally:
                 self._clear_job_group(sess.engine.spark)
 
@@ -968,8 +997,12 @@ class TCLIFront:
         # (review r13 pass 5: a cancel landing between the lock
         # acquisition and a later tag would cancel an empty group and
         # then block behind this fetch for the whole batch), cleared
-        # after (pooled JVM threads, review r13 pass 3).
-        self._tag_job_group(sess.engine.spark, guid, f"fetch {n} rows")
+        # after (pooled JVM threads, review r13 pass 3). Static
+        # metadata ops page a materialized Python list — no Spark
+        # jobs, no tag, no 4 py4j round trips per Get* fetch (pass 6).
+        tagged = op.df is not None
+        if tagged:
+            self._tag_job_group(sess.engine.spark, guid, f"fetch {n} rows")
         try:
             with op.lock:
                 if op.state == OP_RUNNING:
@@ -983,11 +1016,19 @@ class TCLIFront:
                     return [(1, T_STRUCT, _status_error(
                         op.error or "operation failed"))]
                 if op.state == OP_CANCELED:
+                    if op.df is None and op.rows is None:
+                        # canceled while RUNNING: no schema ever
+                        # existed — refuse like GetResultSetMetadata
+                        # does, instead of inventing a placeholder
+                        # 'result' column (review r13 pass 6)
+                        return [(1, T_STRUCT, _status_error(
+                            "operation was canceled"))]
                     batch: list = []
                 else:
                     batch = list(itertools.islice(op.iterator(), n))
         finally:
-            self._clear_job_group(sess.engine.spark)
+            if tagged:
+                self._clear_job_group(sess.engine.spark)
         has_more = len(batch) == n and n > 0
         return [
             (1, T_STRUCT, _status_ok()),

@@ -222,7 +222,19 @@ class VariableRegistry:
         elif name.startswith(HIVEVAR_PREFIX):
             self.hivevars[name[len(HIVEVAR_PREFIX):]] = value
         else:  # hiveconf: strip the prefix, set the session conf
-            spark.conf.set(name[len(HIVECONF_PREFIX):], value)
+            key = name[len(HIVECONF_PREFIX):]
+            # the restricted-conf gate ('SET spark.sql.authz.*' /
+            # 'SET user.name' are admin-only under enforcement) guards
+            # the parsed SetCommand tree — which this pre-parse path
+            # returns before reaching, so it must invoke the gate
+            # itself (review r13 pass 6: the prefixed spelling was a
+            # privilege-escalation bypass)
+            from amplab_hive_spark.authorization import (
+                guard_prefixed_conf_set,
+            )
+
+            guard_prefixed_conf_set(spark, key)
+            spark.conf.set(key, value)
         return _kv_result(spark, name, value)
 
 

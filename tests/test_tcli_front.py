@@ -948,10 +948,13 @@ def test_running_operation_guards_and_cancel(spark, front):
         assert c.call("CancelOperation", [(1, T_STRUCT, op_fields)])[1][1] == 0
         st = c.call("GetOperationStatus", [(1, T_STRUCT, op_fields)])
         assert st[2] == 3  # CANCELED
+        # canceled while RUNNING: no schema ever existed — the fetch
+        # refuses (consistent with metadata) instead of inventing a
+        # placeholder column (review r13 pass 6)
         fr = c.call("FetchResults", [
             (1, T_STRUCT, op_fields), (2, T_I32, 0), (3, T_I64, 10),
         ])
-        assert fr[1][1] == 0 and fr[3][3][0][7][1] == []  # canceled: empty
+        assert fr[1][1] != 0 and b"canceled" in fr[1][5]
     finally:
         c.close()
 
@@ -1030,3 +1033,25 @@ def test_beeline_drives_the_async_lifecycle(spark, front):
     assert rc == 0, err
     assert "42" in out
     assert front.async_statements > before
+
+
+def test_close_session_cancels_running_operations(spark, front):
+    """review r13 pass 6: CloseSession (and the socket-drop reaper,
+    which shares _drop_session) cancels a session's RUNNING async
+    operations — HS2 closes a session's operations on session close;
+    popping alone left orphaned workers driving unfetchable jobs."""
+    from amplab_hive_spark.tcli import OP_CANCELED, _Operation
+
+    c = _Client(front.port)
+    try:
+        sess_h = c.open_session()
+        guid = bytes(sess_h[1][1])
+        sess = front.sessions[guid]
+        op = _Operation(secret=b"x" * 16, running=True)
+        sess.operations[b"o" * 16] = op
+        assert c.call("CloseSession",
+                      [(1, T_STRUCT, _handle_fields(sess_h))])[1][1] == 0
+        assert guid not in front.sessions
+        assert op.state == OP_CANCELED and op.cancel_requested
+    finally:
+        c.close()

@@ -376,3 +376,38 @@ def test_cli_source_with_comment_and_tab(spark, sf_dir, tmp_path, capsys):
     outer.write_text(f"/* init */ source\t{inner};\n")
     assert main(["-f", str(outer), "--sf-dir", sf_dir]) == 0
     assert "sourced_edge" in capsys.readouterr().out
+
+
+def test_prefixed_hiveconf_set_hits_the_restricted_guard(spark):
+    """review r13 pass 6 (the round's most severe finding): the
+    pre-parse 'SET hiveconf:k=v' path returns from Engine.sql before
+    the SetCommand tree guard runs, so it must invoke the
+    restricted-conf gate itself — without it, a non-admin session
+    under enforcement could 'SET hiveconf:spark.sql.authz.enabled=
+    false' and silently turn the gate off (the exact ADVICE-r10 hole
+    the tree guard closed for the bare spelling)."""
+    import os as _os
+
+    from amplab_hive_spark import authorization as az
+
+    eng = Engine(spark)
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    spark.conf.set("user.name", "var_mallory")
+    try:
+        for stmt in (
+            "SET hiveconf:spark.sql.authz.enabled=false",
+            "SET hiveconf:user.name=admin",
+        ):
+            with pytest.raises(PermissionError, match="restricted"):
+                eng.sql(stmt)
+        assert spark.conf.get("spark.sql.authz.enabled") == "true"
+        # unrestricted keys still set fine under enforcement
+        eng.sql("SET hiveconf:ahs.benign.key=1")
+        assert spark.conf.get("ahs.benign.key") == "1"
+    finally:
+        spark.conf.unset("spark.sql.authz.enabled")
+        spark.conf.unset("user.name")
+        spark.conf.unset("ahs.benign.key")
+        p = az._store_path(spark)
+        if _os.path.exists(p):
+            _os.remove(p)
