@@ -73,6 +73,47 @@ def _run_statements(engine, text: str, max_rows: int,
         # on tabs too — same interception-bypass class as SET's).
         head = strip_leading_comments(stmt).strip()
         tokens = head.split(None, 1)
+        # ! <shell command>: CliDriver's shell escape
+        # (cli/CliDriver.java processCmd "!" branch — runs through
+        # ShellCmdExecutor after variable substitution; a nonzero exit
+        # prints the reference's exact error line and the session
+        # continues)
+        if head.startswith("!"):
+            import subprocess
+
+            shell_cmd = engine.variables.substitute(
+                engine.spark, head[1:].strip())
+            rc = subprocess.call(shell_cmd, shell=True)
+            if rc != 0:
+                print(f"Command failed with exit code = {rc}",
+                      file=sys.stderr)
+            continue
+        # dfs <FsShell args>: CliDriver routes this to DfsProcessor
+        # (ql/processors/DfsProcessor.java), which runs Hadoop's REAL
+        # FsShell — same here, over py4j in the shared JVM, args
+        # variable-substituted and whitespace-tokenized like the
+        # reference's tokenizeCmd
+        if tokens and tokens[0].lower() == "dfs":
+            argv = engine.variables.substitute(
+                engine.spark,
+                tokens[1].strip() if len(tokens) > 1 else "").split()
+            if not argv:
+                raise ValueError("dfs: missing FsShell arguments")
+            sc = engine.spark.sparkContext
+            gw = sc._gateway
+            shell = gw.jvm.org.apache.hadoop.fs.FsShell(
+                sc._jsc.hadoopConfiguration())
+            jargs = gw.new_array(gw.jvm.java.lang.String, len(argv))
+            for i, a in enumerate(argv):
+                jargs[i] = a
+            try:
+                rc = shell.run(jargs)
+            finally:
+                shell.close()
+            if rc != 0:
+                print(f"Command failed with exit code = {rc}",
+                      file=sys.stderr)
+            continue
         if tokens and tokens[0].lower() == "source":
             if _depth >= 10:
                 raise ValueError("source nesting deeper than 10 "

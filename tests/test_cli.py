@@ -133,3 +133,48 @@ def test_connect_client_bounds_fetch(spark, sf_dir, capsys):
         # 7 displayed rows + trailer; way fewer than 1000 fetched
         assert len([l for l in lines[1:] if l.isdigit()]) == 7
         assert "showing 7" in lines[-1]
+
+
+def test_dfs_command_runs_real_fsshell(spark, sf_dir, tmp_path, capsys):
+    """CliDriver's 'dfs' command (DfsProcessor runs Hadoop's FsShell):
+    the same FsShell runs here over py4j — proven by side effects on
+    the (local) filesystem and the reference's exact failure line for
+    a nonzero exit. The path argument is variable-substituted like
+    every CLI command."""
+    target = tmp_path / "dfs_made"
+    assert main([
+        "-e",
+        f"SET hivevar:d={tmp_path};\n"
+        f"dfs -mkdir ${{d}}/dfs_made;\n"
+        f"dfs -test -e {target}",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    assert target.is_dir()
+    capsys.readouterr()
+    # nonzero FsShell exit -> the reference's error line, session alive
+    assert main([
+        "-e", f"dfs -test -e {tmp_path}/never_made; SELECT 1 AS ok",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    out = capsys.readouterr()
+    assert "Command failed with exit code" in out.err
+    assert "ok" in out.out
+
+
+def test_shell_escape_command(spark, sf_dir, tmp_path, capfd):
+    """CliDriver's '!' shell escape: the command runs through the
+    system shell after variable substitution; a nonzero exit prints
+    the reference's error line and the session continues."""
+    marker = tmp_path / "shell_touched"
+    assert main([
+        "-e",
+        f"SET hivevar:m={marker};\n"
+        f"! touch ${{m}};\n"
+        f"! false;\n"
+        f"SELECT 2 AS two",
+        "--sf-dir", sf_dir,
+    ]) == 0
+    assert marker.exists()
+    out = capfd.readouterr()
+    assert "Command failed with exit code = 1" in out.err
+    assert "two" in out.out
