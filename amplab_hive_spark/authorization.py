@@ -1127,6 +1127,25 @@ def _deny_restricted_unless_admin(spark: SparkSession, key: str) -> None:
     )
 
 
+def enforce_dfs(spark: SparkSession) -> None:
+    """The dfs command's gate: the reference authorizes DFS through
+    CommandUtil.authorizeCommand(HiveOperationType.DFS)
+    (ql/processors/DfsProcessor.java:73), and the SQL-std authorizer
+    restricts it to ADMIN — raw filesystem verbs would bypass every
+    table privilege otherwise. No-op when enforcement is off."""
+    if not enforcement_enabled(spark):
+        return
+    store = _load(spark)
+    if "admin" in _active_roles(spark, store):
+        return
+    user = current_user(spark)
+    raise PermissionError(
+        f"Permission denied: Principal [name={user}, type=USER] may "
+        f"not run dfs commands while authorization enforcement is "
+        f"enabled (admin only — HiveOperationType.DFS)"
+    )
+
+
 def guard_prefixed_conf_set(spark: SparkSession, key: str) -> None:
     """The restricted-conf gate for the PRE-PARSE ``SET hiveconf:k=v``
     spelling (variables.handle_set), which returns from Engine.sql

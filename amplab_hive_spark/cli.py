@@ -53,6 +53,22 @@ def _iter_statements(stream):
                 yield s
 
 
+class CommandFailure(Exception):
+    """A CLI command (dfs / ! / SQL) failed and the error-abort
+    policy applies (CliDriver.processLine returns on the first
+    nonzero result unless hive.cli.errors.ignore=true)."""
+
+    def __init__(self, code: int):
+        super().__init__(f"command failed with exit code = {code}")
+        self.code = code or 1
+
+
+def _maybe_abort(engine, rc: int) -> None:
+    if engine.spark.conf.get(
+            "hive.cli.errors.ignore", "false").lower() != "true":
+        raise CommandFailure(rc)
+
+
 def _run_statements(engine, text: str, max_rows: int,
                     _depth: int = 0) -> None:
     # quote- and comment-aware split (shared with the golden harness)
@@ -73,47 +89,36 @@ def _run_statements(engine, text: str, max_rows: int,
         # on tabs too — same interception-bypass class as SET's).
         head = strip_leading_comments(stmt).strip()
         tokens = head.split(None, 1)
-        # ! <shell command>: CliDriver's shell escape
-        # (cli/CliDriver.java processCmd "!" branch — runs through
-        # ShellCmdExecutor after variable substitution; a nonzero exit
-        # prints the reference's exact error line and the session
-        # continues)
+        # ! <shell command>: CliDriver's shell escape (processCmd "!"
+        # branch). ShellCmdExecutor execs the TOKENIZED command with
+        # NO shell (CliDriver.java:144 shows the bash -c wrapper
+        # deliberately commented out), so metacharacters pass through
+        # literally; signal deaths report POSIX 128+N like
+        # Process.waitFor; a nonzero exit prints the reference's
+        # error line and aborts per hive.cli.errors.ignore.
         if head.startswith("!"):
             import subprocess
 
-            shell_cmd = engine.variables.substitute(
-                engine.spark, head[1:].strip())
-            rc = subprocess.call(shell_cmd, shell=True)
-            if rc != 0:
-                print(f"Command failed with exit code = {rc}",
-                      file=sys.stderr)
-            continue
-        # dfs <FsShell args>: CliDriver routes this to DfsProcessor
-        # (ql/processors/DfsProcessor.java), which runs Hadoop's REAL
-        # FsShell — same here, over py4j in the shared JVM, args
-        # variable-substituted and whitespace-tokenized like the
-        # reference's tokenizeCmd
-        if tokens and tokens[0].lower() == "dfs":
             argv = engine.variables.substitute(
-                engine.spark,
-                tokens[1].strip() if len(tokens) > 1 else "").split()
-            if not argv:
-                raise ValueError("dfs: missing FsShell arguments")
-            sc = engine.spark.sparkContext
-            gw = sc._gateway
-            shell = gw.jvm.org.apache.hadoop.fs.FsShell(
-                sc._jsc.hadoopConfiguration())
-            jargs = gw.new_array(gw.jvm.java.lang.String, len(argv))
-            for i, a in enumerate(argv):
-                jargs[i] = a
+                engine.spark, head[1:].strip()).split()
             try:
-                rc = shell.run(jargs)
-            finally:
-                shell.close()
+                rc = subprocess.call(argv) if argv else 1
+            except OSError as e:  # missing binary etc.
+                print(f"Exception raised from Shell command {e}",
+                      file=sys.stderr)
+                rc = 1
+            if rc < 0:
+                rc = 128 - rc  # python's -N for signal N
             if rc != 0:
                 print(f"Command failed with exit code = {rc}",
                       file=sys.stderr)
+                _maybe_abort(engine, rc)
             continue
+        # (dfs is NOT handled here: it is an Engine-surface command —
+        # engine.sql routes it to dfs.run_dfs, the same dispatch the
+        # reference gives every front via CommandProcessorFactory —
+        # so the fall-through below serves it and prints the
+        # 'DFS Output' rows)
         if tokens and tokens[0].lower() == "source":
             if _depth >= 10:
                 raise ValueError("source nesting deeper than 10 "
@@ -126,7 +131,18 @@ def _run_statements(engine, text: str, max_rows: int,
                 _run_statements(engine, fh.read(), max_rows,
                                 _depth=_depth + 1)
             continue
-        df = engine.sql(stmt)
+        try:
+            df = engine.sql(stmt)
+        except CommandFailure:
+            raise
+        except Exception as exc:
+            # failed statement: the reference's error-abort policy
+            # (processLine returns ret on the first failure unless
+            # hive.cli.errors.ignore=true) — print once, abort or
+            # continue per the conf
+            print(f"ERROR: {exc}", file=sys.stderr)
+            _maybe_abort(engine, 1)
+            continue
         df.show(max_rows, truncate=False)
 
 
@@ -372,30 +388,45 @@ def main(argv: list[str] | None = None) -> int:
     engine.variables.hivevars.update(hivevars)
     for k, v in hiveconfs.items():
         engine.spark.conf.set(k, v)
+    # one-shot runs exit with the first failure's code (CliDriver's
+    # processLine return unless hive.cli.errors.ignore=true; the
+    # error line was already printed where the failure happened)
     if args.i is not None:
         # expanduser like the sibling SOURCE command (review r13
         # pass 6: '-i ~/init.sql' from a wrapper that quotes the
         # tilde must behave like 'source ~/init.sql;')
-        with open(os.path.expanduser(args.i)) as fh:
-            _run_statements(engine, fh.read(), args.max_rows)
+        try:
+            with open(os.path.expanduser(args.i)) as fh:
+                _run_statements(engine, fh.read(), args.max_rows)
+        except CommandFailure as exc:
+            return exc.code
     # `is not None`: an explicitly-passed empty string (-e "$UNSET")
     # must be a no-op one-shot run, not a silent fall-through into a
     # REPL that blocks the calling pipeline on stdin.
     if args.e is not None:
-        _run_statements(engine, args.e, args.max_rows)
+        try:
+            _run_statements(engine, args.e, args.max_rows)
+        except CommandFailure as exc:
+            return exc.code
         return 0
     if args.f is not None:
-        with open(args.f) as fh:
-            _run_statements(engine, fh.read(), args.max_rows)
+        try:
+            with open(args.f) as fh:
+                _run_statements(engine, fh.read(), args.max_rows)
+        except CommandFailure as exc:
+            return exc.code
         return 0
     # REPL (CliDriver.processLine equivalent): statement accumulation
-    # shared with the thin client (_iter_statements).
+    # shared with the thin client (_iter_statements). Interactive mode
+    # keeps the session alive across failures, like hive's shell.
     print("amplab-hive-spark CLI — ';'-terminated statements, 'quit;' to exit")
     for stmt in _iter_statements(sys.stdin):
         if stmt.strip().lower() in ("quit", "exit"):
             break
         try:
             _run_statements(engine, stmt, args.max_rows)
+        except CommandFailure:
+            pass  # already reported where it happened
         except Exception as exc:  # surface analyzer errors, keep REPL alive
             print(f"ERROR: {exc}", file=sys.stderr)
     return 0

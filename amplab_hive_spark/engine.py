@@ -67,6 +67,19 @@ class Engine:
         set_df = self.variables.handle_set(self.spark, text)
         if set_df is not None:
             return set_df
+        # dfs <FsShell args>: CommandProcessorFactory routes this to
+        # DfsProcessor in the reference — BOTH for the CLI and for
+        # HiveServer2's JDBC path — so it lives here on the Engine
+        # surface, output as the one-column 'DFS Output' result set.
+        # Admin-gated under enforcement (dfs.py / enforce_dfs).
+        from amplab_hive_spark.variables import strip_leading_comments
+
+        head = strip_leading_comments(text).strip()
+        if head[:3].lower() == "dfs" and (
+                len(head) == 3 or head[3] in " \t\n;"):
+            from amplab_hive_spark.dfs import run_dfs
+
+            return run_dfs(self.spark, head[3:].strip().rstrip(";"))
         if self.macros.handle_statement(text):
             return self.spark.range(0).select()  # empty result, DDL-style
         expanded = self.macros.expand(text)

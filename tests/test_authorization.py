@@ -1265,3 +1265,31 @@ def test_enforcement_append_batch_later_inner_table_governs(
         spark.sql("DROP TABLE IF EXISTS authz_late_outer")
         spark.sql("DROP TABLE IF EXISTS authz_late_inner")
         spark.conf.set("spark.sql.authz.enabled", "true")
+
+
+def test_dfs_admin_only_under_enforcement(spark, tmp_path):
+    """dfs is gated like the reference (DfsProcessor authorizes
+    HiveOperationType.DFS; the SQL-std authorizer restricts it to
+    admin): raw filesystem verbs would bypass every table privilege
+    otherwise. Ungated when enforcement is off."""
+    import os as _os
+
+    from amplab_hive_spark import authorization as az
+    from amplab_hive_spark.engine import Engine
+
+    eng = Engine(spark)
+    # off: works
+    eng.sql(f"dfs -mkdir {tmp_path}/ungated_ok")
+    assert (tmp_path / "ungated_ok").is_dir()
+    spark.conf.set("spark.sql.authz.enabled", "true")
+    spark.conf.set("user.name", "dfs_mallory")
+    try:
+        with pytest.raises(PermissionError, match="dfs"):
+            eng.sql(f"dfs -mkdir {tmp_path}/gated_no")
+        assert not (tmp_path / "gated_no").exists()
+    finally:
+        spark.conf.unset("spark.sql.authz.enabled")
+        spark.conf.unset("user.name")
+        p = az._store_path(spark)
+        if _os.path.exists(p):
+            _os.remove(p)

@@ -136,45 +136,95 @@ def test_connect_client_bounds_fetch(spark, sf_dir, capsys):
 
 
 def test_dfs_command_runs_real_fsshell(spark, sf_dir, tmp_path, capsys):
-    """CliDriver's 'dfs' command (DfsProcessor runs Hadoop's FsShell):
-    the same FsShell runs here over py4j — proven by side effects on
-    the (local) filesystem and the reference's exact failure line for
-    a nonzero exit. The path argument is variable-substituted like
-    every CLI command."""
+    """The 'dfs' command (DfsProcessor runs Hadoop's FsShell): the
+    same FsShell runs here over py4j, on the ENGINE surface like the
+    reference's CommandProcessorFactory dispatch — proven by side
+    effects on the (local) filesystem, the captured 'DFS Output'
+    rows, and the reference's exact failure line. The path argument
+    is variable-substituted like every statement."""
     target = tmp_path / "dfs_made"
     assert main([
         "-e",
         f"SET hivevar:d={tmp_path};\n"
         f"dfs -mkdir ${{d}}/dfs_made;\n"
-        f"dfs -test -e {target}",
+        f"dfs -test -e {target};\n"
+        f"dfs -ls {tmp_path}",
         "--sf-dir", sf_dir,
     ]) == 0
     assert target.is_dir()
-    capsys.readouterr()
-    # nonzero FsShell exit -> the reference's error line, session alive
-    assert main([
+    out = capsys.readouterr().out
+    assert "DFS Output" in out and "dfs_made" in out
+    # nonzero FsShell exit -> the reference's error line, and the
+    # one-shot run ABORTS with its code (hive.cli.errors.ignore
+    # defaults false: CliDriver.processLine returns the first
+    # failure; the trailing statement must NOT run)
+    rc = main([
         "-e", f"dfs -test -e {tmp_path}/never_made; SELECT 1 AS ok",
         "--sf-dir", sf_dir,
-    ]) == 0
+    ])
+    assert rc == 1
     out = capsys.readouterr()
     assert "Command failed with exit code" in out.err
-    assert "ok" in out.out
+    assert "ok" not in out.out
 
 
 def test_shell_escape_command(spark, sf_dir, tmp_path, capfd):
-    """CliDriver's '!' shell escape: the command runs through the
-    system shell after variable substitution; a nonzero exit prints
-    the reference's error line and the session continues."""
+    """CliDriver's '!' shell escape: ShellCmdExecutor execs the
+    TOKENIZED command with NO shell (the bash -c wrapper is
+    deliberately commented out in the reference), metacharacters pass
+    through literally, and a nonzero exit prints the reference's
+    error line then aborts the one-shot run."""
     marker = tmp_path / "shell_touched"
-    assert main([
+    rc = main([
         "-e",
         f"SET hivevar:m={marker};\n"
         f"! touch ${{m}};\n"
+        f"! echo *;\n"
         f"! false;\n"
         f"SELECT 2 AS two",
         "--sf-dir", sf_dir,
-    ]) == 0
+    ])
+    assert rc == 1
     assert marker.exists()
     out = capfd.readouterr()
     assert "Command failed with exit code = 1" in out.err
-    assert "two" in out.out
+    # no shell: '*' is NOT globbed — /bin/echo prints it literally
+    assert "*" in out.out
+    assert "two" not in out.out  # aborted before the SELECT
+
+
+def test_errors_ignore_conf_continues_past_failures(spark, sf_dir, capfd):
+    """hive.cli.errors.ignore=true: the reference keeps processing
+    after a failed command — both for '!' and for dfs."""
+    try:
+        assert main([
+            "-e", "! false;\ndfs -test -e /definitely/not/here;\n"
+                  "SELECT 3 AS three",
+            "--hiveconf", "hive.cli.errors.ignore=true",
+            "--sf-dir", sf_dir,
+        ]) == 0
+        out = capfd.readouterr()
+        assert out.err.count("Command failed with exit code") >= 1
+        assert "three" in out.out
+    finally:
+        spark.conf.unset("hive.cli.errors.ignore")
+
+
+def test_split_statements_command_mode():
+    """review r13 pass 7: command statements split RAW to ';' or
+    newline — '--' long options are not SQL comments and an
+    apostrophe does not open a SQL string inside a '!'/dfs/source
+    statement (CliDriver's plain line.split(';'))."""
+    from amplab_hive_spark.testing_golden import split_statements
+
+    assert split_statements("! tar --version; SELECT 1") == \
+        ["! tar --version", "SELECT 1"]
+    assert split_statements("! echo don't panic; SELECT 1") == \
+        ["! echo don't panic", "SELECT 1"]
+    assert split_statements("dfs -ls --color\nSELECT 1") == \
+        ["dfs -ls --color", "SELECT 1"]
+    assert split_statements("source a.sql;\nSELECT 'source ok' AS c;") == \
+        ["source a.sql", "SELECT 'source ok' AS c"]
+    # SQL containing the words mid-statement is untouched
+    assert split_statements("SELECT 'dfs -ls' AS c; SELECT '!x' AS d") == \
+        ["SELECT 'dfs -ls' AS c", "SELECT '!x' AS d"]

@@ -1055,3 +1055,30 @@ def test_close_session_cancels_running_operations(spark, front):
         assert op.state == OP_CANCELED and op.cancel_requested
     finally:
         c.close()
+
+
+def test_dfs_command_over_jdbc(spark, front, tmp_path):
+    """dfs is an ENGINE-surface command (reference: HiveServer2 serves
+    DFS via the HiveCommand dispatch), so it works over TCLIService:
+    the captured FsShell output comes back as the one-column
+    'DFS Output' result set DfsProcessor declares."""
+    c = _Client(front.port)
+    try:
+        sess = c.open_session()
+        assert c.execute(sess, f"dfs -mkdir {tmp_path}/jdbc_made")[1][1] == 0
+        assert (tmp_path / "jdbc_made").is_dir()
+        r = c.execute(sess, f"dfs -ls {tmp_path}")
+        assert r[1][1] == 0
+        md = c.call("GetResultSetMetadata", [(1, T_STRUCT, _op_fields(r[2]))])
+        assert [cd[1].decode() for cd in md[2][1]] == ["DFS Output"]
+        fr = c.call("FetchResults", [
+            (1, T_STRUCT, _op_fields(r[2])), (2, T_I32, 0), (3, T_I64, 100),
+        ])
+        lines = [v.decode() for v in fr[3][3][0][7][1]]
+        assert any("jdbc_made" in ln for ln in lines)
+        # failure surfaces as a statement error with the reference line
+        r = c.execute(sess, f"dfs -test -e {tmp_path}/absent_path")
+        assert r[1][1] != 0
+        assert b"Command failed with exit code" in r[1][5]
+    finally:
+        c.close()
