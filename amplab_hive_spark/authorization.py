@@ -1114,16 +1114,27 @@ def _guard_conf_mutation(spark: SparkSession, root: str, tree: str) -> None:
     _deny_restricted_unless_admin(spark, key)
 
 
-def _deny_restricted_unless_admin(spark: SparkSession, key: str) -> None:
+def _require_admin(spark: SparkSession, denial: str) -> None:
+    """Shared admin gate skeleton (review r13 pass 8: the restricted-
+    conf and dfs gates each re-implemented role resolution + the
+    Principal denial wording). ``denial`` is the clause after 'may
+    not '."""
     store = _load(spark)
     if "admin" in _active_roles(spark, store):
         return
     user = current_user(spark)
-    what = "all configuration (RESET)" if key == "*" else key.strip()
     raise PermissionError(
         f"Permission denied: Principal [name={user}, type=USER] may "
-        f"not modify restricted configuration [{what}] while "
-        f"authorization enforcement is enabled (admin only)"
+        f"not {denial}"
+    )
+
+
+def _deny_restricted_unless_admin(spark: SparkSession, key: str) -> None:
+    what = "all configuration (RESET)" if key == "*" else key.strip()
+    _require_admin(
+        spark,
+        f"modify restricted configuration [{what}] while "
+        f"authorization enforcement is enabled (admin only)",
     )
 
 
@@ -1135,14 +1146,10 @@ def enforce_dfs(spark: SparkSession) -> None:
     table privilege otherwise. No-op when enforcement is off."""
     if not enforcement_enabled(spark):
         return
-    store = _load(spark)
-    if "admin" in _active_roles(spark, store):
-        return
-    user = current_user(spark)
-    raise PermissionError(
-        f"Permission denied: Principal [name={user}, type=USER] may "
-        f"not run dfs commands while authorization enforcement is "
-        f"enabled (admin only — HiveOperationType.DFS)"
+    _require_admin(
+        spark,
+        "run dfs commands while authorization enforcement is "
+        "enabled (admin only — HiveOperationType.DFS)",
     )
 
 

@@ -104,9 +104,12 @@ def _run_statements(engine, text: str, max_rows: int,
             try:
                 rc = subprocess.call(argv) if argv else 1
             except OSError as e:  # missing binary etc.
+                # the reference's catch prints ONLY the exception line
+                # and sets ret=1 — no second failed-exit line (pass 8)
                 print(f"Exception raised from Shell command {e}",
                       file=sys.stderr)
-                rc = 1
+                _maybe_abort(engine, 1)
+                continue
             if rc < 0:
                 rc = 128 - rc  # python's -N for signal N
             if rc != 0:
@@ -125,11 +128,19 @@ def _run_statements(engine, text: str, max_rows: int,
                                  f"(a file sourcing itself?): {stmt!r}")
             path = engine.variables.substitute(
                 engine.spark, tokens[1].strip() if len(tokens) > 1 else "")
-            if not path:
-                raise ValueError("source: missing file path")
-            with open(os.path.expanduser(path)) as fh:
-                _run_statements(engine, fh.read(), max_rows,
-                                _depth=_depth + 1)
+            try:
+                if not path:
+                    raise ValueError("source: missing file path")
+                with open(os.path.expanduser(path)) as fh:
+                    body = fh.read()
+            except (OSError, ValueError) as exc:
+                # same print-once + abort-policy treatment every
+                # other failure gets (pass 8: these escaped as raw
+                # tracebacks in -e/-f)
+                print(f"ERROR: {exc}", file=sys.stderr)
+                _maybe_abort(engine, 1)
+                continue
+            _run_statements(engine, body, max_rows, _depth=_depth + 1)
             continue
         try:
             df = engine.sql(stmt)
@@ -139,9 +150,10 @@ def _run_statements(engine, text: str, max_rows: int,
             # failed statement: the reference's error-abort policy
             # (processLine returns ret on the first failure unless
             # hive.cli.errors.ignore=true) — print once, abort or
-            # continue per the conf
+            # continue per the conf; a DfsError carries FsShell's
+            # real exit code (pass 8)
             print(f"ERROR: {exc}", file=sys.stderr)
-            _maybe_abort(engine, 1)
+            _maybe_abort(engine, getattr(exc, "code", 1))
             continue
         df.show(max_rows, truncate=False)
 

@@ -34,6 +34,16 @@ DFS_RESULT_HEADER = "DFS Output"  # DfsProcessor.java:44
 _capture_lock = threading.Lock()
 
 
+class DfsError(RuntimeError):
+    """A dfs command failure carrying the FsShell exit code, so the
+    CLI's error-abort policy can propagate the REAL code (review r13
+    pass 8 — flattening to 1 lost FsShell's -1/255 distinctions)."""
+
+    def __init__(self, message: str, code: int):
+        super().__init__(message)
+        self.code = code if code else 1
+
+
 def run_dfs(spark: SparkSession, args_text: str) -> DataFrame:
     """Run ``args_text`` (the statement minus the ``dfs`` keyword,
     already variable-substituted by Engine.sql) through FsShell;
@@ -46,8 +56,8 @@ def run_dfs(spark: SparkSession, args_text: str) -> DataFrame:
     if not argv:
         # DfsProcessor passes the empty command through to FsShell,
         # which prints usage and returns -1 -> the failure line
-        raise RuntimeError("Command failed with exit code = -1\n"
-                           "Usage: dfs <FsShell arguments>")
+        raise DfsError("Command failed with exit code = -1\n"
+                       "Usage: dfs <FsShell arguments>", -1)
     sc = spark.sparkContext
     gw = sc._gateway
     jvm = gw.jvm
@@ -55,29 +65,35 @@ def run_dfs(spark: SparkSession, args_text: str) -> DataFrame:
     for i, a in enumerate(argv):
         jargs[i] = a
     with _capture_lock:
-        baos = jvm.java.io.ByteArrayOutputStream()
-        ps = jvm.java.io.PrintStream(baos, True, "UTF-8")
         old_out = jvm.java.lang.System.out
-        shell = jvm.org.apache.hadoop.fs.FsShell(
-            sc._jsc.hadoopConfiguration())
-        jvm.java.lang.System.setOut(ps)
+        ps = None
         try:
+            # everything py4j-constructed sits inside the try: a
+            # FsShell/PrintStream constructor failure must map to the
+            # reference's exception line and leak nothing (pass 8)
+            baos = jvm.java.io.ByteArrayOutputStream()
+            ps = jvm.java.io.PrintStream(baos, True, "UTF-8")
+            shell = jvm.org.apache.hadoop.fs.FsShell(
+                sc._jsc.hadoopConfiguration())
+            jvm.java.lang.System.setOut(ps)
             try:
                 rc = shell.run(jargs)
-            except Exception as e:  # noqa: BLE001 — DfsProcessor.java:96
-                raise RuntimeError(
-                    f"Exception raised from DFSShell.run {e}") from e
+            finally:
+                jvm.java.lang.System.setOut(old_out)
+                shell.close()
+            out = baos.toString("UTF-8")
+        except Exception as e:  # noqa: BLE001 — DfsProcessor.java:96
+            raise DfsError(
+                f"Exception raised from DFSShell.run {e}", 1) from e
         finally:
-            jvm.java.lang.System.setOut(old_out)
-            ps.close()
-            shell.close()
-        out = baos.toString("UTF-8")
+            if ps is not None:
+                ps.close()
     lines = [(ln,) for ln in out.splitlines()]
     if rc != 0:
         tail = "\n".join(x[0] for x in lines[-5:])
-        raise RuntimeError(
+        raise DfsError(
             f"Command failed with exit code = {rc}"
-            + (f"\n{tail}" if tail else ""))
+            + (f"\n{tail}" if tail else ""), rc)
     from pyspark.sql.types import StringType, StructField, StructType
 
     schema = StructType([StructField(DFS_RESULT_HEADER, StringType())])

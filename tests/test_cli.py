@@ -228,3 +228,36 @@ def test_split_statements_command_mode():
     # SQL containing the words mid-statement is untouched
     assert split_statements("SELECT 'dfs -ls' AS c; SELECT '!x' AS d") == \
         ["SELECT 'dfs -ls' AS c", "SELECT '!x' AS d"]
+
+
+def test_split_statements_command_mode_after_block_comment():
+    """review r13 pass 8: a LEADING /* */ block comment must not
+    defeat command-mode ('--' eaten as SQL comment, apostrophe
+    opening a string) — comments count as blank at statement start."""
+    from amplab_hive_spark.testing_golden import split_statements
+
+    assert split_statements("/* note */ dfs -ls --color; SELECT 1") == \
+        ["/* note */ dfs -ls --color", "SELECT 1"]
+    assert split_statements("/* n */ ! echo don't stop; SELECT 1") == \
+        ["/* n */ ! echo don't stop", "SELECT 1"]
+    # and a comment before SQL still splits as SQL
+    assert split_statements("/* c */ SELECT 'a;b' AS x; SELECT 2") == \
+        ["/* c */ SELECT 'a;b' AS x", "SELECT 2"]
+
+
+def test_source_failure_follows_abort_policy(spark, sf_dir, capsys):
+    """review r13 pass 8: a missing source file prints once and
+    aborts the one-shot run with code 1 — no raw traceback."""
+    rc = main(["-e", "source /no/such/file.sql; SELECT 1 AS ok",
+               "--sf-dir", sf_dir])
+    assert rc == 1
+    out = capsys.readouterr()
+    assert "ERROR:" in out.err and "ok" not in out.out
+
+
+def test_dfs_empty_args_propagates_real_code(spark, sf_dir, capsys):
+    """review r13 pass 8: FsShell's real exit code travels out —
+    'dfs;' is the usage/-1 case, not a flattened 1."""
+    rc = main(["-e", "dfs", "--sf-dir", sf_dir])
+    assert rc == -1
+    assert "Command failed with exit code = -1" in capsys.readouterr().err
