@@ -99,8 +99,13 @@ def _run_statements(engine, text: str, max_rows: int,
         if head.startswith("!"):
             import subprocess
 
-            argv = engine.variables.substitute(
-                engine.spark, head[1:].strip()).split()
+            try:
+                argv = engine.variables.substitute(
+                    engine.spark, head[1:].strip()).split()
+            except ValueError as exc:  # substitution depth bound
+                print(f"ERROR: {exc}", file=sys.stderr)
+                _maybe_abort(engine, 1)
+                continue
             try:
                 rc = subprocess.call(argv) if argv else 1
             except OSError as e:  # missing binary etc.
@@ -123,12 +128,13 @@ def _run_statements(engine, text: str, max_rows: int,
         # so the fall-through below serves it and prints the
         # 'DFS Output' rows)
         if tokens and tokens[0].lower() == "source":
-            if _depth >= 10:
-                raise ValueError("source nesting deeper than 10 "
-                                 f"(a file sourcing itself?): {stmt!r}")
-            path = engine.variables.substitute(
-                engine.spark, tokens[1].strip() if len(tokens) > 1 else "")
             try:
+                if _depth >= 10:
+                    raise ValueError("source nesting deeper than 10 "
+                                     f"(a file sourcing itself?): {stmt!r}")
+                path = engine.variables.substitute(
+                    engine.spark,
+                    tokens[1].strip() if len(tokens) > 1 else "")
                 if not path:
                     raise ValueError("source: missing file path")
                 with open(os.path.expanduser(path)) as fh:

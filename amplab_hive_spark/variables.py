@@ -63,6 +63,25 @@ DEFAULT_DEPTH = 40
 # CommandProcessorFactory/SetProcessor part[0]/part[1]).
 _SET_STMT = re.compile(r"^\s*set\s+(?P<body>\S.*)$", re.IGNORECASE | re.DOTALL)
 
+def scan_block_comment(text: str, i: int) -> "Optional[int]":
+    """``text[i:]`` starts with ``/*``: return the index just past
+    the matching ``*/`` honoring NESTING (Spark's lexer nests
+    bracketed comments, SPARK-28880 — a non-greedy regex stops at the
+    first ``*/``), or None if unterminated. Shared by the statement
+    splitter and the comment stripper so the two scanners can never
+    drift (review r13 pass 9)."""
+    n = len(text)
+    depth, j = 1, i + 2
+    while j < n and depth:
+        if text.startswith("/*", j):
+            depth, j = depth + 1, j + 2
+        elif text.startswith("*/", j):
+            depth, j = depth - 1, j + 2
+        else:
+            j += 1
+    return None if depth else j
+
+
 def strip_leading_comments(text: str) -> str:
     """Leading comments must not defeat the SET interception (review
     r13 — Spark's own SET parser strips them, so '/* banner */ SET
@@ -81,15 +100,8 @@ def strip_leading_comments(text: str) -> str:
                 return ""  # statement is all comment
             i = j + 1
         elif text.startswith("/*", i):
-            depth, j = 1, i + 2
-            while j < n and depth:
-                if text.startswith("/*", j):
-                    depth, j = depth + 1, j + 2
-                elif text.startswith("*/", j):
-                    depth, j = depth - 1, j + 2
-                else:
-                    j += 1
-            if depth:  # unterminated: not a comment we can strip
+            j = scan_block_comment(text, i)
+            if j is None:  # unterminated: not a comment we can strip
                 return text[i:]
             i = j
         else:

@@ -261,3 +261,18 @@ def test_dfs_empty_args_propagates_real_code(spark, sf_dir, capsys):
     rc = main(["-e", "dfs", "--sf-dir", sf_dir])
     assert rc == -1
     assert "Command failed with exit code = -1" in capsys.readouterr().err
+
+
+def test_split_statements_mid_statement_comment_and_comment_only():
+    """review r13 pass 9 (pre-existing splitter gaps the blank flag
+    made fixable): a ';' inside a mid-statement /* */ comment is not
+    a boundary, and comment-only segments are never emitted as
+    statements."""
+    from amplab_hive_spark.testing_golden import split_statements
+
+    assert split_statements("SELECT /* a;b */ 1; SELECT 2") == \
+        ["SELECT /* a;b */ 1", "SELECT 2"]
+    assert split_statements("/* c */; SELECT 1") == ["SELECT 1"]
+    assert split_statements("SELECT 1; /* trailing license */") == \
+        ["SELECT 1"]
+    assert split_statements("-- only a line comment\n") == []

@@ -343,11 +343,11 @@ def test_cli_source_command(spark, sf_dir, tmp_path, capsys):
     assert "from_inner" in capsys.readouterr().out
     loop = tmp_path / "loop.sql"
     loop.write_text(f"source {loop};\n")
-    from amplab_hive_spark.engine import Engine as _E
-    from amplab_hive_spark.cli import _run_statements
-
-    with pytest.raises(ValueError, match="nesting deeper"):
-        _run_statements(_E(spark), f"source {loop};", 10)
+    # the nesting cap follows the print-once + abort policy now
+    # (review r13 pass 9: it escaped as a raw traceback before)
+    rc = main(["-f", str(loop), "--sf-dir", sf_dir])
+    assert rc == 1
+    assert "nesting deeper" in capsys.readouterr().err
 
 
 def test_set_dump_whitespace_and_case_edges(spark):
