@@ -209,3 +209,34 @@ def tables(spark: SparkSession, sf_dir: str) -> SimpleNamespace:
     loaded = load_tables(spark, sf_dir)
     errors = _LOAD_ERRORS.setdefault(spark, {}).get(sf_dir, {})
     return _Tables(loaded, errors)
+
+
+def fan_out(df: DataFrame, min_bytes: int = 4 << 20) -> DataFrame:
+    """Widen a narrow scan before heavyweight per-row compute.
+
+    Unsplittable input (a single parquet row group, a gzip file) caps
+    a stage's parallelism at the file count no matter how many cores
+    exist — the "input skew" case of the optimization playbook (§2.5:
+    *fix at the source if you can; otherwise repartition immediately
+    after the read*). Callers wrap the scan feeding an expensive
+    map-side operator (Arrow minhash, brute-force cosine probes) so
+    that work fans out to every core.
+
+    Scale-adaptive, not local-tuned: the round-robin repartition is a
+    no-op whenever the scan already has >= defaultParallelism
+    partitions (any healthy multi-file table at cluster scale) or the
+    input is too small for a shuffle to pay for itself (``min_bytes``,
+    default 4 MB ~= a few seconds of heavyweight per-row compute; pass
+    0 when the downstream work per row is unconditionally large, e.g.
+    an O(N_queries) probe per row). Size comes from the optimizer's
+    own statistics, so no files are touched and no job runs."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        parts = df.rdd.getNumPartitions()
+    except Exception:
+        return df  # stats/partition probe unavailable: change nothing
+    if parts >= target or size < min_bytes:
+        return df
+    return df.repartition(target)

@@ -501,15 +501,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pipeline: signature scan → explode to {_LSH_BANDS} band keys →
     self-join per band bucket (dedup pair set) → verify. The shuffle
     carries only (band_hash, doc_id); text is re-read just for the
-    candidate pairs' verification join."""
-    t = tables(spark, sf_dir)
-    # persist() = the "signature table" a production pipeline writes
-    # out; also an optimizer barrier — without it CollapseProject
-    # inlines the signature expression into every band slice and the
-    # corpus is re-hashed once per band (measured ~2×).
-    from amplab_hive_spark.llm._cache import cache_slot
+    candidate pairs' verification join.
 
-    sigs = cache_slot("minhash_sigs", minhash_signatures_arrow(t.documents))
+    r14 optimizations (before/after plans in plans/r14/):
+
+    * est_jaccard is computed from the signature pair BEFORE the
+      pair-dedup exchange, so the distinct shuffles three scalar
+      columns instead of two 16-long signature arrays per pair
+      (guide §2.3 "project before the exchange").
+    * exact-verify shingles are computed AFTER the est⋈documents
+      joins, so only the ~2 × |candidate pairs| matched rows pay the
+      shingle expression — the old plan shingled the ENTIRE corpus
+      twice (once per join side, measured ~2 × 1.7 s of the query's
+      3 s at sf0.1). A doc appearing in k pairs is shingled k times;
+      k is bounded by {_LSH_BANDS} × bucket-cap and candidate sets
+      are << corpus by LSH design, so pair-side evaluation is
+      strictly cheaper than corpus-side at any scale.
+    * the pipeline is now one linear DAG (sigs feed only the band
+      explode; est feeds only the verify join), so the persist()
+      barrier — and its cache churn — is gone.
+    * the documents scan fans out via catalog.fan_out before the
+      Arrow signature pass (guide §2.5 input skew: a single-row-group
+      parquet file caps the Python stage at one worker; no-op when
+      the scan is already parallel or tiny)."""
+    t = tables(spark, sf_dir)
+    from amplab_hive_spark.catalog import fan_out
+
+    sigs = minhash_signatures_arrow(fan_out(t.documents))
     bands = _explode_bands(sigs)
     # Candidate generation: group each bucket and pair its members —
     # NOT a self-join. A self-join re-evaluates the whole signature
@@ -523,7 +541,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_list(F.struct("doc_id", "sig"))).alias("members"))
         .filter((F.size("members") > 1) & (F.size("members") <= _LSH_BUCKET_CAP))
     )
-    cand = (
+    est = (
         buckets.select(
             pair_explode(
                 "members",
@@ -535,29 +553,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 },
             ).alias("p")
         )
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with("p.sig_a", "p.sig_b", lambda x, y: x == y),
+                        lambda eq: eq,
+                    )
+                ).cast("double")
+                / _MINHASH_PERMS
+            ).alias("est_jaccard"),
+        )
         .distinct()
     )
-    est = cand.select(
-        "doc_a",
-        "doc_b",
-        (
-            F.size(
-                F.filter(
-                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
-                    lambda eq: eq,
-                )
-            ).cast("double")
-            / _MINHASH_PERMS
-        ).alias("est_jaccard"),
-    )
-    # Exact verification on the (small) candidate set.
-    sh = t.documents.select("doc_id", _shingles().alias("sh"))
-    va = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    vb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    # Exact verification: join text first, shingle only matched rows.
+    # (est_jaccard is a pure function of the pair, so the distinct
+    # over (doc_a, doc_b, est_jaccard) dedupes exactly like the old
+    # distinct over the pair + signatures.)
+    va = t.documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    vb = t.documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    # shingle sets are materialized in their own projections (used
+    # twice below — intersect AND union; CollapseProject keeps a
+    # multi-referenced non-trivial alias in its own Project, so each
+    # pair shingles each side exactly once)
     return (
         est.join(va, "doc_a")
+        .select("doc_a", "doc_b", "est_jaccard", _shingles("text_a").alias("sh_a"))
         .join(vb, "doc_b")
+        .select("doc_a", "doc_b", "est_jaccard", "sh_a", _shingles("text_b").alias("sh_b"))
         .select(
             "doc_a",
             "doc_b",

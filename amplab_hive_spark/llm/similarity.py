@@ -90,16 +90,34 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     from pyspark.sql import Window
 
-    q = t.embeddings.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    from amplab_hive_spark.catalog import fan_out
+
+    # r14 (guide §1.2 per-task work + §2.5 input skew): cosine(q, c)
+    # re-derived the two norms per PAIR — three interpreted
+    # higher-order folds per (query, corpus) pair where one suffices.
+    # Each side now carries its norm computed ONCE per row, and only
+    # the dot product runs per pair: dot/(qn·cn) is the identical
+    # expression tree (same fold, same operand order), so every double
+    # is bit-identical. The probe side fans out unconditionally
+    # (min_bytes=0): per-row probe work is O(|queries| · dims), always
+    # ≫ the cost of shuffling that row once.
+    corpus = fan_out(t.embeddings, min_bytes=0).select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("cn")
+    )
+    q = corpus.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("cn").alias("qn"),
     )
     scored = (
-        t.embeddings.crossJoin(F.broadcast(q))
+        corpus.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")

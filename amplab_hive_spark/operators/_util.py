@@ -62,6 +62,66 @@ def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
     return (F.sum(c.cast(f"decimal(38,{scale})")).cast("double") / F.count(c)).alias(alias)
 
 
+# ---------------------------------------------------------------------------
+# Integer-units ("cents") money arithmetic — optimization round r14.
+#
+# The decimal pipeline above is exact but pays a BigDecimal boxing per
+# row inside Spark's hash aggregate (decimal(38,·) values are stored
+# non-compact; Decimal.+ falls off its fast path), measured ~2× the
+# whole of q1 at sf0.1. For the 2-decimal money columns the same exact
+# value fits a LONG in fixed-point units (cents = 1e-2, e4 = 1e-4,
+# e6 = 1e-6 units): products and sums become codegen'd 64-bit integer
+# ops, and the ONE decimal conversion happens per GROUP, not per row.
+#
+# Equivalence contract (pinned by tests/test_cents_money.py and the
+# DuckDB oracle parity suite):
+#   * cents(x) == unscaled(cast(x as decimal(p,2))) for every value in
+#     the testdata money/rate columns (exactly-2-decimal doubles; the
+#     driver generates them that way — TESTDATA.md). Both paths round
+#     HALF_UP; they can only diverge on pathological >2-decimal
+#     doubles whose ×100 product is correctly rounded across a half
+#     boundary, which 2-decimal data cannot produce.
+#   * integer sums grouped ANY way re-sum to the same total, so
+#     partial long sums per Spark partition + a final decimal sum of
+#     the partials equal the row-level decimal sum exactly.
+#   * units_double() divides the exact integer total by 10^scale in
+#     decimal (exact: the quotient is representable at the result
+#     scale) and casts to double — BigDecimal.doubleValue and the
+#     oracle's CAST(decimal AS DOUBLE) are both correctly rounded, so
+#     the final doubles are bit-identical.
+#
+# Overflow headroom (the 100 TB bar): per-row e6 units of a charge-
+# like value are ≤ ~1e11; a per-partition partial over ~1e7 rows is
+# ≤ ~1e18 < 2^63. The FINAL total (which can exceed a long at 100 TB)
+# is summed in decimal(38,0) — only #partitions × #groups rows deep.
+# Bounded-group sums (≤ ~1e7 rows per group key, e.g. lineitems per
+# order) may skip the two-level split and long-sum directly.
+
+
+def cents(col: Column | str, dp: int = 2) -> Column:
+    """Exact fixed-point units of a ``dp``-decimal double, as LONG.
+
+    ``x*10^dp + 0.5`` floored is HALF_UP for the non-negative money/
+    rate columns; see the equivalence contract above."""
+    return (_c(col) * (10**dp) + 0.5).cast("long")
+
+
+def units_double(col: Column | str, dp: int) -> Column:
+    """LONG total in 1e-``dp`` units → exact decimal → double.
+
+    ``decimal(38,0)/10^dp`` is exact (scale of the true quotient ≤ dp
+    ≤ result scale), so the double is the correctly-rounded value of
+    the exact total — identical to the decimal pipeline's final cast."""
+    return (_c(col).cast("decimal(38,0)") / (10**dp)).cast("double")
+
+
+def dsum_units(col: Column | str, alias: str, dp: int) -> Column:
+    """Exact money sum for BOUNDED groups (per-group row count small
+    enough that the long cannot overflow — e.g. lineitems per order),
+    surfaced as double like :func:`dsum`."""
+    return units_double(F.sum(_c(col)), dp).alias(alias)
+
+
 def o_dsum(expr: str, scale: int = 4) -> str:
     """DuckDB oracle fragment equivalent to :func:`dsum`."""
     return f"CAST(SUM(CAST(({expr}) AS DECIMAL(38,{scale}))) AS DOUBLE)"

@@ -28,6 +28,7 @@ from amplab_hive_spark.catalog import tables
 from amplab_hive_spark.operators._util import (
     O_CHARGE,
     O_DISC_PRICE,
+    cents,
     charge,
     davg,
     disc_price,
@@ -65,20 +66,64 @@ ORDER BY l_returnflag, l_linestatus
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan→filter→partial/final agg→sort. The shipdate filter is
     pushed into the Parquet scan; the 6-group output makes the final
-    exchange trivial at any scale."""
+    exchange trivial at any scale.
+
+    r14 optimization (guide §1.2 "per-task work", §2.3 "narrower
+    types"): the money sums run in exact integer fixed-point (LONG
+    units — see the cents contract in operators/_util.py) instead of
+    per-row decimal(38,·) BigDecimal arithmetic, measured 2× the whole
+    query at sf0.1. Because the total over ALL rows of a group can
+    exceed a long at 100 TB, the sum is two-level: long partials per
+    (group, spark_partition_id) — a per-partition-complete map-side
+    aggregation, so the exchange carries ~6 rows per input partition —
+    then an exact decimal(38,0) sum of the partials. Bit-identical
+    output (pinned by tests/test_cents_money.py + the DuckDB oracle)."""
     t = tables(spark, sf_dir)
-    return (
+    p2, d2, t2, q2 = (cents(c) for c in
+                      ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
+    partials = (
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .select(
+            "l_returnflag", "l_linestatus",
+            q2.alias("q2"), p2.alias("p2"), d2.alias("d2"),
+            (p2 * (100 - d2)).alias("disc4"),
+            (p2 * (100 - d2) * (100 + t2)).alias("charge6"),
+        )
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price(), "sum_disc_price"),
-            dsum(charge(), "sum_charge", scale=6),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum("q2").alias("sq"), F.sum("p2").alias("sp"),
+            F.sum("disc4").alias("sd"), F.sum("charge6").alias("sc"),
+            F.sum("d2").alias("sdisc"), F.count(F.lit(1)).alias("cnt"),
+            # avg divisors are per-column NON-NULL counts, exactly like
+            # the decimal pipeline's davg (COUNT(expr), not COUNT(*))
+            F.count("q2").alias("cq"), F.count("p2").alias("cp"),
+            F.count("d2").alias("cd"),
+        )
+    )
+    totals = (
+        partials.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("sq").cast("decimal(38,0)")).alias("sq"),
+            F.sum(F.col("sp").cast("decimal(38,0)")).alias("sp"),
+            F.sum(F.col("sd").cast("decimal(38,0)")).alias("sd"),
+            F.sum(F.col("sc").cast("decimal(38,0)")).alias("sc"),
+            F.sum(F.col("sdisc").cast("decimal(38,0)")).alias("sdisc"),
+            F.sum("cnt").alias("cnt"),
+            F.sum("cq").alias("cq"), F.sum("cp").alias("cp"),
+            F.sum("cd").alias("cd"),
+        )
+    )
+    return (
+        totals.select(
+            "l_returnflag", "l_linestatus",
+            (F.col("sq") / 100).cast("double").alias("sum_qty"),
+            (F.col("sp") / 100).cast("double").alias("sum_base_price"),
+            (F.col("sd") / 10000).cast("double").alias("sum_disc_price"),
+            (F.col("sc") / 1000000).cast("double").alias("sum_charge"),
+            ((F.col("sq") / 100).cast("double") / F.col("cq")).alias("avg_qty"),
+            ((F.col("sp") / 100).cast("double") / F.col("cp")).alias("avg_price"),
+            ((F.col("sdisc") / 100).cast("double") / F.col("cd")).alias("avg_disc"),
+            F.col("cnt").alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
@@ -152,10 +197,20 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference needs TopNHash inside ReduceSink for this)."""
     t = tables(spark, sf_dir)
     cutoff = F.lit("1995-03-15").cast("timestamp")
+    # r14: lineitem STREAMS, the filtered customer⋈orders side builds
+    # the (much smaller) broadcast. The previous order put the filtered
+    # lineitem on the build side — a 300k-row hash relation built from
+    # the fact table (guide §3.1: broadcast the side you know is small;
+    # estimates after filters are unreliable). At cluster scale the
+    # same order keeps the fact table out of any broadcast attempt.
     return (
-        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(t.orders.filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
-        .join(t.lineitem.filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        t.lineitem.filter(F.col("l_shipdate") > cutoff)
+        .join(
+            t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(t.orders.filter(F.col("o_orderdate") < cutoff),
+                  F.col("c_custkey") == F.col("o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("l_orderkey", "o_orderdate")
         .agg(dsum(disc_price(), "revenue"))
         .select("l_orderkey", "revenue", F.col("o_orderdate").cast("date").alias("order_date"))

@@ -16,6 +16,7 @@ from amplab_hive_spark.registry import register
 
 
 from amplab_hive_spark.operators._util import run_sql as _sql  # noqa: E402
+from amplab_hive_spark.operators._util import cents, units_double  # noqa: E402
 
 
 _UNIQUE_JOIN = """
@@ -182,11 +183,18 @@ def q18_large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures raw shuffle + hash-agg throughput. AQE coalesces the
     post-agg partitions (the HAVING kills ~99% of groups)."""
     t = tables(spark, sf_dir)
+    # r14: the full-fact aggregation sums exact integer centi-units
+    # (LONG) instead of decimal(38,2) — per-row BigDecimal boxing was
+    # ~half the agg stage (guide §1.2 per-task work; cents contract in
+    # operators/_util.py). Per-order row counts are schema-bounded
+    # (lineitems per order), so the long cannot overflow at any scale;
+    # the HAVING compares exact integers (250 ≡ 25000 centi-units) and
+    # the exposed double is the identical correctly-rounded value.
     big = (
         t.lineitem.groupBy("l_orderkey")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,2)")).alias("qty_dec"))
-        .filter(F.col("qty_dec") > 250)
-        .select("l_orderkey", F.col("qty_dec").cast("double").alias("total_qty"))
+        .agg(F.sum(cents("l_quantity")).alias("q2"))
+        .filter(F.col("q2") > 25000)
+        .select("l_orderkey", units_double("q2", 2).alias("total_qty"))
     )
     return (
         big.join(t.orders, F.col("o_orderkey") == F.col("l_orderkey"))

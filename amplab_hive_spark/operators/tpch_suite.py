@@ -475,8 +475,62 @@ LIMIT 100
 @register("q21_suppliers_kept_waiting", tags=("semi", "anti", "self-join"), bench=True, oracle=_Q21)
 def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 (adapted: late = shipped after order date; no
-    receipt/commit dates in this schema): the hardest subquery shape
-    — EXISTS and NOT EXISTS self-joins on the same fact table, the
-    anti branch correlated on a column from a *different* outer
-    table (o_orderdate)."""
-    return _sql(spark, sf_dir, _Q21)
+    receipt/commit dates in this schema).
+
+    r14 optimization (guide §2.4 remove shuffles outright): the
+    EXISTS/NOT EXISTS self-join form shuffled (or broadcast) the fact
+    table THREE times — l1⋈l2 semi, l1⋈l3 anti, l1⋈orders; at sf0.1
+    the planner even built two 600k-row broadcast hash relations of
+    lineitem. The equivalent per-order aggregation shuffles lineitem
+    ONCE: join orders(F) on orderkey, then aggregate per
+    (orderkey, suppkey) and per orderkey — both ride the same hash
+    partitioning (subset-key clustering), zero extra exchanges.
+
+    Equivalence (pinned by the unchanged DuckDB EXISTS-form oracle):
+    a qualifying l1 row is a LATE line (shipdate > orderdate, order
+    status F) of supplier s in order o such that (i) some other
+    supplier has a line in o (EXISTS l2 ⇔ distinct suppliers > 1) and
+    (ii) no other supplier is late in o (NOT EXISTS l3 ⇔ s is the
+    ONLY late supplier). So: per order, if exactly one supplier is
+    late and the order has >1 distinct suppliers, that supplier's
+    late-line count is the order's contribution to numwait."""
+    t = tables(spark, sf_dir)
+    li = t.lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+    ord_f = t.orders.filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (F.col("l_shipdate") > F.col("o_orderdate")).cast("int")
+    # ONE explicit hash shuffle on l_orderkey: partitioning by the
+    # subset key satisfies the clustering of BOTH grouping levels
+    # ((orderkey, suppkey) then (orderkey)), so neither aggregation
+    # plans its own exchange (guide §2.4 "two operations keyed the
+    # same way can share one exchange").
+    per_supp = (
+        li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .repartition("l_orderkey")
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("any_late"), F.sum(late).alias("n_late"))
+    )
+    per_order = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("td"),  # distinct suppliers in order
+            F.sum("any_late").alias("ld"),  # distinct LATE suppliers
+            F.max(F.when(F.col("any_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+            F.sum("n_late").alias("n_late_lines"),
+        )
+    )
+    waiting = per_order.filter((F.col("ld") == 1) & (F.col("td") > 1))
+    sup = (
+        t.supplier.join(
+            F.broadcast(t.nation.filter(F.col("n_name") == "NATION_4")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(sup, F.col("late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("n_late_lines").cast("bigint").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -100,13 +100,21 @@ def test_q8_star_join_broadcasts_all_dimensions(spark, sf_dir):
     assert final.count("Exchange hashpartitioning") <= 1
 
 
-def test_q21_semi_anti_no_cartesian(spark, sf_dir):
-    """EXISTS + NOT EXISTS self-joins must compile to semi/anti
-    joins, never a cartesian — the correlated predicates ride the
-    join condition."""
+def test_q21_single_fact_pass_no_cartesian(spark, sf_dir):
+    """r14: the EXISTS/NOT EXISTS form was rewritten into per-order
+    aggregation (see q21's docstring) — lineitem must be scanned
+    ONCE, never broadcast as a join build side, and the two grouping
+    levels (orderkey+suppkey, then orderkey) must share one hash
+    partitioning (subset-key clustering ⇒ no extra exchange). The
+    EXISTS semantics themselves stay pinned by the unchanged DuckDB
+    oracle (tests/test_oracle_parity.py) and by join_left_semi /
+    join_left_anti for the operator coverage."""
     plan = plan_of(spark, sf_dir, "q21_suppliers_kept_waiting")
-    assert "LeftSemi" in plan and "LeftAnti" in plan
-    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert "CartesianProduct" not in final
+    assert final.count("lineitem.parquet") == 1, "lineitem scanned exactly once"
+    assert final.count("Exchange hashpartitioning") <= 2, \
+        "one fact shuffle (+ tiny post-agg exchanges at most)"
 
 
 def test_q13_outer_join_preserved(spark, sf_dir):
