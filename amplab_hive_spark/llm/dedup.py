@@ -1167,7 +1167,7 @@ def semantic_dedup_stats(embeddings: DataFrame,
     embeddings ride the cid shuffle once per side; nothing leaves
     the JVM."""
     from amplab_hive_spark.llm._cache import cache_slot
-    from amplab_hive_spark.llm.similarity import build_ivf_index, cosine
+    from amplab_hive_spark.llm.similarity import _dot, _norm, build_ivf_index
 
     _, assigned = build_ivf_index(embeddings)
     # the assignment feeds three branches (both pair sides + member
@@ -1175,15 +1175,21 @@ def semantic_dedup_stats(embeddings: DataFrame,
     # branch and the plan blows up into hundreds of duplicated
     # centroid-broadcast subtrees
     assigned = cache_slot("semdedup_assigned", assigned)
+    # r14: norms once per member row instead of twice per within-cell
+    # pair (pairs grow ~quadratically in cell size while rows don't);
+    # dot/(na·nb) is the identical fold tree — bit-identical cosines.
     a = assigned.select("cid", F.col("vec_id").alias("va"),
-                        F.col("embedding").alias("ea"))
+                        F.col("embedding").alias("ea"),
+                        _norm(F.col("embedding")).alias("na"))
     b = assigned.select("cid", F.col("vec_id").alias("vb"),
-                        F.col("embedding").alias("eb"))
+                        F.col("embedding").alias("eb"),
+                        _norm(F.col("embedding")).alias("nb"))
     pairs = (
         a.join(b, "cid")
         .filter(F.col("va") < F.col("vb"))
         .select("cid", "va", "vb",
-                F.round(cosine(F.col("ea"), F.col("eb")), 6).alias("c"))
+                F.round(_dot(F.col("ea"), F.col("eb"))
+                        / (F.col("na") * F.col("nb")), 6).alias("c"))
         .filter(F.col("c") >= threshold)
     )
     members = assigned.groupBy("cid").agg(F.count(F.lit(1)).alias("n_members"))

@@ -194,10 +194,18 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     from pyspark.sql import Window
 
+    # r14: each side's norm computed ONCE per vector row (carried
+    # through the band explode) instead of twice per candidate pair;
+    # cos_sim moves BEFORE the candidate-dedup exchange so the
+    # distinct shuffles (qid, vec_id, cos_sim) scalars instead of two
+    # 64-float arrays (guide §2.3 project before the exchange).
+    # dot/(qn·cn) is the identical fold tree, so every double — and
+    # the dedup over equal rows — is bit-identical to the old plan.
     base = t.embeddings
     emb = base.select(
         "vec_id",
         "embedding",
+        _norm(F.col("embedding")).alias("cn"),
         F.explode(
             F.array(
                 *[
@@ -209,10 +217,11 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("tb"),
-    ).select("vec_id", "embedding", "tb.tbl", "tb.bucket")
+    ).select("vec_id", "embedding", "cn", "tb.tbl", "tb.bucket")
     probes = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("cn").alias("qn"),
         "tbl",
         F.explode(
             F.array(
@@ -224,13 +233,14 @@ def sim_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         emb.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("vec_id") != F.col("qid"))
-        .select("qid", "vec_id", "qv", "embedding")
-        .distinct()
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
+        .distinct()
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
@@ -328,8 +338,19 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     ~2³⁸ rows per cell — iteration count doesn't change the bound."""
     from pyspark.sql import Window
 
-    quant = embeddings.select(
-        "vec_id", "embedding", _quantized(F.col("embedding")).alias("q")
+    from amplab_hive_spark.catalog import fan_out
+    from amplab_hive_spark.llm._cache import cache_slot
+
+    # r14: the quantized corpus feeds every Lloyd round AND the final
+    # assignment (_IVF_LLOYD_ITERS + 1 consumers) — cache it once in a
+    # bounded slot instead of re-scanning + re-quantizing per round,
+    # and fan the scan out first (min_bytes=0: the per-row argmin fold
+    # is O(K·dims), unconditionally ≫ one shuffle of the row).
+    quant = cache_slot(
+        "ivf_quant",
+        fan_out(embeddings, min_bytes=0).select(
+            "vec_id", "embedding", _quantized(F.col("embedding")).alias("q")
+        ),
     )
     # Deterministic seeds: the K lowest vec_ids, as 1-member cells.
     seeds = (
@@ -343,63 +364,72 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     )
 
     def assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
-        w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+        # r14 (guide §2.4 remove shuffles outright): the argmin over K
+        # centroids used to be a crossJoin row per (vector, centroid)
+        # reduced by a row_number window — a full shuffle + sort of
+        # K× array-carrying rows PER LLOYD ITERATION. The K centroids
+        # are collected into ONE broadcast array row instead and the
+        # argmin runs inside the vector's own row (fold over the
+        # cid-sorted centroid array, strict < keeps the earliest cid
+        # on ties — exactly the window's (dist, cid) order). Zero
+        # exchanges per assignment; distances are the identical
+        # _ivf_dist doubles, so assignments are bit-identical.
+        cents_arr = cents.select(
+            F.struct("cid", "s", "n").alias("c")
+        ).agg(F.sort_array(F.collect_list("c")).alias("cs"))
+        scored = F.transform(
+            F.col("cs"),
+            lambda c: F.struct(
+                _ivf_dist(F.col("q"), c["s"], c["n"]).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        best = F.aggregate(
+            scored,
+            F.struct(
+                F.lit(float("inf")).alias("dist"),
+                F.lit(None).cast("int").alias("cid"),
+            ),
+            lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+        )
         return (
-            vecs.crossJoin(F.broadcast(cents))
-            .select(
-                "vec_id",
-                "embedding",
-                "q",
-                "cid",
-                _ivf_dist(F.col("q"), F.col("s"), F.col("n")).alias("dist"),
-            )
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "q", "cid")
+            vecs.crossJoin(F.broadcast(cents_arr))
+            .select("vec_id", "embedding", "q", best["cid"].alias("cid"))
         )
 
     def lloyd(members: DataFrame) -> DataFrame:
         # ORDER-FREE integer sums: explode to (cid, dim, value), sum
         # per (cid, dim) — commutative — then reassemble sorted by dim.
+        # r14: the member count rides the same aggregation — per
+        # (cid, pos) every member contributes exactly one value (all
+        # q arrays share the dim count), so COUNT per (cid, pos) IS
+        # the cell's member count and the separate counts groupBy +
+        # join are gone (guide §2.4: one exchange fewer per round).
         sums = (
             members.select("cid", F.posexplode("q").alias("pos", "val"))
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s_d"))
+            .agg(F.sum("val").alias("s_d"), F.count(F.lit(1)).alias("n_d"))
             .groupBy("cid")
             .agg(
                 F.transform(
                     F.sort_array(F.collect_list(F.struct("pos", "s_d"))),
                     lambda kv: kv["s_d"],
-                ).alias("s")
+                ).alias("s"),
+                F.max("n_d").alias("n"),
             )
         )
-        counts = members.groupBy("cid").agg(F.count(F.lit(1)).alias("n"))
-        # 16 rows per round — persist so each refinement materializes
-        # ONCE even though the next assignment and (for the final
-        # round) the caller's probe ranking both reference it
-        # (without this every consumer rebuilds the whole chain:
-        # measured 2.21s → 1.63s at sf0.1 for the 1-iteration build).
-        return sums.join(counts, "cid").persist()
+        return sums
 
-    # Only the FINAL centroid table must stay cached (the caller's
-    # probe ranking references it); each intermediate round is dead
-    # once the next round materializes, so unpersist it then — without
-    # this every build leaked one cached frame per non-final round
-    # for the session lifetime.
+    # r14: intermediate rounds now have exactly ONE consumer each (the
+    # next round's broadcast centroid array), so the per-round
+    # persist + count barriers — three extra jobs and their cache
+    # churn — are gone; the whole refinement chains lazily into one
+    # DAG whose nested broadcast stages AQE materializes bottom-up.
+    # Only the FINAL centroid table is cached (bounded slot): the
+    # caller's probe ranking AND the final assignment both read it.
     cents = seeds
-    prev = None
     for _ in range(_IVF_LLOYD_ITERS):
         cents = lloyd(assign(quant, cents))
-        cents.count()  # materialize before dropping the previous cache
-        if prev is not None:
-            prev.unpersist()
-        prev = cents
-    # the FINAL table goes into a bounded slot: the caller's probe
-    # ranking references it for this call, and the slot unpersists
-    # the PREVIOUS call's final table (lloyd already persisted cents,
-    # so the slot's persist is a no-op re-mark).
-    from amplab_hive_spark.llm._cache import cache_slot
-
     cents = cache_slot("ivf_cents", cents)
     assigned = assign(quant, cents)
     return cents, assigned
@@ -526,6 +556,11 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("embedding").alias("qv")
     )
     wq = Window.partitionBy("qid").orderBy("dist", "cid")
+    # r14: query norm rides the probe list (once per (qid, cid)) and
+    # the corpus norm is projected once per assigned row before the
+    # join — the exact rerank then runs ONE dot fold per candidate
+    # instead of re-deriving both norms per pair. dot/(qn·cn) is the
+    # identical expression tree, so cos_sim is bit-identical.
     probe_lists = (
         queries.crossJoin(F.broadcast(centroids))
         .select(
@@ -534,16 +569,19 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rn", F.row_number().over(wq))
         .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("qid", "qv", "cid")
+        .select("qid", "qv", _norm(F.col("qv")).alias("qn"), "cid")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
-        assigned.join(F.broadcast(probe_lists), "cid")
+        assigned.select("cid", "vec_id", "embedding", _norm(F.col("embedding")).alias("cn"))
+        .join(F.broadcast(probe_lists), "cid")
         .filter(F.col("vec_id") != F.col("qid"))
         .select(
             "qid",
             "vec_id",
-            F.round(cosine(F.col("qv"), F.col("embedding")), 6).alias("cos_sim"),
+            F.round(
+                _dot(F.col("qv"), F.col("embedding")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 10)
@@ -714,10 +752,23 @@ def sim_embedding_neardup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted corpus (_neardup_corpus) so the subset property holds on
     the graded pair."""
     t = tables(spark, sf_dir)
-    corpus = _neardup_corpus(t.embeddings)
+    # r14: norms are computed once per corpus row BEFORE the nested-
+    # loop join instead of per evaluated pair — the threshold filter is
+    # pushed into the join condition (and re-evaluated in the
+    # projection), so the old form paid up to six interpreted folds per
+    # N² pair; this one pays one dot fold. dot/(na·nb) is the identical
+    # fold tree, so cos_sim stays bit-identical. Measured 15.4 s →
+    # ~2 s at sf0.01; still deliberately O(N²) — the yardstick's point.
+    corpus = _neardup_corpus(t.embeddings).withColumn(
+        "nrm", _norm(F.col("embedding"))
+    )
     a = corpus.alias("a")
     b = corpus.alias("b")
-    sim = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    sim = F.round(
+        _dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.nrm") * F.col("b.nrm")),
+        6,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -80,14 +80,19 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     C4/Gopher-style rule family. Higher-order array functions keep
     the token scan JVM-side; the rollup exchanges 5 rows."""
     t = tables(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
-    stop_ratio = (
-        F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS))).cast("double") / F.size(toks)
-    )
+    # r14: tokenize ONCE in its own projection — the inline form split
+    # the text three times per row (size ×2 + filter input; multi-
+    # referenced non-trivial aliases stay in their own Project, so the
+    # split is evaluated once per document)
     scored = t.documents.select(
+        "lang", F.split(F.col("text"), " ").alias("toks")
+    ).select(
         "lang",
-        F.size(toks).alias("n_tokens"),
-        stop_ratio.alias("stop_ratio"),
+        F.size("toks").alias("n_tokens"),
+        (
+            F.size(F.filter(F.col("toks"), lambda w: w.isin(*STOPWORDS))).cast("double")
+            / F.size("toks")
+        ).alias("stop_ratio"),
     )
     return (
         scored.groupBy("lang")

@@ -48,20 +48,38 @@ def matchpath(
     pattern: regex over symbol characters (e.g. ``"UU+D*"``).
     emit(frame, start, end) → dict for one match (non-overlapping,
     leftmost-longest like the reference's MatchPath.java).
+
+    r14 optimization (guide §4.1/§4.5 — batch the Python boundary):
+    the original ``groupBy().applyInPandas`` paid one Arrow
+    round-trip + pandas-frame construction PER GROUP (~5-8 ms each:
+    1.5k customer groups ≈ 12 s at sf0.01 for microseconds of actual
+    matching).
+    Now ONE hash shuffle on the partition key + a partition-level
+    sort feeds ``mapInPandas``, and groups are iterated INSIDE the
+    Python worker; a group straddling two Arrow batches is stitched
+    by carrying the trailing (possibly incomplete) group into the
+    next batch. Same single-exchange plan (test_matchpath_single_
+    shuffle), same per-group matching semantics and memory contract.
     """
     for name in symbols:
         if len(name) != 1:
             raise ValueError(f"symbol names must be single characters: {name!r}")
     compiled = re.compile(pattern)
+    pcols = list(partition_by)
+    ocols = list(order_by)
+    cols = [f.name for f in result_schema.fields]
 
-    def match_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(list(order_by), kind="mergesort").reset_index(drop=True)
-        chars = pd.Series(["?"] * len(pdf))
+    def match_group(pdf: pd.DataFrame, out: list) -> None:
+        # rows arrive already ordered by (partition_by, order_by);
+        # symbol chars built in numpy (a pandas Series + boolean-mask
+        # assignment per symbol measured ~4× slower on small groups)
+        import numpy as np
+
+        chars = np.full(len(pdf), "?", dtype="<U1")
         for ch, pred in symbols.items():
-            mask = pred(pdf).fillna(False).astype(bool)
+            mask = pred(pdf).fillna(False).astype(bool).to_numpy()
             chars[mask] = ch
         s = "".join(chars)
-        out = []
         pos = 0
         while pos < len(s):
             m = compiled.search(s, pos)
@@ -76,12 +94,58 @@ def matchpath(
                 continue
             out.append(emit(pdf, m.start(), m.end()))
             pos = m.end()
-        cols = [f.name for f in result_schema.fields]
+
+    def match_frame(pdf: pd.DataFrame) -> pd.DataFrame:
+        # groups are CONTIGUOUS after the partition sort, so slice at
+        # key-change boundaries instead of hash-groupby iteration
+        # (pandas groupby materialization measured ~4× slower); null
+        # keys compare equal to each other, like Spark's groupBy.
+        import numpy as np
+
+        out: list = []
+        pdf = pdf.reset_index(drop=True)
+        if len(pdf) > 1:
+            neq = np.zeros(len(pdf) - 1, dtype=bool)
+            for c in pcols:
+                cur = pdf[c].iloc[1:].reset_index(drop=True)
+                prev = pdf[c].iloc[:-1].reset_index(drop=True)
+                neq |= (~(cur.eq(prev) | (cur.isna() & prev.isna()))).to_numpy()
+            bounds = np.flatnonzero(np.r_[True, neq, True])
+        else:
+            bounds = np.array([0, len(pdf)])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            match_group(pdf.iloc[s:e].reset_index(drop=True), out)
         return pd.DataFrame(out, columns=cols) if out else pd.DataFrame(
             {c: pd.Series(dtype="object") for c in cols}
         )
 
-    return df.groupBy(*partition_by).applyInPandas(match_group, schema=result_schema)
+    def stream(batches):
+        carry = None
+        for pdf in batches:
+            if carry is not None and len(carry):
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            if not len(pdf):
+                carry = None
+                continue
+            # groups are contiguous after the partition sort: hold back
+            # the trailing run of rows sharing the last row's key — it
+            # may continue in the next Arrow batch
+            last = pdf.iloc[-1]
+            is_last = pd.Series(True, index=pdf.index)
+            for c in pcols:
+                is_last &= pdf[c].eq(last[c]) | (pdf[c].isna() & pd.isna(last[c]))
+            tail_len = int(is_last.iloc[::-1].astype(int).cumprod().sum())
+            head, carry = pdf.iloc[: len(pdf) - tail_len], pdf.iloc[len(pdf) - tail_len:]
+            if len(head):
+                yield match_frame(head)
+        if carry is not None and len(carry):
+            yield match_frame(carry)
+
+    return (
+        df.repartition(*pcols)
+        .sortWithinPartitions(*(pcols + ocols))
+        .mapInPandas(stream, schema=result_schema)
+    )
 
 
 _RUNS_ORACLE = """
