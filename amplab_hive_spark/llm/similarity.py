@@ -972,19 +972,38 @@ def _pq_encode(vec_sub, codebook, carry=("vec_id",), keep_sq=False):
     code. The single Spark twin of the oracle's `pq_assign`/`encoded`
     CTEs — shared by codebook training (keep_sq=True feeds the Lloyd
     stats), flat-PQ encoding, and IVFPQ encoding, so a tie-break or
-    distance tweak lands in all three or none."""
-    from pyspark.sql import Window
+    distance tweak lands in all three or none.
 
-    w = Window.partitionBy("vec_id", "j").orderBy("dist", "code")
+    r14 (guide §2.4, same move as build_ivf_index's assign): the
+    argmin used to be one joined row per (vector, subspace, codeword)
+    reduced by a row_number window — a shuffle + sort of the whole
+    fan-out. The per-subspace codewords now collect into ONE
+    broadcast row each and the argmin folds inside the subvector's
+    own row (strict < over the code-sorted array = the window's
+    (dist, code) order; _pq_dist_int untouched — exact BIGINT), so
+    encoding costs ZERO exchanges."""
+    cb_by_j = codebook.groupBy("j").agg(
+        F.sort_array(F.collect_list(F.struct("code", "cb"))).alias("cbs")
+    )
+    best = F.aggregate(
+        F.transform(
+            F.col("cbs"),
+            lambda c: F.struct(
+                _pq_dist_int(F.col("sq"), c["cb"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        ),
+        F.struct(
+            F.lit((1 << 63) - 1).cast("bigint").alias("dist"),
+            F.lit(None).cast("int").alias("code"),
+        ),
+        lambda acc, x: F.when(x["dist"] < acc["dist"], x).otherwise(acc),
+    )
     keep = [*carry, "j", "code"] + (["sq"] if keep_sq else [])
     return (
-        vec_sub.join(F.broadcast(codebook), "j")
-        .select(
-            *carry, "j", "code", *(["sq"] if keep_sq else []),
-            _pq_dist_int(F.col("sq"), F.col("cb")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        vec_sub.join(F.broadcast(cb_by_j), "j")
+        .select(*carry, "j", best["code"].alias("code"),
+                *(["sq"] if keep_sq else []))
         .select(*keep)
     )
 

@@ -93,6 +93,46 @@ def cpu_calibration() -> float:
     return round(best, 4)
 
 
+def _calib_work(_arg) -> None:
+    """One fixed sha256 unit (same 192 MiB as cpu_calibration) — a
+    module-level function so the multiprocessing pool can pickle it."""
+    import hashlib
+
+    block = b"\x5a" * 65536
+    h = hashlib.sha256()
+    for _ in range(3072):
+        h.update(block)
+    h.digest()
+
+
+def cpu_calibration_parallel() -> float:
+    """All-cores companion to :func:`cpu_calibration` (r14): the same
+    fixed sha256 workload run concurrently on every core, one PROCESS
+    per core, reported as the wall-clock for all to finish (min-of-3
+    on a warm pool). Processes, not threads: the threaded variant was
+    measured collapsing to ~1.5 effective cores from GIL convoy at
+    16+ threads — it benchmarked CPython's lock, not the host. The
+    single-core number cannot see turbo/steal under PARALLEL load —
+    exactly the regime the 32-thread JVM bench runs in (r13 verdict:
+    the 1-core yardstick explained only ~8 of 19 points of
+    round-boundary drift). Quiet host ⇒ close to the 1-core time;
+    contended or turbo-limited host ⇒ proportionally higher."""
+    import multiprocessing as mp
+
+    n = os.cpu_count() or 1
+    best = float("inf")
+    try:
+        with mp.Pool(n) as pool:
+            pool.map(_calib_work, range(n))  # warm the pool
+            for _ in range(3):
+                t0 = time.perf_counter()
+                pool.map(_calib_work, range(n))
+                best = min(best, time.perf_counter() - t0)
+    except Exception:
+        return -1.0  # sandbox without fork/semaphores: record "absent"
+    return round(best, 4)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -144,6 +184,10 @@ def main() -> None:
         # compare across rounds to separate engine changes from host
         # speed changes that loadavg cannot see
         "cpu_calib_sec": cpu_calibration(),
+        # r14: all-cores companion — sees turbo/steal under parallel
+        # load, the regime the bench actually runs in (cpu_calibration
+        # docstring has the attribution rationale)
+        "cpu_calib_par_sec": cpu_calibration_parallel(),
     }
     # Machine-readable host-state verdict (VERDICT r11 task 6): the r9
     # and r11 driver numbers both whipsawed double-digit percentages on
