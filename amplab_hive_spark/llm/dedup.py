@@ -294,7 +294,14 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
     )
 
     def gen(batches):
+        md5 = hashlib.md5
         for pdf in batches:
+            # r14: per-BATCH memo of shingle→base-hash. Near-duplicate
+            # docs share most shingles, so the md5 bridge (the
+            # dominant cost of this stage, ~1 µs/shingle) is paid once
+            # per distinct shingle per batch; per-batch scope bounds
+            # the dict by batch size, not task input size.
+            memo: dict = {}
             ids, sigs = [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 if text is None:
@@ -303,19 +310,22 @@ def minhash_signatures_arrow(docs: DataFrame) -> DataFrame:
                     # path must drop too, not AttributeError.
                     continue
                 toks = text.lower().split(" ")
-                shingles = list({"\x01".join(toks[i : i + _SHINGLE_WIDTH])
-                                 for i in range(len(toks) - _SHINGLE_WIDTH + 1)})
+                shingles = {"\x01".join(toks[i : i + _SHINGLE_WIDTH])
+                            for i in range(len(toks) - _SHINGLE_WIDTH + 1)}
                 if not shingles:
                     # Doc shorter than the shingle width: no signature
                     # (an empty min-reduction would error, and a
                     # sentinel sig would bucket all short docs together
                     # as false candidates).
                     continue
-                h = np.array(
-                    [int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
-                     for s in shingles],
-                    dtype=np.uint64,
-                )
+                vals = []
+                for s in shingles:
+                    v = memo.get(s)
+                    if v is None:
+                        v = int(md5(s.encode("utf-8")).hexdigest()[:15], 16)
+                        memo[s] = v
+                    vals.append(v)
+                h = np.array(vals, dtype=np.uint64)
                 perms = (a_arr * h + b_arr) & np.uint64(_MASK64)  # k × n
                 ids.append(doc_id)
                 sigs.append(perms.min(axis=1).astype(np.int64).tolist())
@@ -527,7 +537,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = tables(spark, sf_dir)
     from amplab_hive_spark.catalog import fan_out
 
-    sigs = minhash_signatures_arrow(fan_out(t.documents))
+    # min_bytes=0: per-row work is O(shingles)·~1 µs of md5 — always
+    # ≫ one shuffle of the row (same justification as the cosine probes)
+    sigs = minhash_signatures_arrow(fan_out(t.documents, min_bytes=0))
     bands = _explode_bands(sigs)
     # Candidate generation: group each bucket and pair its members —
     # NOT a self-join. A self-join re-evaluates the whole signature
@@ -709,7 +721,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on every engine (same contract as minhash_signatures_arrow).
     from amplab_hive_spark.catalog import fan_out
 
-    packed = simhash_signatures_arrow(fan_out(t.documents))
+    packed = simhash_signatures_arrow(fan_out(t.documents, min_bytes=0))
     chunks = packed.select(
         "doc_id",
         "sig64",
