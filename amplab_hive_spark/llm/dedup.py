@@ -519,23 +519,26 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       pair-dedup exchange, so the distinct shuffles three scalar
       columns instead of two 16-long signature arrays per pair
       (guide §2.3 "project before the exchange").
-    * exact-verify shingles are computed AFTER the est⋈documents
-      joins, so only the ~2 × |candidate pairs| matched rows pay the
-      shingle expression — the old plan shingled the ENTIRE corpus
-      twice (once per join side, measured ~2 × 1.7 s of the query's
-      3 s at sf0.1). A doc appearing in k pairs is shingled k times;
-      k is bounded by {_LSH_BANDS} × bucket-cap and candidate sets
-      are << corpus by LSH design, so pair-side evaluation is
-      strictly cheaper than corpus-side at any scale.
-    * the pipeline is now one linear DAG (sigs feed only the band
-      explode; est feeds only the verify join), so the persist()
-      barrier — and its cache churn — is gone.
+    * exact-verify shingles are computed ONCE PER CANDIDATE DOC: the
+      distinct pair members semi-prune the documents scan (broadcast
+      ids), the pruned docs shingle in a fanned-out pass, and the
+      result persists in a bounded slot consumed by both join sides.
+      The r13 plan shingled the ENTIRE corpus twice (once per join
+      side, 2 × 1.7 s of the query's 3 s at sf0.1); a first r14 cut
+      shingled per PAIR SIDE instead, which the 10× dispersion run
+      exposed as quadratic-ish on dup-heavy corpora (every doc had
+      ~10 near-twins ⇒ |pairs| ≈ 5·|docs| ⇒ 52× at 10× volume —
+      experiments/scale10x_r14_opt.json records the regression and
+      the fix). Shingle work is now min(|candidate docs|, corpus),
+      the right bound on BOTH dup-poor and dup-heavy data.
     * the documents scan fans out via catalog.fan_out before the
-      Arrow signature pass (guide §2.5 input skew: a single-row-group
-      parquet file caps the Python stage at one worker; no-op when
-      the scan is already parallel or tiny)."""
+      Arrow signature pass and before the candidate shingle pass
+      (guide §2.5 input skew: a single-row-group parquet file caps
+      those stages at one worker; no-op when the scan is already
+      parallel or tiny)."""
     t = tables(spark, sf_dir)
     from amplab_hive_spark.catalog import fan_out
+    from amplab_hive_spark.llm._cache import cache_slot
 
     # min_bytes=0: per-row work is O(shingles)·~1 µs of md5 — always
     # ≫ one shuffle of the row (same justification as the cosine probes)
@@ -580,21 +583,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Exact verification: join text first, shingle only matched rows.
-    # (est_jaccard is a pure function of the pair, so the distinct
-    # over (doc_a, doc_b, est_jaccard) dedupes exactly like the old
-    # distinct over the pair + signatures.)
-    va = t.documents.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
-    vb = t.documents.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
-    # shingle sets are materialized in their own projections (used
-    # twice below — intersect AND union; CollapseProject keeps a
-    # multi-referenced non-trivial alias in its own Project, so each
-    # pair shingles each side exactly once)
+    # est feeds three consumers (the pair-id prune + both verify
+    # sides): a bounded slot keeps the signature/bucket chain from
+    # re-executing per consumer. est_jaccard is a pure function of
+    # the pair, so the distinct over (doc_a, doc_b, est_jaccard)
+    # dedupes exactly like the old distinct over pair + signatures.
+    est = cache_slot("minhash_est", est)
+    # Candidate shingle table: semi-prune the corpus to docs that
+    # appear in some pair (broadcast of the id list — result-bounded,
+    # the same assumption the est broadcast in the verify join makes),
+    # shingle each such doc ONCE in a fanned-out pass, persist in a
+    # bounded slot read by both join sides.
+    pair_ids = (
+        est.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    cand_sh = cache_slot(
+        "minhash_cand_shingles",
+        fan_out(
+            t.documents.join(F.broadcast(pair_ids), "doc_id", "semi"), min_bytes=0
+        ).select("doc_id", _shingles().alias("sh")),
+    )
+    va = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    vb = cand_sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return (
         est.join(va, "doc_a")
-        .select("doc_a", "doc_b", "est_jaccard", _shingles("text_a").alias("sh_a"))
         .join(vb, "doc_b")
-        .select("doc_a", "doc_b", "est_jaccard", "sh_a", _shingles("text_b").alias("sh_b"))
         .select(
             "doc_a",
             "doc_b",
