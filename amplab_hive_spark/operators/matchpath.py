@@ -119,27 +119,51 @@ def matchpath(
             {c: pd.Series(dtype="object") for c in cols}
         )
 
+    def _key_match(pdf: pd.DataFrame, row) -> pd.Series:
+        # null keys compare equal, like Spark's groupBy / match_frame
+        m = pd.Series(True, index=pdf.index)
+        for c in pcols:
+            m &= pdf[c].eq(row[c]) | (pdf[c].isna() & pd.isna(row[c]))
+        return m
+
     def stream(batches):
-        carry = None
+        # carry = PIECES of the trailing (possibly incomplete) group,
+        # concatenated ONCE at the group boundary. The r14 version
+        # re-concatenated the accumulated carry onto every subsequent
+        # batch, so one group spanning many batches copied the growing
+        # frame once per batch — O(G²/B) for a giant group (ADVICE
+        # r14); a piece list makes it O(G).
+        carry: list = []
         for pdf in batches:
-            if carry is not None and len(carry):
-                pdf = pd.concat([carry, pdf], ignore_index=True)
             if not len(pdf):
-                carry = None
                 continue
+            if carry:
+                # leading run of rows continuing the carried group's key
+                lead = _key_match(pdf, carry[-1].iloc[-1])
+                lead_len = int(lead.astype(int).cumprod().sum())
+                if lead_len == len(pdf):
+                    carry.append(pdf)
+                    continue
+                if lead_len:
+                    carry.append(pdf.iloc[:lead_len])
+                    pdf = pdf.iloc[lead_len:]
+                yield match_frame(
+                    pd.concat(carry, ignore_index=True) if len(carry) > 1 else carry[0]
+                )
+                carry = []
             # groups are contiguous after the partition sort: hold back
             # the trailing run of rows sharing the last row's key — it
             # may continue in the next Arrow batch
-            last = pdf.iloc[-1]
-            is_last = pd.Series(True, index=pdf.index)
-            for c in pcols:
-                is_last &= pdf[c].eq(last[c]) | (pdf[c].isna() & pd.isna(last[c]))
+            is_last = _key_match(pdf, pdf.iloc[-1])
             tail_len = int(is_last.iloc[::-1].astype(int).cumprod().sum())
-            head, carry = pdf.iloc[: len(pdf) - tail_len], pdf.iloc[len(pdf) - tail_len:]
+            head = pdf.iloc[: len(pdf) - tail_len]
+            carry = [pdf.iloc[len(pdf) - tail_len:]]
             if len(head):
                 yield match_frame(head)
-        if carry is not None and len(carry):
-            yield match_frame(carry)
+        if carry:
+            yield match_frame(
+                pd.concat(carry, ignore_index=True) if len(carry) > 1 else carry[0]
+            )
 
     return (
         df.repartition(*pcols)

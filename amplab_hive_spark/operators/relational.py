@@ -74,10 +74,22 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row decimal(38,·) BigDecimal arithmetic, measured 2× the whole
     query at sf0.1. Because the total over ALL rows of a group can
     exceed a long at 100 TB, the sum is two-level: long partials per
-    (group, spark_partition_id) — a per-partition-complete map-side
-    aggregation, so the exchange carries ~6 rows per input partition —
-    then an exact decimal(38,0) sum of the partials. Bit-identical
-    output (pinned by tests/test_cents_money.py + the DuckDB oracle)."""
+    (group, spark_partition_id, key sub-bucket) — a per-partition-
+    complete map-side aggregation, so the exchange carries ~6×64 rows
+    per input partition — then an exact decimal(38,0) sum of the
+    partials. Bit-identical output (pinned by
+    tests/test_cents_money.py + the DuckDB oracle).
+
+    r15 (ADVICE r14): the partial key additionally sub-splits by
+    pmod(l_orderkey, 64). A long partial of e6 charge units wraps
+    silently past ~7e7 rows per partial group; with spark_partition_id
+    alone that bound was a scan-split-size comment in _util.py, not a
+    structural guarantee. The 64-way sub-bucket raises the wrap point
+    to ~4.5e9 rows (~1 TB of lineitem parquet) PER SCAN SPLIT — no
+    real deployment's split reaches it — at the cost of ≤ 6×64 extra
+    partial rows per partition in the tiny second exchange (measured:
+    no per-row cost difference; the hash key is wider but the group
+    count per task is still trivially cache-resident)."""
     t = tables(spark, sf_dir)
     p2, d2, t2, q2 = (cents(c) for c in
                       ("l_extendedprice", "l_discount", "l_tax", "l_quantity"))
@@ -88,8 +100,10 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             q2.alias("q2"), p2.alias("p2"), d2.alias("d2"),
             (p2 * (100 - d2)).alias("disc4"),
             (p2 * (100 - d2) * (100 + t2)).alias("charge6"),
+            F.pmod(F.col("l_orderkey"), F.lit(64)).alias("_sub"),
         )
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"))
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_pid"),
+                 "_sub")
         .agg(
             F.sum("q2").alias("sq"), F.sum("p2").alias("sp"),
             F.sum("disc4").alias("sd"), F.sum("charge6").alias("sc"),

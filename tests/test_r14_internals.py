@@ -72,13 +72,44 @@ def test_matchpath_group_straddling_arrow_batches(spark):
     assert (1, 0, 25) in got, "the straddling group must match as ONE run"
 
 
+def test_matchpath_group_boundary_on_batch_edge(spark):
+    """r15 carry-as-piece-list regression pin: a group ending EXACTLY
+    at an Arrow batch edge (sizes multiples of the 7-row batch) plus a
+    group spanning 3+ full batches — the carried pieces must be
+    concatenated once at the key change, and a boundary-aligned group
+    must not leak into or swallow its successor."""
+    rows = []
+    # group 1: exactly 14 rows (2 full batches), ascending (one match)
+    rows += [Row(g=1, i=i, x=float(i)) for i in range(14)]
+    # group 2: exactly 21 rows (3 full batches), ascending
+    rows += [Row(g=2, i=i, x=float(i)) for i in range(21)]
+    # group 3: 1 row (no match possible)
+    rows += [Row(g=3, i=0, x=0.0)]
+    expected = _runs(spark, rows)
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        got = _runs(spark, rows)
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expected
+    assert (1, 0, 14) in got and (2, 0, 21) in got
+
+
 def test_simhash_arrow_twin_bit_identical_to_jvm_fold(spark, sf_dir):
     """The Arrow signature path must reproduce the JVM double-fold's
     sig64 exactly, doc by doc, on the real corpus (the portable
     md5→60-bit bridge + integer votes admit no rounding, so any
     diff is a bug)."""
     t = tables(spark, sf_dir)
-    jvm = t.documents.select(
+    # Null-text docs are dropped by the Arrow path (no signature);
+    # the JVM fold would emit them with NULL sig64 — equivalent
+    # downstream (NULL sigs never join) but not dict-equal, so pin
+    # the SIGNATURE equivalence on non-null texts only (ADVICE r14).
+    jvm = t.documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.expr(
             "transform(array_distinct(split(lower(text), ' ')), "
