@@ -1552,6 +1552,17 @@ def auto_publish_mor_views(spark: SparkSession) -> list[str]:
         if newly and _temp_view_exists(spark, bare):
             continue  # a user temp view owns the name; leave it
         try:
+            # Corrupt-delta probe (r15): delta reads now carry an
+            # EXPLICIT schema (_delta_read), so read_mor no longer
+            # touches file footers at plan time and a corrupt delta
+            # would surface at first QUERY, not here. An auto pass
+            # must still skip such a table (r10 p3 contract), so force
+            # the footer read the old implicit inference used to do —
+            # once per server start, never on the hot write/read path.
+            probe_paths = [p for _, _, p in
+                           _scan_deltas(_delta_path(spark, bare))]
+            if probe_paths:
+                spark.read.parquet(*probe_paths).schema
             # same qualified-value rule as publish_mor_views: the bare
             # name just resolved (mor_keys above) in the CURRENT db
             _PUBLISHED.setdefault(bare, _qualify(spark, bare))

@@ -618,9 +618,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degrades gracefully to a shuffle semi-join when it doesn't —
     # the same adaptive behavior dedup_semantic's 10× run
     # demonstrated for its est-side joins.
-    pair_ids = (
-        est.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
-    )
+    # No .distinct(): a LEFT SEMI join dedupes its build side by
+    # construction, so the distinct's whole exchange + stage barrier
+    # bought nothing (r15, guide §2.4 "a distinct on data that is
+    # already unique" — here, on data about to be set-joined anyway).
+    pair_ids = est.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
     cand_sh = cache_slot(
         "minhash_cand_shingles",
         fan_out(

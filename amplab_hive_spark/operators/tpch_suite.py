@@ -504,12 +504,16 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     # subset key satisfies the clustering of BOTH grouping levels
     # ((orderkey, suppkey) then (orderkey)), so neither aggregation
     # plans its own exchange (guide §2.4 "two operations keyed the
-    # same way can share one exchange").
+    # same way can share one exchange"). The `late` flag is computed
+    # BEFORE that exchange (r15, guide §2.3 "project before the
+    # exchange"): the shuffle carries (orderkey, suppkey, late:int)
+    # instead of the two raw date columns it only needed to compare.
     per_supp = (
         li.join(ord_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
         .repartition("l_orderkey")
         .groupBy("l_orderkey", "l_suppkey")
-        .agg(F.max(late).alias("any_late"), F.sum(late).alias("n_late"))
+        .agg(F.max("late").alias("any_late"), F.sum("late").alias("n_late"))
     )
     per_order = (
         per_supp.groupBy("l_orderkey")

@@ -95,8 +95,11 @@ _PRIORITY: tuple[str, ...] = (
     # its oracle stays in the suite and the grouping family keeps
     # three slots — so fn_date_suite, the first never-driver-graded
     # fn_* scalar suite, gets a slot)
+    # (r15 rotation: fn_date_suite out after two green gradings — the
+    # fn_* scalar family keeps fn_string_suite below — so
+    # fn_math_suite, never driver-graded, gets the scalar slot)
     "agg_basic_suite", "rollup_pricing", "count_distinct_multi",
-    "fn_date_suite",
+    "fn_math_suite",
     # windows (r9 rotation: window_range_frame out — the frame suite
     # keeps full oracle coverage in tests — so the TEMPORAL AS-OF join
     # family, previously only suite-green, gets a driver-graded slot)
@@ -106,14 +109,22 @@ _PRIORITY: tuple[str, ...] = (
     # q7_nation_volume_shipping, a never-graded mid-pack TPC-H
     # multi-join with a disjunctive nation pair predicate, gets a
     # driver-graded slot)
-    "subquery_exists_correlated", "q7_nation_volume_shipping",
+    # (r15 rotation: q7 out after two green gradings — the TPC-H
+    # family keeps q1/q8/q9/q18/q21 plus q10 below — so
+    # q10_returned_items, the never-graded returned-item revenue
+    # report (4-table join + group-top), gets a slot)
+    "subquery_exists_correlated", "q10_returned_items",
     "cte_multilevel",
     # lateral views / UDTFs / complex types (r13 rotation:
     # json_extraction out — the lateral/UDTF family keeps
     # explode_word_counts and the json oracle stays in the suite — so
     # events_range_join, the never-graded interval-overlap temporal
     # join, gets a slot)
-    "explode_word_counts", "events_range_join",
+    # (r15 rotation: ngrams_top_bigrams rotates out of the Hive compat
+    # pack below after many green gradings — the pack keeps three
+    # slots — so lateral_view_outer, the never-graded OUTER-explode
+    # null-row semantic, gets the lateral family a second certificate)
+    "explode_word_counts", "events_range_join", "lateral_view_outer",
     # PTF matchpath
     "matchpath_price_runs",
     # SQL surface
@@ -129,8 +140,10 @@ _PRIORITY: tuple[str, ...] = (
     "q9_product_type_profit",
     # scalar function suites + decontamination flagship
     "fn_string_suite", "pipeline_decontaminate",
-    # Hive compat pack + macros + semantics deltas
-    "ngrams_top_bigrams", "field_function_priority",
+    # Hive compat pack + macros + semantics deltas (r15: ngrams out,
+    # slot given to lateral_view_outer above; the pack keeps three
+    # driver-graded entries and the ngrams oracle stays in the suite)
+    "field_function_priority",
     "macro_disc_price_revenue", "hive_semantics_arithmetic",
     # LLM: dedup family (r11 rotation: dedup_simhash out — its oracle
     # stays in the suite and the family keeps four slots — so the
@@ -158,8 +171,14 @@ _PRIORITY: tuple[str, ...] = (
     # swaps one graded approximate path for the never-graded IVF
     # routing path; lsh keeps its oracle + recall floor in the suite
     # and the family keeps bruteforce/ivfpq/neardup green)
+    # (r15 rotation: sim_ann_ivfpq out after three green gradings —
+    # the family keeps bruteforce/ivf/neardup and the ivfpq oracle +
+    # recall floor stay in the suite — so sim_ann_pq, the flat
+    # product-quantization path, gets a slot: _pq_encode was
+    # restructured in r14, so driver-grading the PQ path directly is
+    # doubly valuable)
     "sim_bruteforce_topk", "sim_ann_ivf",
-    "sim_ann_ivfpq", "sim_embedding_neardup",
+    "sim_ann_pq", "sim_embedding_neardup",
     # ACID merge-on-read lifecycle (r10 rotation: text_token_stats out
     # — its oracle stays in the suite and the text family keeps two
     # slots — so the round's headline feature, write -> merged read ->
@@ -178,8 +197,12 @@ _PRIORITY: tuple[str, ...] = (
     # previously only suite-green per piece, gets one driver-graded
     # end-to-end certificate)
     "streaming_upsert_cdc_lifecycle",
-    # event windows + cohort retention (r12: never driver-graded)
-    "events_sessionization", "events_retention_cohorts",
+    # event windows (r12: never driver-graded; r15 rotation:
+    # events_retention_cohorts out after three green gradings — the
+    # events family keeps asof/range/funnel/sessionization — so
+    # events_burst_detection, the never-graded sliding-window burst
+    # scorer, gets a slot)
+    "events_sessionization", "events_burst_detection",
 )
 
 
