@@ -435,6 +435,40 @@ def build_ivf_index(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
     return cents, assigned
 
 
+def _probe_lists(queries: DataFrame, centroids: DataFrame, *extra) -> DataFrame:
+    """(qid[, extra...], cid): each query's ``_IVF_NPROBE`` nearest
+    cell ids, in-row (r15 — the same one-broadcast-array-row pattern
+    build_ivf_index.assign uses for its argmin, extended to top-N).
+
+    The r14 form crossJoined Q×K (query, centroid) rows and reduced
+    them with a row_number window — an exchange + sort per search just
+    to rank K≈dozens of cells per query. Here the K centroids collect
+    into ONE broadcast row, each query scores them in-row, and
+    ``sort_array`` over struct(dist, cid) + ``slice`` yields exactly
+    the window's ORDER BY (dist, cid) top-``_IVF_NPROBE`` — ascending
+    lexicographic struct order IS that ordering, so the probed cell
+    set (ties included) is identical; the DuckDB probes CTE keeps the
+    window form as the cross-check. ``queries`` must carry qid and the
+    quantized vector as ``qq``; ``extra`` columns are carried through
+    (evaluated once per query, not once per probed cell)."""
+    cents_arr = centroids.select(F.struct("cid", "s", "n").alias("c")).agg(
+        F.sort_array(F.collect_list("c")).alias("cs")
+    )
+    scored = F.transform(
+        F.col("cs"),
+        lambda c: F.struct(
+            _ivf_dist(F.col("qq"), c["s"], c["n"]).alias("dist"),
+            c["cid"].alias("cid"),
+        ),
+    )
+    top_cids = F.transform(
+        F.slice(F.sort_array(scored), 1, _IVF_NPROBE), lambda x: x["cid"]
+    )
+    return queries.crossJoin(F.broadcast(cents_arr)).select(
+        "qid", *extra, F.explode(top_cids).alias("cid")
+    )
+
+
 # The IVF index build + query probing as one oracle CTE fragment
 # (quant → seeded assign → _IVF_LLOYD_ITERS Lloyd refinements →
 # final assignment `assign_final` → query `probes`), shared by the
@@ -555,21 +589,16 @@ def sim_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = assigned.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("q").alias("qq"), F.col("embedding").alias("qv")
     )
-    wq = Window.partitionBy("qid").orderBy("dist", "cid")
-    # r14: query norm rides the probe list (once per (qid, cid)) and
-    # the corpus norm is projected once per assigned row before the
-    # join — the exact rerank then runs ONE dot fold per candidate
-    # instead of re-deriving both norms per pair. dot/(qn·cn) is the
-    # identical expression tree, so cos_sim is bit-identical.
-    probe_lists = (
-        queries.crossJoin(F.broadcast(centroids))
-        .select(
-            "qid", "qv", "cid",
-            _ivf_dist(F.col("qq"), F.col("s"), F.col("n")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("qid", "qv", _norm(F.col("qv")).alias("qn"), "cid")
+    # r14: query norm rides the probe list (once per query) and the
+    # corpus norm is projected once per assigned row before the join —
+    # the exact rerank then runs ONE dot fold per candidate instead of
+    # re-deriving both norms per pair. dot/(qn·cn) is the identical
+    # expression tree, so cos_sim is bit-identical. r15: the probe
+    # ranking folds in-row against the one-row centroid array
+    # (_probe_lists) instead of a Q×K crossJoin + window — one fewer
+    # exchange + sort in front of the probe broadcast.
+    probe_lists = _probe_lists(
+        queries, centroids, F.col("qv"), _norm(F.col("qv")).alias("qn")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), "vec_id")
     return (
@@ -1392,18 +1421,10 @@ def ivfpq_search(
     (vec_id, embedding — the rerank's float side)."""
     from pyspark.sql import Window
 
-    wq = Window.partitionBy("qid").orderBy("dist", "cid")
-    probes = (
-        queries.select("qid", "qq")
-        .crossJoin(F.broadcast(centroids))
-        .select(
-            "qid", "cid",
-            _ivf_dist(F.col("qq"), F.col("s"), F.col("n")).alias("dist"),
-        )
-        .withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= _IVF_NPROBE)
-        .select("qid", "cid")
-    )
+    # r15: in-row probe ranking against the one-row centroid array
+    # (see _probe_lists) — the Q×K crossJoin + row_number window and
+    # its exchange are gone from the search path.
+    probes = _probe_lists(queries.select("qid", "qq"), centroids)
     q_sub = _pq_subvectors(
         spark, queries.select("qid", "qq"), vec_col="qq", carry=("qid",)
     )

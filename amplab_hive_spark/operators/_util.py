@@ -92,14 +92,16 @@ def davg(col: Column | str, alias: str, scale: int = 4) -> Column:
 #
 # Overflow headroom (the 100 TB bar): per-row e6 units of a charge-
 # like value are ≤ ~1.2e11; a per-partition partial over R rows is
-# ≤ 1.2e11·R, so R must stay under ~7e7 rows — i.e. scan splits up to
-# ~1.5 GB of lineitem-shaped parquet per task (the guide's largest
-# recommended split is 1 GB ⇒ ~5e7 rows ⇒ ≤ 6e18 < 2^63 with ~1.6×
-# margin; a deployment pushing splits beyond that must also split the
-# partial key, e.g. add pmod(l_orderkey, 64)). The FINAL total (which
-# can exceed a long at 100 TB) is summed in decimal(38,0) — only
-# #partitions × #groups rows deep. Bounded-group sums (lineitems per
-# order, etc.) may skip the two-level split and long-sum directly.
+# ≤ 1.2e11·R, so R must stay under ~7e7 rows (~1.5 GB splits) with a
+# bare spark_partition_id partial key. r15 (ADVICE r14): q1's partial
+# key now ALSO sub-buckets by pmod(l_orderkey, 64), making the wrap
+# point ~4.5e9 rows (~1 TB of lineitem parquet) PER SCAN SPLIT — a
+# structural guarantee instead of a split-size comment, measured free
+# at sf0.1. New unbounded-group consumers should copy that sub-bucket.
+# The FINAL total (which can exceed a long at 100 TB) is summed in
+# decimal(38,0) — only #partitions × #groups × #buckets rows deep.
+# Bounded-group sums (lineitems per order, etc.) may skip the
+# two-level split and long-sum directly.
 
 
 def cents(col: Column | str, dp: int = 2) -> Column:
