@@ -106,7 +106,23 @@ def analyze(spark: SparkSession, name: str, columns: Sequence[str] = ()) -> None
 
 
 def _partition_columns(spark: SparkSession, name: str) -> list[str]:
-    return [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
+    """Partition column names from the session catalog's table
+    metadata, JOB-FREE (r15, guide §5 driver barriers): the
+    ``spark.catalog.listColumns`` API executes a command that spins
+    ~4 driver jobs per call, and every DML verb (MERGE, UPDATE,
+    DELETE, compaction) asks this question at least once per
+    statement — pure scheduling latency for metadata the catalog
+    already holds. The py4j metadata read resolves the name exactly
+    like listColumns (current database for bare names, db.table for
+    qualified); anything it cannot resolve (temp views, 3-part
+    names) falls back to the original API."""
+    try:
+        ident = spark._jsparkSession.sessionState().sqlParser().parseTableIdentifier(name)
+        meta = spark._jsparkSession.sessionState().catalog().getTableMetadata(ident)
+        joined = meta.partitionColumnNames().mkString("\x00")
+        return joined.split("\x00") if joined else []
+    except Exception:  # temp view / 3-part name / parse edge: old path
+        return [c.name for c in spark.catalog.listColumns(name) if c.isPartition]
 
 
 # UPDATE/DELETE evaluate their condition in two separate scans
